@@ -1,0 +1,258 @@
+"""Spark extraction pipeline.
+
+The distributed analog of the reference's batch CLI
+(/root/reference/js/extractTextDir.js: directory walk -> worker pool ->
+per-document extraction, per-file errors never abort the batch):
+
+    input df (url, warc_ts, html, text, lang)
+      -> [optional salt repartition by size bucket]     # skew handling
+      -> mapInPandas(extract)                           # one row = one doc,
+                                                        # zero shuffles in the
+                                                        # hot path
+      -> (url, text, format, page_count, word_count, error[, spans])
+
+Design notes for 100 TB scale:
+- One row = one document end-to-end: the parse, paragraph assignment and
+  text fold all happen inside a single Arrow-batched UDF, so the only
+  shuffle in the whole job is the optional salting repartition.
+- Skew: document parse cost varies by orders of magnitude. ``salt=True``
+  hash-repartitions on (size_bucket, url) so the 1% of 200-500-page
+  documents spread evenly instead of stacking in input-split order.
+  AQE rebalances shuffle partitions but not UDF compute skew — the salt
+  is ours to apply (SURVEY.md §4.1).
+- Resume: ``resume_against`` anti-joins previously committed urls so a
+  restarted run only processes the remainder (per-partition lineage is
+  the output table itself, keyed by run_id).
+- Arrow batch size: documents are large; cap records per batch via
+  ``spark.sql.execution.arrow.maxRecordsPerBatch`` (set in session_conf).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Optional
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import (
+    ArrayType,
+    BooleanType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+SPAN_STRUCT = StructType([
+    StructField("page_n", IntegerType()),
+    StructField("line_n", IntegerType()),
+    StructField("word_n", IntegerType()),
+    StructField("word_id", StringType()),
+    StructField("text", StringType()),
+    StructField("left", DoubleType()),
+    StructField("top", DoubleType()),
+    StructField("right", DoubleType()),
+    StructField("bottom", DoubleType()),
+    StructField("conf", DoubleType()),
+    StructField("sup", BooleanType()),
+    StructField("bold", BooleanType()),
+    StructField("italic", BooleanType()),
+    StructField("smallCaps", BooleanType()),
+    StructField("dropcap", BooleanType()),
+    StructField("baseline_slope", DoubleType()),
+    StructField("baseline_offset", DoubleType()),
+    StructField("par_n", IntegerType()),
+    StructField("par_type", StringType()),
+])
+
+EXTRACT_SCHEMA = StructType([
+    StructField("url", StringType()),
+    StructField("text", StringType()),
+    StructField("format", StringType()),
+    StructField("error", StringType()),
+    StructField("page_count", IntegerType()),
+    StructField("word_count", IntegerType()),
+])
+
+EXTRACT_SPANS_SCHEMA = StructType(
+    EXTRACT_SCHEMA.fields + [StructField("spans", ArrayType(SPAN_STRUCT))])
+
+
+def session_conf(builder):
+    """Recommended extraction-job settings, applied to a SparkSession builder."""
+    return (
+        builder
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Documents are big rows; keep Arrow batches small enough to fit
+        # executor memory even for the 500-page tail.
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "256")
+    )
+
+
+def _extract_batches(batches, with_spans: bool):
+    import pandas as pd
+
+    from .extract import extract_with_spans
+
+    for pdf in batches:
+        out = {
+            "url": [], "text": [], "format": [], "error": [],
+            "page_count": [], "word_count": [],
+        }
+        if with_spans:
+            out["spans"] = []
+        for url, html in zip(pdf["url"], pdf["html"]):
+            rec = extract_with_spans(bytes(html))
+            out["url"].append(url)
+            out["text"].append(rec["text"])
+            out["format"].append(rec["format"])
+            out["error"].append(rec["error"])
+            out["page_count"].append(rec["page_count"])
+            out["word_count"].append(rec["word_count"])
+            if with_spans:
+                out["spans"].append(rec["spans"])
+        yield pd.DataFrame(out)
+
+
+def salt_by_size(df: DataFrame, num_partitions: Optional[int] = None) -> DataFrame:
+    """Spread large documents across partitions.
+
+    Size bucket = log2 of byte length; hash-repartition on
+    (bucket, url) so each partition receives a mix of sizes. This is
+    the explicit analog of the reference's rolling-window job dispatch
+    (/root/reference/js/extractPDFText.js:36-48) for a shared-nothing
+    cluster.
+    """
+    salted = df.withColumn(
+        "_size_bucket",
+        F.floor(F.log2(F.greatest(F.length("html"), F.lit(1)))),
+    )
+    if num_partitions:
+        salted = salted.repartition(num_partitions, "_size_bucket", "url")
+    else:
+        salted = salted.repartition("_size_bucket", "url")
+    return salted.drop("_size_bucket")
+
+
+def extract_text(
+    df: DataFrame,
+    with_spans: bool = False,
+    salt: bool = True,
+    num_partitions: Optional[int] = None,
+    resume_against: Optional[DataFrame] = None,
+) -> DataFrame:
+    """Run the extraction pipeline over an input DataFrame.
+
+    ``resume_against``: a DataFrame of already-committed output (must
+    contain ``url``); those documents are skipped via a left-anti join —
+    the checkpoint/resume contract of the north rule.
+    """
+    work = df.select("url", "html")
+    if resume_against is not None:
+        work = work.join(resume_against.select("url"), on="url", how="left_anti")
+    if salt:
+        work = salt_by_size(work, num_partitions)
+
+    schema = EXTRACT_SPANS_SCHEMA if with_spans else EXTRACT_SCHEMA
+
+    def fn(batches: Iterator) -> Iterator:
+        return _extract_batches(batches, with_spans)
+
+    return work.mapInPandas(fn, schema=schema)
+
+
+def extract_spans(df: DataFrame, **kwargs) -> DataFrame:
+    """Exploded ordered span rows: one row per word
+    (expected_spans schema, FIXTURES.md §4)."""
+    res = extract_text(df, with_spans=True, **kwargs)
+    return (
+        res.filter(F.col("error").isNull())
+        .select("url", F.explode("spans").alias("s"))
+        .select("url", "s.*")
+    )
+
+
+def extraction_metrics(result: DataFrame) -> DataFrame:
+    """Aggregate job metrics: docs, failure rate, span counts —
+    the metrics sidecar committed alongside each output write
+    (north rule). Pure DataFrame aggregation, no UDF."""
+    return result.agg(
+        F.count("*").alias("docs_total"),
+        F.sum(F.when(F.col("error").isNotNull(), 1).otherwise(0)).alias("docs_failed"),
+        (F.sum(F.when(F.col("error").isNotNull(), 1).otherwise(0)) / F.count("*"))
+        .alias("parse_failure_rate"),
+        F.sum("page_count").alias("pages_total"),
+        F.sum("word_count").alias("spans_total"),
+    )
+
+
+def run_extraction_job(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    run_id: str,
+    fmt: str = "parquet",
+    with_spans: bool = False,
+    salt: bool = True,
+    resume: bool = True,
+) -> dict:
+    """End-to-end job: read -> (resume anti-join) -> extract -> commit
+    output + metrics. Returns the collected metrics row as a dict.
+
+    With an Iceberg catalog configured, ``fmt='iceberg'`` writes to a
+    table instead of a path; the parquet path is the sandbox stand-in
+    with identical commit semantics (output + metrics per run_id).
+    """
+    import time
+
+    df = spark.read.parquet(input_path) if fmt == "parquet" \
+        else spark.read.table(input_path)
+
+    resume_against = None
+    if resume:
+        try:
+            prior = (spark.read.parquet(output_path) if fmt == "parquet"
+                     else spark.read.table(output_path))
+            resume_against = prior
+        except Exception:
+            resume_against = None
+
+    t0 = time.time()
+    result = extract_text(
+        df, with_spans=with_spans, salt=salt, resume_against=resume_against)
+    result = result.withColumn("run_id", F.lit(run_id))
+    if fmt == "parquet":
+        result.write.mode("append").parquet(output_path)
+    else:
+        result.writeTo(output_path).append()
+    elapsed = time.time() - t0
+
+    committed = (spark.read.parquet(output_path) if fmt == "parquet"
+                 else spark.read.table(output_path))
+    metrics_row = extraction_metrics(
+        committed.filter(F.col("run_id") == run_id)).collect()[0].asDict()
+    metrics_row["elapsed_sec"] = elapsed
+    metrics_row["docs_per_sec"] = (
+        metrics_row["docs_total"] / elapsed if elapsed > 0 else None)
+    metrics_row["run_id"] = run_id
+
+    metrics_schema = StructType([
+        StructField("run_id", StringType()),
+        StructField("docs_total", LongType()),
+        StructField("docs_failed", LongType()),
+        StructField("parse_failure_rate", DoubleType()),
+        StructField("pages_total", LongType()),
+        StructField("spans_total", LongType()),
+        StructField("elapsed_sec", DoubleType()),
+        StructField("docs_per_sec", DoubleType()),
+    ])
+    metrics_df = spark.createDataFrame(
+        [tuple(metrics_row.get(f.name) for f in metrics_schema.fields)],
+        schema=metrics_schema)
+    if fmt == "parquet":
+        metrics_df.write.mode("append").parquet(output_path + "_metrics")
+    else:
+        metrics_df.writeTo(output_path + "_metrics").append()
+    return metrics_row

@@ -1,0 +1,86 @@
+"""Spark pipeline tests: byte-identity at the DataFrame level,
+determinism across runs, resume semantics, metrics."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from scribe_js_spark.fixtures import make_corpus_pandas
+from scribe_js_spark.pipeline import (
+    extract_spans,
+    extract_text,
+    extraction_metrics,
+    run_extraction_job,
+)
+
+N_DOCS = 40
+
+
+@pytest.fixture(scope="module")
+def corpus_df(spark):
+    pdf = make_corpus_pandas(N_DOCS, formats=("hocr", "abbyy", "alto", "text"))
+    return spark.createDataFrame(
+        pdf[["url", "warc_ts", "html", "text", "lang"]]).cache()
+
+
+def test_extract_text_byte_identical(spark, corpus_df):
+    result = extract_text(corpus_df, salt=True, num_partitions=4)
+    joined = (
+        result.alias("r")
+        .join(corpus_df.select("url", F.col("text").alias("expected")), on="url")
+    )
+    rows = joined.collect()
+    assert len(rows) == N_DOCS
+    for row in rows:
+        assert row["error"] is None, f"{row['url']}: {row['error']}"
+        assert row["text"] == row["expected"], row["url"]
+
+
+def test_extract_spans_schema_and_order(spark, corpus_df):
+    spans = extract_spans(corpus_df, salt=False)
+    one_url = corpus_df.select("url").orderBy("url").first()["url"]
+    rows = (
+        spans.filter(F.col("url") == one_url)
+        .orderBy("page_n", "line_n", "word_n")
+        .collect()
+    )
+    assert rows
+    assert rows[0]["word_id"] == "word_1_1_1"
+    # word_n dense within each line
+    by_line = {}
+    for r in rows:
+        by_line.setdefault((r["page_n"], r["line_n"]), []).append(r["word_n"])
+    for key, word_ns in by_line.items():
+        assert word_ns == list(range(len(word_ns))), key
+
+
+def test_determinism_two_runs(spark, corpus_df):
+    r1 = extract_text(corpus_df, salt=True).orderBy("url").collect()
+    r2 = extract_text(corpus_df, salt=True).orderBy("url").collect()
+    assert [(r["url"], r["text"]) for r in r1] == [(r["url"], r["text"]) for r in r2]
+
+
+def test_metrics(spark, corpus_df):
+    result = extract_text(corpus_df, salt=False)
+    m = extraction_metrics(result).collect()[0]
+    assert m["docs_total"] == N_DOCS
+    assert m["docs_failed"] == 0
+    assert m["parse_failure_rate"] == 0.0
+    assert m["spans_total"] > 0
+
+
+def test_resume_job(spark, corpus_df, tmp_path):
+    inp = str(tmp_path / "input")
+    outp = str(tmp_path / "output")
+    corpus_df.write.parquet(inp)
+
+    m1 = run_extraction_job(spark, inp, outp, run_id="r1")
+    assert m1["docs_total"] == N_DOCS
+
+    # Second run: everything already committed -> zero new docs.
+    m2 = run_extraction_job(spark, inp, outp, run_id="r2")
+    assert m2["docs_total"] == 0
+
+    committed = spark.read.parquet(outp)
+    assert committed.count() == N_DOCS
+    metrics = spark.read.parquet(outp + "_metrics")
+    assert metrics.count() == 2

@@ -1,0 +1,83 @@
+"""Core invariant: extract(render(model)) == expected(model), byte-identical.
+
+Pure-Python (no Spark) — the per-document operators are plain functions;
+the Spark wrapper is exercised in test_pipeline.py.
+"""
+
+import pytest
+
+from scribe_js_spark.extract import extract_document, extract_with_spans
+from scribe_js_spark.fixtures import (
+    RENDERERS,
+    build_doc_model,
+    expected_counts,
+    expected_text,
+    make_corpus_rows,
+)
+
+N_DOCS = 60
+
+
+@pytest.mark.parametrize("fmt", ["hocr", "abbyy", "alto", "text"])
+def test_roundtrip_per_format(fmt):
+    for doc_id in range(25):
+        n_pages = 1 if fmt == "text" else None
+        model = build_doc_model(doc_id, n_pages=n_pages)
+        data = RENDERERS[fmt](model).encode("utf-8")
+        res = extract_document(data)
+        assert res.error is None, f"doc {doc_id}: {res.error}"
+        assert res.fmt == fmt
+        exp = expected_text(model)
+        assert res.text == exp, (
+            f"doc {doc_id} fmt {fmt}:\nGOT {res.text!r}\nEXP {exp!r}")
+
+
+def test_roundtrip_indent_family():
+    for doc_id in range(12):
+        model = build_doc_model(doc_id, indent_family=True)
+        data = RENDERERS["hocr"](model).encode("utf-8")
+        res = extract_document(data)
+        assert res.error is None
+        assert res.text == expected_text(model), f"doc {doc_id}"
+
+
+def test_corpus_rows_deterministic():
+    rows1 = make_corpus_rows(N_DOCS, formats=("hocr", "abbyy", "alto", "text"))
+    rows2 = make_corpus_rows(N_DOCS, formats=("hocr", "abbyy", "alto", "text"))
+    assert [r["html"] for r in rows1] == [r["html"] for r in rows2]
+    assert [r["text"] for r in rows1] == [r["text"] for r in rows2]
+
+
+def test_corpus_full_extraction():
+    rows = make_corpus_rows(N_DOCS, formats=("hocr", "abbyy", "alto", "text"))
+    for row in rows:
+        rec = extract_with_spans(row["html"])
+        assert rec["error"] is None, f"{row['url']}: {rec['error']}"
+        assert rec["text"] == row["text"], row["url"]
+        assert rec["format"] == row["format"]
+        assert rec["word_count"] == row["word_count"], row["url"]
+
+
+def test_span_counts_and_schema():
+    model = build_doc_model(3)
+    data = RENDERERS["hocr"](model).encode("utf-8")
+    rec = extract_with_spans(data)
+    counts = expected_counts(model)
+    assert rec["page_count"] == counts["page_count"]
+    assert rec["word_count"] == counts["word_count"]
+    span = rec["spans"][0]
+    for key in ("page_n", "line_n", "word_n", "word_id", "text", "left",
+                "top", "right", "bottom", "conf", "sup", "bold", "italic",
+                "smallCaps", "dropcap", "baseline_slope", "baseline_offset",
+                "par_n", "par_type"):
+        assert key in span
+    # Deterministic positional id scheme (reference convertPageHocr.js:170)
+    assert rec["spans"][0]["word_id"] == "word_1_1_1"
+
+
+def test_malformed_input_never_fatal():
+    rec = extract_with_spans(b"\x00\x01\x02 garbage not a document \xff")
+    assert rec["error"] is not None
+    rec2 = extract_with_spans(
+        b"<html><body><div class='ocr_page' title='nonsense'></div></body></html>")
+    assert rec2["error"] is not None  # no page dims
