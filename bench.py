@@ -1,0 +1,113 @@
+"""Benchmark harness.
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec, ...}, "sf": ..., "extract_docs_per_sec": ...}.
+
+The extraction benchmark runs over a deterministic skewed synthetic
+corpus (FIXTURES.md §5 size mix — 1% of documents are 200-500 pages) so
+the size-bucket salting is actually exercised; the text-pipeline ops run
+over the provided sf tables.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "3000"))
+BENCH_CACHE = os.environ.get("SPARK_GRAFT_BENCH_CACHE", "/tmp/scribe_bench")
+
+
+def main():
+    import pyspark.sql.functions as F
+    from pyspark.sql import SparkSession
+
+    from scribe_js_spark.fixtures import ensure_bench_corpus
+    from scribe_js_spark.pipeline import extract_text, session_conf
+    from scribe_js_spark.textops.dedup import (
+        exact_dups,
+        jaccard_pairs,
+        minhash_lsh_pairs,
+        simhash_candidates,
+    )
+    from scribe_js_spark.textops.quality import doc_stats, fingerprint, lang_id
+    from scribe_js_spark.textops.similarity import (
+        ann_topk_bruteforce,
+        ann_topk_lsh,
+    )
+
+    corpus_path = ensure_bench_corpus(BENCH_CACHE, BENCH_DOCS)
+
+    spark = session_conf(
+        SparkSession.builder.master(f"local[{CPUS}]")
+        .appName("scribe-bench")
+        .config("spark.sql.shuffle.partitions", str(max(CPUS, 8)))
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "48g")
+    ).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    corpus = spark.read.parquet(corpus_path)
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    events = spark.read.parquet(os.path.join(SF_DIR, "events.parquet"))
+
+    # JVM + UDF warmup (excluded from timings).
+    extract_text(corpus.limit(32), salt=False).count()
+
+    timings = {}
+    extras = {}
+
+    def run(name, fn):
+        t0 = time.time()
+        result = fn()
+        timings[name] = round(time.time() - t0, 3)
+        return result
+
+    n_extracted = run(
+        "extract",
+        lambda: extract_text(corpus, salt=True, num_partitions=CPUS * 4)
+        .filter(F.col("error").isNull()).count())
+    extras["extract_docs"] = n_extracted
+    extras["extract_docs_per_sec"] = round(n_extracted / timings["extract"], 2)
+
+    run("doc_stats", lambda: doc_stats(docs).agg(
+        F.sum("n_tokens")).collect())
+    run("lang_id", lambda: lang_id(docs).groupBy("lang_pred").count().collect())
+    run("fingerprint", lambda: fingerprint(docs).agg(
+        F.count_distinct("token_set_sig")).collect())
+    run("exact_dups", lambda: exact_dups(docs).filter(
+        F.col("n_copies") > 1).count())
+    run("jaccard_pairs", lambda: jaccard_pairs(
+        docs, threshold=0.8, max_doc_id=500).count())
+    run("minhash_lsh", lambda: minhash_lsh_pairs(docs).count())
+    run("simhash", lambda: simhash_candidates(docs).count())
+    queries10 = emb.filter(F.col("vec_id") < 10)
+    run("ann_topk", lambda: ann_topk_bruteforce(emb, queries10, k=5).count())
+    run("ann_topk_lsh", lambda: ann_topk_lsh(emb, queries10, k=5).count())
+    run("events_hourly", lambda: events.groupBy(
+        F.date_trunc("hour", "ts"), "event_type").agg(
+        F.count("*"), F.sum("value")).count())
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "extraction+textops wall time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
+        **extras,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -123,15 +123,76 @@ def collect_spans(pages: list[OcrPage]) -> list[dict]:
     return rows
 
 
-def extract_with_spans(data: bytes) -> dict:
+#: Formats whose documents split into independent per-page strings —
+#: the page-level fan-out path for huge documents (the reference
+#: parallelizes page parse jobs the same way, extractPDFText.js:36-48).
+PAGE_SPLITTABLE = ("hocr", "abbyy", "alto", "stext")
+
+
+def split_document_pages(data: bytes) -> tuple:
+    """(fmt, [page_str, ...], error) — cheap narrow pre-stage for the
+    page-fan-out path. Non-splittable formats return pages=None."""
+    try:
+        fmt = detect_document_format(data)
+        if fmt is None:
+            return None, None, "unsupported_format"
+        if fmt not in PAGE_SPLITTABLE:
+            return fmt, None, None
+        s = data.decode("utf-8", errors="replace")
+        return fmt, split_pages(s, fmt), None
+    except Exception:
+        tb = traceback.format_exc(limit=2)
+        return None, None, f"parse_failure: {tb.splitlines()[-1][:200]}"
+
+
+def extract_single_page(fmt: str, page_str: str, page_n: int,
+                        with_spans: bool = True) -> dict:
+    """Extract one page (true page index preserved for positional word
+    ids); page text uses reflow semantics — concatenating non-empty page
+    texts with '\\n' reproduces the whole-document writeText fold, since
+    a page boundary is always a paragraph boundary."""
+    try:
+        if fmt == "hocr":
+            page, _ = convert_page_hocr(page_str, page_n)
+        elif fmt == "abbyy":
+            page, _ = convert_page_abbyy(page_str, page_n)
+        elif fmt == "alto":
+            page, _ = convert_page_alto(page_str, page_n)
+        elif fmt == "stext":
+            from .operators.stext import convert_page_stext
+            page, _ = convert_page_stext(page_str, page_n)
+        else:
+            raise ValueError(f"not page-splittable: {fmt}")
+        if not page.pars and page.lines:
+            assign_paragraphs(page, page.angle or 0)
+        pars_text = [
+            " ".join(w.text for line in par.lines for w in line.words)
+            for par in page.pars
+        ]
+        text = "\n".join(pars_text)
+        n_words = sum(len(line.words) for line in page.lines)
+        spans = collect_spans([page]) if with_spans else []
+        return {"text": text, "error": None,
+                "word_count": n_words, "spans": spans}
+    except Exception:
+        tb = traceback.format_exc(limit=2)
+        return {"text": None,
+                "error": f"parse_failure: {tb.splitlines()[-1][:200]}",
+                "word_count": 0, "spans": []}
+
+
+def extract_with_spans(data: bytes, with_spans: bool = True) -> dict:
     """Full extraction record for one document (pipeline row shape)."""
     res = extract_document(data)
-    spans = collect_spans(res.pages) if res.error is None else []
+    spans = (collect_spans(res.pages)
+             if (with_spans and res.error is None) else [])
+    n_words = sum(
+        len(line.words) for page in res.pages for line in page.lines)
     return {
         "text": res.text,
         "format": res.fmt,
         "error": res.error,
         "page_count": len(res.pages),
-        "word_count": len(spans),
+        "word_count": n_words if res.error is None else 0,
         "spans": spans,
     }

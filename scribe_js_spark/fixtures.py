@@ -58,10 +58,11 @@ MAX_BASELINE = PAGE_H - 120
 USABLE_W = PAGE_W - 2 * MARGIN_LEFT
 
 FORMATS = ("hocr", "abbyy", "alto", "text", "stext", "pdf")
-# format mix per FIXTURES.md §5 (pdf/stext rendered once those writers land)
+# format mix per FIXTURES.md §5; hocr_char = char-level typography
+# family, hocr_cjk = per-char CJK family (both render as hOCR).
 FORMAT_MIX = (
-    ("hocr", 30), ("abbyy", 25), ("alto", 15), ("text", 10),
-    ("stext", 10), ("pdf", 10),
+    ("hocr", 23), ("abbyy", 25), ("alto", 15), ("text", 10),
+    ("stext", 10), ("pdf", 10), ("hocr_char", 5), ("hocr_cjk", 2),
 )
 
 
@@ -72,10 +73,54 @@ def _doc_rng(seed: int, doc_id: int) -> random.Random:
 # ---------------------------------------------------------------- model
 
 
+#: 40-char Han lexicon for the CJK family (common CJK Unified
+#: Ideographs; public Unicode facts).
+CJK_LEXICON = (
+    "文本分析数据处理系统模型图表页行列字词符语言信息格式结构内容程序计算方法算式样例测试"
+)
+
+
+def _decorate_word(token: str, rng) -> dict:
+    """Char-level decoration for the typography family: returns
+    {text(html), expected(after pass3), chars[(ch,width)]} exercising
+    the smart-quote, dash-width and ligature rules."""
+    roll = rng.random()
+    quoted = False
+    if roll < 0.10:
+        # straight quotes -> directional quotes (pass3 :382-401)
+        text = f'"{token}"'
+        expected = f"“{token}”"
+        chars = [('"', 8)] + [(c, CHAR_W) for c in token] + [('"', 8)]
+        quoted = True
+    elif roll < 0.16:
+        # hyphen char 20px wide vs xHeight 19 -> en-dash (pass3 :463-507)
+        half = max(1, len(token) // 2)
+        text = token[:half] + "-" + token[half:]
+        expected = token[:half] + "–" + token[half:]
+        chars = ([(c, CHAR_W) for c in token[:half]] + [("-", 20)]
+                 + [(c, CHAR_W) for c in token[half:]])
+    elif roll < 0.22:
+        # ligature codepoint -> component letters (pass3 :512)
+        text = "ﬁ" + token  # ﬁ
+        expected = "fi" + token
+        chars = [("ﬁ", CHAR_W)] + [(c, CHAR_W) for c in token]
+    else:
+        text = token
+        expected = token
+        chars = [(c, CHAR_W) for c in token]
+    return {"text": text, "expected": expected, "chars": chars,
+            "token": token, "quoted": quoted}
+
+
 def build_doc_model(doc_id: int, seed: int = SEED_DEFAULT,
                     n_pages: int | None = None,
-                    indent_family: bool = False) -> dict:
-    """Ground-truth layout model for one document."""
+                    indent_family: bool = False,
+                    family: str = "base") -> dict:
+    """Ground-truth layout model for one document.
+
+    ``family``: 'base' | 'charlevel' (typography decorations, rendered
+    char-level) | 'cjk' (Han per-char words, lang chi_sim).
+    """
     rng = _doc_rng(seed, doc_id)
     if n_pages is None:
         n_pages = rng.randint(1, 3)
@@ -100,14 +145,34 @@ def build_doc_model(doc_id: int, seed: int = SEED_DEFAULT,
                 words = []
                 n_words = rng.randint(4, 9)
                 for w in range(n_words):
-                    token = rng.choice(LEXICON)
-                    width = len(token) * CHAR_W
+                    if family == "cjk":
+                        token = "".join(
+                            rng.choice(CJK_LEXICON)
+                            for _ in range(rng.randint(2, 4)))
+                        dec = {"text": token,
+                               "chars": [(c, CHAR_W) for c in token],
+                               "out_words": list(token)}
+                    elif family == "charlevel":
+                        d = _decorate_word(rng.choice(LEXICON), rng)
+                        dec = {"text": d["text"], "chars": d["chars"],
+                               "out_words": [d["expected"]],
+                               "token": d["token"], "quoted": d["quoted"]}
+                    else:
+                        token = rng.choice(LEXICON)
+                        dec = {"text": token, "chars": None,
+                               "out_words": [token]}
+                    width = (sum(cw for _, cw in dec["chars"])
+                             if dec["chars"] else len(dec["text"]) * CHAR_W)
                     if x + width > MARGIN_LEFT + USABLE_W:
                         break
                     conf = rng.randint(40, 74) if rng.random() < 0.05 \
                         else rng.randint(95, 99)
                     words.append({
-                        "text": token,
+                        "text": dec["text"],
+                        "chars": dec["chars"],
+                        "out_words": dec["out_words"],
+                        "quoted": dec.get("quoted", False),
+                        "token": dec.get("token"),
                         "left": x, "right": x + width,
                         "top": y - ASC_H, "bottom": y + DESC_H,
                         "conf": conf,
@@ -115,14 +180,31 @@ def build_doc_model(doc_id: int, seed: int = SEED_DEFAULT,
                     x += width + WORD_GAP
                 if not words:
                     continue
-                # Paragraph-final line ends with a period.
+                # A quote-decorated word at a line edge disables the
+                # lowerConnection suppressor in the reflow heuristics
+                # (JS /[a-z]/ and /\w/ reject directional quotes), which
+                # can legitimately split mid-paragraph. The fixture model
+                # keeps quote words strictly line-internal.
+                for edge in (0, -1):
+                    w_edge = words[edge]
+                    if w_edge.get("quoted"):
+                        token = w_edge["token"]
+                        w_edge["text"] = token
+                        w_edge["chars"] = [(c, CHAR_W) for c in token]
+                        w_edge["out_words"] = [token]
+                        w_edge["quoted"] = False
+                        w_edge["right"] = w_edge["left"] + len(token) * CHAR_W
                 lines.append({"words": words, "baseline_y": y, "indent": indent})
                 y += LINE_PITCH
             if not lines:
                 continue
-            last_word = lines[-1]["words"][-1]
-            last_word["text"] += "."
-            last_word["right"] += CHAR_W
+            # Paragraph-final line ends with a period (base families;
+            # decorated/cjk words interact with the pass3 quote rules).
+            if family == "base":
+                last_word = lines[-1]["words"][-1]
+                last_word["text"] += "."
+                last_word["out_words"] = [last_word["text"]]
+                last_word["right"] += CHAR_W
             pars.append({"lines": lines})
             prev_single = len(lines) == 1
             y += PAR_GAP - LINE_PITCH  # total gap between pars = PAR_GAP
@@ -134,7 +216,8 @@ def build_doc_model(doc_id: int, seed: int = SEED_DEFAULT,
         pages = [{
             "pars": [{"lines": [{
                 "words": [{
-                    "text": "data.", "left": MARGIN_LEFT,
+                    "text": "data.", "chars": None, "out_words": ["data."],
+                    "left": MARGIN_LEFT,
                     "right": MARGIN_LEFT + 5 * CHAR_W,
                     "top": TOP_BASELINE - ASC_H,
                     "bottom": TOP_BASELINE + DESC_H, "conf": 97,
@@ -143,25 +226,35 @@ def build_doc_model(doc_id: int, seed: int = SEED_DEFAULT,
             }]}],
             "width": PAGE_W, "height": PAGE_H,
         }]
-    return {"doc_id": doc_id, "pages": pages, "indent_family": indent_family}
+    return {"doc_id": doc_id, "pages": pages, "family": family,
+            "indent_family": indent_family}
+
+
+def _word_out(w: dict) -> list[str]:
+    return w.get("out_words") or [w["text"]]
 
 
 def expected_text(model: dict) -> str:
     """Reference writeText({reflowText: true}) semantics applied to the
     model: words joined ' ', lines of one par joined ' ', each par after
-    the first prefixed '\\n' (page boundary = paragraph boundary)."""
+    the first prefixed '\\n' (page boundary = paragraph boundary).
+    Decorated words contribute their post-pass3 expected form; CJK words
+    contribute one output word per character."""
     pars_out = []
     for page in model["pages"]:
         for par in page["pars"]:
-            words = [w["text"] for line in par["lines"] for w in line["words"]]
+            words = [
+                out for line in par["lines"] for w in line["words"]
+                for out in _word_out(w)]
             pars_out.append(" ".join(words))
     return "\n".join(pars_out)
 
 
 def expected_counts(model: dict) -> dict:
     n_words = sum(
-        len(line["words"])
-        for page in model["pages"] for par in page["pars"] for line in par["lines"])
+        len(_word_out(w))
+        for page in model["pages"] for par in page["pars"]
+        for line in par["lines"] for w in line["words"])
     n_lines = sum(
         len(par["lines"]) for page in model["pages"] for par in page["pars"])
     n_pars = sum(len(page["pars"]) for page in model["pages"])
@@ -173,10 +266,81 @@ def expected_counts(model: dict) -> dict:
     }
 
 
+def expected_spans(model: dict, fmt: str, url: str) -> list[dict]:
+    """Golden ordered span rows for formats whose word geometry passes
+    through the converters unchanged (hocr, alto). Derived from the
+    model, not by running the extractor.
+
+    Format-specific baseline semantics:
+    - hocr: baseline from the line title ('baseline 0 -9') -> offset -9;
+    - alto: offset = median bottom of descender-free words minus line
+      bbox bottom; our model gives every word the same bottom -> 0.
+    """
+    rows = []
+    for page_n, page in enumerate(model["pages"]):
+        line_counter = 0
+        for par_n, par in enumerate(page["pars"]):
+            for line in par["lines"]:
+                line_n = line_counter
+                line_counter += 1
+                if fmt == "hocr":
+                    baseline_offset = -float(DESC_H)
+                else:
+                    # ALTO: offset 0 when any word is descender-free
+                    # (uniform bottoms), else -round(0.25 * line height).
+                    has_desc_free = any(
+                        not any(ch in "gjpqy" for ch in w["text"])
+                        for w in line["words"])
+                    line_h = (
+                        max(w["bottom"] for w in line["words"])
+                        - min(w["top"] for w in line["words"]))
+                    baseline_offset = (
+                        0.0 if has_desc_free
+                        else -float(round(line_h * 0.25)))
+                for word_n, w in enumerate(line["words"]):
+                    rows.append({
+                        "url": url,
+                        "page_n": page_n,
+                        "line_n": line_n,
+                        "word_n": word_n,
+                        "word_id": f"word_{page_n + 1}_{line_n + 1}_{word_n + 1}",
+                        "text": w["text"],
+                        "left": float(w["left"]),
+                        "top": float(w["top"]),
+                        "right": float(w["right"]),
+                        "bottom": float(w["bottom"]),
+                        "conf": float(w["conf"]),
+                        "sup": False, "bold": False, "italic": False,
+                        "smallCaps": False, "dropcap": False,
+                        "baseline_slope": 0.0,
+                        "baseline_offset": baseline_offset,
+                        "par_n": par_n,
+                        "par_type": "body",
+                    })
+    return rows
+
+
 # ------------------------------------------------------------- renderers
 
 
+def _char_box(ch: str, x: int, width: int, baseline_y: int):
+    """Char-class-dependent box (same scheme as the ABBYY renderer):
+    ascenders/caps/digits/others reach y-31, x-height chars y-19,
+    descenders drop to y+9."""
+    if ch in "gjpqy":
+        return x, baseline_y - 19, x + width, baseline_y + DESC_H
+    if ch in "acemnorsuvwxz":
+        return x, baseline_y - 19, x + width, baseline_y
+    if ch in "-–—":
+        return x, baseline_y - 13, x + width, baseline_y - 9
+    if ch in "\"'":
+        return x, baseline_y - ASC_H, x + width, baseline_y - 12
+    return x, baseline_y - ASC_H, x + width, baseline_y
+
+
 def render_hocr(model: dict) -> str:
+    char_level = model.get("family") in ("charlevel", "cjk")
+    par_lang = "chi_sim" if model.get("family") == "cjk" else "eng"
     out = [
         "<html><head><meta name='ocr-system' content='tesseract'></head><body>"]
     for page_n, page in enumerate(model["pages"]):
@@ -186,7 +350,7 @@ def render_hocr(model: dict) -> str:
             f"bbox 0 0 {page['width']} {page['height']}; ppageno {page_n}'>")
         line_counter = 0
         for par in page["pars"]:
-            out.append("<p class='ocr_par' lang='eng'>")
+            out.append(f"<p class='ocr_par' lang='{par_lang}'>")
             for line in par["lines"]:
                 line_counter += 1
                 l = min(w["left"] for w in line["words"])
@@ -201,11 +365,28 @@ def render_hocr(model: dict) -> str:
                     f"x_descenders {DESC_H}; x_ascenders 12'>")
                 for w_n, w in enumerate(line["words"]):
                     wid = f"word_{page_n + 1}_{line_counter}_{w_n + 1}"
-                    out.append(
-                        f"<span class='ocrx_word' id='{wid}' "
-                        f"title='bbox {w['left']} {w['top']} {w['right']} "
-                        f"{w['bottom']}; x_wconf {w['conf']}'>"
-                        f"{escape_xml(w['text'])}</span>")
+                    if char_level and w.get("chars"):
+                        out.append(
+                            f"<span class='ocrx_word' id='{wid}' "
+                            f"title='bbox {w['left']} {w['top']} "
+                            f"{w['right']} {w['bottom']}; "
+                            f"x_wconf {w['conf']}'>")
+                        x = w["left"]
+                        y = line["baseline_y"]
+                        for ch, cw in w["chars"]:
+                            cl, ct, cr, cb = _char_box(ch, x, cw, y)
+                            out.append(
+                                f"<span class='ocrx_cinfo' title='x_bboxes "
+                                f"{cl} {ct} {cr} {cb}'>"
+                                f"{escape_xml(ch)}</span>")
+                            x += cw
+                        out.append("</span>")
+                    else:
+                        out.append(
+                            f"<span class='ocrx_word' id='{wid}' "
+                            f"title='bbox {w['left']} {w['top']} {w['right']} "
+                            f"{w['bottom']}; x_wconf {w['conf']}'>"
+                            f"{escape_xml(w['text'])}</span>")
                 out.append("</span>")
             out.append("</p>")
         out.append("</div>")
@@ -332,6 +513,173 @@ def render_pdf(model: dict) -> bytes:
 # --------------------------------------------------------------- corpus
 
 
+def _mutate_word(text: str, salt: int) -> str:
+    """Deterministic same-length substitution (an OCR-style error):
+    replace the first letter with a different one. Length is preserved
+    so layer geometry (and therefore bbox matching) is unchanged."""
+    first = text[0]
+    repl = chr((ord(first) - ord("a") + 1 + salt % 7) % 26 + ord("a"))
+    if repl == first:
+        repl = chr((ord(first) - ord("a") + 9) % 26 + ord("a"))
+    return repl + text[1:]
+
+
+def build_layer_models(doc_id: int, seed: int = SEED_DEFAULT) -> dict:
+    """Multi-layer pair family (FIXTURES.md §2.8): the ground-truth
+    model plus two OCR renditions with seeded same-geometry word errors.
+
+    Returns models + the expected eval metrics for (ocr_a vs truth) and
+    the expected consensus decisions for base=ocr_a,
+    comparators=[truth, ocr_b].
+    """
+    import copy
+
+    truth = build_doc_model(doc_id, seed=seed)
+    rng = _doc_rng(seed + 7777, doc_id)
+
+    def all_words(model):
+        return [
+            w for page in model["pages"] for par in page["pars"]
+            for line in par["lines"] for w in line["words"]]
+
+    words = all_words(truth)
+    n_words = len(words)
+    k = max(1, n_words // 20)
+    subs_a = sorted(rng.sample(range(n_words), min(k, n_words)))
+    subs_b = sorted(rng.sample(range(n_words), min(k, n_words)))
+
+    ocr_a = copy.deepcopy(truth)
+    words_a = all_words(ocr_a)
+    for j, idx in enumerate(subs_a):
+        words_a[idx]["text"] = _mutate_word(words_a[idx]["text"], doc_id + j)
+        # alternate high/low confidence on errors (exercises
+        # incorrectHighConf)
+        words_a[idx]["conf"] = 90 if j % 2 == 0 else 50
+
+    ocr_b = copy.deepcopy(truth)
+    words_b = all_words(ocr_b)
+    for j, idx in enumerate(subs_b):
+        words_b[idx]["text"] = _mutate_word(words_b[idx]["text"], doc_id + j + 3)
+
+    # Expected eval metrics for compare(ocr_a, truth): same geometry =>
+    # strict 1-1 overlap; errors are exactly the substituted words.
+    subs_a_set = set(subs_a)
+    correct = n_words - len(subs_a_set)
+    correct_low_conf = sum(
+        1 for i, w in enumerate(words_a)
+        if i not in subs_a_set and w["conf"] <= 75)
+    incorrect_high_conf = sum(
+        1 for i in subs_a_set if words_a[i]["conf"] > 85)
+    eval_expected = {
+        "total": n_words, "correct": correct,
+        "incorrect": len(subs_a_set), "missed": 0, "extra": 0,
+        "correctLowConf": correct_low_conf,
+        "incorrectHighConf": incorrect_high_conf,
+    }
+
+    # Expected consensus for base=ocr_a, comparators=[truth, ocr_b]:
+    # conf 100 when both agree with base, 80 when one does, 50 when none
+    # (replace with the comparators' text when both agree on it).
+    consensus_expected = []
+    word_pos = []
+    for page_n, page in enumerate(truth["pages"]):
+        line_counter = 0
+        for par in page["pars"]:
+            for line in par["lines"]:
+                line_counter += 1
+                for w_n in range(len(line["words"])):
+                    word_pos.append((page_n, line_counter, w_n + 1))
+    for i in range(n_words):
+        base_text = words_a[i]["text"]
+        comp_texts = [words[i]["text"], words_b[i]["text"]]
+        matches = sum(1 for t in comp_texts if t == base_text)
+        out_text = base_text
+        if matches == 2:
+            conf = 100
+        elif matches == 1:
+            conf = 80
+        else:
+            conf = 50
+            if comp_texts[0] == comp_texts[1]:
+                out_text = comp_texts[0]
+        page_n, line_n, w_n = word_pos[i]
+        consensus_expected.append({
+            "word_id": f"word_{page_n + 1}_{line_n}_{w_n}",
+            "text": out_text, "conf": conf,
+        })
+
+    return {
+        "truth": truth, "ocr_a": ocr_a, "ocr_b": ocr_b,
+        "eval_expected": eval_expected,
+        "consensus_expected": consensus_expected,
+    }
+
+
+def bench_page_count(doc_id: int) -> int:
+    """FIXTURES.md §5 bench skew mix: 90% 1-3 pages, 9% 10-30, 1%
+    200-500 — the long tail the salting strategy must absorb."""
+    r = (doc_id * 2654435761) % 100
+    rng = _doc_rng(991, doc_id)
+    if r < 90:
+        return rng.randint(1, 3)
+    if r < 99:
+        return rng.randint(10, 30)
+    return rng.randint(200, 500)
+
+
+def make_bench_rows(n_docs: int, seed: int = SEED_DEFAULT,
+                    formats: tuple[str, ...] | None = None) -> list[dict]:
+    """Bench-tier corpus with the skewed page-count mix."""
+    if formats is None:
+        formats = available_formats()
+    base_ts = datetime(2026, 1, 1, tzinfo=timezone.utc)
+    rows = []
+    for doc_id in range(n_docs):
+        fmt = _pick_format(doc_id, formats)
+        family = {"hocr_char": "charlevel", "hocr_cjk": "cjk"}.get(fmt, "base")
+        render_fmt = "hocr" if fmt.startswith("hocr_") else fmt
+        n_pages = 1 if fmt == "text" else bench_page_count(doc_id)
+        model = build_doc_model(doc_id, seed=seed, n_pages=n_pages,
+                                family=family)
+        if fmt == "stext":
+            html: bytes = render_stext(model).encode("utf-8")
+        elif fmt == "pdf":
+            html = render_pdf(model)
+        else:
+            html = RENDERERS[render_fmt](model).encode("utf-8")
+        rows.append({
+            "url": f"https://fixtures.test/{fmt}/{doc_id:08d}",
+            "warc_ts": base_ts + timedelta(seconds=doc_id),
+            "html": html,
+            "text": expected_text(model),
+            "lang": "eng",
+        })
+    return rows
+
+
+def ensure_bench_corpus(path: str, n_docs: int,
+                        seed: int = SEED_DEFAULT) -> str:
+    """Write (once) and return the bench corpus parquet path."""
+    import os
+
+    import pandas as pd
+
+    fpath = os.path.join(path, f"bench_{n_docs}_{seed}.parquet")
+    if os.path.exists(fpath):
+        return fpath
+    os.makedirs(path, exist_ok=True)
+    df = pd.DataFrame(make_bench_rows(n_docs, seed=seed))
+    df["warc_ts"] = (
+        pd.to_datetime(df["warc_ts"]).dt.tz_localize(None).astype("datetime64[us]"))
+    # Small row groups keep the file splittable: Spark parallelizes the
+    # scan across row-group boundaries, so no byte-shuffle is needed to
+    # fan the parse out (at cluster scale the input is many files and
+    # this is automatic).
+    df[["url", "warc_ts", "html", "text", "lang"]].to_parquet(
+        fpath, index=False, row_group_size=64)
+    return fpath
+
+
 def _pick_format(doc_id: int, available: tuple[str, ...]) -> str:
     mix = [(f, w) for f, w in FORMAT_MIX if f in available]
     total = sum(w for _, w in mix)
@@ -345,7 +693,7 @@ def _pick_format(doc_id: int, available: tuple[str, ...]) -> str:
 
 
 def available_formats() -> tuple[str, ...]:
-    avail = ["hocr", "abbyy", "alto", "text"]
+    avail = ["hocr", "abbyy", "alto", "text", "hocr_char", "hocr_cjk"]
     try:  # optional renderers land in later phases
         from . import render_stext as _  # noqa: F401
         avail.append("stext")
@@ -369,27 +717,29 @@ def make_corpus_rows(n_docs: int, seed: int = SEED_DEFAULT,
     rows = []
     for doc_id in range(n_docs):
         fmt = _pick_format(doc_id, formats)
-        indent_family = (doc_id % 10) == 7  # 10% exercise the indent rule
+        family = {"hocr_char": "charlevel", "hocr_cjk": "cjk"}.get(fmt, "base")
+        render_fmt = "hocr" if fmt.startswith("hocr_") else fmt
+        indent_family = family == "base" and (doc_id % 10) == 7
         # Plain-text docs are kept to one model page so convertPageText's
         # pagination never splits a paragraph across synthetic pages
         # (reflow would insert '\n' at the page boundary).
         n_pages = 1 if fmt == "text" else None
         model = build_doc_model(doc_id, seed=seed, n_pages=n_pages,
-                                indent_family=indent_family)
+                                indent_family=indent_family, family=family)
         if fmt == "stext":
             html: bytes = render_stext(model).encode("utf-8")
         elif fmt == "pdf":
             html = render_pdf(model)
         else:
-            html = RENDERERS[fmt](model).encode("utf-8")
+            html = RENDERERS[render_fmt](model).encode("utf-8")
         counts = expected_counts(model)
         rows.append({
             "url": f"https://fixtures.test/{fmt}/{doc_id:08d}",
             "warc_ts": base_ts + timedelta(seconds=doc_id),
             "html": html,
             "text": expected_text(model),
-            "lang": "eng",
-            "format": fmt,
+            "lang": "chi_sim" if family == "cjk" else "eng",
+            "format": render_fmt,
             **counts,
         })
     return rows
@@ -420,3 +770,45 @@ def write_corpus_parquet(path: str, n_docs: int, seed: int = SEED_DEFAULT,
     df[["url", "format", "page_count", "par_count", "line_count",
         "word_count"]].to_parquet(
         os.path.join(path, "meta.parquet"), index=False)
+
+    # Golden span rows for pass-through-geometry formats.
+    import pandas as pd
+
+    span_rows = []
+    for _, row in df.iterrows():
+        fmt_slug = row["url"].split("/")[-2]
+        if fmt_slug not in ("hocr", "alto"):  # excludes hocr_char/hocr_cjk
+            continue
+        doc_id = int(row["url"].rsplit("/", 1)[1])
+        indent_family = (doc_id % 10) == 7
+        model = build_doc_model(doc_id, seed=seed, indent_family=indent_family)
+        span_rows.extend(expected_spans(model, fmt_slug, row["url"]))
+    pd.DataFrame(span_rows).to_parquet(
+        os.path.join(path, "spans.parquet"), index=False)
+
+    # Multi-layer pair family: 10% of urls carry two extra OCR
+    # renditions with seeded errors + golden eval/consensus values.
+    layer_rows = []
+    eval_rows = []
+    consensus_rows = []
+    for _, row in df.iterrows():
+        doc_id = int(row["url"].rsplit("/", 1)[1])
+        if doc_id % 10 != 3:
+            continue
+        layers = build_layer_models(doc_id, seed=seed)
+        url = row["url"]
+        layer_rows.append({
+            "url": url,
+            "html_truth": render_hocr(layers["truth"]).encode("utf-8"),
+            "html_ocr_a": render_hocr(layers["ocr_a"]).encode("utf-8"),
+            "html_ocr_b": render_hocr(layers["ocr_b"]).encode("utf-8"),
+        })
+        eval_rows.append({"url": url, **layers["eval_expected"]})
+        for rec in layers["consensus_expected"]:
+            consensus_rows.append({"url": url, **rec})
+    pd.DataFrame(layer_rows).to_parquet(
+        os.path.join(path, "layers.parquet"), index=False)
+    pd.DataFrame(eval_rows).to_parquet(
+        os.path.join(path, "eval.parquet"), index=False)
+    pd.DataFrame(consensus_rows).to_parquet(
+        os.path.join(path, "consensus.parquet"), index=False)

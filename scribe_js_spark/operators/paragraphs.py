@@ -25,7 +25,9 @@ from ..model import Bbox, OcrPage, OcrPar, bbox_union
 _BULLET_RE = re.compile(r"^([•◦▪▫●○◼◻➢«»]|((i+|\d+|[a-z])(\.|\))))$")
 _TERMINAL_RE = re.compile(r"[.!?:]$")
 _LOWER_START_RE = re.compile(r"[a-z]")
-_WORD_END_RE = re.compile(r"\w")
+# JS \w is ASCII-only ([A-Za-z0-9_]); Python \w would also match Han
+# and accented letters, changing the lowerConnection rule for CJK text.
+_WORD_END_RE = re.compile(r"[A-Za-z0-9_]")
 
 
 def _at(arr, i):

@@ -1,0 +1,337 @@
+"""PDF content-stream text-state machine.
+
+Executes the PDF 1.7 text operator set the way the reference's
+executeTextOperators does (/root/reference/js/pdf/parsePdfDoc.js:1386-1798):
+``q/Q/cm``, ``BT/ET``, ``Tf/Tc/Tw/Tz/TL/Tr/Ts``, ``Tm/Td/TD/T*``,
+``Tj/TJ/'/"`` with TJ kerning adjustments, Form XObject recursion with
+CTM/text-state inheritance and a cycle set, glyph decode via
+ToUnicode ?? encoding ?? chr(code) (:1863-1887), advance =
+``(w/1000*Tfs + Tc + (space? Tw)) * Tz/100``, positions emitted in a
+top-left-origin page frame, orientation from the direction vector.
+
+Emits PositionedChar records for the grouping pass.
+"""
+
+from __future__ import annotations
+
+import math
+
+from .fonts import PdfFont, load_font
+from .lexer import Lexer, Name, Ref, StreamObj, DELIMS, WHITESPACE
+
+
+class PositionedChar:
+    __slots__ = (
+        "text", "x", "y", "width", "fontSize", "font", "invisible",
+        "orientation", "dirX", "dirY", "charCode",
+    )
+
+    def __init__(self, text, x, y, width, font_size, font, invisible,
+                 orientation, dir_x, dir_y, char_code):
+        self.text = text
+        self.x = x
+        self.y = y
+        self.width = width
+        self.fontSize = font_size
+        self.font = font
+        self.invisible = invisible
+        self.orientation = orientation
+        self.dirX = dir_x
+        self.dirY = dir_y
+        self.charCode = char_code
+
+
+def _mat_mul(a, b):
+    """3x2 affine: a then b."""
+    return [
+        a[0] * b[0] + a[1] * b[2],
+        a[0] * b[1] + a[1] * b[3],
+        a[2] * b[0] + a[3] * b[2],
+        a[2] * b[1] + a[3] * b[3],
+        a[4] * b[0] + a[5] * b[2] + b[4],
+        a[4] * b[1] + a[5] * b[3] + b[5],
+    ]
+
+
+IDENT = [1.0, 0.0, 0.0, 1.0, 0.0, 0.0]
+
+
+class ContentTokenizer:
+    """Stream-order (operands..., operator) tokenizer."""
+
+    def __init__(self, data: bytes):
+        self.lex = Lexer(data, 0)
+
+    def __iter__(self):
+        operands = []
+        lex = self.lex
+        data = lex.data
+        n = len(data)
+        while True:
+            lex.skip_ws()
+            if lex.pos >= n:
+                break
+            c = data[lex.pos]
+            if c == 0x2F or c == 0x28 or c == 0x3C or c == 0x5B or (
+                    0x30 <= c <= 0x39) or c in (0x2B, 0x2D, 0x2E):
+                try:
+                    operands.append(self._read_operand())
+                except Exception:
+                    lex.pos += 1
+                continue
+            # operator keyword
+            start = lex.pos
+            while lex.pos < n and data[lex.pos] not in WHITESPACE \
+                    and data[lex.pos] not in DELIMS:
+                lex.pos += 1
+            op = data[start : lex.pos]
+            if not op:
+                lex.pos += 1
+                continue
+            if op == b"BI":
+                # inline image: skip to EI
+                end = data.find(b"EI", lex.pos)
+                lex.pos = len(data) if end < 0 else end + 2
+                operands = []
+                continue
+            yield operands, op
+            operands = []
+
+    def _read_operand(self):
+        lex = self.lex
+        c = lex.data[lex.pos]
+        if c == 0x2F:
+            return lex.read_name()
+        if c == 0x28:
+            return lex.read_literal_string()
+        if c == 0x3C:
+            if lex.data[lex.pos : lex.pos + 2] == b"<<":
+                return lex.read_dict()
+            return lex.read_hex_string()
+        if c == 0x5B:
+            lex.pos += 1
+            arr = []
+            while True:
+                lex.skip_ws()
+                if lex.peek_byte() == 0x5D:
+                    lex.pos += 1
+                    return arr
+                arr.append(self._read_operand())
+        tok = lex.read_token_word()
+        try:
+            return float(tok) if b"." in tok or b"e" in tok.lower() else int(tok)
+        except ValueError:
+            return 0
+
+
+def _orientation_from_dir(dx: float, dy: float) -> int:
+    """Quadrant orientation from the (top-left-frame) direction vector
+    (reference :1846-1856 semantics)."""
+    if dx >= 0.5 and abs(dy) < 0.5:
+        return 0
+    if abs(dx) < 0.5 and dy >= 0.5:
+        return 1
+    if dx <= -0.5 and abs(dy) < 0.5:
+        return 2
+    return 3
+
+
+class TextMachine:
+    def __init__(self, doc, page: dict, page_height: float,
+                 scale: float = 1.0):
+        self.doc = doc
+        self.page = page
+        self.page_height = page_height
+        self.scale = scale
+        self.chars: list[PositionedChar] = []
+        self._font_cache: dict[int, PdfFont] = {}
+        self._xobj_depth = 0
+        self._seen_xobjs: set = set()
+
+    # ------------------------------------------------------------ fonts
+
+    def _resolve_font(self, resources, name: str) -> PdfFont | None:
+        doc = self.doc
+        res = doc.resolve(resources) or {}
+        fonts = doc.resolve(res.get("Font")) or {}
+        ref = fonts.get(name)
+        if ref is None:
+            return None
+        key = ref.num if isinstance(ref, Ref) else id(ref)
+        if key not in self._font_cache:
+            try:
+                self._font_cache[key] = load_font(doc, ref)
+            except Exception:
+                self._font_cache[key] = PdfFont()
+        return self._font_cache[key]
+
+    # -------------------------------------------------------- execution
+
+    def run(self, content: bytes, resources, base_ctm=None) -> None:
+        ctm = list(base_ctm) if base_ctm else list(IDENT)
+        self._execute(content, resources, ctm, depth=0)
+
+    def _execute(self, content: bytes, resources, ctm, depth: int) -> None:
+        doc = self.doc
+        gs_stack = []
+        font: PdfFont | None = None
+        tfs = 0.0
+        tc = 0.0
+        tw = 0.0
+        tz = 100.0
+        tl = 0.0
+        ts = 0.0
+        tr = 0
+        tm = list(IDENT)
+        tlm = list(IDENT)
+
+        for operands, op in ContentTokenizer(content):
+            try:
+                if op == b"q":
+                    gs_stack.append((list(ctm), font, tfs, tc, tw, tz, tl, ts, tr))
+                elif op == b"Q":
+                    if gs_stack:
+                        ctm_s, font, tfs, tc, tw, tz, tl, ts, tr = gs_stack.pop()
+                        ctm[:] = ctm_s
+                elif op == b"cm" and len(operands) >= 6:
+                    m = [float(v) for v in operands[-6:]]
+                    ctm[:] = _mat_mul(m, ctm)
+                elif op == b"BT":
+                    tm = list(IDENT)
+                    tlm = list(IDENT)
+                elif op == b"ET":
+                    pass
+                elif op == b"Tf" and len(operands) >= 2:
+                    font = self._resolve_font(resources, str(operands[-2]))
+                    tfs = float(operands[-1])
+                elif op == b"Tc" and operands:
+                    tc = float(operands[-1])
+                elif op == b"Tw" and operands:
+                    tw = float(operands[-1])
+                elif op == b"Tz" and operands:
+                    tz = float(operands[-1])
+                elif op == b"TL" and operands:
+                    tl = float(operands[-1])
+                elif op == b"Ts" and operands:
+                    ts = float(operands[-1])
+                elif op == b"Tr" and operands:
+                    tr = int(operands[-1])
+                elif op == b"Tm" and len(operands) >= 6:
+                    tm = [float(v) for v in operands[-6:]]
+                    tlm = list(tm)
+                elif op == b"Td" and len(operands) >= 2:
+                    tlm = _mat_mul(
+                        [1, 0, 0, 1, float(operands[-2]), float(operands[-1])], tlm)
+                    tm = list(tlm)
+                elif op == b"TD" and len(operands) >= 2:
+                    tl = -float(operands[-1])
+                    tlm = _mat_mul(
+                        [1, 0, 0, 1, float(operands[-2]), float(operands[-1])], tlm)
+                    tm = list(tlm)
+                elif op == b"T*":
+                    tlm = _mat_mul([1, 0, 0, 1, 0, -tl], tlm)
+                    tm = list(tlm)
+                elif op == b"Tj" and operands:
+                    tm = self._show(operands[-1], font, tfs, tc, tw, tz, ts,
+                                    tr, tm, ctm)
+                elif op == b"'" and operands:
+                    tlm = _mat_mul([1, 0, 0, 1, 0, -tl], tlm)
+                    tm = list(tlm)
+                    tm = self._show(operands[-1], font, tfs, tc, tw, tz, ts,
+                                    tr, tm, ctm)
+                elif op == b'"' and len(operands) >= 3:
+                    tw = float(operands[-3])
+                    tc = float(operands[-2])
+                    tlm = _mat_mul([1, 0, 0, 1, 0, -tl], tlm)
+                    tm = list(tlm)
+                    tm = self._show(operands[-1], font, tfs, tc, tw, tz, ts,
+                                    tr, tm, ctm)
+                elif op == b"TJ" and operands and isinstance(operands[-1], list):
+                    for item in operands[-1]:
+                        if isinstance(item, (int, float)):
+                            adv = -float(item) / 1000.0 * tfs * (tz / 100.0)
+                            tm = _mat_mul([1, 0, 0, 1, adv, 0], tm)
+                        else:
+                            tm = self._show(item, font, tfs, tc, tw, tz, ts,
+                                            tr, tm, ctm)
+                elif op == b"Do" and operands and depth < 8:
+                    self._do_xobject(str(operands[-1]), resources, ctm, depth)
+            except Exception:
+                continue
+
+    def _do_xobject(self, name: str, resources, ctm, depth: int) -> None:
+        doc = self.doc
+        res = doc.resolve(resources) or {}
+        xobjs = doc.resolve(res.get("XObject")) or {}
+        ref = xobjs.get(name)
+        if ref is None:
+            return
+        key = ref.num if isinstance(ref, Ref) else id(ref)
+        if key in self._seen_xobjs:
+            return
+        xobj = doc.resolve(ref)
+        if not isinstance(xobj, StreamObj):
+            return
+        if str(doc.resolve(xobj.dict.get("Subtype", ""))) != "Form":
+            return
+        self._seen_xobjs.add(key)
+        try:
+            inner_ctm = list(ctm)
+            mtx = doc.resolve(xobj.dict.get("Matrix"))
+            if mtx:
+                inner_ctm = _mat_mul([float(doc.resolve(v)) for v in mtx], ctm)
+            inner_res = xobj.dict.get("Resources", res)
+            self._execute(doc.stream_data(xobj), inner_res, inner_ctm, depth + 1)
+        finally:
+            self._seen_xobjs.discard(key)
+
+    # ----------------------------------------------------------- showing
+
+    def _decode_codes(self, data: bytes, font: PdfFont):
+        if font.two_byte:
+            for i in range(0, len(data) - 1, 2):
+                yield (data[i] << 8) | data[i + 1], True
+        else:
+            for b in data:
+                yield b, False
+
+    def _show(self, data, font, tfs, tc, tw, tz, ts, tr, tm, ctm):
+        if not isinstance(data, (bytes, bytearray)) or font is None:
+            return tm
+        th = tz / 100.0
+        for code, is_cid in self._decode_codes(bytes(data), font):
+            uni = font.unicode_for(code)
+            w0 = font.width_for(code) / 1000.0
+            is_space = (not is_cid and code == 32)
+
+            # full transform: glyph space -> text space -> device
+            trm = _mat_mul(_mat_mul([tfs * th, 0, 0, tfs, 0, ts], tm), ctm)
+            x_dev = trm[4] * self.scale
+            y_dev = trm[5] * self.scale
+            # device direction of the baseline (x axis of trm)
+            dx = trm[0]
+            dy = trm[1]
+            mag = math.hypot(dx, dy) or 1.0
+            dir_x = dx / mag
+            dir_y = -dy / mag  # flip to top-left frame
+            font_size_dev = math.hypot(trm[2], trm[3]) * self.scale
+
+            adv = (w0 * tfs + tc + (tw if is_space else 0.0)) * th
+            width_dev = abs(adv) * (math.hypot(ctm[0], ctm[1])) * self.scale
+
+            if uni:
+                # whitespace collapse (reference :1889)
+                text = " " if uni.isspace() else uni
+                self.chars.append(PositionedChar(
+                    text,
+                    x_dev,
+                    (self.page_height - y_dev),
+                    width_dev,
+                    font_size_dev,
+                    font,
+                    tr == 3,
+                    _orientation_from_dir(dir_x, dir_y),
+                    dir_x, dir_y, code,
+                ))
+            tm = _mat_mul([1, 0, 0, 1, adv, 0], tm)
+        return tm

@@ -1,0 +1,300 @@
+"""PDF font dictionaries: encodings, ToUnicode CMaps, widths, style flags.
+
+Covers the text-required subset of the reference's font stack
+(/root/reference/js/pdf/fonts/parsePdfFonts.js): BaseFont name ->
+bold/italic/small-caps flags, /Widths + /FirstChar, /Encoding base +
+/Differences, ToUnicode CMap (bfchar + bfrange), CID fonts with
+Identity-H and /W, ascent/descent from the descriptor. Font *program*
+parsing (CFF/glyf) is deferred per SURVEY.md §7 — it only affects
+ink-extent niceties, not extracted text.
+
+Encoding tables are public Adobe/Unicode facts: WinAnsiEncoding is
+cp1252 over the defined range; StandardEncoding differs in the quote
+glyphs and high range (compact subset here); glyph names resolve via a
+compact Adobe Glyph List subset + the uniXXXX rule.
+"""
+
+from __future__ import annotations
+
+import re
+
+# Compact AGL subset: names that appear in practice in /Differences for
+# text documents. Letters/digits resolve by rule below.
+GLYPH_NAMES = {
+    "space": " ", "exclam": "!", "quotedbl": '"', "numbersign": "#",
+    "dollar": "$", "percent": "%", "ampersand": "&", "quotesingle": "'",
+    "parenleft": "(", "parenright": ")", "asterisk": "*", "plus": "+",
+    "comma": ",", "hyphen": "-", "period": ".", "slash": "/",
+    "colon": ":", "semicolon": ";", "less": "<", "equal": "=",
+    "greater": ">", "question": "?", "at": "@", "bracketleft": "[",
+    "backslash": "\\", "bracketright": "]", "asciicircum": "^",
+    "underscore": "_", "grave": "`", "braceleft": "{", "bar": "|",
+    "braceright": "}", "asciitilde": "~",
+    "quoteleft": "‘", "quoteright": "’",
+    "quotedblleft": "“", "quotedblright": "”",
+    "endash": "–", "emdash": "—", "bullet": "•",
+    "fi": "ﬁ", "fl": "ﬂ", "ff": "ﬀ",
+    "ffi": "ﬃ", "ffl": "ﬄ",
+    "adieresis": "ä", "odieresis": "ö", "udieresis": "ü",
+    "Adieresis": "Ä", "Odieresis": "Ö", "Udieresis": "Ü",
+    "germandbls": "ß", "eacute": "é", "egrave": "è",
+    "agrave": "à", "ccedilla": "ç", "ntilde": "ñ",
+    "degree": "°", "copyright": "©", "registered": "®",
+    "trademark": "™", "dagger": "†", "daggerdbl": "‡",
+    "section": "§", "paragraph": "¶", "ellipsis": "…",
+    "minus": "−", "multiply": "×", "divide": "÷",
+    "zero": "0", "one": "1", "two": "2", "three": "3", "four": "4",
+    "five": "5", "six": "6", "seven": "7", "eight": "8", "nine": "9",
+    "euro": "€", "sterling": "£", "yen": "¥",
+    "cent": "¢", "florin": "ƒ",
+}
+_DIGIT_NAMES = {v: k for k, v in GLYPH_NAMES.items()}
+
+
+def glyph_name_to_unicode(name: str) -> str | None:
+    if len(name) == 1 and (name.isalpha() or name.isdigit()):
+        return name
+    if name in GLYPH_NAMES:
+        return GLYPH_NAMES[name]
+    m = re.match(r"^uni([0-9A-Fa-f]{4})", name)
+    if m:
+        return chr(int(m.group(1), 16))
+    m = re.match(r"^u([0-9A-Fa-f]{4,6})$", name)
+    if m:
+        return chr(int(m.group(1), 16))
+    return None
+
+
+def _base_encoding_map(name: str | None) -> dict[int, str]:
+    enc: dict[int, str] = {}
+    if name == "MacRomanEncoding":
+        for code in range(32, 256):
+            try:
+                enc[code] = bytes([code]).decode("mac-roman")
+            except UnicodeDecodeError:
+                pass
+        return enc
+    if name == "StandardEncoding":
+        for code in range(32, 127):
+            enc[code] = chr(code)
+        enc[0x27] = "’"  # quoteright
+        enc[0x60] = "‘"  # quoteleft
+        return enc
+    # WinAnsiEncoding (default for simple western fonts) == cp1252.
+    for code in range(32, 256):
+        try:
+            enc[code] = bytes([code]).decode("cp1252")
+        except UnicodeDecodeError:
+            pass
+    return enc
+
+
+class PdfFont:
+    """Resolved font state for the text machine."""
+
+    __slots__ = (
+        "base_name", "family_name", "bold", "italic", "small_caps",
+        "widths", "default_width", "cid", "two_byte", "to_unicode",
+        "encoding", "ascent", "descent", "type3", "font_matrix",
+    )
+
+    def __init__(self):
+        self.base_name = ""
+        self.family_name = ""
+        self.bold = False
+        self.italic = False
+        self.small_caps = False
+        self.widths: dict[int, float] = {}
+        self.default_width = 500.0
+        self.cid = False
+        self.two_byte = False
+        self.to_unicode: dict[int, str] = {}
+        self.encoding: dict[int, str] = {}
+        self.ascent = 0.718   # Helvetica defaults (public AFM values)
+        self.descent = -0.207
+        self.type3 = False
+        self.font_matrix = None
+
+    def unicode_for(self, code: int) -> str | None:
+        if code in self.to_unicode:
+            return self.to_unicode[code]
+        if code in self.encoding:
+            return self.encoding[code]
+        if not self.cid and 0 <= code < 0x110000:
+            return chr(code)
+        return None
+
+    def width_for(self, code: int) -> float:
+        return self.widths.get(code, self.default_width)
+
+
+_BFCHAR_RE = re.compile(
+    rb"beginbfchar(.*?)endbfchar", re.S)
+_BFRANGE_RE = re.compile(
+    rb"beginbfrange(.*?)endbfrange", re.S)
+_HEX_RE = re.compile(rb"<([0-9A-Fa-f]+)>")
+
+
+def _utf16be_to_str(hexstr: bytes) -> str:
+    raw = bytes.fromhex(hexstr.decode("latin-1"))
+    if len(raw) % 2:
+        raw += b"\x00"
+    try:
+        return raw.decode("utf-16-be")
+    except UnicodeDecodeError:
+        return ""
+
+
+def parse_tounicode_cmap(data: bytes) -> dict[int, str]:
+    """bfchar + bfrange sections -> code -> unicode string
+    (reference parseToUnicodeCMap, parsePdfFonts.js:2537)."""
+    mapping: dict[int, str] = {}
+    for m in _BFCHAR_RE.finditer(data):
+        toks = _HEX_RE.findall(m.group(1))
+        for i in range(0, len(toks) - 1, 2):
+            code = int(toks[i], 16)
+            mapping[code] = _utf16be_to_str(toks[i + 1])
+    for m in _BFRANGE_RE.finditer(data):
+        body = m.group(1)
+        # two forms: <lo> <hi> <dst>  |  <lo> <hi> [<dst> <dst> ...]
+        pos = 0
+        while True:
+            mm = re.match(
+                rb"\s*<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*", body[pos:])
+            if not mm:
+                break
+            lo = int(mm.group(1), 16)
+            hi = int(mm.group(2), 16)
+            pos += mm.end()
+            if pos < len(body) and body[pos : pos + 1] == b"[":
+                end = body.find(b"]", pos)
+                dsts = _HEX_RE.findall(body[pos:end])
+                for i, d in enumerate(dsts):
+                    mapping[lo + i] = _utf16be_to_str(d)
+                pos = end + 1
+            else:
+                mm2 = re.match(rb"<([0-9A-Fa-f]+)>\s*", body[pos:])
+                if not mm2:
+                    break
+                base_hex = mm2.group(1)
+                base = int(base_hex, 16)
+                for i in range(hi - lo + 1):
+                    # increment the last UTF-16 code unit
+                    s = _utf16be_to_str(base_hex)
+                    if s:
+                        mapping[lo + i] = s[:-1] + chr(ord(s[-1]) + i)
+                pos += mm2.end()
+    return mapping
+
+
+_BOLD_NAME_RE = re.compile(r"bold|black|heavy", re.I)
+_ITALIC_NAME_RE = re.compile(r"italic|oblique", re.I)
+_SMALLCAPS_NAME_RE = re.compile(r"(small\W?cap)|(sc$)", re.I)
+
+
+def load_font(doc, font_dict) -> PdfFont:
+    """Resolve one /Font resource into a PdfFont."""
+    font_dict = doc.resolve(font_dict)
+    f = PdfFont()
+    base = str(doc.resolve(font_dict.get("BaseFont", "")) or "")
+    f.base_name = re.sub(r"^[A-Z]{6}\+", "", base)
+    f.family_name = re.sub(r"[-,].*$", "", f.base_name)
+    f.bold = bool(_BOLD_NAME_RE.search(f.base_name))
+    f.italic = bool(_ITALIC_NAME_RE.search(f.base_name))
+    f.small_caps = bool(_SMALLCAPS_NAME_RE.search(f.base_name))
+
+    subtype = str(doc.resolve(font_dict.get("Subtype", "")))
+    if subtype == "Type0":
+        f.cid = True
+        f.two_byte = True  # Identity-H / standard CMaps; 2-byte codes
+        desc_fonts = doc.resolve(font_dict.get("DescendantFonts", []))
+        desc = doc.resolve(desc_fonts[0]) if desc_fonts else {}
+        f.default_width = float(doc.resolve(desc.get("DW", 1000)))
+        w_arr = doc.resolve(desc.get("W"))
+        if w_arr:
+            _parse_cid_widths(doc, w_arr, f.widths)
+        fd = doc.resolve(desc.get("FontDescriptor"))
+        _apply_descriptor(doc, fd, f)
+    else:
+        if subtype == "Type3":
+            f.type3 = True
+            fm = doc.resolve(font_dict.get("FontMatrix"))
+            if fm:
+                f.font_matrix = [float(doc.resolve(x)) for x in fm]
+        first_char = int(doc.resolve(font_dict.get("FirstChar", 0)) or 0)
+        widths = doc.resolve(font_dict.get("Widths"))
+        if widths:
+            for i, w in enumerate(widths):
+                f.widths[first_char + i] = float(doc.resolve(w))
+        enc_obj = doc.resolve(font_dict.get("Encoding"))
+        base_enc = None
+        diffs = None
+        if isinstance(enc_obj, str):
+            base_enc = str(enc_obj)
+        elif isinstance(enc_obj, dict):
+            be = doc.resolve(enc_obj.get("BaseEncoding"))
+            base_enc = str(be) if be else None
+            diffs = doc.resolve(enc_obj.get("Differences"))
+        symbolic = False
+        fd = doc.resolve(font_dict.get("FontDescriptor"))
+        if isinstance(fd, dict):
+            flags = int(doc.resolve(fd.get("Flags", 0)) or 0)
+            symbolic = bool(flags & 4) and not bool(flags & 32)
+            if flags & 0x40000:
+                f.bold = True
+            if flags & 0x40:
+                f.italic = True
+        if not symbolic or base_enc:
+            f.encoding = _base_encoding_map(base_enc)
+        if diffs:
+            code = 0
+            for item in diffs:
+                item = doc.resolve(item)
+                if isinstance(item, (int, float)):
+                    code = int(item)
+                else:
+                    u = glyph_name_to_unicode(str(item))
+                    if u is not None:
+                        f.encoding[code] = u
+                    code += 1
+        _apply_descriptor(doc, fd, f)
+
+    tu = font_dict.get("ToUnicode")
+    if tu is not None:
+        try:
+            f.to_unicode = parse_tounicode_cmap(doc.stream_data(tu))
+        except Exception:
+            pass
+    return f
+
+
+def _apply_descriptor(doc, fd, f: PdfFont) -> None:
+    if not isinstance(fd, dict):
+        return
+    try:
+        asc = doc.resolve(fd.get("Ascent"))
+        desc = doc.resolve(fd.get("Descent"))
+        if asc:
+            f.ascent = float(asc) / 1000.0
+        if desc:
+            f.descent = float(desc) / 1000.0
+    except (TypeError, ValueError):
+        pass
+
+
+def _parse_cid_widths(doc, w_arr, out: dict[int, float]) -> None:
+    """CID /W array: [c [w1 w2 ...] | cFirst cLast w]."""
+    items = [doc.resolve(x) for x in w_arr]
+    i = 0
+    while i < len(items):
+        if i + 1 < len(items) and isinstance(items[i + 1], list):
+            start = int(items[i])
+            for j, w in enumerate(items[i + 1]):
+                out[start + j] = float(doc.resolve(w))
+            i += 2
+        elif i + 2 < len(items):
+            for c in range(int(items[i]), int(items[i + 1]) + 1):
+                out[c] = float(items[i + 2])
+            i += 3
+        else:
+            break

@@ -1,0 +1,409 @@
+"""Chars -> lines -> words grouping for PDF text layers.
+
+Semantics of the reference's groupCharsIntoPage
+(/root/reference/js/pdf/parsePdfDoc.js:1972-3287), core rule set:
+
+(i)    orientation normalization to virtual-horizontal (:2062-2080)
+(ii)   rotation-aware perpendicular distance from the mean text
+       direction (:2082-2108)
+(iii)  stream-order line-cut state machine: space gating (:2134-2158),
+       leading-marker (:2227), no-overlap band cut (:2241), y-jump >
+       0.7*maxFont or 1.5*minFont (:2246), backward-x > 2*maxFont
+       (:2250), forward-x > 4*maxFont (:2253), moderate-y similar-size
+       (:2258), size-ratio > 1.75 (:2265), persistent size change with
+       3-char lookahead (:2271), baseline drift (:2286)
+(vii)  word split at spaces with kerning-artifact suppression (:2534),
+       em-dash-after-terminal (:2565), bold/italic change (:2582),
+       font-family change unless adjacent (:2588), gap > 0.15*fontSize
+       (:2604), baseline shift > 0.25 (:2608), backward jump (:2613),
+       2x ornament (:2622), 5+ dot leaders (:2626)
+(viii) x-sort words (:2640), small-caps merge (:2645), CJK per-char
+       words (:2672)
+(xii)  line bbox from non-sup chars via font ascent/descent (:2961),
+       baseline slope from the direction vector (:2992)
+(xiv)  page angle = asin(mean50(slopes)) (:3253)
+(xv)   assignParagraphs (:3281)
+
+Deferred (exercised by no text-layer fixture yet): inline-math
+exemptions, orphan single-char merge, superscript word splitting,
+fake-small-caps lowercasing, underline matching, styleRuns.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+
+from ...functions.stats import js_round, mean50, round3, round6
+from ...functions.textnorm import calc_lang, replace_ligatures
+from ...model import Bbox, OcrChar, OcrLine, OcrPage, OcrWord
+from ..paragraphs import assign_paragraphs
+
+_TERMINAL_RE = re.compile(r"[.!?]")
+_BULLET_CHARS = set("•◦▪▫●○◼◻➢‣·")
+_ALNUM_RE = re.compile(r"[A-Za-z0-9]")
+_UPPER_RE = re.compile(r"[A-Z]")
+
+
+def group_chars_into_page(chars, n: int, page_dims: dict) -> OcrPage:
+    page_obj = OcrPage(n, page_dims)
+    page_obj.textSource = "pdf"
+    if not chars:
+        return page_obj
+
+    page_w = page_dims["width"]
+    page_h = page_dims["height"]
+
+    # (i) orientation normalization to virtual-horizontal coordinates.
+    for ch in chars:
+        if ch.orientation == 1:
+            ch.x, ch.y = ch.y, page_w - ch.x
+        elif ch.orientation == 2:
+            ch.x, ch.y = page_w - ch.x, page_h - ch.y
+        elif ch.orientation == 3:
+            ch.x, ch.y = page_h - ch.y, ch.x
+
+    # (ii) perpendicular distance from the mean orientation-0 direction.
+    avg_dx = avg_dy = 0.0
+    n0 = 0
+    for ch in chars:
+        if ch.orientation == 0:
+            avg_dx += ch.dirX
+            avg_dy += ch.dirY
+            n0 += 1
+    if n0 > 0:
+        mag = math.hypot(avg_dx, avg_dy)
+        if mag > 0:
+            avg_dx /= mag
+            avg_dy /= mag
+    if n0 == 0 or (avg_dx == 0 and avg_dy == 0):
+        avg_dx, avg_dy = 1.0, 0.0
+
+    perp = {}
+    for ch in chars:
+        if ch.orientation == 0:
+            perp[id(ch)] = -ch.x * avg_dy + ch.y * avg_dx
+
+    def cy(ch):
+        return perp.get(id(ch), ch.y)
+
+    # (iii) stream-order line cuts.
+    lines = []
+    current = [chars[0]]
+    anchor_y = cy(chars[0])
+    anchor_fs = chars[0].fontSize
+    body_y = None if chars[0].text == " " else cy(chars[0])
+    body_size = 0.0 if chars[0].text == " " else chars[0].fontSize
+
+    for i in range(1, len(chars)):
+        ch = chars[i]
+
+        if ch.text == " ":
+            last_ns = None
+            for j in range(len(current) - 1, -1, -1):
+                if current[j].text != " ":
+                    last_ns = current[j]
+                    break
+            if last_ns is not None:
+                sp_max = max(ch.fontSize, last_ns.fontSize)
+                fs_change = abs(ch.fontSize - last_ns.fontSize) > sp_max * 0.1
+                sp_gap = abs(cy(ch) - cy(last_ns))
+                if fs_change:
+                    sp_min = min(ch.fontSize, last_ns.fontSize)
+                    if sp_gap > sp_max * 0.7 or sp_gap > sp_min * 1.5:
+                        lines.append(current)
+                        current = [ch]
+                        anchor_y = cy(ch)
+                        anchor_fs = ch.fontSize
+                        body_y = None
+                        body_size = 0.0
+                        continue
+            current.append(ch)
+            continue
+
+        comp_prev = chars[i - 1]
+        if comp_prev.text == " ":
+            for j in range(len(current) - 1, -1, -1):
+                if current[j].text != " ":
+                    comp_prev = current[j]
+                    break
+
+        ch_y = cy(ch)
+        prev_y = cy(comp_prev)
+        y_gap = abs(ch_y - prev_y)
+        x_gap = ch.x - (comp_prev.x + comp_prev.width)
+        ch_size = max(ch.fontSize, ch.width)
+        prev_size = max(comp_prev.fontSize, comp_prev.width)
+        max_font = max(ch_size, prev_size)
+        min_font = min(ch_size, prev_size)
+        font_ratio = (ch.fontSize / comp_prev.fontSize
+                      if comp_prev.fontSize else 1.0)
+
+        leading_marker = (
+            anchor_fs < ch.fontSize * 0.85
+            and -max_font * 0.3 < x_gap < max_font * 0.8
+            and y_gap < max_font * 0.8)
+
+        is_cut = False
+        if ch.orientation != comp_prev.orientation:
+            is_cut = True
+        elif (body_size > 0 and not leading_marker
+              and ch.fontSize < body_size * 0.85
+              and (ch_y - body_y > body_size * 0.4
+                   or ch_y - body_y < -body_size * 0.9)):
+            is_cut = True
+        elif (y_gap > max_font * 0.7 or y_gap > min_font * 1.5) \
+                and not leading_marker:
+            is_cut = True
+        elif x_gap < -max_font * 2:
+            is_cut = True
+        elif x_gap > max_font * 4:
+            is_cut = True
+        elif (not leading_marker and 0.8 < font_ratio < 1.25
+              and (x_gap < -max_font * 0.1 or x_gap > max_font * 0.5
+                   or y_gap > min_font * 0.5)
+              and y_gap > (min_font * 0.2 if x_gap > max_font
+                           else min_font * 0.3)):
+            is_cut = True
+        elif (y_gap > min_font * 0.1
+              and (font_ratio > 1.75 or font_ratio < 1 / 1.75)
+              and (x_gap < -max_font * 0.1 or x_gap > max_font * 0.5)):
+            is_cut = True
+        elif y_gap > min_font * 0.1 and (font_ratio < 0.8 or font_ratio > 1.25):
+            persist = 0
+            target = min(ch.fontSize, comp_prev.fontSize)
+            for j in range(i + 1, len(chars)):
+                if persist >= 3:
+                    break
+                if chars[j].text == " ":
+                    continue
+                if abs(chars[j].fontSize - target) < target * 0.15:
+                    persist += 1
+                else:
+                    break
+            if persist >= 3:
+                is_cut = True
+
+        if (not is_cut
+                and anchor_fs * 0.8 <= ch.fontSize <= anchor_fs * 1.25
+                and abs(ch_y - anchor_y) > anchor_fs * 0.3
+                and x_gap > max_font * 0.5):
+            is_cut = True
+
+        if is_cut:
+            lines.append(current)
+            current = [ch]
+            anchor_y = ch_y
+            anchor_fs = ch.fontSize
+            body_y = ch_y
+            body_size = ch.fontSize
+        else:
+            current.append(ch)
+            if ch.fontSize >= anchor_fs * 0.8:
+                anchor_y = ch_y
+            if ch.text != " " and (body_size == 0
+                                   or ch.fontSize >= body_size * 0.95):
+                body_size = max(body_size, ch.fontSize)
+                body_y = ch_y
+    if current:
+        lines.append(current)
+
+    # (vii)-(viii) word splitting per line.
+    for line_chars in lines:
+        words_initial = []
+        cur_word = []
+        for i, ch in enumerate(line_chars):
+            if ch.text == " ":
+                if cur_word:
+                    next_ns = None
+                    for j in range(i + 1, len(line_chars)):
+                        if line_chars[j].text != " ":
+                            next_ns = line_chars[j]
+                            break
+                    if next_ns is not None:
+                        prev_ch = cur_word[-1]
+                        visual_gap = next_ns.x - (prev_ch.x + prev_ch.width)
+                        adjacency_tol = prev_ch.fontSize * 0.15
+                        positive_tol = max(prev_ch.fontSize * 0.01,
+                                           ch.width * 0.1)
+                        if (-adjacency_tol <= visual_gap < positive_tol
+                                and prev_ch.text != ","):
+                            continue
+                    words_initial.append(cur_word)
+                    cur_word = []
+                continue
+
+            if cur_word:
+                prev_ch = cur_word[-1]
+                gap = ch.x - (prev_ch.x + prev_ch.width)
+                fs_min = min(ch.fontSize, prev_ch.fontSize)
+                split = False
+                if ch.text == "—" and _TERMINAL_RE.search(prev_ch.text):
+                    words_initial.append(cur_word)
+                    words_initial.append([ch])
+                    cur_word = []
+                    continue
+                if (len(cur_word) == 1 and prev_ch.text in _BULLET_CHARS
+                        and _ALNUM_RE.match(ch.text)):
+                    words_initial.append(cur_word)
+                    cur_word = [ch]
+                    continue
+                if ((ch.font.bold != prev_ch.font.bold
+                     or ch.font.italic != prev_ch.font.italic)
+                        and not (ch.text in ",.;:!?)]}”’"
+                                 and gap <= fs_min * 0.15)
+                        and not ((ch.text in "—–" or prev_ch.text in "—–")
+                                 and gap <= fs_min * 0.15)):
+                    split = True
+                elif (ch.font.family_name != prev_ch.font.family_name
+                      and gap > fs_min * 0.15):
+                    split = True
+                elif prev_ch.text == "”" and re.match(r"[A-Za-z]", ch.text):
+                    split = True
+                elif gap > ch.fontSize * 0.15:
+                    split = True
+                elif fs_min > 0 and abs(ch.y - prev_ch.y) > fs_min * 0.25:
+                    split = True
+                elif gap < -ch.fontSize * 0.5 and ch.x < prev_ch.x:
+                    split = True
+                elif (gap < -fs_min * 0.1 and fs_min > 0
+                      and ch.fontSize > prev_ch.fontSize * 1.1):
+                    split = True
+                elif fs_min > 0 and max(ch.fontSize, prev_ch.fontSize) >= fs_min * 2:
+                    split = True
+                elif ch.text == "." and prev_ch.text != ".":
+                    dots = 0
+                    for j in range(i, len(line_chars)):
+                        if line_chars[j].text == ".":
+                            dots += 1
+                        else:
+                            break
+                    if dots >= 5:
+                        split = True
+                if split:
+                    words_initial.append(cur_word)
+                    cur_word = []
+            cur_word.append(ch)
+        if cur_word:
+            words_initial.append(cur_word)
+        if not words_initial:
+            continue
+
+        words_initial.sort(key=lambda w: w[0].x)
+
+        # small-caps merge (:2645-2669)
+        words_merged = []
+        wi = 0
+        while wi < len(words_initial):
+            curr = words_initial[wi]
+            nxt = words_initial[wi + 1] if wi + 1 < len(words_initial) else None
+            if (len(curr) == 1 and _UPPER_RE.match(curr[0].text) and nxt
+                    and _UPPER_RE.match(nxt[0].text)
+                    and curr[0].font.family_name == nxt[0].font.family_name
+                    and nxt[0].fontSize < curr[0].fontSize * 0.95
+                    and abs(nxt[0].y - curr[0].y)
+                    / min(nxt[0].fontSize, curr[0].fontSize) < 0.15):
+                last = curr[-1]
+                gap = nxt[0].x - (last.x + last.width)
+                if gap <= nxt[0].fontSize * 0.3:
+                    words_merged.append(curr + nxt)
+                    wi += 2
+                    continue
+            words_merged.append(curr)
+            wi += 1
+
+        # CJK per-char words (:2672)
+        words_final = []
+        for wchars in words_merged:
+            wtext = "".join(c.text for c in wchars)
+            if calc_lang(wtext) == "chi_sim":
+                words_final.extend([[c] for c in wchars])
+            else:
+                words_final.append(wchars)
+        if not words_final:
+            continue
+
+        # (xii) line bbox from chars via font ascent/descent.
+        all_chars = [c for w in words_final for c in w]
+        line_left = min(js_round(c.x) for c in all_chars)
+        line_right = max(js_round(c.x + c.width) for c in all_chars)
+        line_top = min(
+            js_round(c.y - c.font.ascent * c.fontSize) for c in all_chars)
+        line_bottom = max(
+            js_round(c.y - c.font.descent * c.fontSize) for c in all_chars)
+
+        baseline_y = all_chars[0].y
+        baseline_offset = js_round(baseline_y - line_bottom)
+        asc_height = all_chars[0].fontSize * 0.6
+
+        sum_dx = sum(c.dirX for c in all_chars)
+        sum_dy = sum(c.dirY for c in all_chars)
+        mag = math.hypot(sum_dx, sum_dy)
+        baseline_slope = 0.0
+        orientation = all_chars[0].orientation
+        if mag > 0:
+            ndx = sum_dx / mag
+            ndy = sum_dy / mag
+            if orientation == 1:
+                baseline_slope = round6(-ndx)
+            elif orientation == 2:
+                baseline_slope = round6(-ndy)
+            elif orientation == 3:
+                baseline_slope = round6(ndx)
+            elif abs(ndx) > 0.01:
+                baseline_slope = round6(ndy)
+
+        line_obj = OcrLine(
+            page_obj, Bbox(line_left, line_top, line_right, line_bottom),
+            [baseline_slope, baseline_offset], asc_height, None)
+        line_obj.orientation = orientation
+
+        for wi2, wchars in enumerate(words_final):
+            wtext = replace_ligatures("".join(c.text for c in wchars))
+            if wtext.strip() == "":
+                continue
+            word_left = js_round(wchars[0].x)
+            word_right = js_round(wchars[-1].x + wchars[-1].width)
+            word_top = min(
+                js_round(c.y - c.font.ascent * c.fontSize) for c in wchars)
+            word_bottom = max(
+                js_round(c.y - c.font.descent * c.fontSize) for c in wchars)
+            wid = f"word_{n + 1}_{len(page_obj.lines) + 1}_{wi2 + 1}"
+            word_obj = OcrWord(
+                line_obj, wid, wtext,
+                Bbox(word_left, word_top, word_right, word_bottom))
+            word_obj.conf = 100
+            word_obj.lang = calc_lang(wtext)
+            word_obj.visualCoords = False
+            first_alnum = next(
+                (c for c in wchars if _ALNUM_RE.match(c.text)), wchars[0])
+            word_obj.style.font = first_alnum.font.family_name
+            word_obj.style.bold = first_alnum.font.bold
+            word_obj.style.italic = first_alnum.font.italic
+            word_obj.style.size = round3(first_alnum.fontSize)
+            word_obj.chars = [
+                OcrChar(c.text, Bbox(
+                    js_round(c.x),
+                    js_round(c.y - c.font.ascent * c.fontSize),
+                    js_round(c.x + c.width),
+                    js_round(c.y - c.font.descent * c.fontSize)))
+                for c in wchars
+            ]
+            line_obj.words.append(word_obj)
+
+        if line_obj.words:
+            page_obj.lines.append(line_obj)
+
+    # (xiv) page angle from orientation-0 baseline slopes.
+    rises = [
+        l.baseline[0] for l in page_obj.lines
+        if l.orientation == 0 and abs(l.baseline[0]) < 0.3
+    ]
+    rise_median = mean50(rises) or 0
+    page_obj.angle = math.asin(rise_median) * (180 / math.pi)
+
+    # (xv) paragraphs.
+    if page_obj.lines:
+        assign_paragraphs(page_obj, page_obj.angle)
+
+    return page_obj

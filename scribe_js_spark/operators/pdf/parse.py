@@ -1,0 +1,144 @@
+"""Per-page PDF orchestration: bytes -> OcrPage list.
+
+Mirrors parseSinglePage (/root/reference/js/pdf/parsePdfDoc.js:464-1181):
+CropBox/Rotate -> initial CTM, 3500px width cap (:500-509), text
+operators, glyph dedup (:597-628), chars -> lines -> words grouping,
+per-page stats for document-type classification (determinePdfType,
+:417-444).
+"""
+
+from __future__ import annotations
+
+import math
+
+from ...functions.stats import js_round
+from ...model import OcrPage
+from .content import TextMachine, _mat_mul
+from .document import PdfDocument
+from .group import group_chars_into_page
+
+MAX_RENDER_WIDTH = 3500.0  # reference cap, parsePdfDoc.js:503
+
+
+def _page_geometry(doc: PdfDocument, page: dict):
+    box = doc.resolve(page.get("CropBox")) or doc.resolve(
+        page.get("MediaBox")) or [0, 0, 612, 792]
+    box = [float(doc.resolve(v)) for v in box]
+    x0, y0, x1, y1 = min(box[0], box[2]), min(box[1], box[3]), \
+        max(box[0], box[2]), max(box[1], box[3])
+    rotate = int(doc.resolve(page.get("Rotate", 0)) or 0) % 360
+    w = x1 - x0
+    h = y1 - y0
+    if rotate in (90, 270):
+        w, h = h, w
+    scale = min(MAX_RENDER_WIDTH / w, 1.0) if w > MAX_RENDER_WIDTH else 1.0
+    return (x0, y0, x1, y1), rotate, w, h, scale
+
+
+def _base_ctm(box, rotate):
+    """Transform from PDF user space to an upright space whose origin is
+    the (rotated) crop box corner."""
+    x0, y0, x1, y1 = box
+    # translate crop origin to 0
+    m = [1, 0, 0, 1, -x0, -y0]
+    w = x1 - x0
+    h = y1 - y0
+    if rotate == 90:
+        # rotate -90 so content reads upright: (x,y) -> (y, w - x)
+        m = _mat_mul(m, [0, 1, -1, 0, h, 0])
+    elif rotate == 180:
+        m = _mat_mul(m, [-1, 0, 0, -1, w, h])
+    elif rotate == 270:
+        m = _mat_mul(m, [0, -1, 1, 0, 0, w])
+    return m
+
+
+def _dedup_chars(chars):
+    """Glyph dedup: layered/re-stamped text — same text+font+size bucket
+    within 3x3 coordinate buckets of max(0.25, 0.05*fontSize)
+    (parsePdfDoc.js:597-628)."""
+    seen = set()
+    out = []
+    for ch in chars:
+        tol = max(0.25, 0.05 * ch.fontSize)
+        bx = int(ch.x / tol)
+        by = int(ch.y / tol)
+        dup = False
+        for dx_b in (-1, 0, 1):
+            for dy_b in (-1, 0, 1):
+                key = (ch.text, id(ch.font), js_round(ch.fontSize * 10),
+                       bx + dx_b, by + dy_b)
+                if key in seen:
+                    dup = True
+                    break
+            if dup:
+                break
+        if dup:
+            continue
+        seen.add((ch.text, id(ch.font), js_round(ch.fontSize * 10), bx, by))
+        out.append(ch)
+    return out
+
+
+def page_stats(chars) -> dict:
+    """Per-page scalar stats feeding document-type classification
+    (scorePageChars, parsePdfDoc.js:383-410)."""
+    printable = 0
+    control = 0
+    invisible = 0
+    visible = 0
+    for ch in chars:
+        for u in ch.text:
+            code = ord(u)
+            if code < 32 or 0xFFF0 <= code <= 0xFFFF:
+                control += 1
+            elif u != " ":
+                printable += 1
+                if ch.invisible:
+                    invisible += 1
+                else:
+                    visible += 1
+    return {
+        "printable": printable, "control": control,
+        "invisible": invisible, "visible": visible,
+    }
+
+
+def determine_pdf_type(stats_per_page: list[dict]) -> str:
+    """'text' | 'ocr' | 'image' from per-page scores
+    (determinePdfType, parsePdfDoc.js:417-444): score = printable -
+    5*control, threshold 100/page; visible >= 0.9*total on at least
+    half the scoring pages -> text, else ocr."""
+    text_pages = 0
+    ocr_pages = 0
+    for st in stats_per_page:
+        score = st["printable"] - 5 * st["control"]
+        if score >= 100:
+            if st["visible"] >= 0.9 * (st["visible"] + st["invisible"]):
+                text_pages += 1
+            else:
+                ocr_pages += 1
+    n = max(len(stats_per_page), 1)
+    if text_pages >= n / 2:
+        return "text"
+    if ocr_pages >= n / 2:
+        return "ocr"
+    return "image"
+
+
+def parse_pdf_document(data: bytes) -> list[OcrPage]:
+    doc = PdfDocument(data)
+    pages = doc.get_pages()
+    out = []
+    for n, page in enumerate(pages):
+        box, rotate, w, h, scale = _page_geometry(doc, page)
+        machine = TextMachine(doc, page, page_height=h * scale, scale=scale)
+        base = _base_ctm(box, rotate)
+        content = doc.page_content(page)
+        machine.run(content, page.get("Resources"), base_ctm=base)
+        chars = _dedup_chars(machine.chars)
+        page_obj = group_chars_into_page(
+            chars, n,
+            {"width": js_round(w * scale), "height": js_round(h * scale)})
+        out.append(page_obj)
+    return out

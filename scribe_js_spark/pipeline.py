@@ -86,8 +86,18 @@ def session_conf(builder):
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # Documents are big rows; keep Arrow batches small enough to fit
-        # executor memory even for the 500-page tail.
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "256")
+        # executor memory even for the 500-page tail. The byte cap is the
+        # load-bearing one: 64 records of multi-MB documents x 32
+        # concurrent tasks would otherwise thrash the heap.
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "64")
+        .config("spark.sql.execution.arrow.maxBytesPerBatch", str(16 * 1024 * 1024))
+        # Fine-grained input splits: document rows are heavy to *process*
+        # relative to their bytes, so target many small scan partitions
+        # and let the scheduler balance them instead of shuffling bytes.
+        .config("spark.sql.files.maxPartitionBytes", str(1 * 1024 * 1024))
+        .config("spark.sql.files.openCostInBytes", str(128 * 1024))
+        # local mode: no data locality to wait for
+        .config("spark.locality.wait", "0s")
     )
 
 
@@ -104,7 +114,7 @@ def _extract_batches(batches, with_spans: bool):
         if with_spans:
             out["spans"] = []
         for url, html in zip(pdf["url"], pdf["html"]):
-            rec = extract_with_spans(bytes(html))
+            rec = extract_with_spans(bytes(html), with_spans=with_spans)
             out["url"].append(url)
             out["text"].append(rec["text"])
             out["format"].append(rec["format"])
@@ -136,31 +146,208 @@ def salt_by_size(df: DataFrame, num_partitions: Optional[int] = None) -> DataFra
     return salted.drop("_size_bucket")
 
 
+PAGE_SPLIT_BYTES_DEFAULT = 192 * 1024
+
+
 def extract_text(
     df: DataFrame,
     with_spans: bool = False,
     salt: bool = True,
     num_partitions: Optional[int] = None,
     resume_against: Optional[DataFrame] = None,
+    page_split_bytes: Optional[int] = PAGE_SPLIT_BYTES_DEFAULT,
 ) -> DataFrame:
     """Run the extraction pipeline over an input DataFrame.
 
     ``resume_against``: a DataFrame of already-committed output (must
     contain ``url``); those documents are skipped via a left-anti join —
     the checkpoint/resume contract of the north rule.
+
+    ``page_split_bytes``: documents larger than this take the page-level
+    fan-out path — split into per-page strings (narrow), shuffle pages
+    across the cluster, parse per page, reassemble per url. This bounds
+    the straggler tail at one *page*, not one 500-page document, which
+    is what makes N->4N scaling hold on skewed corpora. Small documents
+    keep the zero-shuffle whole-document path. None disables splitting.
     """
     work = df.select("url", "html")
     if resume_against is not None:
         work = work.join(resume_against.select("url"), on="url", how="left_anti")
+
+    if page_split_bytes is None:
+        small, big = work, None
+    else:
+        size = F.length("html")
+        small = work.filter(size <= page_split_bytes)
+        big = work.filter(size > page_split_bytes)
+
     if salt:
-        work = salt_by_size(work, num_partitions)
+        small = salt_by_size(small, num_partitions)
 
     schema = EXTRACT_SPANS_SCHEMA if with_spans else EXTRACT_SCHEMA
 
     def fn(batches: Iterator) -> Iterator:
         return _extract_batches(batches, with_spans)
 
-    return work.mapInPandas(fn, schema=schema)
+    small_res = small.mapInPandas(fn, schema=schema)
+    if big is None:
+        return small_res
+    big_res = _extract_paged(big, with_spans, num_partitions)
+    return small_res.unionByName(big_res)
+
+
+def _span_free(fields):
+    return [f for f in fields if f.name != "spans"]
+
+
+def _extract_paged(big: DataFrame, with_spans: bool,
+                   num_partitions: Optional[int]) -> DataFrame:
+    """Page-level fan-out for huge documents: split -> shuffle pages ->
+    parse per page -> reassemble per url. Page texts concatenate with
+    '\\n' (a page boundary is always a paragraph boundary in the reflow
+    fold), so the result is byte-identical to the whole-document path."""
+    import pandas as pd
+
+    split_schema = StructType([
+        StructField("url", StringType()),
+        StructField("format", StringType()),
+        StructField("page_n", IntegerType()),
+        StructField("page_str", StringType()),
+        StructField("html", df_binary_type()),
+        StructField("error", StringType()),
+    ])
+
+    def split_fn(batches: Iterator) -> Iterator:
+        from .extract import split_document_pages
+
+        for pdf in batches:
+            out = {"url": [], "format": [], "page_n": [], "page_str": [],
+                   "html": [], "error": []}
+            for url, html in zip(pdf["url"], pdf["html"]):
+                fmt, pages, err = split_document_pages(bytes(html))
+                if err is not None or pages is None:
+                    # non-splittable or failed: single whole-doc row
+                    out["url"].append(url)
+                    out["format"].append(fmt)
+                    out["page_n"].append(-1)
+                    out["page_str"].append(None)
+                    out["html"].append(bytes(html))
+                    out["error"].append(err)
+                    continue
+                for i, p in enumerate(pages):
+                    out["url"].append(url)
+                    out["format"].append(fmt)
+                    out["page_n"].append(i)
+                    out["page_str"].append(p)
+                    out["html"].append(None)
+                    out["error"].append(None)
+            yield pd.DataFrame(out)
+
+    pages_df = big.mapInPandas(split_fn, schema=split_schema)
+    # The page shuffle: spread one document's pages across the cluster.
+    pages_df = pages_df.repartition(
+        *( [num_partitions] if num_partitions else [] ), "url", "page_n")
+
+    page_fields = [
+        StructField("url", StringType()),
+        StructField("format", StringType()),
+        StructField("page_n", IntegerType()),
+        StructField("text", StringType()),
+        StructField("error", StringType()),
+        StructField("word_count", IntegerType()),
+    ]
+    if with_spans:
+        page_fields.append(StructField("spans", ArrayType(SPAN_STRUCT)))
+    page_schema = StructType(page_fields)
+
+    def parse_fn(batches: Iterator) -> Iterator:
+        from .extract import extract_single_page, extract_with_spans
+
+        for pdf in batches:
+            out = {"url": [], "format": [], "page_n": [], "text": [],
+                   "error": [], "word_count": []}
+            if with_spans:
+                out["spans"] = []
+            for url, fmt, page_n, page_str, html, err in zip(
+                    pdf["url"], pdf["format"], pdf["page_n"],
+                    pdf["page_str"], pdf["html"], pdf["error"]):
+                if err is not None:
+                    rec = {"text": None, "error": err, "word_count": 0,
+                           "spans": []}
+                    fmt_out = fmt
+                elif page_n == -1:
+                    whole = extract_with_spans(
+                        bytes(html), with_spans=with_spans)
+                    rec = {"text": whole["text"], "error": whole["error"],
+                           "word_count": whole["word_count"],
+                           "spans": whole["spans"]}
+                    fmt_out = whole["format"]
+                    # encode page_count via page_n for whole-doc rows
+                    page_n = -1 - whole["page_count"]
+                else:
+                    rec = extract_single_page(
+                        fmt, page_str, int(page_n), with_spans=with_spans)
+                    fmt_out = fmt
+                out["url"].append(url)
+                out["format"].append(fmt_out)
+                out["page_n"].append(int(page_n))
+                out["text"].append(rec["text"])
+                out["error"].append(rec["error"])
+                out["word_count"].append(rec["word_count"])
+                if with_spans:
+                    out["spans"].append(rec["spans"])
+            yield pd.DataFrame(out)
+
+    parsed = pages_df.mapInPandas(parse_fn, schema=page_schema)
+
+    # Reassemble per document. Page texts sort by page_n; empty pages
+    # (no lines) contribute nothing, matching writeText's skip.
+    aggs = [
+        F.max("format").alias("format"),
+        F.min("error").alias("error"),
+        F.array_join(
+            F.filter(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("page_n", "text"))),
+                    lambda s: s["text"]),
+                lambda t: t != ""),
+            "\n").alias("text"),
+        F.when(F.min("page_n") < -1, (-F.min("page_n") - 1))
+        .otherwise(F.count("*")).cast("int").alias("page_count"),
+        F.sum("word_count").cast("int").alias("word_count"),
+    ]
+    if with_spans:
+        aggs.append(
+            F.flatten(
+                F.array_sort(F.collect_list(F.struct("page_n", "spans")))
+                .getField("spans")).alias("spans"))
+    assembled = parsed.groupBy("url").agg(*aggs)
+    assembled = assembled.withColumn(
+        "text", F.when(F.col("error").isNotNull(), F.lit(None)).otherwise(F.col("text"))
+    ).withColumn(
+        "page_count",
+        F.when(F.col("error").isNotNull(), F.lit(0)).otherwise(F.col("page_count"))
+    ).withColumn(
+        "word_count",
+        F.when(F.col("error").isNotNull(), F.lit(0)).otherwise(F.col("word_count"))
+    )
+    if with_spans:
+        assembled = assembled.withColumn(
+            "spans",
+            F.when(F.col("error").isNotNull(),
+                   F.array().cast(ArrayType(SPAN_STRUCT)))
+            .otherwise(F.col("spans")))
+
+    cols = ["url", "text", "format", "error", "page_count", "word_count"]
+    if with_spans:
+        cols.append("spans")
+    return assembled.select(*cols)
+
+
+def df_binary_type():
+    from pyspark.sql.types import BinaryType
+
+    return BinaryType()
 
 
 def extract_spans(df: DataFrame, **kwargs) -> DataFrame:

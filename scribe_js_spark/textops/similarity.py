@@ -1,0 +1,124 @@
+"""Similarity search over embedding columns (array<float>).
+
+- ``ann_topk_bruteforce``: exact cosine top-k — broadcast the (small)
+  query set against the full corpus; the dot product is a JVM-side
+  ``aggregate(zip_with(...))`` so no Python runs per row. This is the
+  correctness baseline.
+- ``ann_topk_lsh``: random-hyperplane LSH bucketing as the scale path —
+  hyperplanes are deterministic (hash-derived), candidates restricted to
+  same-bucket (plus Hamming-1 neighbor buckets via multi-probe), then
+  exact re-rank. At 10^12 rows the bucket join replaces the full cross
+  product; recall tunes with bits/probes.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as _F  # noqa: F401
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(_dot(a, a))
+
+
+def cosine(a, b):
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def ann_topk_bruteforce(df: DataFrame, queries: DataFrame, k: int = 5,
+                        id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    ``queries`` must be small enough to broadcast (it is, by
+    construction: queries are the user's probe set, not the corpus).
+    Returns (query_id, rank, neighbor_id, sim_e6) — similarity scaled
+    to micro-units as int for cross-engine stability.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    c = df.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    scored = (
+        c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("sim", cosine(F.col("q_vec"), F.col("c_vec")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", F.col("rank").cast("int"), "neighbor_id",
+            F.floor(F.col("sim") * 1e6).cast("long").alias("sim_e6"))
+    )
+
+
+_N_PLANES_DEFAULT = 8
+
+
+def _plane_coeff(plane: int, dim: int) -> float:
+    """Deterministic pseudo-random hyperplane coefficient in [-1, 1):
+    integer hash of (plane, dim) mapped to the unit interval. No RNG —
+    replays and cross-run joins stay stable."""
+    h = (plane * 1_000_003 + dim * 7919 + 12345) * 2654435761 % (1 << 32)
+    return (h / (1 << 31)) - 1.0
+
+
+def lsh_bucket(vec_col, dim: int, n_planes: int = _N_PLANES_DEFAULT):
+    """Sign-of-projection bucket id (0 .. 2^n_planes-1) as a column."""
+    bucket = F.lit(0).cast("long")
+    for p in range(n_planes):
+        proj = F.aggregate(
+            F.zip_with(
+                vec_col,
+                F.array([F.lit(_plane_coeff(p, d)) for d in range(dim)]),
+                lambda x, w: x.cast("double") * w),
+            F.lit(0.0), lambda acc, v: acc + v)
+        bucket = bucket + F.when(proj >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+    return bucket
+
+
+def ann_topk_lsh(df: DataFrame, queries: DataFrame, k: int = 5,
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 dim: int = 64, n_planes: int = _N_PLANES_DEFAULT,
+                 multiprobe: bool = True) -> DataFrame:
+    """LSH-bucketed approximate top-k: candidates share the query's
+    bucket (or any Hamming-1 neighbor bucket when ``multiprobe``), then
+    exact cosine re-rank within candidates."""
+    c = df.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"),
+        lsh_bucket(F.col(vec_col), dim, n_planes).alias("bucket"))
+    probe_buckets = F.array(
+        *([F.col("q_bucket")] + [
+            F.col("q_bucket").bitwiseXOR(F.lit(1 << p))
+            for p in range(n_planes)
+        ] if multiprobe else [F.col("q_bucket")]))
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"),
+        lsh_bucket(F.col(vec_col), dim, n_planes).alias("q_bucket"),
+    ).withColumn("probe", F.explode(probe_buckets))
+    scored = (
+        c.join(F.broadcast(q),
+               (F.col("bucket") == F.col("probe"))
+               & (F.col("neighbor_id") != F.col("query_id")))
+        .withColumn("sim", cosine(F.col("q_vec"), F.col("c_vec")))
+        .select("query_id", "neighbor_id", "sim").distinct()
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col("rank").cast("int"), "neighbor_id",
+                F.floor(F.col("sim") * 1e6).cast("long").alias("sim_e6"))
+    )

@@ -84,3 +84,28 @@ def test_resume_job(spark, corpus_df, tmp_path):
     assert committed.count() == N_DOCS
     metrics = spark.read.parquet(outp + "_metrics")
     assert metrics.count() == 2
+
+
+def test_page_split_path_byte_identical(spark, corpus_df):
+    # Force every document through the page-level fan-out path and
+    # compare with the zero-shuffle whole-document path.
+    whole = extract_text(corpus_df, salt=False, page_split_bytes=None)
+    paged = extract_text(corpus_df, salt=False, page_split_bytes=1)
+    w = {r["url"]: r for r in whole.collect()}
+    p = {r["url"]: r for r in paged.collect()}
+    assert set(w) == set(p)
+    for url in w:
+        assert p[url]["error"] is None, f"{url}: {p[url]['error']}"
+        assert p[url]["text"] == w[url]["text"], url
+        assert p[url]["page_count"] == w[url]["page_count"], url
+        assert p[url]["word_count"] == w[url]["word_count"], url
+
+
+def test_page_split_spans_identical(spark, corpus_df):
+    whole = extract_spans(corpus_df, salt=False, page_split_bytes=None)
+    paged = extract_spans(corpus_df, salt=False, page_split_bytes=1)
+    cols = whole.columns
+    w = sorted(map(tuple, whole.collect()))
+    p = sorted(map(tuple, paged.collect()))
+    assert len(w) == len(p)
+    assert w == p

@@ -81,3 +81,28 @@ def test_malformed_input_never_fatal():
     rec2 = extract_with_spans(
         b"<html><body><div class='ocr_page' title='nonsense'></div></body></html>")
     assert rec2["error"] is not None  # no page dims
+
+
+def test_roundtrip_stext_pdf():
+    from scribe_js_spark.render_pdf import render_pdf
+    from scribe_js_spark.render_stext import render_stext
+
+    for doc_id in range(15):
+        model = build_doc_model(doc_id)
+        model["doc_id"] = doc_id
+        res = extract_document(render_stext(model).encode())
+        assert res.error is None and res.fmt == "stext"
+        assert res.text == expected_text(model), f"stext doc {doc_id}"
+        res = extract_document(render_pdf(model))
+        assert res.error is None and res.fmt == "pdf"
+        assert res.text == expected_text(model), f"pdf doc {doc_id}"
+
+
+def test_pdf_variants():
+    from scribe_js_spark.render_pdf import render_pdf
+
+    model = build_doc_model(5)
+    for compress in (False, True):
+        res = extract_document(render_pdf(model, compress=compress))
+        assert res.error is None
+        assert res.text == expected_text(model)

@@ -1,0 +1,103 @@
+"""Local stand-in for the driver's correctness gate: run each
+__spark_entry__ query on Spark and its oracle on DuckDB, compare
+row counts + order-insensitive values.
+
+Usage: spark-submit --py-files scribe_js_spark.zip tools/check_correctness.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import sys
+
+
+def normalize(pdf):
+    import pandas as pd
+
+    pdf = pdf[sorted(pdf.columns)].copy()
+    for c in pdf.columns:
+        if pdf[c].dtype == object:
+            pdf[c] = pdf[c].astype(str)
+        elif str(pdf[c].dtype).startswith("float"):
+            pdf[c] = pdf[c].round(9)
+        elif str(pdf[c].dtype).startswith("datetime"):
+            pdf[c] = pd.to_datetime(pdf[c]).astype("datetime64[us]")
+        elif pdf[c].dtype == bool:
+            pdf[c] = pdf[c].astype(bool)
+    pdf = pdf.sort_values(by=list(pdf.columns)).reset_index(drop=True)
+    return pdf
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+
+    import duckdb
+    from pyspark.sql import SparkSession
+
+    sys.path.insert(0, ".")
+    import __spark_entry__ as entrymod
+    from scribe_js_spark.pipeline import session_conf
+
+    spark = session_conf(
+        SparkSession.builder.master("local[8]")
+        .appName("check-correctness")
+        .config("spark.sql.shuffle.partitions", "16")
+        .config("spark.ui.enabled", "false")
+    ).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    con = duckdb.connect()
+    for t in ("region nation customer supplier part orders lineitem events "
+              "documents embeddings").split():
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/{t}.parquet')")
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failures = 0
+    for name, fn in qs.items():
+        try:
+            got = fn(spark, sf_dir).toPandas()
+        except Exception as e:
+            print(f"FAIL  {name}: spark error {type(e).__name__}: {e}")
+            failures += 1
+            continue
+        if name not in oracles:
+            print(f"rows  {name}: {len(got)} rows (no oracle)")
+            continue
+        try:
+            exp = con.sql(oracles[name]).df()
+        except Exception as e:
+            print(f"FAIL  {name}: oracle error {e}")
+            failures += 1
+            continue
+        g, e = normalize(got), normalize(exp)
+        if len(g) != len(e):
+            print(f"FAIL  {name}: rows {len(g)} vs {len(e)}")
+            failures += 1
+            continue
+        if list(g.columns) != list(e.columns):
+            print(f"FAIL  {name}: cols {list(g.columns)} vs {list(e.columns)}")
+            failures += 1
+            continue
+        eq = g.equals(e)
+        if not eq:
+            diff_cols = [c for c in g.columns if not g[c].equals(e[c])]
+            print(f"FAIL  {name}: value mismatch in {diff_cols}")
+            for c in diff_cols[:2]:
+                mask = g[c] != e[c]
+                print(g.loc[mask, [c]].head(3))
+                print(e.loc[mask, [c]].head(3))
+            failures += 1
+        else:
+            print(f"MATCH {name}: {len(g)} rows")
+
+    # entry smoke
+    n = entrymod.entry(spark).count()
+    print(f"entry(): {n} rows")
+    print("FAILURES:", failures)
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()
