@@ -177,10 +177,59 @@ def _q_consensus(spark: SparkSession, sf_dir: str) -> DataFrame:
         "url", "word_id", "text", F.col("conf").cast("long").alias("conf"))
 
 
+def _q_font_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from scribe_js_spark.operators.fontstats import (
+        font_metrics_df,
+        font_observations_df,
+    )
+
+    # char-level families carry the char boxes the statistics need
+    df = _corpus(spark, FIX_T2).filter(F.col("url").rlike("/hocr_char/"))
+    return font_metrics_df(font_observations_df(df))
+
+
+def _q_table_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Detect + extract a synthetic numeric table; cells must equal the
+    analytic formula 100*(row+1)+col."""
+    from scribe_js_spark.extract import extract_document
+    from scribe_js_spark.fixtures import render_hocr
+    from scribe_js_spark.operators.tables import (
+        detect_tables_in_page,
+        extract_table_rows,
+    )
+
+    n_rows, cols = 6, (100, 400, 700, 1000)
+    pars, y, lines = [], 120, []
+    for r in range(n_rows):
+        words = []
+        for ci, x in enumerate(cols):
+            val = str(100 * (r + 1) + ci)
+            words.append({
+                "text": val, "chars": None, "out_words": [val],
+                "left": x, "right": x + len(val) * 15,
+                "top": y - 31, "bottom": y + 9, "conf": 97})
+        lines.append({"words": words, "baseline_y": y, "indent": 0})
+        y += 52
+    pars.append({"lines": lines})
+    model = {"doc_id": 0, "family": "base",
+             "pages": [{"pars": pars, "width": 1224, "height": 1584}]}
+    page = extract_document(render_hocr(model).encode()).pages[0]
+    boxes = detect_tables_in_page(page)
+    rows = []
+    for box in boxes:
+        matrix = extract_table_rows(page, box)
+        for r, row in enumerate(matrix):
+            for c, cell in enumerate(row):
+                rows.append((r, c, cell))
+    return spark.createDataFrame(rows, "row_n int, col_n int, cell string")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "eval_compare": _q_eval_compare,
         "consensus_vote": _q_consensus,
+        "font_metrics": _q_font_metrics,
+        "table_cells": _q_table_cells,
         "extract_text": _q_extract_text,
         "extract_meta": _q_extract_meta,
         "extract_spans": _q_extract_spans,
@@ -220,6 +269,10 @@ def oracle_sql() -> dict[str, str]:
         "consensus_vote": (
             f"SELECT url, word_id, text, conf::BIGINT AS conf"
             f" FROM read_parquet('{cons_p}')"),
+        "table_cells": (
+            "SELECT r::INT AS row_n, c::INT AS col_n,"
+            " CAST(100 * (r + 1) + c AS VARCHAR) AS cell"
+            " FROM range(6) t(r), range(4) u(c)"),
         # Extraction: golden values computed from the fixture layout
         # model (FIXTURES.md) — the DuckDB side just reads them.
         "extract_text": f"SELECT url, text FROM read_parquet('{corpus}')",

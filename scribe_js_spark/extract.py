@@ -36,6 +36,27 @@ def register_converter(fmt: str, fn) -> None:
 def _convert_pages(s: str, fmt: str) -> list[OcrPage]:
     if fmt == "text":
         return convert_doc_text(s)
+    if fmt == "textract":
+        from .operators.textract import convert_doc_textract
+        return convert_doc_textract(s)
+    if fmt == "google_vision":
+        import json as _json
+
+        from .operators.google_vision import convert_page_google_vision
+
+        # Multi-page Vision output: one response per page, sorted by
+        # context.pageNumber (importOCR.js:126-133).
+        if '"responses"' in s[:500]:
+            responses = sorted(
+                _json.loads(s)["responses"],
+                key=lambda r: (r.get("context") or {}).get("pageNumber", 0))
+            pages = []
+            for i, resp in enumerate(responses):
+                page, _ = convert_page_google_vision(_json.dumps(resp), i)
+                pages.append(page)
+            return pages
+        page, _ = convert_page_google_vision(s, 0)
+        return [page]
     page_strs = split_pages(s, fmt)
     pages = []
     for i, page_str in enumerate(page_strs):

@@ -61,8 +61,9 @@ FORMATS = ("hocr", "abbyy", "alto", "text", "stext", "pdf")
 # format mix per FIXTURES.md §5; hocr_char = char-level typography
 # family, hocr_cjk = per-char CJK family (both render as hOCR).
 FORMAT_MIX = (
-    ("hocr", 23), ("abbyy", 25), ("alto", 15), ("text", 10),
+    ("hocr", 21), ("abbyy", 22), ("alto", 12), ("text", 8),
     ("stext", 10), ("pdf", 10), ("hocr_char", 5), ("hocr_cjk", 2),
+    ("textract", 6), ("google_vision", 4),
 )
 
 
@@ -505,6 +506,16 @@ def render_stext(model: dict) -> str:
     return _rs(model)
 
 
+def render_textract(model: dict) -> str:
+    from .render_textract import render_textract as _rt
+    return _rt(model)
+
+
+def render_google_vision(model: dict) -> str:
+    from .render_google_vision import render_google_vision as _rg
+    return _rg(model)
+
+
 def render_pdf(model: dict) -> bytes:
     from .render_pdf import render_pdf as _rp
     return _rp(model)
@@ -645,6 +656,10 @@ def make_bench_rows(n_docs: int, seed: int = SEED_DEFAULT,
             html: bytes = render_stext(model).encode("utf-8")
         elif fmt == "pdf":
             html = render_pdf(model)
+        elif fmt == "textract":
+            html = render_textract(model).encode("utf-8")
+        elif fmt == "google_vision":
+            html = render_google_vision(model).encode("utf-8")
         else:
             html = RENDERERS[render_fmt](model).encode("utf-8")
         rows.append({
@@ -693,7 +708,8 @@ def _pick_format(doc_id: int, available: tuple[str, ...]) -> str:
 
 
 def available_formats() -> tuple[str, ...]:
-    avail = ["hocr", "abbyy", "alto", "text", "hocr_char", "hocr_cjk"]
+    avail = ["hocr", "abbyy", "alto", "text", "hocr_char", "hocr_cjk",
+             "textract", "google_vision"]
     try:  # optional renderers land in later phases
         from . import render_stext as _  # noqa: F401
         avail.append("stext")
@@ -730,6 +746,10 @@ def make_corpus_rows(n_docs: int, seed: int = SEED_DEFAULT,
             html: bytes = render_stext(model).encode("utf-8")
         elif fmt == "pdf":
             html = render_pdf(model)
+        elif fmt == "textract":
+            html = render_textract(model).encode("utf-8")
+        elif fmt == "google_vision":
+            html = render_google_vision(model).encode("utf-8")
         else:
             html = RENDERERS[render_fmt](model).encode("utf-8")
         counts = expected_counts(model)

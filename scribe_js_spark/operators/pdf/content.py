@@ -23,7 +23,7 @@ from .lexer import Lexer, Name, Ref, StreamObj, DELIMS, WHITESPACE
 class PositionedChar:
     __slots__ = (
         "text", "x", "y", "width", "fontSize", "font", "invisible",
-        "orientation", "dirX", "dirY", "charCode",
+        "orientation", "dirX", "dirY", "charCode", "box",
     )
 
     def __init__(self, text, x, y, width, font_size, font, invisible,
@@ -299,39 +299,50 @@ class TextMachine:
         if not isinstance(data, (bytes, bytearray)) or font is None:
             return tm
         th = tz / 100.0
+
+        # Per-string invariants: the rendering matrix only *translates*
+        # along its own x-axis between glyphs, so compute trm once and
+        # step positions incrementally (one add per glyph instead of
+        # three matrix multiplies).
+        trm = _mat_mul(_mat_mul([tfs * th, 0, 0, tfs, 0, ts], tm), ctm)
+        scale = self.scale
+        page_h = self.page_height
+        # x-advance of one text-space unit, in device space
+        step_x = tm[0] * ctm[0] + tm[1] * ctm[2]
+        step_y = tm[0] * ctm[1] + tm[1] * ctm[3]
+        x_dev = trm[4] * scale
+        y_dev = trm[5] * scale
+        dx, dy = trm[0], trm[1]
+        mag = math.hypot(dx, dy) or 1.0
+        dir_x = dx / mag
+        dir_y = -dy / mag  # flip to top-left frame
+        orientation = _orientation_from_dir(dir_x, dir_y)
+        font_size_dev = math.hypot(trm[2], trm[3]) * scale
+        ctm_scale = math.hypot(ctm[0], ctm[1]) * scale
+        invisible = tr == 3
+        chars_out = self.chars
+        unicode_for = font.unicode_for
+        width_for = font.width_for
+
+        adv_total = 0.0
         for code, is_cid in self._decode_codes(bytes(data), font):
-            uni = font.unicode_for(code)
-            w0 = font.width_for(code) / 1000.0
+            uni = unicode_for(code)
+            w0 = width_for(code) / 1000.0
             is_space = (not is_cid and code == 32)
-
-            # full transform: glyph space -> text space -> device
-            trm = _mat_mul(_mat_mul([tfs * th, 0, 0, tfs, 0, ts], tm), ctm)
-            x_dev = trm[4] * self.scale
-            y_dev = trm[5] * self.scale
-            # device direction of the baseline (x axis of trm)
-            dx = trm[0]
-            dy = trm[1]
-            mag = math.hypot(dx, dy) or 1.0
-            dir_x = dx / mag
-            dir_y = -dy / mag  # flip to top-left frame
-            font_size_dev = math.hypot(trm[2], trm[3]) * self.scale
-
             adv = (w0 * tfs + tc + (tw if is_space else 0.0)) * th
-            width_dev = abs(adv) * (math.hypot(ctm[0], ctm[1])) * self.scale
-
             if uni:
                 # whitespace collapse (reference :1889)
                 text = " " if uni.isspace() else uni
-                self.chars.append(PositionedChar(
+                chars_out.append(PositionedChar(
                     text,
-                    x_dev,
-                    (self.page_height - y_dev),
-                    width_dev,
+                    x_dev + adv_total * step_x * scale,
+                    page_h - (y_dev + adv_total * step_y * scale),
+                    abs(adv) * ctm_scale,
                     font_size_dev,
                     font,
-                    tr == 3,
-                    _orientation_from_dir(dir_x, dir_y),
+                    invisible,
+                    orientation,
                     dir_x, dir_y, code,
                 ))
-            tm = _mat_mul([1, 0, 0, 1, adv, 0], tm)
-        return tm
+            adv_total += adv
+        return _mat_mul([1, 0, 0, 1, adv_total, 0], tm)

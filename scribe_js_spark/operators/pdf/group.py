@@ -324,13 +324,22 @@ def group_chars_into_page(chars, n: int, page_dims: dict) -> OcrPage:
             continue
 
         # (xii) line bbox from chars via font ascent/descent.
-        all_chars = [c for w in words_final for c in w]
-        line_left = min(js_round(c.x) for c in all_chars)
-        line_right = max(js_round(c.x + c.width) for c in all_chars)
-        line_top = min(
-            js_round(c.y - c.font.ascent * c.fontSize) for c in all_chars)
-        line_bottom = max(
-            js_round(c.y - c.font.descent * c.fontSize) for c in all_chars)
+        # Rounded device boxes computed once per char (hot path).
+        floor = math.floor
+        all_chars = []
+        for w in words_final:
+            for c in w:
+                c.box = (
+                    floor(c.x + 0.5),
+                    floor(c.y - c.font.ascent * c.fontSize + 0.5),
+                    floor(c.x + c.width + 0.5),
+                    floor(c.y - c.font.descent * c.fontSize + 0.5),
+                )
+                all_chars.append(c)
+        line_left = min(c.box[0] for c in all_chars)
+        line_right = max(c.box[2] for c in all_chars)
+        line_top = min(c.box[1] for c in all_chars)
+        line_bottom = max(c.box[3] for c in all_chars)
 
         baseline_y = all_chars[0].y
         baseline_offset = js_round(baseline_y - line_bottom)
@@ -362,12 +371,10 @@ def group_chars_into_page(chars, n: int, page_dims: dict) -> OcrPage:
             wtext = replace_ligatures("".join(c.text for c in wchars))
             if wtext.strip() == "":
                 continue
-            word_left = js_round(wchars[0].x)
-            word_right = js_round(wchars[-1].x + wchars[-1].width)
-            word_top = min(
-                js_round(c.y - c.font.ascent * c.fontSize) for c in wchars)
-            word_bottom = max(
-                js_round(c.y - c.font.descent * c.fontSize) for c in wchars)
+            word_left = wchars[0].box[0]
+            word_right = wchars[-1].box[2]
+            word_top = min(c.box[1] for c in wchars)
+            word_bottom = max(c.box[3] for c in wchars)
             wid = f"word_{n + 1}_{len(page_obj.lines) + 1}_{wi2 + 1}"
             word_obj = OcrWord(
                 line_obj, wid, wtext,
@@ -382,12 +389,7 @@ def group_chars_into_page(chars, n: int, page_dims: dict) -> OcrPage:
             word_obj.style.italic = first_alnum.font.italic
             word_obj.style.size = round3(first_alnum.fontSize)
             word_obj.chars = [
-                OcrChar(c.text, Bbox(
-                    js_round(c.x),
-                    js_round(c.y - c.font.ascent * c.fontSize),
-                    js_round(c.x + c.width),
-                    js_round(c.y - c.font.descent * c.fontSize)))
-                for c in wchars
+                OcrChar(c.text, Bbox(*c.box)) for c in wchars
             ]
             line_obj.words.append(word_obj)
 

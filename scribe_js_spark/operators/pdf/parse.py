@@ -59,24 +59,21 @@ def _dedup_chars(chars):
     (parsePdfDoc.js:597-628)."""
     seen = set()
     out = []
+    offsets = ((-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 0), (0, 1),
+               (1, -1), (1, 0), (1, 1))
     for ch in chars:
-        tol = max(0.25, 0.05 * ch.fontSize)
+        tol = 0.05 * ch.fontSize
+        if tol < 0.25:
+            tol = 0.25
         bx = int(ch.x / tol)
         by = int(ch.y / tol)
-        dup = False
-        for dx_b in (-1, 0, 1):
-            for dy_b in (-1, 0, 1):
-                key = (ch.text, id(ch.font), js_round(ch.fontSize * 10),
-                       bx + dx_b, by + dy_b)
-                if key in seen:
-                    dup = True
-                    break
-            if dup:
+        ident = (ch.text, id(ch.font), int(ch.fontSize * 10 + 0.5))
+        for dx_b, dy_b in offsets:
+            if (ident, bx + dx_b, by + dy_b) in seen:
                 break
-        if dup:
-            continue
-        seen.add((ch.text, id(ch.font), js_round(ch.fontSize * 10), bx, by))
-        out.append(ch)
+        else:
+            seen.add((ident, bx, by))
+            out.append(ch)
     return out
 
 

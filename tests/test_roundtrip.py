@@ -106,3 +106,17 @@ def test_pdf_variants():
         res = extract_document(render_pdf(model, compress=compress))
         assert res.error is None
         assert res.text == expected_text(model)
+
+
+def test_roundtrip_textract_gvision():
+    from scribe_js_spark.render_google_vision import render_google_vision
+    from scribe_js_spark.render_textract import render_textract
+
+    for doc_id in range(10):
+        model = build_doc_model(doc_id)
+        res = extract_document(render_textract(model).encode())
+        assert res.error is None and res.fmt == "textract"
+        assert res.text == expected_text(model), f"textract {doc_id}"
+        res = extract_document(render_google_vision(model).encode())
+        assert res.error is None and res.fmt == "google_vision"
+        assert res.text == expected_text(model), f"gvision {doc_id}"
