@@ -224,12 +224,44 @@ def _q_table_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "row_n int, col_n int, cell string")
 
 
+def _q_pdf_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-type classification gate over PDF variants: native text
+    -> 'text', invisible text over a scan -> 'ocr', no text -> 'image'."""
+    from scribe_js_spark.fixtures import build_doc_model
+    from scribe_js_spark.operators.pdf.parse import pdf_document_type
+    from scribe_js_spark.render_pdf import render_pdf
+
+    rows = []
+    for doc_id in range(12):
+        model = build_doc_model(doc_id)
+        model["doc_id"] = doc_id
+        rows.append((f"text_{doc_id}", pdf_document_type(render_pdf(model))))
+        rows.append((
+            f"ocr_{doc_id}",
+            pdf_document_type(render_pdf(model, invisible=True))))
+    empty = build_doc_model(0)
+    empty["pages"] = [{"pars": [], "width": 1224, "height": 1584}]
+    rows.append(("image_0", pdf_document_type(render_pdf(empty))))
+    return spark.createDataFrame(rows, "doc string, pdf_type string")
+
+
+def _q_furniture_roles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from scribe_js_spark.pipeline import extract_par_roles
+
+    df = _corpus(spark, FIX_T2).filter(F.col("url").rlike("/hocr_furniture/"))
+    return extract_par_roles(df).select(
+        "url", F.col("page_n").cast("long"), F.col("par_n").cast("long"),
+        "par_type")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "eval_compare": _q_eval_compare,
         "consensus_vote": _q_consensus,
         "font_metrics": _q_font_metrics,
         "table_cells": _q_table_cells,
+        "furniture_roles": _q_furniture_roles,
+        "pdf_type": _q_pdf_type,
         "extract_text": _q_extract_text,
         "extract_meta": _q_extract_meta,
         "extract_spans": _q_extract_spans,
@@ -269,6 +301,15 @@ def oracle_sql() -> dict[str, str]:
         "consensus_vote": (
             f"SELECT url, word_id, text, conf::BIGINT AS conf"
             f" FROM read_parquet('{cons_p}')"),
+        "pdf_type": (
+            "SELECT 'text_' || r::VARCHAR AS doc, 'text' AS pdf_type"
+            " FROM range(12) t(r)"
+            " UNION ALL SELECT 'ocr_' || r::VARCHAR, 'ocr' FROM range(12) t(r)"
+            " UNION ALL SELECT 'image_0', 'image'"),
+        "furniture_roles": (
+            f"SELECT url, page_n::BIGINT AS page_n, par_n::BIGINT AS par_n,"
+            f" par_type FROM read_parquet("
+            f"'{os.path.join(FIX_T2, 'roles.parquet')}')"),
         "table_cells": (
             "SELECT r::INT AS row_n, c::INT AS col_n,"
             " CAST(100 * (r + 1) + c AS VARCHAR) AS cell"

@@ -61,9 +61,9 @@ FORMATS = ("hocr", "abbyy", "alto", "text", "stext", "pdf")
 # format mix per FIXTURES.md §5; hocr_char = char-level typography
 # family, hocr_cjk = per-char CJK family (both render as hOCR).
 FORMAT_MIX = (
-    ("hocr", 21), ("abbyy", 22), ("alto", 12), ("text", 8),
+    ("hocr", 16), ("abbyy", 22), ("alto", 12), ("text", 8),
     ("stext", 10), ("pdf", 10), ("hocr_char", 5), ("hocr_cjk", 2),
-    ("textract", 6), ("google_vision", 4),
+    ("textract", 6), ("google_vision", 4), ("hocr_furniture", 5),
 )
 
 
@@ -126,20 +126,49 @@ def build_doc_model(doc_id: int, seed: int = SEED_DEFAULT,
     if n_pages is None:
         n_pages = rng.randint(1, 3)
 
+    furniture = family == "furniture"
+    if furniture:
+        n_pages = max(n_pages, 2)  # header keys need recurrence
+        header_tokens = [rng.choice(LEXICON) for _ in range(3)]
+
+    def _furniture_par(tokens, baseline_y, x0, par_type):
+        words = []
+        x = x0
+        for tok in tokens:
+            width = len(tok) * CHAR_W
+            words.append({
+                "text": tok, "chars": None, "out_words": [tok],
+                "left": x, "right": x + width,
+                "top": baseline_y - ASC_H, "bottom": baseline_y + DESC_H,
+                "conf": 97,
+            })
+            x += width + WORD_GAP
+        return {
+            "lines": [{"words": words, "baseline_y": baseline_y, "indent": 0}],
+            "type": par_type,
+        }
+
     pages = []
     for page_n in range(n_pages):
         pars = []
+        if furniture:
+            pars.append(_furniture_par(header_tokens, 60, MARGIN_LEFT, "header"))
         n_pars = rng.randint(2, 5)
-        y = TOP_BASELINE
+        # Body starts a full pitch lower under a running header so the
+        # header/body gap (112px) exceeds the 1.5x relative-space rule.
+        y = TOP_BASELINE + LINE_PITCH if furniture else TOP_BASELINE
+        # Keep body clear of the folio band so the folio's leading gap
+        # always exceeds the relative/absolute space rules.
+        max_baseline = PAGE_H - 200 if furniture else MAX_BASELINE
         prev_single = False
         for par_n in range(n_pars):
-            if y > MAX_BASELINE:
+            if y > max_baseline:
                 break
             min_lines = 2 if (indent_family or prev_single) else 1
             n_lines = rng.randint(min_lines, 6)
             lines = []
             for line_n in range(n_lines):
-                if y > MAX_BASELINE:
+                if y > max_baseline:
                     break
                 indent = INDENT if (indent_family and line_n == 0) else 0
                 x = MARGIN_LEFT + indent
@@ -211,6 +240,9 @@ def build_doc_model(doc_id: int, seed: int = SEED_DEFAULT,
             y += PAR_GAP - LINE_PITCH  # total gap between pars = PAR_GAP
         if indent_family and pars and len(pars[-1]["lines"]) == 1:
             pars.pop()  # trailing single-line par is undetectable by indent
+        if furniture and pars:
+            pars.append(_furniture_par(
+                [str(page_n + 1)], PAGE_H - 64, PAGE_W // 2, "pagenum"))
         if pars:
             pages.append({"pars": pars, "width": PAGE_W, "height": PAGE_H})
     if not pages:  # degenerate fallback: one fixed paragraph
@@ -709,7 +741,7 @@ def _pick_format(doc_id: int, available: tuple[str, ...]) -> str:
 
 def available_formats() -> tuple[str, ...]:
     avail = ["hocr", "abbyy", "alto", "text", "hocr_char", "hocr_cjk",
-             "textract", "google_vision"]
+             "textract", "google_vision", "hocr_furniture"]
     try:  # optional renderers land in later phases
         from . import render_stext as _  # noqa: F401
         avail.append("stext")
@@ -733,7 +765,8 @@ def make_corpus_rows(n_docs: int, seed: int = SEED_DEFAULT,
     rows = []
     for doc_id in range(n_docs):
         fmt = _pick_format(doc_id, formats)
-        family = {"hocr_char": "charlevel", "hocr_cjk": "cjk"}.get(fmt, "base")
+        family = {"hocr_char": "charlevel", "hocr_cjk": "cjk",
+                  "hocr_furniture": "furniture"}.get(fmt, "base")
         render_fmt = "hocr" if fmt.startswith("hocr_") else fmt
         indent_family = family == "base" and (doc_id % 10) == 7
         # Plain-text docs are kept to one model page so convertPageText's
@@ -826,6 +859,21 @@ def write_corpus_parquet(path: str, n_docs: int, seed: int = SEED_DEFAULT,
         eval_rows.append({"url": url, **layers["eval_expected"]})
         for rec in layers["consensus_expected"]:
             consensus_rows.append({"url": url, **rec})
+    # Furniture-role golden rows (document-level layout pass).
+    role_rows = []
+    for _, row in df.iterrows():
+        if row["url"].split("/")[-2] != "hocr_furniture":
+            continue
+        doc_id = int(row["url"].rsplit("/", 1)[1])
+        model = build_doc_model(doc_id, seed=seed, family="furniture")
+        for pn, page in enumerate(model["pages"]):
+            for pi, par in enumerate(page["pars"]):
+                role_rows.append({
+                    "url": row["url"], "page_n": pn, "par_n": pi,
+                    "par_type": par.get("type", "body")})
+    pd.DataFrame(role_rows).to_parquet(
+        os.path.join(path, "roles.parquet"), index=False)
+
     pd.DataFrame(layer_rows).to_parquet(
         os.path.join(path, "layers.parquet"), index=False)
     pd.DataFrame(eval_rows).to_parquet(

@@ -123,6 +123,21 @@ def determine_pdf_type(stats_per_page: list[dict]) -> str:
     return "image"
 
 
+def pdf_document_type(data: bytes) -> str:
+    """Classify a PDF as 'text' | 'ocr' | 'image' from per-page char
+    statistics (the reference's OCR-routing gate, SURVEY.md §2.4:
+    determinePdfType + computeRequiresOCR)."""
+    doc = PdfDocument(data)
+    stats = []
+    for page in doc.get_pages():
+        box, rotate, w, h, scale = _page_geometry(doc, page)
+        machine = TextMachine(doc, page, page_height=h * scale, scale=scale)
+        machine.run(doc.page_content(page), page.get("Resources"),
+                    base_ctm=_base_ctm(box, rotate))
+        stats.append(page_stats(_dedup_chars(machine.chars)))
+    return determine_pdf_type(stats)
+
+
 def parse_pdf_document(data: bytes) -> list[OcrPage]:
     doc = PdfDocument(data)
     pages = doc.get_pages()

@@ -361,6 +361,44 @@ def extract_spans(df: DataFrame, **kwargs) -> DataFrame:
     )
 
 
+def extract_par_roles(df: DataFrame) -> DataFrame:
+    """Document-level layout pass: extraction + furniture-role
+    classification (header/footer/pagenum/title). The whole document is
+    one row, so the cross-page pass (recurring header keys, folio
+    sequences) needs no shuffle — the grouped-pass analog of the
+    reference's main-thread analyzeLayout join (SURVEY.md §3.1 step 3)."""
+    import pandas as pd
+
+    from pyspark.sql.types import IntegerType
+
+    schema = StructType([
+        StructField("url", StringType()),
+        StructField("page_n", IntegerType()),
+        StructField("par_n", IntegerType()),
+        StructField("par_type", StringType()),
+    ])
+
+    def fn(batches: Iterator) -> Iterator:
+        from .extract import extract_document
+        from .operators.layout_doc import analyze_layout_doc, collect_par_roles
+
+        for pdf in batches:
+            out = {"url": [], "page_n": [], "par_n": [], "par_type": []}
+            for url, html in zip(pdf["url"], pdf["html"]):
+                res = extract_document(bytes(html))
+                if res.error is not None:
+                    continue
+                analyze_layout_doc(res.pages)
+                for r in collect_par_roles(res.pages):
+                    out["url"].append(url)
+                    out["page_n"].append(r["page_n"])
+                    out["par_n"].append(r["par_n"])
+                    out["par_type"].append(r["par_type"])
+            yield pd.DataFrame(out)
+
+    return df.select("url", "html").mapInPandas(fn, schema=schema)
+
+
 def extraction_metrics(result: DataFrame) -> DataFrame:
     """Aggregate job metrics: docs, failure rate, span counts —
     the metrics sidecar committed alongside each output write

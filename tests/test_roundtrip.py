@@ -120,3 +120,48 @@ def test_roundtrip_textract_gvision():
         res = extract_document(render_google_vision(model).encode())
         assert res.error is None and res.fmt == "google_vision"
         assert res.text == expected_text(model), f"gvision {doc_id}"
+
+
+def test_roundtrip_furniture_and_roles():
+    from scribe_js_spark.operators.layout_doc import (
+        analyze_layout_doc,
+        collect_par_roles,
+    )
+
+    for doc_id in range(10):
+        model = build_doc_model(doc_id, family="furniture")
+        res = extract_document(RENDERERS["hocr"](model).encode())
+        assert res.error is None
+        assert res.text == expected_text(model), doc_id
+        analyze_layout_doc(res.pages)
+        got = [(r["page_n"], r["par_n"], r["par_type"])
+               for r in collect_par_roles(res.pages)]
+        exp = [(pn, pi, par.get("type", "body"))
+               for pn, page in enumerate(model["pages"])
+               for pi, par in enumerate(page["pars"])]
+        assert got == exp, doc_id
+
+
+def test_pdf_variant_matrix():
+    from scribe_js_spark.render_pdf import render_pdf
+
+    model = build_doc_model(3)
+    for kwargs in (dict(tj_mode=True), dict(ligatures=True),
+                   dict(rotate=True),
+                   dict(tj_mode=True, ligatures=True, compress=True),
+                   dict(rotate=True, tj_mode=True)):
+        res = extract_document(render_pdf(model, **kwargs))
+        assert res.error is None, kwargs
+        assert res.text == expected_text(model), kwargs
+
+
+def test_pdf_type_classification():
+    from scribe_js_spark.operators.pdf.parse import pdf_document_type
+    from scribe_js_spark.render_pdf import render_pdf
+
+    model = build_doc_model(0)
+    assert pdf_document_type(render_pdf(model)) == "text"
+    assert pdf_document_type(render_pdf(model, invisible=True)) == "ocr"
+    empty = build_doc_model(0)
+    empty["pages"] = [{"pars": [], "width": 1224, "height": 1584}]
+    assert pdf_document_type(render_pdf(empty)) == "image"
