@@ -224,6 +224,46 @@ def _q_table_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "row_n int, col_n int, cell string")
 
 
+def _q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-overlapping doc-wide phrase matches (getDocMatches): each
+    document searched for its own first two words."""
+    from typing import Iterator
+
+    import pandas as pd
+    from pyspark.sql.types import (
+        LongType, StringType, StructField, StructType)
+
+    from scribe_js_spark.extract import extract_document
+    from scribe_js_spark.operators.search import get_doc_matches
+
+    schema = StructType([
+        StructField("url", StringType()),
+        StructField("phrase", StringType()),
+        StructField("n_matches", LongType()),
+    ])
+
+    def fn(batches: Iterator) -> Iterator:
+        for pdf in batches:
+            out = {"url": [], "phrase": [], "n_matches": []}
+            for url, html in zip(pdf["url"], pdf["html"]):
+                res = extract_document(bytes(html))
+                if res.error is not None or not res.text:
+                    continue
+                toks = res.text.replace("\n", " ").split(" ")
+                phrase = " ".join(toks[:2]).lower()
+                out["url"].append(url)
+                out["phrase"].append(phrase)
+                out["n_matches"].append(
+                    len(get_doc_matches(phrase, res.pages)))
+            yield pd.DataFrame(out)
+
+    # hocr family only: other families keep the same word stream, but
+    # the oracle's text column spans page boundaries which word-window
+    # search does not; single-page-safe families keep this exact.
+    df = _corpus(spark, FIX_T2).filter(F.col("url").rlike("/(hocr|alto)/"))
+    return df.select("url", "html").mapInPandas(fn, schema=schema)
+
+
 def _q_pdf_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document-type classification gate over PDF variants: native text
     -> 'text', invisible text over a scan -> 'ocr', no text -> 'image'."""
@@ -262,6 +302,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_cells": _q_table_cells,
         "furniture_roles": _q_furniture_roles,
         "pdf_type": _q_pdf_type,
+        "phrase_search": _q_phrase_search,
         "extract_text": _q_extract_text,
         "extract_meta": _q_extract_meta,
         "extract_spans": _q_extract_spans,
@@ -301,6 +342,16 @@ def oracle_sql() -> dict[str, str]:
         "consensus_vote": (
             f"SELECT url, word_id, text, conf::BIGINT AS conf"
             f" FROM read_parquet('{cons_p}')"),
+        "phrase_search": (
+            "WITH base AS (SELECT url,"
+            " lower(replace(text, chr(10), ' ')) AS stream,"
+            " lower(array_to_string((string_split(replace(text, chr(10),"
+            " ' '), ' '))[1:2], ' ')) AS phrase"
+            f" FROM read_parquet('{corpus}')"
+            " WHERE regexp_matches(url, '/(hocr|alto)/'))"
+            " SELECT url, phrase, CAST((length(stream)"
+            " - length(replace(stream, phrase, ''))) / length(phrase)"
+            " AS BIGINT) AS n_matches FROM base"),
         "pdf_type": (
             "SELECT 'text_' || r::VARCHAR AS doc, 'text' AS pdf_type"
             " FROM range(12) t(r)"
