@@ -136,6 +136,14 @@ def _q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_topk_lsh(emb, queries, k=5)
 
 
+def _q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from scribe_js_spark.textops.similarity import ann_topk_ivf
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    queries = emb.filter(F.col("vec_id") < 10)
+    return ann_topk_ivf(emb, queries, k=5, nprobe=3)
+
+
 def _q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
     return events.groupBy(
@@ -315,6 +323,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_candidates": _q_simhash,
         "ann_topk": _q_ann_topk,
         "ann_topk_lsh": _q_ann_topk_lsh,
+        "ann_topk_ivf": _q_ann_topk_ivf,
         "events_hourly": _q_events_hourly,
         "media_decode": _q_media_decode,
     }

@@ -1,0 +1,119 @@
+"""CLI entrypoints — the spark-submit analog of the reference's CLI
+(/root/reference/docs/cli.md: extract / type / conf / eval).
+
+Usage (via spark-submit --py-files scribe_js_spark.zip):
+
+    python -m scribe_js_spark extract  INPUT_PARQUET OUTPUT_DIR [--run-id r1]
+    python -m scribe_js_spark type     INPUT_PARQUET            # pdf_type per url
+    python -m scribe_js_spark conf     INPUT_PARQUET            # conf summary
+    python -m scribe_js_spark eval     LAYERS_PARQUET           # eval metrics
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def _spark(app: str):
+    from pyspark.sql import SparkSession
+
+    from .pipeline import session_conf
+
+    return session_conf(
+        SparkSession.builder.appName(app)).getOrCreate()
+
+
+def cmd_extract(args) -> int:
+    from .pipeline import run_extraction_job
+
+    spark = _spark("scribe-extract")
+    metrics = run_extraction_job(
+        spark, args.input, args.output, run_id=args.run_id,
+        with_spans=args.spans, salt=True)
+    print(metrics)
+    return 0
+
+
+def cmd_type(args) -> int:
+    import pyspark.sql.functions as F
+
+    spark = _spark("scribe-type")
+
+    def fn(batches):
+        import pandas as pd
+
+        from .operators.detect import detect_document_format
+        from .operators.pdf.parse import pdf_document_type
+
+        for pdf in batches:
+            out = {"url": [], "doc_type": []}
+            for url, html in zip(pdf["url"], pdf["html"]):
+                data = bytes(html)
+                fmt = detect_document_format(data)
+                if fmt == "pdf":
+                    try:
+                        fmt = f"pdf:{pdf_document_type(data)}"
+                    except Exception:
+                        fmt = "pdf:error"
+                out["url"].append(url)
+                out["doc_type"].append(fmt)
+            yield pd.DataFrame(out)
+
+    df = spark.read.parquet(args.input).select("url", "html")
+    df.mapInPandas(fn, schema="url string, doc_type string") \
+        .groupBy("doc_type").count().orderBy("doc_type").show(50, False)
+    return 0
+
+
+def cmd_conf(args) -> int:
+    from .pipeline import extract_spans
+
+    import pyspark.sql.functions as F
+
+    spark = _spark("scribe-conf")
+    spans = extract_spans(spark.read.parquet(args.input))
+    spans.agg(
+        F.count("*").alias("words"),
+        F.avg((F.col("conf") > 85).cast("int")).alias("high_conf_share"),
+    ).show()
+    return 0
+
+
+def cmd_eval(args) -> int:
+    from .layers import compare_layers
+
+    spark = _spark("scribe-eval")
+    compare_layers(spark.read.parquet(args.input)).show(50, False)
+    return 0
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(prog="scribe_js_spark")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("extract", help="run the extraction job")
+    p.add_argument("input")
+    p.add_argument("output")
+    p.add_argument("--run-id", default="r1")
+    p.add_argument("--spans", action="store_true")
+    p.set_defaults(fn=cmd_extract)
+
+    p = sub.add_parser("type", help="classify document types")
+    p.add_argument("input")
+    p.set_defaults(fn=cmd_type)
+
+    p = sub.add_parser("conf", help="confidence summary")
+    p.add_argument("input")
+    p.set_defaults(fn=cmd_conf)
+
+    p = sub.add_parser("eval", help="compare OCR layers")
+    p.add_argument("input")
+    p.set_defaults(fn=cmd_eval)
+
+    args = parser.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

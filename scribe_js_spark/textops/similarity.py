@@ -63,6 +63,82 @@ def ann_topk_bruteforce(df: DataFrame, queries: DataFrame, k: int = 5,
     )
 
 
+def ann_topk_ivf(df: DataFrame, queries: DataFrame, k: int = 5,
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 dim: int = 64, n_planes_coarse: int = 3,
+                 nprobe: int = 2) -> DataFrame:
+    """IVF-style approximate top-k: a coarse quantizer built from
+    LSH-bucket centroids (deterministic — no k-means RNG), inverted
+    lists keyed by nearest centroid, queries probe the ``nprobe``
+    nearest cells and exact-rerank within them.
+
+    Scale path: the centroid table is tiny (2^n_planes_coarse rows) and
+    broadcast everywhere; the corpus partitions by cell, so a query
+    touches ``nprobe`` cells instead of the full corpus.
+    """
+    import pyspark.sql.functions as F
+
+    spark = df.sparkSession
+    base = df.select(
+        F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"),
+        lsh_bucket(F.col(vec_col), dim, n_planes_coarse).alias("bucket"))
+
+    # Centroids: per-dimension means of each coarse LSH bucket.
+    cent_rows = (
+        base.select("bucket", F.posexplode(
+            F.transform(F.col("vec"), lambda x: x.cast("double"))))
+        .groupBy("bucket", "pos").agg(F.avg("col").alias("v"))
+        .groupBy("bucket")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "v"))).alias("pv"))
+        .select("bucket", F.col("pv.v").alias("centroid"))
+        .collect()
+    )
+    centroids = [(int(r["bucket"]), list(r["centroid"])) for r in cent_rows]
+
+    def dist2_to(c_vals):
+        arr = F.array([F.lit(float(v)) for v in c_vals])
+        return F.aggregate(
+            F.zip_with(F.col("vec"), arr,
+                       lambda x, c: (x.cast("double") - c)
+                       * (x.cast("double") - c)),
+            F.lit(0.0), lambda acc, v: acc + v)
+
+    dists = F.array(*[
+        F.struct(dist2_to(c).alias("d"), F.lit(b).alias("cell"))
+        for b, c in centroids])
+    assigned = base.withColumn(
+        "cell", F.array_min(dists).getField("cell"))
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("vec"))
+    q_cells = (
+        q.withColumn(
+            "probe_cells",
+            F.slice(
+                F.transform(F.array_sort(dists), lambda s: s["cell"]),
+                1, nprobe))
+        .select("query_id", F.col("vec").alias("q_vec"),
+                F.explode("probe_cells").alias("cell"))
+    )
+
+    scored = (
+        assigned.join(F.broadcast(q_cells),
+                      (assigned["cell"] == q_cells["cell"])
+                      & (F.col("vid") != F.col("query_id")))
+        .withColumn("sim", cosine(F.col("q_vec"), F.col("vec")))
+        .select("query_id", F.col("vid").alias("neighbor_id"), "sim")
+        .distinct()
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col("rank").cast("int"), "neighbor_id",
+                F.floor(F.col("sim") * 1e6).cast("long").alias("sim_e6"))
+    )
+
+
 _N_PLANES_DEFAULT = 8
 
 

@@ -109,3 +109,25 @@ def test_page_split_spans_identical(spark, corpus_df):
     p = sorted(map(tuple, paged.collect()))
     assert len(w) == len(p)
     assert w == p
+
+
+def test_ann_ivf_recall(spark):
+    import pyspark.sql.functions as F
+
+    from scribe_js_spark.textops.similarity import (
+        ann_topk_bruteforce,
+        ann_topk_ivf,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 10)
+    bf = {(r["query_id"], r["neighbor_id"])
+          for r in ann_topk_bruteforce(emb, q, k=5).collect()}
+    # Probing every cell must be exact (the rerank is exact cosine).
+    full = {(r["query_id"], r["neighbor_id"])
+            for r in ann_topk_ivf(emb, q, k=5, nprobe=8).collect()}
+    assert full == bf
+    # Partial probe trades recall for touched cells.
+    part = {(r["query_id"], r["neighbor_id"])
+            for r in ann_topk_ivf(emb, q, k=5, nprobe=2).collect()}
+    assert len(bf & part) / len(bf) >= 0.4
