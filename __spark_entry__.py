@@ -272,6 +272,42 @@ def _q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select("url", "html").mapInPandas(fn, schema=schema)
 
 
+def _q_page_angle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page skew angle from mean50 of baseline slopes (asin -> degrees),
+    over the skew fixture family (slope 0.02 everywhere)."""
+    from typing import Iterator
+
+    import pandas as pd
+    from pyspark.sql.types import (
+        LongType, StringType, StructField, StructType)
+
+    from scribe_js_spark.extract import extract_document
+
+    schema = StructType([
+        StructField("url", StringType()),
+        StructField("page_n", LongType()),
+        StructField("angle_e6", LongType()),
+    ])
+
+    def fn(batches: Iterator) -> Iterator:
+        import math
+
+        for pdf in batches:
+            out = {"url": [], "page_n": [], "angle_e6": []}
+            for url, html in zip(pdf["url"], pdf["html"]):
+                res = extract_document(bytes(html))
+                if res.error is not None:
+                    continue
+                for page in res.pages:
+                    out["url"].append(url)
+                    out["page_n"].append(page.n)
+                    out["angle_e6"].append(math.floor(page.angle * 1e6))
+            yield pd.DataFrame(out)
+
+    df = _corpus(spark, FIX_T2).filter(F.col("url").rlike("/hocr_skew/"))
+    return df.select("url", "html").mapInPandas(fn, schema=schema)
+
+
 def _q_pdf_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document-type classification gate over PDF variants: native text
     -> 'text', invisible text over a scan -> 'ocr', no text -> 'image'."""
@@ -296,7 +332,8 @@ def _q_pdf_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_furniture_roles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from scribe_js_spark.pipeline import extract_par_roles
 
-    df = _corpus(spark, FIX_T2).filter(F.col("url").rlike("/hocr_furniture/"))
+    df = _corpus(spark, FIX_T2).filter(
+        F.col("url").rlike("/hocr_(furniture|footnote)/"))
     return extract_par_roles(df).select(
         "url", F.col("page_n").cast("long"), F.col("par_n").cast("long"),
         "par_type")
@@ -310,6 +347,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_cells": _q_table_cells,
         "furniture_roles": _q_furniture_roles,
         "pdf_type": _q_pdf_type,
+        "page_angle": _q_page_angle,
         "phrase_search": _q_phrase_search,
         "extract_text": _q_extract_text,
         "extract_meta": _q_extract_meta,
@@ -361,6 +399,13 @@ def oracle_sql() -> dict[str, str]:
             " SELECT url, phrase, CAST((length(stream)"
             " - length(replace(stream, phrase, ''))) / length(phrase)"
             " AS BIGINT) AS n_matches FROM base"),
+        "page_angle": (
+            "WITH pages AS (SELECT url, unnest(range(page_count)) AS page_n"
+            f" FROM read_parquet('{meta}')"
+            " WHERE regexp_matches(url, '/hocr_skew/'))"
+            " SELECT url, page_n::BIGINT AS page_n,"
+            " CAST(floor(degrees(asin(0.02)) * 1e6) AS BIGINT) AS angle_e6"
+            " FROM pages"),
         "pdf_type": (
             "SELECT 'text_' || r::VARCHAR AS doc, 'text' AS pdf_type"
             " FROM range(12) t(r)"

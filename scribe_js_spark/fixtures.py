@@ -61,9 +61,10 @@ FORMATS = ("hocr", "abbyy", "alto", "text", "stext", "pdf")
 # format mix per FIXTURES.md §5; hocr_char = char-level typography
 # family, hocr_cjk = per-char CJK family (both render as hOCR).
 FORMAT_MIX = (
-    ("hocr", 16), ("abbyy", 22), ("alto", 12), ("text", 8),
+    ("hocr", 14), ("abbyy", 20), ("alto", 12), ("text", 8),
     ("stext", 10), ("pdf", 10), ("hocr_char", 5), ("hocr_cjk", 2),
     ("textract", 6), ("google_vision", 4), ("hocr_furniture", 5),
+    ("hocr_skew", 2), ("hocr_footnote", 2),
 )
 
 
@@ -127,6 +128,7 @@ def build_doc_model(doc_id: int, seed: int = SEED_DEFAULT,
         n_pages = rng.randint(1, 3)
 
     furniture = family == "furniture"
+    skew_slope = 0.02 if family == "skew" else 0.0
     if furniture:
         n_pages = max(n_pages, 2)  # header keys need recurrence
         header_tokens = [rng.choice(LEXICON) for _ in range(3)]
@@ -259,8 +261,34 @@ def build_doc_model(doc_id: int, seed: int = SEED_DEFAULT,
             }]}],
             "width": PAGE_W, "height": PAGE_H,
         }]
+    if family == "footnote":
+        # Append one footnote paragraph per page: a leading superscript
+        # reference marker then 3-5 body words, low on the page.
+        for page in pages:
+            fy = PAGE_H - 220
+            marker = {
+                "text": str(1), "chars": None, "out_words": ["1"],
+                "sup": True,
+                "left": MARGIN_LEFT, "right": MARGIN_LEFT + CHAR_W,
+                "top": fy - ASC_H, "bottom": fy - 12, "conf": 97,
+            }
+            fx = MARGIN_LEFT + CHAR_W + WORD_GAP
+            fwords = [marker]
+            for _ in range(rng.randint(3, 5)):
+                tok = rng.choice(LEXICON)
+                width = len(tok) * CHAR_W
+                fwords.append({
+                    "text": tok, "chars": None, "out_words": [tok],
+                    "left": fx, "right": fx + width,
+                    "top": fy - ASC_H, "bottom": fy + DESC_H, "conf": 97,
+                })
+                fx += width + WORD_GAP
+            page["pars"].append({
+                "lines": [{"words": fwords, "baseline_y": fy, "indent": 0}],
+                "type": "footnote",
+            })
     return {"doc_id": doc_id, "pages": pages, "family": family,
-            "indent_family": indent_family}
+            "skew_slope": skew_slope, "indent_family": indent_family}
 
 
 def _word_out(w: dict) -> list[str]:
@@ -392,9 +420,11 @@ def render_hocr(model: dict) -> str:
                 b = max(w["bottom"] for w in line["words"])
                 # x_size = asc + desc + x-ascender share; mirrors Tesseract:
                 # ascHeight = x_size - x_descenders, xHeight = that - x_ascenders
+                slope = model.get("skew_slope") or 0
+                slope_str = f"{slope}" if slope else "0"
                 out.append(
                     f"<span class='ocr_line' title='bbox {l} {t} {r} {b}; "
-                    f"baseline 0 -{DESC_H}; x_size {ASC_H + DESC_H}; "
+                    f"baseline {slope_str} -{DESC_H}; x_size {ASC_H + DESC_H}; "
                     f"x_descenders {DESC_H}; x_ascenders 12'>")
                 for w_n, w in enumerate(line["words"]):
                     wid = f"word_{page_n + 1}_{line_counter}_{w_n + 1}"
@@ -415,11 +445,14 @@ def render_hocr(model: dict) -> str:
                             x += cw
                         out.append("</span>")
                     else:
+                        body = escape_xml(w["text"])
+                        if w.get("sup"):
+                            body = f"<sup>{body}</sup>"
                         out.append(
                             f"<span class='ocrx_word' id='{wid}' "
                             f"title='bbox {w['left']} {w['top']} {w['right']} "
                             f"{w['bottom']}; x_wconf {w['conf']}'>"
-                            f"{escape_xml(w['text'])}</span>")
+                            f"{body}</span>")
                 out.append("</span>")
             out.append("</p>")
         out.append("</div>")
@@ -741,7 +774,8 @@ def _pick_format(doc_id: int, available: tuple[str, ...]) -> str:
 
 def available_formats() -> tuple[str, ...]:
     avail = ["hocr", "abbyy", "alto", "text", "hocr_char", "hocr_cjk",
-             "textract", "google_vision", "hocr_furniture"]
+             "textract", "google_vision", "hocr_furniture", "hocr_skew",
+             "hocr_footnote"]
     try:  # optional renderers land in later phases
         from . import render_stext as _  # noqa: F401
         avail.append("stext")
@@ -766,7 +800,8 @@ def make_corpus_rows(n_docs: int, seed: int = SEED_DEFAULT,
     for doc_id in range(n_docs):
         fmt = _pick_format(doc_id, formats)
         family = {"hocr_char": "charlevel", "hocr_cjk": "cjk",
-                  "hocr_furniture": "furniture"}.get(fmt, "base")
+                  "hocr_furniture": "furniture", "hocr_skew": "skew",
+                  "hocr_footnote": "footnote"}.get(fmt, "base")
         render_fmt = "hocr" if fmt.startswith("hocr_") else fmt
         indent_family = family == "base" and (doc_id % 10) == 7
         # Plain-text docs are kept to one model page so convertPageText's
@@ -862,10 +897,12 @@ def write_corpus_parquet(path: str, n_docs: int, seed: int = SEED_DEFAULT,
     # Furniture-role golden rows (document-level layout pass).
     role_rows = []
     for _, row in df.iterrows():
-        if row["url"].split("/")[-2] != "hocr_furniture":
+        slug = row["url"].split("/")[-2]
+        if slug not in ("hocr_furniture", "hocr_footnote"):
             continue
         doc_id = int(row["url"].rsplit("/", 1)[1])
-        model = build_doc_model(doc_id, seed=seed, family="furniture")
+        fam = "furniture" if slug == "hocr_furniture" else "footnote"
+        model = build_doc_model(doc_id, seed=seed, family=fam)
         for pn, page in enumerate(model["pages"]):
             for pi, par in enumerate(page["pars"]):
                 role_rows.append({

@@ -138,6 +138,14 @@ def analyze_layout_doc(pages: list[OcrPage]) -> None:
                 par.type = "pagenum"
                 par.parNum = words[0].text
                 continue
+            # Footnote: paragraph opening with a superscript reference
+            # marker (the reflow pass already breaks on it —
+            # reflowPars.js:134-138; classifyRole promotes the role).
+            first_word = words[0] if words else None
+            if (first_word is not None and first_word.style.sup
+                    and min(l.bbox.top for l in par.lines) > page_h * 0.5):
+                par.type = "footnote"
+                continue
             if band is not None and (band, _text_key(par)) in recurring:
                 par.type = "header" if band == "top" else "footer"
                 continue

@@ -165,3 +165,36 @@ def test_pdf_type_classification():
     empty = build_doc_model(0)
     empty["pages"] = [{"pars": [], "width": 1224, "height": 1584}]
     assert pdf_document_type(render_pdf(empty)) == "image"
+
+
+def test_skew_family_page_angle():
+    import math
+
+    model = build_doc_model(4, family="skew")
+    res = extract_document(RENDERERS["hocr"](model).encode())
+    assert res.error is None
+    assert res.text == expected_text(model)
+    want = math.asin(0.02) * 180 / math.pi
+    for page in res.pages:
+        assert abs(page.angle - want) < 1e-9
+
+
+def test_footnote_family_roles():
+    from scribe_js_spark.operators.layout_doc import (
+        analyze_layout_doc,
+        collect_par_roles,
+    )
+
+    model = build_doc_model(4, family="footnote")
+    res = extract_document(RENDERERS["hocr"](model).encode())
+    assert res.error is None
+    assert res.text == expected_text(model)
+    analyze_layout_doc(res.pages)
+    roles = [r["par_type"] for r in collect_par_roles(res.pages)]
+    assert "footnote" in roles
+    got = [(r["page_n"], r["par_n"], r["par_type"])
+           for r in collect_par_roles(res.pages)]
+    exp = [(pn, pi, par.get("type", "body"))
+           for pn, page in enumerate(model["pages"])
+           for pi, par in enumerate(page["pars"])]
+    assert got == exp
