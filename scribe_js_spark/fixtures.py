@@ -508,6 +508,66 @@ def render_abbyy(model: dict) -> str:
     return "".join(out)
 
 
+def render_abbyy_rotated(model: dict) -> str:
+    """ABBYY XML with ``rotation="RotatedClockwise"``: charParams are
+    emitted in rotated raw coordinates chosen so the converter's
+    orientation-3 transform (convertPageAbbyy.js:266-272) restores the
+    model geometry exactly. Exercises the rotation path end to end
+    (cf. reference tests/module/importAbbyy.spec.js:59-68)."""
+    out = [
+        '<?xml version="1.0" encoding="UTF-8"?>',
+        '<document xmlns="http://www.abbyy.com/FineReader_xml/FineReader10-schema-v1.xml" version="1.0" producer="synthetic">',
+    ]
+    for page in model["pages"]:
+        W, H = page["width"], page["height"]
+        out.append(
+            f'<page width="{W}" height="{H}" resolution="144" '
+            f'rotation="RotatedClockwise">')
+        out.append('<block blockType="Text"><text>')
+
+        def raw(L, T, R, B):
+            # inverse of the orientation-3 transform:
+            # final (L,T,R,B) = (H - b_raw, l_raw, H - t_raw, r_raw)
+            return (T, H - R, B, H - L)
+
+        for par in page["pars"]:
+            out.append("<par>")
+            for line in par["lines"]:
+                y = line["baseline_y"]
+                l = min(w["left"] for w in line["words"])
+                r = max(w["right"] for w in line["words"])
+                t = min(w["top"] for w in line["words"])
+                b = max(w["bottom"] for w in line["words"])
+                rl, rt, rr, rb = raw(l, t, r, b)
+                out.append(
+                    f'<line baseline="0" l="{rl}" t="{rt}" r="{rr}" b="{rb}">')
+                out.append('<formatting ff="Times New Roman" fs="10.">')
+                for w_n, w in enumerate(line["words"]):
+                    if w_n > 0:
+                        prev = line["words"][w_n - 1]
+                        srl, srt, srr, srb = raw(
+                            prev["right"], w["top"], w["left"], w["bottom"])
+                        out.append(
+                            f'<charParams l="{srl}" t="{srt}" r="{srr}" '
+                            f'b="{srb}"> </charParams>')
+                    x = w["left"]
+                    for ch in w["text"]:
+                        ch_top = w["top"]
+                        ch_bottom = y + DESC_H if ch in "gjpqy" else y
+                        if ch in "acemnorsuvwxz.":
+                            ch_top = y - 19
+                        crl, crt, crr, crb = raw(x, ch_top, x + CHAR_W, ch_bottom)
+                        out.append(
+                            f'<charParams l="{crl}" t="{crt}" r="{crr}" '
+                            f'b="{crb}">{escape_xml(ch)}</charParams>')
+                        x += CHAR_W
+                out.append("</formatting></line>")
+            out.append("</par>")
+        out.append("</text></block></page>")
+    out.append("</document>")
+    return "".join(out)
+
+
 def render_alto(model: dict) -> str:
     out = [
         '<?xml version="1.0" encoding="UTF-8"?>',

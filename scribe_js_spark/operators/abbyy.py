@@ -136,16 +136,22 @@ def convert_page_abbyy(ocr_str: str, n: int):
                 return None
             line_box_attr = [int(g) for g in lb.groups()]
 
-            # Tab chars become spaces so they split into separate words (:129).
-            xml_line = re.sub(
-                r"isTab=['\"](?:1|true)['\"][^>]*>[^<]+", "> ", xml_line, flags=re.I)
+            # Tab chars become spaces so they split into separate words
+            # (:129). Gated on containment: each re.sub copies the line
+            # string, and most lines carry neither tabs nor mid-line
+            # formatting switches.
+            if "isTab" in xml_line:
+                xml_line = re.sub(
+                    r"isTab=['\"](?:1|true)['\"][^>]*>[^<]+", "> ",
+                    xml_line, flags=re.I)
             # Blank chars adjacent to formatting changes (:134-135).
-            xml_line = re.sub(
-                r"(</formatting><formatting[^>]*>\s*)<charParams[^>]*>\s*</charParams>",
-                r"\1", xml_line, flags=re.I)
-            xml_line = re.sub(
-                r"<charParams[^>]*>\s*</charParams>(\s*</formatting><formatting[^>]*>\s*)",
-                r"\1", xml_line, flags=re.I)
+            if "</formatting><formatting" in xml_line:
+                xml_line = re.sub(
+                    r"(</formatting><formatting[^>]*>\s*)<charParams[^>]*>\s*</charParams>",
+                    r"\1", xml_line, flags=re.I)
+                xml_line = re.sub(
+                    r"<charParams[^>]*>\s*</charParams>(\s*</formatting><formatting[^>]*>\s*)",
+                    r"\1", xml_line, flags=re.I)
 
             word_str_arr1 = _SPLIT_RE.split(xml_line)
 

@@ -54,6 +54,15 @@ _X_ASC_HEIGHT_RE = re.compile(r"x_asc_height\s+([\d.-]+)")
 _X_X_HEIGHT_RE = re.compile(r"x_x_height\s+([\d.-]+)")
 _X_FSIZE_RE = re.compile(r"(?:;|\s)x_fsize\s+(\d+)")
 
+# Containment probes gating the whole-string rewrite subs (a sub copies
+# the page string; a search only scans it).
+_STRONG_PROBE = re.compile(r"<strong>|</strong>", re.I)
+_EM_PROBE = re.compile(r"<em>|</em>", re.I)
+_HTML_PROBE = re.compile(r"<html", re.I)
+_CAPTION_PROBE = re.compile(r"ocr_caption", re.I)
+_TEXTFLOAT_PROBE = re.compile(r"ocr_textfloat", re.I)
+_HEADER_PROBE = re.compile(r"ocr_header", re.I)
+
 
 def convert_page_hocr(ocr_str: str, n: int, page_dims: dict | None = None,
                       scribe_mode: bool = False):
@@ -76,14 +85,21 @@ def convert_page_hocr(ocr_str: str, n: int, page_dims: dict | None = None,
     line_re = _LINE_RE_CHAR if char_mode else _LINE_RE
     word_re = _WORD_RE_CHAR if char_mode else _WORD_RE
 
-    # Strip bold/italics tags (virtually always wrong from Tesseract, :65-66).
-    ocr_str = re.sub(r"</?strong>", "", ocr_str, flags=re.I)
-    ocr_str = re.sub(r"</?em>", "", ocr_str, flags=re.I)
-    ocr_str = re.sub(r"<html[^>]*>", "<html>", ocr_str, flags=re.I, count=1)
-    # Coalesce caption/textfloat/header into ocr_line (:73-75).
-    ocr_str = re.sub(r"(class=')ocr_caption", r"\1ocr_line", ocr_str, flags=re.I)
-    ocr_str = re.sub(r"(class=')ocr_textfloat", r"\1ocr_line", ocr_str, flags=re.I)
-    ocr_str = re.sub(r"(class=')ocr_header", r"\1ocr_line", ocr_str, flags=re.I)
+    # Strip bold/italics tags (virtually always wrong from Tesseract,
+    # :65-66) and coalesce caption/textfloat/header into ocr_line
+    # (:73-75). Each re.sub copies the whole page string, so gate every
+    # one on a cheap containment probe — page strings are the hot-path
+    # bytes and most pages carry none of these tags.
+    for probe, pattern, repl, count in (
+        (_STRONG_PROBE, r"</?strong>", "", 0),
+        (_EM_PROBE, r"</?em>", "", 0),
+        (_HTML_PROBE, r"<html[^>]*>", "<html>", 1),
+        (_CAPTION_PROBE, r"(class=')ocr_caption", r"\1ocr_line", 0),
+        (_TEXTFLOAT_PROBE, r"(class=')ocr_textfloat", r"\1ocr_line", 0),
+        (_HEADER_PROBE, r"(class=')ocr_header", r"\1ocr_line", 0),
+    ):
+        if probe.search(ocr_str):
+            ocr_str = re.sub(pattern, repl, ocr_str, flags=re.I, count=count)
 
     def convert_word(match_str: str, line_obj: OcrLine) -> None:
         m_id = _ID_RE.search(match_str)

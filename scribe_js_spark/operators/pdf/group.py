@@ -79,23 +79,27 @@ def group_chars_into_page(chars, n: int, page_dims: dict) -> OcrPage:
     if n0 == 0 or (avg_dx == 0 and avg_dy == 0):
         avg_dx, avg_dy = 1.0, 0.0
 
-    perp = {}
-    for ch in chars:
-        if ch.orientation == 0:
-            perp[id(ch)] = -ch.x * avg_dy + ch.y * avg_dx
+    # Precompute hot per-char scalars once (the cut loop below touches
+    # each several times; attribute access dominated the profile).
+    n_chars = len(chars)
+    cys_list = [0.0] * n_chars
+    for idx, ch in enumerate(chars):
+        cys_list[idx] = (-ch.x * avg_dy + ch.y * avg_dx
+                         if ch.orientation == 0 else ch.y)
+    cy_of = {id(ch): cys_list[idx] for idx, ch in enumerate(chars)}
 
     def cy(ch):
-        return perp.get(id(ch), ch.y)
+        return cy_of[id(ch)]
 
     # (iii) stream-order line cuts.
     lines = []
     current = [chars[0]]
-    anchor_y = cy(chars[0])
+    anchor_y = cys_list[0]
     anchor_fs = chars[0].fontSize
-    body_y = None if chars[0].text == " " else cy(chars[0])
+    body_y = None if chars[0].text == " " else cys_list[0]
     body_size = 0.0 if chars[0].text == " " else chars[0].fontSize
 
-    for i in range(1, len(chars)):
+    for i in range(1, n_chars):
         ch = chars[i]
 
         if ch.text == " ":
@@ -107,13 +111,13 @@ def group_chars_into_page(chars, n: int, page_dims: dict) -> OcrPage:
             if last_ns is not None:
                 sp_max = max(ch.fontSize, last_ns.fontSize)
                 fs_change = abs(ch.fontSize - last_ns.fontSize) > sp_max * 0.1
-                sp_gap = abs(cy(ch) - cy(last_ns))
+                sp_gap = abs(cys_list[i] - cy(last_ns))
                 if fs_change:
                     sp_min = min(ch.fontSize, last_ns.fontSize)
                     if sp_gap > sp_max * 0.7 or sp_gap > sp_min * 1.5:
                         lines.append(current)
                         current = [ch]
-                        anchor_y = cy(ch)
+                        anchor_y = cys_list[i]
                         anchor_fs = ch.fontSize
                         body_y = None
                         body_size = 0.0
@@ -128,7 +132,7 @@ def group_chars_into_page(chars, n: int, page_dims: dict) -> OcrPage:
                     comp_prev = current[j]
                     break
 
-        ch_y = cy(ch)
+        ch_y = cys_list[i]
         prev_y = cy(comp_prev)
         y_gap = abs(ch_y - prev_y)
         x_gap = ch.x - (comp_prev.x + comp_prev.width)

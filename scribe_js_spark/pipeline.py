@@ -146,7 +146,12 @@ def salt_by_size(df: DataFrame, num_partitions: Optional[int] = None) -> DataFra
     return salted.drop("_size_bucket")
 
 
-PAGE_SPLIT_BYTES_DEFAULT = 192 * 1024
+# Page-level fan-out is opt-in: the two-branch plan scans the input
+# twice (a byte-length filter cannot push into parquet), so it only pays
+# off when single-document parse time rivals a whole partition's budget
+# (multi-thousand-page documents). Measured on the bench corpus the
+# whole-doc path wins up to ~5MB/doc.
+PAGE_SPLIT_BYTES_DEFAULT = None
 
 
 def extract_text(

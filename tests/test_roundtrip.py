@@ -198,3 +198,15 @@ def test_footnote_family_roles():
            for pn, page in enumerate(model["pages"])
            for pi, par in enumerate(page["pars"])]
     assert got == exp
+
+
+def test_abbyy_rotated_orientation():
+    from scribe_js_spark.fixtures import render_abbyy_rotated
+
+    for doc_id in range(8):
+        model = build_doc_model(doc_id)
+        res = extract_document(render_abbyy_rotated(model).encode())
+        assert res.error is None, doc_id
+        assert res.text == expected_text(model), doc_id
+        assert all(
+            l.orientation == 3 for p in res.pages for l in p.lines)
