@@ -39,12 +39,6 @@ def _esc(s: str) -> str:
     return "".join(out)
 
 
-def _encode_word(text: str, ligatures: bool) -> str:
-    if ligatures and "fi" in text:
-        text = text.replace("fi", chr(LIG_CODE))
-    return _esc(text)
-
-
 class _Writer:
     def __init__(self):
         self.objects: list[bytes] = []
@@ -69,6 +63,48 @@ class _Writer:
             f"startxref\n{xref_pos}\n%%EOF\n").encode()
         return bytes(out)
 
+    def build_xref_stream(self, objstm_members: dict[int, int]) -> bytes:
+        """PDF 1.5 layout: cross-reference *stream* instead of a classic
+        table; objects listed in ``objstm_members`` (objnum -> index)
+        live inside an object stream and get type-2 entries.
+
+        Members must already be packed into the ObjStm object; their
+        slots in self.objects are placeholders (None).
+        """
+        objstm_num = next(
+            i for i, body in enumerate(self.objects, start=1)
+            if body is not None and body.startswith(b"<< /Type /ObjStm"))
+        out = bytearray(b"%PDF-1.5\n%\xe2\xe3\xcf\xd3\n")
+        offsets: dict[int, int] = {}
+        for i, body in enumerate(self.objects, start=1):
+            if body is None:
+                continue
+            offsets[i] = len(out)
+            out += f"{i} 0 obj\n".encode() + body + b"\nendobj\n"
+
+        xref_num = len(self.objects) + 1
+        size = xref_num + 1
+        rows = bytearray()
+        # entry 0: free
+        rows += bytes([0]) + (0).to_bytes(4, "big") + (65535).to_bytes(2, "big")
+        for objnum in range(1, xref_num):
+            if objnum in objstm_members:
+                rows += bytes([2]) + objstm_num.to_bytes(4, "big") \
+                    + objstm_members[objnum].to_bytes(2, "big")
+            else:
+                rows += bytes([1]) + offsets[objnum].to_bytes(4, "big") \
+                    + (0).to_bytes(2, "big")
+        # the xref stream object itself
+        xref_pos = len(out)
+        rows += bytes([1]) + xref_pos.to_bytes(4, "big") + (0).to_bytes(2, "big")
+        data = zlib.compress(bytes(rows))
+        out += (
+            f"{xref_num} 0 obj\n<< /Type /XRef /Size {size} /W [1 4 2] "
+            f"/Root 1 0 R /Filter /FlateDecode /Length {len(data)} "
+            f">>\nstream\n").encode() + data + b"\nendstream\nendobj\n"
+        out += f"startxref\n{xref_pos}\n%%EOF\n".encode()
+        return bytes(out)
+
 
 _TOUNICODE = b"""/CIDInit /ProcSet findresource begin
 12 dict begin
@@ -86,11 +122,30 @@ end
 end"""
 
 
+_TOUNICODE_CID = b"""/CIDInit /ProcSet findresource begin
+12 dict begin
+begincmap
+/CMapName /Custom def
+1 begincodespacerange
+<0000> <FFFF>
+endcodespacerange
+1 beginbfrange
+<0020> <007E> <0020>
+endbfrange
+endcmap
+CMapName currentdict /CMap defineresource pop
+end
+end"""
+
+
 def render_pdf(model: dict, compress: bool | None = None,
                tj_mode: bool | None = None,
                ligatures: bool | None = None,
                rotate: bool | None = None,
-               invisible: bool = False) -> bytes:
+               invisible: bool = False,
+               xref_stream: bool | None = None,
+               hex_strings: bool | None = None,
+               cid_font: bool | None = None) -> bytes:
     doc_id = model.get("doc_id", 0)
     if compress is None:
         compress = (doc_id % 2) == 1
@@ -100,15 +155,28 @@ def render_pdf(model: dict, compress: bool | None = None,
         ligatures = (doc_id % 5) == 2
     if rotate is None:
         rotate = (doc_id % 7) == 3
+    if xref_stream is None:
+        xref_stream = (doc_id % 11) == 4
+    if hex_strings is None:
+        hex_strings = (doc_id % 13) == 5
+    if cid_font is None:
+        cid_font = (doc_id % 17) == 6
+    if cid_font:
+        ligatures = False  # CID path encodes 2-byte Identity-H codes
 
     w = _Writer()
     page_w = model["pages"][0]["width"]
     page_h = model["pages"][0]["height"]
     n_pages = len(model["pages"])
 
-    # objects: 1=Catalog 2=Pages 3=Font 4=Descriptor [5=ToUnicode]
-    # then per page: page + content.
-    n_fixed = 5 if ligatures else 4
+    # objects: 1=Catalog 2=Pages 3=Font 4=Descriptor
+    # [5=ToUnicode] [6=CID descendant font] then per page: page + content.
+    if cid_font:
+        n_fixed = 6
+    elif ligatures:
+        n_fixed = 5
+    else:
+        n_fixed = 4
     kids = " ".join(f"{n_fixed + 1 + 2 * i} 0 R" for i in range(n_pages))
     w.add(b"<< /Type /Catalog /Pages 2 0 R >>")
     if rotate:
@@ -118,29 +186,56 @@ def render_pdf(model: dict, compress: bool | None = None,
         media = f"/MediaBox [0 0 {page_w} {page_h}]"
     w.add(
         f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} {media} >>".encode())
-    last_char = LIG_CODE if ligatures else 126
-    widths = ["500"] * (last_char + 1 - 32)
-    if ligatures:
-        widths[LIG_CODE - 32] = "1000"
-    font = (
-        f"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
-        f"/FirstChar 32 /LastChar {last_char} "
-        f"/Widths [{' '.join(widths)}] /FontDescriptor 4 0 R ")
-    if ligatures:
-        font += ("/Encoding << /Type /Encoding /BaseEncoding "
-                 "/WinAnsiEncoding /Differences [142 /fi] >> "
-                 "/ToUnicode 5 0 R ")
-    else:
-        font += "/Encoding /WinAnsiEncoding "
-    w.add((font + ">>").encode())
-    w.add(
-        b"<< /Type /FontDescriptor /FontName /Helvetica /Flags 32 "
-        b"/Ascent 718 /Descent -207 /CapHeight 718 /ItalicAngle 0 "
-        b"/StemV 88 /FontBBox [-166 -225 1000 931] >>")
-    if ligatures:
+    if cid_font:
         w.add(
-            f"<< /Length {len(_TOUNICODE)} >>\nstream\n".encode()
-            + _TOUNICODE + b"\nendstream")
+            b"<< /Type /Font /Subtype /Type0 /BaseFont /SynthCID "
+            b"/Encoding /Identity-H /DescendantFonts [6 0 R] "
+            b"/ToUnicode 5 0 R >>")
+        w.add(
+            b"<< /Type /FontDescriptor /FontName /SynthCID /Flags 32 "
+            b"/Ascent 718 /Descent -207 /CapHeight 718 /ItalicAngle 0 "
+            b"/StemV 88 /FontBBox [-166 -225 1000 931] >>")
+        w.add(
+            f"<< /Length {len(_TOUNICODE_CID)} >>\nstream\n".encode()
+            + _TOUNICODE_CID + b"\nendstream")
+        w.add(
+            b"<< /Type /Font /Subtype /CIDFontType2 /BaseFont /SynthCID "
+            b"/CIDSystemInfo << /Registry (Adobe) /Ordering (Identity) "
+            b"/Supplement 0 >> /FontDescriptor 4 0 R /DW 1000 "
+            b"/W [32 126 500] >>")
+    else:
+        last_char = LIG_CODE if ligatures else 126
+        widths = ["500"] * (last_char + 1 - 32)
+        if ligatures:
+            widths[LIG_CODE - 32] = "1000"
+        font = (
+            f"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+            f"/FirstChar 32 /LastChar {last_char} "
+            f"/Widths [{' '.join(widths)}] /FontDescriptor 4 0 R ")
+        if ligatures:
+            font += ("/Encoding << /Type /Encoding /BaseEncoding "
+                     "/WinAnsiEncoding /Differences [142 /fi] >> "
+                     "/ToUnicode 5 0 R ")
+        else:
+            font += "/Encoding /WinAnsiEncoding "
+        w.add((font + ">>").encode())
+        w.add(
+            b"<< /Type /FontDescriptor /FontName /Helvetica /Flags 32 "
+            b"/Ascent 718 /Descent -207 /CapHeight 718 /ItalicAngle 0 "
+            b"/StemV 88 /FontBBox [-166 -225 1000 931] >>")
+        if ligatures:
+            w.add(
+                f"<< /Length {len(_TOUNICODE)} >>\nstream\n".encode()
+                + _TOUNICODE + b"\nendstream")
+
+    def show_str(text: str) -> str:
+        if cid_font:
+            return "<" + "".join(f"{ord(c):04X}" for c in text) + ">"
+        if ligatures and "fi" in text:
+            text = text.replace("fi", chr(LIG_CODE))
+        if hex_strings:
+            return "<" + text.encode("latin-1").hex().upper() + ">"
+        return "(" + _esc(text) + ")"
 
     for page_n, page in enumerate(model["pages"]):
         content = ["BT", f"/F1 {FONT_SIZE} Tf"]
@@ -166,14 +261,13 @@ def render_pdf(model: dict, compress: bool | None = None,
                         if w_i > 0:
                             gap = word["left"] - line["words"][w_i - 1]["right"]
                             parts.append(f"{-(gap / FONT_SIZE) * 1000:.6f}")
-                        parts.append(
-                            f"({_encode_word(word['text'], ligatures)})")
+                        parts.append(show_str(word["text"]))
                     content.append(f"[{' '.join(parts)}] TJ")
                 else:
                     for word in line["words"]:
                         content.append(
                             f"{tm_for(word['left'])} "
-                            f"({_encode_word(word['text'], ligatures)}) Tj")
+                            f"{show_str(word['text'])} Tj")
         content.append("ET")
         stream = "\n".join(content).encode("latin-1")
         filt = b""
@@ -189,5 +283,25 @@ def render_pdf(model: dict, compress: bool | None = None,
         w.add(
             f"<< /Length {len(stream)} ".encode() + filt + b">>\nstream\n"
             + stream + b"\nendstream")
+
+    if xref_stream:
+        # PDF 1.5 layout: pack the dict-only fixed objects (catalog,
+        # pages, font, descriptor) into an object stream and reference
+        # everything via a cross-reference stream.
+        members = {1: 0, 2: 1, 3: 2, 4: 3}
+        header_parts = []
+        bodies = b""
+        for objnum in sorted(members):
+            body = w.objects[objnum - 1]
+            header_parts.append(f"{objnum} {len(bodies)}")
+            bodies += body + b"\n"
+            w.objects[objnum - 1] = None
+        header = (" ".join(header_parts) + "\n").encode()
+        stm = zlib.compress(header + bodies)
+        w.add(
+            f"<< /Type /ObjStm /N {len(members)} /First {len(header)} "
+            f"/Filter /FlateDecode /Length {len(stm)} >>\nstream\n".encode()
+            + stm + b"\nendstream")
+        return w.build_xref_stream(members)
 
     return w.build()

@@ -210,3 +210,17 @@ def test_abbyy_rotated_orientation():
         assert res.text == expected_text(model), doc_id
         assert all(
             l.orientation == 3 for p in res.pages for l in p.lines)
+
+
+def test_pdf_xref_stream_hex_cid_variants():
+    from scribe_js_spark.render_pdf import render_pdf
+
+    model = build_doc_model(3)
+    for kwargs in (dict(xref_stream=True), dict(hex_strings=True),
+                   dict(cid_font=True),
+                   dict(xref_stream=True, cid_font=True, compress=True),
+                   dict(xref_stream=True, hex_strings=True, tj_mode=True),
+                   dict(cid_font=True, tj_mode=True, rotate=True)):
+        res = extract_document(render_pdf(model, **kwargs))
+        assert res.error is None, kwargs
+        assert res.text == expected_text(model), kwargs
