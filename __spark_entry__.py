@@ -308,6 +308,19 @@ def _q_page_angle(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select("url", "html").mapInPandas(fn, schema=schema)
 
 
+def _q_corrupt_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Never-fatal contract: every deliberately-corrupt document yields
+    a non-null error column; the job completes."""
+    from scribe_js_spark.fixtures import make_corrupt_rows
+    from scribe_js_spark.pipeline import extract_text
+
+    rows = [(r["url"], r["html"]) for r in make_corrupt_rows(40)]
+    df = spark.createDataFrame(rows, "url string, html binary")
+    res = extract_text(df, salt=False)
+    return res.select(
+        "url", F.col("error").isNotNull().alias("failed"))
+
+
 def _q_pdf_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document-type classification gate over PDF variants: native text
     -> 'text', invisible text over a scan -> 'ocr', no text -> 'image'."""
@@ -348,6 +361,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "furniture_roles": _q_furniture_roles,
         "pdf_type": _q_pdf_type,
         "page_angle": _q_page_angle,
+        "corrupt_errors": _q_corrupt_errors,
         "phrase_search": _q_phrase_search,
         "extract_text": _q_extract_text,
         "extract_meta": _q_extract_meta,
@@ -399,6 +413,10 @@ def oracle_sql() -> dict[str, str]:
             " SELECT url, phrase, CAST((length(stream)"
             " - length(replace(stream, phrase, ''))) / length(phrase)"
             " AS BIGINT) AS n_matches FROM base"),
+        "corrupt_errors": (
+            "SELECT 'https://fixtures.test/corrupt/' ||"
+            " lpad(r::VARCHAR, 8, '0') AS url, true AS failed"
+            " FROM range(40) t(r)"),
         "page_angle": (
             "WITH pages AS (SELECT url, unnest(range(page_count)) AS page_n"
             f" FROM read_parquet('{meta}')"

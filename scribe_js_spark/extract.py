@@ -39,6 +39,12 @@ def _convert_pages(s: str, fmt: str) -> list[OcrPage]:
     if fmt == "textract":
         from .operators.textract import convert_doc_textract
         return convert_doc_textract(s)
+    if fmt == "google_doc_ai":
+        from .operators.google_docai import convert_doc_google_docai
+        return convert_doc_google_docai(s)
+    if fmt == "azure_doc_intel":
+        from .operators.azure_docintel import convert_doc_azure_docintel
+        return convert_doc_azure_docintel(s)
     if fmt == "google_vision":
         import json as _json
 

@@ -61,10 +61,11 @@ FORMATS = ("hocr", "abbyy", "alto", "text", "stext", "pdf")
 # format mix per FIXTURES.md §5; hocr_char = char-level typography
 # family, hocr_cjk = per-char CJK family (both render as hOCR).
 FORMAT_MIX = (
-    ("hocr", 14), ("abbyy", 20), ("alto", 12), ("text", 8),
+    ("hocr", 14), ("abbyy", 18), ("alto", 10), ("text", 8),
     ("stext", 10), ("pdf", 10), ("hocr_char", 5), ("hocr_cjk", 2),
     ("textract", 6), ("google_vision", 4), ("hocr_furniture", 5),
-    ("hocr_skew", 2), ("hocr_footnote", 2),
+    ("hocr_skew", 2), ("hocr_footnote", 2), ("google_doc_ai", 3),
+    ("azure_doc_intel", 3),
 )
 
 
@@ -646,6 +647,29 @@ def render_pdf(model: dict) -> bytes:
     return _rp(model)
 
 
+def make_corrupt_rows(n: int = 40) -> list[dict]:
+    """Deliberately-corrupt family (FIXTURES.md invariant 3): every row
+    must produce a non-null parse error without ever failing the job
+    (the reference's never-abort contract, scribe.js:291-293)."""
+    kinds = []
+    for i in range(n):
+        k = i % 4
+        if k == 0:  # PDF with no parseable structure
+            html = b"%PDF-1.4\ngarbage " + bytes([i % 251]) * 200
+        elif k == 1:  # hOCR truncated mid-page-div (dims unparseable)
+            html = b"<html><body><div class='ocr_page' title='bb"
+        elif k == 2:  # ABBYY page missing dimensions
+            html = (b'<?xml version="1.0"?><document xmlns="http://www.abbyy.com/x">' +
+                    b"<page rotation=\"Normal\"><text></text></page></document>")
+        else:  # binary garbage
+            html = bytes([(i * 7 + j) % 256 for j in range(300)])
+        kinds.append({
+            "url": f"https://fixtures.test/corrupt/{i:08d}",
+            "html": html,
+        })
+    return kinds
+
+
 # --------------------------------------------------------------- corpus
 
 
@@ -785,6 +809,12 @@ def make_bench_rows(n_docs: int, seed: int = SEED_DEFAULT,
             html = render_textract(model).encode("utf-8")
         elif fmt == "google_vision":
             html = render_google_vision(model).encode("utf-8")
+        elif fmt == "google_doc_ai":
+            from .render_cloud import render_google_docai
+            html = render_google_docai(model).encode("utf-8")
+        elif fmt == "azure_doc_intel":
+            from .render_cloud import render_azure_docintel
+            html = render_azure_docintel(model).encode("utf-8")
         else:
             html = RENDERERS[render_fmt](model).encode("utf-8")
         rows.append({
@@ -835,7 +865,7 @@ def _pick_format(doc_id: int, available: tuple[str, ...]) -> str:
 def available_formats() -> tuple[str, ...]:
     avail = ["hocr", "abbyy", "alto", "text", "hocr_char", "hocr_cjk",
              "textract", "google_vision", "hocr_furniture", "hocr_skew",
-             "hocr_footnote"]
+             "hocr_footnote", "google_doc_ai", "azure_doc_intel"]
     try:  # optional renderers land in later phases
         from . import render_stext as _  # noqa: F401
         avail.append("stext")
@@ -878,6 +908,12 @@ def make_corpus_rows(n_docs: int, seed: int = SEED_DEFAULT,
             html = render_textract(model).encode("utf-8")
         elif fmt == "google_vision":
             html = render_google_vision(model).encode("utf-8")
+        elif fmt == "google_doc_ai":
+            from .render_cloud import render_google_docai
+            html = render_google_docai(model).encode("utf-8")
+        elif fmt == "azure_doc_intel":
+            from .render_cloud import render_azure_docintel
+            html = render_azure_docintel(model).encode("utf-8")
         else:
             html = RENDERERS[render_fmt](model).encode("utf-8")
         counts = expected_counts(model)

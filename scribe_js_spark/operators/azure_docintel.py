@@ -1,0 +1,106 @@
+"""Azure Document Intelligence JSON converter.
+
+Semantics of /root/reference/js/import/convertDocAzureDocIntel.js:13-158:
+``analyzeResult.pages[].lines/words`` with span-offset containment
+assigning words to lines, 8-number polygons (unit scaling for non-pixel
+documents), baseline slope from the line polygon bottom edge,
+ascHeight = 3/5 line polygon height, page angle from the page record;
+then pass3. (Azure table layout deferred with the other layout tables.)
+"""
+
+from __future__ import annotations
+
+import json
+
+from ..functions.stats import js_round
+from ..model import Bbox, OcrLine, OcrPage, OcrWord
+from .shared import pass3
+
+
+def convert_doc_azure_docintel(ocr_str: str,
+                               page_dims: dict | None = None) -> list[OcrPage]:
+    data = json.loads(ocr_str)
+    result = data.get("analyzeResult") or {}
+    pages_data = result.get("pages")
+    if not pages_data:
+        raise ValueError("Invalid Azure Document Intelligence format: "
+                         "missing pages data.")
+
+    pages = []
+    for n, page_data in enumerate(pages_data):
+        if not page_data.get("width") or not page_data.get("height"):
+            raise ValueError("Failed to parse page dimensions.")
+        dims = page_dims or {
+            "width": page_data["width"], "height": page_data["height"]}
+        page_obj = OcrPage(n, dict(dims))
+        page_obj.textSource = "azure_doc_intel"
+
+        words = page_data.get("words") or []
+        lines = page_data.get("lines") or []
+
+        mult_x = mult_y = 1.0
+        if page_data.get("unit") != "pixel":
+            if not page_dims:
+                raise ValueError(
+                    "Page dimensions must be provided for non-pixel units.")
+            mult_x = page_dims["width"] / page_data["width"]
+            mult_y = page_dims["height"] / page_data["height"]
+
+        def scaled(poly):
+            return [
+                v * (mult_x if idx % 2 == 0 else mult_y)
+                for idx, v in enumerate(poly)]
+
+        for line_data in lines:
+            line_words = []
+            for span in line_data.get("spans") or []:
+                for word in words:
+                    ws = word.get("span") or {}
+                    if (ws.get("offset", 0) >= span.get("offset", 0)
+                            and ws.get("offset", 0) + ws.get("length", 0)
+                            <= span.get("offset", 0) + span.get("length", 0)):
+                        line_words.append(word)
+            if not line_words:
+                continue
+
+            polys = [scaled(w["polygon"]) for w in line_words]
+            all_x = [v for p in polys for v in p[0::2]]
+            all_y = [v for p in polys for v in p[1::2]]
+            line_bbox = Bbox(min(all_x), min(all_y), max(all_x), max(all_y))
+            line_obj = OcrLine(page_obj, line_bbox, [0.0, 0.0])
+
+            for j, (word_data, poly) in enumerate(zip(line_words, polys)):
+                content = (word_data.get("content") or "").strip()
+                if not content:
+                    continue
+                xs = poly[0::2]
+                ys = poly[1::2]
+                wid = f"word_{n + 1}_{len(page_obj.lines) + 1}_{j + 1}"
+                word_obj = OcrWord(
+                    line_obj, wid, word_data["content"],
+                    Bbox(min(xs), min(ys), max(xs), max(ys)))
+                word_obj.conf = js_round(
+                    (word_data.get("confidence") or 0) * 100)
+                line_obj.words.append(word_obj)
+
+            if line_obj.words:
+                lp = scaled(line_data["polygon"])
+                tl = (lp[0], lp[1])
+                tr = (lp[2], lp[3])
+                br = (lp[4], lp[5])
+                bl = (lp[6], lp[7])
+                if br[0] != bl[0]:
+                    line_obj.baseline[0] = (br[1] - bl[1]) / (br[0] - bl[0])
+                line_height = ((br[1] - tr[1]) + (bl[1] - tl[1])) / 2
+                line_obj.baseline[1] = (
+                    -line_height / 4 - (line_obj.bbox.bottom - bl[1]))
+                asc_height = line_height * 3 / 5
+                if asc_height > 0:
+                    line_obj.ascHeight = asc_height
+                page_obj.lines.append(line_obj)
+
+        page_obj.angle = page_data.get("angle") or 0
+        pass3(page_obj)
+        pages.append(page_obj)
+
+    return pages

@@ -224,3 +224,27 @@ def test_pdf_xref_stream_hex_cid_variants():
         res = extract_document(render_pdf(model, **kwargs))
         assert res.error is None, kwargs
         assert res.text == expected_text(model), kwargs
+
+
+def test_roundtrip_docai_azure():
+    from scribe_js_spark.render_cloud import (
+        render_azure_docintel,
+        render_google_docai,
+    )
+
+    for doc_id in range(8):
+        model = build_doc_model(doc_id)
+        res = extract_document(render_google_docai(model).encode())
+        assert res.error is None and res.fmt == "google_doc_ai"
+        assert res.text == expected_text(model), f"docai {doc_id}"
+        res = extract_document(render_azure_docintel(model).encode())
+        assert res.error is None and res.fmt == "azure_doc_intel"
+        assert res.text == expected_text(model), f"azure {doc_id}"
+
+
+def test_corrupt_family_never_fatal():
+    from scribe_js_spark.fixtures import make_corrupt_rows
+
+    for row in make_corrupt_rows(40):
+        rec = extract_document(row["html"])
+        assert rec.error is not None, row["url"]
