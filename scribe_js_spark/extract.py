@@ -102,6 +102,9 @@ def extract_document(data: bytes) -> DocResult:
         if fmt == "pdf":
             from .operators.pdf import parse_pdf_document
             pages = parse_pdf_document(data)
+        elif fmt == "docx":
+            from .operators.docx import convert_doc_docx
+            pages = convert_doc_docx(data)
         else:
             s = data.decode("utf-8", errors="replace")
             pages = _convert_pages(s, fmt)

@@ -61,7 +61,8 @@ FORMATS = ("hocr", "abbyy", "alto", "text", "stext", "pdf")
 # format mix per FIXTURES.md §5; hocr_char = char-level typography
 # family, hocr_cjk = per-char CJK family (both render as hOCR).
 FORMAT_MIX = (
-    ("hocr", 14), ("abbyy", 18), ("alto", 10), ("text", 8),
+    ("hocr", 14), ("abbyy", 18), ("alto", 10), ("text", 5),
+    ("docx", 3),
     ("stext", 10), ("pdf", 10), ("hocr_char", 5), ("hocr_cjk", 2),
     ("textract", 6), ("google_vision", 4), ("hocr_furniture", 5),
     ("hocr_skew", 2), ("hocr_footnote", 2), ("google_doc_ai", 3),
@@ -798,7 +799,7 @@ def make_bench_rows(n_docs: int, seed: int = SEED_DEFAULT,
         fmt = _pick_format(doc_id, formats)
         family = {"hocr_char": "charlevel", "hocr_cjk": "cjk"}.get(fmt, "base")
         render_fmt = "hocr" if fmt.startswith("hocr_") else fmt
-        n_pages = 1 if fmt == "text" else bench_page_count(doc_id)
+        n_pages = 1 if fmt in ("text", "docx") else bench_page_count(doc_id)
         model = build_doc_model(doc_id, seed=seed, n_pages=n_pages,
                                 family=family)
         if fmt == "stext":
@@ -815,6 +816,9 @@ def make_bench_rows(n_docs: int, seed: int = SEED_DEFAULT,
         elif fmt == "azure_doc_intel":
             from .render_cloud import render_azure_docintel
             html = render_azure_docintel(model).encode("utf-8")
+        elif fmt == "docx":
+            from .render_docx import render_docx
+            html = render_docx(model)
         else:
             html = RENDERERS[render_fmt](model).encode("utf-8")
         rows.append({
@@ -865,7 +869,7 @@ def _pick_format(doc_id: int, available: tuple[str, ...]) -> str:
 def available_formats() -> tuple[str, ...]:
     avail = ["hocr", "abbyy", "alto", "text", "hocr_char", "hocr_cjk",
              "textract", "google_vision", "hocr_furniture", "hocr_skew",
-             "hocr_footnote", "google_doc_ai", "azure_doc_intel"]
+             "hocr_footnote", "google_doc_ai", "azure_doc_intel", "docx"]
     try:  # optional renderers land in later phases
         from . import render_stext as _  # noqa: F401
         avail.append("stext")
@@ -897,7 +901,7 @@ def make_corpus_rows(n_docs: int, seed: int = SEED_DEFAULT,
         # Plain-text docs are kept to one model page so convertPageText's
         # pagination never splits a paragraph across synthetic pages
         # (reflow would insert '\n' at the page boundary).
-        n_pages = 1 if fmt == "text" else None
+        n_pages = 1 if fmt in ("text", "docx") else None
         model = build_doc_model(doc_id, seed=seed, n_pages=n_pages,
                                 indent_family=indent_family, family=family)
         if fmt == "stext":
@@ -914,6 +918,9 @@ def make_corpus_rows(n_docs: int, seed: int = SEED_DEFAULT,
         elif fmt == "azure_doc_intel":
             from .render_cloud import render_azure_docintel
             html = render_azure_docintel(model).encode("utf-8")
+        elif fmt == "docx":
+            from .render_docx import render_docx
+            html = render_docx(model)
         else:
             html = RENDERERS[render_fmt](model).encode("utf-8")
         counts = expected_counts(model)

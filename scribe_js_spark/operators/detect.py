@@ -65,6 +65,8 @@ def detect_document_format(data: bytes) -> str | None:
     dialect detection; plain text as the fallback for decodable input."""
     if data[:5] == b"%PDF-" or b"%PDF-" in data[:1024]:
         return "pdf"
+    if data[:2] == b"PK" and b"word/document.xml" in data:
+        return "docx"
     try:
         s = data.decode("utf-8")
     except UnicodeDecodeError:

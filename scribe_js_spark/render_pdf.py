@@ -145,7 +145,8 @@ def render_pdf(model: dict, compress: bool | None = None,
                invisible: bool = False,
                xref_stream: bool | None = None,
                hex_strings: bool | None = None,
-               cid_font: bool | None = None) -> bytes:
+               cid_font: bool | None = None,
+               outline: bool = False) -> bytes:
     doc_id = model.get("doc_id", 0)
     if compress is None:
         compress = (doc_id % 2) == 1
@@ -178,7 +179,14 @@ def render_pdf(model: dict, compress: bool | None = None,
     else:
         n_fixed = 4
     kids = " ".join(f"{n_fixed + 1 + 2 * i} 0 R" for i in range(n_pages))
-    w.add(b"<< /Type /Catalog /Pages 2 0 R >>")
+    if outline:
+        outlines_num = n_fixed + 2 * n_pages + 1
+        w.add(
+            f"<< /Type /Catalog /Pages 2 0 R /Outlines {outlines_num} 0 R "
+            f"/Names << /Dests << /Names [(last) [{n_fixed + 1 + 2 * (n_pages - 1)}"
+            f" 0 R /XYZ null null null]] >> >> >>".encode())
+    else:
+        w.add(b"<< /Type /Catalog /Pages 2 0 R >>")
     if rotate:
         # MediaBox in unrotated user space; /Rotate 90 swaps the view.
         media = f"/MediaBox [0 0 {page_h} {page_w}]"
@@ -283,6 +291,30 @@ def render_pdf(model: dict, compress: bool | None = None,
         w.add(
             f"<< /Length {len(stream)} ".encode() + filt + b">>\nstream\n"
             + stream + b"\nendstream")
+
+    if outline:
+        # /Outlines root + one bookmark per page (direct /Dest arrays)
+        # + a named-destination bookmark resolved via /Names -> /Dests.
+        root_num = n_fixed + 2 * n_pages + 1
+        first_item = root_num + 1
+        n_items = n_pages + 1
+        w.add(
+            f"<< /Type /Outlines /First {first_item} 0 R "
+            f"/Last {first_item + n_items - 1} 0 R /Count {n_items} >>".encode())
+        for i in range(n_pages):
+            item_num = first_item + i
+            nxt = f"/Next {item_num + 1} 0 R " if i + 1 < n_items else ""
+            prev = f"/Prev {item_num - 1} 0 R " if i > 0 else ""
+            page_obj_num = n_fixed + 1 + 2 * i
+            w.add(
+                f"<< /Title (Page {i + 1}) /Parent {root_num} 0 R "
+                f"{prev}{nxt}/Dest [{page_obj_num} 0 R /XYZ null null null] "
+                f">>".encode())
+        # named-destination bookmark -> last page
+        item_num = first_item + n_pages
+        w.add(
+            f"<< /Title (Named) /Parent {root_num} 0 R "
+            f"/Prev {item_num - 1} 0 R /Dest (last) >>".encode())
 
     if xref_stream:
         # PDF 1.5 layout: pack the dict-only fixed objects (catalog,

@@ -248,3 +248,49 @@ def test_corrupt_family_never_fatal():
     for row in make_corrupt_rows(40):
         rec = extract_document(row["html"])
         assert rec.error is not None, row["url"]
+
+
+def test_roundtrip_docx():
+    from scribe_js_spark.render_docx import render_docx
+
+    for doc_id in range(8):
+        model = build_doc_model(doc_id, n_pages=1)
+        res = extract_document(render_docx(model))
+        assert res.error is None and res.fmt == "docx"
+        assert res.text == expected_text(model), doc_id
+
+
+def test_pdf_outline():
+    from scribe_js_spark.operators.pdf.outline import parse_outline
+    from scribe_js_spark.render_pdf import render_pdf
+
+    model = build_doc_model(1)
+    data = render_pdf(model, outline=True, compress=True, tj_mode=False,
+                      ligatures=False, rotate=False, xref_stream=False,
+                      hex_strings=False, cid_font=False)
+    res = extract_document(data)
+    assert res.error is None
+    assert res.text == expected_text(model)
+    nodes = parse_outline(data)
+    n_pages = len(model["pages"])
+    assert len(nodes) == n_pages + 1
+    for i in range(n_pages):
+        assert nodes[i]["title"] == f"Page {i + 1}"
+        assert nodes[i]["page_index"] == i
+    # named destination resolves through /Names -> /Dests
+    assert nodes[-1]["title"] == "Named"
+    assert nodes[-1]["page_index"] == n_pages - 1
+
+
+def test_html_export():
+    from scribe_js_spark.export.html import write_html
+    from scribe_js_spark.operators.layout_doc import analyze_layout_doc
+
+    model = build_doc_model(2, family="furniture")
+    res = extract_document(RENDERERS["hocr"](model).encode())
+    analyze_layout_doc(res.pages)
+    html = write_html(res.pages)
+    assert html.startswith("<!DOCTYPE html>")
+    assert '<header class="running-header">' in html
+    assert '<div class="pagenum">' in html
+    assert "<p>" in html
