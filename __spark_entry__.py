@@ -144,6 +144,16 @@ def _q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_topk_ivf(emb, queries, k=5, nprobe=3)
 
 
+def _q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style quality gate as a pushdown-friendly predicate."""
+    from scribe_js_spark.textops.quality import quality_filter
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return quality_filter(
+        docs, min_tokens=20, max_punct_ratio=0.1,
+        min_mean_token_len=3.0).select("doc_id")
+
+
 def _q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
     return events.groupBy(
@@ -376,6 +386,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": _q_ann_topk,
         "ann_topk_lsh": _q_ann_topk_lsh,
         "ann_topk_ivf": _q_ann_topk_ivf,
+        "quality_filter": _q_quality_filter,
         "events_hourly": _q_events_hourly,
         "media_decode": _q_media_decode,
     }
@@ -551,6 +562,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, rank::INT AS rank, neighbor_id,
                    CAST(floor(sim * 1e6) AS BIGINT) AS sim_e6
             FROM ranked WHERE rank <= 5
+        """,
+        "quality_filter": r"""
+            SELECT doc_id FROM documents
+            WHERE len(string_split_regex(trim(text), '\s+')) >= 20
+              AND (length(text) - length(regexp_replace(text,
+                   '[.,;:!?''"()\[\]{}-]', '', 'g'))) <= length(text) * 0.1
+              AND (length(text) - len(string_split_regex(trim(text), '\s+'))
+                   + 1) >= 3.0 * len(string_split_regex(trim(text), '\s+'))
         """,
         "events_hourly": """
             SELECT date_trunc('hour', ts) AS hour, event_type,
