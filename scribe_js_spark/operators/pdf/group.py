@@ -327,11 +327,33 @@ def group_chars_into_page(chars, n: int, page_dims: dict) -> OcrPage:
         if not words_final:
             continue
 
+        # (ix) superscript word detection — whole-word variant of the
+        # reference's boundary scan (:2721-2744: sizeDelta < -0.05 and
+        # baselineDelta < -0.25 relative to adjacent full-size text; the
+        # baseline-shift word split above has already isolated the
+        # raised run into its own word).
+        body_fs = max(
+            (c.fontSize for w in words_final for c in w), default=0.0)
+        body_ys = [
+            c.y for w in words_final for c in w
+            if c.fontSize >= body_fs * 0.95]
+        body_baseline = min(body_ys) if body_ys else None
+        sup_flags = []
+        for wchars in words_final:
+            fs = wchars[0].fontSize
+            is_sup = bool(
+                body_baseline is not None
+                and body_fs > 0
+                and fs < body_fs * 0.85
+                and (body_baseline - wchars[0].y) > fs * 0.25)
+            sup_flags.append(is_sup)
+
         # (xii) line bbox from chars via font ascent/descent.
         # Rounded device boxes computed once per char (hot path).
         floor = math.floor
         all_chars = []
-        for w in words_final:
+        non_sup_chars = []
+        for w, is_sup in zip(words_final, sup_flags):
             for c in w:
                 c.box = (
                     floor(c.x + 0.5),
@@ -340,12 +362,15 @@ def group_chars_into_page(chars, n: int, page_dims: dict) -> OcrPage:
                     floor(c.y - c.font.descent * c.fontSize + 0.5),
                 )
                 all_chars.append(c)
-        line_left = min(c.box[0] for c in all_chars)
-        line_right = max(c.box[2] for c in all_chars)
-        line_top = min(c.box[1] for c in all_chars)
-        line_bottom = max(c.box[3] for c in all_chars)
+                if not is_sup:
+                    non_sup_chars.append(c)
+        bbox_chars = non_sup_chars or all_chars
+        line_left = min(c.box[0] for c in bbox_chars)
+        line_right = max(c.box[2] for c in bbox_chars)
+        line_top = min(c.box[1] for c in bbox_chars)
+        line_bottom = max(c.box[3] for c in bbox_chars)
 
-        baseline_y = all_chars[0].y
+        baseline_y = bbox_chars[0].y
         baseline_offset = js_round(baseline_y - line_bottom)
         asc_height = all_chars[0].fontSize * 0.6
 
@@ -392,6 +417,7 @@ def group_chars_into_page(chars, n: int, page_dims: dict) -> OcrPage:
             word_obj.style.bold = first_alnum.font.bold
             word_obj.style.italic = first_alnum.font.italic
             word_obj.style.size = round3(first_alnum.fontSize)
+            word_obj.style.sup = sup_flags[wi2]
             word_obj.chars = [
                 OcrChar(c.text, Bbox(*c.box)) for c in wchars
             ]

@@ -146,7 +146,8 @@ def render_pdf(model: dict, compress: bool | None = None,
                xref_stream: bool | None = None,
                hex_strings: bool | None = None,
                cid_font: bool | None = None,
-               outline: bool = False) -> bytes:
+               outline: bool = False,
+               sup_markers: bool = False) -> bytes:
     doc_id = model.get("doc_id", 0)
     if compress is None:
         compress = (doc_id % 2) == 1
@@ -272,10 +273,19 @@ def render_pdf(model: dict, compress: bool | None = None,
                         parts.append(show_str(word["text"]))
                     content.append(f"[{' '.join(parts)}] TJ")
                 else:
-                    for word in line["words"]:
+                    for w_i, word in enumerate(line["words"]):
                         content.append(
                             f"{tm_for(word['left'])} "
                             f"{show_str(word['text'])} Tj")
+                        if (sup_markers and w_i == 0
+                                and line is par["lines"][0]
+                                and not rotate):
+                            # raised smaller footnote marker '9' right
+                            # after the paragraph's first word
+                            content.append(
+                                f"/F1 18 Tf 1 0 0 1 {word['right'] + 2} "
+                                f"{y_pdf + 10} Tm {show_str('9')} Tj "
+                                f"/F1 {FONT_SIZE} Tf")
         content.append("ET")
         stream = "\n".join(content).encode("latin-1")
         filt = b""

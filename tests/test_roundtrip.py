@@ -294,3 +294,32 @@ def test_html_export():
     assert '<header class="running-header">' in html
     assert '<div class="pagenum">' in html
     assert "<p>" in html
+
+
+def test_pdf_superscript_markers():
+    from scribe_js_spark.render_pdf import render_pdf
+
+    model = build_doc_model(2, n_pages=1)
+    data = render_pdf(model, compress=False, tj_mode=False, ligatures=False,
+                      rotate=False, xref_stream=False, hex_strings=False,
+                      cid_font=False, sup_markers=True)
+    res = extract_document(data)
+    assert res.error is None
+    # Expected text: each paragraph's first word gains a trailing ' 9'.
+    exp_pars = []
+    for page in model["pages"]:
+        for par in page["pars"]:
+            words = [w["text"] for line in par["lines"] for w in line["words"]]
+            words.insert(1, "9")
+            exp_pars.append(" ".join(words))
+    assert res.text == "\n".join(exp_pars)
+    for page in res.pages:
+        for par_lines in [page.lines]:
+            pass
+        first_line = page.lines[0]
+        assert first_line.words[1].text == "9"
+        assert first_line.words[1].style.sup
+        assert not first_line.words[0].style.sup
+        # sup chars excluded from the line bbox
+        assert first_line.bbox.top == min(
+            w.bbox.top for w in first_line.words if not w.style.sup)
