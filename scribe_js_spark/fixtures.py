@@ -66,7 +66,7 @@ FORMAT_MIX = (
     ("stext", 10), ("pdf", 10), ("hocr_char", 5), ("hocr_cjk", 2),
     ("textract", 6), ("google_vision", 4), ("hocr_furniture", 5),
     ("hocr_skew", 2), ("hocr_footnote", 2), ("google_doc_ai", 3),
-    ("azure_doc_intel", 3),
+    ("azure_doc_intel", 3), ("hocr_twocol", 3), ("pdf_twocol", 2),
 )
 
 
@@ -295,6 +295,59 @@ def build_doc_model(doc_id: int, seed: int = SEED_DEFAULT,
 
 def _word_out(w: dict) -> list[str]:
     return w.get("out_words") or [w["text"]]
+
+
+def build_two_column_model(doc_id: int, seed: int = SEED_DEFAULT) -> dict:
+    """Two-column page model (FIXTURES.md §2.6(d)): column 1's
+    paragraphs then column 2's, in stream/reading order. Exercises the
+    backward-x/ big-y line cuts and the 'new column' paragraph rule
+    (reflowPars.js:298)."""
+    rng = _doc_rng(seed * 7 + 13, doc_id)
+    col_w = (USABLE_W - 80) // 2
+
+    def build_column(x0):
+        pars = []
+        y = TOP_BASELINE
+        prev_single = False
+        for _ in range(rng.randint(2, 4)):
+            if y > MAX_BASELINE:
+                break
+            n_lines = rng.randint(2 if prev_single else 1, 5)
+            lines = []
+            for _ in range(n_lines):
+                if y > MAX_BASELINE:
+                    break
+                x = x0
+                words = []
+                for _ in range(rng.randint(3, 6)):
+                    token = rng.choice(LEXICON)
+                    width = len(token) * CHAR_W
+                    if x + width > x0 + col_w:
+                        break
+                    words.append({
+                        "text": token, "chars": None, "out_words": [token],
+                        "left": x, "right": x + width,
+                        "top": y - ASC_H, "bottom": y + DESC_H,
+                        "conf": rng.randint(95, 99),
+                    })
+                    x += width + WORD_GAP
+                if words:
+                    lines.append(
+                        {"words": words, "baseline_y": y, "indent": 0})
+                    y += LINE_PITCH
+            if lines:
+                last = lines[-1]["words"][-1]
+                last["text"] += "."
+                last["out_words"] = [last["text"]]
+                last["right"] += CHAR_W
+                pars.append({"lines": lines})
+                prev_single = len(lines) == 1
+                y += PAR_GAP - LINE_PITCH
+        return pars
+
+    pars = build_column(MARGIN_LEFT) + build_column(MARGIN_LEFT + col_w + 80)
+    return {"doc_id": doc_id, "family": "twocol",
+            "pages": [{"pars": pars, "width": PAGE_W, "height": PAGE_H}]}
 
 
 def expected_text(model: dict) -> str:
@@ -804,7 +857,7 @@ def make_bench_rows(n_docs: int, seed: int = SEED_DEFAULT,
                                 family=family)
         if fmt == "stext":
             html: bytes = render_stext(model).encode("utf-8")
-        elif fmt == "pdf":
+        elif fmt in ("pdf", "pdf_twocol"):
             html = render_pdf(model)
         elif fmt == "textract":
             html = render_textract(model).encode("utf-8")
@@ -869,7 +922,8 @@ def _pick_format(doc_id: int, available: tuple[str, ...]) -> str:
 def available_formats() -> tuple[str, ...]:
     avail = ["hocr", "abbyy", "alto", "text", "hocr_char", "hocr_cjk",
              "textract", "google_vision", "hocr_furniture", "hocr_skew",
-             "hocr_footnote", "google_doc_ai", "azure_doc_intel", "docx"]
+             "hocr_footnote", "google_doc_ai", "azure_doc_intel", "docx",
+             "hocr_twocol", "pdf_twocol"]
     try:  # optional renderers land in later phases
         from . import render_stext as _  # noqa: F401
         avail.append("stext")
@@ -895,18 +949,24 @@ def make_corpus_rows(n_docs: int, seed: int = SEED_DEFAULT,
         fmt = _pick_format(doc_id, formats)
         family = {"hocr_char": "charlevel", "hocr_cjk": "cjk",
                   "hocr_furniture": "furniture", "hocr_skew": "skew",
-                  "hocr_footnote": "footnote"}.get(fmt, "base")
-        render_fmt = "hocr" if fmt.startswith("hocr_") else fmt
+                  "hocr_footnote": "footnote", "hocr_twocol": "twocol",
+                  "pdf_twocol": "twocol"}.get(fmt, "base")
+        render_fmt = ("pdf" if fmt == "pdf_twocol"
+                      else "hocr" if fmt.startswith("hocr_") else fmt)
         indent_family = family == "base" and (doc_id % 10) == 7
         # Plain-text docs are kept to one model page so convertPageText's
         # pagination never splits a paragraph across synthetic pages
         # (reflow would insert '\n' at the page boundary).
         n_pages = 1 if fmt in ("text", "docx") else None
-        model = build_doc_model(doc_id, seed=seed, n_pages=n_pages,
-                                indent_family=indent_family, family=family)
+        if family == "twocol":
+            model = build_two_column_model(doc_id, seed=seed)
+        else:
+            model = build_doc_model(doc_id, seed=seed, n_pages=n_pages,
+                                    indent_family=indent_family,
+                                    family=family)
         if fmt == "stext":
             html: bytes = render_stext(model).encode("utf-8")
-        elif fmt == "pdf":
+        elif fmt in ("pdf", "pdf_twocol"):
             html = render_pdf(model)
         elif fmt == "textract":
             html = render_textract(model).encode("utf-8")

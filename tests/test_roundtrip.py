@@ -323,3 +323,20 @@ def test_pdf_superscript_markers():
         # sup chars excluded from the line bbox
         assert first_line.bbox.top == min(
             w.bbox.top for w in first_line.words if not w.style.sup)
+
+
+def test_two_column_family():
+    from scribe_js_spark.fixtures import build_two_column_model
+    from scribe_js_spark.render_pdf import render_pdf
+
+    for doc_id in range(10):
+        model = build_two_column_model(doc_id)
+        res = extract_document(RENDERERS["hocr"](model).encode())
+        assert res.error is None
+        assert res.text == expected_text(model), f"hocr {doc_id}"
+        res = extract_document(render_pdf(
+            model, compress=True, tj_mode=False, ligatures=False,
+            rotate=False, xref_stream=False, hex_strings=False,
+            cid_font=False))
+        assert res.error is None
+        assert res.text == expected_text(model), f"pdf {doc_id}"
