@@ -72,9 +72,12 @@ def main():
         timings[name] = round(time.time() - t0, 3)
         return result
 
+    # Zero-shuffle extraction: fine-grained input splits balance the
+    # load without moving document bytes (salt/page-split are opt-ins
+    # for corpora where a single document rivals a partition's budget).
     n_extracted = run(
         "extract",
-        lambda: extract_text(corpus, salt=True, num_partitions=CPUS * 4)
+        lambda: extract_text(corpus, salt=False)
         .filter(F.col("error").isNull()).count())
     extras["extract_docs"] = n_extracted
     extras["extract_docs_per_sec"] = round(n_extracted / timings["extract"], 2)

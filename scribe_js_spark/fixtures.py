@@ -891,7 +891,10 @@ def ensure_bench_corpus(path: str, n_docs: int,
 
     import pandas as pd
 
-    fpath = os.path.join(path, f"bench_{n_docs}_{seed}.parquet")
+    # Cache key includes the family mix so a stale cache from an older
+    # corpus composition is never silently reused.
+    mix_tag = sum(w * (i + 1) for i, (_, w) in enumerate(FORMAT_MIX))
+    fpath = os.path.join(path, f"bench_{n_docs}_{seed}_{mix_tag}.parquet")
     if os.path.exists(fpath):
         return fpath
     os.makedirs(path, exist_ok=True)
