@@ -56,12 +56,10 @@ def main():
 
     corpus_path = ensure_bench_corpus("/tmp/scribe_bench", n_docs)
 
-    # Two measured runs per level; keep the faster (the sandbox has
-    # noisy neighbors; the slower run is contention, not the job).
-    rn = min((run_level(N_CORES, corpus_path) for _ in range(2)),
-             key=lambda r: r["sec"])
-    r4n = min((run_level(4 * N_CORES, corpus_path) for _ in range(2)),
-              key=lambda r: r["sec"])
+    # One spark-submit per level; the worker itself reports the best of
+    # three in-session trials (steady state — see bench_scaling_worker).
+    rn = run_level(N_CORES, corpus_path)
+    r4n = run_level(4 * N_CORES, corpus_path)
     efficiency = (r4n["docs_per_sec"] / rn["docs_per_sec"]) / 4
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
