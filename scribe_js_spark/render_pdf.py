@@ -147,7 +147,8 @@ def render_pdf(model: dict, compress: bool | None = None,
                hex_strings: bool | None = None,
                cid_font: bool | None = None,
                outline: bool = False,
-               sup_markers: bool = False) -> bytes:
+               sup_markers: bool = False,
+               form_xobject: bool = False) -> bytes:
     doc_id = model.get("doc_id", 0)
     if compress is None:
         compress = (doc_id % 2) == 1
@@ -165,6 +166,9 @@ def render_pdf(model: dict, compress: bool | None = None,
         cid_font = (doc_id % 17) == 6
     if cid_font:
         ligatures = False  # CID path encodes 2-byte Identity-H codes
+    if form_xobject and outline:
+        raise ValueError("form_xobject and outline variants are mutually "
+                         "exclusive (object numbering)")
 
     w = _Writer()
     page_w = model["pages"][0]["width"]
@@ -287,6 +291,35 @@ def render_pdf(model: dict, compress: bool | None = None,
                                 f"{y_pdf + 10} Tm {show_str('9')} Tj "
                                 f"/F1 {FONT_SIZE} Tf")
         content.append("ET")
+        if form_xobject and not rotate:
+            # Move each page's LAST paragraph into a Form XObject drawn
+            # via Do with a /Matrix translation — exercises the
+            # recursive XObject execution path with CTM inheritance.
+            last_par = page["pars"][-1]
+            inner = ["BT", f"/F1 {FONT_SIZE} Tf"]
+            # XObject content in a local frame shifted by (-50, -30);
+            # /Matrix [1 0 0 1 50 30] restores page coordinates.
+            for line in last_par["lines"]:
+                y_pdf_l = page_h - line["baseline_y"]
+                for word in line["words"]:
+                    inner.append(
+                        f"1 0 0 1 {word['left'] - 50} {y_pdf_l - 30} Tm "
+                        f"{show_str(word['text'])} Tj")
+            inner.append("ET")
+            inner_stream = "\n".join(inner).encode("latin-1")
+            # Rebuild the page content WITHOUT the last paragraph, then Do.
+            content = ["BT", f"/F1 {FONT_SIZE} Tf"]
+            if invisible:
+                content.append("3 Tr")
+            for par in page["pars"][:-1]:
+                for line in par["lines"]:
+                    y_pdf = page_h - line["baseline_y"]
+                    for word in line["words"]:
+                        content.append(
+                            f"1 0 0 1 {word['left']} {y_pdf} Tm "
+                            f"{show_str(word['text'])} Tj")
+            content.append("ET")
+            xobj_num_holder = []
         stream = "\n".join(content).encode("latin-1")
         filt = b""
         if compress:
@@ -294,13 +327,42 @@ def render_pdf(model: dict, compress: bool | None = None,
             filt = b"/Filter /FlateDecode "
         page_obj_num = n_fixed + 1 + 2 * page_n
         rot = "/Rotate 90 " if rotate else ""
+        if form_xobject and not rotate:
+            # objects appended after all pages: xobject numbers computed
+            # from the page count.
+            xobj_num = n_fixed + 2 * n_pages + 1 + page_n
+            xres = f"/XObject << /FX {xobj_num} 0 R >> "
+            # stash for later emission
+            if "_form_xobjects" not in model:
+                model["_form_xobjects"] = []
+            model["_form_xobjects"].append(inner_stream)
+            content_with_do = stream
+            # append the Do call to the page content
+            do_suffix = b"\nq 1 0 0 1 0 0 cm /FX Do Q"
+            if compress:
+                raw = "\n".join(content).encode("latin-1") + do_suffix
+                stream = zlib.compress(raw)
+            else:
+                stream = stream + do_suffix
+        else:
+            xres = ""
         w.add(
             f"<< /Type /Page /Parent 2 0 R {rot}/Resources "
-            f"<< /Font << /F1 3 0 R >> >> /Contents {page_obj_num + 1} 0 R "
+            f"<< /Font << /F1 3 0 R >> {xres}>> "
+            f"/Contents {page_obj_num + 1} 0 R "
             f">>".encode())
         w.add(
             f"<< /Length {len(stream)} ".encode() + filt + b">>\nstream\n"
             + stream + b"\nendstream")
+
+    if form_xobject and not rotate:
+        for inner_stream in model.pop("_form_xobjects", []):
+            w.add(
+                f"<< /Type /XObject /Subtype /Form /Matrix [1 0 0 1 50 30] "
+                f"/BBox [0 0 {page_w} {page_h}] /Resources "
+                f"<< /Font << /F1 3 0 R >> >> "
+                f"/Length {len(inner_stream)} >>\nstream\n".encode()
+                + inner_stream + b"\nendstream")
 
     if outline:
         # /Outlines root + one bookmark per page (direct /Dest arrays)

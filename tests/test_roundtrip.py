@@ -340,3 +340,43 @@ def test_two_column_family():
             cid_font=False))
         assert res.error is None
         assert res.text == expected_text(model), f"pdf {doc_id}"
+
+
+def test_pdf_form_xobject():
+    from scribe_js_spark.render_pdf import render_pdf
+
+    for doc_id in (0, 3):
+        model = build_doc_model(doc_id)
+        model["doc_id"] = doc_id
+        data = render_pdf(model, compress=True, tj_mode=False,
+                          ligatures=False, rotate=False, xref_stream=False,
+                          hex_strings=False, cid_font=False,
+                          form_xobject=True)
+        res = extract_document(data)
+        assert res.error is None
+        assert res.text == expected_text(model), doc_id
+
+
+def test_fuzz_never_raises():
+    import random
+
+    rng = random.Random(123)
+    for _ in range(120):
+        n = rng.randint(0, 400)
+        data = bytes(rng.randrange(256) for _ in range(n))
+        # Random bytes must never raise — error column or benign result.
+        extract_document(data)
+    # mutated valid documents
+    base = RENDERERS["hocr"](build_doc_model(1)).encode()
+    for _ in range(60):
+        b = bytearray(base)
+        for _ in range(rng.randint(1, 30)):
+            b[rng.randrange(len(b))] = rng.randrange(256)
+        extract_document(bytes(b))
+    pdf_base = None
+    from scribe_js_spark.render_pdf import render_pdf
+    pdf_base = render_pdf(build_doc_model(1))
+    for _ in range(60):
+        b = bytearray(pdf_base)
+        cut = rng.randrange(1, len(b))
+        extract_document(bytes(b[:cut]))  # truncations
