@@ -318,6 +318,43 @@ def _q_page_angle(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select("url", "html").mapInPandas(fn, schema=schema)
 
 
+def _q_column_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column detection by left-edge peak clustering: 2 for the
+    two-column family, 1 for plain hOCR (indent docs excluded — their
+    hanging first lines legitimately form a second weak peak)."""
+    from typing import Iterator
+
+    import pandas as pd
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from scribe_js_spark.extract import extract_document
+    from scribe_js_spark.operators.layout_doc import detect_column_count
+
+    schema = StructType([
+        StructField("url", StringType()),
+        StructField("page_n", LongType()),
+        StructField("n_columns", LongType()),
+    ])
+
+    def fn(batches: Iterator) -> Iterator:
+        for pdf in batches:
+            out = {"url": [], "page_n": [], "n_columns": []}
+            for url, html in zip(pdf["url"], pdf["html"]):
+                res = extract_document(bytes(html))
+                if res.error is not None:
+                    continue
+                for page in res.pages:
+                    out["url"].append(url)
+                    out["page_n"].append(page.n)
+                    out["n_columns"].append(detect_column_count(page))
+            yield pd.DataFrame(out)
+
+    df = _corpus(spark, FIX_T2).filter(
+        F.col("url").rlike("/(hocr|hocr_twocol)/")
+        & (F.element_at(F.split("url", "/"), -1).cast("long") % 10 != 7))
+    return df.select("url", "html").mapInPandas(fn, schema=schema)
+
+
 def _q_corrupt_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Never-fatal contract: every deliberately-corrupt document yields
     a non-null error column; the job completes."""
@@ -372,6 +409,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pdf_type": _q_pdf_type,
         "page_angle": _q_page_angle,
         "corrupt_errors": _q_corrupt_errors,
+        "column_counts": _q_column_counts,
         "phrase_search": _q_phrase_search,
         "extract_text": _q_extract_text,
         "extract_meta": _q_extract_meta,
@@ -424,6 +462,15 @@ def oracle_sql() -> dict[str, str]:
             " SELECT url, phrase, CAST((length(stream)"
             " - length(replace(stream, phrase, ''))) / length(phrase)"
             " AS BIGINT) AS n_matches FROM base"),
+        "column_counts": (
+            "WITH pages AS (SELECT url,"
+            " unnest(range(page_count)) AS page_n"
+            f" FROM read_parquet('{meta}')"
+            " WHERE regexp_matches(url, '/(hocr|hocr_twocol)/')"
+            "   AND CAST(string_split(url, '/')[-1] AS BIGINT) % 10 != 7)"
+            " SELECT url, page_n::BIGINT AS page_n,"
+            " CASE WHEN url LIKE '%/hocr_twocol/%' THEN 2 ELSE 1 END::BIGINT"
+            " AS n_columns FROM pages"),
         "corrupt_errors": (
             "SELECT 'https://fixtures.test/corrupt/' ||"
             " lpad(r::VARCHAR, 8, '0') AS url, true AS failed"

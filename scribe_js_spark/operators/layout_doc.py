@@ -156,6 +156,42 @@ def analyze_layout_doc(pages: list[OcrPage]) -> None:
                     par.type = "title"
 
 
+def cluster_peaks(values: list[float], tol: float) -> list[tuple]:
+    """1-D peak clustering (the reference's clusterPeaks,
+    analyzeLayout.js:3137): greedy nearest-cluster assignment within
+    ``tol`` of the running cluster center. Returns (center, count),
+    count-descending."""
+    clusters: list[list] = []  # [sum, count]
+    for v in sorted(values):
+        for c in clusters:
+            center = c[0] / c[1]
+            if abs(v - center) <= tol:
+                c[0] += v
+                c[1] += 1
+                break
+        else:
+            clusters.append([v, 1])
+    out = [(c[0] / c[1], c[1]) for c in clusters]
+    out.sort(key=lambda x: -x[1])
+    return out
+
+
+def detect_column_count(page: OcrPage) -> int:
+    """Column count from body-line left-edge peaks (detectColumns,
+    analyzeLayout.js:3171): peaks of prose left edges clustered at
+    0.6x the body line height, kept when they carry at least
+    max(2, 8%) of the lines."""
+    lines = [l for l in page.lines if l.words]
+    if not lines:
+        return 0
+    heights = sorted(l.bbox.bottom - l.bbox.top for l in lines)
+    body_h = heights[len(heights) // 2]
+    lefts = [l.bbox.left for l in lines]
+    peaks = cluster_peaks(lefts, body_h * 0.6)
+    min_count = max(2, int(len(lines) * 0.08))
+    return sum(1 for _, count in peaks if count >= min_count) or 1
+
+
 def collect_par_roles(pages: list[OcrPage]) -> list[dict]:
     rows = []
     for page in pages:

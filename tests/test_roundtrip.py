@@ -380,3 +380,20 @@ def test_fuzz_never_raises():
         b = bytearray(pdf_base)
         cut = rng.randrange(1, len(b))
         extract_document(bytes(b[:cut]))  # truncations
+
+
+def test_column_detection():
+    from scribe_js_spark.fixtures import build_two_column_model
+    from scribe_js_spark.operators.layout_doc import (
+        cluster_peaks,
+        detect_column_count,
+    )
+
+    assert cluster_peaks([10, 11, 12, 100, 101], tol=5) == [
+        (11.0, 3), (100.5, 2)]
+    model = build_two_column_model(5)
+    res = extract_document(RENDERERS["hocr"](model).encode())
+    assert all(detect_column_count(p) == 2 for p in res.pages)
+    base = build_doc_model(5)
+    res2 = extract_document(RENDERERS["hocr"](base).encode())
+    assert all(detect_column_count(p) == 1 for p in res2.pages)
