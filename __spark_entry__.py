@@ -113,6 +113,19 @@ def _q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(docs)
 
 
+def _q_jaccard_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH -> exact verify composition: MinHash band candidates
+    re-checked with exact token-set Jaccard (threshold 0.5)."""
+    from scribe_js_spark.textops.dedup import (
+        jaccard_for_pairs,
+        minhash_lsh_pairs,
+    )
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    cands = minhash_lsh_pairs(docs)
+    return jaccard_for_pairs(docs, cands, threshold=0.5)
+
+
 def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from scribe_js_spark.textops.dedup import simhash_candidates
 
@@ -419,6 +432,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": _q_fingerprint,
         "exact_dups": _q_exact_dups,
         "jaccard_pairs": _q_jaccard_pairs,
+        "jaccard_verified": _q_jaccard_verified,
         "minhash_lsh_pairs": _q_minhash_lsh,
         "simhash_candidates": _q_simhash,
         "ann_topk": _q_ann_topk,
@@ -433,6 +447,87 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ---------------------------------------------------------------- oracles
 
 _TOKS = "list_distinct(string_split_regex(trim(text), '\\s+'))"
+
+# 60-bit md5-derived hash — the same definition as
+# scribe_js_spark.textops.dedup.md5_60 (Spark: conv(substr(md5,1,15),16,10)).
+_MD5_60 = "CAST('0x' || substr(md5({x}), 1, 15) AS BIGINT)"
+
+
+def _minhash_ctes(num_hashes: int = 32, bands: int = 8) -> str:
+    """DuckDB CTE chain reproducing minhash_lsh_pairs exactly: shingle
+    -> md5-60bit -> K universal rehashes -> min -> banded md5 buckets
+    -> bucket self-join. Ends with a ``cand(doc_a, doc_b)`` CTE."""
+    from scribe_js_spark.textops.dedup import _M, _hash_coeffs
+
+    a, b = _hash_coeffs(num_hashes)
+    rpb = num_hashes // bands
+    mh_cols = ", ".join(
+        f"list_min(list_transform(hs, x -> (x * {a[i]} + {b[i]}) % {_M}))"
+        f" AS mh_{i}"
+        for i in range(num_hashes))
+    band_selects = " UNION ALL ".join(
+        "SELECT doc_id, {band} AS band, md5(concat_ws('_', {cols}))"
+        " AS bucket FROM sig".format(
+            band=band,
+            cols=", ".join(
+                f"mh_{band * rpb + r}::VARCHAR" for r in range(rpb)))
+        for band in range(bands))
+    h = _MD5_60.format(x="s")
+    return f"""
+WITH base AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+), sh AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= 3
+              THEN list_distinct(list_transform(range(1, len(t) - 1),
+                   i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+              ELSE [] END AS shingles
+  FROM base
+), h AS (
+  SELECT doc_id,
+         list_transform(shingles, s -> {h} % 2147483647) AS hs
+  FROM sh
+), sig AS (
+  SELECT doc_id, {mh_cols} FROM h
+), bands AS (
+  {band_selects}
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+  WHERE a.doc_id < b.doc_id
+)"""
+
+
+def _simhash_sql() -> str:
+    """DuckDB query reproducing simhash_candidates exactly: 60-bit
+    majority-vote signature, 4x15-bit block join, Hamming <= 3."""
+    h = _MD5_60.format(x="s")
+    bit_terms = " + ".join(
+        f"CASE WHEN 2 * len(list_filter(h, x -> ((x >> {bit}) & 1) = 1))"
+        f" > len(h) THEN {1 << bit} ELSE 0 END"
+        for bit in range(60))
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_distinct(string_split_regex(trim(text), '\\s+')) AS t
+  FROM documents
+), th AS (
+  SELECT doc_id, list_transform(t, s -> {h}) AS h FROM toks
+), sig AS (
+  SELECT doc_id, ({bit_terms})::BIGINT AS simhash FROM th
+), blocks AS (
+  SELECT doc_id, simhash, blk,
+         (simhash >> (blk * 15)) & 32767 AS blk_val
+  FROM sig CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS blk) bl
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, a.simhash AS sig_a,
+                  b.doc_id AS doc_b, b.simhash AS sig_b
+  FROM blocks a JOIN blocks b
+    ON a.blk = b.blk AND a.blk_val = b.blk_val
+  WHERE a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, bit_count(xor(sig_a, sig_b))::INT AS hamming
+FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= 3"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -624,7 +719,34 @@ def oracle_sql() -> dict[str, str]:
                    sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS sum_cents
             FROM events GROUP BY 1, 2
         """,
-        # minhash_lsh_pairs / simhash_candidates / ann_topk_lsh /
-        # media_decode: built on Spark-side hash functions (xxhash64) or
-        # pandas-UDF plumbing — no SQL equivalent; rows-only check.
+        "minhash_lsh_pairs": (
+            _minhash_ctes() + "\nSELECT doc_a, doc_b FROM cand"),
+        "jaccard_verified": (
+            _minhash_ctes() + """
+, tsets AS (
+  SELECT doc_id,
+         list_distinct(string_split_regex(trim(text), '\\s+')) AS toks
+  FROM documents
+)
+SELECT doc_a, doc_b,
+       len(list_intersect(ta.toks, tb.toks))::BIGINT AS n_inter,
+       (len(ta.toks) + len(tb.toks)
+        - len(list_intersect(ta.toks, tb.toks)))::BIGINT AS n_union
+FROM cand
+JOIN tsets ta ON ta.doc_id = doc_a
+JOIN tsets tb ON tb.doc_id = doc_b
+WHERE len(list_intersect(ta.toks, tb.toks))
+      >= 0.5 * (len(ta.toks) + len(tb.toks)
+                - len(list_intersect(ta.toks, tb.toks)))"""),
+        "simhash_candidates": _simhash_sql(),
+        # media_decode inputs are the analytic SIMG container:
+        # encode_synth_image(64+i, 32+i, bytes([i%251]*(100+i))) =>
+        # n_bytes = 4 magic + 8 header + payload = 112+i; the payload is
+        # a constant byte so mean_byte == i%251 exactly.
+        "media_decode": (
+            "SELECT r AS media_id, 'simg' AS kind,"
+            " (64 + r)::BIGINT AS width, (32 + r)::BIGINT AS height,"
+            " (112 + r)::BIGINT AS n_bytes,"
+            " ((r % 251) * 1000)::BIGINT AS mean_byte_e3"
+            " FROM range(50) t(r)"),
     }

@@ -24,8 +24,9 @@ Semantics of the reference's groupCharsIntoPage
 (xiv)  page angle = asin(mean50(slopes)) (:3253)
 (xv)   assignParagraphs (:3281)
 
-Deferred (exercised by no text-layer fixture yet): inline-math
-exemptions, orphan single-char merge, superscript word splitting,
+Superscript word detection (:2721-2744) is implemented below (rule ix
+in group_chars_into_page). Deferred (exercised by no text-layer fixture
+yet): inline-math exemptions, orphan single-char merge,
 fake-small-caps lowercasing, underline matching, styleRuns.
 """
 

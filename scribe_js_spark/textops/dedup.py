@@ -3,16 +3,25 @@
 Scale design (10^12 documents):
 - **exact**: md5 hash-groupBy — one shuffle on a 32-byte key, AQE
   handles residual skew. Never shuffles document text.
-- **jaccard_pairs**: exact all-pairs similarity *within candidate
-  buckets only* (or on a bounded subset) — the verification stage after
-  LSH; the token explode is linear, the pair join runs per-bucket.
+- **jaccard_pairs**: exact all-pairs similarity via token inverted
+  index; ``max_token_df`` caps the document frequency of index tokens
+  so no single hot token (stopword) makes the self-join quadratic.
+- **jaccard_for_pairs**: exact Jaccard restricted to a candidate-pair
+  table — the verification stage after LSH; joins only |candidates|
+  rows against the token sets, never all-pairs.
 - **minhash_lsh**: shingle -> K minhashes -> B bands; candidate pairs
   come from banded bucket joins so cost is output-bound, not O(n^2).
-  Hash functions are fixed-coefficient universal hashes (no RNG) so
-  replays are deterministic.
-- **simhash**: 64-bit signature via per-token hash bit-voting,
-  Hamming-ball candidates by 4x16-bit block join (any dup within
+- **simhash**: 60-bit signature via per-token hash bit-voting,
+  Hamming-ball candidates by 4x15-bit block join (any dup within
   Hamming distance <= 3 shares at least one exact block).
+
+All hashes are md5-derived (first 15 hex digits -> 60-bit integer), so
+every operator here is exactly reproducible in ANSI SQL / DuckDB for
+the correctness oracles — the hash family is an implementation detail;
+verifiability is the requirement. Signatures are computed ONCE per
+plan side: band/block buckets come from ``posexplode`` over an array
+built from the materialized signature columns, never from per-band
+unions that would re-evaluate the signature.
 
 All built-in column expressions / higher-order functions — no Python in
 the hot path.
@@ -30,12 +39,21 @@ _M = (1 << 61) - 1
 # no signed-long overflow inside the JVM expression.
 _M31 = (1 << 31) - 1
 
+SIMHASH_BITS = 60          # 15 hex digits of md5 -> fits a signed long
+SIMHASH_BLOCKS = 4         # 4 x 15-bit blocks; pigeonhole for dist <= 3
+
 
 def _hash_coeffs(k: int):
     # Multiplicative-congruential constants from the golden-ratio family.
     a = [(2654435761 * (2 * i + 1)) % _M31 or 1 for i in range(k)]
     b = [(40503 * (i * i + i + 1)) % _M31 for i in range(k)]
     return a, b
+
+
+def md5_60(col):
+    """SQL-reproducible 60-bit non-negative hash: first 15 hex digits of
+    md5. DuckDB equivalent: CAST('0x' || substr(md5(x), 1, 15) AS BIGINT)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
 def exact_dups(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -59,14 +77,20 @@ def token_sets(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 def jaccard_pairs(df: DataFrame, text_col: str = "text",
                   threshold: float = 0.8,
-                  max_doc_id: int | None = None) -> DataFrame:
+                  max_doc_id: int | None = None,
+                  max_token_df: int | None = None) -> DataFrame:
     """Exact token-set Jaccard pairs >= threshold.
 
     All-pairs via token inverted index (explode + self-join on token,
     groupBy pair). ``max_doc_id`` bounds the subset for oracle-checked
-    runs; at full scale this runs *after* LSH bucketing on candidate
-    pairs only. Returns exact integer (intersection, union) so the
-    result is bit-stable across engines.
+    runs. ``max_token_df`` drops tokens whose document frequency
+    exceeds the cap from the index (the Zipf head) — without it a
+    single hot token makes the self-join quadratic on one key at
+    corpus scale; with it, n_inter undercounts pairs whose only
+    overlap is capped tokens, so at full scale use this as candidate
+    generation and re-verify with :func:`jaccard_for_pairs`.
+    Returns exact integer (intersection, union) so the result is
+    bit-stable across engines.
     """
     base = df
     if max_doc_id is not None:
@@ -74,6 +98,11 @@ def jaccard_pairs(df: DataFrame, text_col: str = "text",
     ts = token_sets(base, text_col)
     sizes = ts.select("doc_id", F.size("toks").alias("sz"))
     inv = ts.select("doc_id", F.explode("toks").alias("tok"))
+    if max_token_df is not None:
+        hot = (
+            inv.groupBy("tok").agg(F.count("*").alias("df"))
+            .filter(F.col("df") > max_token_df).select("tok"))
+        inv = inv.join(F.broadcast(hot), "tok", "left_anti")
     pairs = (
         inv.alias("a")
         .join(inv.alias("b"), on="tok")
@@ -97,27 +126,68 @@ def jaccard_pairs(df: DataFrame, text_col: str = "text",
     )
 
 
+def jaccard_for_pairs(df: DataFrame, candidates: DataFrame,
+                      text_col: str = "text",
+                      threshold: float = 0.8) -> DataFrame:
+    """Exact token-set Jaccard over an explicit candidate-pair table —
+    the verify stage of the LSH -> exact composition.
+
+    ``candidates`` has (doc_a, doc_b). The plan joins candidates to the
+    token sets twice (shuffle keyed on doc ids only — text shuffles as
+    the token arrays of candidate docs, never the full corpus
+    cross-product), so cost is O(|candidates|), the scale-safe shape.
+    """
+    ts = token_sets(df, text_col)
+    a = ts.select(F.col("doc_id").alias("doc_a"),
+                  F.col("toks").alias("_toks_a"))
+    b = ts.select(F.col("doc_id").alias("doc_b"),
+                  F.col("toks").alias("_toks_b"))
+    inter = F.size(F.array_intersect("_toks_a", "_toks_b")).cast("long")
+    return (
+        candidates.select("doc_a", "doc_b")
+        .join(a, "doc_a").join(b, "doc_b")
+        .withColumn("n_inter", inter)
+        .withColumn(
+            "n_union",
+            (F.size("_toks_a") + F.size("_toks_b")
+             - F.col("n_inter")).cast("long"))
+        .filter(F.col("n_inter") >= F.lit(threshold) * F.col("n_union"))
+        .select("doc_a", "doc_b", "n_inter", "n_union")
+    )
+
+
 def shingles(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
     """Distinct word n-gram shingles per document (higher-order
-    functions; no UDF)."""
+    functions; no UDF). Documents shorter than n tokens get an empty
+    shingle set (guarded: Spark's sequence(1, 0) would count down)."""
     base = df.select(
         "doc_id", F.split(F.trim(F.col(text_col)), r"\s+").alias("_toks"))
     parts = " , ' ', ".join(f"_toks[i + {j} - 1]" for j in range(n))
     sh = F.expr(
-        f"transform(sequence(1, greatest(size(_toks) - {n - 1}, 0)),"
-        f" i -> concat({parts}))")
+        f"if(size(_toks) >= {n},"
+        f" transform(sequence(1, size(_toks) - {n - 1}),"
+        f" i -> concat({parts})),"
+        f" cast(array() as array<string>))")
     return base.select("doc_id", F.array_distinct(sh).alias("shingles"))
 
 
 def minhash_signatures(df: DataFrame, text_col: str = "text",
                        num_hashes: int = 32, shingle_n: int = 3) -> DataFrame:
-    """K minhash values per doc: shingle -> xxhash64 -> K universal
-    rehashes -> min per hash. Fully vectorized via aggregate() over the
-    shingle array."""
+    """K minhash values per doc: shingle -> md5-60bit -> K universal
+    rehashes -> min per hash.
+
+    The base hash array is materialized as its own column (``_h``,
+    referenced K times — CollapseProject keeps non-cheap expressions
+    with multiple references in a separate projection), so each shingle
+    is md5-hashed exactly ONCE regardless of K.
+    """
     a, b = _hash_coeffs(num_hashes)
     sh = shingles(df, text_col, shingle_n)
-    base_h = F.transform(
-        F.col("shingles"), lambda s: F.abs(F.xxhash64(s)) % F.lit(_M31))
+    hashed = sh.select(
+        "doc_id",
+        F.transform(
+            F.col("shingles"),
+            lambda s: md5_60(s) % F.lit(_M31)).alias("_h"))
 
     def _rehash(ai: int, bi: int):
         # Single-parameter lambda: a second parameter would be bound to
@@ -125,32 +195,44 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
         return lambda h: (h * F.lit(ai) + F.lit(bi)) % F.lit(_M)
 
     cols = [
-        F.array_min(F.transform(base_h, _rehash(a[i], b[i]))).alias(f"mh_{i}")
+        F.array_min(F.transform(F.col("_h"), _rehash(a[i], b[i])))
+        .alias(f"mh_{i}")
         for i in range(num_hashes)
     ]
-    return sh.select("doc_id", *cols)
+    return hashed.select("doc_id", *cols)
 
 
 def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
                       num_hashes: int = 32, bands: int = 8,
-                      shingle_n: int = 3) -> DataFrame:
+                      shingle_n: int = 3,
+                      max_bucket_size: int | None = None) -> DataFrame:
     """Candidate near-dup pairs from banded LSH over minhash signatures.
 
-    bands * rows_per_band == num_hashes. Candidates are pairs sharing at
-    least one band bucket; downstream exact verification uses
-    ``jaccard_pairs`` on the candidates. The band-bucket join keys are
-    md5(band values) so bucket cardinality stays bounded.
+    bands * rows_per_band == num_hashes. Candidates are pairs sharing
+    at least one band bucket; downstream exact verification is
+    :func:`jaccard_for_pairs` on the output. Band buckets come from ONE
+    posexplode over the signature row (no per-band union — the round-1
+    union re-derived the shingle array on every branch of both join
+    sides). ``max_bucket_size`` drops degenerate buckets (e.g. the
+    empty-document bucket) whose size would make the bucket self-join
+    quadratic at corpus scale.
     """
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, text_col, num_hashes, shingle_n)
-    band_rows = None
-    for band in range(bands):
-        cols = [F.col(f"mh_{band * rows_per_band + r}")
-                for r in range(rows_per_band)]
-        bucket = F.md5(F.concat_ws("_", *[c.cast("string") for c in cols]))
-        one = sig.select(
-            "doc_id", F.lit(band).alias("band"), bucket.alias("bucket"))
-        band_rows = one if band_rows is None else band_rows.unionByName(one)
+    buckets = F.array(*[
+        F.md5(F.concat_ws("_", *[
+            F.col(f"mh_{band * rows_per_band + r}").cast("string")
+            for r in range(rows_per_band)]))
+        for band in range(bands)
+    ])
+    band_rows = sig.select(
+        "doc_id", F.posexplode(buckets).alias("band", "bucket"))
+    if max_bucket_size is not None:
+        ok = (band_rows.groupBy("band", "bucket")
+              .agg(F.count("*").alias("_n"))
+              .filter(F.col("_n") <= max_bucket_size)
+              .drop("_n"))
+        band_rows = band_rows.join(ok, ["band", "bucket"])
     pairs = (
         band_rows.alias("a")
         .join(band_rows.alias("b"), on=["band", "bucket"])
@@ -163,34 +245,43 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
 
 
 def simhash(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """64-bit SimHash over distinct tokens: per-bit weighted vote via
-    aggregate() — each token's xxhash64 contributes +1/-1 per bit."""
+    """60-bit SimHash over distinct tokens: per-bit majority vote of the
+    token hashes. Each bit's vote is an allocation-free
+    ``size(filter(...))`` popcount scan over the materialized hash
+    array (the round-1 per-bit aggregate() allocated inside the lambda);
+    bit b is set iff strictly more than half the token hashes have bit
+    b set (2*pop > n, identical to the +1/-1 vote being positive)."""
     ts = token_sets(df, text_col).select(
-        "doc_id", F.transform(F.col("toks"), lambda t: F.xxhash64(t)).alias("_th"))
-    bit_exprs = []
-    for bit in range(64):
-        vote = (
-            f"aggregate(_th, 0L, (acc, h) ->"
-            f" acc + if(getbit(h, {bit}) = 1, 1L, -1L))")
-        # shiftleft + bitwise OR (not +): bit 63 is the sign bit of a
-        # signed long, addition would overflow.
-        bit_exprs.append(f"if(({vote}) > 0, shiftleft(1L, {bit}), 0L)")
-    sig = F.expr(" | ".join(bit_exprs))
+        "doc_id", F.transform(F.col("toks"), md5_60).alias("_th"))
+
+    def _bit_set(bit):
+        return lambda h: (
+            F.shiftrightunsigned(h, bit).bitwiseAND(F.lit(1)) == 1)
+
+    n = F.size("_th")
+    sig = F.lit(0).cast("long")
+    for bit in range(SIMHASH_BITS):
+        pop = F.size(F.filter(F.col("_th"), _bit_set(bit)))
+        sig = sig + F.when(pop * 2 > n, F.lit(1 << bit).cast("long")) \
+                     .otherwise(F.lit(0).cast("long"))
     return ts.select("doc_id", sig.alias("simhash"))
 
 
 def simhash_candidates(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Near-dup candidates within Hamming distance 3 of each other:
-    4x16-bit block join (pigeonhole: <=3 differing bits leave one of 4
-    blocks identical), then exact popcount filter."""
+    4x15-bit block join (pigeonhole: <=3 differing bits leave one of 4
+    blocks identical), then exact popcount filter. Blocks come from one
+    posexplode over the computed signature — the signature expression
+    is evaluated once per join side, not once per block."""
     sh = simhash(df, text_col)
-    blocks = None
-    for blk in range(4):
-        b = sh.select(
-            "doc_id", "simhash", F.lit(blk).alias("blk"),
-            F.shiftrightunsigned(F.col("simhash"), blk * 16)
-            .bitwiseAND(F.lit(0xFFFF)).alias("blk_val"))
-        blocks = b if blocks is None else blocks.unionByName(b)
+    blk_vals = F.array(*[
+        F.shiftrightunsigned(F.col("simhash"), blk * 15)
+        .bitwiseAND(F.lit(0x7FFF)).cast("long")
+        for blk in range(SIMHASH_BLOCKS)
+    ])
+    blocks = sh.select(
+        "doc_id", "simhash",
+        F.posexplode(blk_vals).alias("blk", "blk_val"))
     cand = (
         blocks.alias("a").join(blocks.alias("b"), on=["blk", "blk_val"])
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))

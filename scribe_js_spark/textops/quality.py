@@ -58,24 +58,31 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     counts, ties broken by language code order; 'und' (undetermined)
     when no marker appears. Exactly reproducible in SQL.
 
-    All marker counts accumulate in ONE aggregate() pass over the token
-    array (a struct accumulator) — splitting the text once instead of
-    once per marker (12x fewer array scans on the hot path)."""
+    Plan shape: the text is split ONCE into a materialized ``_toks``
+    column (12 references to a non-cheap expression, so CollapseProject
+    keeps it a separate projection), then each marker count is an
+    allocation-free ``size(filter(...))`` scan of that array. The round-1
+    single-pass struct-accumulator ``aggregate()`` allocated a fresh
+    named_struct per token in interpreted lambda evaluation and was 35x
+    slower than ``doc_stats`` on the same table (43.6 s at sf0.1); this
+    rewrite is pure counter scans — no per-element allocation."""
     langs = list(LANG_MARKERS)
-    init = "named_struct(" + ", ".join(f"'{l}', 0L" for l in langs) + ")"
-    merge_fields = []
-    for l in langs:
-        conds = " OR ".join(f"x = '{w}'" for w in LANG_MARKERS[l])
-        merge_fields.append(f"'{l}', acc.{l} + if({conds}, 1L, 0L)")
-    merge = "(acc, x) -> named_struct(" + ", ".join(merge_fields) + ")"
-    agg = (f"aggregate(split(trim(lower({text_col})), '\\\\s+'), "
-           f"{init}, {merge})")
-    scored = df.select(
-        "doc_id", "lang", F.expr(agg).alias("_s")
-    ).select(
+    toked = df.select(
         "doc_id", "lang",
-        *[F.col(f"_s.{l}").alias(f"score_{l}") for l in langs])
-    langs = list(LANG_MARKERS)
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+").alias("_toks"))
+    def _is(word):
+        # one-arg closure: a default-arg lambda would be seen by the
+        # higher-order-function binder as the (element, index) form
+        return lambda x: x == F.lit(word)
+
+    score_cols = []
+    for l in langs:
+        cnt = None
+        for w in LANG_MARKERS[l]:
+            c = F.size(F.filter(F.col("_toks"), _is(w)))
+            cnt = c if cnt is None else cnt + c
+        score_cols.append(cnt.cast("long").alias(f"score_{l}"))
+    scored = toked.select("doc_id", "lang", *score_cols)
     best = F.greatest(*[F.col(f"score_{l}") for l in langs])
     pred = F.when(best == 0, F.lit("und"))
     for l in langs:  # first language hitting the max wins (stable tie-break)

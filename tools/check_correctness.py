@@ -28,7 +28,12 @@ def normalize(pdf):
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    only = None
+    for a in sys.argv[1:]:
+        if a.startswith("--only="):
+            only = set(a.split("=", 1)[1].split(","))
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
 
     import duckdb
     from pyspark.sql import SparkSession
@@ -56,6 +61,8 @@ def main():
     oracles = entrymod.oracle_sql()
     failures = 0
     for name, fn in qs.items():
+        if only is not None and name not in only:
+            continue
         try:
             got = fn(spark, sf_dir).toPandas()
         except Exception as e:
@@ -93,8 +100,9 @@ def main():
             print(f"MATCH {name}: {len(g)} rows")
 
     # entry smoke
-    n = entrymod.entry(spark).count()
-    print(f"entry(): {n} rows")
+    if only is None:
+        n = entrymod.entry(spark).count()
+        print(f"entry(): {n} rows")
     print("FAILURES:", failures)
     sys.exit(1 if failures else 0)
 
