@@ -530,6 +530,100 @@ SELECT doc_a, doc_b, bit_count(xor(sig_a, sig_b))::INT AS hamming
 FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= 3"""
 
 
+def _lsh_bucket_sql(vec: str, n_planes: int, dim: int = 64) -> str:
+    """DuckDB expression for similarity.lsh_bucket: sign-of-projection
+    bits against the deterministic hyperplane table, emitted as literal
+    coefficient arrays (repr() round-trips the exact double)."""
+    from scribe_js_spark.textops.similarity import _plane_coeff
+
+    terms = []
+    for p in range(n_planes):
+        arr = ", ".join(repr(_plane_coeff(p, d)) for d in range(dim))
+        terms.append(
+            f"(CASE WHEN list_dot_product({vec}, [{arr}]) >= 0"
+            f" THEN {1 << p} ELSE 0 END)")
+    return "(" + " + ".join(terms) + ")::BIGINT"
+
+
+_COSINE_SQL = ("list_dot_product({a}, {b})"
+               " / (sqrt(list_dot_product({a}, {a}))"
+               " * sqrt(list_dot_product({b}, {b})))")
+
+
+def _ann_lsh_sql(k: int = 5, n_planes: int = 8) -> str:
+    """DuckDB query reproducing ann_topk_lsh (multiprobe Hamming-1)."""
+    bucket = _lsh_bucket_sql("v", n_planes)
+    probes = ", ".join(
+        ["q_bucket"] + [f"xor(q_bucket, {1 << p})" for p in range(n_planes)])
+    cos = _COSINE_SQL.format(a="qv", b="cv")
+    return f"""
+WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cb AS (SELECT vec_id, v, {bucket} AS bucket FROM c),
+q AS (SELECT vec_id AS query_id, v AS qv, bucket AS q_bucket
+      FROM cb WHERE vec_id < 10),
+probes AS (SELECT query_id, qv, unnest([{probes}]) AS probe FROM q),
+scored AS (
+  SELECT DISTINCT query_id, cb.vec_id AS neighbor_id, cb.v AS cv,
+         {cos} AS sim
+  FROM probes JOIN cb ON cb.bucket = probe AND cb.vec_id <> query_id
+), ranked AS (
+  SELECT query_id, neighbor_id, sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, rank::INT AS rank, neighbor_id,
+       CAST(floor(sim * 1e6) AS BIGINT) AS sim_e6
+FROM ranked WHERE rank <= {k}"""
+
+
+def _ann_ivf_sql(k: int = 5, n_planes_coarse: int = 3, nprobe: int = 3,
+                 dim: int = 64) -> str:
+    """DuckDB query reproducing ann_topk_ivf: coarse LSH buckets ->
+    round(avg,6) centroids -> nearest-centroid cells -> nprobe probe
+    cells -> exact cosine re-rank."""
+    bucket = _lsh_bucket_sql("v", n_planes_coarse)
+    dist = (f"list_sum(list_transform(range(1, {dim + 1}),"
+            f" i -> (v[i] - cvec[i]) * (v[i] - cvec[i])))")
+    cos = _COSINE_SQL.format(a="qv", b="cv")
+    return f"""
+WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cb AS (SELECT vec_id, v, {bucket} AS bucket FROM c),
+cent AS (
+  SELECT bucket, pos, round(avg(v[pos]), 6) AS cv
+  FROM cb, range(1, {dim + 1}) t(pos) GROUP BY bucket, pos
+), centl AS (
+  SELECT bucket, list(cv ORDER BY pos) AS cvec FROM cent GROUP BY bucket
+), assigned AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT cb.vec_id, cb.v, ce.bucket AS cell,
+           row_number() OVER (PARTITION BY cb.vec_id
+                              ORDER BY {dist}, ce.bucket) AS rn
+    FROM cb CROSS JOIN centl ce
+  ) WHERE rn = 1
+), qprobe AS (
+  SELECT query_id, qv, cell FROM (
+    SELECT cb.vec_id AS query_id, cb.v AS qv, ce.bucket AS cell,
+           row_number() OVER (PARTITION BY cb.vec_id
+                              ORDER BY {dist}, ce.bucket) AS rn
+    FROM cb CROSS JOIN centl ce WHERE cb.vec_id < 10
+  ) WHERE rn <= {nprobe}
+), scored AS (
+  SELECT DISTINCT query_id, a.vec_id AS neighbor_id, a.v AS cv,
+         {cos} AS sim
+  FROM qprobe JOIN assigned a USING (cell)
+  WHERE a.vec_id <> query_id
+), ranked AS (
+  SELECT query_id, neighbor_id, sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, rank::INT AS rank, neighbor_id,
+       CAST(floor(sim * 1e6) AS BIGINT) AS sim_e6
+FROM ranked WHERE rank <= {k}"""
+
+
 def oracle_sql() -> dict[str, str]:
     corpus = os.path.join(FIX_T2, "corpus.parquet").replace("'", "''")
     meta = os.path.join(FIX_T2, "meta.parquet").replace("'", "''")
@@ -719,6 +813,23 @@ def oracle_sql() -> dict[str, str]:
                    sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS sum_cents
             FROM events GROUP BY 1, 2
         """,
+        # font_metrics: golden observation rows computed from the
+        # fixture layout model by tools/make_font_golden.py (never from
+        # the extractor); the oracle reproduces the exact sorted-index
+        # median of font_metrics_df in SQL.
+        "font_metrics": f"""
+WITH g AS (
+  SELECT family, style, kind, "key",
+         list_sort(list("value")) AS vs, count(*) AS cnt
+  FROM read_parquet('{os.path.join(FIX_T2, 'font_obs.parquet')}')
+  GROUP BY family, style, kind, "key"
+)
+SELECT family, style, kind, "key",
+       round(vs[CAST(floor(cnt / 2) AS INT) + 1] * 1e6) / 1e6 AS median,
+       cnt::BIGINT AS obs
+FROM g""",
+        "ann_topk_lsh": _ann_lsh_sql(),
+        "ann_topk_ivf": _ann_ivf_sql(),
         "minhash_lsh_pairs": (
             _minhash_ctes() + "\nSELECT doc_a, doc_b FROM cand"),
         "jaccard_verified": (

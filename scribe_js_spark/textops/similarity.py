@@ -83,11 +83,14 @@ def ann_topk_ivf(df: DataFrame, queries: DataFrame, k: int = 5,
         F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"),
         lsh_bucket(F.col(vec_col), dim, n_planes_coarse).alias("bucket"))
 
-    # Centroids: per-dimension means of each coarse LSH bucket.
+    # Centroids: per-dimension means of each coarse LSH bucket, rounded
+    # to 6 decimals so the value is reproducible across engines (the
+    # raw avg's last ulp depends on summation order; the SQL oracle
+    # computes round(avg(...), 6) too).
     cent_rows = (
         base.select("bucket", F.posexplode(
             F.transform(F.col("vec"), lambda x: x.cast("double"))))
-        .groupBy("bucket", "pos").agg(F.avg("col").alias("v"))
+        .groupBy("bucket", "pos").agg(F.round(F.avg("col"), 6).alias("v"))
         .groupBy("bucket")
         .agg(F.array_sort(F.collect_list(F.struct("pos", "v"))).alias("pv"))
         .select("bucket", F.col("pv.v").alias("centroid"))
