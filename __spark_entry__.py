@@ -208,6 +208,15 @@ def _q_consensus(spark: SparkSession, sf_dir: str) -> DataFrame:
         "url", "word_id", "text", F.col("conf").cast("long").alias("conf"))
 
 
+def _q_merge_comb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Comb-mode Legacy+LSTM merge over the planted engine-pair family
+    (box-sum 1/2/3/4-to-1 matching, rejectWordLegacy, char grafting)."""
+    from scribe_js_spark.layers import merge_comb_layers
+
+    layers = spark.read.parquet(os.path.join(FIX_T2, "comb_layers.parquet"))
+    return merge_comb_layers(layers)
+
+
 def _q_font_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     from scribe_js_spark.operators.fontstats import (
         font_metrics_df,
@@ -416,6 +425,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "eval_compare": _q_eval_compare,
         "consensus_vote": _q_consensus,
+        "merge_comb": _q_merge_comb,
         "font_metrics": _q_font_metrics,
         "table_cells": _q_table_cells,
         "furniture_roles": _q_furniture_roles,
@@ -641,6 +651,13 @@ def oracle_sql() -> dict[str, str]:
         "consensus_vote": (
             f"SELECT url, word_id, text, conf::BIGINT AS conf"
             f" FROM read_parquet('{cons_p}')"),
+        "merge_comb": (
+            "SELECT url, line_n::BIGINT AS line_n,"
+            " word_n::BIGINT AS word_n, word_id, text,"
+            " conf::BIGINT AS conf, \"left\"::BIGINT AS \"left\","
+            " \"right\"::BIGINT AS \"right\""
+            f" FROM read_parquet("
+            f"'{os.path.join(FIX_T2, 'comb.parquet')}')"),
         "phrase_search": (
             "WITH base AS (SELECT url,"
             " lower(replace(text, chr(10), ' ')) AS stream,"

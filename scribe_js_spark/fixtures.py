@@ -829,6 +829,148 @@ def build_layer_models(doc_id: int, seed: int = SEED_DEFAULT) -> dict:
     }
 
 
+def build_comb_models(doc_id: int, seed: int = SEED_DEFAULT) -> dict:
+    """Comb-merge engine-pair family: a char-level 'Legacy' layer (A)
+    and a word-level 'LSTM' layer (B) with planted scenario lines, plus
+    the analytically-expected merged words.
+
+    Scenario classes per line (cycled):
+    - match:    identical word  -> conf 100, text kept
+    - conflict: same-geometry substitution -> LSTM text wins (no-image
+                LSTM-prior fallback), conf 0
+    - reject:   Legacy letter-digit-letter pattern -> rejectWordLegacy
+                forces the LSTM text
+    - skip:     Legacy 'eg' -> decision fires but the eg/ie skip list
+                keeps the Legacy text
+    - split:    one Legacy word vs two LSTM words (box-sum 2-to-1) ->
+                LSTM pair wins with char-grafted Legacy bboxes
+    - merge:    two Legacy words vs one LSTM word -> LSTM word wins,
+                id suffixed 'b'
+    """
+    rng = _doc_rng(seed + 31337, doc_id)
+    scenarios = ("match", "conflict", "reject", "skip", "split", "merge")
+    n_lines = rng.randint(6, 12)
+    a_lines, b_lines, expected = [], [], []
+    y = TOP_BASELINE
+    for i in range(n_lines):
+        scen = scenarios[i % len(scenarios)]
+        x0 = MARGIN_LEFT
+        a_words, b_words = [], []
+
+        def _w(text, left, right, chars=None):
+            return {"text": text, "chars": chars, "out_words": [text],
+                    "left": left, "right": right,
+                    "top": y - ASC_H, "bottom": y + DESC_H, "conf": 97}
+
+        def _chars(text):
+            return [(c, CHAR_W) for c in text]
+
+        if scen == "match":
+            tok = rng.choice(LEXICON)
+            r = x0 + len(tok) * CHAR_W
+            a_words.append(_w(tok, x0, r, _chars(tok)))
+            b_words.append(_w(tok, x0, r))
+            expected.append({"line_n": i, "word_n": 0,
+                             "word_id": f"word_1_{i + 1}_1",
+                             "text": tok, "conf": 100,
+                             "left": x0, "right": r})
+        elif scen == "conflict":
+            tok = rng.choice(LEXICON)
+            mut = _mutate_word(tok, doc_id + i)
+            r = x0 + len(tok) * CHAR_W
+            a_words.append(_w(tok, x0, r, _chars(tok)))
+            b_words.append(_w(mut, x0, r))
+            expected.append({"line_n": i, "word_n": 0,
+                             "word_id": f"word_1_{i + 1}_1",
+                             "text": mut, "conf": 0,
+                             "left": x0, "right": r})
+        elif scen == "reject":
+            tok = rng.choice(LEXICON)
+            legacy = tok[:1] + "1" + tok[2:]
+            r = x0 + len(tok) * CHAR_W
+            a_words.append(_w(legacy, x0, r, _chars(legacy)))
+            b_words.append(_w(tok, x0, r))
+            expected.append({"line_n": i, "word_n": 0,
+                             "word_id": f"word_1_{i + 1}_1",
+                             "text": tok, "conf": 0,
+                             "left": x0, "right": r})
+        elif scen == "skip":
+            r = x0 + 2 * CHAR_W
+            a_words.append(_w("eg", x0, r, _chars("eg")))
+            b_words.append(_w("ab", x0, r))
+            expected.append({"line_n": i, "word_n": 0,
+                             "word_id": f"word_1_{i + 1}_1",
+                             "text": "eg", "conf": 0,
+                             "left": x0, "right": r})
+        elif scen == "split":
+            t1, t2 = rng.choice(LEXICON), rng.choice(LEXICON)
+            full = t1 + t2
+            mid = x0 + len(t1) * CHAR_W
+            r = x0 + len(full) * CHAR_W
+            a_words.append(_w(full, x0, r, _chars(full)))
+            b_words.append(_w(t1, x0, mid))
+            b_words.append(_w(t2, mid, r))
+            # char-grafted bboxes: contiguous CHAR_W slices of the
+            # Legacy box (all plain letters -> union spans the slice)
+            expected.append({"line_n": i, "word_n": 0,
+                             "word_id": f"word_1_{i + 1}_1b",
+                             "text": t1, "conf": 0,
+                             "left": x0, "right": mid})
+            expected.append({"line_n": i, "word_n": 1,
+                             "word_id": f"word_1_{i + 1}_2b",
+                             "text": t2, "conf": 0,
+                             "left": mid, "right": r})
+        else:  # merge
+            t1, t2 = rng.choice(LEXICON), rng.choice(LEXICON)
+            full = t1 + t2
+            mid = x0 + len(t1) * CHAR_W
+            r = x0 + len(full) * CHAR_W
+            a_words.append(_w(t1, x0, mid, _chars(t1)))
+            a_words.append(_w(t2, mid, r, _chars(t2)))
+            b_words.append(_w(full, x0, r))
+            expected.append({"line_n": i, "word_n": 0,
+                             "word_id": f"word_1_{i + 1}_1b",
+                             "text": full, "conf": 0,
+                             "left": x0, "right": r})
+        a_lines.append({"words": a_words, "baseline_y": y, "indent": 0})
+        b_lines.append({"words": b_words, "baseline_y": y, "indent": 0})
+        y += LINE_PITCH
+
+    def _model(lines, family):
+        return {"doc_id": doc_id, "family": family,
+                "pages": [{"pars": [{"lines": lines}],
+                           "width": PAGE_W, "height": PAGE_H}]}
+
+    return {"legacy": _model(a_lines, "charlevel"),
+            "lstm": _model(b_lines, "base"),
+            "expected": expected}
+
+
+def write_comb_parquet(path: str, n_docs: int = 40,
+                       seed: int = SEED_DEFAULT) -> None:
+    """comb_layers.parquet (url, html_legacy, html_lstm) + comb.parquet
+    golden merged-word rows for the merge_comb oracle."""
+    import os
+
+    import pandas as pd
+
+    layer_rows, golden_rows = [], []
+    for doc_id in range(n_docs):
+        m = build_comb_models(doc_id, seed=seed)
+        url = f"https://fixtures.test/comb/{doc_id:08d}"
+        layer_rows.append({
+            "url": url,
+            "html_legacy": render_hocr(m["legacy"]).encode("utf-8"),
+            "html_lstm": render_hocr(m["lstm"]).encode("utf-8"),
+        })
+        for rec in m["expected"]:
+            golden_rows.append({"url": url, **rec})
+    pd.DataFrame(layer_rows).to_parquet(
+        os.path.join(path, "comb_layers.parquet"), index=False)
+    pd.DataFrame(golden_rows).to_parquet(
+        os.path.join(path, "comb.parquet"), index=False)
+
+
 def bench_page_count(doc_id: int) -> int:
     """FIXTURES.md §5 bench skew mix: 90% 1-3 pages, 9% 10-30, 1%
     200-500 — the long tail the salting strategy must absorb."""

@@ -38,6 +38,17 @@ CONSENSUS_SCHEMA = StructType([
     StructField("conf", IntegerType()),
 ])
 
+COMB_SCHEMA = StructType([
+    StructField("url", StringType()),
+    StructField("line_n", LongType()),
+    StructField("word_n", LongType()),
+    StructField("word_id", StringType()),
+    StructField("text", StringType()),
+    StructField("conf", LongType()),
+    StructField("left", LongType()),
+    StructField("right", LongType()),
+])
+
 
 def _pages_of(data: bytes):
     from .extract import extract_document
@@ -121,3 +132,41 @@ def consensus_vote(df: DataFrame, base_col: str = "html_ocr_a",
 
     return df.select("url", base_col, *comp_cols).mapInPandas(
         fn, schema=CONSENSUS_SCHEMA)
+
+
+def merge_comb_layers(df: DataFrame, col_a: str = "html_legacy",
+                      col_b: str = "html_lstm",
+                      legacy_lstm_comb: bool = True) -> DataFrame:
+    """Comb-mode merge of two engine layers per document: page-pairwise
+    comb_merge_page (compareOCRModule.js comb branch), emitting the
+    merged word stream. Zero-shuffle mapInPandas keyed by document."""
+
+    def fn(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        from .operators.comb import comb_merge_page
+
+        for pdf in batches:
+            out = {f.name: [] for f in COMB_SCHEMA.fields}
+            for row in pdf.itertuples(index=False):
+                pages_a = _pages_of(getattr(row, col_a))
+                pages_b = _pages_of(getattr(row, col_b))
+                for i, pa in enumerate(pages_a):
+                    if i >= len(pages_b):
+                        break
+                    merged = comb_merge_page(
+                        pa, pages_b[i],
+                        legacy_lstm_comb=legacy_lstm_comb)
+                    for line_n, line in enumerate(merged.lines):
+                        for word_n, w in enumerate(line.words):
+                            out["url"].append(row.url)
+                            out["line_n"].append(line_n)
+                            out["word_n"].append(word_n)
+                            out["word_id"].append(w.id)
+                            out["text"].append(w.text)
+                            out["conf"].append(int(w.conf))
+                            out["left"].append(int(w.bbox.left))
+                            out["right"].append(int(w.bbox.right))
+            yield pd.DataFrame(out)
+
+    return df.select("url", col_a, col_b).mapInPandas(fn, schema=COMB_SCHEMA)

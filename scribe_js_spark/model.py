@@ -87,7 +87,7 @@ class OcrChar:
 class OcrWord:
     __slots__ = (
         "text", "style", "lang", "conf", "bbox", "id", "line", "chars",
-        "visualCoords", "lineNum",
+        "visualCoords", "lineNum", "textAlt",
     )
 
     def __init__(self, line: "OcrLine", wid: str, text: str, bbox: Bbox):
@@ -101,6 +101,9 @@ class OcrWord:
         self.chars: Optional[list[OcrChar]] = None
         self.visualCoords = True
         self.lineNum = False
+        # Top raw-classifier choice when the engine applied a dictionary
+        # correction (Tesseract Legacy textAlt; compareOCRModule.js:858)
+        self.textAlt: Optional[str] = None
 
     def clone(self) -> "OcrWord":
         w = OcrWord(self.line, self.id, self.text, self.bbox.copy())
@@ -110,6 +113,7 @@ class OcrWord:
         w.conf = self.conf
         w.visualCoords = self.visualCoords
         w.lineNum = self.lineNum
+        w.textAlt = self.textAlt
         if self.chars is not None:
             w.chars = [OcrChar(c.text, c.bbox.copy()) for c in self.chars]
         return w
