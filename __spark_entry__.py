@@ -208,6 +208,49 @@ def _q_consensus(spark: SparkSession, sf_dir: str) -> DataFrame:
         "url", "word_id", "text", F.col("conf").cast("long").alias("conf"))
 
 
+def _q_pdf_underline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Underline detection from PDF vector paths: word stream with the
+    underline style flag over the pdf_underline family."""
+    from typing import Iterator
+
+    import pandas as pd
+    from pyspark.sql.types import (
+        BooleanType, LongType, StringType, StructField, StructType)
+
+    from scribe_js_spark.extract import extract_document
+
+    schema = StructType([
+        StructField("url", StringType()),
+        StructField("page_n", LongType()),
+        StructField("line_n", LongType()),
+        StructField("word_n", LongType()),
+        StructField("text", StringType()),
+        StructField("underline", BooleanType()),
+    ])
+
+    def fn(batches: Iterator) -> Iterator:
+        for pdf in batches:
+            out = {f.name: [] for f in schema.fields}
+            for url, html in zip(pdf["url"], pdf["html"]):
+                res = extract_document(bytes(html))
+                if res.error is not None:
+                    continue
+                for page in res.pages:
+                    for line_n, line in enumerate(page.lines):
+                        for word_n, w in enumerate(line.words):
+                            out["url"].append(url)
+                            out["page_n"].append(page.n)
+                            out["line_n"].append(line_n)
+                            out["word_n"].append(word_n)
+                            out["text"].append(w.text)
+                            out["underline"].append(
+                                bool(w.style.underline))
+            yield pd.DataFrame(out)
+
+    df = spark.read.parquet(os.path.join(FIX_T2, "underline_docs.parquet"))
+    return df.select("url", "html").mapInPandas(fn, schema=schema)
+
+
 def _q_merge_comb(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Comb-mode Legacy+LSTM merge over the planted engine-pair family
     (box-sum 1/2/3/4-to-1 matching, rejectWordLegacy, char grafting)."""
@@ -426,6 +469,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eval_compare": _q_eval_compare,
         "consensus_vote": _q_consensus,
         "merge_comb": _q_merge_comb,
+        "pdf_underline": _q_pdf_underline,
         "font_metrics": _q_font_metrics,
         "table_cells": _q_table_cells,
         "furniture_roles": _q_furniture_roles,
@@ -651,6 +695,12 @@ def oracle_sql() -> dict[str, str]:
         "consensus_vote": (
             f"SELECT url, word_id, text, conf::BIGINT AS conf"
             f" FROM read_parquet('{cons_p}')"),
+        "pdf_underline": (
+            "SELECT url, page_n::BIGINT AS page_n,"
+            " line_n::BIGINT AS line_n, word_n::BIGINT AS word_n,"
+            " text, underline"
+            f" FROM read_parquet("
+            f"'{os.path.join(FIX_T2, 'underline.parquet')}')"),
         "merge_comb": (
             "SELECT url, line_n::BIGINT AS line_n,"
             " word_n::BIGINT AS word_n, word_id, text,"

@@ -971,6 +971,65 @@ def write_comb_parquet(path: str, n_docs: int = 40,
         os.path.join(path, "comb.parquet"), index=False)
 
 
+def build_underline_models(doc_id: int, seed: int = SEED_DEFAULT) -> dict:
+    """PDF underline/rule family: the base doc model with a
+    deterministic subset of words flagged ``underline`` (rendered as
+    thin filled bars just below the baseline) and one page-wide
+    separator rule per multi-paragraph page (rendered mid paragraph
+    gap — its overhang past the line text keeps it out of the
+    underline match and it must surface in page.rules instead)."""
+    model = build_doc_model(doc_id, seed=seed)
+    rng = _doc_rng(seed + 909, doc_id)
+    expected = []
+    for page_n, page in enumerate(model["pages"]):
+        line_n = 0
+        for par in page["pars"]:
+            for line in par["lines"]:
+                for word_n, w in enumerate(line["words"]):
+                    und = rng.random() < 0.25
+                    if und:
+                        w["underline"] = True
+                    expected.append({
+                        "page_n": page_n, "line_n": line_n,
+                        "word_n": word_n, "text": w["text"],
+                        "underline": und})
+                line_n += 1
+        if len(page["pars"]) >= 2:
+            first_par = page["pars"][0]
+            last_baseline = first_par["lines"][-1]["baseline_y"]
+            page["rules"] = [{
+                "y": last_baseline + LINE_PITCH,
+                "left": MARGIN_LEFT, "right": PAGE_W - MARGIN_LEFT}]
+    return {"model": model, "expected": expected}
+
+
+def write_underline_parquet(path: str, n_docs: int = 40,
+                            seed: int = SEED_DEFAULT) -> None:
+    """underline_docs.parquet (url, html PDF bytes) + underline.parquet
+    golden word rows for the pdf_underline oracle."""
+    import os
+
+    import pandas as pd
+
+    doc_rows, golden_rows = [], []
+    for doc_id in range(n_docs):
+        m = build_underline_models(doc_id, seed=seed)
+        url = f"https://fixtures.test/pdf_underline/{doc_id:08d}"
+        # rotate skips rect drawing; keep this family unrotated and
+        # outside the Form XObject variant (other variants still cycle)
+        from .render_pdf import render_pdf as _render_pdf_raw
+
+        doc_rows.append({
+            "url": url,
+            "html": _render_pdf_raw(m["model"], rotate=False)})
+        for rec in m["expected"]:
+            golden_rows.append({"url": url, **rec})
+    pd.DataFrame(doc_rows).to_parquet(
+        os.path.join(path, "underline_docs.parquet"), index=False)
+    pd.DataFrame(golden_rows).to_parquet(
+        os.path.join(path, "underline.parquet"), index=False)
+
+
 def bench_page_count(doc_id: int) -> int:
     """FIXTURES.md §5 bench skew mix: 90% 1-3 pages, 9% 10-30, 1%
     200-500 — the long tail the salting strategy must absorb."""

@@ -153,7 +153,8 @@ class OcrPar:
 
 
 class OcrPage:
-    __slots__ = ("n", "dims", "angle", "pars", "lines", "textSource")
+    __slots__ = ("n", "dims", "angle", "pars", "lines", "textSource",
+                 "rules")
 
     def __init__(self, n: int, dims: dict):
         self.n = n
@@ -162,6 +163,10 @@ class OcrPage:
         self.pars: list[OcrPar] = []
         self.lines: list[OcrLine] = []
         self.textSource: Optional[str] = None
+        # Thin horizontal drawn rules (PDF paths not consumed as text
+        # underlines): [{'y', 'left', 'right'}] — paragraph separators
+        # for layout analysis (parsePdfDoc.js:1013)
+        self.rules: list[dict] = []
 
 
 def update_line_bbox(line: OcrLine, adjust_baseline: bool = True) -> None:

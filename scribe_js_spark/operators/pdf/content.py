@@ -23,11 +23,11 @@ from .lexer import Lexer, Name, Ref, StreamObj, DELIMS, WHITESPACE
 class PositionedChar:
     __slots__ = (
         "text", "x", "y", "width", "fontSize", "font", "invisible",
-        "orientation", "dirX", "dirY", "charCode", "box",
+        "orientation", "dirX", "dirY", "charCode", "box", "textColor",
     )
 
     def __init__(self, text, x, y, width, font_size, font, invisible,
-                 orientation, dir_x, dir_y, char_code):
+                 orientation, dir_x, dir_y, char_code, text_color=None):
         self.text = text
         self.x = x
         self.y = y
@@ -39,6 +39,9 @@ class PositionedChar:
         self.dirX = dir_x
         self.dirY = dir_y
         self.charCode = char_code
+        # (values, colorspace) of the fill color active at show time —
+        # consumed by the underline color-match guard
+        self.textColor = text_color
 
 
 def _mat_mul(a, b):
@@ -147,6 +150,7 @@ class TextMachine:
         self._font_cache: dict[int, PdfFont] = {}
         self._xobj_depth = 0
         self._seen_xobjs: set = set()
+        self._fill_color = ([0.0], "gray")  # (values, colorspace)
 
     # ------------------------------------------------------------ fonts
 
@@ -188,11 +192,26 @@ class TextMachine:
         for operands, op in ContentTokenizer(content):
             try:
                 if op == b"q":
-                    gs_stack.append((list(ctm), font, tfs, tc, tw, tz, tl, ts, tr))
+                    gs_stack.append((list(ctm), font, tfs, tc, tw, tz, tl,
+                                     ts, tr, self._fill_color))
                 elif op == b"Q":
                     if gs_stack:
-                        ctm_s, font, tfs, tc, tw, tz, tl, ts, tr = gs_stack.pop()
+                        (ctm_s, font, tfs, tc, tw, tz, tl, ts, tr,
+                         self._fill_color) = gs_stack.pop()
                         ctm[:] = ctm_s
+                elif op == b"g" and operands:
+                    self._fill_color = ([float(operands[-1])], "gray")
+                elif op == b"rg" and len(operands) >= 3:
+                    self._fill_color = (
+                        [float(v) for v in operands[-3:]], "rgb")
+                elif op == b"k" and len(operands) >= 4:
+                    self._fill_color = (
+                        [float(v) for v in operands[-4:]], "cmyk")
+                elif op in (b"sc", b"scn") and operands:
+                    vals = [float(v) for v in operands
+                            if isinstance(v, (int, float))]
+                    if vals:
+                        self._fill_color = (vals, self._fill_color[1])
                 elif op == b"cm" and len(operands) >= 6:
                     m = [float(v) for v in operands[-6:]]
                     ctm[:] = _mat_mul(m, ctm)
@@ -343,6 +362,7 @@ class TextMachine:
                     invisible,
                     orientation,
                     dir_x, dir_y, code,
+                    self._fill_color,
                 ))
             adv_total += adv
         return _mat_mul([1, 0, 0, 1, adv_total, 0], tm)

@@ -39,6 +39,7 @@ from ...functions.stats import js_round, mean50, round3, round6
 from ...functions.textnorm import calc_lang, replace_ligatures
 from ...model import Bbox, OcrChar, OcrLine, OcrPage, OcrWord
 from ..paragraphs import assign_paragraphs
+from .paths import color_to_rgb
 
 _TERMINAL_RE = re.compile(r"[.!?]")
 _BULLET_CHARS = set("•◦▪▫●○◼◻➢‣·")
@@ -46,7 +47,8 @@ _ALNUM_RE = re.compile(r"[A-Za-z0-9]")
 _UPPER_RE = re.compile(r"[A-Z]")
 
 
-def group_chars_into_page(chars, n: int, page_dims: dict) -> OcrPage:
+def group_chars_into_page(chars, n: int, page_dims: dict,
+                          underline_rects: list | None = None) -> OcrPage:
     page_obj = OcrPage(n, page_dims)
     page_obj.textSource = "pdf"
     if not chars:
@@ -419,6 +421,41 @@ def group_chars_into_page(chars, n: int, page_dims: dict) -> OcrPage:
             word_obj.style.italic = first_alnum.font.italic
             word_obj.style.size = round3(first_alnum.fontSize)
             word_obj.style.sup = sup_flags[wi2]
+
+            # Underline detection (parsePdfDoc.js:3141-3174): a thin
+            # horizontal bar overlapping the word, sitting just below
+            # the baseline, pinned within the line's text extent, and
+            # not clashing with the text color.
+            if underline_rects:
+                baseline_y_word = wchars[0].y
+                fs = wchars[0].fontSize
+                char_color = wchars[0].textColor
+                overhang = fs * 0.5
+                for rect in underline_rects:
+                    if not (rect["right"] > word_left
+                            and rect["left"] < word_right
+                            and baseline_y_word - fs * 0.1 <= rect["y"]
+                            <= baseline_y_word + fs * 0.35
+                            and rect["left"] >= line_left - overhang
+                            and rect["right"] <= line_right + overhang):
+                        continue
+                    if rect.get("color") and char_color:
+                        rect_rgb = color_to_rgb(rect["color"])
+                        char_rgb = color_to_rgb(char_color)
+                        if rect_rgb and char_rgb:
+                            rect_gray = (max(rect_rgb) - min(rect_rgb)
+                                         < 0.1)
+                            both_dark = (
+                                all(v < 0.3 for v in rect_rgb)
+                                and all(v < 0.3 for v in char_rgb))
+                            if (not both_dark and not rect_gray
+                                    and any(abs(a - b) > 0.1 for a, b
+                                            in zip(rect_rgb, char_rgb))):
+                                continue
+                    word_obj.style.underline = True
+                    rect["isUnderline"] = True
+                    break
+
             word_obj.chars = [
                 OcrChar(c.text, Bbox(*c.box)) for c in wchars
             ]

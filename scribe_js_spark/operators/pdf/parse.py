@@ -16,6 +16,7 @@ from ...model import OcrPage
 from .content import TextMachine, _mat_mul
 from .document import PdfDocument
 from .group import group_chars_into_page
+from .paths import extract_underline_rects, parse_page_paths
 
 MAX_RENDER_WIDTH = 3500.0  # reference cap, parsePdfDoc.js:503
 
@@ -149,8 +150,20 @@ def parse_pdf_document(data: bytes) -> list[OcrPage]:
         content = doc.page_content(page)
         machine.run(content, page.get("Resources"), base_ctm=base)
         chars = _dedup_chars(machine.chars)
+        # Vector paths -> underline candidates + drawn rules
+        try:
+            paths, _placements = parse_page_paths(doc, page, base_ctm=base)
+            underline_rects = extract_underline_rects(paths, scale, h)
+        except Exception:
+            underline_rects = []
         page_obj = group_chars_into_page(
             chars, n,
-            {"width": js_round(w * scale), "height": js_round(h * scale)})
+            {"width": js_round(w * scale), "height": js_round(h * scale)},
+            underline_rects=underline_rects)
+        # Rects not consumed as underlines stay as separator rules
+        # (parsePdfDoc.js:1013)
+        page_obj.rules = [
+            {"y": r["y"], "left": r["left"], "right": r["right"]}
+            for r in underline_rects if not r["isUnderline"]]
         out.append(page_obj)
     return out

@@ -250,6 +250,26 @@ def render_pdf(model: dict, compress: bool | None = None,
             return "<" + text.encode("latin-1").hex().upper() + ">"
         return "(" + _esc(text) + ")"
 
+    def _rect_ops(page):
+        """Underline bars under flagged words + page-wide separator
+        rules, drawn as thin filled rectangles (re/f paths)."""
+        ops = []
+        if rotate:
+            return ops
+        for par in page["pars"]:
+            for line in par["lines"]:
+                y_base = page_h - line["baseline_y"]
+                for word in line["words"]:
+                    if word.get("underline"):
+                        ops.append(
+                            f"{word['left']} {y_base - 4} "
+                            f"{word['right'] - word['left']} 1.5 re f")
+        for rule in page.get("rules", []):
+            ops.append(
+                f"{rule['left']} {page_h - rule['y']} "
+                f"{rule['right'] - rule['left']} 1 re f")
+        return ops
+
     for page_n, page in enumerate(model["pages"]):
         content = ["BT", f"/F1 {FONT_SIZE} Tf"]
         if invisible:
@@ -291,6 +311,7 @@ def render_pdf(model: dict, compress: bool | None = None,
                                 f"{y_pdf + 10} Tm {show_str('9')} Tj "
                                 f"/F1 {FONT_SIZE} Tf")
         content.append("ET")
+        content.extend(_rect_ops(page))
         if form_xobject and not rotate:
             # Move each page's LAST paragraph into a Form XObject drawn
             # via Do with a /Matrix translation — exercises the
@@ -319,6 +340,7 @@ def render_pdf(model: dict, compress: bool | None = None,
                             f"1 0 0 1 {word['left']} {y_pdf} Tm "
                             f"{show_str(word['text'])} Tj")
             content.append("ET")
+            content.extend(_rect_ops(page))
             xobj_num_holder = []
         stream = "\n".join(content).encode("latin-1")
         filt = b""
