@@ -45,6 +45,9 @@ def run_level(cpus: int, corpus_path: str) -> dict:
 
 def main():
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 6000
+    global N_CORES
+    if len(sys.argv) > 2:  # protocol level override: e.g. 8 -> 8 vs 32
+        N_CORES = int(sys.argv[2])
 
     # Build the shippable package zip + corpus once.
     subprocess.run(
@@ -87,8 +90,14 @@ Timing excludes JVM/py4j startup (a warmup extraction runs before the
 measured window). Parse-failure count at both levels: {rn['failed']} /
 {r4n['failed']} (expected 0).
 """
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
-        f.write(md)
+    # BENCH/BASELINE.md is hand-curated (it accumulates every recorded
+    # run); write the raw result next to it instead of clobbering.
+    with open(os.path.join(REPO, "BENCH",
+                           f"scaling_{N_CORES}_{4 * N_CORES}.json"),
+              "w") as f:
+        f.write(json.dumps({
+            "n": rn, "n4": r4n, "efficiency": round(efficiency, 4)}))
+    _ = md
     print(json.dumps({
         "n": rn, "n4": r4n, "efficiency": round(efficiency, 4)}))
 
