@@ -251,6 +251,20 @@ def _q_pdf_underline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select("url", "html").mapInPandas(fn, schema=schema)
 
 
+def _q_pdf_encrypted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encrypted-PDF decryption (RC4-40/128, AES-128, AES-256): byte-
+    identical text for valid docs, isolated parse failure for tampered
+    ones."""
+    from scribe_js_spark.pipeline import extract_text
+
+    df = spark.read.parquet(os.path.join(FIX_T2, "encrypted_docs.parquet"))
+    res = extract_text(df, salt=False)
+    return res.select(
+        "url",
+        F.coalesce(F.col("text"), F.lit("")).alias("text"),
+        F.col("error").isNotNull().alias("failed"))
+
+
 def _q_merge_comb(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Comb-mode Legacy+LSTM merge over the planted engine-pair family
     (box-sum 1/2/3/4-to-1 matching, rejectWordLegacy, char grafting)."""
@@ -470,6 +484,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "consensus_vote": _q_consensus,
         "merge_comb": _q_merge_comb,
         "pdf_underline": _q_pdf_underline,
+        "pdf_encrypted": _q_pdf_encrypted,
         "font_metrics": _q_font_metrics,
         "table_cells": _q_table_cells,
         "furniture_roles": _q_furniture_roles,
@@ -695,6 +710,9 @@ def oracle_sql() -> dict[str, str]:
         "consensus_vote": (
             f"SELECT url, word_id, text, conf::BIGINT AS conf"
             f" FROM read_parquet('{cons_p}')"),
+        "pdf_encrypted": (
+            "SELECT url, text, failed FROM read_parquet("
+            f"'{os.path.join(FIX_T2, 'encrypted.parquet')}')"),
         "pdf_underline": (
             "SELECT url, page_n::BIGINT AS page_n,"
             " line_n::BIGINT AS line_n, word_n::BIGINT AS word_n,"

@@ -1030,6 +1030,48 @@ def write_underline_parquet(path: str, n_docs: int = 40,
         os.path.join(path, "underline.parquet"), index=False)
 
 
+ENCRYPT_MODES = ("rc4_40", "rc4_128", "aesv2", "aesv3")
+
+
+def write_encrypted_parquet(path: str, n_docs: int = 40,
+                            seed: int = SEED_DEFAULT) -> None:
+    """Encrypted-PDF family: encrypted_docs.parquet (url, html) cycling
+    RC4-40/RC4-128/AES-128/AES-256 standard-handler variants, plus
+    tampered docs (corrupted /U on V=5) that must surface as
+    parse failures; encrypted.parquet carries the golden text and the
+    expected failed flag."""
+    import os
+
+    import pandas as pd
+
+    from .render_pdf import render_pdf as _render
+
+    doc_rows, golden_rows = [], []
+    for doc_id in range(n_docs):
+        model = build_doc_model(doc_id, seed=seed)
+        url = f"https://fixtures.test/pdf_encrypted/{doc_id:08d}"
+        mode = ENCRYPT_MODES[doc_id % len(ENCRYPT_MODES)]
+        tampered = doc_id % 10 == 9
+        if tampered:
+            data = bytearray(_render(model, encrypt_mode="aesv3"))
+            # corrupt the /U validation hash -> empty-password check
+            # fails -> PdfError('encrypted: password required')
+            at = data.find(b"/U <")
+            ch = data[at + 4]
+            data[at + 4] = ord("0") if ch != ord("0") else ord("1")
+            html = bytes(data)
+            text, failed = "", True
+        else:
+            html = _render(model, encrypt_mode=mode)
+            text, failed = expected_text(model), False
+        doc_rows.append({"url": url, "html": html})
+        golden_rows.append({"url": url, "text": text, "failed": failed})
+    pd.DataFrame(doc_rows).to_parquet(
+        os.path.join(path, "encrypted_docs.parquet"), index=False)
+    pd.DataFrame(golden_rows).to_parquet(
+        os.path.join(path, "encrypted.parquet"), index=False)
+
+
 def bench_page_count(doc_id: int) -> int:
     """FIXTURES.md §5 bench skew mix: 90% 1-3 pages, 9% 10-30, 1%
     200-500 — the long tail the salting strategy must absorb."""

@@ -28,7 +28,15 @@ class PdfDocument:
         self.trailer: dict = {}
         self._cache: dict[int, object] = {}
         self._objstm_cache: dict[int, list] = {}
+        self.crypto = None
         self._parse_xref_chain()
+        # Standard-security-handler decryption (crypto.py). Set up after
+        # the xref chain so the /Encrypt dict is resolvable; raises
+        # PdfError for unsupported handlers / failed empty-password
+        # validation so callers surface 'encrypted' as a parse failure.
+        from .crypto import setup_encryption
+
+        self.crypto = setup_encryption(self)
 
     # ------------------------------------------------------------- xref
 
@@ -181,12 +189,24 @@ class PdfDocument:
             lex.skip_ws()
             lex.read_token_word()  # num
             lex.skip_ws()
-            lex.read_token_word()  # gen
+            gen_tok = lex.read_token_word()
             lex.skip_ws()
             kw = lex.read_token_word()
             if kw != b"obj":
                 raise PdfError(f"object {objnum}: bad header at {entry[1]}")
             obj = lex.read_object()
+            try:
+                gen = int(gen_tok)
+            except ValueError:
+                gen = 0
+            if isinstance(obj, StreamObj):
+                obj.objnum = objnum
+                obj.gen = gen
+            elif self.crypto is not None:
+                # Strings in directly-stored objects are encrypted with
+                # the per-object key (objects inside object streams are
+                # covered by the container stream's decryption).
+                obj = self._decrypt_strings(obj, objnum, gen)
         else:
             _, stm_num, idx = entry
             objs = self._load_object_stream(stm_num)
@@ -218,6 +238,18 @@ class PdfDocument:
 
     # ----------------------------------------------------------- streams
 
+    def _decrypt_strings(self, obj, objnum: int, gen: int):
+        """Recursively decrypt string values of a directly-stored
+        object (PDF strings are encrypted with the per-object key)."""
+        if isinstance(obj, (bytes, bytearray)):
+            return self.crypto.decrypt(bytes(obj), objnum, gen)
+        if isinstance(obj, list):
+            return [self._decrypt_strings(v, objnum, gen) for v in obj]
+        if isinstance(obj, dict):
+            return {k: self._decrypt_strings(v, objnum, gen)
+                    for k, v in obj.items()}
+        return obj
+
     def _stream_bytes(self, stream: StreamObj) -> bytes:
         length = self.resolve(stream.dict.get("Length"))
         if length is None:
@@ -225,6 +257,10 @@ class PdfDocument:
             end = self.data.find(b"endstream", stream.data_pos)
             length = end - stream.data_pos if end >= 0 else 0
         raw = self.data[stream.data_pos : stream.data_pos + int(length)]
+        if (self.crypto is not None and stream.objnum is not None
+                and str(self.resolve(
+                    stream.dict.get("Type", ""))) != "XRef"):
+            raw = self.crypto.decrypt(raw, stream.objnum, stream.gen)
         return self._decode(raw, stream.dict)
 
     def _decode(self, raw: bytes, d: dict) -> bytes:

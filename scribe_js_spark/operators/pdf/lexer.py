@@ -256,8 +256,10 @@ class StreamObj:
     """A stream whose raw bytes start at ``data_pos`` (length resolved
     lazily against the xref, since /Length may be an indirect ref)."""
 
-    __slots__ = ("dict", "data_pos")
+    __slots__ = ("dict", "data_pos", "objnum", "gen")
 
     def __init__(self, d: dict, data_pos: int):
         self.dict = d
         self.data_pos = data_pos
+        self.objnum = None  # set by PdfDocument.get_object (decryption)
+        self.gen = 0

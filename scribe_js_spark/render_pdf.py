@@ -42,6 +42,7 @@ def _esc(s: str) -> str:
 class _Writer:
     def __init__(self):
         self.objects: list[bytes] = []
+        self.trailer_extra = ""
 
     def add(self, body: bytes) -> int:
         self.objects.append(body)
@@ -59,7 +60,8 @@ class _Writer:
         for off in offsets[1:]:
             out += f"{off:010d} 00000 n \n".encode()
         out += (
-            f"trailer\n<< /Size {len(self.objects) + 1} /Root 1 0 R >>\n"
+            f"trailer\n<< /Size {len(self.objects) + 1} /Root 1 0 R "
+            f"{self.trailer_extra}>>\n"
             f"startxref\n{xref_pos}\n%%EOF\n").encode()
         return bytes(out)
 
@@ -138,6 +140,87 @@ end
 end"""
 
 
+def _apply_encryption(w: "_Writer", mode: str, doc_id: int) -> None:
+    """Encrypt every stream payload in the writer and append the
+    /Encrypt dict + trailer entries. ``mode``: 'rc4_40' (V1/R2),
+    'rc4_128' (V2/R3), 'aesv2' (V4/R4), 'aesv3' (V5/R6). Owner
+    password 'owner', empty user password (the standard
+    permissions-only encryption the parser supports)."""
+    import hashlib
+    import re as _re
+
+    from .operators.pdf import crypto as C
+
+    doc_id_bytes = hashlib.md5(f"encfix{doc_id}".encode()).digest()
+    enc_objnum = len(w.objects) + 1
+    perms = -44
+
+    if mode == "aesv3":
+        file_key = (hashlib.md5(doc_id_bytes).digest()
+                    + hashlib.md5(doc_id_bytes[::-1]).digest())
+        vs, ks = doc_id_bytes[:8], doc_id_bytes[8:16]
+        u_val = C.hash_r6(b"", vs, b"") + vs + ks
+        inter = C.hash_r6(b"", ks, b"")
+        ue = C.aes_cbc_encrypt(inter, b"\x00" * 16, file_key)
+        key = file_key
+        enc_dict = (
+            f"<< /Filter /Standard /V 5 /R 6 /Length 256 /P {perms} "
+            f"/CF << /StdCF << /CFM /AESV3 /Length 32 >> >> "
+            f"/StmF /StdCF /StrF /StdCF "
+            f"/U <{u_val.hex()}> /UE <{ue.hex()}> >>")
+    else:
+        r, v, keylen = {"rc4_40": (2, 1, 5), "rc4_128": (3, 2, 16),
+                        "aesv2": (4, 4, 16)}[mode]
+        owner_pad = (b"owner" + C.PASSWORD_PADDING)[:32]
+        okey = hashlib.md5(owner_pad).digest()
+        if r >= 3:
+            for _ in range(50):
+                okey = hashlib.md5(okey[:keylen]).digest()
+        okey = okey[:keylen]
+        o_val = C.rc4(okey, C.PASSWORD_PADDING)  # empty user pwd padded
+        if r >= 3:
+            for i in range(1, 20):
+                o_val = C.rc4(bytes(b ^ i for b in okey), o_val)
+        key = C.compute_encryption_key(
+            b"", o_val, perms, doc_id_bytes, keylen, r, True)
+        # /U is not validated for V<5 (empty user password assumed)
+        u_val = b"\x00" * 32
+        extra = ""
+        if v == 4:
+            extra = ("/CF << /StdCF << /CFM /AESV2 /Length 16 >> >> "
+                     "/StmF /StdCF /StrF /StdCF ")
+        enc_dict = (
+            f"<< /Filter /Standard /V {v} /R {r} /Length {keylen * 8} "
+            f"/P {perms} {extra}/O <{o_val.hex()}> /U <{u_val.hex()}> >>")
+
+    def cipher(data: bytes, objnum: int) -> bytes:
+        if mode in ("aesv2", "aesv3"):
+            k = (key if mode == "aesv3"
+                 else C.compute_object_key(key, objnum, 0, True))
+            iv = hashlib.md5(f"iv{objnum}".encode()).digest()
+            pad = 16 - len(data) % 16
+            return iv + C.aes_cbc_encrypt(k, iv, data + bytes([pad]) * pad)
+        return C.rc4(C.compute_object_key(key, objnum, 0, False), data)
+
+    marker = b">>\nstream\n"
+    new_objects = []
+    for i, body in enumerate(w.objects, start=1):
+        pos = body.find(marker)
+        if pos == -1:
+            new_objects.append(body)
+            continue
+        payload = body[pos + len(marker):body.rfind(b"\nendstream")]
+        enc = cipher(payload, i)
+        head = _re.sub(rb"/Length \d+", b"/Length %d" % len(enc),
+                       body[:pos], count=1)
+        new_objects.append(head + marker + enc + b"\nendstream")
+    w.objects = new_objects
+    w.add(enc_dict.encode())
+    w.trailer_extra = (
+        f"/Encrypt {enc_objnum} 0 R "
+        f"/ID [<{doc_id_bytes.hex()}> <{doc_id_bytes.hex()}>] ")
+
+
 def render_pdf(model: dict, compress: bool | None = None,
                tj_mode: bool | None = None,
                ligatures: bool | None = None,
@@ -148,7 +231,8 @@ def render_pdf(model: dict, compress: bool | None = None,
                cid_font: bool | None = None,
                outline: bool = False,
                sup_markers: bool = False,
-               form_xobject: bool = False) -> bytes:
+               form_xobject: bool = False,
+               encrypt_mode: str | None = None) -> bytes:
     doc_id = model.get("doc_id", 0)
     if compress is None:
         compress = (doc_id % 2) == 1
@@ -160,6 +244,8 @@ def render_pdf(model: dict, compress: bool | None = None,
         rotate = (doc_id % 7) == 3
     if xref_stream is None:
         xref_stream = (doc_id % 11) == 4
+    if encrypt_mode:
+        xref_stream = False  # encrypted fixtures use the classic table
     if hex_strings is None:
         hex_strings = (doc_id % 13) == 5
     if cid_font is None:
@@ -430,4 +516,6 @@ def render_pdf(model: dict, compress: bool | None = None,
             + stm + b"\nendstream")
         return w.build_xref_stream(members)
 
+    if encrypt_mode:
+        _apply_encryption(w, encrypt_mode, doc_id)
     return w.build()
