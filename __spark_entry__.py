@@ -251,6 +251,83 @@ def _q_pdf_underline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select("url", "html").mapInPandas(fn, schema=schema)
 
 
+def _q_pdf_table_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PDF-side ruled-grid table detection + cell extraction over the
+    pdf_table family (detectPdfTables minimal core)."""
+    from typing import Iterator
+
+    import pandas as pd
+    from pyspark.sql.types import (
+        LongType, StringType, StructField, StructType)
+
+    from scribe_js_spark.extract import extract_document
+    from scribe_js_spark.operators.tables import extract_table_rows
+
+    schema = StructType([
+        StructField("url", StringType()),
+        StructField("row_n", LongType()),
+        StructField("col_n", LongType()),
+        StructField("cell", StringType()),
+    ])
+
+    def fn(batches: Iterator) -> Iterator:
+        for pdf in batches:
+            out = {f.name: [] for f in schema.fields}
+            for url, html in zip(pdf["url"], pdf["html"]):
+                res = extract_document(bytes(html))
+                if res.error is not None or not res.pages:
+                    continue
+                page = res.pages[0]
+                grids = [t for t in page.tables if t["method"] == "grid"]
+                if not grids:
+                    continue
+                matrix = extract_table_rows(page, grids[0]["bbox"])
+                for r, row in enumerate(matrix):
+                    for c, cell in enumerate(row):
+                        out["url"].append(url)
+                        out["row_n"].append(r)
+                        out["col_n"].append(c)
+                        out["cell"].append(cell)
+            yield pd.DataFrame(out)
+
+    df = spark.read.parquet(os.path.join(FIX_T2, "pdf_table_docs.parquet"))
+    return df.select("url", "html").mapInPandas(fn, schema=schema)
+
+
+def _q_pdf_table_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Detected table regions per document: ruled grid + borderless
+    numeric-cluster candidates, in page order."""
+    from typing import Iterator
+
+    import pandas as pd
+    from pyspark.sql.types import (
+        LongType, StringType, StructField, StructType)
+
+    from scribe_js_spark.extract import extract_document
+
+    schema = StructType([
+        StructField("url", StringType()),
+        StructField("table_n", LongType()),
+        StructField("method", StringType()),
+    ])
+
+    def fn(batches: Iterator) -> Iterator:
+        for pdf in batches:
+            out = {f.name: [] for f in schema.fields}
+            for url, html in zip(pdf["url"], pdf["html"]):
+                res = extract_document(bytes(html))
+                if res.error is not None or not res.pages:
+                    continue
+                for t_n, t in enumerate(res.pages[0].tables):
+                    out["url"].append(url)
+                    out["table_n"].append(t_n)
+                    out["method"].append(t["method"])
+            yield pd.DataFrame(out)
+
+    df = spark.read.parquet(os.path.join(FIX_T2, "pdf_table_docs.parquet"))
+    return df.select("url", "html").mapInPandas(fn, schema=schema)
+
+
 def _q_pdf_encrypted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Encrypted-PDF decryption (RC4-40/128, AES-128, AES-256): byte-
     identical text for valid docs, isolated parse failure for tampered
@@ -485,6 +562,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_comb": _q_merge_comb,
         "pdf_underline": _q_pdf_underline,
         "pdf_encrypted": _q_pdf_encrypted,
+        "pdf_table_cells": _q_pdf_table_cells,
+        "pdf_table_regions": _q_pdf_table_regions,
         "font_metrics": _q_font_metrics,
         "table_cells": _q_table_cells,
         "furniture_roles": _q_furniture_roles,
@@ -713,6 +792,16 @@ def oracle_sql() -> dict[str, str]:
         "pdf_encrypted": (
             "SELECT url, text, failed FROM read_parquet("
             f"'{os.path.join(FIX_T2, 'encrypted.parquet')}')"),
+        "pdf_table_cells": (
+            "SELECT url, row_n::BIGINT AS row_n, col_n::BIGINT AS col_n,"
+            " cell FROM read_parquet("
+            f"'{os.path.join(FIX_T2, 'pdf_table.parquet')}')"),
+        "pdf_table_regions": (
+            "WITH meta AS (SELECT url, n_tables FROM read_parquet("
+            f"'{os.path.join(FIX_T2, 'pdf_table_meta.parquet')}'))"
+            " SELECT url, 0::BIGINT AS table_n, 'grid' AS method FROM meta"
+            " UNION ALL SELECT url, 1::BIGINT, 'numeric' FROM meta"
+            " WHERE n_tables = 2"),
         "pdf_underline": (
             "SELECT url, page_n::BIGINT AS page_n,"
             " line_n::BIGINT AS line_n, word_n::BIGINT AS word_n,"

@@ -1030,6 +1030,105 @@ def write_underline_parquet(path: str, n_docs: int = 40,
         os.path.join(path, "underline.parquet"), index=False)
 
 
+def build_pdf_table_models(doc_id: int, seed: int = SEED_DEFAULT) -> dict:
+    """PDF table family: one ruled-grid table (drawn h/v rule lines,
+    numeric cells at 100*(row+1)+col) and, on odd docs, a borderless
+    right-clustered-numeric block, embedded between text paragraphs."""
+    rng = _doc_rng(seed + 5151, doc_id)
+    n_rows = rng.randint(3, 6)
+    n_cols = rng.randint(3, 5)
+    col_w = 180
+    xs = [MARGIN_LEFT + i * col_w for i in range(n_cols + 1)]
+
+    pars, expected, y = [], [], TOP_BASELINE
+    # leading text paragraph
+    lead = [{"text": rng.choice(LEXICON), "chars": None,
+             "out_words": None, "left": MARGIN_LEFT + i * 110,
+             "right": MARGIN_LEFT + i * 110 + 90,
+             "top": y - ASC_H, "bottom": y + DESC_H, "conf": 97}
+            for i in range(5)]
+    for w in lead:
+        w["out_words"] = [w["text"]]
+    pars.append({"lines": [{"words": lead, "baseline_y": y, "indent": 0}]})
+    y += PAR_GAP
+
+    # ruled grid: row baselines inside bands bounded by rule ys
+    grid_top = y - ASC_H - 10
+    row_ys = [grid_top]
+    lines = []
+    for r in range(n_rows):
+        words = []
+        for c in range(n_cols):
+            val = str(100 * (r + 1) + c)
+            x = xs[c] + 12
+            words.append({
+                "text": val, "chars": None, "out_words": [val],
+                "left": x, "right": x + len(val) * CHAR_W,
+                "top": y - ASC_H, "bottom": y + DESC_H, "conf": 97})
+            expected.append({"table_n": 0, "row_n": r, "col_n": c,
+                             "cell": val})
+        lines.append({"words": words, "baseline_y": y, "indent": 0})
+        row_ys.append(y + DESC_H + 10)
+        y += LINE_PITCH
+    pars.append({"lines": lines})
+    y += PAR_GAP
+
+    page = {"pars": pars, "width": PAGE_W, "height": PAGE_H,
+            "table_grids": [{"col_xs": xs, "row_ys": row_ys}]}
+    model = {"doc_id": doc_id, "family": "base", "pages": [page]}
+    n_tables = 1
+    if doc_id % 2 == 1:
+        # borderless financial block: label + 3 numeric columns
+        blines = []
+        for r in range(4):
+            label = rng.choice(LEXICON)
+            words = [{
+                "text": label, "chars": None, "out_words": [label],
+                "left": MARGIN_LEFT,
+                "right": MARGIN_LEFT + len(label) * CHAR_W,
+                "top": y - ASC_H, "bottom": y + DESC_H, "conf": 97}]
+            for c in range(3):
+                val = f"{(r + 1) * 1000 + c * 7},{100 + r}"
+                x = MARGIN_LEFT + 450 + c * 150
+                words.append({
+                    "text": val, "chars": None, "out_words": [val],
+                    "left": x, "right": x + len(val) * CHAR_W,
+                    "top": y - ASC_H, "bottom": y + DESC_H, "conf": 97})
+            blines.append({"words": words, "baseline_y": y, "indent": 0})
+            y += LINE_PITCH
+        pars.append({"lines": blines})
+        n_tables = 2
+    return {"model": model, "expected": expected, "n_tables": n_tables,
+            "n_grid_cols": n_cols}
+
+
+def write_pdf_table_parquet(path: str, n_docs: int = 30,
+                            seed: int = SEED_DEFAULT) -> None:
+    """pdf_table_docs.parquet (url, html) + pdf_table.parquet golden
+    grid cells + pdf_table_meta.parquet (url, n_tables)."""
+    import os
+
+    import pandas as pd
+
+    from .render_pdf import render_pdf as _render
+
+    doc_rows, cell_rows, meta_rows = [], [], []
+    for doc_id in range(n_docs):
+        m = build_pdf_table_models(doc_id, seed=seed)
+        url = f"https://fixtures.test/pdf_table/{doc_id:08d}"
+        doc_rows.append({
+            "url": url, "html": _render(m["model"], rotate=False)})
+        for rec in m["expected"]:
+            cell_rows.append({"url": url, **rec})
+        meta_rows.append({"url": url, "n_tables": m["n_tables"]})
+    pd.DataFrame(doc_rows).to_parquet(
+        os.path.join(path, "pdf_table_docs.parquet"), index=False)
+    pd.DataFrame(cell_rows).to_parquet(
+        os.path.join(path, "pdf_table.parquet"), index=False)
+    pd.DataFrame(meta_rows).to_parquet(
+        os.path.join(path, "pdf_table_meta.parquet"), index=False)
+
+
 ENCRYPT_MODES = ("rc4_40", "rc4_128", "aesv2", "aesv3")
 
 

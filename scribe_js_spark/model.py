@@ -154,7 +154,7 @@ class OcrPar:
 
 class OcrPage:
     __slots__ = ("n", "dims", "angle", "pars", "lines", "textSource",
-                 "rules")
+                 "rules", "tables")
 
     def __init__(self, n: int, dims: dict):
         self.n = n
@@ -167,6 +167,9 @@ class OcrPage:
         # underlines): [{'y', 'left', 'right'}] — paragraph separators
         # for layout analysis (parsePdfDoc.js:1013)
         self.rules: list[dict] = []
+        # PDF-side detected table regions: [{'bbox', 'col_separators',
+        # 'method'}] (detectPdfTables minimal core)
+        self.tables: list[dict] = []
 
 
 def update_line_bbox(line: OcrLine, adjust_baseline: bool = True) -> None:

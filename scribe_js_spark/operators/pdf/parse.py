@@ -155,7 +155,7 @@ def parse_pdf_document(data: bytes) -> list[OcrPage]:
             paths, _placements = parse_page_paths(doc, page, base_ctm=base)
             underline_rects = extract_underline_rects(paths, scale, h)
         except Exception:
-            underline_rects = []
+            paths, underline_rects = [], []
         page_obj = group_chars_into_page(
             chars, n,
             {"width": js_round(w * scale), "height": js_round(h * scale)},
@@ -165,5 +165,13 @@ def parse_pdf_document(data: bytes) -> list[OcrPage]:
         page_obj.rules = [
             {"y": r["y"], "left": r["left"], "right": r["right"]}
             for r in underline_rects if not r["isUnderline"]]
+        # PDF-side table regions (ruled grids + numeric clusters)
+        try:
+            from .tables_pdf import detect_pdf_table_regions
+
+            page_obj.tables = detect_pdf_table_regions(
+                page_obj, paths, scale, h)
+        except Exception:
+            page_obj.tables = []
         out.append(page_obj)
     return out

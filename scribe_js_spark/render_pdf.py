@@ -354,6 +354,14 @@ def render_pdf(model: dict, compress: bool | None = None,
             ops.append(
                 f"{rule['left']} {page_h - rule['y']} "
                 f"{rule['right'] - rule['left']} 1 re f")
+        for grid in page.get("table_grids", []):
+            xs, ys = grid["col_xs"], grid["row_ys"]
+            for gy in ys:  # horizontal rules span the columns
+                ops.append(
+                    f"{xs[0]} {page_h - gy} {xs[-1] - xs[0]} 0.8 re f")
+            for gx in xs:  # vertical rules span the rows
+                ops.append(
+                    f"{gx} {page_h - ys[-1]} 0.8 {ys[-1] - ys[0]} re f")
         return ops
 
     for page_n, page in enumerate(model["pages"]):

@@ -1,0 +1,64 @@
+"""PDF-side table detection tests (detectPdfTables minimal core)."""
+
+from scribe_js_spark.extract import extract_document
+from scribe_js_spark.fixtures import build_pdf_table_models
+from scribe_js_spark.operators.pdf.tables_pdf import (
+    is_num_token,
+    is_num_word,
+    is_right_clustered_numeric,
+)
+from scribe_js_spark.operators.tables import extract_table_rows
+from scribe_js_spark.render_pdf import render_pdf
+
+
+class _W:
+    def __init__(self, text):
+        self.text = text
+
+
+def test_num_token_classifier():
+    assert is_num_token("1,234.56")
+    assert is_num_token("(5%)")
+    assert is_num_token("-")
+    assert not is_num_token("a1")
+    assert is_num_word("68,300")
+    assert not is_num_word("$.,")  # punctuation-only except bare dash
+    assert is_num_word("-")
+
+
+def test_right_clustered_numeric():
+    row = [_W("revenue"), _W("68,300"), _W("63,700"), _W("58,800")]
+    assert is_right_clustered_numeric(row)
+    # text after the numbers breaks the cluster
+    assert not is_right_clustered_numeric(row + [_W("total")])
+    # only two trailing numerics
+    assert not is_right_clustered_numeric(
+        [_W("a"), _W("b"), _W("1"), _W("2")])
+
+
+def test_grid_and_numeric_tables_end_to_end():
+    for doc_id in (0, 1, 7):
+        m = build_pdf_table_models(doc_id)
+        res = extract_document(render_pdf(m["model"], rotate=False))
+        assert res.error is None
+        page = res.pages[0]
+        assert len(page.tables) == m["n_tables"]
+        assert page.tables[0]["method"] == "grid"
+        assert (len(page.tables[0]["col_separators"])
+                == m["n_grid_cols"] - 1)
+        matrix = extract_table_rows(page, page.tables[0]["bbox"])
+        got = [(r, c, cell) for r, row in enumerate(matrix)
+               for c, cell in enumerate(row)]
+        exp = [(rec["row_n"], rec["col_n"], rec["cell"])
+               for rec in m["expected"]]
+        assert got == exp
+
+
+def test_plain_text_pages_have_no_tables():
+    from scribe_js_spark.fixtures import build_doc_model
+
+    model = build_doc_model(0)
+    res = extract_document(render_pdf(model, rotate=False))
+    assert res.error is None
+    for page in res.pages:
+        assert page.tables == []
