@@ -328,6 +328,56 @@ def _q_pdf_table_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select("url", "html").mapInPandas(fn, schema=schema)
 
 
+def _q_pdf_group_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """groupCharsIntoPage deferred rules: orphan-char merge, drop caps,
+    reference-marker reattach, fake small caps, styleRuns."""
+    from typing import Iterator
+
+    import pandas as pd
+    from pyspark.sql.types import (
+        BooleanType, LongType, StringType, StructField, StructType)
+
+    from scribe_js_spark.extract import extract_document
+
+    schema = StructType([
+        StructField("url", StringType()),
+        StructField("line_n", LongType()),
+        StructField("word_n", LongType()),
+        StructField("text", StringType()),
+        StructField("sup", BooleanType()),
+        StructField("dropcap", BooleanType()),
+        StructField("smallCaps", BooleanType()),
+        StructField("bold", BooleanType()),
+        StructField("n_style_runs", LongType()),
+    ])
+
+    def fn(batches: Iterator) -> Iterator:
+        for pdf in batches:
+            out = {f.name: [] for f in schema.fields}
+            for url, html in zip(pdf["url"], pdf["html"]):
+                res = extract_document(bytes(html))
+                if res.error is not None:
+                    continue
+                for page in res.pages:
+                    for line_n, line in enumerate(page.lines):
+                        for word_n, w in enumerate(line.words):
+                            out["url"].append(url)
+                            out["line_n"].append(line_n)
+                            out["word_n"].append(word_n)
+                            out["text"].append(w.text)
+                            out["sup"].append(bool(w.style.sup))
+                            out["dropcap"].append(bool(w.style.dropcap))
+                            out["smallCaps"].append(
+                                bool(w.style.smallCaps))
+                            out["bold"].append(bool(w.style.bold))
+                            out["n_style_runs"].append(
+                                len(w.styleRuns or []))
+            yield pd.DataFrame(out)
+
+    df = spark.read.parquet(os.path.join(FIX_T2, "groupx_docs.parquet"))
+    return df.select("url", "html").mapInPandas(fn, schema=schema)
+
+
 def _q_pdf_encrypted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Encrypted-PDF decryption (RC4-40/128, AES-128, AES-256): byte-
     identical text for valid docs, isolated parse failure for tampered
@@ -562,6 +612,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_comb": _q_merge_comb,
         "pdf_underline": _q_pdf_underline,
         "pdf_encrypted": _q_pdf_encrypted,
+        "pdf_group_rules": _q_pdf_group_rules,
         "pdf_table_cells": _q_pdf_table_cells,
         "pdf_table_regions": _q_pdf_table_regions,
         "font_metrics": _q_font_metrics,
@@ -792,6 +843,12 @@ def oracle_sql() -> dict[str, str]:
         "pdf_encrypted": (
             "SELECT url, text, failed FROM read_parquet("
             f"'{os.path.join(FIX_T2, 'encrypted.parquet')}')"),
+        "pdf_group_rules": (
+            'SELECT url, line_n::BIGINT AS line_n,'
+            ' word_n::BIGINT AS word_n, text, sup, dropcap,'
+            ' "smallCaps", bold, n_style_runs::BIGINT AS n_style_runs'
+            f" FROM read_parquet("
+            f"'{os.path.join(FIX_T2, 'groupx.parquet')}')"),
         "pdf_table_cells": (
             "SELECT url, row_n::BIGINT AS row_n, col_n::BIGINT AS col_n,"
             " cell FROM read_parquet("

@@ -1129,6 +1129,132 @@ def write_pdf_table_parquet(path: str, n_docs: int = 30,
         os.path.join(path, "pdf_table_meta.parquet"), index=False)
 
 
+def build_groupx_models(doc_id: int, seed: int = SEED_DEFAULT) -> dict:
+    """PDF grouping-rule family (the groupCharsIntoPage deferred rules):
+    per line one scenario —
+    - orphan_quote: a same-size curly quote emitted at stream end is
+      merged back into its word (orphan case a);
+    - dropcap:     an oversized top-aligned capital emitted at stream
+      end merges (case b) and becomes a dropcap word;
+    - ref_marker:  a reduced-size trailing digit emitted at stream end
+      reattaches to its host line and flags superscript;
+    - smallcaps:   mixed-size all-uppercase words become smallCaps with
+      the large-char size, extending over the following word;
+    - styleruns:   a bold word with a regular trailing period keeps one
+      word and records a styleRun delta."""
+    rng = _doc_rng(seed + 77001, doc_id)
+    FONT_SIZE_PDF = 30  # render_pdf.FONT_SIZE (import cycle avoided)
+    asc = 0.718
+    y = TOP_BASELINE
+    lines, expected = [], []
+
+    def _w(text, left, width, **kw):
+        d = {"text": text, "chars": None, "out_words": [text],
+             "left": left, "right": left + width,
+             "top": y - ASC_H, "bottom": y + DESC_H, "conf": 97}
+        d.update(kw)
+        return d
+
+    def _exp(line_n, word_n, text, sup=False, dropcap=False,
+             small_caps=False, bold=False, n_runs=0):
+        expected.append({
+            "line_n": line_n, "word_n": word_n, "text": text,
+            "sup": sup, "dropcap": dropcap, "smallCaps": small_caps,
+            "bold": bold, "n_style_runs": n_runs})
+
+    # line 0: orphan same-size quote
+    tok, tok2 = rng.choice(LEXICON), rng.choice(LEXICON)
+    w1 = _w(tok, MARGIN_LEFT, len(tok) * CHAR_W)
+    quote = _w("”", w1["right"], CHAR_W, deferred=True,
+               segments=[{"text": "”", "fs": FONT_SIZE_PDF}])
+    w2 = _w(tok2, w1["right"] + CHAR_W + 10, len(tok2) * CHAR_W)
+    lines.append({"words": [w1, quote, w2], "baseline_y": y, "indent": 0})
+    _exp(0, 0, tok + "”")
+    _exp(0, 1, tok2)
+    y += LINE_PITCH
+
+    # line 1: drop cap
+    dc_fs = 75
+    dc = _w("T", MARGIN_LEFT, 0.5 * dc_fs, deferred=True,
+            segments=[{"text": "T", "fs": dc_fs}],
+            baseline_y=y + asc * (dc_fs - FONT_SIZE_PDF))
+    he = _w("he", MARGIN_LEFT + 0.5 * dc_fs, 2 * CHAR_W)
+    tok3 = rng.choice(LEXICON)
+    w3 = _w(tok3, he["right"] + 10, len(tok3) * CHAR_W)
+    lines.append({"words": [dc, he, w3], "baseline_y": y, "indent": 0})
+    _exp(1, 0, "T", dropcap=True)
+    _exp(1, 1, "he")
+    _exp(1, 2, tok3)
+    y += 2 * LINE_PITCH  # dropcap glyph dips into the band below
+
+    # line 2: out-of-order reference marker
+    t1, t2 = rng.choice(LEXICON), rng.choice(LEXICON)
+    m1 = _w(t1, MARGIN_LEFT, len(t1) * CHAR_W)
+    m2 = _w(t2, m1["right"] + 10, len(t2) * CHAR_W)
+    marker = _w("7", m2["right"] + 2, 0.5 * 18, deferred=True,
+                segments=[{"text": "7", "fs": 18}], baseline_y=y - 12)
+    lines.append({"words": [m1, m2, marker], "baseline_y": y, "indent": 0})
+    _exp(2, 0, t1)
+    _exp(2, 1, t2)
+    _exp(2, 2, "7", sup=True)
+    y += LINE_PITCH
+
+    # line 3: fake small caps
+    sc1 = _w("SMALL", MARGIN_LEFT, 15 + 4 * 11,
+             segments=[{"text": "S", "fs": FONT_SIZE_PDF},
+                       {"text": "MALL", "fs": 22}])
+    sc2 = _w("CAPS", sc1["right"] + 10, 4 * 11,
+             segments=[{"text": "CAPS", "fs": 22}])
+    tok5 = rng.choice(LEXICON)
+    sc3 = _w(tok5, sc2["right"] + 10, len(tok5) * CHAR_W)
+    lines.append({"words": [sc1, sc2, sc3], "baseline_y": y, "indent": 0})
+    _exp(3, 0, "SMALL", small_caps=True)
+    _exp(3, 1, "CAPS", small_caps=True)
+    _exp(3, 2, tok5)
+    y += LINE_PITCH
+
+    # line 4: style runs (bold word, regular trailing period)
+    br = _w("bold.", MARGIN_LEFT, 5 * CHAR_W,
+            segments=[{"text": "bold", "fs": FONT_SIZE_PDF, "bold": True},
+                      {"text": ".", "fs": FONT_SIZE_PDF}])
+    tok6 = rng.choice(LEXICON)
+    w6 = _w(tok6, br["right"] + 10, len(tok6) * CHAR_W)
+    lines.append({"words": [br, w6], "baseline_y": y, "indent": 0})
+    _exp(4, 0, "bold.", bold=True, n_runs=1)
+    _exp(4, 1, tok6)
+
+    model = {"doc_id": doc_id, "family": "base", "use_bold_font": True,
+             "pages": [{"pars": [{"lines": lines}],
+                        "width": PAGE_W, "height": PAGE_H}]}
+    return {"model": model, "expected": expected}
+
+
+def write_groupx_parquet(path: str, n_docs: int = 30,
+                         seed: int = SEED_DEFAULT) -> None:
+    """groupx_docs.parquet (url, html PDF bytes) + groupx.parquet golden
+    word rows for the pdf_group_rules oracle."""
+    import os
+
+    import pandas as pd
+
+    from .render_pdf import render_pdf as _render
+
+    doc_rows, golden_rows = [], []
+    for doc_id in range(n_docs):
+        m = build_groupx_models(doc_id, seed=seed)
+        url = f"https://fixtures.test/pdf_groupx/{doc_id:08d}"
+        doc_rows.append({
+            "url": url,
+            "html": _render(m["model"], tj_mode=False, rotate=False,
+                            ligatures=False, cid_font=False)})
+        for rec in m["expected"]:
+            golden_rows.append({"url": url, **rec})
+    pd.DataFrame(doc_rows).to_parquet(
+        os.path.join(path, "groupx_docs.parquet"), index=False)
+    pd.DataFrame(golden_rows).to_parquet(
+        os.path.join(path, "groupx.parquet"), index=False)
+
+
 ENCRYPT_MODES = ("rc4_40", "rc4_128", "aesv2", "aesv3")
 
 

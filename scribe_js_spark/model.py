@@ -87,7 +87,7 @@ class OcrChar:
 class OcrWord:
     __slots__ = (
         "text", "style", "lang", "conf", "bbox", "id", "line", "chars",
-        "visualCoords", "lineNum", "textAlt",
+        "visualCoords", "lineNum", "textAlt", "styleRuns",
     )
 
     def __init__(self, line: "OcrLine", wid: str, text: str, bbox: Bbox):
@@ -104,6 +104,9 @@ class OcrWord:
         # Top raw-classifier choice when the engine applied a dictionary
         # correction (Tesseract Legacy textAlt; compareOCRModule.js:858)
         self.textAlt: Optional[str] = None
+        # Per-char style deltas within the word:
+        # [{'i': offset, 'style': {...}}] (parsePdfDoc.js:3223-3242)
+        self.styleRuns: Optional[list] = None
 
     def clone(self) -> "OcrWord":
         w = OcrWord(self.line, self.id, self.text, self.bbox.copy())
@@ -114,6 +117,8 @@ class OcrWord:
         w.visualCoords = self.visualCoords
         w.lineNum = self.lineNum
         w.textAlt = self.textAlt
+        w.styleRuns = ([dict(r) for r in self.styleRuns]
+                       if self.styleRuns else None)
         if self.chars is not None:
             w.chars = [OcrChar(c.text, c.bbox.copy()) for c in self.chars]
         return w

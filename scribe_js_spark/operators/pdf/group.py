@@ -24,10 +24,17 @@ Semantics of the reference's groupCharsIntoPage
 (xiv)  page angle = asin(mean50(slopes)) (:3253)
 (xv)   assignParagraphs (:3281)
 
-Superscript word detection (:2721-2744) is implemented below (rule ix
-in group_chars_into_page). Deferred (exercised by no text-layer fixture
-yet): inline-math exemptions, orphan single-char merge,
-fake-small-caps lowercasing, underline matching, styleRuns.
+(iv)   orphan single-char merge: same-size punctuation + drop caps
+       (:2317-2397)
+(v)    out-of-order reference-marker reattach (:2462-2520)
+(ix)   superscript word detection (:2721-2744) and drop-cap word
+       detection (:2795-2806)
+(x)    fake small caps (:2915-2959) -> smallCaps style + large size
+(xi)   underline matching from vector paths (:3141-3174)
+(xiii) styleRuns: per-char bold/italic deltas (:3223-3242)
+
+Deferred (exercised by no text-layer fixture yet): inline-math
+exemptions (:2195-2222).
 """
 
 from __future__ import annotations
@@ -45,6 +52,10 @@ _TERMINAL_RE = re.compile(r"[.!?]")
 _BULLET_CHARS = set("•◦▪▫●○◼◻➢‣·")
 _ALNUM_RE = re.compile(r"[A-Za-z0-9]")
 _UPPER_RE = re.compile(r"[A-Z]")
+_LOWER_RE = re.compile(r"[a-z]")
+_SC_SHAPE_RE = re.compile(r"[A-Z].?[A-Z]")
+_REF_MARKER_RE = re.compile(r"^[0-9,]+$|^[®*†‡§]+$")
+_FN_MARKER_RE = re.compile(r"^FN\d{1,3}$")
 
 
 def group_chars_into_page(chars, n: int, page_dims: dict,
@@ -215,6 +226,163 @@ def group_chars_into_page(chars, n: int, page_dims: dict,
     if current:
         lines.append(current)
 
+    # (iv) orphan single-char merge (parsePdfDoc.js:2317-2397): chars
+    # emitted far from their neighbors in stream order strand as
+    # single-char lines. Case (a): same-size punctuation (same font,
+    # baseline-adjacent); case (b): drop caps (same font, >2x larger,
+    # top-aligned, single uppercase letter). The orphan is inserted at
+    # its x-position so word splitting groups it spatially.
+    line_extents = []
+    for line_chars in lines:
+        min_x, max_right, max_fs = math.inf, -math.inf, 0.0
+        for ch in line_chars:
+            if ch.x < min_x:
+                min_x = ch.x
+            if ch.x + ch.width > max_right:
+                max_right = ch.x + ch.width
+            if ch.fontSize > max_fs:
+                max_fs = ch.fontSize
+        line_extents.append([min_x, max_right, max_fs])
+    li = len(lines) - 1
+    while li >= 0:
+        if len(lines[li]) != 1:
+            li -= 1
+            continue
+        orphan = lines[li][0]
+        orphan_right = orphan.x + orphan.width
+        orphan_top = orphan.y - orphan.font.ascent * orphan.fontSize
+        merged = False
+        for lj in range(len(lines)):
+            if merged or lj == li:
+                continue
+            target = lines[lj]
+            ext = line_extents[lj]
+            slack = max(orphan.fontSize, ext[2]) * 0.1
+            if orphan_right < ext[0] - slack or orphan.x > ext[1] + slack:
+                continue
+            for ch in target:
+                if orphan.font.family_name != ch.font.family_name:
+                    continue
+                ch_right = ch.x + ch.width
+                max_font = max(orphan.fontSize, ch.fontSize)
+                min_font_o = min(orphan.fontSize, ch.fontSize)
+                same_size = abs(orphan.fontSize - ch.fontSize) \
+                    < max_font * 0.1
+                x_adj = (orphan_right >= ch.x - max_font * 0.1
+                         and orphan.x <= ch_right + max_font * 0.1)
+                do_merge = False
+                if same_size and x_adj \
+                        and abs(orphan.y - ch.y) < max_font * 0.5:
+                    do_merge = True  # (a) same-size punctuation
+                elif (not same_size and orphan.fontSize > ch.fontSize * 2
+                        and _UPPER_RE.search(orphan.text) and x_adj):
+                    ch_top = ch.y - ch.font.ascent * ch.fontSize
+                    if abs(orphan_top - ch_top) < min_font_o * 0.25:
+                        do_merge = True  # (b) drop cap, top-aligned
+                if do_merge:
+                    insert_idx = len(target)
+                    for k, tc in enumerate(target):
+                        if tc.x > orphan.x:
+                            insert_idx = k
+                            break
+                    target.insert(insert_idx, orphan)
+                    ext[0] = min(ext[0], orphan.x)
+                    ext[1] = max(ext[1], orphan_right)
+                    ext[2] = max(ext[2], orphan.fontSize)
+                    del lines[li]
+                    del line_extents[li]
+                    merged = True
+                    break
+        li -= 1
+
+    # (v) out-of-order reference-marker reattach (:2462-2520): some
+    # generators emit a page's superscript markers as a trailing block;
+    # each strands as its own reduced-size line inside a band a
+    # full-size line occupies. Only marker-shaped content moves.
+    def _line_anchor(line_chars):
+        max_size, family = 0.0, None
+        for ch in line_chars:
+            if ch.text != " " and ch.fontSize > max_size:
+                max_size = ch.fontSize
+                family = ch.font.family_name
+        if max_size == 0:
+            return None
+        ys = []
+        left_x, right_x = math.inf, -math.inf
+        for ch in line_chars:
+            if ch.text == " ":
+                continue
+            if ch.fontSize >= max_size * 0.8:
+                ys.append(cy(ch))
+            if ch.x < left_x:
+                left_x = ch.x
+            if ch.x + ch.width > right_x:
+                right_x = ch.x + ch.width
+        if not ys:
+            return None
+        ys.sort()
+        return {"fs": max_size, "family": family,
+                "baseline": ys[len(ys) // 2],
+                "left": left_x, "right": right_x}
+
+    anchors = [_line_anchor(lc) for lc in lines]
+    li = len(lines) - 1
+    while li >= 0:
+        frag = [c for c in lines[li] if c.text != " "]
+        frag_text = "".join(c.text for c in frag)
+        is_fn = bool(_FN_MARKER_RE.match(frag_text))
+        if (0 < len(frag) <= 6
+                and (_REF_MARKER_RE.match(frag_text) or is_fn)):
+            frag_size, frag_family = 0.0, None
+            frag_left, frag_baseline = math.inf, 0.0
+            for c in frag:
+                if c.fontSize > frag_size:
+                    frag_size = c.fontSize
+                    frag_family = c.font.family_name
+                if c.x < frag_left:
+                    frag_left = c.x
+                frag_baseline = cy(c)
+            best, best_dist = -1, math.inf
+            for lj in range(len(lines)):
+                if lj == li:
+                    continue
+                host = anchors[lj]
+                if not host:
+                    continue
+                # superscript-scaled for its host (FN markers stay
+                # near body size)
+                if is_fn:
+                    if (frag_size < host["fs"] * 0.7
+                            or frag_size > host["fs"] * 1.15):
+                        continue
+                elif (frag_size >= host["fs"] * 0.85
+                        or frag_size < host["fs"] * 0.4):
+                    continue
+                if host["family"] != frag_family:
+                    continue
+                drop = host["baseline"] - frag_baseline
+                if drop < -host["fs"] * 0.1 or drop > host["fs"] * 0.8:
+                    continue
+                if frag_left < host["left"] - host["fs"] * 0.5:
+                    continue
+                if frag_left > host["right"] + host["fs"]:
+                    continue
+                if abs(drop) < best_dist:
+                    best_dist = abs(drop)
+                    best = lj
+            if best >= 0:
+                target = lines[best]
+                insert_idx = len(target)
+                for k, tc in enumerate(target):
+                    if tc.x > frag_left:
+                        insert_idx = k
+                        break
+                target[insert_idx:insert_idx] = lines[li]
+                anchors[best] = _line_anchor(target)
+                del lines[li]
+                del anchors[li]
+        li -= 1
+
     # (vii)-(viii) word splitting per line.
     for line_chars in lines:
         words_initial = []
@@ -330,26 +498,95 @@ def group_chars_into_page(chars, n: int, page_dims: dict,
         if not words_final:
             continue
 
+        # Drop-cap word detection (:2795-2806): a single-char word >2x
+        # the next word's size with a lower baseline (the letter spans
+        # multiple visual lines). Detected before superscript scanning
+        # so the oversized glyph doesn't anchor the body baseline.
+        dropcap_flags = [False] * len(words_final)
+        for wi2 in range(len(words_final) - 1):
+            wc = words_final[wi2]
+            nc = words_final[wi2 + 1]
+            if len(wc) != 1 or not nc:
+                continue
+            if (wc[0].fontSize > nc[0].fontSize * 2
+                    and wc[0].y > nc[0].y):
+                dropcap_flags[wi2] = True
+
         # (ix) superscript word detection — whole-word variant of the
         # reference's boundary scan (:2721-2744: sizeDelta < -0.05 and
         # baselineDelta < -0.25 relative to adjacent full-size text; the
         # baseline-shift word split above has already isolated the
-        # raised run into its own word).
+        # raised run into its own word). Drop-cap words are excluded
+        # from the body anchor and never flagged (:2819).
         body_fs = max(
-            (c.fontSize for w in words_final for c in w), default=0.0)
+            (c.fontSize
+             for wi2, w in enumerate(words_final)
+             if not dropcap_flags[wi2] for c in w), default=0.0)
         body_ys = [
-            c.y for w in words_final for c in w
+            c.y
+            for wi2, w in enumerate(words_final)
+            if not dropcap_flags[wi2] for c in w
             if c.fontSize >= body_fs * 0.95]
         body_baseline = min(body_ys) if body_ys else None
         sup_flags = []
-        for wchars in words_final:
+        for wi2, wchars in enumerate(words_final):
             fs = wchars[0].fontSize
             is_sup = bool(
-                body_baseline is not None
+                not dropcap_flags[wi2]
+                and body_baseline is not None
                 and body_fs > 0
                 and fs < body_fs * 0.85
                 and (body_baseline - wchars[0].y) > fs * 0.25)
             sup_flags.append(is_sup)
+
+        # Fake small caps (:2915-2959): mixed font sizes inside an
+        # all-uppercase word on one baseline mark the smaller chars as
+        # small-caps lowercase; the run extends to following uniform
+        # small-size uppercase words until a size step breaks it.
+        sc_alt = [False] * len(words_final)
+        sc_large = [0.0] * len(words_final)
+        sc_title = [False] * len(words_final)
+        sc_active = False
+        sc_base = 0.0
+        for wi2, wchars in enumerate(words_final):
+            if sup_flags[wi2] or len(wchars) < 2:
+                continue
+            max_fs = max(c.fontSize for c in wchars)
+            min_fs = min(c.fontSize for c in wchars)
+            mixed = max_fs > 0 and min_fs < max_fs * 0.95
+            if mixed:
+                all_text = "".join(c.text for c in wchars)
+                if (not _LOWER_RE.search(all_text)
+                        and _UPPER_RE.search(all_text)):
+                    large = next(
+                        (c for c in wchars
+                         if c.fontSize >= max_fs * 0.95), None)
+                    small = next(
+                        (c for c in wchars
+                         if c.fontSize <= min_fs * 1.05), None)
+                    delta = (abs(small.y - large.y) / min_fs
+                             if large and small and min_fs else 0.0)
+                    if delta < 0.15:
+                        sc_alt[wi2] = True
+                        sc_large[wi2] = max_fs
+                        first_alpha = next(
+                            (c for c in wchars
+                             if _UPPER_RE.match(c.text)), None)
+                        if first_alpha \
+                                and first_alpha.fontSize >= max_fs * 0.95:
+                            sc_title[wi2] = True
+                        sc_active = True
+                        sc_base = max_fs
+            elif sc_active:
+                fs1 = wchars[0].fontSize
+                fs2 = wchars[1].fontSize
+                fmin = min(fs1, fs2)
+                sdelta = (fs2 - fs1) / fmin if fmin > 0 else 0.0
+                if math.isfinite(sdelta) and sdelta > 0.05:
+                    sc_active = False
+                else:
+                    sc_alt[wi2] = True
+                    sc_large[wi2] = sc_base
 
         # (xii) line bbox from chars via font ascent/descent.
         # Rounded device boxes computed once per char (hot path).
@@ -421,6 +658,40 @@ def group_chars_into_page(chars, n: int, page_dims: dict,
             word_obj.style.italic = first_alnum.font.italic
             word_obj.style.size = round3(first_alnum.fontSize)
             word_obj.style.sup = sup_flags[wi2]
+            if dropcap_flags[wi2]:
+                word_obj.style.dropcap = True
+                word_obj.style.size = round3(wchars[0].fontSize)
+            # Fake small caps -> real smallCaps style when the word is
+            # uppercase-shaped; size restored to the large-char size
+            # (:3133-3139)
+            if sc_alt[wi2] and not _LOWER_RE.search(wtext) \
+                    and _SC_SHAPE_RE.search(wtext):
+                word_obj.style.smallCaps = True
+                if sc_large[wi2] > 0:
+                    word_obj.style.size = round3(sc_large[wi2])
+
+            # styleRuns (:3223-3242): per-char bold/italic deltas inside
+            # a word whose first char matches the word style (ligature-
+            # expanded offsets). Font smallCaps flags are not modeled by
+            # PdfFont, so runs carry bold/italic deltas only.
+            c0 = wchars[0]
+            if (c0.font.bold == word_obj.style.bold
+                    and c0.font.italic == word_obj.style.italic):
+                runs = []
+                text_offset = len(replace_ligatures(c0.text))
+                for ci in range(1, len(wchars)):
+                    prev_f = wchars[ci - 1].font
+                    fi = wchars[ci].font
+                    if fi.bold != prev_f.bold or fi.italic != prev_f.italic:
+                        delta = {}
+                        if fi.bold != word_obj.style.bold:
+                            delta["bold"] = fi.bold
+                        if fi.italic != word_obj.style.italic:
+                            delta["italic"] = fi.italic
+                        runs.append({"i": text_offset, "style": delta})
+                    text_offset += len(replace_ligatures(wchars[ci].text))
+                if runs:
+                    word_obj.styleRuns = runs
 
             # Underline detection (parsePdfDoc.js:3141-3174): a thin
             # horizontal bar overlapping the word, sitting just below

@@ -33,7 +33,13 @@ def _esc(s: str) -> str:
         if ch in "\\()":
             out.append("\\" + ch)
         elif ord(ch) > 126:
-            out.append(f"\\{ord(ch):03o}")
+            # WinAnsi (cp1252) byte, not the Unicode codepoint — e.g.
+            # '”' is \224 under /WinAnsiEncoding
+            try:
+                code = ch.encode("cp1252")[0]
+            except UnicodeEncodeError:
+                code = ord(ch) & 0xFF
+            out.append(f"\\{code:03o}")
         else:
             out.append(ch)
     return "".join(out)
@@ -260,6 +266,10 @@ def render_pdf(model: dict, compress: bool | None = None,
     page_w = model["pages"][0]["width"]
     page_h = model["pages"][0]["height"]
     n_pages = len(model["pages"])
+    use_bold_font = bool(model.get("use_bold_font"))
+    if use_bold_font and (outline or form_xobject):
+        raise ValueError("use_bold_font conflicts with outline/form_xobject"
+                         " object numbering")
 
     # objects: 1=Catalog 2=Pages 3=Font 4=Descriptor
     # [5=ToUnicode] [6=CID descendant font] then per page: page + content.
@@ -333,7 +343,13 @@ def render_pdf(model: dict, compress: bool | None = None,
         if ligatures and "fi" in text:
             text = text.replace("fi", chr(LIG_CODE))
         if hex_strings:
-            return "<" + text.encode("latin-1").hex().upper() + ">"
+            # raw codes stay raw (the ligature slot 0x8E); chars above
+            # U+00FF take their WinAnsi (cp1252) byte, e.g. '”' -> 0x94
+            raw = bytearray()
+            for c in text:
+                o = ord(c)
+                raw += bytes([o]) if o <= 0xFF else c.encode("cp1252")
+            return "<" + raw.hex().upper() + ">"
         return "(" + _esc(text) + ")"
 
     def _rect_ops(page):
@@ -366,6 +382,7 @@ def render_pdf(model: dict, compress: bool | None = None,
 
     for page_n, page in enumerate(model["pages"]):
         content = ["BT", f"/F1 {FONT_SIZE} Tf"]
+        deferred_ops = []
         if invisible:
             content.append("3 Tr")
         for par in page["pars"]:
@@ -392,6 +409,27 @@ def render_pdf(model: dict, compress: bool | None = None,
                     content.append(f"[{' '.join(parts)}] TJ")
                 else:
                     for w_i, word in enumerate(line["words"]):
+                        if word.get("segments") or word.get("deferred"):
+                            # per-segment font size/bold runs, optionally
+                            # emitted at the END of the page content
+                            # (out-of-stream-order chars for the orphan /
+                            # reattach grouping rules)
+                            target = (deferred_ops if word.get("deferred")
+                                      else content)
+                            segs = word.get("segments") or [
+                                {"text": word["text"], "fs": FONT_SIZE}]
+                            x = word["left"]
+                            wy = page_h - word.get(
+                                "baseline_y", line["baseline_y"])
+                            for seg in segs:
+                                fkey = "/F2" if seg.get("bold") else "/F1"
+                                target.append(
+                                    f"{fkey} {seg['fs']} Tf "
+                                    f"1 0 0 1 {x} {wy} Tm "
+                                    f"{show_str(seg['text'])} Tj")
+                                x += 0.5 * seg["fs"] * len(seg["text"])
+                            target.append(f"/F1 {FONT_SIZE} Tf")
+                            continue
                         content.append(
                             f"{tm_for(word['left'])} "
                             f"{show_str(word['text'])} Tj")
@@ -404,6 +442,7 @@ def render_pdf(model: dict, compress: bool | None = None,
                                 f"/F1 18 Tf 1 0 0 1 {word['right'] + 2} "
                                 f"{y_pdf + 10} Tm {show_str('9')} Tj "
                                 f"/F1 {FONT_SIZE} Tf")
+        content.extend(deferred_ops)
         content.append("ET")
         content.extend(_rect_ops(page))
         if form_xobject and not rotate:
@@ -462,9 +501,11 @@ def render_pdf(model: dict, compress: bool | None = None,
                 stream = stream + do_suffix
         else:
             xres = ""
+        f2_res = (f"/F2 {n_fixed + 2 * n_pages + 1} 0 R "
+                  if use_bold_font else "")
         w.add(
             f"<< /Type /Page /Parent 2 0 R {rot}/Resources "
-            f"<< /Font << /F1 3 0 R >> {xres}>> "
+            f"<< /Font << /F1 3 0 R {f2_res}>> {xres}>> "
             f"/Contents {page_obj_num + 1} 0 R "
             f">>".encode())
         w.add(
@@ -479,6 +520,13 @@ def render_pdf(model: dict, compress: bool | None = None,
                 f"<< /Font << /F1 3 0 R >> >> "
                 f"/Length {len(inner_stream)} >>\nstream\n".encode()
                 + inner_stream + b"\nendstream")
+
+    if use_bold_font:
+        w.add(
+            b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica-Bold "
+            b"/FirstChar 32 /LastChar 126 /Widths ["
+            + b" ".join([b"500"] * 95)
+            + b"] /FontDescriptor 4 0 R /Encoding /WinAnsiEncoding >>")
 
     if outline:
         # /Outlines root + one bookmark per page (direct /Dest arrays)
