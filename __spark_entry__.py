@@ -378,6 +378,66 @@ def _q_pdf_group_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select("url", "html").mapInPandas(fn, schema=schema)
 
 
+def _q_ocr_pages_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-page OCR routing gates (selectOcrPages autoShallow/autoDeep
+    + the PageStats predicates) over the mixed text/scan family."""
+    from typing import Iterator
+
+    import pandas as pd
+    from pyspark.sql.types import (
+        BooleanType, LongType, StringType, StructField, StructType)
+
+    from scribe_js_spark.operators.pdf.ocr_selection import (
+        has_broken_font_run,
+        has_existing_ocr_layer,
+        is_scan_page,
+        may_have_baked_text,
+        select_ocr_pages,
+    )
+    from scribe_js_spark.operators.pdf.parse import (
+        pdf_document_type,
+        pdf_page_stats,
+    )
+
+    schema = StructType([
+        StructField("url", StringType()),
+        StructField("page_n", LongType()),
+        StructField("ocr_shallow", BooleanType()),
+        StructField("ocr_deep", BooleanType()),
+        StructField("is_scan", BooleanType()),
+        StructField("has_ocr_layer", BooleanType()),
+        StructField("may_have_baked", BooleanType()),
+        StructField("has_broken_run", BooleanType()),
+    ])
+
+    def fn(batches: Iterator) -> Iterator:
+        for pdf in batches:
+            out = {f.name: [] for f in schema.fields}
+            for url, html in zip(pdf["url"], pdf["html"]):
+                data = bytes(html)
+                try:
+                    stats = pdf_page_stats(data)
+                    ptype = pdf_document_type(data)
+                except Exception:
+                    continue
+                sh = select_ocr_pages(stats, ptype, "autoShallow")
+                dp = select_ocr_pages(stats, ptype, "autoDeep")
+                for i, s in enumerate(stats):
+                    out["url"].append(url)
+                    out["page_n"].append(i)
+                    out["ocr_shallow"].append(sh[i])
+                    out["ocr_deep"].append(dp[i])
+                    out["is_scan"].append(is_scan_page(s))
+                    out["has_ocr_layer"].append(
+                        has_existing_ocr_layer(s))
+                    out["may_have_baked"].append(may_have_baked_text(s))
+                    out["has_broken_run"].append(has_broken_font_run(s))
+            yield pd.DataFrame(out)
+
+    df = spark.read.parquet(os.path.join(FIX_T2, "ocrsel_docs.parquet"))
+    return df.select("url", "html").mapInPandas(fn, schema=schema)
+
+
 def _q_pdf_encrypted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Encrypted-PDF decryption (RC4-40/128, AES-128, AES-256): byte-
     identical text for valid docs, isolated parse failure for tampered
@@ -613,6 +673,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pdf_underline": _q_pdf_underline,
         "pdf_encrypted": _q_pdf_encrypted,
         "pdf_group_rules": _q_pdf_group_rules,
+        "ocr_pages_mask": _q_ocr_pages_mask,
         "pdf_table_cells": _q_pdf_table_cells,
         "pdf_table_regions": _q_pdf_table_regions,
         "font_metrics": _q_font_metrics,
@@ -843,6 +904,11 @@ def oracle_sql() -> dict[str, str]:
         "pdf_encrypted": (
             "SELECT url, text, failed FROM read_parquet("
             f"'{os.path.join(FIX_T2, 'encrypted.parquet')}')"),
+        "ocr_pages_mask": (
+            "SELECT url, page_n::BIGINT AS page_n, ocr_shallow,"
+            " ocr_deep, is_scan, has_ocr_layer, may_have_baked,"
+            " has_broken_run FROM read_parquet("
+            f"'{os.path.join(FIX_T2, 'ocrsel.parquet')}')"),
         "pdf_group_rules": (
             'SELECT url, line_n::BIGINT AS line_n,'
             ' word_n::BIGINT AS word_n, text, sup, dropcap,'

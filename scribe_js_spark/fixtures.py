@@ -1255,6 +1255,104 @@ def write_groupx_parquet(path: str, n_docs: int = 30,
         os.path.join(path, "groupx.parquet"), index=False)
 
 
+def build_ocrsel_models(doc_id: int, seed: int = SEED_DEFAULT) -> dict:
+    """OCR-page-selection family: a 5-page PDF mixing page classes —
+    (0) plain body text, (1) full-page scan, (2) scan + invisible OCR
+    layer, (3) text + mid-size figure image, (4) text + a broken-
+    ToUnicode-font run — with the expected selectOcrPages masks for
+    the autoShallow and autoDeep scopes."""
+    rng = _doc_rng(seed + 60601, doc_id)
+
+    def _text_page(n_pars=4, broken_word=False):
+        pars = []
+        y = TOP_BASELINE + LINE_PITCH  # keep lines inside the body band
+        for _ in range(n_pars):
+            lines = []
+            for _ in range(rng.randint(2, 4)):
+                words, x = [], MARGIN_LEFT
+                for _ in range(rng.randint(5, 8)):
+                    tok = rng.choice(LEXICON)
+                    words.append({
+                        "text": tok, "chars": None, "out_words": [tok],
+                        "left": x, "right": x + len(tok) * CHAR_W,
+                        "top": y - ASC_H, "bottom": y + DESC_H,
+                        "conf": 97})
+                    x += len(tok) * CHAR_W + WORD_GAP
+                lines.append({"words": words, "baseline_y": y,
+                              "indent": 0})
+                y += LINE_PITCH
+            pars.append({"lines": lines})
+            y += PAR_GAP - LINE_PITCH
+        page = {"pars": pars, "width": PAGE_W, "height": PAGE_H}
+        if broken_word:
+            # three consecutive /F3 glyphs -> longestBrokenRun >= 3
+            bw = {"text": "abc", "chars": None, "out_words": ["abc"],
+                  "left": MARGIN_LEFT, "right": MARGIN_LEFT + 45,
+                  "top": y - ASC_H, "bottom": y + DESC_H, "conf": 97,
+                  "segments": [{"text": "abc", "fs": 30,
+                                "fkey": "/F3"}]}
+            page["pars"].append({"lines": [{
+                "words": [bw], "baseline_y": y, "indent": 0}]})
+            page["broken_font"] = True
+        return page
+
+    p0 = _text_page()
+    p1 = {"pars": [], "width": PAGE_W, "height": PAGE_H,
+          "scan_image": 1.0}
+    p2 = _text_page(n_pars=3)
+    p2["scan_image"] = 1.0
+    p2["invisible_text"] = True
+    p3 = _text_page()
+    p3["scan_image"] = (0.6, 0.6)  # mid-size figure, frac 0.36
+    p4 = _text_page(broken_word=True)
+
+    model = {"doc_id": doc_id, "family": "base",
+             "pages": [p0, p1, p2, p3, p4]}
+    # gates: doc classifies 'text' (3 of 5 pages vote text), so
+    # per-page selection applies
+    expected = [
+        # page, shallow, deep, scan, ocr_layer, baked, broken
+        # (a full-page image also satisfies may_have_baked; the
+        # invisible layer does not count as readable, so page 2 is
+        # still a scan page)
+        (0, False, False, False, False, False, False),
+        (1, True, True, True, False, True, False),
+        (2, True, True, True, True, True, False),
+        (3, False, True, False, False, True, False),
+        (4, False, True, False, False, False, True),
+    ]
+    return {"model": model, "expected": expected}
+
+
+def write_ocrsel_parquet(path: str, n_docs: int = 25,
+                         seed: int = SEED_DEFAULT) -> None:
+    """ocrsel_docs.parquet (url, html) + ocrsel.parquet golden per-page
+    gate values and selection masks."""
+    import os
+
+    import pandas as pd
+
+    from .render_pdf import render_pdf as _render
+
+    doc_rows, golden_rows = [], []
+    for doc_id in range(n_docs):
+        m = build_ocrsel_models(doc_id, seed=seed)
+        url = f"https://fixtures.test/pdf_ocrsel/{doc_id:08d}"
+        doc_rows.append({
+            "url": url,
+            "html": _render(m["model"], rotate=False, tj_mode=False,
+                            ligatures=False, cid_font=False)})
+        for (pn, sh, dp, scan, layer, baked, broken) in m["expected"]:
+            golden_rows.append({
+                "url": url, "page_n": pn, "ocr_shallow": sh,
+                "ocr_deep": dp, "is_scan": scan, "has_ocr_layer": layer,
+                "may_have_baked": baked, "has_broken_run": broken})
+    pd.DataFrame(doc_rows).to_parquet(
+        os.path.join(path, "ocrsel_docs.parquet"), index=False)
+    pd.DataFrame(golden_rows).to_parquet(
+        os.path.join(path, "ocrsel.parquet"), index=False)
+
+
 ENCRYPT_MODES = ("rc4_40", "rc4_128", "aesv2", "aesv3")
 
 

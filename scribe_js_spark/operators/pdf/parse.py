@@ -139,6 +139,31 @@ def pdf_document_type(data: bytes) -> str:
     return determine_pdf_type(stats)
 
 
+def pdf_page_stats(data: bytes) -> list[dict]:
+    """Extended per-page PageStats (image/path counters, broken-font
+    runs, body-band readable chars) feeding selectOcrPages — see
+    operators/pdf/ocr_selection.py."""
+    from .ocr_selection import page_stats_extended
+
+    doc = PdfDocument(data)
+    out = []
+    for page in doc.get_pages():
+        box, rotate, w, h, scale = _page_geometry(doc, page)
+        machine = TextMachine(doc, page, page_height=h * scale,
+                              scale=scale)
+        base = _base_ctm(box, rotate)
+        machine.run(doc.page_content(page), page.get("Resources"),
+                    base_ctm=base)
+        chars = _dedup_chars(machine.chars)
+        try:
+            paths, placements = parse_page_paths(doc, page, base_ctm=base)
+        except Exception:
+            paths, placements = [], []
+        out.append(page_stats_extended(
+            chars, paths, placements, w, h, scale))
+    return out
+
+
 def parse_pdf_document(data: bytes) -> list[OcrPage]:
     doc = PdfDocument(data)
     pages = doc.get_pages()

@@ -130,6 +130,22 @@ end
 end"""
 
 
+_TOUNICODE_BROKEN = b"""/CIDInit /ProcSet findresource begin
+12 dict begin
+begincmap
+/CMapName /Custom def
+1 begincodespacerange
+<00> <FF>
+endcodespacerange
+1 beginbfrange
+<61> <7A> <E000>
+endbfrange
+endcmap
+CMapName currentdict /CMap defineresource pop
+end
+end"""
+
+
 _TOUNICODE_CID = b"""/CIDInit /ProcSet findresource begin
 12 dict begin
 begincmap
@@ -267,9 +283,12 @@ def render_pdf(model: dict, compress: bool | None = None,
     page_h = model["pages"][0]["height"]
     n_pages = len(model["pages"])
     use_bold_font = bool(model.get("use_bold_font"))
-    if use_bold_font and (outline or form_xobject):
-        raise ValueError("use_bold_font conflicts with outline/form_xobject"
-                         " object numbering")
+    any_scan = any(p.get("scan_image") for p in model["pages"])
+    any_broken = any(p.get("broken_font") for p in model["pages"])
+    if (use_bold_font or any_scan or any_broken) and (
+            outline or form_xobject):
+        raise ValueError("extra-object variants conflict with outline/"
+                         "form_xobject object numbering")
 
     # objects: 1=Catalog 2=Pages 3=Font 4=Descriptor
     # [5=ToUnicode] [6=CID descendant font] then per page: page + content.
@@ -280,6 +299,18 @@ def render_pdf(model: dict, compress: bool | None = None,
     else:
         n_fixed = 4
     kids = " ".join(f"{n_fixed + 1 + 2 * i} 0 R" for i in range(n_pages))
+    _next_extra = n_fixed + 2 * n_pages
+    f2_num = img_num = f3_tu_num = f3_num = None
+    if use_bold_font:
+        _next_extra += 1
+        f2_num = _next_extra
+    if any_scan:
+        _next_extra += 1
+        img_num = _next_extra
+    if any_broken:
+        f3_tu_num = _next_extra + 1
+        f3_num = _next_extra + 2
+        _next_extra += 2
     if outline:
         outlines_num = n_fixed + 2 * n_pages + 1
         w.add(
@@ -381,9 +412,17 @@ def render_pdf(model: dict, compress: bool | None = None,
         return ops
 
     for page_n, page in enumerate(model["pages"]):
-        content = ["BT", f"/F1 {FONT_SIZE} Tf"]
+        content = []
+        scan = page.get("scan_image")
+        if scan:
+            fx, fy = (scan if isinstance(scan, (list, tuple))
+                      else (scan, scan))
+            content.append(
+                f"q {page_w * fx} 0 0 {page_h * fy} 0 "
+                f"{page_h * (1 - fy)} cm /Im1 Do Q")
+        content += ["BT", f"/F1 {FONT_SIZE} Tf"]
         deferred_ops = []
-        if invisible:
+        if invisible or page.get("invisible_text"):
             content.append("3 Tr")
         for par in page["pars"]:
             for line in par["lines"]:
@@ -422,7 +461,8 @@ def render_pdf(model: dict, compress: bool | None = None,
                             wy = page_h - word.get(
                                 "baseline_y", line["baseline_y"])
                             for seg in segs:
-                                fkey = "/F2" if seg.get("bold") else "/F1"
+                                fkey = seg.get("fkey") or (
+                                    "/F2" if seg.get("bold") else "/F1")
                                 target.append(
                                     f"{fkey} {seg['fs']} Tf "
                                     f"1 0 0 1 {x} {wy} Tm "
@@ -501,11 +541,13 @@ def render_pdf(model: dict, compress: bool | None = None,
                 stream = stream + do_suffix
         else:
             xres = ""
-        f2_res = (f"/F2 {n_fixed + 2 * n_pages + 1} 0 R "
-                  if use_bold_font else "")
+        f2_res = f"/F2 {f2_num} 0 R " if use_bold_font else ""
+        f3_res = f"/F3 {f3_num} 0 R " if page.get("broken_font") else ""
+        if page.get("scan_image"):
+            xres = f"/XObject << /Im1 {img_num} 0 R >> " + xres
         w.add(
             f"<< /Type /Page /Parent 2 0 R {rot}/Resources "
-            f"<< /Font << /F1 3 0 R {f2_res}>> {xres}>> "
+            f"<< /Font << /F1 3 0 R {f2_res}{f3_res}>> {xres}>> "
             f"/Contents {page_obj_num + 1} 0 R "
             f">>".encode())
         w.add(
@@ -527,6 +569,23 @@ def render_pdf(model: dict, compress: bool | None = None,
             b"/FirstChar 32 /LastChar 126 /Widths ["
             + b" ".join([b"500"] * 95)
             + b"] /FontDescriptor 4 0 R /Encoding /WinAnsiEncoding >>")
+    if any_scan:
+        w.add(
+            b"<< /Type /XObject /Subtype /Image /Width 1 /Height 1 "
+            b"/ColorSpace /DeviceGray /BitsPerComponent 8 /Length 1 "
+            b">>\nstream\n\xff\nendstream")
+    if any_broken:
+        # /F3: ToUnicode maps a-z to the Private Use Area -> a
+        # broken-ToUnicode font (every mapped entry lands in the PUA)
+        w.add(
+            f"<< /Length {len(_TOUNICODE_BROKEN)} >>\nstream\n".encode()
+            + _TOUNICODE_BROKEN + b"\nendstream")
+        w.add(
+            (f"<< /Type /Font /Subtype /Type1 /BaseFont /BrokenSynth "
+             f"/FirstChar 32 /LastChar 126 /Widths "
+             f"[{' '.join(['500'] * 95)}] /FontDescriptor 4 0 R "
+             f"/Encoding /WinAnsiEncoding "
+             f"/ToUnicode {f3_tu_num} 0 R >>").encode())
 
     if outline:
         # /Outlines root + one bookmark per page (direct /Dest arrays)
