@@ -378,6 +378,17 @@ def _q_pdf_group_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select("url", "html").mapInPandas(fn, schema=schema)
 
 
+def _q_layout_roles2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """analyzeLayout linenum + blockquote roles over the transcript-
+    style fixture family (line-number columns, inset quotations)."""
+    from scribe_js_spark.pipeline import extract_par_roles
+
+    df = spark.read.parquet(os.path.join(FIX_T2, "linenum_docs.parquet"))
+    return extract_par_roles(df).select(
+        "url", F.col("page_n").cast("long"), F.col("par_n").cast("long"),
+        "par_type")
+
+
 def _q_ocr_pages_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-page OCR routing gates (selectOcrPages autoShallow/autoDeep
     + the PageStats predicates) over the mixed text/scan family."""
@@ -674,6 +685,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pdf_encrypted": _q_pdf_encrypted,
         "pdf_group_rules": _q_pdf_group_rules,
         "ocr_pages_mask": _q_ocr_pages_mask,
+        "layout_roles2": _q_layout_roles2,
         "pdf_table_cells": _q_pdf_table_cells,
         "pdf_table_regions": _q_pdf_table_regions,
         "font_metrics": _q_font_metrics,
@@ -904,6 +916,10 @@ def oracle_sql() -> dict[str, str]:
         "pdf_encrypted": (
             "SELECT url, text, failed FROM read_parquet("
             f"'{os.path.join(FIX_T2, 'encrypted.parquet')}')"),
+        "layout_roles2": (
+            "SELECT url, page_n::BIGINT AS page_n,"
+            " par_n::BIGINT AS par_n, par_type FROM read_parquet("
+            f"'{os.path.join(FIX_T2, 'linenum.parquet')}')"),
         "ocr_pages_mask": (
             "SELECT url, page_n::BIGINT AS page_n, ocr_shallow,"
             " ocr_deep, is_scan, has_ocr_layer, may_have_baked,"

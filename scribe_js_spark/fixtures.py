@@ -1353,6 +1353,90 @@ def write_ocrsel_parquet(path: str, n_docs: int = 25,
         os.path.join(path, "ocrsel.parquet"), index=False)
 
 
+def build_linenum_models(doc_id: int, seed: int = SEED_DEFAULT) -> dict:
+    """Transcript-style layout family: a left-margin line-number column
+    (1..N per page, recurring at one x across all pages), full-width
+    body paragraphs, and a both-side-inset block quote per page."""
+    rng = _doc_rng(seed + 424242, doc_id)
+    right_m = PAGE_W - MARGIN_LEFT
+    pages, expected = [], []
+    for page_n in range(3):
+        pars = []
+
+        def _word(text, left, right, y):
+            return {"text": text, "chars": None, "out_words": [text],
+                    "left": left, "right": right,
+                    "top": y - ASC_H, "bottom": y + DESC_H, "conf": 97}
+
+        # line-number column: 1..12 at x=40, standard pitch
+        num_lines = []
+        y = TOP_BASELINE
+        for i in range(1, 13):
+            t = str(i)
+            num_lines.append({
+                "words": [_word(t, 40, 40 + len(t) * CHAR_W, y)],
+                "baseline_y": y, "indent": 0})
+            y += LINE_PITCH
+        pars.append({"lines": num_lines, "type": "linenum"})
+
+        def _text_par(n_lines, left, right, y0, ptype):
+            lines = []
+            yy = y0
+            for _ in range(n_lines):
+                words, x = [], left
+                while True:
+                    tok = rng.choice(LEXICON)
+                    wdt = len(tok) * CHAR_W
+                    if x + wdt > right - 80:
+                        break
+                    words.append(_word(tok, x, x + wdt, yy))
+                    x += wdt + WORD_GAP
+                # stretch the final word box to the right margin so the
+                # line reads as justified (box widths are authored)
+                words[-1]["right"] = right
+                lines.append({"words": words, "baseline_y": yy,
+                              "indent": 0})
+                yy += LINE_PITCH
+            pars.append({"lines": lines, "type": ptype})
+            return yy
+
+        y2 = _text_par(4, MARGIN_LEFT, right_m, TOP_BASELINE, "body")
+        y2 += PAR_GAP - LINE_PITCH
+        y2 = _text_par(3, MARGIN_LEFT + 60, right_m - 60, y2, "blockquote")
+        y2 += PAR_GAP - LINE_PITCH
+        _text_par(3, MARGIN_LEFT, right_m, y2, "body")
+
+        pages.append({"pars": pars, "width": PAGE_W, "height": PAGE_H})
+        for par_i, par in enumerate(pages[-1]["pars"]):
+            expected.append({"page_n": page_n, "par_n": par_i,
+                             "par_type": par["type"]})
+    model = {"doc_id": doc_id, "family": "base", "pages": pages}
+    return {"model": model, "expected": expected}
+
+
+def write_linenum_parquet(path: str, n_docs: int = 25,
+                          seed: int = SEED_DEFAULT) -> None:
+    """linenum_docs.parquet (url, hOCR bytes) + linenum.parquet golden
+    paragraph roles for the layout_roles2 oracle."""
+    import os
+
+    import pandas as pd
+
+    doc_rows, golden_rows = [], []
+    for doc_id in range(n_docs):
+        m = build_linenum_models(doc_id, seed=seed)
+        url = f"https://fixtures.test/hocr_linenum/{doc_id:08d}"
+        doc_rows.append({
+            "url": url,
+            "html": render_hocr(m["model"]).encode("utf-8")})
+        for rec in m["expected"]:
+            golden_rows.append({"url": url, **rec})
+    pd.DataFrame(doc_rows).to_parquet(
+        os.path.join(path, "linenum_docs.parquet"), index=False)
+    pd.DataFrame(golden_rows).to_parquet(
+        os.path.join(path, "linenum.parquet"), index=False)
+
+
 ENCRYPT_MODES = ("rc4_40", "rc4_128", "aesv2", "aesv3")
 
 

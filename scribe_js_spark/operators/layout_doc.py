@@ -116,10 +116,23 @@ def analyze_layout_doc(pages: list[OcrPage]) -> None:
         sizes.sort()
         body_size = sizes[len(sizes) // 2]
 
+    # Line-number columns (case A standalone core,
+    # analyzeLayout.js:189-326): mark word.lineNum on locked columns.
+    ln_body_size = body_size or _median_line_height(pages) or 10.0
+    _detect_line_number_columns(pages, ln_body_size)
+
     # Phase 3: role assignment.
     for page in pages:
         page_h = page.dims["height"]
         for par_i, par in enumerate(page.pars):
+            # A paragraph whose every line is a locked line number is
+            # margin furniture dropped from reflow ('linenum' role) —
+            # checked first so the lone-number folio fallback cannot
+            # claim a short column.
+            par_words = [w for line in par.lines for w in line.words]
+            if par_words and all(w.lineNum for w in par_words):
+                par.type = "linenum"
+                continue
             band = _band(par, page_h)
             val = _lone_number(par)
             words = [w for line in par.lines for w in line.words]
@@ -154,6 +167,171 @@ def analyze_layout_doc(pages: list[OcrPage]) -> None:
                 par_sizes = [w.style.size for w in words if w.style.size]
                 if par_sizes and max(par_sizes) >= body_size * 1.5:
                     par.type = "title"
+
+    # Block-quote re-tag (analyzeLayout.js:2212-2235): a body paragraph
+    # of >= 2 lines inset on BOTH sides against the document body
+    # margins by more than 3.5% of the column width, with the two
+    # insets within 6% of each other.
+    body_lines = [
+        line
+        for page in pages for par in page.pars if par.type == "body"
+        for line in par.lines if line.words]
+    if body_lines:
+        tol = ln_body_size * 0.6
+        left_peaks = cluster_peaks([l.bbox.left for l in body_lines], tol)
+        right_peaks = cluster_peaks(
+            [l.bbox.right for l in body_lines], tol)
+        body_left = left_peaks[0][0]
+        body_right = right_peaks[0][0]
+        col_width = body_right - body_left
+        if col_width > 0:
+            for page in pages:
+                for par in page.pars:
+                    if par.type != "body" or len(par.lines) < 2:
+                        continue
+                    p_left = min(l.bbox.left for l in par.lines)
+                    p_right = max(l.bbox.right for l in par.lines)
+                    li = p_left - body_left
+                    ri = body_right - p_right
+                    if (li > col_width * 0.035 and ri > col_width * 0.035
+                            and abs(li - ri) < col_width * 0.06):
+                        par.type = "blockquote"
+
+
+_LN_STANDALONE_RE = re.compile(r"^\d{1,3}[.)]?$")
+
+# Line-number constants (analyzeLayout.js:190-200)
+LN_LEFT_FRAC = 0.4
+LN_GATE_RUN = 8     # doc enables the detector at this run length
+LN_CONF_RUN = 6     # a page is confidently line-numbered at this run
+LN_RESCUE_RUN = 4   # partial page rescued at a locked column
+LN_MAX_START = 30   # line numbers start near 1; table indices high
+LN_LOCK_PAGES = 3   # a column locks when it recurs on this many pages
+
+
+def _median_line_height(pages) -> float:
+    hs = sorted(
+        l.bbox.bottom - l.bbox.top
+        for page in pages for l in page.lines if l.words)
+    return hs[len(hs) // 2] if hs else 0.0
+
+
+def _detect_line_number_columns(pages, body_size: float) -> None:
+    """Standalone (case A) line-number columns: per page the longest
+    incrementing run (step <= 5) of left-margin integer-only lines at
+    one x; the document gate, per-page confidence and the cross-page
+    column lock with a one-page rescue window and the doc-wide value
+    cap (analyzeLayout.js:205-326). Case B merged prefixes (the number
+    leads a body line) are deferred — they need the enumerator
+    subsystem's extra discrimination."""
+    ln_max_indent = body_size * 2
+    page_runs: dict[int, dict] = {}
+    gate_fired = False
+    for page in pages:
+        page_w = page.dims.get("width") or 0
+        if not page_w:
+            continue
+        left_edge = page_w * LN_LEFT_FRAC
+        cands = []
+        for line in page.lines:
+            words = [w for w in line.words if w.text.strip()]
+            if len(words) != 1 or line.bbox.left >= left_edge:
+                continue
+            m = _LN_STANDALONE_RE.match(words[0].text)
+            if not m:
+                continue
+            cands.append({
+                "line": line,
+                "value": int(re.sub(r"\D", "", words[0].text)),
+                "x": line.bbox.left, "top": line.bbox.top})
+        if len(cands) < LN_RESCUE_RUN:
+            continue
+        best_run: list = []
+        for center, _cnt in cluster_peaks([c["x"] for c in cands],
+                                          body_size):
+            col = sorted(
+                (c for c in cands if abs(c["x"] - center) <= body_size),
+                key=lambda c: c["top"])
+            cur: list = []
+            for c in col:
+                prev = cur[-1] if cur else None
+                if prev and prev["value"] < c["value"] \
+                        <= prev["value"] + 5:
+                    cur.append(c)
+                else:
+                    cur = [c]
+                if len(cur) > len(best_run):
+                    best_run = list(cur)
+        if len(best_run) < LN_RESCUE_RUN:
+            continue
+        xs = sorted(c["x"] for c in best_run)
+        col_x = xs[len(xs) // 2]
+        member_lines = {id(c["line"]) for c in best_run}
+        prose_lefts = [
+            l.bbox.left for l in page.lines
+            if id(l) not in member_lines
+            and (l.bbox.right - l.bbox.left) > body_size * 8]
+        if prose_lefts:
+            peaks = cluster_peaks(prose_lefts, body_size * 0.6)
+            page_body_left = peaks[0][0]
+        else:
+            page_body_left = col_x
+        indent_ok = col_x <= page_body_left + ln_max_indent
+        body_lines = [
+            l for l in page.lines if id(l) not in member_lines
+            and any(re.search(r"[A-Za-z]", w.text) for w in l.words)]
+        body_bottom = (max(l.bbox.top for l in body_lines)
+                       if body_lines else float("inf"))
+        body_overlap = (len(body_lines) < 4
+                        or any(c["top"] <= body_bottom
+                               for c in best_run))
+        ln_like = (best_run[0]["value"] <= LN_MAX_START
+                   and indent_ok and body_overlap)
+        page_runs[page.n] = {
+            "run": len(best_run), "members": best_run, "col_x": col_x,
+            "ln_like": ln_like, "indent_ok": indent_ok,
+            "cands": cands, "start": best_run[0]["value"]}
+        if len(best_run) >= LN_GATE_RUN and ln_like:
+            gate_fired = True
+
+    if not gate_fired:
+        return
+    recur = [
+        (p, r) for p, r in page_runs.items()
+        if r["run"] >= LN_CONF_RUN and r["start"] <= LN_MAX_START
+        and r["indent_ok"]]
+    ln_ceil = 0
+    for r in page_runs.values():
+        if r["ln_like"]:
+            for c in r["members"]:
+                ln_ceil = max(ln_ceil, c["value"])
+    if not ln_ceil:
+        ln_ceil = 28
+    lock_peaks = [
+        (center, cnt)
+        for center, cnt in cluster_peaks(
+            [r["col_x"] for _, r in recur], body_size)
+        if cnt >= LN_LOCK_PAGES]
+    for center, _cnt in lock_peaks:
+        at_x = sorted(
+            p for p, r in recur if abs(r["col_x"] - center) <= body_size)
+        conf_min, conf_max = at_x[0] - 1, at_x[-1] + 1
+        conf_set = set(at_x)
+        for p, r in page_runs.items():
+            if abs(r["col_x"] - center) > body_size:
+                continue
+            accept = p in conf_set or (
+                r["run"] >= LN_RESCUE_RUN
+                and r["start"] <= LN_MAX_START
+                and conf_min <= p <= conf_max)
+            if not accept:
+                continue
+            for c in r["cands"]:
+                if abs(c["x"] - center) > body_size:
+                    continue
+                if 1 <= c["value"] <= ln_ceil:
+                    for w in c["line"].words:
+                        w.lineNum = True
 
 
 def cluster_peaks(values: list[float], tol: float) -> list[tuple]:
