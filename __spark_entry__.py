@@ -378,6 +378,51 @@ def _q_pdf_group_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select("url", "html").mapInPandas(fn, schema=schema)
 
 
+def _q_abbyy_table_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABBYY table-layout blocks -> explicit column boxes + row bounds
+    -> cell matrix (convertTableLayoutAbbyy semantics, both the
+    first-row-width path and the content-coordinate recalc path)."""
+    from typing import Iterator
+
+    import pandas as pd
+    from pyspark.sql.types import (
+        LongType, StringType, StructField, StructType)
+
+    from scribe_js_spark.extract import extract_document
+    from scribe_js_spark.operators.tables import extract_table_cells_fixed
+
+    schema = StructType([
+        StructField("url", StringType()),
+        StructField("table_n", LongType()),
+        StructField("row_n", LongType()),
+        StructField("col_n", LongType()),
+        StructField("cell", StringType()),
+    ])
+
+    def fn(batches: Iterator) -> Iterator:
+        for pdf in batches:
+            out = {f.name: [] for f in schema.fields}
+            for url, html in zip(pdf["url"], pdf["html"]):
+                res = extract_document(bytes(html))
+                if res.error is not None:
+                    continue
+                for page in res.pages:
+                    for t_n, table in enumerate(page.tables):
+                        grid = extract_table_cells_fixed(page, table)
+                        for r, row in enumerate(grid):
+                            for c, cell in enumerate(row):
+                                out["url"].append(url)
+                                out["table_n"].append(t_n)
+                                out["row_n"].append(r)
+                                out["col_n"].append(c)
+                                out["cell"].append(cell)
+            yield pd.DataFrame(out)
+
+    df = spark.read.parquet(
+        os.path.join(FIX_T2, "abbyy_table_docs.parquet"))
+    return df.select("url", "html").mapInPandas(fn, schema=schema)
+
+
 def _q_layout_roles2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """analyzeLayout linenum + blockquote roles over the transcript-
     style fixture family (line-number columns, inset quotations)."""
@@ -686,6 +731,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pdf_group_rules": _q_pdf_group_rules,
         "ocr_pages_mask": _q_ocr_pages_mask,
         "layout_roles2": _q_layout_roles2,
+        "abbyy_table_cells": _q_abbyy_table_cells,
         "pdf_table_cells": _q_pdf_table_cells,
         "pdf_table_regions": _q_pdf_table_regions,
         "font_metrics": _q_font_metrics,
@@ -916,6 +962,11 @@ def oracle_sql() -> dict[str, str]:
         "pdf_encrypted": (
             "SELECT url, text, failed FROM read_parquet("
             f"'{os.path.join(FIX_T2, 'encrypted.parquet')}')"),
+        "abbyy_table_cells": (
+            "SELECT url, table_n::BIGINT AS table_n,"
+            " row_n::BIGINT AS row_n, col_n::BIGINT AS col_n, cell"
+            f" FROM read_parquet("
+            f"'{os.path.join(FIX_T2, 'abbyy_table.parquet')}')"),
         "layout_roles2": (
             "SELECT url, page_n::BIGINT AS page_n,"
             " par_n::BIGINT AS par_n, par_type FROM read_parquet("

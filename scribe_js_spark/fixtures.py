@@ -558,7 +558,37 @@ def render_abbyy(model: dict) -> str:
                         x += cw
                 out.append("</formatting></line>")
             out.append("</par>")
-        out.append("</text></block></page>")
+        out.append("</text></block>")
+        for tbl in page.get("abbyy_tables", []):
+            out.append(
+                f'<block blockType="Table" l="{tbl["l"]}" t="{tbl["t"]}" '
+                f'r="{tbl["r"]}" b="{tbl["b"]}">')
+            for row in tbl["rows"]:
+                out.append("<row>")
+                for cell in row:
+                    out.append(f'<cell width="{cell["width"]}">')
+                    out.append("<text><par>")
+                    y = cell["baseline_y"]
+                    out.append(
+                        f'<line baseline="{y}" l="{cell["left"]}" '
+                        f't="{y - ASC_H}" r="{cell["right"]}" '
+                        f'b="{y + DESC_H}">')
+                    out.append(
+                        '<formatting ff="Times New Roman" fs="10.">')
+                    x = cell["left"]
+                    for ch in cell["text"]:
+                        ch_top = (y - 19 if ch in "acemnorsuvwxz."
+                                  else y - ASC_H)
+                        ch_bottom = y + DESC_H if ch in "gjpqy" else y
+                        out.append(
+                            f'<charParams l="{x}" t="{ch_top}" '
+                            f'r="{x + CHAR_W}" b="{ch_bottom}">'
+                            f"{escape_xml(ch)}</charParams>")
+                        x += CHAR_W
+                    out.append("</formatting></line></par></text></cell>")
+                out.append("</row>")
+            out.append("</block>")
+        out.append("</page>")
     out.append("</document>")
     return "".join(out)
 
@@ -1435,6 +1465,76 @@ def write_linenum_parquet(path: str, n_docs: int = 25,
         os.path.join(path, "linenum_docs.parquet"), index=False)
     pd.DataFrame(golden_rows).to_parquet(
         os.path.join(path, "linenum.parquet"), index=False)
+
+
+def build_abbyy_table_models(doc_id: int, seed: int = SEED_DEFAULT) -> dict:
+    """ABBYY table-layout family: one ``blockType="Table"`` block with
+    numeric cells. Even docs carry correct cell widths (first-row-width
+    column path); odd docs carry deliberately wrong widths so the
+    content-coordinate recalculation path must rebuild the columns."""
+    rng = _doc_rng(seed + 86420, doc_id)
+    n_rows = rng.randint(3, 6)
+    n_cols = rng.randint(3, 4)
+    col_w = 180
+    tl = MARGIN_LEFT
+    tt = TOP_BASELINE + LINE_PITCH - ASC_H - 10
+    tr = tl + n_cols * col_w
+    bad_widths = doc_id % 2 == 1
+
+    lead_tok = rng.choice(LEXICON)
+    lead_par = {"lines": [{"words": [{
+        "text": lead_tok, "chars": None, "out_words": [lead_tok],
+        "left": MARGIN_LEFT, "right": MARGIN_LEFT + len(lead_tok) * CHAR_W,
+        "top": TOP_BASELINE - ASC_H, "bottom": TOP_BASELINE + DESC_H,
+        "conf": 97}], "baseline_y": TOP_BASELINE, "indent": 0}]}
+
+    rows, expected = [], []
+    y = TOP_BASELINE + 2 * LINE_PITCH
+    for r in range(n_rows):
+        row = []
+        for c in range(n_cols):
+            val = str(100 * (r + 1) + c)
+            left = tl + c * col_w + 12
+            row.append({
+                "text": val, "left": left,
+                "right": left + len(val) * CHAR_W,
+                "baseline_y": y,
+                "width": (col_w - 40) if bad_widths else col_w})
+            expected.append({"table_n": 0, "row_n": r, "col_n": c,
+                             "cell": val})
+        rows.append(row)
+        y += LINE_PITCH
+    tb = y - LINE_PITCH + DESC_H + 10
+
+    page = {"pars": [lead_par], "width": PAGE_W, "height": PAGE_H,
+            "abbyy_tables": [{"l": tl, "t": tt, "r": tr, "b": tb,
+                              "rows": rows}]}
+    model = {"doc_id": doc_id, "family": "base", "pages": [page]}
+    return {"model": model, "expected": expected,
+            "bad_widths": bad_widths, "n_cols": n_cols}
+
+
+def write_abbyy_table_parquet(path: str, n_docs: int = 30,
+                              seed: int = SEED_DEFAULT) -> None:
+    """abbyy_table_docs.parquet (url, ABBYY XML bytes) +
+    abbyy_table.parquet golden cells."""
+    import os
+
+    import pandas as pd
+
+    doc_rows, golden_rows = [], []
+    for doc_id in range(n_docs):
+        m = build_abbyy_table_models(doc_id, seed=seed)
+        url = f"https://fixtures.test/abbyy_table/{doc_id:08d}"
+        doc_rows.append({
+            "url": url,
+            "html": render_abbyy(m["model"]).encode("utf-8")})
+        for rec in m["expected"]:
+            golden_rows.append({"url": url, **rec})
+    pd.DataFrame(doc_rows).to_parquet(
+        os.path.join(path, "abbyy_table_docs.parquet"), index=False)
+    pd.DataFrame(golden_rows).to_parquet(
+        os.path.join(path, "abbyy_table.parquet"), index=False)
 
 
 ENCRYPT_MODES = ("rc4_40", "rc4_128", "aesv2", "aesv3")

@@ -78,6 +78,107 @@ def _orient_bbox(raw_l, raw_t, raw_r, raw_b, orientation, page_w, page_h):
     return Bbox(js_round(raw_l), js_round(raw_t), js_round(raw_r), js_round(raw_b))
 
 
+_TABLE_BLOCK_RE = re.compile(
+    r"<block blockType=[\"']Table[\s\S]+?(?:</block>\s*)", re.I)
+_TABLE_COORDS_RE = re.compile(
+    r"<block blockType=['\"]Table['\"][^>]*?l=['\"](\d+)['\"]"
+    r" t=['\"](\d+)['\"] r=['\"](\d+)['\"] b=['\"](\d+)['\"]", re.I)
+_ROW_RE = re.compile(r"<row[\s\S]+?(?:</row>\s*)")
+_CELL_RE = re.compile(r"<cell[\s\S]+?(?:</cell>\s*)", re.I)
+_CELL_WIDTH_RE = re.compile(r"width=['\"](\d+)['\"]")
+_COORDS4_RE = re.compile(
+    r"l=['\"](\d+)['\"] t=['\"](\d+)['\"] r=['\"](\d+)['\"]"
+    r" b=['\"](\d+)['\"]", re.I)
+
+
+def convert_table_layout_abbyy(ocr_str: str) -> list[dict]:
+    """Table layout from ABBYY ``blockType="Table"`` blocks
+    (convertTableLayoutAbbyy, convertPageAbbyy.js:480-632): column
+    boxes from the first non-colSpan row's cell widths; when the widths
+    don't sum to the table width (ABBYY sometimes emits bad widths),
+    columns are rebuilt from the cells' content coordinates (min left /
+    max right per column, midpoints between neighbors, row-spanning
+    observations filtered). Row bounds are each row's max content
+    bottom."""
+    tables = []
+    for table_str in _TABLE_BLOCK_RE.findall(ocr_str):
+        m = _TABLE_COORDS_RE.search(table_str)
+        if not m:
+            continue
+        tl, tt, tr, tb = (int(v) for v in m.groups())
+        rows = _ROW_RE.findall(table_str)
+        if not rows:
+            continue
+        first_row = (rows[1] if len(rows) > 1 and "colSpan" in rows[0]
+                     else rows[0])
+        first_cells = _CELL_RE.findall(first_row)
+        if not first_cells:
+            continue
+        left_last = tl
+        boxes = []
+        for cell in first_cells:
+            wm = _CELL_WIDTH_RE.search(cell)
+            width = int(wm.group(1)) if wm else 0
+            boxes.append((left_last, tt, left_last + width, tb))
+            left_last += width
+        if abs(left_last - tr) > 10:
+            col_left: list[list[int]] = []
+            col_right: list[list[int]] = []
+            for row_str in rows:
+                for k, cell in enumerate(_CELL_RE.findall(row_str)):
+                    coords = [tuple(int(x) for x in g)
+                              for g in _COORDS4_RE.findall(cell)]
+                    if not coords:
+                        continue
+                    while len(col_left) <= k:
+                        col_left.append([])
+                        col_right.append([])
+                    col_left[k].append(min(c[0] for c in coords))
+                    col_right[k].append(max(c[2] for c in coords))
+            col_left = [c for c in col_left if c]
+            col_right = [c for c in col_right if c]
+            col_left_min = [min(c) for c in col_left]
+            col_right_max = []
+            for j in range(len(col_right)):
+                vals = (col_right[j] if j + 1 == len(col_right)
+                        else [x for x in col_right[j]
+                              if x < col_left_min[j + 1]])
+                col_right_max.append(max(vals) if vals
+                                     else float("-inf"))
+            boxes = []
+            for j in range(len(col_left)):
+                if j == 0:
+                    cell_left = tl
+                elif not math.isfinite(col_right_max[j - 1]):
+                    cell_left = js_round(col_left_min[j])
+                else:
+                    cell_left = js_round(
+                        (col_left_min[j] + col_right_max[j - 1]) / 2)
+                if j + 1 == len(col_left):
+                    cell_right = tr
+                elif not math.isfinite(col_right_max[j]):
+                    cell_right = col_left_min[j + 1]
+                else:
+                    cell_right = js_round(
+                        (col_left_min[j + 1] + col_right_max[j]) / 2)
+                boxes.append((cell_left, tt, cell_right, tb))
+        row_bounds = []
+        for row_str in rows:
+            max_bottom = 0
+            for g in _COORDS4_RE.findall(row_str):
+                b = int(g[3])
+                if b > max_bottom:
+                    max_bottom = b
+            row_bounds.append(max_bottom)
+        tables.append({
+            "bbox": Bbox(tl, tt, tr, tb),
+            "columns": boxes,
+            "row_bounds": row_bounds,
+            "method": "abbyy",
+        })
+    return tables
+
+
 def convert_page_abbyy(ocr_str: str, n: int):
     page_attr = re.search(r"<page[^>]*>", ocr_str)
     width_m = re.search(r"width=['\"](\d+)['\"]", page_attr.group(0)) if page_attr else None
@@ -94,6 +195,7 @@ def convert_page_abbyy(ocr_str: str, n: int):
     page_dims = {"height": int(height_m.group(1)), "width": int(width_m.group(1))}
     page_obj = OcrPage(n, page_dims)
     page_obj.textSource = "abbyy"
+    page_obj.tables = convert_table_layout_abbyy(ocr_str)
 
     if not re.search(r"<charParams", ocr_str, re.I):
         return page_obj, set()

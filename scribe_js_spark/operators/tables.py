@@ -228,6 +228,33 @@ def make_table_columns(page: OcrPage, bbox: Bbox) -> list[Bbox]:
     return cols
 
 
+def extract_table_cells_fixed(page: OcrPage, table: dict) -> list[list[str]]:
+    """Cell matrix for a table with an explicit layout (ABBYY
+    convertTableLayoutAbbyy output): words assign to the column box
+    containing their midpoint and to the first row whose bound is at
+    or below their center."""
+    cols = table["columns"]
+    bounds = table["row_bounds"]
+    bbox = table["bbox"]
+    grid = [["" for _ in cols] for _ in bounds]
+    for line in page.lines:
+        for w in line.words:
+            cx = (w.bbox.left + w.bbox.right) / 2
+            cy = (w.bbox.top + w.bbox.bottom) / 2
+            if not (bbox.left <= cx <= bbox.right
+                    and bbox.top <= cy <= bbox.bottom):
+                continue
+            col = next(
+                (j for j, c in enumerate(cols) if c[0] <= cx < c[2]),
+                None)
+            row = next(
+                (i for i, b in enumerate(bounds) if cy <= b), None)
+            if col is None or row is None:
+                continue
+            grid[row][col] = (grid[row][col] + " " + w.text).strip()
+    return grid
+
+
 def extract_table_rows(page: OcrPage, bbox: Bbox,
                        columns: list[Bbox] | None = None) -> list[list[str]]:
     """Cell text matrix for a table region: lines inside the region are
