@@ -378,6 +378,55 @@ def _q_pdf_group_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select("url", "html").mapInPandas(fn, schema=schema)
 
 
+def _q_pdf_annotations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed PDF annotation records (links, highlights, notes, form
+    widgets) incl. AES-256-encrypted docs whose strings must decrypt."""
+    from typing import Iterator
+
+    import pandas as pd
+    from pyspark.sql.types import (
+        LongType, StringType, StructField, StructType)
+
+    from scribe_js_spark.operators.pdf.annots import (
+        extract_pdf_annotations,
+    )
+    from scribe_js_spark.operators.pdf.document import PdfDocument
+
+    schema = StructType([
+        StructField("url", StringType()),
+        StructField("page_n", LongType()),
+        StructField("annot_n", LongType()),
+        StructField("subtype", StringType()),
+        StructField("contents", StringType()),
+        StructField("uri", StringType()),
+        StructField("field_name", StringType()),
+    ])
+
+    def fn(batches: Iterator) -> Iterator:
+        for pdf in batches:
+            out = {f.name: [] for f in schema.fields}
+            for url, html in zip(pdf["url"], pdf["html"]):
+                try:
+                    doc = PdfDocument(bytes(html))
+                    pages = doc.get_pages()
+                except Exception:
+                    continue
+                for pn, page in enumerate(pages):
+                    for an, rec in enumerate(
+                            extract_pdf_annotations(doc, page)):
+                        out["url"].append(url)
+                        out["page_n"].append(pn)
+                        out["annot_n"].append(an)
+                        out["subtype"].append(rec["subtype"])
+                        out["contents"].append(rec["contents"])
+                        out["uri"].append(rec["uri"])
+                        out["field_name"].append(rec["field_name"])
+            yield pd.DataFrame(out)
+
+    df = spark.read.parquet(os.path.join(FIX_T2, "annot_docs.parquet"))
+    return df.select("url", "html").mapInPandas(fn, schema=schema)
+
+
 def _q_abbyy_table_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ABBYY table-layout blocks -> explicit column boxes + row bounds
     -> cell matrix (convertTableLayoutAbbyy semantics, both the
@@ -732,6 +781,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ocr_pages_mask": _q_ocr_pages_mask,
         "layout_roles2": _q_layout_roles2,
         "abbyy_table_cells": _q_abbyy_table_cells,
+        "pdf_annotations": _q_pdf_annotations,
         "pdf_table_cells": _q_pdf_table_cells,
         "pdf_table_regions": _q_pdf_table_regions,
         "font_metrics": _q_font_metrics,
@@ -962,6 +1012,11 @@ def oracle_sql() -> dict[str, str]:
         "pdf_encrypted": (
             "SELECT url, text, failed FROM read_parquet("
             f"'{os.path.join(FIX_T2, 'encrypted.parquet')}')"),
+        "pdf_annotations": (
+            "SELECT url, page_n::BIGINT AS page_n,"
+            " annot_n::BIGINT AS annot_n, subtype, contents, uri,"
+            " field_name FROM read_parquet("
+            f"'{os.path.join(FIX_T2, 'annots.parquet')}')"),
         "abbyy_table_cells": (
             "SELECT url, table_n::BIGINT AS table_n,"
             " row_n::BIGINT AS row_n, col_n::BIGINT AS col_n, cell"

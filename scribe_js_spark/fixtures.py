@@ -1537,6 +1537,75 @@ def write_abbyy_table_parquet(path: str, n_docs: int = 30,
         os.path.join(path, "abbyy_table.parquet"), index=False)
 
 
+def build_annot_models(doc_id: int, seed: int = SEED_DEFAULT) -> dict:
+    """PDF annotation family: a base doc whose first two pages carry a
+    Link (URI action), Highlight (QuadPoints + author), Text sticky
+    note, FreeText, Widget (text field) and Square, in /Annots order."""
+    rng = _doc_rng(seed + 95001, doc_id)
+    model = build_doc_model(doc_id, seed=seed)
+    tok = rng.choice(LEXICON)
+    annots_p0 = [
+        {"subtype": "Link", "rect": (100, 1400, 300, 1430),
+         "uri": f"https://example.test/{tok}/{doc_id}"},
+        {"subtype": "Highlight", "rect": (100, 1300, 400, 1340),
+         "quad_points": [100, 1340, 400, 1340, 100, 1300, 400, 1300],
+         "contents": f"note {doc_id}", "author": "reviewer"},
+        {"subtype": "Text", "rect": (50, 1200, 70, 1220),
+         "contents": f"sticky {tok}", "author": "editor"},
+    ]
+    annots_p1 = [
+        {"subtype": "FreeText", "rect": (120, 900, 500, 940),
+         "contents": f"callout {doc_id}"},
+        {"subtype": "Widget", "rect": (200, 800, 420, 830),
+         "author": f"field_{tok}", "field_type": "Tx"},
+        {"subtype": "Square", "rect": (500, 700, 600, 760)},
+    ]
+    model["pages"][0]["annots"] = annots_p0
+    if len(model["pages"]) > 1:
+        model["pages"][1]["annots"] = annots_p1
+    expected = []
+    for pn, specs in ((0, annots_p0),
+                      (1, annots_p1 if len(model["pages"]) > 1 else [])):
+        for an, spec in enumerate(specs):
+            expected.append({
+                "page_n": pn, "annot_n": an,
+                "subtype": spec["subtype"],
+                "contents": spec.get("contents"),
+                "uri": spec.get("uri"),
+                "field_name": (spec.get("author")
+                               if spec["subtype"] == "Widget" else None),
+            })
+    return {"model": model, "expected": expected}
+
+
+def write_annot_parquet(path: str, n_docs: int = 30,
+                        seed: int = SEED_DEFAULT) -> None:
+    """annot_docs.parquet (url, html PDF bytes; every 5th doc AES-256
+    encrypted to prove annotation strings decrypt) + annots.parquet
+    golden records."""
+    import os
+
+    import pandas as pd
+
+    from .render_pdf import render_pdf as _render
+
+    doc_rows, golden_rows = [], []
+    for doc_id in range(n_docs):
+        m = build_annot_models(doc_id, seed=seed)
+        url = f"https://fixtures.test/pdf_annots/{doc_id:08d}"
+        enc = "aesv3" if doc_id % 5 == 4 else None
+        doc_rows.append({
+            "url": url,
+            "html": _render(m["model"], rotate=False, outline=False,
+                            form_xobject=False, encrypt_mode=enc)})
+        for rec in m["expected"]:
+            golden_rows.append({"url": url, **rec})
+    pd.DataFrame(doc_rows).to_parquet(
+        os.path.join(path, "annot_docs.parquet"), index=False)
+    pd.DataFrame(golden_rows).to_parquet(
+        os.path.join(path, "annots.parquet"), index=False)
+
+
 ENCRYPT_MODES = ("rc4_40", "rc4_128", "aesv2", "aesv3")
 
 

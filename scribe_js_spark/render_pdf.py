@@ -285,7 +285,8 @@ def render_pdf(model: dict, compress: bool | None = None,
     use_bold_font = bool(model.get("use_bold_font"))
     any_scan = any(p.get("scan_image") for p in model["pages"])
     any_broken = any(p.get("broken_font") for p in model["pages"])
-    if (use_bold_font or any_scan or any_broken) and (
+    any_annots = any(p.get("annots") for p in model["pages"])
+    if (use_bold_font or any_scan or any_broken or any_annots) and (
             outline or form_xobject):
         raise ValueError("extra-object variants conflict with outline/"
                          "form_xobject object numbering")
@@ -311,6 +312,13 @@ def render_pdf(model: dict, compress: bool | None = None,
         f3_tu_num = _next_extra + 1
         f3_num = _next_extra + 2
         _next_extra += 2
+    annot_nums = {}
+    for _pn, _p in enumerate(model["pages"]):
+        nums = []
+        for _ in _p.get("annots", []):
+            _next_extra += 1
+            nums.append(_next_extra)
+        annot_nums[_pn] = nums
     if outline:
         outlines_num = n_fixed + 2 * n_pages + 1
         w.add(
@@ -545,8 +553,12 @@ def render_pdf(model: dict, compress: bool | None = None,
         f3_res = f"/F3 {f3_num} 0 R " if page.get("broken_font") else ""
         if page.get("scan_image"):
             xres = f"/XObject << /Im1 {img_num} 0 R >> " + xres
+        annots_entry = ""
+        if annot_nums.get(page_n):
+            refs = " ".join(f"{a} 0 R" for a in annot_nums[page_n])
+            annots_entry = f"/Annots [{refs}] "
         w.add(
-            f"<< /Type /Page /Parent 2 0 R {rot}/Resources "
+            f"<< /Type /Page /Parent 2 0 R {rot}{annots_entry}/Resources "
             f"<< /Font << /F1 3 0 R {f2_res}{f3_res}>> {xres}>> "
             f"/Contents {page_obj_num + 1} 0 R "
             f">>".encode())
@@ -586,6 +598,24 @@ def render_pdf(model: dict, compress: bool | None = None,
              f"[{' '.join(['500'] * 95)}] /FontDescriptor 4 0 R "
              f"/Encoding /WinAnsiEncoding "
              f"/ToUnicode {f3_tu_num} 0 R >>").encode())
+    for _pn, _p in enumerate(model["pages"]):
+        for spec in _p.get("annots", []):
+            sub = spec["subtype"]
+            rect = spec.get("rect", (0, 0, 10, 10))
+            body = (f"<< /Type /Annot /Subtype /{sub} "
+                    f"/Rect [{rect[0]} {rect[1]} {rect[2]} {rect[3]}] ")
+            if spec.get("contents") is not None:
+                body += f"/Contents ({_esc(spec['contents'])}) "
+            if spec.get("author") is not None:
+                body += f"/T ({_esc(spec['author'])}) "
+            if sub == "Link" and spec.get("uri"):
+                body += f"/A << /S /URI /URI ({_esc(spec['uri'])}) >> "
+            if sub == "Highlight" and spec.get("quad_points"):
+                qp = " ".join(str(v) for v in spec["quad_points"])
+                body += f"/QuadPoints [{qp}] "
+            if sub == "Widget":
+                body += f"/FT /{spec.get('field_type', 'Tx')} "
+            w.add((body + ">>").encode())
 
     if outline:
         # /Outlines root + one bookmark per page (direct /Dest arrays)
