@@ -378,6 +378,44 @@ def _q_pdf_group_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select("url", "html").mapInPandas(fn, schema=schema)
 
 
+def _q_pdf_struct_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tagged-PDF structure tree: (page, MCID) -> block element tag via
+    /StructTreeRoot + /ParentTree, RoleMap resolution, OCR-producer
+    veto; untagged/vetoed docs emit no rows."""
+    from typing import Iterator
+
+    import pandas as pd
+    from pyspark.sql.types import (
+        LongType, StringType, StructField, StructType)
+
+    from scribe_js_spark.operators.pdf.structtree import pdf_struct_tags
+
+    schema = StructType([
+        StructField("url", StringType()),
+        StructField("page_n", LongType()),
+        StructField("mcid", LongType()),
+        StructField("tag", StringType()),
+    ])
+
+    def fn(batches: Iterator) -> Iterator:
+        for pdf in batches:
+            out = {f.name: [] for f in schema.fields}
+            for url, html in zip(pdf["url"], pdf["html"]):
+                try:
+                    rows = pdf_struct_tags(bytes(html))
+                except Exception:
+                    continue
+                for page_n, mcid, tag in rows:
+                    out["url"].append(url)
+                    out["page_n"].append(page_n)
+                    out["mcid"].append(mcid)
+                    out["tag"].append(tag)
+            yield pd.DataFrame(out)
+
+    df = spark.read.parquet(os.path.join(FIX_T2, "struct_docs.parquet"))
+    return df.select("url", "html").mapInPandas(fn, schema=schema)
+
+
 def _q_pdf_annotations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Typed PDF annotation records (links, highlights, notes, form
     widgets) incl. AES-256-encrypted docs whose strings must decrypt."""
@@ -782,6 +820,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "layout_roles2": _q_layout_roles2,
         "abbyy_table_cells": _q_abbyy_table_cells,
         "pdf_annotations": _q_pdf_annotations,
+        "pdf_struct_tags": _q_pdf_struct_tags,
         "pdf_table_cells": _q_pdf_table_cells,
         "pdf_table_regions": _q_pdf_table_regions,
         "font_metrics": _q_font_metrics,
@@ -1012,6 +1051,10 @@ def oracle_sql() -> dict[str, str]:
         "pdf_encrypted": (
             "SELECT url, text, failed FROM read_parquet("
             f"'{os.path.join(FIX_T2, 'encrypted.parquet')}')"),
+        "pdf_struct_tags": (
+            "SELECT url, page_n::BIGINT AS page_n,"
+            " mcid::BIGINT AS mcid, tag FROM read_parquet("
+            f"'{os.path.join(FIX_T2, 'struct.parquet')}')"),
         "pdf_annotations": (
             "SELECT url, page_n::BIGINT AS page_n,"
             " annot_n::BIGINT AS annot_n, subtype, contents, uri,"

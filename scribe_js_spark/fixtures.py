@@ -1606,6 +1606,67 @@ def write_annot_parquet(path: str, n_docs: int = 30,
         os.path.join(path, "annots.parquet"), index=False)
 
 
+def build_struct_models(doc_id: int, seed: int = SEED_DEFAULT) -> dict:
+    """Tagged-PDF family: marked-content paragraphs linked to a
+    structure tree. Page-0 first par tags /H1, each page's second par
+    /BlockQuote, the rest the custom /Para role-mapped to /P. Every
+    4th doc carries an OCR-producer string (struct map vetoed); every
+    5th is untagged."""
+    model = build_doc_model(doc_id, seed=seed)
+    tagged = doc_id % 5 != 4
+    ocr_producer = doc_id % 4 == 3
+    expected = []
+    if tagged:
+        model["struct_tags"] = True
+        model["producer"] = ("ABBYY FineReader 15" if ocr_producer
+                             else "Microsoft Word 2016")
+        for pn, page in enumerate(model["pages"]):
+            for k, par in enumerate(page["pars"]):
+                if pn == 0 and k == 0:
+                    par["struct_role"] = "H1"
+                elif k == 1:
+                    par["struct_role"] = "BlockQuote"
+                # others default to Para -> role-mapped to P
+                if not ocr_producer:
+                    tag = par.get("struct_role", "P")
+                    if tag == "Para":
+                        tag = "P"
+                    expected.append({
+                        "page_n": pn, "mcid": k,
+                        "tag": tag if tag in ("H1", "BlockQuote")
+                        else "P"})
+    return {"model": model, "expected": expected}
+
+
+def write_struct_parquet(path: str, n_docs: int = 30,
+                         seed: int = SEED_DEFAULT) -> None:
+    """struct_docs.parquet (url, html tagged-PDF bytes) +
+    struct.parquet golden (page, mcid, block tag) rows."""
+    import os
+
+    import pandas as pd
+
+    from .render_pdf import render_pdf as _render
+
+    doc_rows, golden_rows = [], []
+    for doc_id in range(n_docs):
+        m = build_struct_models(doc_id, seed=seed)
+        url = f"https://fixtures.test/pdf_struct/{doc_id:08d}"
+        doc_rows.append({
+            "url": url,
+            # classic xref: the xref-stream builder does not carry
+            # the trailer /Info entry the producer veto reads
+            "html": _render(m["model"], rotate=False, tj_mode=False,
+                            outline=False, form_xobject=False,
+                            xref_stream=False)})
+        for rec in m["expected"]:
+            golden_rows.append({"url": url, **rec})
+    pd.DataFrame(doc_rows).to_parquet(
+        os.path.join(path, "struct_docs.parquet"), index=False)
+    pd.DataFrame(golden_rows).to_parquet(
+        os.path.join(path, "struct.parquet"), index=False)
+
+
 ENCRYPT_MODES = ("rc4_40", "rc4_128", "aesv2", "aesv3")
 
 

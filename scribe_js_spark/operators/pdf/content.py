@@ -24,6 +24,7 @@ class PositionedChar:
     __slots__ = (
         "text", "x", "y", "width", "fontSize", "font", "invisible",
         "orientation", "dirX", "dirY", "charCode", "box", "textColor",
+        "mcid",
     )
 
     def __init__(self, text, x, y, width, font_size, font, invisible,
@@ -42,6 +43,8 @@ class PositionedChar:
         # (values, colorspace) of the fill color active at show time —
         # consumed by the underline color-match guard
         self.textColor = text_color
+        # marked-content id active at show time (struct-tree linkage)
+        self.mcid = None
 
 
 def _mat_mul(a, b):
@@ -151,6 +154,9 @@ class TextMachine:
         self._xobj_depth = 0
         self._seen_xobjs: set = set()
         self._fill_color = ([0.0], "gray")  # (values, colorspace)
+        # marked-content stack: BDC pushes the /MCID (or inherits),
+        # BMC pushes, EMC pops (structTree.js MCID linkage)
+        self._mc_stack: list = []
 
     # ------------------------------------------------------------ fonts
 
@@ -212,6 +218,23 @@ class TextMachine:
                             if isinstance(v, (int, float))]
                     if vals:
                         self._fill_color = (vals, self._fill_color[1])
+                elif op == b"BDC" and len(operands) >= 2:
+                    props = operands[-1]
+                    mcid = None
+                    if isinstance(props, dict):
+                        v = props.get("MCID")
+                        if isinstance(v, (int, float)):
+                            mcid = int(v)
+                    inherit = (self._mc_stack[-1]
+                               if self._mc_stack else None)
+                    self._mc_stack.append(
+                        mcid if mcid is not None else inherit)
+                elif op == b"BMC":
+                    self._mc_stack.append(
+                        self._mc_stack[-1] if self._mc_stack else None)
+                elif op == b"EMC":
+                    if self._mc_stack:
+                        self._mc_stack.pop()
                 elif op == b"cm" and len(operands) >= 6:
                     m = [float(v) for v in operands[-6:]]
                     ctm[:] = _mat_mul(m, ctm)
@@ -343,6 +366,7 @@ class TextMachine:
         unicode_for = font.unicode_for
         width_for = font.width_for
 
+        cur_mcid = self._mc_stack[-1] if self._mc_stack else None
         adv_total = 0.0
         for code, is_cid in self._decode_codes(bytes(data), font):
             uni = unicode_for(code)
@@ -352,7 +376,7 @@ class TextMachine:
             if uni:
                 # whitespace collapse (reference :1889)
                 text = " " if uni.isspace() else uni
-                chars_out.append(PositionedChar(
+                pc = PositionedChar(
                     text,
                     x_dev + adv_total * step_x * scale,
                     page_h - (y_dev + adv_total * step_y * scale),
@@ -363,6 +387,8 @@ class TextMachine:
                     orientation,
                     dir_x, dir_y, code,
                     self._fill_color,
-                ))
+                )
+                pc.mcid = cur_mcid
+                chars_out.append(pc)
             adv_total += adv
         return _mat_mul([1, 0, 0, 1, adv_total, 0], tm)

@@ -286,8 +286,10 @@ def render_pdf(model: dict, compress: bool | None = None,
     any_scan = any(p.get("scan_image") for p in model["pages"])
     any_broken = any(p.get("broken_font") for p in model["pages"])
     any_annots = any(p.get("annots") for p in model["pages"])
-    if (use_bold_font or any_scan or any_broken or any_annots) and (
-            outline or form_xobject):
+    struct_tags = bool(model.get("struct_tags"))
+    has_info = bool(model.get("producer") or model.get("creator"))
+    if (use_bold_font or any_scan or any_broken or any_annots
+            or struct_tags) and (outline or form_xobject):
         raise ValueError("extra-object variants conflict with outline/"
                          "form_xobject object numbering")
 
@@ -319,6 +321,21 @@ def render_pdf(model: dict, compress: bool | None = None,
             _next_extra += 1
             nums.append(_next_extra)
         annot_nums[_pn] = nums
+    struct_root_num = parent_tree_num = info_num = None
+    struct_elem_nums = {}
+    if struct_tags:
+        struct_root_num = _next_extra + 1
+        parent_tree_num = _next_extra + 2
+        _next_extra += 2
+        for _pn, _p in enumerate(model["pages"]):
+            nums = []
+            for _ in _p["pars"]:
+                _next_extra += 1
+                nums.append(_next_extra)
+            struct_elem_nums[_pn] = nums
+    if has_info:
+        _next_extra += 1
+        info_num = _next_extra
     if outline:
         outlines_num = n_fixed + 2 * n_pages + 1
         w.add(
@@ -326,7 +343,10 @@ def render_pdf(model: dict, compress: bool | None = None,
             f"/Names << /Dests << /Names [(last) [{n_fixed + 1 + 2 * (n_pages - 1)}"
             f" 0 R /XYZ null null null]] >> >> >>".encode())
     else:
-        w.add(b"<< /Type /Catalog /Pages 2 0 R >>")
+        cat_extra = (f"/StructTreeRoot {struct_root_num} 0 R "
+                     f"/MarkInfo << /Marked true >> "
+                     if struct_tags else "")
+        w.add(f"<< /Type /Catalog /Pages 2 0 R {cat_extra}>>".encode())
     if rotate:
         # MediaBox in unrotated user space; /Rotate 90 swaps the view.
         media = f"/MediaBox [0 0 {page_h} {page_w}]"
@@ -432,7 +452,10 @@ def render_pdf(model: dict, compress: bool | None = None,
         deferred_ops = []
         if invisible or page.get("invisible_text"):
             content.append("3 Tr")
-        for par in page["pars"]:
+        for par_idx, par in enumerate(page["pars"]):
+            if struct_tags:
+                role = par.get("struct_role", "Para")
+                content.append(f"/{role} << /MCID {par_idx} >> BDC")
             for line in par["lines"]:
                 y_pdf = page_h - line["baseline_y"]
                 if rotate:
@@ -490,6 +513,8 @@ def render_pdf(model: dict, compress: bool | None = None,
                                 f"/F1 18 Tf 1 0 0 1 {word['right'] + 2} "
                                 f"{y_pdf + 10} Tm {show_str('9')} Tj "
                                 f"/F1 {FONT_SIZE} Tf")
+            if struct_tags:
+                content.append("EMC")
         content.extend(deferred_ops)
         content.append("ET")
         content.extend(_rect_ops(page))
@@ -554,9 +579,11 @@ def render_pdf(model: dict, compress: bool | None = None,
         if page.get("scan_image"):
             xres = f"/XObject << /Im1 {img_num} 0 R >> " + xres
         annots_entry = ""
+        if struct_tags:
+            annots_entry += f"/StructParents {page_n} "
         if annot_nums.get(page_n):
             refs = " ".join(f"{a} 0 R" for a in annot_nums[page_n])
-            annots_entry = f"/Annots [{refs}] "
+            annots_entry += f"/Annots [{refs}] "
         w.add(
             f"<< /Type /Page /Parent 2 0 R {rot}{annots_entry}/Resources "
             f"<< /Font << /F1 3 0 R {f2_res}{f3_res}>> {xres}>> "
@@ -616,6 +643,34 @@ def render_pdf(model: dict, compress: bool | None = None,
             if sub == "Widget":
                 body += f"/FT /{spec.get('field_type', 'Tx')} "
             w.add((body + ">>").encode())
+    if struct_tags:
+        all_elems = [n for pn in sorted(struct_elem_nums)
+                     for n in struct_elem_nums[pn]]
+        kids = " ".join(f"{n} 0 R" for n in all_elems)
+        w.add((f"<< /Type /StructTreeRoot /K [{kids}] "
+               f"/ParentTree {parent_tree_num} 0 R "
+               f"/RoleMap << /Para /P >> >>").encode())
+        nums_parts = []
+        for pn in sorted(struct_elem_nums):
+            refs = " ".join(f"{n} 0 R" for n in struct_elem_nums[pn])
+            nums_parts.append(f"{pn} [{refs}]")
+        w.add(f"<< /Nums [{' '.join(nums_parts)}] >>".encode())
+        for pn in sorted(struct_elem_nums):
+            page_obj_num = n_fixed + 1 + 2 * pn
+            for k, elem_num in enumerate(struct_elem_nums[pn]):
+                role = model["pages"][pn]["pars"][k].get(
+                    "struct_role", "Para")
+                w.add((f"<< /Type /StructElem /S /{role} "
+                       f"/P {struct_root_num} 0 R /K [{k}] "
+                       f"/Pg {page_obj_num} 0 R >>").encode())
+    if info_num:
+        body = "<< "
+        if model.get("producer"):
+            body += f"/Producer ({_esc(model['producer'])}) "
+        if model.get("creator"):
+            body += f"/Creator ({_esc(model['creator'])}) "
+        w.add((body + ">>").encode())
+        w.trailer_extra += f"/Info {info_num} 0 R "
 
     if outline:
         # /Outlines root + one bookmark per page (direct /Dest arrays)
