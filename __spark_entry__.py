@@ -193,6 +193,31 @@ def _q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("mean_byte") * 1000).cast("long").alias("mean_byte_e3"))
 
 
+def _q_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real PNG decode (from-scratch: chunk walk, zlib inflate, all
+    five scanline filters) over analytically-pixelled images — the
+    pixel grid is (x*7 + y*13) % 256 so the mean is SQL-computable."""
+    import numpy as np
+
+    from scribe_js_spark.textops.multimodal import (
+        decode_media,
+        encode_png_gray,
+    )
+
+    rows = []
+    for i in range(30):
+        w = 16 + i % 8
+        h = 8 + i % 5
+        xs, ys = np.meshgrid(np.arange(w), np.arange(h))
+        px = ((xs * 7 + ys * 13) % 256).astype(np.uint8)
+        rows.append((i, encode_png_gray(px, cycle_filters=i % 2 == 1)))
+    df = spark.createDataFrame(rows, ["media_id", "data"])
+    return decode_media(df).select(
+        "media_id", "kind",
+        F.col("width").cast("long"), F.col("height").cast("long"),
+        F.floor(F.col("mean_byte") * 1e6).cast("long").alias("mean_e6"))
+
+
 def _q_eval_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
     from scribe_js_spark.layers import compare_layers
 
@@ -848,6 +873,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_filter": _q_quality_filter,
         "events_hourly": _q_events_hourly,
         "media_decode": _q_media_decode,
+        "png_decode": _q_png_decode,
     }
 
 
@@ -1322,4 +1348,22 @@ WHERE len(list_intersect(ta.toks, tb.toks))
             " (112 + r)::BIGINT AS n_bytes,"
             " ((r % 251) * 1000)::BIGINT AS mean_byte_e3"
             " FROM range(50) t(r)"),
+        # png_decode: pixel (x,y) = (x*7 + y*13) % 256; integer sums
+        # are exact in double on both engines, so the mean matches
+        # bit-for-bit.
+        "png_decode": """
+            WITH png AS (
+              SELECT r AS media_id, (16 + r % 8) AS w, (8 + r % 5) AS h
+              FROM range(30) t(r)
+            ), px AS (
+              SELECT media_id, w, h,
+                     ((x.x * 7 + y.y * 13) % 256)::DOUBLE AS v
+              FROM png, range(24) x(x), range(13) y(y)
+              WHERE x.x < w AND y.y < h
+            )
+            SELECT media_id, 'png' AS kind, w::BIGINT AS width,
+                   h::BIGINT AS height,
+                   CAST(floor(avg(v) * 1e6) AS BIGINT) AS mean_e6
+            FROM px GROUP BY media_id, w, h
+        """,
     }

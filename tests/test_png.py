@@ -1,0 +1,61 @@
+"""From-scratch PNG decoder tests."""
+
+import numpy as np
+import pytest
+
+from scribe_js_spark.textops.multimodal import (
+    _decode_one,
+    decode_png,
+    encode_png_gray,
+)
+
+
+def test_roundtrip_all_filters():
+    rng = np.random.RandomState(3)
+    for _ in range(4):
+        h, w = rng.randint(2, 50), rng.randint(2, 50)
+        px = rng.randint(0, 256, (h, w)).astype(np.uint8)
+        for cyc in (False, True):
+            width, height, channels, out = decode_png(
+                encode_png_gray(px, cycle_filters=cyc))
+            assert (width, height, channels) == (w, h, 1)
+            assert np.array_equal(out[:, :, 0], px)
+
+
+def test_decode_one_png_metadata():
+    px = np.arange(48, dtype=np.uint8).reshape(6, 8)
+    rec = _decode_one(encode_png_gray(px))
+    assert rec["kind"] == "png"
+    assert (rec["width"], rec["height"]) == (8, 6)
+    assert rec["mean_byte"] == px.mean()
+    assert rec["error"] is None
+
+
+def test_malformed_png_raises():
+    with pytest.raises(ValueError):
+        decode_png(b"\x89PNG\r\n\x1a\x08garbage")
+    # truncated scanlines
+    good = encode_png_gray(np.zeros((4, 4), np.uint8))
+    with pytest.raises(Exception):
+        decode_png(good[:40])
+
+
+def test_unsupported_depth_rejected():
+    import struct
+    import zlib
+
+    def chunk(ctype, body):
+        return (struct.pack(">I", len(body)) + ctype + body
+                + struct.pack(">I", zlib.crc32(ctype + body)))
+
+    ihdr16 = struct.pack(">IIBBBBB", 2, 2, 16, 0, 0, 0, 0)
+    data = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr16)
+            + chunk(b"IDAT", zlib.compress(b"\x00" * 10))
+            + chunk(b"IEND", b""))
+    with pytest.raises(NotImplementedError):
+        decode_png(data)
+
+
+def test_jpeg_still_surfaces_as_error():
+    with pytest.raises(NotImplementedError):
+        _decode_one(b"\xff\xd8\xff\xe0rest")
