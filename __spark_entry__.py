@@ -353,6 +353,46 @@ def _q_pdf_table_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select("url", "html").mapInPandas(fn, schema=schema)
 
 
+def _q_pdf_inline_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inline-math grouping exemptions: built-up fractions keep their
+    visual line instead of shattering into stacked fragments."""
+    from typing import Iterator
+
+    import pandas as pd
+    from pyspark.sql.types import (
+        BooleanType, LongType, StringType, StructField, StructType)
+
+    from scribe_js_spark.extract import extract_document
+
+    schema = StructType([
+        StructField("url", StringType()),
+        StructField("line_n", LongType()),
+        StructField("word_n", LongType()),
+        StructField("text", StringType()),
+        StructField("sup", BooleanType()),
+    ])
+
+    def fn(batches: Iterator) -> Iterator:
+        for pdf in batches:
+            out = {f.name: [] for f in schema.fields}
+            for url, html in zip(pdf["url"], pdf["html"]):
+                res = extract_document(bytes(html))
+                if res.error is not None:
+                    continue
+                for page in res.pages:
+                    for line_n, line in enumerate(page.lines):
+                        for word_n, w in enumerate(line.words):
+                            out["url"].append(url)
+                            out["line_n"].append(line_n)
+                            out["word_n"].append(word_n)
+                            out["text"].append(w.text)
+                            out["sup"].append(bool(w.style.sup))
+            yield pd.DataFrame(out)
+
+    df = spark.read.parquet(os.path.join(FIX_T2, "math_docs.parquet"))
+    return df.select("url", "html").mapInPandas(fn, schema=schema)
+
+
 def _q_pdf_group_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """groupCharsIntoPage deferred rules: orphan-char merge, drop caps,
     reference-marker reattach, fake small caps, styleRuns."""
@@ -841,6 +881,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pdf_underline": _q_pdf_underline,
         "pdf_encrypted": _q_pdf_encrypted,
         "pdf_group_rules": _q_pdf_group_rules,
+        "pdf_inline_math": _q_pdf_inline_math,
         "ocr_pages_mask": _q_ocr_pages_mask,
         "layout_roles2": _q_layout_roles2,
         "abbyy_table_cells": _q_abbyy_table_cells,
@@ -1100,6 +1141,10 @@ def oracle_sql() -> dict[str, str]:
             " ocr_deep, is_scan, has_ocr_layer, may_have_baked,"
             " has_broken_run FROM read_parquet("
             f"'{os.path.join(FIX_T2, 'ocrsel.parquet')}')"),
+        "pdf_inline_math": (
+            "SELECT url, line_n::BIGINT AS line_n,"
+            " word_n::BIGINT AS word_n, text, sup FROM read_parquet("
+            f"'{os.path.join(FIX_T2, 'math.parquet')}')"),
         "pdf_group_rules": (
             'SELECT url, line_n::BIGINT AS line_n,'
             ' word_n::BIGINT AS word_n, text, sup, dropcap,'

@@ -1667,6 +1667,100 @@ def write_struct_parquet(path: str, n_docs: int = 30,
         os.path.join(path, "struct.parquet"), index=False)
 
 
+def build_math_models(doc_id: int, seed: int = SEED_DEFAULT) -> dict:
+    """Inline-math family: a formula line (math-font glyphs, a raised
+    numerator and lowered denominator stacked at one x) embedded in
+    prose. The built-up-math exemptions must keep the whole formula on
+    ONE line; the numerator reads as a superscript word."""
+    rng = _doc_rng(seed + 31415, doc_id)
+    lines, expected = [], []
+    y = TOP_BASELINE
+
+    def _w(text, left, width, baseline=None, segs=None):
+        d = {"text": text, "chars": None, "out_words": [text],
+             "left": left, "right": left + width,
+             "top": y - ASC_H, "bottom": y + DESC_H, "conf": 97}
+        if baseline is not None:
+            d["baseline_y"] = baseline
+        if segs is not None:
+            d["segments"] = segs
+        return d
+
+    def _mseg(text, fs):
+        return [{"text": text, "fs": fs, "fkey": "/F5"}]
+
+    # prose line
+    t1, t2 = rng.choice(LEXICON), rng.choice(LEXICON)
+    w1 = _w(t1, MARGIN_LEFT, len(t1) * CHAR_W)
+    w2 = _w(t2, w1["right"] + 10, len(t2) * CHAR_W)
+    lines.append({"words": [w1, w2], "baseline_y": y, "indent": 0})
+    expected += [
+        {"line_n": 0, "word_n": 0, "text": t1, "sup": False},
+        {"line_n": 0, "word_n": 1, "text": t2, "sup": False}]
+    y += LINE_PITCH
+
+    # formula line: E = 12/34 + x  (numerator raised, denominator
+    # lowered, both at one x; 8 math-font glyphs gate pageHasMath)
+    x0 = MARGIN_LEFT
+    we = _w("E", x0, 15, segs=_mseg("E", 30))
+    weq = _w("=", we["right"] + 10, 15, segs=_mseg("=", 30))
+    x_frac = weq["right"] + 10
+    wnum = _w("12", x_frac, 18, baseline=y - 14, segs=_mseg("12", 18))
+    wden = _w("34", x_frac, 18, baseline=y + 16, segs=_mseg("34", 18))
+    wplus = _w("+", x_frac + 24, 15, segs=_mseg("+", 30))
+    wx = _w("x", wplus["right"] + 10, 15, segs=_mseg("x", 30))
+    t3 = rng.choice(LEXICON)
+    w3 = _w(t3, wx["right"] + 10, len(t3) * CHAR_W)
+    lines.append({"words": [we, weq, wnum, wden, wplus, wx, w3],
+                  "baseline_y": y, "indent": 0})
+    expected += [
+        {"line_n": 1, "word_n": 0, "text": "E", "sup": False},
+        {"line_n": 1, "word_n": 1, "text": "=", "sup": False},
+        {"line_n": 1, "word_n": 2, "text": "12", "sup": True},
+        {"line_n": 1, "word_n": 3, "text": "34", "sup": False},
+        {"line_n": 1, "word_n": 4, "text": "+", "sup": False},
+        {"line_n": 1, "word_n": 5, "text": "x", "sup": False},
+        {"line_n": 1, "word_n": 6, "text": t3, "sup": False}]
+    y += LINE_PITCH
+
+    # trailing prose line must still cut off the formula line
+    t4 = rng.choice(LEXICON)
+    w4 = _w(t4, MARGIN_LEFT, len(t4) * CHAR_W)
+    lines.append({"words": [w4], "baseline_y": y, "indent": 0})
+    expected.append({"line_n": 2, "word_n": 0, "text": t4, "sup": False})
+
+    model = {"doc_id": doc_id, "family": "base", "use_math_font": True,
+             "pages": [{"pars": [{"lines": lines}],
+                        "width": PAGE_W, "height": PAGE_H}]}
+    return {"model": model, "expected": expected}
+
+
+def write_math_parquet(path: str, n_docs: int = 25,
+                       seed: int = SEED_DEFAULT) -> None:
+    """math_docs.parquet (url, html PDF bytes) + math.parquet golden
+    word rows for the pdf_inline_math oracle."""
+    import os
+
+    import pandas as pd
+
+    from .render_pdf import render_pdf as _render
+
+    doc_rows, golden_rows = [], []
+    for doc_id in range(n_docs):
+        m = build_math_models(doc_id, seed=seed)
+        url = f"https://fixtures.test/pdf_math/{doc_id:08d}"
+        doc_rows.append({
+            "url": url,
+            "html": _render(m["model"], tj_mode=False, rotate=False,
+                            ligatures=False, cid_font=False)})
+        for rec in m["expected"]:
+            golden_rows.append({"url": url, **rec})
+    pd.DataFrame(doc_rows).to_parquet(
+        os.path.join(path, "math_docs.parquet"), index=False)
+    pd.DataFrame(golden_rows).to_parquet(
+        os.path.join(path, "math.parquet"), index=False)
+
+
 ENCRYPT_MODES = ("rc4_40", "rc4_128", "aesv2", "aesv3")
 
 

@@ -32,9 +32,10 @@ Semantics of the reference's groupCharsIntoPage
 (x)    fake small caps (:2915-2959) -> smallCaps style + large size
 (xi)   underline matching from vector paths (:3141-3174)
 (xiii) styleRuns: per-char bold/italic deltas (:3223-3242)
-
-Deferred (exercised by no text-layer fixture yet): inline-math
-exemptions (:2195-2222).
+(xvi)  inline-math exemptions: reducedScript / radicalRadicand /
+       builtUpMath (pageHasMath-gated) + inline symbol boundaries
+       (:2185-2222), exempting the cut rules exactly as the reference
+       maps them (:2240-2290)
 """
 
 from __future__ import annotations
@@ -56,10 +57,22 @@ _LOWER_RE = re.compile(r"[a-z]")
 _SC_SHAPE_RE = re.compile(r"[A-Z].?[A-Z]")
 _REF_MARKER_RE = re.compile(r"^[0-9,]+$|^[®*†‡§]+$")
 _FN_MARKER_RE = re.compile(r"^FN\d{1,3}$")
+_RADICAL_RE = re.compile(r"^[√∛∜]$")
+# Fonts used essentially only for mathematics (parsePdfDoc.js:151)
+MATH_FONT_RE = re.compile(
+    r"^(?:CM(?:MI|SY|EX)|lm(?:mi|sy|ex)|MS[AB]M|EUF[MB]|EUS[MB]|RSFS|"
+    r"MT(?:MI|SY|EX))|MathJax|[A-Za-z]*Math\b", re.I)
+# Unicode near-exclusive to mathematics (parsePdfDoc.js:155)
+MATH_CHAR_RE = re.compile(
+    "[ℂℏℑℕ℘ℚℜℝℤℵ∀-⋿⟀-⟯⦀-⧿⨀-⫿\U0001D400-\U0001D7FF]")
+_SYMBOL_FONT_RE = re.compile(
+    r"^(?:Webdings|Wingdings|ZapfDingbats|Dingbats|Symbol|SymbolMT|"
+    r"Quivira)(?:[-\s].*)?$", re.I)
 
 
 def group_chars_into_page(chars, n: int, page_dims: dict,
-                          underline_rects: list | None = None) -> OcrPage:
+                          underline_rects: list | None = None,
+                          page_has_math: bool = False) -> OcrPage:
     page_obj = OcrPage(n, page_dims)
     page_obj.textSource = "pdf"
     if not chars:
@@ -162,32 +175,73 @@ def group_chars_into_page(chars, n: int, page_dims: dict,
             and -max_font * 0.3 < x_gap < max_font * 0.8
             and y_gap < max_font * 0.8)
 
+        # Inline-math exemptions (parsePdfDoc.js:2185-2222): narrow
+        # escapes so a few off-baseline glyphs within one visual line
+        # are not torn onto their own lines.
+        symbol_boundary = bool(
+            _SYMBOL_FONT_RE.match(ch.font.family_name or "")
+            or _SYMBOL_FONT_RE.match(comp_prev.font.family_name or ""))
+        inline_symbol_boundary = (
+            symbol_boundary and y_gap < max_font * 0.5
+            and -max_font * 0.2 < x_gap < max_font)
+        # a script/fraction part set smaller than the body whose box
+        # still intersects the anchor band
+        reduced_script = (
+            ch.fontSize < anchor_fs * 0.85
+            and ch_y - ch.fontSize * 0.8 < anchor_y + anchor_fs * 0.2
+            and ch_y + ch.fontSize * 0.2 > anchor_y - anchor_fs * 0.8)
+        has_radical = bool(_RADICAL_RE.match(comp_prev.text)
+                           or _RADICAL_RE.match(ch.text))
+        radical_radicand = (
+            has_radical and 0.8 < font_ratio < 1.25
+            and -max_font * 0.2 < x_gap < max_font * 0.5
+            and y_gap < max_font * 1.1)
+        built_up_math = False
+        if page_has_math:
+            math_context = bool(
+                MATH_FONT_RE.search(ch.font.base_name or "")
+                or MATH_FONT_RE.search(comp_prev.font.base_name or "")
+                or has_radical
+                or ch.fontSize < anchor_fs * 0.85
+                or comp_prev.fontSize < anchor_fs * 0.85
+                or (0.8 < font_ratio < 1.25
+                    and abs(ch_y - anchor_y) < anchor_fs * 0.35))
+            built_up_math = (
+                math_context
+                and abs(ch_y - anchor_y) < anchor_fs * 1.3
+                and -anchor_fs * 1.5 < x_gap < max_font * 4)
+        inline_math = reduced_script or radical_radicand or built_up_math
+
         is_cut = False
         if ch.orientation != comp_prev.orientation:
             is_cut = True
-        elif (body_size > 0 and not leading_marker
+        elif (body_size > 0 and not leading_marker and not built_up_math
               and ch.fontSize < body_size * 0.85
               and (ch_y - body_y > body_size * 0.4
                    or ch_y - body_y < -body_size * 0.9)):
             is_cut = True
         elif (y_gap > max_font * 0.7 or y_gap > min_font * 1.5) \
-                and not leading_marker:
+                and not inline_math and not leading_marker:
             is_cut = True
-        elif x_gap < -max_font * 2:
+        elif x_gap < -max_font * 2 and not built_up_math:
             is_cut = True
         elif x_gap > max_font * 4:
             is_cut = True
-        elif (not leading_marker and 0.8 < font_ratio < 1.25
+        elif (not inline_math and not leading_marker
+              and 0.8 < font_ratio < 1.25
               and (x_gap < -max_font * 0.1 or x_gap > max_font * 0.5
                    or y_gap > min_font * 0.5)
               and y_gap > (min_font * 0.2 if x_gap > max_font
                            else min_font * 0.3)):
             is_cut = True
-        elif (y_gap > min_font * 0.1
+        elif (not inline_symbol_boundary and not built_up_math
+              and y_gap > min_font * 0.1
               and (font_ratio > 1.75 or font_ratio < 1 / 1.75)
               and (x_gap < -max_font * 0.1 or x_gap > max_font * 0.5)):
             is_cut = True
-        elif y_gap > min_font * 0.1 and (font_ratio < 0.8 or font_ratio > 1.25):
+        elif (not inline_symbol_boundary and not built_up_math
+              and y_gap > min_font * 0.1
+              and (font_ratio < 0.8 or font_ratio > 1.25)):
             persist = 0
             target = min(ch.fontSize, comp_prev.fontSize)
             for j in range(i + 1, len(chars)):
@@ -202,7 +256,7 @@ def group_chars_into_page(chars, n: int, page_dims: dict,
             if persist >= 3:
                 is_cut = True
 
-        if (not is_cut
+        if (not is_cut and not built_up_math
                 and anchor_fs * 0.8 <= ch.fontSize <= anchor_fs * 1.25
                 and abs(ch_y - anchor_y) > anchor_fs * 0.3
                 and x_gap > max_font * 0.5):

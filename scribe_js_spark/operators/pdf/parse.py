@@ -139,6 +139,31 @@ def pdf_document_type(data: bytes) -> str:
     return determine_pdf_type(stats)
 
 
+def _page_has_math(chars) -> bool:
+    """Gate for the built-up-math grouping exemptions
+    (parsePdfDoc.js:652-661): >= 8 visible glyphs from a math font, or
+    >= 6 math-only Unicode chars that also clear a density floor so a
+    few strays on a long prose page cannot trip it."""
+    from .group import MATH_CHAR_RE, MATH_FONT_RE
+
+    math_font = 0
+    math_char = 0
+    printable_vis = 0
+    for ch in chars:
+        if ch.invisible or not ch.text:
+            continue
+        cp = ord(ch.text[0])
+        if MATH_FONT_RE.search(ch.font.base_name or ""):
+            math_font += 1
+        if MATH_CHAR_RE.search(ch.text):
+            math_char += 1
+        if (33 <= cp <= 127) or (cp >= 161
+                                 and not (0xE000 <= cp <= 0xF8FF)):
+            printable_vis += 1
+    return (math_font >= 8
+            or (math_char >= 6 and math_char >= printable_vis * 0.0008))
+
+
 def pdf_page_stats(data: bytes) -> list[dict]:
     """Extended per-page PageStats (image/path counters, broken-font
     runs, body-band readable chars) feeding selectOcrPages — see
@@ -184,7 +209,8 @@ def parse_pdf_document(data: bytes) -> list[OcrPage]:
         page_obj = group_chars_into_page(
             chars, n,
             {"width": js_round(w * scale), "height": js_round(h * scale)},
-            underline_rects=underline_rects)
+            underline_rects=underline_rects,
+            page_has_math=_page_has_math(chars))
         # Rects not consumed as underlines stay as separator rules
         # (parsePdfDoc.js:1013)
         page_obj.rules = [

@@ -283,13 +283,14 @@ def render_pdf(model: dict, compress: bool | None = None,
     page_h = model["pages"][0]["height"]
     n_pages = len(model["pages"])
     use_bold_font = bool(model.get("use_bold_font"))
+    use_math_font = bool(model.get("use_math_font"))
     any_scan = any(p.get("scan_image") for p in model["pages"])
     any_broken = any(p.get("broken_font") for p in model["pages"])
     any_annots = any(p.get("annots") for p in model["pages"])
     struct_tags = bool(model.get("struct_tags"))
     has_info = bool(model.get("producer") or model.get("creator"))
-    if (use_bold_font or any_scan or any_broken or any_annots
-            or struct_tags) and (outline or form_xobject):
+    if (use_bold_font or use_math_font or any_scan or any_broken
+            or any_annots or struct_tags) and (outline or form_xobject):
         raise ValueError("extra-object variants conflict with outline/"
                          "form_xobject object numbering")
 
@@ -307,6 +308,10 @@ def render_pdf(model: dict, compress: bool | None = None,
     if use_bold_font:
         _next_extra += 1
         f2_num = _next_extra
+    f5_num = None
+    if use_math_font:
+        _next_extra += 1
+        f5_num = _next_extra
     if any_scan:
         _next_extra += 1
         img_num = _next_extra
@@ -575,6 +580,7 @@ def render_pdf(model: dict, compress: bool | None = None,
         else:
             xres = ""
         f2_res = f"/F2 {f2_num} 0 R " if use_bold_font else ""
+        f2_res += f"/F5 {f5_num} 0 R " if use_math_font else ""
         f3_res = f"/F3 {f3_num} 0 R " if page.get("broken_font") else ""
         if page.get("scan_image"):
             xres = f"/XObject << /Im1 {img_num} 0 R >> " + xres
@@ -605,6 +611,13 @@ def render_pdf(model: dict, compress: bool | None = None,
     if use_bold_font:
         w.add(
             b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica-Bold "
+            b"/FirstChar 32 /LastChar 126 /Widths ["
+            + b" ".join([b"500"] * 95)
+            + b"] /FontDescriptor 4 0 R /Encoding /WinAnsiEncoding >>")
+    if use_math_font:
+        # TeX Computer Modern symbol face name -> MATH_FONT_RE match
+        w.add(
+            b"<< /Type /Font /Subtype /Type1 /BaseFont /CMSY10 "
             b"/FirstChar 32 /LastChar 126 /Widths ["
             + b" ".join([b"500"] * 95)
             + b"] /FontDescriptor 4 0 R /Encoding /WinAnsiEncoding >>")

@@ -49,3 +49,22 @@ def test_dropcap_word_size_and_smallcaps_size():
     assert by_text["T"].style.size == 75.0      # dropcap keeps own size
     assert by_text["SMALL"].style.size == 30.0  # large-char size
     assert by_text["CAPS"].style.size == 30.0   # propagated base size
+
+
+def test_inline_math_keeps_formula_on_one_line():
+    from scribe_js_spark.fixtures import build_math_models
+
+    for doc_id in (0, 7):
+        m = build_math_models(doc_id)
+        res = extract_document(render_pdf(
+            m["model"], tj_mode=False, rotate=False, ligatures=False,
+            cid_font=False))
+        assert res.error is None
+        got = [(ln, wn, w.text, w.style.sup)
+               for p in res.pages for ln, line in enumerate(p.lines)
+               for wn, w in enumerate(line.words)]
+        exp = [(r["line_n"], r["word_n"], r["text"], r["sup"])
+               for r in m["expected"]]
+        assert got == exp
+        # the formula stays one visual line: exactly 3 lines total
+        assert len(res.pages[0].lines) == 3
