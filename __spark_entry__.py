@@ -353,6 +353,15 @@ def _q_pdf_table_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select("url", "html").mapInPandas(fn, schema=schema)
 
 
+def _q_web_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw web-page main-content extraction (HTML boilerplate strip
+    with DOM heuristics): byte-identical content text per url."""
+    from scribe_js_spark.pipeline import extract_text
+
+    df = spark.read.parquet(os.path.join(FIX_T2, "webhtml_docs.parquet"))
+    return extract_text(df, salt=False).select("url", "text")
+
+
 def _q_pdf_inline_math(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inline-math grouping exemptions: built-up fractions keep their
     visual line instead of shattering into stacked fragments."""
@@ -898,6 +907,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "column_counts": _q_column_counts,
         "phrase_search": _q_phrase_search,
         "extract_text": _q_extract_text,
+        "web_extract": _q_web_extract,
         "extract_meta": _q_extract_meta,
         "extract_spans": _q_extract_spans,
         "doc_stats": _q_doc_stats,
@@ -1220,6 +1230,9 @@ def oracle_sql() -> dict[str, str]:
         # Extraction: golden values computed from the fixture layout
         # model (FIXTURES.md) — the DuckDB side just reads them.
         "extract_text": f"SELECT url, text FROM read_parquet('{corpus}')",
+        "web_extract": (
+            "SELECT url, text FROM read_parquet("
+            f"'{os.path.join(FIX_T2, 'webhtml.parquet')}')"),
         "extract_meta": (
             f"SELECT url, format, page_count, word_count "
             f"FROM read_parquet('{meta}')"),

@@ -36,6 +36,9 @@ def register_converter(fmt: str, fn) -> None:
 def _convert_pages(s: str, fmt: str) -> list[OcrPage]:
     if fmt == "text":
         return convert_doc_text(s)
+    if fmt == "webhtml":
+        from .operators.webhtml import convert_doc_webhtml
+        return convert_doc_webhtml(s)
     if fmt == "textract":
         from .operators.textract import convert_doc_textract
         return convert_doc_textract(s)

@@ -1761,6 +1761,77 @@ def write_math_parquet(path: str, n_docs: int = 25,
         os.path.join(path, "math.parquet"), index=False)
 
 
+def build_webhtml_models(doc_id: int, seed: int = SEED_DEFAULT) -> dict:
+    """Raw-web-page family: Common-Crawl-style HTML with scripts,
+    styles, nav/header/aside/footer chrome, a link-farm 'related' box,
+    and real content paragraphs in one of four container shapes
+    (article / main / #content / .post-body). The golden text is the
+    content paragraphs only."""
+    rng = _doc_rng(seed + 787878, doc_id)
+
+    def _para(n):
+        toks = [rng.choice(LEXICON) for _ in range(n)]
+        return " ".join(toks)
+
+    headline = _para(4).title()
+    paras = [_para(rng.randint(18, 45)) for _ in range(rng.randint(3, 6))]
+    # entity handling: one paragraph carries an escaped ampersand
+    paras[0] = paras[0] + " alpha & beta"
+    expected = "\n".join([headline] + paras)
+
+    body_paras = "".join(
+        f"<p>{p.replace('&', '&amp;')}</p>" for p in paras)
+    inner = f"<h1>{headline}</h1>{body_paras}"
+    container = doc_id % 4
+    if container == 0:
+        content = f"<article>{inner}</article>"
+    elif container == 1:
+        content = f"<main>{inner}</main>"
+    elif container == 2:
+        content = f'<div id="content">{inner}</div>'
+    else:
+        content = f'<div class="post-body">{inner}</div>'
+
+    nav_links = "".join(
+        f'<a href="/{rng.choice(LEXICON)}">{rng.choice(LEXICON)}</a> '
+        for _ in range(6))
+    related = "".join(
+        f'<li><a href="/r{i}">{_para(3)}</a></li>' for i in range(4))
+    html = (
+        "<!DOCTYPE html><html><head><title>Site</title>"
+        "<script>window.x = 1;</script><style>body{margin:0}</style>"
+        '<meta charset="utf-8"></head><body>'
+        f"<nav>{nav_links}</nav>"
+        '<header><a href="/">ExampleSite</a></header>'
+        f"{content}"
+        f'<div class="related"><ul>{related}</ul></div>'
+        '<aside><a href="/ad">Sponsored</a></aside>'
+        f"<footer><a href=\"/privacy\">Privacy</a> © 2026</footer>"
+        "</body></html>")
+    return {"html": html, "expected": expected}
+
+
+def write_webhtml_parquet(path: str, n_docs: int = 40,
+                          seed: int = SEED_DEFAULT) -> None:
+    """webhtml_docs.parquet (url, html web-page bytes) +
+    webhtml.parquet golden main-content text."""
+    import os
+
+    import pandas as pd
+
+    doc_rows, golden_rows = [], []
+    for doc_id in range(n_docs):
+        m = build_webhtml_models(doc_id, seed=seed)
+        url = f"https://fixtures.test/webhtml/{doc_id:08d}"
+        doc_rows.append({"url": url,
+                         "html": m["html"].encode("utf-8")})
+        golden_rows.append({"url": url, "text": m["expected"]})
+    pd.DataFrame(doc_rows).to_parquet(
+        os.path.join(path, "webhtml_docs.parquet"), index=False)
+    pd.DataFrame(golden_rows).to_parquet(
+        os.path.join(path, "webhtml.parquet"), index=False)
+
+
 ENCRYPT_MODES = ("rc4_40", "rc4_128", "aesv2", "aesv3")
 
 

@@ -15,6 +15,7 @@ _ALTO_NS_RE = re.compile(r'xmlns="http://www\.loc\.gov/standards/alto', re.I)
 _NODE2_RE = re.compile(r">([^>]+)")
 _OCR_PAGE_RE = re.compile(r"class=['\"]ocr_page['\"]", re.I)
 _XML_DECL_RE = re.compile(r"<\?xml version", re.I)
+_HTML_DOC_RE = re.compile(r"<!doctype\s+html|<html[\s>]", re.I)
 
 
 def detect_ocr_format(ocr_str: str, ext: str | None = None) -> str | None:
@@ -77,6 +78,10 @@ def detect_document_format(data: bytes) -> str | None:
     fmt = detect_ocr_format(s)
     if fmt:
         return fmt
+    # Raw web HTML (no hOCR page markers, no XML declaration): the
+    # Common-Crawl-style main-content extraction path.
+    if _HTML_DOC_RE.search(s[:2048]):
+        return "webhtml"
     if s.strip():
         # Plain-text fallback only for predominantly printable content;
         # binary garbage must surface as a parse failure, not silently
