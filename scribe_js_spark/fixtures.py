@@ -1832,6 +1832,103 @@ def write_webhtml_parquet(path: str, n_docs: int = 40,
         os.path.join(path, "webhtml.parquet"), index=False)
 
 
+def build_list_models(doc_id: int, seed: int = SEED_DEFAULT) -> dict:
+    """Enumerated-list family: an intro paragraph, then a numbered
+    list ("1." "2." "3."), a bullet list ("•" x3) and a paren-alpha
+    pair ("(a)"/"(b)") each authored at uniform pitch (one reflow
+    paragraph) that the numbering-scheme pass must split into one
+    paragraph per item."""
+    rng = _doc_rng(seed + 515151, doc_id)
+    y = TOP_BASELINE
+    pars, expected = [], []
+
+    def _line(tokens, y0):
+        words, x = [], MARGIN_LEFT
+        for tok in tokens:
+            width = len(tok) * CHAR_W
+            words.append({
+                "text": tok, "chars": None, "out_words": [tok],
+                "left": x, "right": x + width,
+                "top": y0 - ASC_H, "bottom": y0 + DESC_H, "conf": 97})
+            x += width + WORD_GAP
+        return {"words": words, "baseline_y": y0, "indent": 0}
+
+    def _body(n):
+        return [rng.choice(LEXICON) for _ in range(n)]
+
+    # intro paragraph (2 lines)
+    lines = []
+    for _ in range(2):
+        lines.append(_line(_body(6), y))
+        y += LINE_PITCH
+    pars.append({"lines": lines})
+    expected.append({"par_n": 0, "first_word": lines[0]["words"][0]
+                     ["text"], "n_lines": 2})
+    y += PAR_GAP - LINE_PITCH
+
+    # numbered list: 3 items (weak num-dot form needs a 3-run)
+    lines = []
+    for i in range(1, 4):
+        lines.append(_line([f"{i}."] + _body(5), y))
+        y += LINE_PITCH
+    pars.append({"lines": lines})
+    for i in range(1, 4):
+        expected.append({"par_n": len(expected), "first_word": f"{i}.",
+                         "n_lines": 1})
+    y += PAR_GAP - LINE_PITCH
+
+    # bullet list: same glyph three times
+    lines = []
+    for _ in range(3):
+        lines.append(_line(["•"] + _body(4), y))
+        y += LINE_PITCH
+    pars.append({"lines": lines})
+    for _ in range(3):
+        expected.append({"par_n": len(expected), "first_word": "•",
+                         "n_lines": 1})
+    y += PAR_GAP - LINE_PITCH
+
+    # paren-alpha pair (strong form activates at a 2-run)
+    lines = []
+    for mark in ("(a)", "(b)"):
+        lines.append(_line([mark] + _body(5), y))
+        y += LINE_PITCH
+    pars.append({"lines": lines})
+    for mark in ("(a)", "(b)"):
+        expected.append({"par_n": len(expected), "first_word": mark,
+                         "n_lines": 1})
+
+    model = {"doc_id": doc_id, "family": "base",
+             "pages": [{"pars": pars, "width": PAGE_W,
+                        "height": PAGE_H}]}
+    for rec in expected:
+        rec["page_n"] = 0
+    return {"model": model, "expected": expected}
+
+
+def write_list_parquet(path: str, n_docs: int = 25,
+                       seed: int = SEED_DEFAULT) -> None:
+    """list_docs.parquet (url, hOCR bytes) + lists.parquet golden
+    paragraph rows for the list_items oracle."""
+    import os
+
+    import pandas as pd
+
+    doc_rows, golden_rows = [], []
+    for doc_id in range(n_docs):
+        m = build_list_models(doc_id, seed=seed)
+        url = f"https://fixtures.test/hocr_lists/{doc_id:08d}"
+        doc_rows.append({
+            "url": url,
+            "html": render_hocr(m["model"]).encode("utf-8")})
+        for rec in m["expected"]:
+            golden_rows.append({"url": url, **rec})
+    pd.DataFrame(doc_rows).to_parquet(
+        os.path.join(path, "list_docs.parquet"), index=False)
+    pd.DataFrame(golden_rows).to_parquet(
+        os.path.join(path, "lists.parquet"), index=False)
+
+
 ENCRYPT_MODES = ("rc4_40", "rc4_128", "aesv2", "aesv3")
 
 

@@ -197,6 +197,183 @@ def analyze_layout_doc(pages: list[OcrPage]) -> None:
                             and abs(li - ri) < col_width * 0.06):
                         par.type = "blockquote"
 
+    # Enumerated lists: split body paragraphs at active numbering-
+    # scheme markers (bullets, (a)/(1)/[n]/"n."/Section forms).
+    split_pars_at_enumerators(pages)
+
+
+_ROMAN_VALS = {"i": 1, "v": 5, "x": 10, "l": 50, "c": 100, "d": 500,
+               "m": 1000}
+
+
+def roman_to_int(s: str) -> int:
+    total = 0
+    prev = 0
+    for ch in reversed(s.lower()):
+        v = _ROMAN_VALS.get(ch, 0)
+        if v < prev:
+            total -= v
+        else:
+            total += v
+            prev = v
+    return total
+
+
+_BULLET_RE = re.compile(r"^[•◦▪▫●○◼◻➢»■□◾◽▶▸‣➤➔–—-]$")
+
+
+def line_enumerator(line) -> dict | None:
+    """Marker scheme opening a line (analyzeLayout.js lineEnumerator,
+    :3248-3310): sup-ref raised digits, the FN+number convention,
+    Section/Article headers, paren/bracket/dot numbered forms,
+    alpha/roman variants, and repeated bullet glyphs."""
+    words = line.words
+    w0 = words[0].text if words else ""
+    w1 = words[1].text if len(words) > 1 else ""
+    if words and words[0].style.sup and re.match(r"^\d{1,3}$", w0):
+        return {"scheme": "sup-ref", "value": int(w0), "raw": w0}
+    m = re.match(r"^FN(\d{1,3})[.)]?$", w0)
+    if m:
+        return {"scheme": "sup-ref", "value": int(m.group(1)), "raw": w0}
+    if re.match(r"^(Sec\.?|SEC\.?|Section|SECTION|Article|ARTICLE|§)$",
+                w0):
+        nm = re.match(r"^(\d{1,4})", w1)
+        if nm:
+            return {"scheme": "section", "value": int(nm.group(1)),
+                    "raw": f"{w0} {w1}".strip()}
+        rm = re.match(r"^([ivxlcdm]+)[.)]?$", w1, re.I)
+        if rm:
+            return {"scheme": "section",
+                    "value": roman_to_int(rm.group(1)),
+                    "raw": f"{w0} {w1}".strip()}
+        return None
+    m = re.match(r"^\((\d{1,3}|[a-z]{1,3}|[ivxlcdm]+)\)$", w0, re.I)
+    if m:
+        inner = m.group(1)
+        if inner.isdigit():
+            return {"scheme": "paren-num", "value": int(inner),
+                    "raw": w0}
+        if re.match(r"^[ivxlcdm]+$", inner, re.I) and len(inner) > 1:
+            return {"scheme": "paren-roman",
+                    "value": roman_to_int(inner), "raw": w0}
+        if re.match(r"^[a-z]$", inner, re.I):
+            return {"scheme": "paren-alpha",
+                    "value": ord(inner.lower()) - 96, "raw": w0}
+        return {"scheme": "paren-alpha", "value": None, "raw": w0}
+    m = re.match(r"^\[(\d{1,3})\]$", w0)
+    if m:
+        return {"scheme": "bracket-num", "value": int(m.group(1)),
+                "raw": w0}
+    m = re.match(r"^(\d{1,3})[.)]$", w0)
+    if m:
+        return {"scheme": "num-dot", "value": int(m.group(1)), "raw": w0}
+    m = re.match(r"^([ivxlcdm]{2,})\)$", w0, re.I)
+    if m:
+        return {"scheme": "roman-paren",
+                "value": roman_to_int(m.group(1)), "raw": w0}
+    m = re.match(r"^([ivxlcdm]{2,})\.$", w0, re.I)
+    if m:
+        return {"scheme": "roman-dot",
+                "value": roman_to_int(m.group(1)), "raw": w0}
+    m = re.match(r"^([a-z])\)$", w0, re.I)
+    if m:
+        return {"scheme": "alpha-paren",
+                "value": ord(m.group(1).lower()) - 96, "raw": w0}
+    m = re.match(r"^([a-z])\.$", w0, re.I)
+    if m:
+        return {"scheme": "alpha-dot",
+                "value": ord(m.group(1).lower()) - 96, "raw": w0}
+    if _BULLET_RE.match(w0):
+        return {"scheme": "bullet", "value": None, "raw": w0}
+    return None
+
+
+def detect_numbering_schemes(enums: list) -> dict:
+    """Active document-wide enumeration schemes (analyzeLayout.js
+    detectNumberingSchemes): a value belongs to a sequence when a
+    numeric neighbor also occurs; strong marker forms activate at a
+    2-run, weak ones at 3; bare-period schemes stay non-splittable;
+    a bullet glyph activates at 3 repeats of the SAME glyph."""
+    seq: dict = {}
+    for e in enums:
+        if e and e["value"] is not None:
+            seq.setdefault(e["scheme"], []).append(e["value"])
+    out: dict = {}
+    for scheme, vals in seq.items():
+        value_set = set(vals)
+        seq_vals = {v for v in value_set
+                    if v - 1 in value_set or v + 1 in value_set}
+        asc = sorted(value_set)
+        run = max_run = 1
+        for i in range(1, len(asc)):
+            if asc[i] == asc[i - 1] + 1:
+                run += 1
+                max_run = max(max_run, run)
+            else:
+                run = 1
+        splittable = scheme not in ("alpha-dot", "roman-dot")
+        strong = (scheme == "section" or scheme.startswith("paren-")
+                  or scheme in ("alpha-paren", "roman-paren",
+                                "bracket-num"))
+        out[scheme] = {
+            "active": splittable and max_run >= (2 if strong else 3),
+            "max_run": max_run, "sequence_values": seq_vals}
+    glyph_counts: dict = {}
+    for e in enums:
+        if e and e["scheme"] == "bullet":
+            glyph_counts[e["raw"]] = glyph_counts.get(e["raw"], 0) + 1
+    bullet_max = max(glyph_counts.values(), default=0)
+    if bullet_max >= 3:
+        out["bullet"] = {"active": True, "max_run": bullet_max,
+                         "sequence_values": set()}
+    return out
+
+
+def split_pars_at_enumerators(pages) -> None:
+    """Split body paragraphs at lines opening an ACTIVE enumeration
+    marker whose value participates in the document sequence (bullets
+    always, once their glyph scheme is active) — the enumerator
+    paragraph-break rule of the reference's region pass. Runs after
+    role assignment so furniture paragraphs are untouched."""
+    all_enums = [
+        line_enumerator(line)
+        for page in pages for par in page.pars if par.type == "body"
+        for line in par.lines]
+    schemes = detect_numbering_schemes(all_enums)
+    if not any(s["active"] for s in schemes.values()):
+        return
+    from ..model import OcrPar, bbox_union
+
+    for page in pages:
+        new_pars = []
+        for par in page.pars:
+            if par.type != "body" or len(par.lines) < 2:
+                new_pars.append(par)
+                continue
+            groups: list[list] = [[par.lines[0]]]
+            for line in par.lines[1:]:
+                e = line_enumerator(line)
+                sc = schemes.get(e["scheme"]) if e else None
+                splits = bool(
+                    sc and sc["active"]
+                    and (e["scheme"] == "bullet"
+                         or e["value"] in sc["sequence_values"]))
+                if splits:
+                    groups.append([line])
+                else:
+                    groups[-1].append(line)
+            if len(groups) == 1:
+                new_pars.append(par)
+                continue
+            for g in groups:
+                np = OcrPar(page, bbox_union([l.bbox for l in g]))
+                np.lines = g
+                np.type = par.type
+                for l in g:
+                    l.par = np
+                new_pars.append(np)
+        page.pars = new_pars
+
 
 _LN_STANDALONE_RE = re.compile(r"^\d{1,3}[.)]?$")
 
