@@ -627,6 +627,45 @@ def _q_list_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select("url", "html").mapInPandas(fn, schema=schema)
 
 
+def _q_toc_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense-TOC detection: dot-leader entry lines split into one
+    paragraph per entry; prose pages stay fused."""
+    from typing import Iterator
+
+    import pandas as pd
+    from pyspark.sql.types import (
+        LongType, StringType, StructField, StructType)
+
+    from scribe_js_spark.extract import extract_document
+    from scribe_js_spark.operators.layout_doc import analyze_layout_doc
+
+    schema = StructType([
+        StructField("url", StringType()),
+        StructField("page_n", LongType()),
+        StructField("par_n", LongType()),
+        StructField("n_lines", LongType()),
+    ])
+
+    def fn(batches: Iterator) -> Iterator:
+        for pdf in batches:
+            out = {f.name: [] for f in schema.fields}
+            for url, html in zip(pdf["url"], pdf["html"]):
+                res = extract_document(bytes(html))
+                if res.error is not None:
+                    continue
+                analyze_layout_doc(res.pages)
+                for page in res.pages:
+                    for pn, par in enumerate(page.pars):
+                        out["url"].append(url)
+                        out["page_n"].append(page.n)
+                        out["par_n"].append(pn)
+                        out["n_lines"].append(len(par.lines))
+            yield pd.DataFrame(out)
+
+    df = spark.read.parquet(os.path.join(FIX_T2, "toc_docs.parquet"))
+    return df.select("url", "html").mapInPandas(fn, schema=schema)
+
+
 def _q_layout_roles2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """analyzeLayout linenum + blockquote roles over the transcript-
     style fixture family (line-number columns, inset quotations)."""
@@ -937,6 +976,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ocr_pages_mask": _q_ocr_pages_mask,
         "layout_roles2": _q_layout_roles2,
         "list_items": _q_list_items,
+        "toc_entries": _q_toc_entries,
         "abbyy_table_cells": _q_abbyy_table_cells,
         "pdf_annotations": _q_pdf_annotations,
         "pdf_struct_tags": _q_pdf_struct_tags,
@@ -1186,6 +1226,11 @@ def oracle_sql() -> dict[str, str]:
             " row_n::BIGINT AS row_n, col_n::BIGINT AS col_n, cell"
             f" FROM read_parquet("
             f"'{os.path.join(FIX_T2, 'abbyy_table.parquet')}')"),
+        "toc_entries": (
+            "SELECT url, page_n::BIGINT AS page_n,"
+            " par_n::BIGINT AS par_n, n_lines::BIGINT AS n_lines"
+            f" FROM read_parquet("
+            f"'{os.path.join(FIX_T2, 'toc.parquet')}')"),
         "list_items": (
             "SELECT url, page_n::BIGINT AS page_n,"
             " par_n::BIGINT AS par_n, first_word,"

@@ -1929,6 +1929,94 @@ def write_list_parquet(path: str, n_docs: int = 25,
         os.path.join(path, "lists.parquet"), index=False)
 
 
+def build_toc_models(doc_id: int, seed: int = SEED_DEFAULT) -> dict:
+    """TOC family: page 0 is a dense table of contents (dot-leader
+    entries, one of them wrapped over two lines) authored as one
+    uniform-pitch paragraph that must split into one paragraph per
+    entry; page 1 is plain prose that must NOT split even though one
+    line mentions a trailing number."""
+    rng = _doc_rng(seed + 606060, doc_id)
+    y = TOP_BASELINE
+
+    def _line(tokens, y0):
+        words, x = [], MARGIN_LEFT
+        for tok in tokens:
+            width = len(tok) * CHAR_W
+            words.append({
+                "text": tok, "chars": None, "out_words": [tok],
+                "left": x, "right": x + width,
+                "top": y0 - ASC_H, "bottom": y0 + DESC_H, "conf": 97})
+            x += width + WORD_GAP
+        return {"words": words, "baseline_y": y0, "indent": 0}
+
+    expected = []
+    toc_lines = []
+    n_entries = rng.randint(6, 9)
+    page_no = 1
+    par_n = 0
+    for e in range(n_entries):
+        title = [rng.choice(LEXICON) for _ in range(rng.randint(2, 3))]
+        wrapped = e == 2  # one two-line entry
+        if wrapped:
+            toc_lines.append(_line(title + [rng.choice(LEXICON)], y))
+            y += LINE_PITCH
+            toc_lines.append(_line(
+                [rng.choice(LEXICON), ".......", str(page_no)], y))
+            n_lines = 2
+        else:
+            toc_lines.append(_line(
+                title + [".......", str(page_no)], y))
+            n_lines = 1
+        y += LINE_PITCH
+        expected.append({"page_n": 0, "par_n": par_n,
+                         "n_lines": n_lines})
+        par_n += 1
+        page_no += rng.randint(3, 20)
+    page0 = {"pars": [{"lines": toc_lines}],
+             "width": PAGE_W, "height": PAGE_H}
+
+    # prose page: one 5-line paragraph; a trailing number on one line
+    # must not read as a TOC entry (no dot leaders, density gate off)
+    y = TOP_BASELINE
+    prose = []
+    for i in range(5):
+        toks = [rng.choice(LEXICON) for _ in range(6)]
+        if i == 2:
+            toks.append("1984")
+        prose.append(_line(toks, y))
+        y += LINE_PITCH
+    page1 = {"pars": [{"lines": prose}], "width": PAGE_W,
+             "height": PAGE_H}
+    expected.append({"page_n": 1, "par_n": 0, "n_lines": 5})
+
+    model = {"doc_id": doc_id, "family": "base",
+             "pages": [page0, page1]}
+    return {"model": model, "expected": expected}
+
+
+def write_toc_parquet(path: str, n_docs: int = 25,
+                      seed: int = SEED_DEFAULT) -> None:
+    """toc_docs.parquet (url, hOCR bytes) + toc.parquet golden
+    paragraph rows."""
+    import os
+
+    import pandas as pd
+
+    doc_rows, golden_rows = [], []
+    for doc_id in range(n_docs):
+        m = build_toc_models(doc_id, seed=seed)
+        url = f"https://fixtures.test/hocr_toc/{doc_id:08d}"
+        doc_rows.append({
+            "url": url,
+            "html": render_hocr(m["model"]).encode("utf-8")})
+        for rec in m["expected"]:
+            golden_rows.append({"url": url, **rec})
+    pd.DataFrame(doc_rows).to_parquet(
+        os.path.join(path, "toc_docs.parquet"), index=False)
+    pd.DataFrame(golden_rows).to_parquet(
+        os.path.join(path, "toc.parquet"), index=False)
+
+
 ENCRYPT_MODES = ("rc4_40", "rc4_128", "aesv2", "aesv3")
 
 

@@ -200,6 +200,8 @@ def analyze_layout_doc(pages: list[OcrPage]) -> None:
     # Enumerated lists: split body paragraphs at active numbering-
     # scheme markers (bullets, (a)/(1)/[n]/"n."/Section forms).
     split_pars_at_enumerators(pages)
+    # Dense TOC/index pages: one paragraph per entry.
+    split_toc_pages(pages)
 
 
 _ROMAN_VALS = {"i": 1, "v": 5, "x": 10, "l": 50, "c": 100, "d": 500,
@@ -359,6 +361,68 @@ def split_pars_at_enumerators(pages) -> None:
                     and (e["scheme"] == "bullet"
                          or e["value"] in sc["sequence_values"]))
                 if splits:
+                    groups.append([line])
+                else:
+                    groups[-1].append(line)
+            if len(groups) == 1:
+                new_pars.append(par)
+                continue
+            for g in groups:
+                np = OcrPar(page, bbox_union([l.bbox for l in g]))
+                np.lines = g
+                np.type = par.type
+                for l in g:
+                    l.par = np
+                new_pars.append(np)
+        page.pars = new_pars
+
+
+_TOC_DOTS_RE = re.compile(r"(?:\.\s*){3,}\d{1,4}$")
+_TOC_P_RE = re.compile(r"\bp{1,2}\.\s*\d{1,4}\.?$")
+_TOC_SEE_RE = re.compile(r"\.\s+See\s+(?:also\s+)?[A-Z]")
+_HAS_ALPHA_RE = re.compile(r"[A-Za-z]")
+
+
+def _line_text(line) -> str:
+    return " ".join(w.text for w in line.words)
+
+
+def split_toc_pages(pages) -> None:
+    """Dense index/TOC pages: when a page's substantive lines are
+    >= 40% entry-like (dot leaders + page number, '... p. 684.' forms,
+    'Headword. See Other.' cross-references; >= 6 lines considered),
+    every entry-ending line closes its paragraph so each entry stands
+    alone (the tocTagsFuseEntries gate, analyzeLayout.js:2841-2859,
+    applied as a split since our sources carry no struct fusing)."""
+    from ..model import OcrPar, bbox_union
+
+    for page in pages:
+        considered = 0
+        entry_lines: set = set()
+        for par in page.pars:
+            if par.type != "body":
+                continue
+            for line in par.lines:
+                t = _line_text(line).strip()
+                if len(t) < 4:
+                    continue
+                considered += 1
+                if (_TOC_DOTS_RE.search(t)
+                        or (_HAS_ALPHA_RE.search(t)
+                            and _TOC_P_RE.search(t))
+                        or _TOC_SEE_RE.search(t)):
+                    entry_lines.add(id(line))
+        if considered < 6 or len(entry_lines) / considered < 0.4:
+            continue
+        new_pars = []
+        for par in page.pars:
+            if (par.type != "body" or len(par.lines) < 2
+                    or not any(id(l) in entry_lines for l in par.lines)):
+                new_pars.append(par)
+                continue
+            groups: list[list] = [[par.lines[0]]]
+            for prev, line in zip(par.lines, par.lines[1:]):
+                if id(prev) in entry_lines:  # an entry closes its par
                     groups.append([line])
                 else:
                     groups[-1].append(line)
