@@ -627,6 +627,48 @@ def _q_list_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select("url", "html").mapInPandas(fn, schema=schema)
 
 
+def _q_linenum_caseb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Case-B merged line numbers: the leading prefix word of each
+    transcript line flags lineNum; a data-table index column (numeric
+    first content word) must NOT flag."""
+    from typing import Iterator
+
+    import pandas as pd
+    from pyspark.sql.types import (
+        BooleanType, LongType, StringType, StructField, StructType)
+
+    from scribe_js_spark.extract import extract_document
+    from scribe_js_spark.operators.layout_doc import analyze_layout_doc
+
+    schema = StructType([
+        StructField("url", StringType()),
+        StructField("page_n", LongType()),
+        StructField("line_n", LongType()),
+        StructField("first_word_linenum", BooleanType()),
+    ])
+
+    def fn(batches: Iterator) -> Iterator:
+        for pdf in batches:
+            out = {f.name: [] for f in schema.fields}
+            for url, html in zip(pdf["url"], pdf["html"]):
+                res = extract_document(bytes(html))
+                if res.error is not None:
+                    continue
+                analyze_layout_doc(res.pages)
+                for page in res.pages:
+                    for ln, line in enumerate(page.lines):
+                        out["url"].append(url)
+                        out["page_n"].append(page.n)
+                        out["line_n"].append(ln)
+                        out["first_word_linenum"].append(
+                            bool(line.words and line.words[0].lineNum))
+            yield pd.DataFrame(out)
+
+    df = spark.read.parquet(
+        os.path.join(FIX_T2, "linenum_b_docs.parquet"))
+    return df.select("url", "html").mapInPandas(fn, schema=schema)
+
+
 def _q_toc_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dense-TOC detection: dot-leader entry lines split into one
     paragraph per entry; prose pages stay fused."""
@@ -977,6 +1019,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "layout_roles2": _q_layout_roles2,
         "list_items": _q_list_items,
         "toc_entries": _q_toc_entries,
+        "linenum_caseb": _q_linenum_caseb,
         "abbyy_table_cells": _q_abbyy_table_cells,
         "pdf_annotations": _q_pdf_annotations,
         "pdf_struct_tags": _q_pdf_struct_tags,
@@ -1226,6 +1269,11 @@ def oracle_sql() -> dict[str, str]:
             " row_n::BIGINT AS row_n, col_n::BIGINT AS col_n, cell"
             f" FROM read_parquet("
             f"'{os.path.join(FIX_T2, 'abbyy_table.parquet')}')"),
+        "linenum_caseb": (
+            "SELECT url, page_n::BIGINT AS page_n,"
+            " line_n::BIGINT AS line_n, first_word_linenum"
+            f" FROM read_parquet("
+            f"'{os.path.join(FIX_T2, 'linenum_b.parquet')}')"),
         "toc_entries": (
             "SELECT url, page_n::BIGINT AS page_n,"
             " par_n::BIGINT AS par_n, n_lines::BIGINT AS n_lines"

@@ -2017,6 +2017,65 @@ def write_toc_parquet(path: str, n_docs: int = 25,
         os.path.join(path, "toc.parquet"), index=False)
 
 
+def build_linenum_b_models(doc_id: int, seed: int = SEED_DEFAULT) -> dict:
+    """Case-B line numbers: every body line leads with its number as a
+    merged prefix word ("7 The witness said ..."). Every 5th doc is
+    the confuser instead — a data table whose first content word after
+    the index is numeric — and must get NO lineNum flags."""
+    rng = _doc_rng(seed + 131313, doc_id)
+    confuser = doc_id % 5 == 4
+    pages, expected = [], []
+    for page_n in range(3):
+        y = TOP_BASELINE
+        lines = []
+        for i in range(1, 13):
+            words, x = [], MARGIN_LEFT
+            toks = [str(i)]
+            if confuser:
+                toks.append(f"{1000 + i * 7}")
+                toks += [rng.choice(LEXICON) for _ in range(2)]
+            else:
+                # wide prose line (med right frac >= 0.35 of the page)
+                toks += [rng.choice(LEXICON) for _ in range(7)]
+            for tok in toks:
+                width = len(tok) * CHAR_W
+                words.append({
+                    "text": tok, "chars": None, "out_words": [tok],
+                    "left": x, "right": x + width,
+                    "top": y - ASC_H, "bottom": y + DESC_H, "conf": 97})
+                x += width + WORD_GAP
+            lines.append({"words": words, "baseline_y": y, "indent": 0})
+            expected.append({
+                "page_n": page_n, "line_n": i - 1,
+                "first_word_linenum": not confuser})
+            y += LINE_PITCH
+        pages.append({"pars": [{"lines": lines}], "width": PAGE_W,
+                      "height": PAGE_H})
+    model = {"doc_id": doc_id, "family": "base", "pages": pages}
+    return {"model": model, "expected": expected}
+
+
+def write_linenum_b_parquet(path: str, n_docs: int = 25,
+                            seed: int = SEED_DEFAULT) -> None:
+    import os
+
+    import pandas as pd
+
+    doc_rows, golden_rows = [], []
+    for doc_id in range(n_docs):
+        m = build_linenum_b_models(doc_id, seed=seed)
+        url = f"https://fixtures.test/hocr_linenum_b/{doc_id:08d}"
+        doc_rows.append({
+            "url": url,
+            "html": render_hocr(m["model"]).encode("utf-8")})
+        for rec in m["expected"]:
+            golden_rows.append({"url": url, **rec})
+    pd.DataFrame(doc_rows).to_parquet(
+        os.path.join(path, "linenum_b_docs.parquet"), index=False)
+    pd.DataFrame(golden_rows).to_parquet(
+        os.path.join(path, "linenum_b.parquet"), index=False)
+
+
 ENCRYPT_MODES = ("rc4_40", "rc4_128", "aesv2", "aesv3")
 
 

@@ -446,8 +446,41 @@ LN_LEFT_FRAC = 0.4
 LN_GATE_RUN = 8     # doc enables the detector at this run length
 LN_CONF_RUN = 6     # a page is confidently line-numbered at this run
 LN_RESCUE_RUN = 4   # partial page rescued at a locked column
+LN_MAX_RUN = 35     # case B only: longer merged columns read as tables
 LN_MAX_START = 30   # line numbers start near 1; table indices high
 LN_LOCK_PAGES = 3   # a column locks when it recurs on this many pages
+LN_MAX_NUMFIRST = 0.5    # case B: numeric first content word -> table
+LN_MIN_PITCHREG = 0.85   # case B: per-line pitch regularity floor
+LN_CASEB_MIN_RIGHTFRAC = 0.35  # case B: members annotate wide prose
+LN_CASEB_MIN_DENSITY = 0.6     # case B: members tag most span lines
+
+_LN_LEADER = "·•∙⋅‧․"
+_LN_LEADER_RE = re.compile(f"^[{_LN_LEADER}]+$")
+_LN_INT_RE = re.compile(f"^[{_LN_LEADER}]*(\\d{{1,4}})[{_LN_LEADER}]*$")
+_LN_NUMFIRST_RE = re.compile(r"^[\d.,$%()-]+$")
+
+
+def _leading_line_number(line):
+    """(value, prefix_words, standalone) when the line opens with an
+    integer after optional leader glyphs (analyzeLayout.js
+    leadingLineNumber, :3119-3131)."""
+    words = line.words
+    if not words:
+        return None
+    i = 0
+    while i < len(words) and _LN_LEADER_RE.match(words[i].text.strip()):
+        i += 1
+    if i >= len(words):
+        return None
+    m = _LN_INT_RE.match(words[i].text.strip())
+    if not m:
+        return None
+    pfx = i + 1
+    while pfx < len(words) \
+            and _LN_LEADER_RE.match(words[pfx].text.strip()):
+        pfx += 1
+    return {"value": int(m.group(1)), "prefix_words": pfx,
+            "standalone": pfx >= len(words)}
 
 
 def _median_line_height(pages) -> float:
@@ -475,15 +508,16 @@ def _detect_line_number_columns(pages, body_size: float) -> None:
         left_edge = page_w * LN_LEFT_FRAC
         cands = []
         for line in page.lines:
-            words = [w for w in line.words if w.text.strip()]
-            if len(words) != 1 or line.bbox.left >= left_edge:
+            if line.bbox.left >= left_edge:
                 continue
-            m = _LN_STANDALONE_RE.match(words[0].text)
-            if not m:
+            lead = _leading_line_number(line)
+            if not lead:
                 continue
             cands.append({
                 "line": line,
-                "value": int(re.sub(r"\D", "", words[0].text)),
+                "value": lead["value"],
+                "prefix_words": lead["prefix_words"],
+                "standalone": lead["standalone"],
                 "x": line.bbox.left, "top": line.bbox.top})
         if len(cands) < LN_RESCUE_RUN:
             continue
@@ -526,8 +560,48 @@ def _detect_line_number_columns(pages, body_size: float) -> None:
         body_overlap = (len(body_lines) < 4
                         or any(c["top"] <= body_bottom
                                for c in best_run))
-        ln_like = (best_run[0]["value"] <= LN_MAX_START
-                   and indent_ok and body_overlap)
+        sa_frac = (sum(1 for c in best_run if c["standalone"])
+                   / len(best_run))
+        ln_like_core = (
+            best_run[0]["value"] <= LN_MAX_START
+            and (sa_frac >= 0.5 or len(best_run) <= LN_MAX_RUN))
+        if ln_like_core and sa_frac < 0.5:
+            # Case B (merged prefix) extra discrimination
+            # (analyzeLayout.js:260-276): a data-table index column or
+            # a numbered list resembles merged line numbers.
+            num_first = have_content = 0
+            for c in best_run:
+                ws = c["line"].words
+                if c["prefix_words"] >= len(ws):
+                    continue
+                fw = ws[c["prefix_words"]].text
+                have_content += 1
+                if re.search(r"\d", fw) \
+                        and _LN_NUMFIRST_RE.match(fw.strip()):
+                    num_first += 1
+            numeric_first_frac = (num_first / have_content
+                                  if have_content else 0.0)
+            tops = [c["top"] for c in best_run]
+            gaps = [tops[k] - tops[k - 1] for k in range(1, len(tops))]
+            med_gap = sorted(gaps)[len(gaps) // 2] if gaps else 1.0
+            pitch_reg = (
+                sum(1 for g in gaps
+                    if 0.5 * med_gap <= g <= 1.75 * med_gap) / len(gaps)
+                if gaps else 1.0)
+            rights = sorted(c["line"].bbox.right for c in best_run)
+            med_right_frac = rights[len(rights) // 2] / page_w
+            span_top, span_bot = tops[0], tops[-1]
+            lines_in_span = sum(
+                1 for l in page.lines
+                if span_top - 1 <= l.bbox.top <= span_bot + 1)
+            density = (len(best_run) / lines_in_span
+                       if lines_in_span else 1.0)
+            ln_like_core = (
+                numeric_first_frac < LN_MAX_NUMFIRST
+                and pitch_reg >= LN_MIN_PITCHREG
+                and med_right_frac >= LN_CASEB_MIN_RIGHTFRAC
+                and density >= LN_CASEB_MIN_DENSITY)
+        ln_like = ln_like_core and indent_ok and body_overlap
         page_runs[page.n] = {
             "run": len(best_run), "members": best_run, "col_x": col_x,
             "ln_like": ln_like, "indent_ok": indent_ok,
@@ -571,8 +645,14 @@ def _detect_line_number_columns(pages, body_size: float) -> None:
                 if abs(c["x"] - center) > body_size:
                     continue
                 if 1 <= c["value"] <= ln_ceil:
-                    for w in c["line"].words:
-                        w.lineNum = True
+                    if c["standalone"]:
+                        for w in c["line"].words:
+                            w.lineNum = True
+                    else:
+                        # case B: only the leading prefix words are the
+                        # line number (analyzeLayout.js:310-312)
+                        for w in c["line"].words[:c["prefix_words"]]:
+                            w.lineNum = True
 
 
 def cluster_peaks(values: list[float], tol: float) -> list[tuple]:
