@@ -627,6 +627,43 @@ def _q_list_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select("url", "html").mapInPandas(fn, schema=schema)
 
 
+def _q_docx_numbering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DOCX numbering lifted to paragraph numbers (multilevel decimal
+    with counter resets, paren-letter, lower-roman schemes)."""
+    from typing import Iterator
+
+    import pandas as pd
+    from pyspark.sql.types import (
+        LongType, StringType, StructField, StructType)
+
+    from scribe_js_spark.extract import extract_document
+
+    schema = StructType([
+        StructField("url", StringType()),
+        StructField("par_n", LongType()),
+        StructField("par_num", StringType()),
+    ])
+
+    def fn(batches: Iterator) -> Iterator:
+        for pdf in batches:
+            out = {f.name: [] for f in schema.fields}
+            for url, html in zip(pdf["url"], pdf["html"]):
+                res = extract_document(bytes(html))
+                if res.error is not None:
+                    continue
+                i = 0
+                for page in res.pages:
+                    for par in page.pars:
+                        out["url"].append(url)
+                        out["par_n"].append(i)
+                        out["par_num"].append(par.parNum)
+                        i += 1
+            yield pd.DataFrame(out)
+
+    df = spark.read.parquet(os.path.join(FIX_T2, "docx_num_docs.parquet"))
+    return df.select("url", "html").mapInPandas(fn, schema=schema)
+
+
 def _q_linenum_caseb(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Case-B merged line numbers: the leading prefix word of each
     transcript line flags lineNum; a data-table index column (numeric
@@ -1020,6 +1057,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "list_items": _q_list_items,
         "toc_entries": _q_toc_entries,
         "linenum_caseb": _q_linenum_caseb,
+        "docx_numbering": _q_docx_numbering,
         "abbyy_table_cells": _q_abbyy_table_cells,
         "pdf_annotations": _q_pdf_annotations,
         "pdf_struct_tags": _q_pdf_struct_tags,
@@ -1269,6 +1307,10 @@ def oracle_sql() -> dict[str, str]:
             " row_n::BIGINT AS row_n, col_n::BIGINT AS col_n, cell"
             f" FROM read_parquet("
             f"'{os.path.join(FIX_T2, 'abbyy_table.parquet')}')"),
+        "docx_numbering": (
+            "SELECT url, par_n::BIGINT AS par_n, par_num"
+            f" FROM read_parquet("
+            f"'{os.path.join(FIX_T2, 'docx_num.parquet')}')"),
         "linenum_caseb": (
             "SELECT url, page_n::BIGINT AS page_n,"
             " line_n::BIGINT AS line_n, first_word_linenum"

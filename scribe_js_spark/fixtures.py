@@ -2076,6 +2076,94 @@ def write_linenum_b_parquet(path: str, n_docs: int = 25,
         os.path.join(path, "linenum_b.parquet"), index=False)
 
 
+def build_docx_num_models(doc_id: int, seed: int = SEED_DEFAULT) -> dict:
+    """DOCX numbering family: multilevel decimal ("%1." / "%1.%2."),
+    paren-letter and roman schemes, with deeper-level counter resets
+    exercised (1, 2, 2.1, 2.2, 3, 3.1)."""
+    rng = _doc_rng(seed + 999331, doc_id)
+    y = TOP_BASELINE
+
+    def _par(tokens, num=None):
+        nonlocal y
+        words, x = [], MARGIN_LEFT
+        for tok in tokens:
+            width = len(tok) * CHAR_W
+            words.append({
+                "text": tok, "chars": None, "out_words": [tok],
+                "left": x, "right": x + width,
+                "top": y - ASC_H, "bottom": y + DESC_H, "conf": 97})
+            x += width + WORD_GAP
+        par = {"lines": [{"words": words, "baseline_y": y,
+                          "indent": 0}]}
+        if num:
+            par["num"] = num
+        y += PAR_GAP
+        return par
+
+    def _body(n):
+        return [rng.choice(LEXICON) for _ in range(n)]
+
+    pars, expected = [], []
+
+    def add(num, par_num):
+        pars.append(_par(_body(rng.randint(3, 6)), num))
+        expected.append(par_num)
+
+    add(None, None)                                  # intro
+    add({"numId": "1", "ilvl": 0}, "1")
+    add({"numId": "1", "ilvl": 0}, "2")
+    add({"numId": "1", "ilvl": 1}, "2.1")
+    add({"numId": "1", "ilvl": 1}, "2.2")
+    add({"numId": "1", "ilvl": 0}, "3")
+    add({"numId": "1", "ilvl": 1}, "3.1")            # reset exercised
+    add({"numId": "2", "ilvl": 0}, "(a)")
+    add({"numId": "2", "ilvl": 0}, "(b)")
+    add({"numId": "3", "ilvl": 0}, "i")
+    add({"numId": "3", "ilvl": 0}, "ii")
+
+    model = {
+        "doc_id": doc_id, "family": "base",
+        "pages": [{"pars": pars, "width": PAGE_W, "height": PAGE_H}],
+        "docx_numbering": {
+            "abstract": {
+                "0": {0: {"start": 1, "numFmt": "decimal",
+                          "lvlText": "%1."},
+                      1: {"start": 1, "numFmt": "decimal",
+                          "lvlText": "%1.%2."}},
+                "1": {0: {"start": 1, "numFmt": "lowerLetter",
+                          "lvlText": "(%1)"}},
+                "2": {0: {"start": 1, "numFmt": "lowerRoman",
+                          "lvlText": "%1."}},
+            },
+            "nums": {"1": "0", "2": "1", "3": "2"},
+        },
+    }
+    rows = [{"par_n": i, "par_num": pn}
+            for i, pn in enumerate(expected)]
+    return {"model": model, "expected": rows}
+
+
+def write_docx_num_parquet(path: str, n_docs: int = 25,
+                           seed: int = SEED_DEFAULT) -> None:
+    import os
+
+    import pandas as pd
+
+    from .render_docx import render_docx
+
+    doc_rows, golden_rows = [], []
+    for doc_id in range(n_docs):
+        m = build_docx_num_models(doc_id, seed=seed)
+        url = f"https://fixtures.test/docx_num/{doc_id:08d}"
+        doc_rows.append({"url": url, "html": render_docx(m["model"])})
+        for rec in m["expected"]:
+            golden_rows.append({"url": url, **rec})
+    pd.DataFrame(doc_rows).to_parquet(
+        os.path.join(path, "docx_num_docs.parquet"), index=False)
+    pd.DataFrame(golden_rows).to_parquet(
+        os.path.join(path, "docx_num.parquet"), index=False)
+
+
 ENCRYPT_MODES = ("rc4_40", "rc4_128", "aesv2", "aesv3")
 
 

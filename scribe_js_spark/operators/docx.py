@@ -1,9 +1,15 @@
 """DOCX converter (core path of the reference's convertDocDocx,
-/root/reference/js/import/convertDocDocx.js:605-730): unzip
+/root/reference/js/import/convertDocDocx.js:124-730): unzip
 ``word/document.xml``, extract ``<w:p>`` paragraphs and their
 ``<w:r>/<w:t>`` run texts, then synthesize geometry with the same
 Times-New-Roman layout model as plain text (one reflow paragraph per
-DOCX paragraph). Numbering/styles/footnote lifting deferred.
+DOCX paragraph). Numbering definitions (word/numbering.xml abstract
+levels with start/numFmt/lvlText, numId indirection, and the
+pStyle-linked level path through word/styles.xml) are lifted to
+``par.parNum`` strings exactly as generateParNum does: per-numId level
+counters, deeper levels reset on increment, ``%n`` placeholders filled
+per level format, trailing period stripped. Footnote lifting remains
+deferred.
 """
 
 from __future__ import annotations
@@ -21,6 +27,143 @@ _PAR_EMPTY_RE = re.compile(r"<w:p[^>]*/>")
 _TEXT_RE = re.compile(r"<w:t[^>]*>([^<]*)</w:t>")
 _TAB_RE = re.compile(r"<w:tab\s*/>")
 _BR_RE = re.compile(r"<w:br\s*/>")
+
+
+_ABSTRACT_RE = re.compile(
+    r'<w:abstractNum\s+w:abstractNumId="([^"]+)"[^>]*>(.*?)'
+    r"</w:abstractNum>", re.S)
+_LVL_RE = re.compile(r'<w:lvl\s+w:ilvl="(\d+)"[^>]*>(.*?)</w:lvl>', re.S)
+_START_RE = re.compile(r'<w:start\s+w:val="(\d+)"')
+_NUMFMT_RE = re.compile(r'<w:numFmt\s+w:val="([^"]+)"')
+_LVLTEXT_RE = re.compile(r'<w:lvlText\s+w:val="([^"]*)"')
+_LVL_PSTYLE_RE = re.compile(r'<w:pStyle\s+w:val="([^"]+)"')
+_NUM_RE = re.compile(
+    r'<w:num\s+w:numId="([^"]+)"[^>]*>.*?'
+    r'<w:abstractNumId\s+w:val="([^"]+)".*?</w:num>', re.S)
+_NUMPR_RE = re.compile(r"<w:numPr>(.*?)</w:numPr>", re.S)
+_ILVL_RE = re.compile(r'<w:ilvl\s+w:val="(\d+)"')
+_NUMID_RE = re.compile(r'<w:numId\s+w:val="([^"]+)"')
+_PSTYLE_RE = re.compile(r'<w:pStyle\s+w:val="([^"]+)"')
+_STYLE_RE = re.compile(
+    r'<w:style\s+[^>]*w:styleId="([^"]+)"[^>]*>(.*?)</w:style>', re.S)
+
+_ROMAN_PAIRS = (
+    ("M", 1000), ("CM", 900), ("D", 500), ("CD", 400), ("C", 100),
+    ("XC", 90), ("L", 50), ("XL", 40), ("X", 10), ("IX", 9),
+    ("V", 5), ("IV", 4), ("I", 1))
+
+
+def _to_roman(num: int) -> str:
+    out = []
+    for letter, value in _ROMAN_PAIRS:
+        while num >= value:
+            out.append(letter)
+            num -= value
+    return "".join(out)
+
+
+def _format_number(num: int, num_fmt: str) -> str:
+    if num_fmt == "decimal":
+        return str(num)
+    if num_fmt == "upperLetter":
+        return chr(64 + ((num - 1) % 26) + 1)
+    if num_fmt == "lowerLetter":
+        return chr(96 + ((num - 1) % 26) + 1)
+    if num_fmt == "upperRoman":
+        return _to_roman(num)
+    if num_fmt == "lowerRoman":
+        return _to_roman(num).lower()
+    if num_fmt == "bullet":
+        return "•"
+    return str(num)
+
+
+def parse_numbering(numbering_xml: str) -> dict:
+    """Numbering definitions (convertDocDocx.js parseNumbering)."""
+    abstract_nums: dict = {}
+    style_to_numbering: dict = {}
+    for m in _ABSTRACT_RE.finditer(numbering_xml):
+        abstract_id, content = m.group(1), m.group(2)
+        levels: dict = {}
+        for lm in _LVL_RE.finditer(content):
+            ilvl = int(lm.group(1))
+            lvl = lm.group(2)
+            sm = _START_RE.search(lvl)
+            fm = _NUMFMT_RE.search(lvl)
+            tm = _LVLTEXT_RE.search(lvl)
+            pm = _LVL_PSTYLE_RE.search(lvl)
+            levels[ilvl] = {
+                "start": int(sm.group(1)) if sm else 1,
+                "numFmt": fm.group(1) if fm else "decimal",
+                "lvlText": tm.group(1) if tm else "",
+                "pStyle": pm.group(1) if pm else None,
+            }
+            if pm:
+                style_to_numbering[pm.group(1)] = {"numId": "",
+                                                   "ilvl": ilvl}
+        abstract_nums[abstract_id] = levels
+    num_to_abstract: dict = {}
+    for m in _NUM_RE.finditer(numbering_xml):
+        num_id, abstract_id = m.group(1), m.group(2)
+        num_to_abstract[num_id] = abstract_id
+        for ilvl, level in (abstract_nums.get(abstract_id) or {}).items():
+            if level["pStyle"] and level["pStyle"] in style_to_numbering:
+                style_to_numbering[level["pStyle"]] = {
+                    "numId": num_id, "ilvl": ilvl}
+    return {"abstract_nums": abstract_nums,
+            "num_to_abstract": num_to_abstract,
+            "style_to_numbering": style_to_numbering}
+
+
+def parse_style_numbering(styles_xml: str) -> dict:
+    """styleId -> {numId, ilvl} for styles carrying their own numPr."""
+    out: dict = {}
+    for m in _STYLE_RE.finditer(styles_xml):
+        style_id, content = m.group(1), m.group(2)
+        npr = _NUMPR_RE.search(content)
+        if not npr:
+            continue
+        nid = _NUMID_RE.search(npr.group(1))
+        ilvl = _ILVL_RE.search(npr.group(1))
+        if nid:
+            out[style_id] = {"numId": nid.group(1),
+                             "ilvl": int(ilvl.group(1)) if ilvl else 0}
+    return out
+
+
+def generate_par_num(num_id: str, ilvl: int, numbering: dict,
+                     counters: dict) -> str | None:
+    """The paragraph's formatted number (generateParNum,
+    convertDocDocx.js:244-284)."""
+    abstract_id = numbering["num_to_abstract"].get(num_id)
+    if abstract_id is None:
+        return None
+    levels = numbering["abstract_nums"].get(abstract_id)
+    if not levels:
+        return None
+    level = levels.get(ilvl)
+    if not level or level["numFmt"] == "bullet":
+        return None
+
+    def start_value(i):
+        return (levels.get(i, {}).get("start", 1)) - 1
+
+    if num_id not in counters:
+        counters[num_id] = [start_value(i) for i in range(10)]
+    level_counters = counters[num_id]
+    level_counters[ilvl] += 1
+    for i in range(ilvl + 1, len(level_counters)):
+        level_counters[i] = start_value(i)
+    result = level["lvlText"]
+    for i in range(ilvl + 1):
+        lvl = levels.get(i)
+        if lvl:
+            result = result.replace(
+                f"%{i + 1}",
+                _format_number(level_counters[i], lvl["numFmt"]))
+    result = re.sub(r"%\d+", "", result)
+    result = re.sub(r"\.$", "", result)
+    return result or None
 
 
 def parse_docx_paragraphs(data: bytes) -> list[str]:
@@ -43,9 +186,67 @@ def parse_docx_paragraphs(data: bytes) -> list[str]:
     return paragraphs
 
 
+def parse_docx_paragraphs_numbered(data: bytes):
+    """(paragraph texts, parNum-or-None per paragraph)."""
+    with zipfile.ZipFile(io.BytesIO(data)) as zf:
+        doc_xml = zf.read("word/document.xml").decode("utf-8")
+        try:
+            numbering_xml = zf.read("word/numbering.xml").decode("utf-8")
+        except KeyError:
+            numbering_xml = ""
+        try:
+            styles_xml = zf.read("word/styles.xml").decode("utf-8")
+        except KeyError:
+            styles_xml = ""
+    numbering = parse_numbering(numbering_xml) if numbering_xml else None
+    style_nums = (parse_style_numbering(styles_xml)
+                  if styles_xml else {})
+    counters: dict = {}
+    texts, par_nums = [], []
+    for m in _PAR_RE.finditer(doc_xml):
+        content = m.group(1)
+        body = _TAB_RE.sub(" ", content)
+        body = _BR_RE.sub(" ", body)
+        text = "".join(unescape_xml(t) for t in _TEXT_RE.findall(body))
+        text = re.sub(r"\s+", " ", text).strip()
+        if not text:
+            continue
+        par_num = None
+        if numbering:
+            npr = _NUMPR_RE.search(content)
+            num_id = ilvl = None
+            if npr:
+                nid = _NUMID_RE.search(npr.group(1))
+                il = _ILVL_RE.search(npr.group(1))
+                if nid:
+                    num_id = nid.group(1)
+                    ilvl = int(il.group(1)) if il else 0
+            if num_id is None:
+                ps = _PSTYLE_RE.search(content)
+                if ps:
+                    sn = (style_nums.get(ps.group(1))
+                          or numbering["style_to_numbering"]
+                          .get(ps.group(1)))
+                    if sn and sn["numId"]:
+                        num_id, ilvl = sn["numId"], sn["ilvl"]
+            if num_id is not None:
+                par_num = generate_par_num(
+                    num_id, ilvl, numbering, counters)
+        texts.append(text)
+        par_nums.append(par_num)
+    return texts, par_nums
+
+
 def convert_doc_docx(data: bytes) -> list[OcrPage]:
-    paragraphs = parse_docx_paragraphs(data)
+    paragraphs, par_nums = parse_docx_paragraphs_numbered(data)
     pages = convert_doc_text("\n\n".join(paragraphs))
+    # Attach lifted numbering to the synthesized paragraph objects
+    # (1:1 when pagination didn't split; guarded otherwise).
+    all_pars = [par for page in pages for par in page.pars]
+    if len(all_pars) == len(par_nums):
+        for par, num in zip(all_pars, par_nums):
+            if num is not None:
+                par.parNum = num
     for page in pages:
         page.textSource = "docx"
     return pages

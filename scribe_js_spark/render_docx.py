@@ -26,14 +26,46 @@ _RELS = (
     "</Relationships>")
 
 
+def _numbering_xml(spec: dict) -> str:
+    """word/numbering.xml from {'abstract': {id: {ilvl: {start, numFmt,
+    lvlText}}}, 'nums': {numId: abstractId}}."""
+    parts = ['<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+             '<w:numbering xmlns:w="http://schemas.openxmlformats.org/'
+             'wordprocessingml/2006/main">']
+    for aid, levels in spec["abstract"].items():
+        parts.append(f'<w:abstractNum w:abstractNumId="{aid}">')
+        for ilvl, lvl in levels.items():
+            parts.append(
+                f'<w:lvl w:ilvl="{ilvl}">'
+                f'<w:start w:val="{lvl.get("start", 1)}"/>'
+                f'<w:numFmt w:val="{lvl.get("numFmt", "decimal")}"/>'
+                f'<w:lvlText w:val="{lvl.get("lvlText", "")}"/>'
+                "</w:lvl>")
+        parts.append("</w:abstractNum>")
+    for num_id, aid in spec["nums"].items():
+        parts.append(
+            f'<w:num w:numId="{num_id}">'
+            f'<w:abstractNumId w:val="{aid}"/></w:num>')
+    parts.append("</w:numbering>")
+    return "".join(parts)
+
+
 def render_docx(model: dict) -> bytes:
     pars_xml = []
     for page in model["pages"]:
         for par in page["pars"]:
             words = [
                 w["text"] for line in par["lines"] for w in line["words"]]
+            ppr = ""
+            num = par.get("num")
+            if num:
+                ppr = (
+                    "<w:pPr><w:numPr>"
+                    f'<w:ilvl w:val="{num.get("ilvl", 0)}"/>'
+                    f'<w:numId w:val="{num["numId"]}"/>'
+                    "</w:numPr></w:pPr>")
             runs = f"<w:r><w:t>{escape_xml(' '.join(words))}</w:t></w:r>"
-            pars_xml.append(f"<w:p>{runs}</w:p>")
+            pars_xml.append(f"<w:p>{ppr}{runs}</w:p>")
     document = (
         '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
         '<w:document xmlns:w="http://schemas.openxmlformats.org/'
@@ -44,4 +76,7 @@ def render_docx(model: dict) -> bytes:
         zf.writestr("[Content_Types].xml", _CONTENT_TYPES)
         zf.writestr("_rels/.rels", _RELS)
         zf.writestr("word/document.xml", document)
+        if model.get("docx_numbering"):
+            zf.writestr("word/numbering.xml",
+                        _numbering_xml(model["docx_numbering"]))
     return buf.getvalue()
