@@ -83,6 +83,13 @@ def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lang_id(docs)
 
 
+def _q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from scribe_js_spark.textops.quality import token_counts
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return token_counts(docs)
+
+
 def _q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     from scribe_js_spark.textops.quality import fingerprint
 
@@ -1078,6 +1085,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_stats": _q_doc_stats,
         "lang_id": _q_lang_id,
         "fingerprint": _q_fingerprint,
+        "token_counts": _q_token_counts,
         "exact_dups": _q_exact_dups,
         "jaccard_pairs": _q_jaccard_pairs,
         "jaccard_verified": _q_jaccard_verified,
@@ -1471,6 +1479,15 @@ def oracle_sql() -> dict[str, str]:
                         THEN 'fr'
                         ELSE 'es' END AS lang_pred
             FROM scores
+        """,
+        "token_counts": r"""
+            SELECT doc_id,
+                   len(string_split_regex(trim(text), '\s+'))::BIGINT
+                       AS n_ws_tokens,
+                   len(regexp_extract_all(text,
+                       '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+'))::BIGINT
+                       AS n_bpe_segments
+            FROM documents
         """,
         "fingerprint": r"""
             SELECT doc_id,

@@ -58,6 +58,55 @@ def stream_extract_text(spark: SparkSession, input_dir: str,
     return writer.start()
 
 
+def stream_dedup_exact(docs_stream: DataFrame,
+                       text_col: str = "text") -> DataFrame:
+    """Custom stateful streaming operator: exact near-real-time dedup
+    via ``applyInPandasWithState``. State is keyed by the md5 text
+    signature; the first document per signature passes through, later
+    copies are dropped and counted. This is the streaming analog of
+    ``textops.dedup.exact_dups`` — the canonical
+    'custom stateful operator' shape (SURVEY.md §2.12): at production
+    scale each signature's state is a single tiny record, partitioned
+    by the hash, so state size is bounded by the number of DISTINCT
+    documents, never the stream length."""
+    from typing import Iterator, Tuple
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import (
+        GroupState,
+        GroupStateTimeout,
+    )
+
+    out_schema = ("doc_id long, text_sig string, is_first boolean, "
+                  "n_seen long")
+    state_schema = "n_seen long, first_doc_id long"
+
+    def fn(key: Tuple, pdfs: Iterator[pd.DataFrame],
+           state: GroupState) -> Iterator[pd.DataFrame]:
+        (sig,) = key
+        n_seen, first_id = (state.get if state.exists
+                            else (0, None))
+        rows = {"doc_id": [], "text_sig": [], "is_first": [],
+                "n_seen": []}
+        for pdf in pdfs:
+            for doc_id in pdf["doc_id"]:
+                n_seen += 1
+                if first_id is None:
+                    first_id = int(doc_id)
+                rows["doc_id"].append(int(doc_id))
+                rows["text_sig"].append(sig)
+                rows["is_first"].append(n_seen == 1)
+                rows["n_seen"].append(n_seen)
+        state.update((n_seen, first_id))
+        yield pd.DataFrame(rows)
+
+    keyed = docs_stream.select(
+        "doc_id", F.md5(F.col(text_col)).alias("text_sig"))
+    return keyed.groupBy("text_sig").applyInPandasWithState(
+        fn, out_schema, state_schema, "append",
+        GroupStateTimeout.NoTimeout)
+
+
 def stream_events_hourly(spark: SparkSession, events_stream: DataFrame,
                          watermark: str = "2 hours") -> DataFrame:
     """Watermarked tumbling-window aggregation over an event stream:

@@ -107,6 +107,28 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+#: GPT-2-family pre-tokenizer shape: contraction suffixes, letter runs,
+#: digit runs, punctuation runs (each with an optional leading space),
+#: whitespace runs. Identical RE2-compatible pattern on both engines.
+BPE_SPLIT_PATTERN = (
+    r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+")
+
+
+def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact per-document token counts under two tokenizations:
+    whitespace words and BPE-ish pre-tokenizer segments (the unit a
+    byte-pair encoder would split further) — the cost estimator for
+    training-data pipelines. Pure JVM regex, zero shuffle."""
+    t = F.col(text_col)
+    return df.select(
+        "doc_id",
+        F.size(_tokens(t)).cast("long").alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all(
+            t, F.lit(BPE_SPLIT_PATTERN), F.lit(0)))
+        .cast("long").alias("n_bpe_segments"),
+    )
+
+
 def quality_filter(df: DataFrame, text_col: str = "text",
                    min_tokens: int = 10, max_punct_ratio: float = 0.3,
                    min_mean_token_len: float = 2.0) -> DataFrame:
