@@ -164,6 +164,17 @@ def _q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_topk_ivf(emb, queries, k=5, nprobe=3)
 
 
+def _q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs: LSH-bucketed candidates (with
+    Hamming-1 multiprobe) verified by exact cosine >= threshold (0.3
+    here: the synthetic embeddings are near-orthogonal, so a
+    production-style 0.95 would be vacuously empty)."""
+    from scribe_js_spark.textops.similarity import embedding_near_dups
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return embedding_near_dups(emb, threshold=0.3)
+
+
 def _q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style quality gate as a pushdown-friendly predicate."""
     from scribe_js_spark.textops.quality import quality_filter
@@ -1094,6 +1105,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": _q_ann_topk,
         "ann_topk_lsh": _q_ann_topk_lsh,
         "ann_topk_ivf": _q_ann_topk_ivf,
+        "embedding_near_dups": _q_embedding_near_dups,
         "quality_filter": _q_quality_filter,
         "events_hourly": _q_events_hourly,
         "media_decode": _q_media_decode,
@@ -1232,6 +1244,30 @@ scored AS (
 SELECT query_id, rank::INT AS rank, neighbor_id,
        CAST(floor(sim * 1e6) AS BIGINT) AS sim_e6
 FROM ranked WHERE rank <= {k}"""
+
+
+def _near_dup_sql(threshold: float = 0.9, n_planes: int = 8) -> str:
+    """DuckDB query reproducing embedding_near_dups exactly."""
+    bucket = _lsh_bucket_sql("v", n_planes)
+    probes = ", ".join(
+        ["bucket"] + [f"xor(bucket, {1 << p})" for p in range(n_planes)])
+    cos = _COSINE_SQL.format(a="ca.v", b="cb2.v")
+    return f"""
+WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cb AS (SELECT vec_id, v, {bucket} AS bucket FROM c),
+probes AS (SELECT vec_id, unnest([{probes}]) AS probe FROM cb),
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM probes a JOIN cb b ON a.probe = b.bucket
+  WHERE a.vec_id < b.vec_id
+), sims AS (
+  SELECT cand.vec_a, cand.vec_b, {cos} AS sim
+  FROM cand
+  JOIN c ca ON ca.vec_id = cand.vec_a
+  JOIN c cb2 ON cb2.vec_id = cand.vec_b
+)
+SELECT vec_a, vec_b, CAST(floor(sim * 1e6) AS BIGINT) AS sim_e6
+FROM sims WHERE sim >= {threshold}"""
 
 
 def _ann_ivf_sql(k: int = 5, n_planes_coarse: int = 3, nprobe: int = 3,
@@ -1577,6 +1613,7 @@ SELECT family, style, kind, "key",
 FROM g""",
         "ann_topk_lsh": _ann_lsh_sql(),
         "ann_topk_ivf": _ann_ivf_sql(),
+        "embedding_near_dups": _near_dup_sql(threshold=0.3),
         "minhash_lsh_pairs": (
             _minhash_ctes() + "\nSELECT doc_a, doc_b FROM cand"),
         "jaccard_verified": (

@@ -167,6 +167,46 @@ def lsh_bucket(vec_col, dim: int, n_planes: int = _N_PLANES_DEFAULT):
     return bucket
 
 
+def embedding_near_dups(df: DataFrame, threshold: float = 0.95,
+                        id_col: str = "vec_id",
+                        vec_col: str = "embedding", dim: int = 64,
+                        n_planes: int = _N_PLANES_DEFAULT) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: candidates from the
+    hyperplane-LSH bucket self-join (plus Hamming-1 neighbor buckets so
+    a pair straddling one plane's boundary is still seen), verified by
+    exact cosine >= threshold. Never all-pairs: cost is bound by bucket
+    collisions, the same scale shape as the MinHash text path.
+
+    Returns (vec_a, vec_b, sim_e6) with sim floored to micro-units for
+    cross-engine stability."""
+    base = df.select(
+        F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"),
+        lsh_bucket(F.col(vec_col), dim, n_planes).alias("bucket"))
+    probes = base.select(
+        "vid", "vec",
+        F.explode(F.array(
+            F.col("bucket"),
+            *[F.col("bucket").bitwiseXOR(F.lit(1 << p))
+              for p in range(n_planes)])).alias("probe"))
+    cand = (
+        probes.alias("a")
+        .join(base.alias("b"), F.col("a.probe") == F.col("b.bucket"))
+        .filter(F.col("a.vid") < F.col("b.vid"))
+        .select(F.col("a.vid").alias("vec_a"),
+                F.col("a.vec").alias("va"),
+                F.col("b.vid").alias("vec_b"),
+                F.col("b.vec").alias("vb"))
+        .distinct()
+    )
+    sim = cosine(F.col("va"), F.col("vb"))
+    return (
+        cand.withColumn("sim", sim)
+        .filter(F.col("sim") >= threshold)
+        .select("vec_a", "vec_b",
+                F.floor(F.col("sim") * 1e6).cast("long").alias("sim_e6"))
+    )
+
+
 def ann_topk_lsh(df: DataFrame, queries: DataFrame, k: int = 5,
                  id_col: str = "vec_id", vec_col: str = "embedding",
                  dim: int = 64, n_planes: int = _N_PLANES_DEFAULT,
