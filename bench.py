@@ -30,21 +30,32 @@ def main():
     import pyspark.sql.functions as F
     from pyspark.sql import SparkSession
 
-    from scribe_js_spark.fixtures import ensure_bench_corpus
+    from scribe_js_spark.fixtures import (
+        ensure_bench_corpus,
+        ensure_webhtml_bench_corpus,
+    )
     from scribe_js_spark.pipeline import extract_text, session_conf
     from scribe_js_spark.textops.dedup import (
         exact_dups,
+        jaccard_for_pairs,
         jaccard_pairs,
         minhash_lsh_pairs,
         simhash_candidates,
     )
-    from scribe_js_spark.textops.quality import doc_stats, fingerprint, lang_id
+    from scribe_js_spark.textops.quality import (
+        doc_stats,
+        fingerprint,
+        lang_id,
+        token_counts,
+    )
     from scribe_js_spark.textops.similarity import (
         ann_topk_bruteforce,
         ann_topk_lsh,
+        embedding_near_dups,
     )
 
     corpus_path = ensure_bench_corpus(BENCH_CACHE, BENCH_DOCS)
+    web_path = ensure_webhtml_bench_corpus(BENCH_CACHE, BENCH_DOCS)
 
     spark = session_conf(
         SparkSession.builder.master(f"local[{CPUS}]")
@@ -92,8 +103,21 @@ def main():
     extras["extract_docs"] = n_extracted
     extras["extract_docs_per_sec"] = round(n_extracted / timings["extract"], 2)
 
+    # Raw web-page main-content extraction (boilerplate strip) in
+    # isolation — the webtext hot path. Same zero-shuffle mapInPandas
+    # plan as extract above, with the webhtml converter dispatched.
+    web = spark.read.parquet(web_path)
+    n_web = run(
+        "web_extract",
+        lambda: extract_text(web, salt=False)
+        .filter(F.col("error").isNull()).count())
+    extras["web_docs"] = n_web
+    extras["web_docs_per_sec"] = round(n_web / timings["web_extract"], 2)
+
     run("doc_stats", lambda: doc_stats(docs).agg(
         F.sum("n_tokens")).collect())
+    run("token_counts", lambda: token_counts(docs).agg(
+        F.sum("n_bpe_segments")).collect())
     run("lang_id", lambda: lang_id(docs).groupBy("lang_pred").count().collect())
     run("fingerprint", lambda: fingerprint(docs).agg(
         F.count_distinct("token_set_sig")).collect())
@@ -102,10 +126,19 @@ def main():
     run("jaccard_pairs", lambda: jaccard_pairs(
         docs, threshold=0.8, max_doc_id=500).count())
     run("minhash_lsh", lambda: minhash_lsh_pairs(docs).count())
+    # LSH -> exact-verify composition: the full near-dup pipeline shape
+    # (candidates bound the exact-Jaccard join; never all-pairs).
+    run("jaccard_verified", lambda: jaccard_for_pairs(
+        docs, minhash_lsh_pairs(docs), threshold=0.5).count())
     run("simhash", lambda: simhash_candidates(docs).count())
     queries10 = emb.filter(F.col("vec_id") < 10)
     run("ann_topk", lambda: ann_topk_bruteforce(emb, queries10, k=5).count())
     run("ann_topk_lsh", lambda: ann_topk_lsh(emb, queries10, k=5).count())
+    # Threshold 0.3: sf embeddings are near-orthogonal random vectors
+    # (max observed cosine ~0.48), so 0.3 yields a non-trivial pair set
+    # while the LSH bucketing still prunes nearly all of the n^2 space.
+    run("embedding_near_dups", lambda: embedding_near_dups(
+        emb, threshold=0.3).count())
     run("events_hourly", lambda: events.groupBy(
         F.date_trunc("hour", "ts"), "event_type").agg(
         F.count("*"), F.sum("value")).count())

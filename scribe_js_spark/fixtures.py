@@ -1832,6 +1832,30 @@ def write_webhtml_parquet(path: str, n_docs: int = 40,
         os.path.join(path, "webhtml.parquet"), index=False)
 
 
+def ensure_webhtml_bench_corpus(path: str, n_docs: int,
+                                seed: int = SEED_DEFAULT) -> str:
+    """Write (once) and return a webhtml-only bench corpus parquet:
+    (url, html) rows of raw Common-Crawl-style pages for timing the
+    main-content extraction path in isolation."""
+    import os
+
+    import pandas as pd
+
+    fpath = os.path.join(path, f"webhtml_{n_docs}_{seed}.parquet")
+    if os.path.exists(fpath):
+        return fpath
+    os.makedirs(path, exist_ok=True)
+    rows = []
+    for doc_id in range(n_docs):
+        m = build_webhtml_models(doc_id, seed=seed)
+        rows.append({"url": f"https://fixtures.test/webhtml/{doc_id:08d}",
+                     "html": m["html"].encode("utf-8")})
+    # row_group_size keeps the single file splittable (see
+    # ensure_bench_corpus for the rationale).
+    pd.DataFrame(rows).to_parquet(fpath, index=False, row_group_size=64)
+    return fpath
+
+
 def build_list_models(doc_id: int, seed: int = SEED_DEFAULT) -> dict:
     """Enumerated-list family: an intro paragraph, then a numbered
     list ("1." "2." "3."), a bullet list ("•" x3) and a paren-alpha
