@@ -557,6 +557,79 @@ def _q_pdf_annotations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select("url", "html").mapInPandas(fn, schema=schema)
 
 
+def _q_pdf_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Identifying-metadata report per PDF (metadataInspect.js:86
+    getMetadata): Info dict, /ID, XMP, OCG names, embedded files,
+    actions, signatures, hidden info dicts, markup-annot authors,
+    EXIF-bearing images, incremental-save revision count."""
+    from typing import Iterator
+
+    import pandas as pd
+    from pyspark.sql.types import (
+        BooleanType, LongType, StringType, StructField, StructType)
+
+    from scribe_js_spark.operators.pdf.metadata import inspect_metadata
+
+    schema = StructType([
+        StructField("url", StringType()),
+        StructField("title", StringType()),
+        StructField("author", StringType()),
+        StructField("producer", StringType()),
+        StructField("n_custom_info", LongType()),
+        StructField("has_doc_id", BooleanType()),
+        StructField("encrypted", BooleanType()),
+        StructField("has_xmp", BooleanType()),
+        StructField("n_xmp_objects", LongType()),
+        StructField("n_piece_info", LongType()),
+        StructField("ocg_names", StringType()),
+        StructField("n_embedded_files", LongType()),
+        StructField("open_action", BooleanType()),
+        StructField("has_javascript", BooleanType()),
+        StructField("lang", StringType()),
+        StructField("page_labels", BooleanType()),
+        StructField("viewer_prefs", BooleanType()),
+        StructField("n_signatures", LongType()),
+        StructField("n_hidden_info", LongType()),
+        StructField("annot_authors", StringType()),
+        StructField("n_image_meta", LongType()),
+        StructField("prior_revisions", LongType()),
+    ])
+
+    def fn(batches: Iterator) -> Iterator:
+        for pdf in batches:
+            out = {f.name: [] for f in schema.fields}
+            for url, html in zip(pdf["url"], pdf["html"]):
+                rep = inspect_metadata(bytes(html))
+                out["url"].append(url)
+                out["title"].append(rep["info"].get("Title"))
+                out["author"].append(rep["info"].get("Author"))
+                out["producer"].append(rep["info"].get("Producer"))
+                out["n_custom_info"].append(len(rep["custom_info_keys"]))
+                out["has_doc_id"].append(rep["doc_id"] is not None)
+                out["encrypted"].append(rep["encrypted"])
+                out["has_xmp"].append(rep["xmp_catalog_bytes"] > 0)
+                out["n_xmp_objects"].append(rep["xmp_objects"])
+                out["n_piece_info"].append(rep["piece_info"])
+                out["ocg_names"].append(
+                    ",".join(sorted(rep["ocg_names"])))
+                out["n_embedded_files"].append(len(rep["embedded_files"]))
+                out["open_action"].append(rep["open_action"])
+                out["has_javascript"].append(rep["javascript"])
+                out["lang"].append(rep["lang"])
+                out["page_labels"].append(rep["page_labels"])
+                out["viewer_prefs"].append(rep["viewer_prefs"])
+                out["n_signatures"].append(len(rep["signatures"]))
+                out["n_hidden_info"].append(rep["hidden_info"])
+                out["annot_authors"].append(
+                    ",".join(sorted(rep["annotation_authors"])))
+                out["n_image_meta"].append(len(rep["image_meta"]))
+                out["prior_revisions"].append(rep["prior_revisions"])
+            yield pd.DataFrame(out)
+
+    df = spark.read.parquet(os.path.join(FIX_T2, "metadata_docs.parquet"))
+    return df.select("url", "html").mapInPandas(fn, schema=schema)
+
+
 def _q_abbyy_table_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ABBYY table-layout blocks -> explicit column boxes + row bounds
     -> cell matrix (convertTableLayoutAbbyy semantics, both the
@@ -1078,6 +1151,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docx_numbering": _q_docx_numbering,
         "abbyy_table_cells": _q_abbyy_table_cells,
         "pdf_annotations": _q_pdf_annotations,
+        "pdf_metadata": _q_pdf_metadata,
         "pdf_struct_tags": _q_pdf_struct_tags,
         "pdf_table_cells": _q_pdf_table_cells,
         "pdf_table_regions": _q_pdf_table_regions,
@@ -1346,6 +1420,20 @@ def oracle_sql() -> dict[str, str]:
             " annot_n::BIGINT AS annot_n, subtype, contents, uri,"
             " field_name FROM read_parquet("
             f"'{os.path.join(FIX_T2, 'annots.parquet')}')"),
+        "pdf_metadata": (
+            "SELECT url, title, author, producer,"
+            " n_custom_info::BIGINT AS n_custom_info, has_doc_id,"
+            " encrypted, has_xmp,"
+            " n_xmp_objects::BIGINT AS n_xmp_objects,"
+            " n_piece_info::BIGINT AS n_piece_info, ocg_names,"
+            " n_embedded_files::BIGINT AS n_embedded_files,"
+            " open_action, has_javascript, lang, page_labels,"
+            " viewer_prefs, n_signatures::BIGINT AS n_signatures,"
+            " n_hidden_info::BIGINT AS n_hidden_info, annot_authors,"
+            " n_image_meta::BIGINT AS n_image_meta,"
+            " prior_revisions::BIGINT AS prior_revisions"
+            f" FROM read_parquet("
+            f"'{os.path.join(FIX_T2, 'pdf_meta.parquet')}')"),
         "abbyy_table_cells": (
             "SELECT url, table_n::BIGINT AS table_n,"
             " row_n::BIGINT AS row_n, col_n::BIGINT AS col_n, cell"

@@ -1856,6 +1856,243 @@ def ensure_webhtml_bench_corpus(path: str, n_docs: int,
     return fpath
 
 
+def _append_pdf_revision(base: bytes, objs: dict[int, bytes],
+                         catalog: bytes | None, root_num: int,
+                         size: int, trailer_pairs: str) -> bytes:
+    """Incremental update: append the given objects (and optionally a
+    re-emitted catalog), then a classic xref section whose trailer
+    /Prev chains to the base revision — the structure
+    countXrefRevisions reports on (metadataInspect.js:41)."""
+    import re as _re
+
+    m = None
+    for m in _re.finditer(rb"startxref\s+(\d+)", base[-2048:], _re.S):
+        pass
+    prev = int(m.group(1))
+    out = bytearray(base)
+    if not out.endswith(b"\n"):
+        out += b"\n"
+    entries: dict[int, int] = {}
+    if catalog is not None:
+        entries[root_num] = len(out)
+        out += f"{root_num} 0 obj\n".encode() + catalog + b"\nendobj\n"
+    for n in sorted(objs):
+        entries[n] = len(out)
+        out += f"{n} 0 obj\n".encode() + objs[n] + b"\nendobj\n"
+    xref_pos = len(out)
+    out += b"xref\n"
+    nums = sorted(entries)
+    i = 0
+    while i < len(nums):
+        j = i
+        while j + 1 < len(nums) and nums[j + 1] == nums[j] + 1:
+            j += 1
+        out += f"{nums[i]} {j - i + 1}\n".encode()
+        for n in nums[i : j + 1]:
+            out += f"{entries[n]:010d} 00000 n \n".encode()
+        i = j + 1
+    size = max(size, max(nums) + 1)
+    out += (f"trailer\n<< /Size {size} /Root {root_num} 0 R /Prev {prev} "
+            f"{trailer_pairs}>>\nstartxref\n{xref_pos}\n%%EOF\n").encode()
+    return bytes(out)
+
+
+_XMP_PACKET = (
+    b'<?xpacket begin="\xef\xbb\xbf" id="W5M0MpCehiHzreSzNTczkc9d"?>\n'
+    b'<x:xmpmeta xmlns:x="adobe:ns:meta/">\n'
+    b'<rdf:RDF xmlns:rdf='
+    b'"http://www.w3.org/1999/02/22-rdf-syntax-ns#"/>\n'
+    b"</x:xmpmeta>\n<?xpacket end=\"w\"?>")
+
+
+def _fake_exif_jpeg(doc_id: int) -> bytes:
+    """Marker-only JPEG: SOI + APP1(EXIF w/ GPS IFD tag bytes and an
+    ASCII camera string) + EOI. Enough for the marker-segment scan
+    (imageMetadata.js:70); never decoded."""
+    payload = (b"Exif\x00\x00II*\x00\x08\x00\x00\x00"
+               + b"\x25\x88"  # GPSInfo tag id, little-endian order
+               + f"TestCam Model {doc_id:03d}".encode())
+    seg = b"\xff\xe1" + (len(payload) + 2).to_bytes(2, "big") + payload
+    return b"\xff\xd8" + seg + b"\xff\xd9"
+
+
+def build_metadata_models(doc_id: int, seed: int = SEED_DEFAULT) -> dict:
+    """PDF metadata family: a base doc plus an incremental-update
+    revision carrying every identifying-metadata category
+    metadataInspect.js:86 enumerates — Info dict (+ custom keys), XMP,
+    OCGs (one filename-leaky), embedded file, signature, hidden info
+    dict, markup-annot author, per-object XMP, EXIF-bearing JPEG
+    stream, OpenAction/JavaScript, Lang/PageLabels/ViewerPreferences,
+    PieceInfo — and for odd docs a second revision (prior-revision
+    leak). Every 8th doc is AES-256 encrypted with no revision."""
+    from .operators.pdf.document import PdfDocument
+    from .operators.pdf.lexer import Name, Ref
+    from .operators.pdf.metadata import serialize_object
+    from .render_pdf import render_pdf as _render
+
+    import hashlib
+
+    model = build_doc_model(doc_id, seed=seed, n_pages=1)
+    golden = {
+        "title": None, "author": None, "producer": None,
+        "n_custom_info": 0, "has_doc_id": False, "encrypted": False,
+        "has_xmp": False, "n_xmp_objects": 0, "n_piece_info": 0,
+        "ocg_names": "", "n_embedded_files": 0, "open_action": False,
+        "has_javascript": False, "lang": None, "page_labels": False,
+        "viewer_prefs": False, "n_signatures": 0, "n_hidden_info": 0,
+        "annot_authors": "", "n_image_meta": 0, "prior_revisions": 1,
+    }
+
+    if doc_id % 8 == 7:
+        model["producer"] = "ScribeFixture 1.0"  # 17 bytes: survives the
+        # reference's degenerate-length AES string passthrough
+        pdf = _render(model, rotate=False, outline=False,
+                      form_xobject=False, xref_stream=False,
+                      encrypt_mode="aesv3")
+        golden.update(producer="ScribeFixture 1.0", encrypted=True,
+                      has_doc_id=True)
+        return {"pdf": pdf, "expected": golden}
+
+    base = _render(model, rotate=False, outline=False,
+                   form_xobject=False, xref_stream=False)
+    doc = PdfDocument(base)
+    size = max(doc.xref) + 1
+    nxt = size
+    objs: dict[int, bytes] = {}
+
+    def add(body: bytes) -> int:
+        nonlocal nxt
+        objs[nxt] = body
+        nxt += 1
+        return nxt - 1
+
+    def stream(dict_body: str, data: bytes) -> bytes:
+        return (f"<< {dict_body} /Length {len(data)} >>\nstream\n"
+                ).encode() + data + b"\nendstream"
+
+    catalog = dict(doc.resolve(doc.trailer["Root"]))
+
+    # XMP on the catalog (always)
+    xmp_num = add(stream("/Type /Metadata /Subtype /XML", _XMP_PACKET))
+    catalog[Name("Metadata")] = Ref(xmp_num, 0)
+    golden["has_xmp"] = True
+
+    # Info dict (always; Company = custom key on every 3rd doc)
+    title = f"Fixture Doc {doc_id}"
+    author = f"Author {doc_id % 5}"
+    info = (f"<< /Title ({title}) /Author ({author}) "
+            f"/Producer (ScribeSpark 2.0) "
+            f"/CreationDate (D:20260101000000Z)")
+    golden.update(title=title, author=author, producer="ScribeSpark 2.0")
+    if doc_id % 3 == 0:
+        info += " /Company (ACME Corp)"
+        golden["n_custom_info"] = 1
+    info_num = add((info + " >>").encode())
+
+    if doc_id % 2 == 1:  # OCGs, one leaking a source path
+        clean = "Diagram Layer"
+        leaky = f"C:\\art\\source{doc_id}.psd"
+        a = add(f"<< /Type /OCG /Name ({clean}) >>".encode())
+        b = add(("<< /Type /OCG /Name (" + leaky.replace("\\", "\\\\")
+                 + ") >>").encode())
+        catalog[Name("OCProperties")] = {
+            Name("OCGs"): [Ref(a, 0), Ref(b, 0)],
+            Name("D"): {Name("Order"): []}}
+        golden["ocg_names"] = ",".join(sorted([clean, leaky]))
+
+    if doc_id % 3 == 1:  # embedded file
+        data = f"id,value\n{doc_id},1\n".encode()
+        ef = add(stream("/Type /EmbeddedFile", data))
+        add((f"<< /Type /Filespec /F (data_{doc_id}.csv) "
+             f"/EF << /F {ef} 0 R >> >>").encode())
+        golden["n_embedded_files"] = 1
+
+    if doc_id % 5 == 2:  # signature
+        add(b"<< /Type /Sig /Filter /Adobe.PPKLite "
+            b"/SubFilter /adbe.pkcs7.detached "
+            b"/ByteRange [0 0 0 0] /Contents <00> >>")
+        golden["n_signatures"] = 1
+
+    if doc_id % 6 == 3:  # hidden info dict off an arbitrary key
+        add(b"<< /Author (ghost writer) /Company (OldCo Inc) >>")
+        golden["n_hidden_info"] = 1
+
+    if doc_id % 7 == 2:  # markup-annot author
+        rev = f"reviewer_{doc_id}"
+        add((f"<< /Type /Annot /Subtype /Text /Rect [0 0 10 10] "
+             f"/Contents (margin note) /T ({rev}) >>").encode())
+        golden["annot_authors"] = rev
+
+    if doc_id % 9 == 4:  # stray per-object XMP
+        add(stream("/Type /Metadata /Subtype /XML", _XMP_PACKET))
+        golden["n_xmp_objects"] = 1
+
+    if doc_id % 8 == 2:  # EXIF-bearing JPEG image stream
+        jpg = _fake_exif_jpeg(doc_id)
+        add(stream("/Subtype /Image /Width 2 /Height 2 "
+                   "/ColorSpace /DeviceRGB /BitsPerComponent 8 "
+                   "/Filter /DCTDecode", jpg))
+        golden["n_image_meta"] = 1
+
+    if doc_id % 2 == 0:
+        catalog[Name("Lang")] = b"en-US"
+        golden["lang"] = "en-US"
+    if doc_id % 5 == 0:
+        catalog[Name("PageLabels")] = {
+            Name("Nums"): [0, {Name("S"): Name("D")}]}
+        golden["page_labels"] = True
+    if doc_id % 6 == 0:
+        catalog[Name("ViewerPreferences")] = {Name("HideToolbar"): True}
+        golden["viewer_prefs"] = True
+    if doc_id % 4 == 0:
+        catalog[Name("OpenAction")] = {
+            Name("S"): Name("GoTo"), Name("D"): [None, Name("Fit")]}
+        catalog[Name("Names")] = {
+            Name("JavaScript"): {Name("Names"): []}}
+        golden["open_action"] = True
+        golden["has_javascript"] = True
+    if doc_id % 7 == 5:
+        catalog[Name("PieceInfo")] = {
+            Name("FixtureApp"): {Name("Private"): b"x"}}
+        golden["n_piece_info"] = 1
+
+    did = hashlib.md5(f"metafix{doc_id}".encode()).hexdigest()
+    trailer_pairs = f"/Info {info_num} 0 R /ID [<{did}> <{did}>] "
+    golden["has_doc_id"] = True
+    pdf = _append_pdf_revision(
+        base, objs, serialize_object(catalog).encode("latin-1"), 1,
+        size, trailer_pairs)
+    golden["prior_revisions"] = 2
+
+    if doc_id % 2 == 1:  # second incremental save
+        pdf = _append_pdf_revision(
+            pdf, {nxt: b"<< /FixtureRev 2 >>"}, None, 1, nxt + 1,
+            trailer_pairs)
+        golden["prior_revisions"] = 3
+
+    return {"pdf": pdf, "expected": golden}
+
+
+def write_metadata_parquet(path: str, n_docs: int = 24,
+                           seed: int = SEED_DEFAULT) -> None:
+    """metadata_docs.parquet (url, html PDF bytes) + pdf_meta.parquet
+    golden one-row-per-url metadata reports."""
+    import os
+
+    import pandas as pd
+
+    doc_rows, golden_rows = [], []
+    for doc_id in range(n_docs):
+        m = build_metadata_models(doc_id, seed=seed)
+        url = f"https://fixtures.test/pdf_meta/{doc_id:08d}"
+        doc_rows.append({"url": url, "html": m["pdf"]})
+        golden_rows.append({"url": url, **m["expected"]})
+    pd.DataFrame(doc_rows).to_parquet(
+        os.path.join(path, "metadata_docs.parquet"), index=False)
+    pd.DataFrame(golden_rows).to_parquet(
+        os.path.join(path, "pdf_meta.parquet"), index=False)
+
+
 def build_list_models(doc_id: int, seed: int = SEED_DEFAULT) -> dict:
     """Enumerated-list family: an intro paragraph, then a numbered
     list ("1." "2." "3."), a bullet list ("•" x3) and a paren-alpha

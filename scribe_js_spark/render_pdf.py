@@ -238,7 +238,9 @@ def _apply_encryption(w: "_Writer", mode: str, doc_id: int) -> None:
         new_objects.append(head + marker + enc + b"\nendstream")
     w.objects = new_objects
     w.add(enc_dict.encode())
-    w.trailer_extra = (
+    # += so an /Info ref emitted earlier survives (real encrypted PDFs
+    # keep their document-information dictionary).
+    w.trailer_extra += (
         f"/Encrypt {enc_objnum} 0 R "
         f"/ID [<{doc_id_bytes.hex()}> <{doc_id_bytes.hex()}>] ")
 
