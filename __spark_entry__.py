@@ -630,6 +630,55 @@ def _q_pdf_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select("url", "html").mapInPandas(fn, schema=schema)
 
 
+def _q_pdf_text_colors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-word text color/opacity/faux-bold state from the content-
+    stream color operators (parsePdfDoc.js:1692-1766, 3104-3112):
+    device fills, Separation tint transforms (all four PDF function
+    types), ExtGState /ca alpha, Tr 3 invisibility, Tr 2 stroking."""
+    from typing import Iterator
+
+    import pandas as pd
+    from pyspark.sql.types import (
+        DoubleType, LongType, StringType, StructField, StructType)
+
+    from scribe_js_spark.extract import extract_document
+
+    schema = StructType([
+        StructField("url", StringType()),
+        StructField("line_n", LongType()),
+        StructField("word_n", LongType()),
+        StructField("text", StringType()),
+        StructField("color", StringType()),
+        StructField("opacity", DoubleType()),
+        StructField("render_mode", LongType()),
+        StructField("stroke_width", DoubleType()),
+    ])
+
+    def fn(batches: Iterator) -> Iterator:
+        for pdf in batches:
+            out = {f.name: [] for f in schema.fields}
+            for url, html in zip(pdf["url"], pdf["html"]):
+                res = extract_document(bytes(html))
+                if res.error is not None:
+                    continue
+                for page in res.pages:
+                    for ln, line in enumerate(page.lines):
+                        for wn, w in enumerate(line.words):
+                            out["url"].append(url)
+                            out["line_n"].append(ln)
+                            out["word_n"].append(wn)
+                            out["text"].append(w.text)
+                            out["color"].append(w.style.color)
+                            out["opacity"].append(float(w.style.opacity))
+                            out["render_mode"].append(w.renderMode)
+                            out["stroke_width"].append(
+                                float(w.strokeWidth))
+            yield pd.DataFrame(out)
+
+    df = spark.read.parquet(os.path.join(FIX_T2, "color_docs.parquet"))
+    return df.select("url", "html").mapInPandas(fn, schema=schema)
+
+
 def _q_abbyy_table_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ABBYY table-layout blocks -> explicit column boxes + row bounds
     -> cell matrix (convertTableLayoutAbbyy semantics, both the
@@ -1152,6 +1201,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "abbyy_table_cells": _q_abbyy_table_cells,
         "pdf_annotations": _q_pdf_annotations,
         "pdf_metadata": _q_pdf_metadata,
+        "pdf_text_colors": _q_pdf_text_colors,
         "pdf_struct_tags": _q_pdf_struct_tags,
         "pdf_table_cells": _q_pdf_table_cells,
         "pdf_table_regions": _q_pdf_table_regions,
@@ -1420,6 +1470,14 @@ def oracle_sql() -> dict[str, str]:
             " annot_n::BIGINT AS annot_n, subtype, contents, uri,"
             " field_name FROM read_parquet("
             f"'{os.path.join(FIX_T2, 'annots.parquet')}')"),
+        "pdf_text_colors": (
+            "SELECT url, line_n::BIGINT AS line_n,"
+            " word_n::BIGINT AS word_n, text, color,"
+            " opacity::DOUBLE AS opacity,"
+            " render_mode::BIGINT AS render_mode,"
+            " stroke_width::DOUBLE AS stroke_width"
+            f" FROM read_parquet("
+            f"'{os.path.join(FIX_T2, 'colors.parquet')}')"),
         "pdf_metadata": (
             "SELECT url, title, author, producer,"
             " n_custom_info::BIGINT AS n_custom_info, has_doc_id,"

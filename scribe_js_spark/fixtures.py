@@ -1856,6 +1856,152 @@ def ensure_webhtml_bench_corpus(path: str, n_docs: int,
     return fpath
 
 
+def _hex_byte(v: float) -> str:
+    """0..1 float -> two hex digits with JS Math.round semantics."""
+    import math as _math
+
+    return format(max(0, min(255, _math.floor(v * 255 + 0.5))), "02x")
+
+
+def _rgb_hex(rgb) -> str:
+    return "#" + "".join(_hex_byte(v) for v in rgb)
+
+
+def build_color_models(doc_id: int, seed: int = SEED_DEFAULT) -> dict:
+    """Text-color family: one page whose lines exercise every color
+    path of executeTextOperators (parsePdfDoc.js:1692-1766) — device
+    gray/RGB/CMYK fills, a Separation tint transform (one of the four
+    PDF function types per doc), ExtGState /ca alpha, invisible text
+    (Tr 3), and faux-bold stroking (Tr 2 + w). Goldens are computed
+    here from the spec formulas, independent of the extractor."""
+    from .operators.pdf.colorfn import cmyk_to_rgb
+    from .render_pdf import _Writer, _esc
+
+    fs = 24.0
+    page_w, page_h = 612, 792
+    gray = (doc_id % 5) * 0.2
+    c, m, y, k = (doc_id % 3) * 0.3, 0.8, 0.1, (doc_id % 2) * 0.2
+    t = 0.25 + (doc_id % 3) * 0.25
+    ca = 0.25 + (doc_id % 3) * 0.25
+    lw = 0.75 + (doc_id % 4) * 0.25
+    variant = doc_id % 4
+
+    # ---- tint function object + its expected rgb at tint t
+    if variant == 0:  # type 2 exponential
+        fn_body = (b"<< /FunctionType 2 /Domain [0 1] "
+                   b"/C0 [1 1 1] /C1 [0.2 0.4 0.6] /N 1 >>")
+        spot_rgb = [1 + t * (0.2 - 1), 1 + t * (0.4 - 1),
+                    1 + t * (0.6 - 1)]
+    elif variant == 1:  # type 3 stitching of two type-2 ramps
+        fn_body = (
+            b"<< /FunctionType 3 /Domain [0 1] /Bounds [0.5] "
+            b"/Encode [0 1 0 1] /Functions ["
+            b"<< /FunctionType 2 /Domain [0 1] /C0 [1 1 1] "
+            b"/C1 [0.5 0.5 0.5] /N 1 >> "
+            b"<< /FunctionType 2 /Domain [0 1] /C0 [0.5 0.5 0.5] "
+            b"/C1 [0 0 0.4] /N 1 >>] >>")
+        if t < 0.5:
+            t2 = t / 0.5
+            spot_rgb = [1 + t2 * (0.5 - 1)] * 3
+        else:
+            t2 = (t - 0.5) / 0.5
+            spot_rgb = [0.5 - t2 * 0.5, 0.5 - t2 * 0.5,
+                        0.5 + t2 * (0.4 - 0.5)]
+    elif variant == 2:  # type 0 sampled, 2 corners, linear interp
+        samples = bytes([255, 128, 0, 0, 128, 255])
+        fn_body = (
+            b"<< /FunctionType 0 /Domain [0 1] "
+            b"/Range [0 1 0 1 0 1] /Size [2] /BitsPerSample 8 "
+            b"/Length %d >>\nstream\n" % len(samples)
+            + samples + b"\nendstream")
+        spot_rgb = [1 - t, 128 / 255, t]
+    else:  # type 4 PostScript calculator
+        ps = b"{ dup dup }"
+        fn_body = (
+            b"<< /FunctionType 4 /Domain [0 1] "
+            b"/Range [0 1 0 1 0 1] /Length %d >>\nstream\n" % len(ps)
+            + ps + b"\nendstream")
+        spot_rgb = [t, t, t]
+
+    cmyk_rgb = [v / 255.0 for v in cmyk_to_rgb(c, m, y, k)]
+    # (prefix_ops, words, color_hex, opacity, render_mode, stroke_w)
+    lines = [
+        ("", ["plain", "ink"], "#000000", 1.0, 0, 0.0),
+        ("1 0 0 rg", ["crimson", "words"], "#ff0000", 1.0, 0, 0.0),
+        (f"{gray} g", ["gray", "tone"], _rgb_hex([gray] * 3),
+         1.0, 0, 0.0),
+        (f"{c} {m} {y} {k} k", ["process", "mix"], _rgb_hex(cmyk_rgb),
+         1.0, 0, 0.0),
+        (f"/CS0 cs {t} scn", ["spot", "tint"], _rgb_hex(spot_rgb),
+         1.0, 0, 0.0),
+        ("/GS0 gs", ["soft", "veil"], "#000000", ca, 0, 0.0),
+        ("3 Tr", ["ghost", "layer"], "#000000", 0.0, 0, 0.0),
+        (f"2 Tr {lw} w 0.2 0.2 0.2 RG", ["heavy", "strokes"],
+         "#000000", 1.0, 2, lw),
+    ]
+
+    content = ["BT", f"/F1 {fs} Tf"]
+    golden = []
+    for ln, (ops, words, hexc, opacity, rm, sw) in enumerate(lines):
+        y_pdf = page_h - (100 + 40 * ln)
+        content.append("q")
+        if ops:
+            content.append(ops)
+        x = 72.0
+        for wn, word in enumerate(words):
+            content.append(f"1 0 0 1 {x} {y_pdf} Tm ({_esc(word)}) Tj")
+            golden.append({
+                "line_n": ln, "word_n": wn, "text": word,
+                "color": hexc, "opacity": opacity,
+                "render_mode": rm, "stroke_width": sw})
+            x += 0.5 * fs * len(word) + 0.5 * fs
+        content.append("Q")
+    content.append("ET")
+    stream = "\n".join(content).encode("latin-1")
+
+    w = _Writer()
+    w.add(b"<< /Type /Catalog /Pages 2 0 R >>")
+    w.add(f"<< /Type /Pages /Kids [5 0 R] /Count 1 "
+          f"/MediaBox [0 0 {page_w} {page_h}] >>".encode())
+    w.add(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+          b"/FirstChar 32 /LastChar 126 /Widths ["
+          + b" ".join(b"500" for _ in range(95))
+          + b"] /FontDescriptor 4 0 R /Encoding /WinAnsiEncoding >>")
+    w.add(b"<< /Type /FontDescriptor /FontName /Helvetica /Flags 32 "
+          b"/Ascent 718 /Descent -207 /CapHeight 718 /ItalicAngle 0 "
+          b"/StemV 88 /FontBBox [-166 -225 1000 931] >>")
+    w.add(b"<< /Type /Page /Parent 2 0 R /Contents 6 0 R /Resources "
+          b"<< /Font << /F1 3 0 R >> "
+          b"/ColorSpace << /CS0 [/Separation /Spot /DeviceRGB 7 0 R] >> "
+          b"/ExtGState << /GS0 << /Type /ExtGState /ca "
+          + str(ca).encode() + b" >> >> >> >>")
+    w.add(b"<< /Length %d >>\nstream\n" % len(stream)
+          + stream + b"\nendstream")
+    w.add(fn_body)
+    return {"pdf": w.build(), "expected": golden}
+
+
+def write_color_parquet(path: str, n_docs: int = 24,
+                        seed: int = SEED_DEFAULT) -> None:
+    """color_docs.parquet (url, html PDF bytes) + colors.parquet golden
+    per-word style records."""
+    import os
+
+    import pandas as pd
+
+    doc_rows, golden_rows = [], []
+    for doc_id in range(n_docs):
+        m = build_color_models(doc_id, seed=seed)
+        url = f"https://fixtures.test/pdf_color/{doc_id:08d}"
+        doc_rows.append({"url": url, "html": m["pdf"]})
+        for rec in m["expected"]:
+            golden_rows.append({"url": url, **rec})
+    pd.DataFrame(doc_rows).to_parquet(
+        os.path.join(path, "color_docs.parquet"), index=False)
+    pd.DataFrame(golden_rows).to_parquet(
+        os.path.join(path, "colors.parquet"), index=False)
+
+
 def _append_pdf_revision(base: bytes, objs: dict[int, bytes],
                          catalog: bytes | None, root_num: int,
                          size: int, trailer_pairs: str) -> bytes:

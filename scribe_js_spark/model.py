@@ -88,6 +88,7 @@ class OcrWord:
     __slots__ = (
         "text", "style", "lang", "conf", "bbox", "id", "line", "chars",
         "visualCoords", "lineNum", "textAlt", "styleRuns",
+        "renderMode", "strokeWidth",
     )
 
     def __init__(self, line: "OcrLine", wid: str, text: str, bbox: Bbox):
@@ -107,6 +108,11 @@ class OcrWord:
         # Per-char style deltas within the word:
         # [{'i': offset, 'style': {...}}] (parsePdfDoc.js:3223-3242)
         self.styleRuns: Optional[list] = None
+        # Faux-bold state (text render modes 1/2 stroke the outlines;
+        # the reference keeps these on its NativeTextWord entry,
+        # parsePdfDoc.js:3092-3096)
+        self.renderMode = 0
+        self.strokeWidth = 0.0
 
     def clone(self) -> "OcrWord":
         w = OcrWord(self.line, self.id, self.text, self.bbox.copy())
@@ -119,6 +125,8 @@ class OcrWord:
         w.textAlt = self.textAlt
         w.styleRuns = ([dict(r) for r in self.styleRuns]
                        if self.styleRuns else None)
+        w.renderMode = self.renderMode
+        w.strokeWidth = self.strokeWidth
         if self.chars is not None:
             w.chars = [OcrChar(c.text, c.bbox.copy()) for c in self.chars]
         return w

@@ -24,7 +24,7 @@ class PositionedChar:
     __slots__ = (
         "text", "x", "y", "width", "fontSize", "font", "invisible",
         "orientation", "dirX", "dirY", "charCode", "box", "textColor",
-        "mcid",
+        "mcid", "alpha", "renderMode", "strokeWidth", "strokeColor",
     )
 
     def __init__(self, text, x, y, width, font_size, font, invisible,
@@ -45,6 +45,13 @@ class PositionedChar:
         self.textColor = text_color
         # marked-content id active at show time (struct-tree linkage)
         self.mcid = None
+        # non-stroking alpha from ExtGState /ca (parsePdfDoc.js:1785)
+        self.alpha = 1.0
+        # faux-bold state: modes 1/2 stroke the outlines, so the pen
+        # width scales with the CTM, not the text matrix (:1780-1790)
+        self.renderMode = 0
+        self.strokeWidth = 0.0
+        self.strokeColor = None
 
 
 def _mat_mul(a, b):
@@ -154,6 +161,15 @@ class TextMachine:
         self._xobj_depth = 0
         self._seen_xobjs: set = set()
         self._fill_color = ([0.0], "gray")  # (values, colorspace)
+        self._stroke_color = ([0.0], "gray")
+        # Separation/DeviceN tint transforms selected by cs/CS
+        # (parsePdfDoc.js:1705-1746; colorfn.py evaluates them)
+        self._fill_tint = None
+        self._stroke_tint = None
+        self._fill_alpha = 1.0  # ExtGState /ca via gs (:1753-1766)
+        self._line_width = 1.0
+        self._cs_cache: dict = {}
+        self._gs_cache: dict = {}
         # marked-content stack: BDC pushes the /MCID (or inherits),
         # BMC pushes, EMC pops (structTree.js MCID linkage)
         self._mc_stack: list = []
@@ -174,6 +190,63 @@ class TextMachine:
             except Exception:
                 self._font_cache[key] = PdfFont()
         return self._font_cache[key]
+
+    # ---------------------------------------------------- color + gstate
+
+    def _resolve_tint(self, resources, name: str):
+        """Named /ColorSpace resource -> parsed Separation/DeviceN tint
+        record, or None for device/simple spaces
+        (parsePdfDoc.js:1705 `cs` + pdfColorFunctions.js:704)."""
+        if name in self._cs_cache:
+            return self._cs_cache[name]
+        tint = None
+        try:
+            from .colorfn import parse_tint_colorspace
+
+            res = self.doc.resolve(resources) or {}
+            spaces = self.doc.resolve(res.get("ColorSpace")) or {}
+            if name in spaces:
+                tint = parse_tint_colorspace(self.doc, spaces[name])
+        except Exception:
+            tint = None
+        self._cs_cache[name] = tint
+        return tint
+
+    def _component_color(self, operands, tint, current):
+        """sc/scn semantics (parsePdfDoc.js:1720-1730): with an active
+        tint space, run the tint transform -> RGB; stored raw, a
+        Separation component would read as gray and invert."""
+        vals = [float(v) for v in operands
+                if isinstance(v, (int, float))]
+        if not vals:
+            return current
+        if tint is not None and len(vals) == tint["n_inputs"]:
+            try:
+                from .colorfn import tint_to_rgb
+
+                rgb = tint_to_rgb(tint, vals)
+                if rgb is not None:
+                    return (rgb, "rgb")
+            except Exception:
+                pass
+        return (vals, current[1])
+
+    def _resolve_fill_alpha(self, resources, name: str):
+        """/ExtGState entry -> its /ca non-stroking alpha
+        (parsePdfDoc.js:77 parseFillAlphaExtGStates + :1753-1766)."""
+        if name in self._gs_cache:
+            return self._gs_cache[name]
+        ca = None
+        try:
+            res = self.doc.resolve(resources) or {}
+            states = self.doc.resolve(res.get("ExtGState")) or {}
+            entry = self.doc.resolve(states.get(name))
+            if isinstance(entry, dict) and "ca" in entry:
+                ca = float(self.doc.resolve(entry["ca"]))
+        except Exception:
+            ca = None
+        self._gs_cache[name] = ca
+        return ca
 
     # -------------------------------------------------------- execution
 
@@ -199,25 +272,61 @@ class TextMachine:
             try:
                 if op == b"q":
                     gs_stack.append((list(ctm), font, tfs, tc, tw, tz, tl,
-                                     ts, tr, self._fill_color))
+                                     ts, tr, self._fill_color,
+                                     self._stroke_color, self._fill_tint,
+                                     self._stroke_tint, self._fill_alpha,
+                                     self._line_width))
                 elif op == b"Q":
                     if gs_stack:
                         (ctm_s, font, tfs, tc, tw, tz, tl, ts, tr,
-                         self._fill_color) = gs_stack.pop()
+                         self._fill_color, self._stroke_color,
+                         self._fill_tint, self._stroke_tint,
+                         self._fill_alpha,
+                         self._line_width) = gs_stack.pop()
                         ctm[:] = ctm_s
+                # g/rg/k also select a device color space, deselecting
+                # any named space chosen by cs (parsePdfDoc.js:1692)
                 elif op == b"g" and operands:
                     self._fill_color = ([float(operands[-1])], "gray")
+                    self._fill_tint = None
                 elif op == b"rg" and len(operands) >= 3:
                     self._fill_color = (
                         [float(v) for v in operands[-3:]], "rgb")
+                    self._fill_tint = None
                 elif op == b"k" and len(operands) >= 4:
                     self._fill_color = (
                         [float(v) for v in operands[-4:]], "cmyk")
+                    self._fill_tint = None
+                elif op == b"G" and operands:
+                    self._stroke_color = ([float(operands[-1])], "gray")
+                    self._stroke_tint = None
+                elif op == b"RG" and len(operands) >= 3:
+                    self._stroke_color = (
+                        [float(v) for v in operands[-3:]], "rgb")
+                    self._stroke_tint = None
+                elif op == b"K" and len(operands) >= 4:
+                    self._stroke_color = (
+                        [float(v) for v in operands[-4:]], "cmyk")
+                    self._stroke_tint = None
+                elif op == b"cs" and operands:
+                    self._fill_tint = self._resolve_tint(
+                        resources, str(operands[-1]))
+                elif op == b"CS" and operands:
+                    self._stroke_tint = self._resolve_tint(
+                        resources, str(operands[-1]))
                 elif op in (b"sc", b"scn") and operands:
-                    vals = [float(v) for v in operands
-                            if isinstance(v, (int, float))]
-                    if vals:
-                        self._fill_color = (vals, self._fill_color[1])
+                    self._fill_color = self._component_color(
+                        operands, self._fill_tint, self._fill_color)
+                elif op in (b"SC", b"SCN") and operands:
+                    self._stroke_color = self._component_color(
+                        operands, self._stroke_tint, self._stroke_color)
+                elif op == b"w" and operands:
+                    self._line_width = float(operands[-1])
+                elif op == b"gs" and operands:
+                    ca = self._resolve_fill_alpha(
+                        resources, str(operands[-1]))
+                    if ca is not None:
+                        self._fill_alpha = ca
                 elif op == b"BDC" and len(operands) >= 2:
                     props = operands[-1]
                     mcid = None
@@ -367,6 +476,15 @@ class TextMachine:
         width_for = font.width_for
 
         cur_mcid = self._mc_stack[-1] if self._mc_stack else None
+        fill_alpha = self._fill_alpha
+        # Faux-bold: modes 1/2 stroke the glyph outlines with the pen
+        # in user space, so the effective width scales with the CTM,
+        # not the text matrix (parsePdfDoc.js:1780-1790).
+        stroked = tr in (1, 2)
+        stroke_width = (self._line_width * math.sqrt(
+            abs(ctm[0] * ctm[3] - ctm[1] * ctm[2])) * scale
+            if stroked else 0.0)
+        stroke_color = self._stroke_color if stroked else None
         adv_total = 0.0
         for code, is_cid in self._decode_codes(bytes(data), font):
             uni = unicode_for(code)
@@ -389,6 +507,11 @@ class TextMachine:
                     self._fill_color,
                 )
                 pc.mcid = cur_mcid
+                pc.alpha = fill_alpha
+                if stroked:
+                    pc.renderMode = tr
+                    pc.strokeWidth = stroke_width
+                    pc.strokeColor = stroke_color
                 chars_out.append(pc)
             adv_total += adv
         return _mat_mul([1, 0, 0, 1, adv_total, 0], tm)

@@ -47,6 +47,7 @@ from ...functions.stats import js_round, mean50, round3, round6
 from ...functions.textnorm import calc_lang, replace_ligatures
 from ...model import Bbox, OcrChar, OcrLine, OcrPage, OcrWord
 from ..paragraphs import assign_paragraphs
+from .colorfn import rgb_to_hex
 from .paths import color_to_rgb
 
 _TERMINAL_RE = re.compile(r"[.!?]")
@@ -711,6 +712,21 @@ def group_chars_into_page(chars, n: int, page_dims: dict,
             word_obj.style.bold = first_alnum.font.bold
             word_obj.style.italic = first_alnum.font.italic
             word_obj.style.size = round3(first_alnum.fontSize)
+            # Color + opacity from the first alphanumeric char
+            # (parsePdfDoc.js:3104-3112): fill color -> '#rrggbb',
+            # invisible (Tr 3) -> opacity 0, else the ExtGState /ca.
+            color_rgb = color_to_rgb(first_alnum.textColor)
+            if color_rgb:
+                word_obj.style.color = rgb_to_hex(color_rgb)
+            if first_alnum.invisible:
+                word_obj.style.opacity = 0.0
+            else:
+                word_obj.style.opacity = first_alnum.alpha
+            # Faux-bold state (NativeTextWord entry, :3092-3096)
+            if (first_alnum.renderMode in (1, 2)
+                    and first_alnum.strokeWidth > 0):
+                word_obj.renderMode = first_alnum.renderMode
+                word_obj.strokeWidth = round3(first_alnum.strokeWidth)
             word_obj.style.sup = sup_flags[wi2]
             if dropcap_flags[wi2]:
                 word_obj.style.dropcap = True

@@ -337,9 +337,12 @@ def color_to_rgb(color) -> list | None:
                 return [lum, lum, lum]
             return [float(v) for v in vals]
         if len(vals) == 4:
-            c, m, y, k = (float(v) for v in vals)
-            return [(1 - c) * (1 - k), (1 - m) * (1 - k),
-                    (1 - y) * (1 - k)]
+            from .colorfn import cmyk_to_rgb
+
+            # Adobe-calibrated polynomial (pdfColorFunctions.js:611),
+            # matching the reference's colorToRgb exactly.
+            r, g, b = cmyk_to_rgb(*(float(v) for v in vals))
+            return [r / 255.0, g / 255.0, b / 255.0]
     except (TypeError, ValueError):
         return None
     return None

@@ -59,8 +59,10 @@ def test_double_rule_subpath_mining():
 def test_color_to_rgb():
     assert color_to_rgb(([0.5], "gray")) == [0.5, 0.5, 0.5]
     assert color_to_rgb(([1.0, 0.0, 0.0], "rgb")) == [1.0, 0.0, 0.0]
+    # CMYK red through the Adobe-calibrated polynomial
+    # (pdfColorFunctions.js:611): bytes [255, 46, 23] / 255.
     cmyk = color_to_rgb(([0.0, 1.0, 1.0, 0.0], "cmyk"))
-    assert cmyk == [1.0, 0.0, 0.0]
+    assert cmyk == [255 / 255, 46 / 255, 23 / 255]
     assert color_to_rgb(None) is None
     assert color_to_rgb(([], "rgb")) is None
 
