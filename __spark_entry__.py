@@ -630,6 +630,55 @@ def _q_pdf_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select("url", "html").mapInPandas(fn, schema=schema)
 
 
+def _q_outline_headings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outline-anchored heading promotion (outlineIndex.js:149 +
+    analyzeLayout.js:1783-1787): bookmarks name headings with body
+    size/weight that geometry cannot detect; sentence-shaped and
+    unmatched bookmarks and OCR-producer documents must not promote."""
+    from typing import Iterator
+
+    import pandas as pd
+    from pyspark.sql.types import (
+        LongType, StringType, StructField, StructType)
+
+    from scribe_js_spark.extract import extract_document
+    from scribe_js_spark.operators.layout_doc import (
+        analyze_layout_doc,
+        collect_par_roles,
+    )
+    from scribe_js_spark.operators.pdf.outline import (
+        build_outline_heading_index,
+    )
+
+    schema = StructType([
+        StructField("url", StringType()),
+        StructField("page_n", LongType()),
+        StructField("par_n", LongType()),
+        StructField("par_type", StringType()),
+    ])
+
+    def fn(batches: Iterator) -> Iterator:
+        for pdf in batches:
+            out = {f.name: [] for f in schema.fields}
+            for url, html in zip(pdf["url"], pdf["html"]):
+                data = bytes(html)
+                res = extract_document(data)
+                if res.error is not None:
+                    continue
+                analyze_layout_doc(
+                    res.pages,
+                    outline_headings=build_outline_heading_index(data))
+                for r in collect_par_roles(res.pages):
+                    out["url"].append(url)
+                    out["page_n"].append(r["page_n"])
+                    out["par_n"].append(r["par_n"])
+                    out["par_type"].append(r["par_type"])
+            yield pd.DataFrame(out)
+
+    df = spark.read.parquet(os.path.join(FIX_T2, "heading_docs.parquet"))
+    return df.select("url", "html").mapInPandas(fn, schema=schema)
+
+
 def _q_pdf_text_colors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-word text color/opacity/faux-bold state from the content-
     stream color operators (parsePdfDoc.js:1692-1766, 3104-3112):
@@ -1202,6 +1251,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pdf_annotations": _q_pdf_annotations,
         "pdf_metadata": _q_pdf_metadata,
         "pdf_text_colors": _q_pdf_text_colors,
+        "outline_headings": _q_outline_headings,
         "pdf_struct_tags": _q_pdf_struct_tags,
         "pdf_table_cells": _q_pdf_table_cells,
         "pdf_table_regions": _q_pdf_table_regions,
@@ -1470,6 +1520,11 @@ def oracle_sql() -> dict[str, str]:
             " annot_n::BIGINT AS annot_n, subtype, contents, uri,"
             " field_name FROM read_parquet("
             f"'{os.path.join(FIX_T2, 'annots.parquet')}')"),
+        "outline_headings": (
+            "SELECT url, page_n::BIGINT AS page_n,"
+            " par_n::BIGINT AS par_n, par_type"
+            f" FROM read_parquet("
+            f"'{os.path.join(FIX_T2, 'headings.parquet')}')"),
         "pdf_text_colors": (
             "SELECT url, line_n::BIGINT AS line_n,"
             " word_n::BIGINT AS word_n, text, color,"

@@ -1856,6 +1856,128 @@ def ensure_webhtml_bench_corpus(path: str, n_docs: int,
     return fpath
 
 
+def _set_line_words(line: dict, tokens: list[str]) -> None:
+    """Replace a model line's words with clean undecored tokens at
+    standard CHAR_W geometry (for lines that must match an outline
+    anchor byte-for-byte after extraction)."""
+    top = line["words"][0]["top"]
+    bottom = line["words"][0]["bottom"]
+    x = 100
+    words = []
+    for t in tokens:
+        words.append({"text": t, "chars": None, "out_words": [t],
+                      "quoted": False, "token": None, "left": x,
+                      "right": x + len(t) * CHAR_W, "top": top,
+                      "bottom": bottom, "conf": 96})
+        x += len(t) * CHAR_W + CHAR_W
+    line["words"] = words
+
+
+def build_heading_models(doc_id: int, seed: int = SEED_DEFAULT) -> dict:
+    """Outline-anchored heading family: bookmarks name headings that
+    geometry cannot detect — same size and weight as body text
+    (outlineIndex.js:149 buildOutlineHeadingIndex +
+    analyzeLayout.js:1783-1787). Page 0 carries a heading LINE at the
+    top of a multi-line paragraph (split case); page 1 a single-line
+    heading paragraph (whole-par case). Decoy bookmarks (sentence-
+    shaped, unmatched) must not promote; every 5th doc has an
+    OCR-producer Info dict that disables the whole index; every 7th
+    has no outline at all."""
+    from .operators.pdf.document import PdfDocument
+    from .render_pdf import render_pdf as _render
+
+    model = build_doc_model(doc_id, seed=seed, n_pages=2)
+    p0_title = ["Chapter", f"Part{doc_id}", "Overview"]
+    p1_title = ["Results", "Summary"]
+    # page 0, par 1, line 0: heading line atop a multi-line body par
+    _set_line_words(model["pages"][0]["pars"][1]["lines"][0], p0_title)
+    p0_split = len(model["pages"][0]["pars"][1]["lines"]) > 1
+    # page 1, par 1: truncated to a single heading-only line
+    par1 = model["pages"][1]["pars"][1]
+    par1["lines"] = [par1["lines"][0]]
+    _set_line_words(par1["lines"][0], p1_title)
+
+    ocr_producer = doc_id % 5 == 4
+    no_outline = doc_id % 7 == 6
+    if ocr_producer:
+        model["producer"] = "ABBYY FineReader 15"
+    pdf = _render(model, rotate=False, outline=False,
+                  form_xobject=False, xref_stream=False)
+
+    if not no_outline:
+        doc = PdfDocument(pdf)
+        pages_node = doc.resolve(doc.resolve(doc.trailer["Root"])["Pages"])
+        kids = [r.num for r in doc.resolve(pages_node["Kids"])]
+        size = max(doc.xref) + 1
+        o = size  # outlines root
+        items = [
+            (" ".join(p0_title), kids[0]),
+            (" ".join(p1_title), kids[1]),
+            ("Ends like a sentence.", kids[0]),  # shape-rejected
+            ("Unmatched Heading", kids[0]),      # no matching line
+        ]
+        objs = {}
+        first, last = o + 1, o + len(items)
+        objs[o] = (f"<< /Type /Outlines /First {first} 0 R "
+                   f"/Last {last} 0 R /Count {len(items)} >>").encode()
+        for i, (title, pg) in enumerate(items):
+            num = o + 1 + i
+            body = f"<< /Title ({title}) /Parent {o} 0 R "
+            if i > 0:
+                body += f"/Prev {num - 1} 0 R "
+            if i < len(items) - 1:
+                body += f"/Next {num + 1} 0 R "
+            body += f"/Dest [{pg} 0 R /XYZ null null null] >>"
+            objs[num] = body.encode()
+        catalog = dict(doc.resolve(doc.trailer["Root"]))
+        from .operators.pdf.lexer import Name, Ref
+        from .operators.pdf.metadata import serialize_object
+
+        catalog[Name("Outlines")] = Ref(o, 0)
+        pdf = _append_pdf_revision(
+            pdf, objs, serialize_object(catalog).encode("latin-1"), 1,
+            size, "")
+
+    promoted = not (ocr_producer or no_outline)
+    golden = []
+    for page_n in (0, 1):
+        n_pars = len(model["pages"][page_n]["pars"])
+        roles = ["body"] * n_pars
+        if promoted:
+            if page_n == 0 and p0_split:
+                roles = (["body", "heading", "body"]
+                         + ["body"] * (n_pars - 2))
+            elif page_n == 0:
+                roles[1] = "heading"
+            else:
+                roles[1] = "heading"
+        for par_n, role in enumerate(roles):
+            golden.append({"page_n": page_n, "par_n": par_n,
+                           "par_type": role})
+    return {"pdf": pdf, "expected": golden}
+
+
+def write_heading_parquet(path: str, n_docs: int = 25,
+                          seed: int = SEED_DEFAULT) -> None:
+    """heading_docs.parquet (url, html PDF bytes) + headings.parquet
+    golden per-paragraph roles."""
+    import os
+
+    import pandas as pd
+
+    doc_rows, golden_rows = [], []
+    for doc_id in range(n_docs):
+        m = build_heading_models(doc_id, seed=seed)
+        url = f"https://fixtures.test/pdf_heading/{doc_id:08d}"
+        doc_rows.append({"url": url, "html": m["pdf"]})
+        for rec in m["expected"]:
+            golden_rows.append({"url": url, **rec})
+    pd.DataFrame(doc_rows).to_parquet(
+        os.path.join(path, "heading_docs.parquet"), index=False)
+    pd.DataFrame(golden_rows).to_parquet(
+        os.path.join(path, "headings.parquet"), index=False)
+
+
 def _hex_byte(v: float) -> str:
     """0..1 float -> two hex digits with JS Math.round semantics."""
     import math as _math

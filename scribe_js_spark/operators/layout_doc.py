@@ -67,9 +67,14 @@ def _lone_number(par) -> int | None:
     return None  # roman folios tracked as generic pagenum below
 
 
-def analyze_layout_doc(pages: list[OcrPage]) -> None:
+def analyze_layout_doc(pages: list[OcrPage],
+                       outline_headings: dict | None = None) -> None:
     """Assign furniture roles to paragraphs across the document.
-    Mutates par.type in place; paragraphs must already be assigned."""
+    Mutates par.type in place; paragraphs must already be assigned.
+    ``outline_headings`` (page index -> set of normalized bookmark
+    titles, from build_outline_heading_index) names headings that
+    classifyRole cannot detect — same size and weight as body text
+    (analyzeLayout.js:1783-1787)."""
     n_pages = len(pages)
     if n_pages == 0:
         return
@@ -167,6 +172,46 @@ def analyze_layout_doc(pages: list[OcrPage]) -> None:
                 par_sizes = [w.style.size for w in words if w.style.size]
                 if par_sizes and max(par_sizes) >= body_size * 1.5:
                     par.type = "title"
+
+    # Outline-anchored heading promotion (analyzeLayout.js:1783-1787):
+    # bookmarks name headings classifyRole cannot detect. The
+    # reference promotes the matching LINE; paragraphs here are
+    # already grouped, so a body paragraph whose full text matches is
+    # promoted whole, and one whose FIRST line matches is split at the
+    # role boundary the reference's later grouping would create.
+    if outline_headings:
+        from ..model import OcrPar, bbox_union
+        from .pdf.outline import normalize_heading_text
+
+        for page in pages:
+            anchors = outline_headings.get(page.n)
+            if not anchors:
+                continue
+            new_pars = []
+            for par in page.pars:
+                if par.type != "body" or not par.lines:
+                    new_pars.append(par)
+                    continue
+                full = normalize_heading_text(" ".join(
+                    " ".join(w.text for w in line.words)
+                    for line in par.lines))
+                first = normalize_heading_text(" ".join(
+                    w.text for w in par.lines[0].words))
+                if full in anchors:
+                    par.type = "heading"
+                    new_pars.append(par)
+                elif first in anchors and len(par.lines) > 1:
+                    head = OcrPar(page, par.lines[0].bbox.copy())
+                    head.lines = [par.lines[0]]
+                    head.type = "heading"
+                    head.reason = "outline anchor"
+                    par.lines = par.lines[1:]
+                    par.bbox = bbox_union([l.bbox for l in par.lines])
+                    new_pars.append(head)
+                    new_pars.append(par)
+                else:
+                    new_pars.append(par)
+            page.pars = new_pars
 
     # Block-quote re-tag (analyzeLayout.js:2212-2235): a body paragraph
     # of >= 2 lines inset on BOTH sides against the document body

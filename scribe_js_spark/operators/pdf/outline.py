@@ -11,6 +11,8 @@ break cycles with a visited set.
 
 from __future__ import annotations
 
+import re
+
 from .document import PdfDocument
 from .lexer import Name, Ref, StreamObj
 
@@ -154,3 +156,82 @@ def parse_outline(data: bytes) -> list[dict]:
     if not isinstance(first, Ref):
         return []
     return walk_siblings(first)
+
+
+# -------------------------------------------- outline heading anchors
+
+#: Producers whose outlines are machine-generated per-paragraph
+#: bookmarks, not author headings (structTree.js:16 OCR_PRODUCER_RE).
+OCR_PRODUCER_RE = re.compile(
+    r"paper\s*capture|luradocument|abbyy|finereader|kofax|readiris"
+    r"|omnipage|tesseract|scansoft|\bcapture\b", re.I)
+
+_SENT_END_RE = re.compile(r"[.!?][\"')”’]?$")
+_ENUM_NUM_RE = re.compile(r"^\(?\d{1,4}[.)]")
+_ENUM_ALPHA_RE = re.compile(r"^\(?[a-z]{1,3}[.)]\s", re.I)
+_LEAD_WORDCHAR_RE = re.compile(r"^[^\W_]", re.U)
+
+
+def normalize_heading_text(s: str) -> str:
+    """Whitespace-collapse, lowercase, strip trailing soft punctuation
+    only (miscUtils.js:125 normalizeHeadingText) — stripping internal
+    punctuation would let distinct lines collide."""
+    return re.sub(r"\s+", " ", s or "").strip().lower().rstrip(".,:;")
+
+
+def heading_shaped(title: str) -> bool:
+    """Is a bookmark title shaped like a heading (short label) rather
+    than a running paragraph? (outlineIndex.js:44 headingShaped —
+    conservative: a missed heading is a no-op, a false anchor is a
+    wrong split.)"""
+    t = re.sub(r"\s+", " ", title or "").strip()
+    if not t:
+        return False
+    if len(t) > 80 or len(t.split(" ")) > 12:
+        return False
+    if _SENT_END_RE.search(t):
+        return False
+    if _ENUM_NUM_RE.match(t) or _ENUM_ALPHA_RE.match(t):
+        return False
+    if len(re.findall(r"[A-Za-z]", t)) < 2:
+        return False
+    if not _LEAD_WORDCHAR_RE.match(t):
+        return False
+    # A real heading's first word carries an uppercase letter; an
+    # all-lowercase Latin first word marks a sentence fragment or
+    # footnote bookmark. Non-Latin first words are exempt.
+    w0 = t.split()[0]
+    if re.search(r"[a-z]", w0) and not re.search(r"[A-Z]", w0):
+        return False
+    return True
+
+
+def build_outline_heading_index(data: bytes) -> dict[int, set] | None:
+    """Page index -> set of normalized heading-anchor titles from the
+    document /Outlines (outlineIndex.js:149 buildOutlineHeadingIndex),
+    or None when there is no usable outline (none, or an OCR-producer
+    document whose bookmarks are machine-generated)."""
+    try:
+        doc = PdfDocument(data)
+        info = doc.resolve(doc.trailer.get("Info"))
+        if isinstance(info, dict):
+            producer = doc.resolve(info.get("Producer"))
+            if isinstance(producer, bytes):
+                producer = producer.decode("latin-1", "replace")
+            if producer and OCR_PRODUCER_RE.search(str(producer)):
+                return None
+        nodes = parse_outline(data)
+    except Exception:
+        return None
+    index: dict[int, set] = {}
+
+    def walk(items):
+        for node in items:
+            if (node["page_index"] is not None
+                    and heading_shaped(node["title"])):
+                index.setdefault(node["page_index"], set()).add(
+                    normalize_heading_text(node["title"]))
+            walk(node["children"])
+
+    walk(nodes)
+    return index or None
