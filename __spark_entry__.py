@@ -679,6 +679,61 @@ def _q_outline_headings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select("url", "html").mapInPandas(fn, schema=schema)
 
 
+def _q_struct_layout_roles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Struct-tag-corroborated layout roles on tagged PDFs
+    (analyzeLayout.js:2905,2970,2213-2234): /LI pins a large-font lead
+    par to body against the title rule, /BlockQuote promotes without
+    the geometric inset, /TD[/TH] pin body; OCR-producer and untagged
+    docs fall back to pure geometry."""
+    from typing import Iterator
+
+    import pandas as pd
+    from pyspark.sql.types import (
+        LongType, StringType, StructField, StructType)
+
+    from scribe_js_spark.extract import extract_document
+    from scribe_js_spark.operators.layout_doc import (
+        analyze_layout_doc,
+        collect_par_roles,
+    )
+    from scribe_js_spark.operators.pdf.document import PdfDocument
+    from scribe_js_spark.operators.pdf.structtree import (
+        build_struct_elem_map,
+    )
+
+    schema = StructType([
+        StructField("url", StringType()),
+        StructField("page_n", LongType()),
+        StructField("par_n", LongType()),
+        StructField("par_type", StringType()),
+    ])
+
+    def fn(batches: Iterator) -> Iterator:
+        for pdf in batches:
+            out = {f.name: [] for f in schema.fields}
+            for url, html in zip(pdf["url"], pdf["html"]):
+                data = bytes(html)
+                res = extract_document(data)
+                if res.error is not None:
+                    continue
+                try:
+                    elem_map = build_struct_elem_map(PdfDocument(data))
+                except Exception:
+                    elem_map = None
+                st = ({k: v["tag"] for k, v in elem_map.items()}
+                      if elem_map else None)
+                analyze_layout_doc(res.pages, struct_tags=st)
+                for r in collect_par_roles(res.pages):
+                    out["url"].append(url)
+                    out["page_n"].append(r["page_n"])
+                    out["par_n"].append(r["par_n"])
+                    out["par_type"].append(r["par_type"])
+            yield pd.DataFrame(out)
+
+    df = spark.read.parquet(os.path.join(FIX_T2, "struct_docs.parquet"))
+    return df.select("url", "html").mapInPandas(fn, schema=schema)
+
+
 def _q_pdf_text_colors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-word text color/opacity/faux-bold state from the content-
     stream color operators (parsePdfDoc.js:1692-1766, 3104-3112):
@@ -1252,6 +1307,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pdf_metadata": _q_pdf_metadata,
         "pdf_text_colors": _q_pdf_text_colors,
         "outline_headings": _q_outline_headings,
+        "struct_layout_roles": _q_struct_layout_roles,
         "pdf_struct_tags": _q_pdf_struct_tags,
         "pdf_table_cells": _q_pdf_table_cells,
         "pdf_table_regions": _q_pdf_table_regions,
@@ -1525,6 +1581,11 @@ def oracle_sql() -> dict[str, str]:
             " par_n::BIGINT AS par_n, par_type"
             f" FROM read_parquet("
             f"'{os.path.join(FIX_T2, 'headings.parquet')}')"),
+        "struct_layout_roles": (
+            "SELECT url, page_n::BIGINT AS page_n,"
+            " par_n::BIGINT AS par_n, par_type"
+            f" FROM read_parquet("
+            f"'{os.path.join(FIX_T2, 'struct_roles.parquet')}')"),
         "pdf_text_colors": (
             "SELECT url, line_n::BIGINT AS line_n,"
             " word_n::BIGINT AS word_n, text, color,"

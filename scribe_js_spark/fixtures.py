@@ -1608,14 +1608,29 @@ def write_annot_parquet(path: str, n_docs: int = 30,
 
 def build_struct_models(doc_id: int, seed: int = SEED_DEFAULT) -> dict:
     """Tagged-PDF family: marked-content paragraphs linked to a
-    structure tree. Page-0 first par tags /H1, each page's second par
-    /BlockQuote, the rest the custom /Para role-mapped to /P. Every
-    4th doc carries an OCR-producer string (struct map vetoed); every
-    5th is untagged."""
+    structure tree. Page-0 first par is a LARGE-font /LI (the list-
+    item pin that must beat the title size-ratio rule,
+    analyzeLayout.js:2970), each page's second par /BlockQuote
+    (struct-corroborated quote promotion, :2213-2234), page-0 third
+    par /H1, each page's fourth par /TD, the rest the custom /Para
+    role-mapped to /P. Every 4th doc carries an OCR-producer string
+    (struct map vetoed); every 5th is untagged."""
     model = build_doc_model(doc_id, seed=seed)
     tagged = doc_id % 5 != 4
     ocr_producer = doc_id % 4 == 3
+    # Page-0 par-0 words at 1.6x body size: promotes to 'title'
+    # unless the /LI tag pins it to body.
+    for line in model["pages"][0]["pars"][0]["lines"]:
+        x = line["words"][0]["left"]
+        for w in line["words"]:
+            txt = w["text"]
+            w["segments"] = [{"text": txt, "fs": 48}]
+            w["left"] = x
+            w["right"] = x + int(0.5 * 48 * len(txt))
+            x = w["right"] + 24
     expected = []
+    roles = []
+    structured = tagged and not ocr_producer
     if tagged:
         model["struct_tags"] = True
         model["producer"] = ("ABBYY FineReader 15" if ocr_producer
@@ -1623,32 +1638,44 @@ def build_struct_models(doc_id: int, seed: int = SEED_DEFAULT) -> dict:
         for pn, page in enumerate(model["pages"]):
             for k, par in enumerate(page["pars"]):
                 if pn == 0 and k == 0:
-                    par["struct_role"] = "H1"
+                    par["struct_role"] = "LI"
                 elif k == 1:
                     par["struct_role"] = "BlockQuote"
+                elif pn == 0 and k == 2:
+                    par["struct_role"] = "H1"
+                elif k == 3:
+                    par["struct_role"] = "TD"
                 # others default to Para -> role-mapped to P
                 if not ocr_producer:
                     tag = par.get("struct_role", "P")
-                    if tag == "Para":
-                        tag = "P"
                     expected.append({
                         "page_n": pn, "mcid": k,
-                        "tag": tag if tag in ("H1", "BlockQuote")
-                        else "P"})
-    return {"model": model, "expected": expected}
+                        "tag": tag if tag in ("H1", "BlockQuote",
+                                              "LI", "TD") else "P"})
+    for pn, page in enumerate(model["pages"]):
+        for k in range(len(page["pars"])):
+            if pn == 0 and k == 0:
+                role = "body" if structured else "title"
+            elif k == 1 and structured:
+                role = "blockquote"
+            else:
+                role = "body"
+            roles.append({"page_n": pn, "par_n": k, "par_type": role})
+    return {"model": model, "expected": expected, "roles": roles}
 
 
 def write_struct_parquet(path: str, n_docs: int = 30,
                          seed: int = SEED_DEFAULT) -> None:
     """struct_docs.parquet (url, html tagged-PDF bytes) +
-    struct.parquet golden (page, mcid, block tag) rows."""
+    struct.parquet golden (page, mcid, block tag) rows +
+    struct_roles.parquet golden struct-corroborated paragraph roles."""
     import os
 
     import pandas as pd
 
     from .render_pdf import render_pdf as _render
 
-    doc_rows, golden_rows = [], []
+    doc_rows, golden_rows, role_rows = [], [], []
     for doc_id in range(n_docs):
         m = build_struct_models(doc_id, seed=seed)
         url = f"https://fixtures.test/pdf_struct/{doc_id:08d}"
@@ -1661,10 +1688,14 @@ def write_struct_parquet(path: str, n_docs: int = 30,
                             xref_stream=False)})
         for rec in m["expected"]:
             golden_rows.append({"url": url, **rec})
+        for rec in m["roles"]:
+            role_rows.append({"url": url, **rec})
     pd.DataFrame(doc_rows).to_parquet(
         os.path.join(path, "struct_docs.parquet"), index=False)
     pd.DataFrame(golden_rows).to_parquet(
         os.path.join(path, "struct.parquet"), index=False)
+    pd.DataFrame(role_rows).to_parquet(
+        os.path.join(path, "struct_roles.parquet"), index=False)
 
 
 def build_math_models(doc_id: int, seed: int = SEED_DEFAULT) -> dict:

@@ -88,7 +88,7 @@ class OcrWord:
     __slots__ = (
         "text", "style", "lang", "conf", "bbox", "id", "line", "chars",
         "visualCoords", "lineNum", "textAlt", "styleRuns",
-        "renderMode", "strokeWidth",
+        "renderMode", "strokeWidth", "mcid",
     )
 
     def __init__(self, line: "OcrLine", wid: str, text: str, bbox: Bbox):
@@ -113,6 +113,9 @@ class OcrWord:
         # parsePdfDoc.js:3092-3096)
         self.renderMode = 0
         self.strokeWidth = 0.0
+        # marked-content id of the word's chars (tagged PDFs; the
+        # reference's per-word signal map, parsePdfDoc.js:3073-3079)
+        self.mcid = None
 
     def clone(self) -> "OcrWord":
         w = OcrWord(self.line, self.id, self.text, self.bbox.copy())
@@ -127,6 +130,7 @@ class OcrWord:
                        if self.styleRuns else None)
         w.renderMode = self.renderMode
         w.strokeWidth = self.strokeWidth
+        w.mcid = self.mcid
         if self.chars is not None:
             w.chars = [OcrChar(c.text, c.bbox.copy()) for c in self.chars]
         return w

@@ -67,14 +67,39 @@ def _lone_number(par) -> int | None:
     return None  # roman folios tracked as generic pagenum below
 
 
+def _par_struct_tag(page_n: int, par, struct_tags: dict) -> str | None:
+    """Char-weighted dominant structure tag of a paragraph, resolved
+    only when >= 0.6 of the chars sit in that element
+    (analyzeLayout.js:76-91 structResolved)."""
+    weights: dict[str, int] = {}
+    n_char = 0
+    for line in par.lines:
+        for w in line.words:
+            wl = len(w.text)
+            n_char += wl
+            if w.mcid is not None:
+                tag = struct_tags.get((page_n, w.mcid))
+                if tag:
+                    weights[tag] = weights.get(tag, 0) + wl
+    if not weights or n_char == 0:
+        return None
+    tag, best = max(weights.items(), key=lambda kv: kv[1])
+    return tag if best / n_char >= 0.6 else None
+
+
 def analyze_layout_doc(pages: list[OcrPage],
-                       outline_headings: dict | None = None) -> None:
+                       outline_headings: dict | None = None,
+                       struct_tags: dict | None = None) -> None:
     """Assign furniture roles to paragraphs across the document.
     Mutates par.type in place; paragraphs must already be assigned.
     ``outline_headings`` (page index -> set of normalized bookmark
     titles, from build_outline_heading_index) names headings that
     classifyRole cannot detect — same size and weight as body text
-    (analyzeLayout.js:1783-1787)."""
+    (analyzeLayout.js:1783-1787). ``struct_tags`` ((page index, mcid)
+    -> block tag, from build_struct_elem_map) corroborates roles on
+    tagged PDFs: TD/TH/LI pin body (analyzeLayout.js:2905, 2970),
+    BlockQuote/Quote promote blockquote without the geometric inset
+    (:2219, 2234)."""
     n_pages = len(pages)
     if n_pages == 0:
         return
@@ -156,6 +181,17 @@ def analyze_layout_doc(pages: list[OcrPage],
                 par.type = "pagenum"
                 par.parNum = words[0].text
                 continue
+            if band is not None and (band, _text_key(par)) in recurring:
+                par.type = "header" if band == "top" else "footer"
+                continue
+            struct_tag = (_par_struct_tag(page.n, par, struct_tags)
+                          if struct_tags else None)
+            # A producer-tagged table cell is body BEFORE the footnote
+            # rules, which would otherwise type a wide data table's
+            # small, low, columnar cells as flush-left footnotes
+            # (analyzeLayout.js:2905). Folio rules above still win.
+            if struct_tag in ("TD", "TH"):
+                continue
             # Footnote: paragraph opening with a superscript reference
             # marker (the reflow pass already breaks on it —
             # reflowPars.js:134-138; classifyRole promotes the role).
@@ -164,8 +200,10 @@ def analyze_layout_doc(pages: list[OcrPage],
                     and min(l.bbox.top for l in par.lines) > page_h * 0.5):
                 par.type = "footnote"
                 continue
-            if band is not None and (band, _text_key(par)) in recurring:
-                par.type = "header" if band == "top" else "footer"
+            # A list item's bold/large lead term must not promote to a
+            # heading and split from its definition
+            # (analyzeLayout.js:2970).
+            if struct_tag == "LI":
                 continue
             if (body_size and page.n == 0 and par_i == 0
                     and min(l.bbox.top for l in par.lines) < page_h * 0.5):
@@ -232,7 +270,18 @@ def analyze_layout_doc(pages: list[OcrPage],
         if col_width > 0:
             for page in pages:
                 for par in page.pars:
-                    if par.type != "body" or len(par.lines) < 2:
+                    if par.type != "body":
+                        continue
+                    # A producer-tagged BlockQuote/Quote promotes
+                    # without the geometric inset — on a quote-dense
+                    # page the most-common left is itself the quote
+                    # margin (analyzeLayout.js:2213-2234).
+                    if (struct_tags and _par_struct_tag(
+                            page.n, par, struct_tags)
+                            in ("BlockQuote", "Quote")):
+                        par.type = "blockquote"
+                        continue
+                    if len(par.lines) < 2:
                         continue
                     p_left = min(l.bbox.left for l in par.lines)
                     p_right = max(l.bbox.right for l in par.lines)

@@ -727,6 +727,10 @@ def group_chars_into_page(chars, n: int, page_dims: dict,
                     and first_alnum.strokeWidth > 0):
                 word_obj.renderMode = first_alnum.renderMode
                 word_obj.strokeWidth = round3(first_alnum.strokeWidth)
+            # Marked-content id -> struct-tree linkage (the per-word
+            # signal the layout pass resolves, parsePdfDoc.js:3073)
+            word_obj.mcid = next(
+                (c.mcid for c in wchars if c.mcid is not None), None)
             word_obj.style.sup = sup_flags[wi2]
             if dropcap_flags[wi2]:
                 word_obj.style.dropcap = True
