@@ -2087,6 +2087,10 @@ def build_color_models(doc_id: int, seed: int = SEED_DEFAULT) -> dict:
          1.0, 0, 0.0),
         (f"/CS0 cs {t} scn", ["spot", "tint"], _rgb_hex(spot_rgb),
          1.0, 0, 0.0),
+        # DeviceN 2-input tint: PS "{ add 0.5 mul dup dup }" folds the
+        # two ink components to a gray level ((a+b)/2 on each channel).
+        (f"/CS1 cs {t} {gray} scn", ["duotone", "blend"],
+         _rgb_hex([(t + gray) * 0.5] * 3), 1.0, 0, 0.0),
         ("/GS0 gs", ["soft", "veil"], "#000000", ca, 0, 0.0),
         ("3 Tr", ["ghost", "layer"], "#000000", 0.0, 0, 0.0),
         (f"2 Tr {lw} w 0.2 0.2 0.2 RG", ["heavy", "strokes"],
@@ -2125,12 +2129,17 @@ def build_color_models(doc_id: int, seed: int = SEED_DEFAULT) -> dict:
           b"/StemV 88 /FontBBox [-166 -225 1000 931] >>")
     w.add(b"<< /Type /Page /Parent 2 0 R /Contents 6 0 R /Resources "
           b"<< /Font << /F1 3 0 R >> "
-          b"/ColorSpace << /CS0 [/Separation /Spot /DeviceRGB 7 0 R] >> "
+          b"/ColorSpace << /CS0 [/Separation /Spot /DeviceRGB 7 0 R] "
+          b"/CS1 [/DeviceN [/InkA /InkB] /DeviceRGB 8 0 R] >> "
           b"/ExtGState << /GS0 << /Type /ExtGState /ca "
           + str(ca).encode() + b" >> >> >> >>")
     w.add(b"<< /Length %d >>\nstream\n" % len(stream)
           + stream + b"\nendstream")
     w.add(fn_body)
+    ps2 = b"{ add 0.5 mul dup dup }"
+    w.add(b"<< /FunctionType 4 /Domain [0 1 0 1] "
+          b"/Range [0 1 0 1 0 1] /Length %d >>\nstream\n" % len(ps2)
+          + ps2 + b"\nendstream")
     return {"pdf": w.build(), "expected": golden}
 
 
