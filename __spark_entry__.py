@@ -679,6 +679,54 @@ def _q_outline_headings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select("url", "html").mapInPandas(fn, schema=schema)
 
 
+def _q_pdf_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-XObject inventory (parsePdfImages.js:199 extractImages):
+    dimensions, bit depth, mask flag, resolved color space (Indexed
+    hival, ICCBased by /N), filter chain + codec ext, /Decode
+    inversion, /SMask + /Interpolate flags, raw stream size."""
+    from typing import Iterator
+
+    import pandas as pd
+    from pyspark.sql.types import (
+        BooleanType, LongType, StringType, StructField, StructType)
+
+    from scribe_js_spark.operators.pdf.images import extract_images
+
+    schema = StructType([
+        StructField("url", StringType()),
+        StructField("image_n", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("bpc", LongType()),
+        StructField("image_mask", BooleanType()),
+        StructField("colorspace", StringType()),
+        StructField("palette_hival", LongType()),
+        StructField("filter", StringType()),
+        StructField("ext", StringType()),
+        StructField("decode_invert", BooleanType()),
+        StructField("has_smask", BooleanType()),
+        StructField("interpolate", BooleanType()),
+        StructField("n_raw_bytes", LongType()),
+    ])
+
+    def fn(batches: Iterator) -> Iterator:
+        for pdf in batches:
+            out = {f.name: [] for f in schema.fields}
+            for url, html in zip(pdf["url"], pdf["html"]):
+                for n, rec in enumerate(extract_images(bytes(html))):
+                    out["url"].append(url)
+                    out["image_n"].append(n)
+                    for k in ("width", "height", "bpc", "image_mask",
+                              "colorspace", "palette_hival", "filter",
+                              "ext", "decode_invert", "has_smask",
+                              "interpolate", "n_raw_bytes"):
+                        out[k].append(rec[k])
+            yield pd.DataFrame(out)
+
+    df = spark.read.parquet(os.path.join(FIX_T2, "image_docs.parquet"))
+    return df.select("url", "html").mapInPandas(fn, schema=schema)
+
+
 def _q_struct_layout_roles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Struct-tag-corroborated layout roles on tagged PDFs
     (analyzeLayout.js:2905,2970,2213-2234): /LI pins a large-font lead
@@ -1308,6 +1356,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pdf_text_colors": _q_pdf_text_colors,
         "outline_headings": _q_outline_headings,
         "struct_layout_roles": _q_struct_layout_roles,
+        "pdf_images": _q_pdf_images,
         "pdf_struct_tags": _q_pdf_struct_tags,
         "pdf_table_cells": _q_pdf_table_cells,
         "pdf_table_regions": _q_pdf_table_regions,
@@ -1586,6 +1635,15 @@ def oracle_sql() -> dict[str, str]:
             " par_n::BIGINT AS par_n, par_type"
             f" FROM read_parquet("
             f"'{os.path.join(FIX_T2, 'struct_roles.parquet')}')"),
+        "pdf_images": (
+            "SELECT url, image_n::BIGINT AS image_n,"
+            " width::BIGINT AS width, height::BIGINT AS height,"
+            " bpc::BIGINT AS bpc, image_mask, colorspace,"
+            " palette_hival::BIGINT AS palette_hival, filter, ext,"
+            " decode_invert, has_smask, interpolate,"
+            " n_raw_bytes::BIGINT AS n_raw_bytes"
+            f" FROM read_parquet("
+            f"'{os.path.join(FIX_T2, 'images.parquet')}')"),
         "pdf_text_colors": (
             "SELECT url, line_n::BIGINT AS line_n,"
             " word_n::BIGINT AS word_n, text, color,"

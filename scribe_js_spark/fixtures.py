@@ -2009,6 +2009,171 @@ def write_heading_parquet(path: str, n_docs: int = 25,
         os.path.join(path, "headings.parquet"), index=False)
 
 
+def build_image_models(doc_id: int, seed: int = SEED_DEFAULT) -> dict:
+    """Image-inventory family (parsePdfImages.js:199 extractImages):
+    one page whose XObjects cover the inventory dimensions — Flate RGB
+    (with /Interpolate on every 6th doc), a 1-bit /ImageMask with an
+    inverted /Decode, an /Indexed palette image, and per-doc-id
+    variants: DCTDecode (jpg), JPXDecode (jp2), ICCBased N=4 (folds to
+    DeviceCMYK), and a gray image carrying a /SMask (the soft mask is
+    itself inventoried — the sweep is doc-wide)."""
+    import zlib
+
+    from .render_pdf import _Writer
+
+    w = _Writer()
+    page_w, page_h = 612, 792
+    wd, ht = 16 + doc_id % 8, 12 + doc_id % 5
+    golden = []
+    img_defs = []  # (dict_body_fmt, data, golden_record)
+
+    def img(dict_body: str, data: bytes, **g):
+        img_defs.append((dict_body, data, g))
+
+    interp = doc_id % 6 == 0
+    rgb_raw = bytes((x * 7 + doc_id) % 256 for x in range(wd * ht * 3))
+    rgb = zlib.compress(rgb_raw)
+    img(f"/Subtype /Image /Width {wd} /Height {ht} "
+        f"/ColorSpace /DeviceRGB /BitsPerComponent 8 "
+        f"/Filter /FlateDecode"
+        + (" /Interpolate true" if interp else ""),
+        rgb, width=wd, height=ht, bpc=8, image_mask=False,
+        colorspace="DeviceRGB", palette_hival=-1, filter="FlateDecode",
+        ext="raw", decode_invert=False, has_smask=False,
+        interpolate=interp, n_raw_bytes=len(rgb))
+
+    mask = bytes([0b10101010] * (((wd + 7) // 8) * ht))
+    img(f"/Subtype /Image /Width {wd} /Height {ht} /ImageMask true "
+        f"/BitsPerComponent 1 /Decode [1 0]",
+        mask, width=wd, height=ht, bpc=1, image_mask=True,
+        colorspace="DeviceGray", palette_hival=-1, filter="",
+        ext="raw", decode_invert=True, has_smask=False,
+        interpolate=False, n_raw_bytes=len(mask))
+
+    pal = zlib.compress(bytes(x % 4 for x in range(wd * ht)))
+    img(f"/Subtype /Image /Width {wd} /Height {ht} "
+        f"/ColorSpace [/Indexed /DeviceRGB 3 <000000ff0000%s00ff00>] "
+        f"/BitsPerComponent 8 /Filter /FlateDecode" % "0000ff",
+        pal, width=wd, height=ht, bpc=8, image_mask=False,
+        colorspace="Indexed", palette_hival=3, filter="FlateDecode",
+        ext="raw", decode_invert=False, has_smask=False,
+        interpolate=False, n_raw_bytes=len(pal))
+
+    if doc_id % 2 == 0:
+        jpg = (b"\xff\xd8\xff\xdb\x00\x05\x00\x01\x02"
+               b"\xff\xda\x00\x04\x00\x00\x12\x34\xff\xd9")
+        img(f"/Subtype /Image /Width {wd * 2} /Height {ht * 2} "
+            f"/ColorSpace /DeviceRGB /BitsPerComponent 8 "
+            f"/Filter /DCTDecode",
+            jpg, width=wd * 2, height=ht * 2, bpc=8, image_mask=False,
+            colorspace="DeviceRGB", palette_hival=-1,
+            filter="DCTDecode", ext="jpg", decode_invert=False,
+            has_smask=False, interpolate=False, n_raw_bytes=len(jpg))
+
+    if doc_id % 3 == 0:
+        jp2 = b"\xff\x4f\xff\x51" + bytes(16)
+        img(f"/Subtype /Image /Width {wd} /Height {ht} "
+            f"/ColorSpace /DeviceRGB /BitsPerComponent 8 "
+            f"/Filter [/JPXDecode]",
+            jp2, width=wd, height=ht, bpc=8, image_mask=False,
+            colorspace="DeviceRGB", palette_hival=-1,
+            filter="JPXDecode", ext="jp2", decode_invert=False,
+            has_smask=False, interpolate=False, n_raw_bytes=len(jp2))
+
+    # fixed objects: 1 Catalog, 2 Pages, 3 Page, 4 Contents, then the
+    # images (+ optional ICC stream / SMask pair appended after).
+    first_img = 5
+    n_named = len(img_defs)
+    icc_num = smask_num = cmyk_num = smask_target_num = None
+    nxt = first_img + n_named
+    if doc_id % 5 == 0:
+        icc_num, cmyk_num = nxt, nxt + 1
+        nxt += 2
+    if doc_id % 4 == 0:
+        smask_num, smask_target_num = nxt, nxt + 1
+        nxt += 2
+
+    content = b"q 100 0 0 80 72 600 cm /Im0 Do Q"
+    w.add(b"<< /Type /Catalog /Pages 2 0 R >>")
+    w.add(f"<< /Type /Pages /Kids [3 0 R] /Count 1 "
+          f"/MediaBox [0 0 {page_w} {page_h}] >>".encode())
+    xnames = " ".join(
+        f"/Im{i} {first_img + i} 0 R" for i in range(n_named))
+    if cmyk_num:
+        xnames += f" /ImIcc {cmyk_num} 0 R"
+    if smask_target_num:
+        xnames += f" /ImSm {smask_target_num} 0 R"
+    w.add((f"<< /Type /Page /Parent 2 0 R /Contents 4 0 R "
+           f"/Resources << /XObject << {xnames} >> >> >>").encode())
+    w.add(b"<< /Length %d >>\nstream\n" % len(content)
+          + content + b"\nendstream")
+    for dict_body, data, g in img_defs:
+        w.add((f"<< {dict_body} /Length {len(data)} >>\nstream\n"
+               ).encode() + data + b"\nendstream")
+        golden.append(g)
+    if icc_num:
+        icc = bytes(32)
+        w.add(b"<< /N 4 /Length %d >>\nstream\n" % len(icc)
+              + icc + b"\nendstream")
+        cmyk = zlib.compress(bytes(wd * ht * 4))
+        w.add((f"<< /Subtype /Image /Width {wd} /Height {ht} "
+               f"/ColorSpace [/ICCBased {icc_num} 0 R] "
+               f"/BitsPerComponent 8 /Filter /FlateDecode "
+               f"/Length {len(cmyk)} >>\nstream\n").encode()
+              + cmyk + b"\nendstream")
+        golden.append(dict(
+            width=wd, height=ht, bpc=8, image_mask=False,
+            colorspace="DeviceCMYK", palette_hival=-1,
+            filter="FlateDecode", ext="raw", decode_invert=False,
+            has_smask=False, interpolate=False, n_raw_bytes=len(cmyk)))
+    if smask_num:
+        sm = zlib.compress(bytes(wd * ht))
+        w.add((f"<< /Subtype /Image /Width {wd} /Height {ht} "
+               f"/ColorSpace /DeviceGray /BitsPerComponent 8 "
+               f"/Filter /FlateDecode /Length {len(sm)} >>\nstream\n"
+               ).encode() + sm + b"\nendstream")
+        gray = zlib.compress(bytes(wd * ht))
+        w.add((f"<< /Subtype /Image /Width {wd} /Height {ht} "
+               f"/ColorSpace /DeviceGray /BitsPerComponent 8 "
+               f"/SMask {smask_num} 0 R "
+               f"/Filter /FlateDecode /Length {len(gray)} >>\nstream\n"
+               ).encode() + gray + b"\nendstream")
+        golden.append(dict(
+            width=wd, height=ht, bpc=8, image_mask=False,
+            colorspace="DeviceGray", palette_hival=-1,
+            filter="FlateDecode", ext="raw", decode_invert=False,
+            has_smask=False, interpolate=False, n_raw_bytes=len(sm)))
+        golden.append(dict(
+            width=wd, height=ht, bpc=8, image_mask=False,
+            colorspace="DeviceGray", palette_hival=-1,
+            filter="FlateDecode", ext="raw", decode_invert=False,
+            has_smask=True, interpolate=False, n_raw_bytes=len(gray)))
+    for n, g in enumerate(golden):
+        g["image_n"] = n
+    return {"pdf": w.build(), "expected": golden}
+
+
+def write_image_parquet(path: str, n_docs: int = 24,
+                        seed: int = SEED_DEFAULT) -> None:
+    """image_docs.parquet (url, html PDF bytes) + images.parquet golden
+    per-image inventory records."""
+    import os
+
+    import pandas as pd
+
+    doc_rows, golden_rows = [], []
+    for doc_id in range(n_docs):
+        m = build_image_models(doc_id, seed=seed)
+        url = f"https://fixtures.test/pdf_images/{doc_id:08d}"
+        doc_rows.append({"url": url, "html": m["pdf"]})
+        for rec in m["expected"]:
+            golden_rows.append({"url": url, **rec})
+    pd.DataFrame(doc_rows).to_parquet(
+        os.path.join(path, "image_docs.parquet"), index=False)
+    pd.DataFrame(golden_rows).to_parquet(
+        os.path.join(path, "images.parquet"), index=False)
+
+
 def _hex_byte(v: float) -> str:
     """0..1 float -> two hex digits with JS Math.round semantics."""
     import math as _math
