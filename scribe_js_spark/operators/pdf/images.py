@@ -126,8 +126,12 @@ def parse_image_object(doc: PdfDocument, objnum: int,
 def extract_images(data: bytes) -> list[dict]:
     """Every image XObject in the document, in object-number order
     (extractImages, parsePdfImages.js:199 — doc-wide xref sweep, so
-    unreferenced/orphaned images are inventoried too)."""
-    doc = PdfDocument(data)
+    unreferenced/orphaned images are inventoried too). Total: corrupt
+    documents yield the empty inventory rather than raising."""
+    try:
+        doc = PdfDocument(data)
+    except Exception:
+        return []
     out = []
     for objnum in sorted(doc.xref):
         try:
@@ -136,9 +140,12 @@ def extract_images(data: bytes) -> list[dict]:
             continue
         if not isinstance(obj, StreamObj):
             continue
-        if str(doc.resolve(obj.dict.get("Subtype", ""))) != "Image":
+        try:
+            if str(doc.resolve(obj.dict.get("Subtype", ""))) != "Image":
+                continue
+            info = parse_image_object(doc, objnum, obj)
+        except Exception:
             continue
-        info = parse_image_object(doc, objnum, obj)
         if info:
             out.append(info)
     return out

@@ -218,104 +218,120 @@ def inspect_metadata(data: bytes) -> dict:
         "annotation_authors": [], "image_meta": [],
         "prior_revisions": count_xref_revisions(data),
     }
+    # Total by design: a corrupt/truncated document degrades to the
+    # byte-level facts instead of raising, and each section below is
+    # independently guarded so one bad object degrades that section,
+    # not the whole report (the reference wraps every metadata read in
+    # try/catch — metadataInspect.js throughout).
     try:
         doc = PdfDocument(data)
-    except PdfError:
+    except Exception:
         report["encrypted"] = b"/Encrypt" in data
         return report
     report["encrypted"] = "Encrypt" in doc.trailer
 
-    # Trailer: /ID and /Info
-    doc_id = doc.resolve(doc.trailer.get("ID"))
-    if isinstance(doc_id, list) and doc_id and isinstance(
-            doc_id[0], (bytes, bytearray)):
-        report["doc_id"] = bytes(doc_id[0]).hex()
-    info_ref = doc.trailer.get("Info")
-    info_num = info_ref.num if isinstance(info_ref, Ref) else -1
-    info = doc.resolve(info_ref)
-    if isinstance(info, dict):
-        for k, v in info.items():
-            report["info"][str(k)] = decode_text_string(doc.resolve(v))
-        report["custom_info_keys"] = sorted(
-            str(k) for k in info if str(k) not in _STD_INFO_KEYS)
-
-    # Catalog-level keys
-    catalog = doc.resolve(doc.trailer.get("Root"))
+    info_num = -1
     cat_meta_num = -1
-    if isinstance(catalog, dict):
-        meta_ref = catalog.get("Metadata")
-        if meta_ref is not None:
-            cat_meta_num = meta_ref.num if isinstance(meta_ref, Ref) else -1
-            try:
-                report["xmp_catalog_bytes"] = len(
-                    doc.stream_data(meta_ref))
-            except Exception:
-                report["xmp_catalog_bytes"] = -1  # present but unreadable
-        report["open_action"] = "OpenAction" in catalog
-        report["aa"] = "AA" in catalog
-        report["struct_tree"] = "StructTreeRoot" in catalog
-        report["page_labels"] = "PageLabels" in catalog
-        report["viewer_prefs"] = "ViewerPreferences" in catalog
-        report["lang"] = decode_text_string(
-            doc.resolve(catalog.get("Lang")))
-        names = doc.resolve(catalog.get("Names"))
-        if isinstance(names, dict):
-            report["javascript"] = "JavaScript" in names
+    try:
+        # Trailer: /ID and /Info
+        doc_id = doc.resolve(doc.trailer.get("ID"))
+        if isinstance(doc_id, list) and doc_id and isinstance(
+                doc_id[0], (bytes, bytearray)):
+            report["doc_id"] = bytes(doc_id[0]).hex()
+        info_ref = doc.trailer.get("Info")
+        info_num = info_ref.num if isinstance(info_ref, Ref) else -1
+        info = doc.resolve(info_ref)
+        if isinstance(info, dict):
+            for k, v in info.items():
+                report["info"][str(k)] = decode_text_string(doc.resolve(v))
+            report["custom_info_keys"] = sorted(
+                str(k) for k in info if str(k) not in _STD_INFO_KEYS)
+    except Exception:
+        pass
 
-    # Per-object sweep: XMP, PieceInfo, OCGs, Filespecs, signatures,
-    # hidden info dicts, markup-annotation authors, image streams.
-    for objnum, obj, d in _objects(doc):
-        if d is None:
-            continue
-        typ = _name(doc, d.get("Type"))
-        if typ == "Metadata" and objnum != cat_meta_num:
-            report["xmp_objects"] += 1
-        if "PieceInfo" in d:
-            report["piece_info"] += 1
-        if typ == "OCG":
-            nm = decode_text_string(doc.resolve(d.get("Name")))
-            if nm:
-                report["ocg_names"].append(nm)
-        if typ == "Filespec":
-            fn = doc.resolve(d.get("UF")) or doc.resolve(d.get("F"))
-            report["embedded_files"].append(
-                decode_text_string(fn) or "(unnamed)")
-        if typ == "Sig" or ("ByteRange" in d and "Contents" in d
-                            and typ in ("Sig", "DocTimeStamp")):
-            sub = _name(doc, d.get("SubFilter"))
-            report["signatures"].append(sub or "(unknown)")
-        # An info-identifying key on a non-trailer, non-functional dict
-        # is a hidden custom info dict (metadataInspect.js:183).
-        if (objnum != info_num and typ not in ("Metadata", "Catalog")
-                and any(k in d for k in INFO_STRONG)):
-            report["hidden_info"] += 1
-        # /T is the reviewer's name on a markup annot, the field name
-        # on a Widget (metadataInspect.js:192).
-        if typ == "Annot" and _name(doc, d.get("Subtype")) != "Widget":
-            author = decode_text_string(doc.resolve(d.get("T")))
-            if author:
-                report["annotation_authors"].append(author)
-        # Image-internal metadata (DCT/JPX streams only).
-        if (isinstance(obj, StreamObj)
-                and _name(doc, d.get("Subtype")) == "Image"):
-            filters = doc.resolve(d.get("Filter"))
-            if isinstance(filters, (Name, str)):
-                filters = [filters]
-            fnames = [str(doc.resolve(f)) for f in (filters or [])]
-            try:
-                body = doc.stream_data(obj)
-            except Exception:
+    try:
+        # Catalog-level keys
+        catalog = doc.resolve(doc.trailer.get("Root"))
+        cat_meta_num = -1
+        if isinstance(catalog, dict):
+            meta_ref = catalog.get("Metadata")
+            if meta_ref is not None:
+                cat_meta_num = meta_ref.num if isinstance(meta_ref, Ref) else -1
+                try:
+                    report["xmp_catalog_bytes"] = len(
+                        doc.stream_data(meta_ref))
+                except Exception:
+                    report["xmp_catalog_bytes"] = -1  # present but unreadable
+            report["open_action"] = "OpenAction" in catalog
+            report["aa"] = "AA" in catalog
+            report["struct_tree"] = "StructTreeRoot" in catalog
+            report["page_labels"] = "PageLabels" in catalog
+            report["viewer_prefs"] = "ViewerPreferences" in catalog
+            report["lang"] = decode_text_string(
+                doc.resolve(catalog.get("Lang")))
+            names = doc.resolve(catalog.get("Names"))
+            if isinstance(names, dict):
+                report["javascript"] = "JavaScript" in names
+    except Exception:
+        pass
+
+    try:
+        # Per-object sweep: XMP, PieceInfo, OCGs, Filespecs, signatures,
+        # hidden info dicts, markup-annotation authors, image streams.
+        for objnum, obj, d in _objects(doc):
+            if d is None:
                 continue
-            if "DCTDecode" in fnames:
-                j = inspect_jpeg_metadata(body)
-                if j["has_exif"] or j["has_xmp"] or j["has_iptc"]:
-                    report["image_meta"].append(
-                        {"objnum": objnum, "filter": "DCTDecode", **j})
-            elif "JPXDecode" in fnames:
-                x = inspect_jpx_metadata(body)
-                if x["has_xml"] or x["has_uuid"]:
-                    report["image_meta"].append(
-                        {"objnum": objnum, "filter": "JPXDecode", **x})
+            typ = _name(doc, d.get("Type"))
+            if typ == "Metadata" and objnum != cat_meta_num:
+                report["xmp_objects"] += 1
+            if "PieceInfo" in d:
+                report["piece_info"] += 1
+            if typ == "OCG":
+                nm = decode_text_string(doc.resolve(d.get("Name")))
+                if nm:
+                    report["ocg_names"].append(nm)
+            if typ == "Filespec":
+                fn = doc.resolve(d.get("UF")) or doc.resolve(d.get("F"))
+                report["embedded_files"].append(
+                    decode_text_string(fn) or "(unnamed)")
+            if typ == "Sig" or ("ByteRange" in d and "Contents" in d
+                                and typ in ("Sig", "DocTimeStamp")):
+                sub = _name(doc, d.get("SubFilter"))
+                report["signatures"].append(sub or "(unknown)")
+            # An info-identifying key on a non-trailer, non-functional dict
+            # is a hidden custom info dict (metadataInspect.js:183).
+            if (objnum != info_num and typ not in ("Metadata", "Catalog")
+                    and any(k in d for k in INFO_STRONG)):
+                report["hidden_info"] += 1
+            # /T is the reviewer's name on a markup annot, the field name
+            # on a Widget (metadataInspect.js:192).
+            if typ == "Annot" and _name(doc, d.get("Subtype")) != "Widget":
+                author = decode_text_string(doc.resolve(d.get("T")))
+                if author:
+                    report["annotation_authors"].append(author)
+            # Image-internal metadata (DCT/JPX streams only).
+            if (isinstance(obj, StreamObj)
+                    and _name(doc, d.get("Subtype")) == "Image"):
+                filters = doc.resolve(d.get("Filter"))
+                if isinstance(filters, (Name, str)):
+                    filters = [filters]
+                fnames = [str(doc.resolve(f)) for f in (filters or [])]
+                try:
+                    body = doc.stream_data(obj)
+                except Exception:
+                    continue
+                if "DCTDecode" in fnames:
+                    j = inspect_jpeg_metadata(body)
+                    if j["has_exif"] or j["has_xmp"] or j["has_iptc"]:
+                        report["image_meta"].append(
+                            {"objnum": objnum, "filter": "DCTDecode", **j})
+                elif "JPXDecode" in fnames:
+                    x = inspect_jpx_metadata(body)
+                    if x["has_xml"] or x["has_uuid"]:
+                        report["image_meta"].append(
+                            {"objnum": objnum, "filter": "JPXDecode", **x})
+    except Exception:
+        pass
     return report
 
 

@@ -119,3 +119,27 @@ def test_jpx_inspect_and_strip():
     # raw codestream passthrough
     raw = b"\xff\x4f\xff\x51" + b"\x00" * 8
     assert _strip_jpx(raw) == raw
+
+
+def test_totality_on_corrupt_bytes():
+    """inspect_metadata / extract_images / count_xref_revisions are
+    total: corrupt or truncated documents degrade, never raise."""
+    import random
+
+    from scribe_js_spark.operators.pdf.images import extract_images
+    from scribe_js_spark.operators.pdf.metadata import (
+        count_xref_revisions,
+    )
+
+    rng = random.Random(7)
+    base = build_metadata_models(3)["pdf"]
+    for _ in range(60):
+        b = bytearray(base)
+        for _ in range(rng.randint(1, 12)):
+            b[rng.randrange(len(b))] = rng.randrange(256)
+        if rng.random() < 0.3:
+            b = bytes(b[: rng.randrange(len(b))])
+        rep = inspect_metadata(bytes(b))
+        assert isinstance(rep, dict)
+        assert isinstance(extract_images(bytes(b)), list)
+        assert isinstance(count_xref_revisions(bytes(b)), int)
