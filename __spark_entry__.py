@@ -679,6 +679,74 @@ def _q_outline_headings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select("url", "html").mapInPandas(fn, schema=schema)
 
 
+def _q_scrub_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata scrub roundtrip (scrubMetadata.js rules): after
+    scrub_metadata every identifying category reads clean, the /Prev
+    revision chain collapses to 1, and extracted text is byte-identical
+    to the pre-scrub document."""
+    from typing import Iterator
+
+    import pandas as pd
+    from pyspark.sql.types import (
+        BooleanType, LongType, StringType, StructField, StructType)
+
+    from scribe_js_spark.extract import extract_document
+    from scribe_js_spark.operators.pdf.metadata import (
+        inspect_metadata,
+        scrub_metadata,
+    )
+
+    schema = StructType([
+        StructField("url", StringType()),
+        StructField("text_identical", BooleanType()),
+        StructField("info_clean", BooleanType()),
+        StructField("xmp_clean", BooleanType()),
+        StructField("hidden_clean", BooleanType()),
+        StructField("authors_clean", BooleanType()),
+        StructField("actions_clean", BooleanType()),
+        StructField("images_clean", BooleanType()),
+        StructField("ocg_leaks_clean", BooleanType()),
+        StructField("decrypted", BooleanType()),
+        StructField("revisions", LongType()),
+    ])
+
+    def fn(batches: Iterator) -> Iterator:
+        for pdf in batches:
+            out = {f.name: [] for f in schema.fields}
+            for url, html in zip(pdf["url"], pdf["html"]):
+                data = bytes(html)
+                before = extract_document(data)
+                if before.error is not None:
+                    continue
+                clean = scrub_metadata(data)
+                after = extract_document(clean)
+                rep = inspect_metadata(clean)
+                out["url"].append(url)
+                out["text_identical"].append(
+                    after.error is None and after.text == before.text)
+                out["info_clean"].append(
+                    not rep["info"] and not rep["custom_info_keys"])
+                out["xmp_clean"].append(
+                    rep["xmp_catalog_bytes"] == 0
+                    and rep["xmp_objects"] == 0
+                    and rep["piece_info"] == 0)
+                out["hidden_clean"].append(rep["hidden_info"] == 0)
+                out["authors_clean"].append(
+                    not rep["annotation_authors"])
+                out["actions_clean"].append(
+                    not rep["open_action"] and not rep["javascript"])
+                out["images_clean"].append(not rep["image_meta"])
+                out["ocg_leaks_clean"].append(all(
+                    ":" not in n and ".psd" not in n
+                    for n in rep["ocg_names"]))
+                out["decrypted"].append(not rep["encrypted"])
+                out["revisions"].append(rep["prior_revisions"])
+            yield pd.DataFrame(out)
+
+    df = spark.read.parquet(os.path.join(FIX_T2, "metadata_docs.parquet"))
+    return df.select("url", "html").mapInPandas(fn, schema=schema)
+
+
 def _q_pdf_images(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image-XObject inventory (parsePdfImages.js:199 extractImages):
     dimensions, bit depth, mask flag, resolved color space (Indexed
@@ -1357,6 +1425,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "outline_headings": _q_outline_headings,
         "struct_layout_roles": _q_struct_layout_roles,
         "pdf_images": _q_pdf_images,
+        "scrub_roundtrip": _q_scrub_roundtrip,
         "pdf_struct_tags": _q_pdf_struct_tags,
         "pdf_table_cells": _q_pdf_table_cells,
         "pdf_table_regions": _q_pdf_table_regions,
@@ -1635,6 +1704,16 @@ def oracle_sql() -> dict[str, str]:
             " par_n::BIGINT AS par_n, par_type"
             f" FROM read_parquet("
             f"'{os.path.join(FIX_T2, 'struct_roles.parquet')}')"),
+        # Every scrubbed doc must read fully clean with byte-identical
+        # text and a single revision — the golden is the constant row.
+        "scrub_roundtrip": (
+            "SELECT url, true AS text_identical, true AS info_clean,"
+            " true AS xmp_clean, true AS hidden_clean,"
+            " true AS authors_clean, true AS actions_clean,"
+            " true AS images_clean, true AS ocg_leaks_clean,"
+            " true AS decrypted, 1::BIGINT AS revisions"
+            f" FROM read_parquet("
+            f"'{os.path.join(FIX_T2, 'metadata_docs.parquet')}')"),
         "pdf_images": (
             "SELECT url, image_n::BIGINT AS image_n,"
             " width::BIGINT AS width, height::BIGINT AS height,"
