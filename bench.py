@@ -83,14 +83,21 @@ def main():
         # 5-10x (identical back-to-back runs have measured 4s and 50s
         # for the same plan); the second trial also benefits from
         # steady-state JIT/page cache, which is the regime the
-        # throughput metric targets.
+        # throughput metric targets. When the two trials disagree by
+        # >50% both were likely stolen from at different times — take
+        # one bounded extra trial rather than reporting the spike.
         t0 = time.time()
         result = fn()
         first = time.time() - t0
         t0 = time.time()
         fn()
         second = time.time() - t0
-        timings[name] = round(min(first, second), 3)
+        trials = [first, second]
+        if abs(first - second) / max(min(first, second), 1e-9) > 0.5:
+            t0 = time.time()
+            fn()
+            trials.append(time.time() - t0)
+        timings[name] = round(min(trials), 3)
         return result
 
     # Zero-shuffle extraction: fine-grained input splits balance the
