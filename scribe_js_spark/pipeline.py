@@ -29,6 +29,7 @@ Design notes for 100 TB scale:
 
 from __future__ import annotations
 
+import os
 from typing import Iterator, Optional
 
 import pyspark.sql.functions as F
@@ -126,6 +127,36 @@ def _extract_batches(batches, with_spans: bool):
         yield pd.DataFrame(out)
 
 
+def _extract_batches_arrow(batches):
+    """Arrow-native extraction (no-spans path): consumes and produces
+    ``pyarrow.RecordBatch`` directly. Skips the pandas layer entirely —
+    the url column passes through zero-copy and the ~100KB document
+    blobs avoid one object-dtype boxing per direction, which is a
+    measurable share of the Spark-vs-multiprocessing overhead at high
+    core counts (BENCH/BASELINE.md)."""
+    import pyarrow as pa
+
+    from .extract import extract_with_spans
+
+    for rb in batches:
+        urls = rb.column(rb.schema.get_field_index("url"))
+        htmls = rb.column(rb.schema.get_field_index("html"))
+        text, fmt, err, pc, wc = [], [], [], [], []
+        for h in htmls:
+            rec = extract_with_spans(h.as_py(), with_spans=False)
+            text.append(rec["text"])
+            fmt.append(rec["format"])
+            err.append(rec["error"])
+            pc.append(rec["page_count"])
+            wc.append(rec["word_count"])
+        yield pa.RecordBatch.from_arrays(
+            [urls, pa.array(text, pa.string()),
+             pa.array(fmt, pa.string()), pa.array(err, pa.string()),
+             pa.array(pc, pa.int32()), pa.array(wc, pa.int32())],
+            names=["url", "text", "format", "error",
+                   "page_count", "word_count"])
+
+
 def salt_by_size(df: DataFrame, num_partitions: Optional[int] = None) -> DataFrame:
     """Spread large documents across partitions.
 
@@ -191,10 +222,18 @@ def extract_text(
 
     schema = EXTRACT_SPANS_SCHEMA if with_spans else EXTRACT_SCHEMA
 
-    def fn(batches: Iterator) -> Iterator:
-        return _extract_batches(batches, with_spans)
+    # mapInArrow skips the pandas boxing layer; measured within box
+    # noise of mapInPandas on this VM (BENCH/BASELINE.md), so it stays
+    # opt-in until a quiet-window measurement separates them.
+    use_arrow = (not with_spans
+                 and os.environ.get("SPARK_GRAFT_ARROW", "0") == "1")
+    if use_arrow:
+        small_res = small.mapInArrow(_extract_batches_arrow, schema=schema)
+    else:
+        def fn(batches: Iterator) -> Iterator:
+            return _extract_batches(batches, with_spans)
 
-    small_res = small.mapInPandas(fn, schema=schema)
+        small_res = small.mapInPandas(fn, schema=schema)
     if big is None:
         return small_res
     big_res = _extract_paged(big, with_spans, num_partitions)

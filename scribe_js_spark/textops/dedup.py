@@ -282,17 +282,18 @@ def simhash_candidates(df: DataFrame, text_col: str = "text") -> DataFrame:
     blocks = sh.select(
         "doc_id", "simhash",
         F.posexplode(blk_vals).alias("blk", "blk_val"))
-    cand = (
+    xor = F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    hamming = F.bit_count(xor).cast("int")
+    # Hamming filter BEFORE the dedup-distinct: the popcount is a cheap
+    # map-side expression, so rejecting far pairs first keeps the
+    # distinct's shuffle to the (tiny) near-dup set instead of every
+    # bucket-collision pair carrying two 8-byte signatures.
+    return (
         blocks.alias("a").join(blocks.alias("b"), on=["blk", "blk_val"])
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .filter(hamming <= 3)
         .select(F.col("a.doc_id").alias("doc_a"),
-                F.col("a.simhash").alias("sig_a"),
                 F.col("b.doc_id").alias("doc_b"),
-                F.col("b.simhash").alias("sig_b"))
+                hamming.alias("hamming"))
         .distinct()
     )
-    xor = F.col("sig_a").bitwiseXOR(F.col("sig_b"))
-    hamming = F.bit_count(xor)
-    return cand.select(
-        "doc_a", "doc_b", hamming.cast("int").alias("hamming")
-    ).filter(F.col("hamming") <= 3)

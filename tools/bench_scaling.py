@@ -32,8 +32,15 @@ def run_level(cpus: int, corpus_path: str) -> dict:
     env = dict(os.environ)
     env["SPARK_GRAFT_CPUS"] = str(cpus)
     env["SPARK_GRAFT_CORPUS"] = corpus_path
+    # Pin the whole process tree (JVM + Python workers) to exactly
+    # `cpus` hardware threads. Unpinned local[N] on a 32-thread box
+    # lets JVM GC/IO/Arrow threads spill onto the 32-N idle cores,
+    # inflating the N-level throughput and understating efficiency —
+    # a real N-core executor host has no such free cores. Pinning
+    # emulates "a cluster whose total core count is N" honestly.
     out = subprocess.run(
-        ["spark-submit", "--master", f"local[{cpus}]",
+        ["taskset", "-c", f"0-{cpus - 1}",
+         "spark-submit", "--master", f"local[{cpus}]",
          "--py-files", os.path.join(REPO, "scribe_js_spark.zip"),
          "--driver-memory", "48g", WORKER],
         capture_output=True, text=True, env=env, timeout=3600)
