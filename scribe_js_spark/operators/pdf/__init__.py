@@ -7,8 +7,12 @@ stream tokenization, font dictionaries (ToUnicode CMaps, encoding
 differences, widths), the Tm/Td/TJ text-state machine, and the
 chars -> lines -> words grouping pass.
 
-Image codecs, encryption, Type3 glyph hashing and table detection are
-out of scope for the text layer (SURVEY.md §7 phase 3 deferrals).
+Also covered here: encryption (crypto.py — RC4, AES-128, AES-256/R6),
+vector paths + underline detection (paths.py), table detection
+(tables_pdf.py), annotations, struct trees, outlines, metadata, and
+image-XObject inventory. Pixel image codecs for the text layer remain
+out of scope (SURVEY.md §7); Type3 glyphs carry widths/fillers through
+the OCR-selection gates (ocr_selection.py) without outline hashing.
 """
 
 from .parse import parse_pdf_document  # noqa: F401
