@@ -67,7 +67,16 @@ FORMAT_MIX = (
     ("textract", 6), ("google_vision", 4), ("hocr_furniture", 5),
     ("hocr_skew", 2), ("hocr_footnote", 2), ("google_doc_ai", 3),
     ("azure_doc_intel", 3), ("hocr_twocol", 3), ("pdf_twocol", 2),
+    ("pdf_cffsub", 3),
 )
+
+#: pdf_cffsub family: CIDs the embedded CFF's charset omits (the
+#: extractor must skip them with no advance — validCIDs rule) and CIDs
+#: present in the charset but absent from ToUnicode (the chr(code)
+#: fallback path; under Identity encoding the fallback reproduces the
+#: original character, so only the dropped set changes expected text).
+CFF_DROP_CODES = frozenset({ord("h"), ord("k")})
+CFF_UNMAPPED_CODES = frozenset({ord("a"), ord("o")})
 
 
 def _doc_rng(seed: int, doc_id: int) -> random.Random:
@@ -380,6 +389,44 @@ def expected_counts(model: dict) -> dict:
         "line_count": n_lines,
         "word_count": n_words,
     }
+
+
+def strip_model_chars(model: dict, drop_codes) -> dict:
+    """Expected-side transform for the pdf_cffsub family: the embedded
+    CFF's charset omits ``drop_codes``, so the extractor skips those
+    chars with NO advance (validCIDs rule) — remaining chars of the
+    word stay contiguous and the word simply loses the chars. Words /
+    lines / pars that would become empty disappear (defensive: the
+    lexicon never produces one)."""
+    import copy
+
+    drop = {chr(c) for c in drop_codes}
+    m = copy.deepcopy(model)
+    for page in m["pages"]:
+        new_pars = []
+        for par in page["pars"]:
+            new_lines = []
+            for line in par["lines"]:
+                new_words = []
+                for w in line["words"]:
+                    t = "".join(ch for ch in w["text"] if ch not in drop)
+                    if not t:
+                        continue
+                    w["text"] = t
+                    if w.get("out_words"):
+                        outs = ["".join(ch for ch in ow if ch not in drop)
+                                for ow in w["out_words"]]
+                        w["out_words"] = [o for o in outs if o]
+                    new_words.append(w)
+                if new_words:
+                    line["words"] = new_words
+                    new_lines.append(line)
+            if new_lines:
+                par["lines"] = new_lines
+                new_pars.append(par)
+        page["pars"] = new_pars
+    m["pages"] = [p for p in m["pages"] if p["pars"]]
+    return m
 
 
 def expected_spans(model: dict, fmt: str, url: str) -> list[dict]:
@@ -726,9 +773,9 @@ def render_google_vision(model: dict) -> str:
     return _rg(model)
 
 
-def render_pdf(model: dict) -> bytes:
+def render_pdf(model: dict, **kwargs) -> bytes:
     from .render_pdf import render_pdf as _rp
-    return _rp(model)
+    return _rp(model, **kwargs)
 
 
 def make_corrupt_rows(n: int = 40) -> list[dict]:
@@ -2966,8 +3013,13 @@ def make_bench_rows(n_docs: int, seed: int = SEED_DEFAULT,
         n_pages = 1 if fmt in ("text", "docx") else bench_page_count(doc_id)
         model = build_doc_model(doc_id, seed=seed, n_pages=n_pages,
                                 family=family)
+        golden_model = model
         if fmt == "stext":
             html: bytes = render_stext(model).encode("utf-8")
+        elif fmt == "pdf_cffsub":
+            html = render_pdf(model, cff_subset={
+                "drop": CFF_DROP_CODES, "unmapped": CFF_UNMAPPED_CODES})
+            golden_model = strip_model_chars(model, CFF_DROP_CODES)
         elif fmt in ("pdf", "pdf_twocol"):
             html = render_pdf(model)
         elif fmt == "textract":
@@ -2989,7 +3041,7 @@ def make_bench_rows(n_docs: int, seed: int = SEED_DEFAULT,
             "url": f"https://fixtures.test/{fmt}/{doc_id:08d}",
             "warc_ts": base_ts + timedelta(seconds=doc_id),
             "html": html,
-            "text": expected_text(model),
+            "text": expected_text(golden_model),
             "lang": "eng",
         })
     return rows
@@ -3046,6 +3098,7 @@ def available_formats() -> tuple[str, ...]:
     try:
         from . import render_pdf as _  # noqa: F401
         avail.append("pdf")
+        avail.append("pdf_cffsub")
     except ImportError:
         pass
     return tuple(avail)
@@ -3065,7 +3118,7 @@ def make_corpus_rows(n_docs: int, seed: int = SEED_DEFAULT,
                   "hocr_furniture": "furniture", "hocr_skew": "skew",
                   "hocr_footnote": "footnote", "hocr_twocol": "twocol",
                   "pdf_twocol": "twocol"}.get(fmt, "base")
-        render_fmt = ("pdf" if fmt == "pdf_twocol"
+        render_fmt = ("pdf" if fmt in ("pdf_twocol", "pdf_cffsub")
                       else "hocr" if fmt.startswith("hocr_") else fmt)
         indent_family = family == "base" and (doc_id % 10) == 7
         # Plain-text docs are kept to one model page so convertPageText's
@@ -3078,8 +3131,13 @@ def make_corpus_rows(n_docs: int, seed: int = SEED_DEFAULT,
             model = build_doc_model(doc_id, seed=seed, n_pages=n_pages,
                                     indent_family=indent_family,
                                     family=family)
+        golden_model = model
         if fmt == "stext":
             html: bytes = render_stext(model).encode("utf-8")
+        elif fmt == "pdf_cffsub":
+            html = render_pdf(model, cff_subset={
+                "drop": CFF_DROP_CODES, "unmapped": CFF_UNMAPPED_CODES})
+            golden_model = strip_model_chars(model, CFF_DROP_CODES)
         elif fmt in ("pdf", "pdf_twocol"):
             html = render_pdf(model)
         elif fmt == "textract":
@@ -3097,12 +3155,12 @@ def make_corpus_rows(n_docs: int, seed: int = SEED_DEFAULT,
             html = render_docx(model)
         else:
             html = RENDERERS[render_fmt](model).encode("utf-8")
-        counts = expected_counts(model)
+        counts = expected_counts(golden_model)
         rows.append({
             "url": f"https://fixtures.test/{fmt}/{doc_id:08d}",
             "warc_ts": base_ts + timedelta(seconds=doc_id),
             "html": html,
-            "text": expected_text(model),
+            "text": expected_text(golden_model),
             "lang": "chi_sim" if family == "cjk" else "eng",
             "format": render_fmt,
             **counts,

@@ -486,8 +486,19 @@ class TextMachine:
             if stroked else 0.0)
         stroke_color = self._stroke_color if stroked else None
         adv_total = 0.0
+        valid_cids = font.valid_cids
         for code, is_cid in self._decode_codes(bytes(data), font):
             uni = unicode_for(code)
+            if uni is None and is_cid and valid_cids is not None:
+                if code not in valid_cids:
+                    # The embedded CFF's charset has no glyph for this
+                    # CID: a malformed subset reference. Skip emission
+                    # AND the advance, exactly as the reference does
+                    # (parsePdfDoc.js:1884 `continue`).
+                    continue
+                # In-charset but unmapped: fall back to the raw code,
+                # mirroring the reference's String.fromCharCode path.
+                uni = chr(code) if 0 < code < 0x110000 else None
             w0 = width_for(code) / 1000.0
             is_space = (not is_cid and code == 32)
             adv = (w0 * tfs + tc + (tw if is_space else 0.0)) * th

@@ -96,6 +96,7 @@ class PdfFont:
         "base_name", "family_name", "bold", "italic", "small_caps",
         "widths", "default_width", "cid", "two_byte", "to_unicode",
         "encoding", "ascent", "descent", "type3", "font_matrix",
+        "valid_cids",
     )
 
     def __init__(self):
@@ -114,6 +115,9 @@ class PdfFont:
         self.descent = -0.207
         self.type3 = False
         self.font_matrix = None
+        # CIDs the embedded CID-keyed CFF actually defines (charset
+        # keys + implicit 0), or None when no program constrains them.
+        self.valid_cids: set[int] | None = None
 
     def unicode_for(self, code: int) -> str | None:
         if code in self.to_unicode:
@@ -204,6 +208,7 @@ def load_font(doc, font_dict) -> PdfFont:
     f.small_caps = bool(_SMALLCAPS_NAME_RE.search(f.base_name))
 
     subtype = str(doc.resolve(font_dict.get("Subtype", "")))
+    cid_font_file2 = None
     if subtype == "Type0":
         f.cid = True
         f.two_byte = True  # Identity-H / standard CMaps; 2-byte codes
@@ -215,6 +220,28 @@ def load_font(doc, font_dict) -> PdfFont:
             _parse_cid_widths(doc, w_arr, f.widths)
         fd = doc.resolve(desc.get("FontDescriptor"))
         _apply_descriptor(doc, fd, f)
+        # Embedded font programs: a CID-keyed CFF (FontFile3) yields
+        # the set of CIDs the subset actually defines; a TrueType
+        # program (FontFile2) is kept for the blank-glyph remap below.
+        if isinstance(fd, dict):
+            if fd.get("FontFile3") is not None:
+                try:
+                    from .fontprog import parse_cff_summary
+
+                    summary = parse_cff_summary(
+                        doc.stream_data(fd["FontFile3"]))
+                    if summary["ok"] and summary["is_cid"] \
+                            and summary["cid_to_gid"] is not None:
+                        # CID 0 (.notdef) is implicit in the charset
+                        # (parsePdfFonts.js:1746).
+                        f.valid_cids = {0, *summary["cid_to_gid"]}
+                except Exception:
+                    pass
+            elif fd.get("FontFile2") is not None:
+                try:
+                    cid_font_file2 = doc.stream_data(fd["FontFile2"])
+                except Exception:
+                    pass
     else:
         if subtype == "Type3":
             f.type3 = True
@@ -265,7 +292,38 @@ def load_font(doc, font_dict) -> PdfFont:
             f.to_unicode = parse_tounicode_cmap(doc.stream_data(tu))
         except Exception:
             pass
+    if cid_font_file2 is not None and f.to_unicode:
+        _remap_blank_glyphs(cid_font_file2, f)
     return f
+
+
+def _remap_blank_glyphs(font_file2: bytes, f: PdfFont) -> None:
+    """Positive-advance CIDs whose ToUnicode claims a non-text control
+    char get remapped to a space when the embedded TrueType shows the
+    glyph is structurally blank (zero-length glyf entry) — broken OCR
+    ToUnicode maps routinely tag real spacer glyphs as control codes
+    (reference parsePdfFonts.js:1866-1887; CID == GID under
+    Adobe-Identity CIDFontType2)."""
+    candidates = []
+    for cid, existing in f.to_unicode.items():
+        if len(existing) != 1:
+            continue
+        cp = ord(existing)
+        if cp >= 0x20 or cp in (0x09, 0x0A, 0x0D):
+            continue
+        if f.widths.get(cid, 0) <= 0:
+            continue
+        candidates.append(cid)
+    if not candidates:
+        return
+    from .fontprog import truetype_empty_glyphs
+
+    empty = truetype_empty_glyphs(font_file2)
+    if not empty:
+        return
+    for cid in candidates:
+        if cid in empty:
+            f.to_unicode[cid] = " "
 
 
 def _apply_descriptor(doc, fd, f: PdfFont) -> None:

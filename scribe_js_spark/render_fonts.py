@@ -1,0 +1,135 @@
+"""Fixture-side font-program builders.
+
+``build_cff_cid`` emits a minimal but structurally real CID-keyed CFF
+(header, Name/TopDict/String/GlobalSubr INDEXes, format-0 CID charset,
+FDSelect 3, FDArray with a Private DICT, one-byte ``endchar``
+charstrings). Glyph outlines are blank — the text path only reads the
+charset — but every table a summary-level CFF reader touches is
+well-formed, including the ones ours ignores (FDArray/FDSelect).
+
+``build_truetype_blank`` emits a minimal sfnt with head/maxp/loca/glyf
+where a chosen subset of GIDs has zero-length glyf entries (and the
+rest a one-contour dummy outline) — the fixture for the
+blank-glyph-to-space remap.
+"""
+
+from __future__ import annotations
+
+import struct
+
+
+def _mk_index(objs: list[bytes]) -> bytes:
+    if not objs:
+        return struct.pack(">H", 0)
+    total = sum(len(o) for o in objs) + 1
+    off_size = 1 if total <= 0xFF else 2 if total <= 0xFFFF else 4
+    out = struct.pack(">H", len(objs)) + bytes([off_size])
+    pos = 1
+    offs = [pos]
+    for o in objs:
+        pos += len(o)
+        offs.append(pos)
+    for v in offs:
+        out += v.to_bytes(off_size, "big")
+    return out + b"".join(objs)
+
+
+def _int5(v: int) -> bytes:
+    """Fixed-width DICT integer (op 29 + int32) so dict sizes don't
+    depend on operand values."""
+    return b"\x1d" + struct.pack(">i", v)
+
+
+def build_cff_cid(cids: list[int], name: bytes = b"SynthCIDFont") -> bytes:
+    """CID-keyed CFF whose charset contains exactly ``cids`` (gid i+1 ->
+    cids[i]; gid 0 = .notdef is implicit)."""
+    cids = sorted(set(int(c) for c in cids))
+    n_glyphs = len(cids) + 1
+
+    header = bytes([1, 0, 4, 2])
+    name_idx = _mk_index([name])
+    string_idx = _mk_index([b"Adobe", b"Identity"])  # SIDs 391, 392
+    gsubr_idx = _mk_index([])
+
+    # Top DICT: ROS, CIDCount, charset, CharStrings, FDArray, FDSelect.
+    # All integers are fixed 5-byte encodings, so the dict length is
+    # independent of the (not yet known) offsets.
+    def top_dict(charset_off, charstrings_off, fdarray_off, fdselect_off):
+        return (
+            _int5(391) + _int5(392) + _int5(0) + b"\x0c\x1e"   # ROS
+            + _int5(max(cids) + 1 if cids else 1) + b"\x0c\x22"  # CIDCount
+            + _int5(charset_off) + b"\x0f"                      # charset
+            + _int5(charstrings_off) + b"\x11"                  # CharStrings
+            + _int5(fdarray_off) + b"\x0c\x24"                  # FDArray
+            + _int5(fdselect_off) + b"\x0c\x25")                # FDSelect
+
+    top_len = len(top_dict(0, 0, 0, 0))
+    top_idx_len = len(_mk_index([b"\x00" * top_len]))
+
+    fixed = len(header) + len(name_idx) + top_idx_len \
+        + len(string_idx) + len(gsubr_idx)
+
+    charset_off = fixed
+    charset = b"\x00" + b"".join(struct.pack(">H", c) for c in cids)
+
+    fdselect_off = charset_off + len(charset)
+    fdselect = b"\x03" + struct.pack(">H", 1) \
+        + struct.pack(">HB", 0, 0) + struct.pack(">H", n_glyphs)
+
+    # Private DICT: defaultWidthX 0 (a real entry, keeps it non-empty).
+    private = _int5(0) + b"\x14"
+    fdarray_off = fdselect_off + len(fdselect)
+    font_dict = _int5(len(private)) + _int5(0) + b"\x12"  # patched below
+    fdarray_stub = _mk_index([font_dict])
+    private_off = fdarray_off + len(fdarray_stub)
+    font_dict = _int5(len(private)) + _int5(private_off) + b"\x12"
+    fdarray = _mk_index([font_dict])
+
+    charstrings_off = private_off + len(private)
+    charstrings = _mk_index([b"\x0e"] * n_glyphs)  # endchar
+
+    top = top_dict(charset_off, charstrings_off, fdarray_off, fdselect_off)
+    assert len(top) == top_len
+    return (header + name_idx + _mk_index([top]) + string_idx + gsubr_idx
+            + charset + fdselect + fdarray + private + charstrings)
+
+
+def build_truetype_blank(n_glyphs: int, empty_gids: set[int]) -> bytes:
+    """Minimal sfnt (head/maxp/loca/glyf) where ``empty_gids`` have
+    zero-length glyf entries and every other gid a one-contour square.
+    Not a renderable font — just the tables the loca walk reads."""
+    # One-contour 2-point "outline": enough bytes to be non-empty.
+    outline = struct.pack(">hhhhh", 1, 0, 0, 100, 100)  # header
+    outline += struct.pack(">H", 1)        # endPtsOfContours[0] = 1
+    outline += struct.pack(">H", 0)        # instructionLength
+    outline += bytes([0x01, 0x01])         # flags: 2 on-curve points
+    outline += struct.pack(">hh", 0, 100)  # x deltas
+    outline += struct.pack(">hh", 0, 100)  # y deltas
+
+    glyf = b""
+    loca = [0]
+    for gid in range(n_glyphs):
+        if gid not in empty_gids:
+            glyf += outline
+        loca.append(len(glyf))
+
+    head = bytearray(54)
+    struct.pack_into(">I", head, 0, 0x00010000)   # version
+    struct.pack_into(">I", head, 12, 0x5F0F3CF5)  # magic
+    struct.pack_into(">H", head, 18, 1000)        # unitsPerEm
+    struct.pack_into(">h", head, 50, 1)           # indexToLocFormat: long
+    maxp = struct.pack(">IH", 0x00010000, n_glyphs) + b"\x00" * 26
+    loca_tbl = b"".join(struct.pack(">I", v) for v in loca)
+
+    tables = [(b"glyf", glyf), (b"head", bytes(head)),
+              (b"loca", loca_tbl), (b"maxp", maxp)]
+    num = len(tables)
+    out = struct.pack(">IHHHH", 0x00010000, num, 64, 2, num * 16 - 64)
+    off = 12 + 16 * num
+    body = b""
+    for tag, data in tables:
+        out += struct.pack(">4sIII", tag, 0, off, len(data))
+        pad = (-len(data)) % 4
+        body += data + b"\x00" * pad
+        off += len(data) + pad
+    return out + body

@@ -162,6 +162,24 @@ end
 end"""
 
 
+def _tounicode_ranges(codes: list[int]) -> bytes:
+    """Identity ToUnicode CMap covering exactly ``codes`` (sorted),
+    emitted as maximal contiguous bfranges."""
+    ranges: list[list[int]] = []
+    for c in codes:
+        if ranges and c == ranges[-1][1] + 1:
+            ranges[-1][1] = c
+        else:
+            ranges.append([c, c])
+    body = "\n".join(f"<{a:04X}> <{b:04X}> <{a:04X}>" for a, b in ranges)
+    return (
+        "/CIDInit /ProcSet findresource begin\n12 dict begin\nbegincmap\n"
+        "/CMapName /Custom def\n1 begincodespacerange\n<0000> <FFFF>\n"
+        f"endcodespacerange\n{len(ranges)} beginbfrange\n{body}\n"
+        "endbfrange\nendcmap\nCMapName currentdict /CMap defineresource "
+        "pop\nend\nend").encode("latin-1")
+
+
 def _apply_encryption(w: "_Writer", mode: str, doc_id: int) -> None:
     """Encrypt every stream payload in the writer and append the
     /Encrypt dict + trailer entries. ``mode``: 'rc4_40' (V1/R2),
@@ -256,7 +274,8 @@ def render_pdf(model: dict, compress: bool | None = None,
                outline: bool = False,
                sup_markers: bool = False,
                form_xobject: bool = False,
-               encrypt_mode: str | None = None) -> bytes:
+               encrypt_mode: str | None = None,
+               cff_subset: dict | None = None) -> bytes:
     doc_id = model.get("doc_id", 0)
     if compress is None:
         compress = (doc_id % 2) == 1
@@ -272,6 +291,8 @@ def render_pdf(model: dict, compress: bool | None = None,
         xref_stream = False  # encrypted fixtures use the classic table
     if hex_strings is None:
         hex_strings = (doc_id % 13) == 5
+    if cff_subset is not None:
+        cid_font = True  # the subset font is a CID-keyed CFF
     if cid_font is None:
         cid_font = (doc_id % 17) == 6
     if cid_font:
@@ -297,8 +318,11 @@ def render_pdf(model: dict, compress: bool | None = None,
                          "form_xobject object numbering")
 
     # objects: 1=Catalog 2=Pages 3=Font 4=Descriptor
-    # [5=ToUnicode] [6=CID descendant font] then per page: page + content.
-    if cid_font:
+    # [5=ToUnicode] [6=CID descendant font] [7=FontFile3 CFF]
+    # then per page: page + content.
+    if cff_subset is not None:
+        n_fixed = 7
+    elif cid_font:
         n_fixed = 6
     elif ligatures:
         n_fixed = 5
@@ -361,7 +385,40 @@ def render_pdf(model: dict, compress: bool | None = None,
         media = f"/MediaBox [0 0 {page_w} {page_h}]"
     w.add(
         f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} {media} >>".encode())
-    if cid_font:
+    if cff_subset is not None:
+        # Malformed-subset family: the content stream references CIDs
+        # the embedded CID-keyed CFF never defines (``drop``), and
+        # leaves some defined CIDs out of ToUnicode (``unmapped``) —
+        # exercising the validCIDs skip and the chr(code) fallback.
+        from .render_fonts import build_cff_cid
+
+        drop = set(cff_subset.get("drop", ()))
+        unmapped = set(cff_subset.get("unmapped", ()))
+        charset_cids = sorted(set(range(0x20, 0x7F)) - drop)
+        tounicode = _tounicode_ranges(
+            sorted(set(range(0x20, 0x7F)) - drop - unmapped))
+        cff = build_cff_cid(charset_cids)
+        w.add(
+            b"<< /Type /Font /Subtype /Type0 /BaseFont /SynthCFF "
+            b"/Encoding /Identity-H /DescendantFonts [6 0 R] "
+            b"/ToUnicode 5 0 R >>")
+        w.add(
+            b"<< /Type /FontDescriptor /FontName /SynthCFF /Flags 32 "
+            b"/Ascent 718 /Descent -207 /CapHeight 718 /ItalicAngle 0 "
+            b"/StemV 88 /FontBBox [-166 -225 1000 931] "
+            b"/FontFile3 7 0 R >>")
+        w.add(
+            f"<< /Length {len(tounicode)} >>\nstream\n".encode()
+            + tounicode + b"\nendstream")
+        w.add(
+            b"<< /Type /Font /Subtype /CIDFontType0 /BaseFont /SynthCFF "
+            b"/CIDSystemInfo << /Registry (Adobe) /Ordering (Identity) "
+            b"/Supplement 0 >> /FontDescriptor 4 0 R /DW 1000 "
+            b"/W [32 126 500] >>")
+        w.add(
+            f"<< /Length {len(cff)} /Subtype /CIDFontType0C >>\nstream\n"
+            .encode() + cff + b"\nendstream")
+    elif cid_font:
         w.add(
             b"<< /Type /Font /Subtype /Type0 /BaseFont /SynthCID "
             b"/Encoding /Identity-H /DescendantFonts [6 0 R] "
