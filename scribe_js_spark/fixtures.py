@@ -1383,9 +1383,33 @@ def build_ocrsel_models(doc_id: int, seed: int = SEED_DEFAULT) -> dict:
     p3["scan_image"] = (0.6, 0.6)  # mid-size figure, frac 0.36
     p4 = _text_page(broken_word=True)
 
+    def _type3_word(fkey, text, y):
+        return {"text": text, "chars": None, "out_words": [text],
+                "left": MARGIN_LEFT,
+                "right": MARGIN_LEFT + 15 * len(text),
+                "top": y - ASC_H, "bottom": y + DESC_H, "conf": 97,
+                "segments": [{"text": text, "fs": 30, "fkey": fkey}]}
+
+    # p5: five consecutive chars in the Type3 FILLER font /F6 — four
+    # PUA-mapped codes share one stamped CharProc, so the filler
+    # discount (parsePdfDoc.js:523-534) keeps the font clean and the
+    # broken-run gate must stay False. p6: three chars in /F7, three
+    # distinct PUA-mapped outlines -> genuinely broken.
+    p5 = _text_page()
+    y5 = PAGE_H - 260
+    p5["pars"].append({"lines": [{
+        "words": [_type3_word("/F6", "abcde", y5)],
+        "baseline_y": y5, "indent": 0}]})
+    p5["type3_font"] = True
+    p6 = _text_page()
+    p6["pars"].append({"lines": [{
+        "words": [_type3_word("/F7", "abc", y5)],
+        "baseline_y": y5, "indent": 0}]})
+    p6["type3_font"] = True
+
     model = {"doc_id": doc_id, "family": "base",
-             "pages": [p0, p1, p2, p3, p4]}
-    # gates: doc classifies 'text' (3 of 5 pages vote text), so
+             "pages": [p0, p1, p2, p3, p4, p5, p6]}
+    # gates: doc classifies 'text' (5 of 7 pages vote text), so
     # per-page selection applies
     expected = [
         # page, shallow, deep, scan, ocr_layer, baked, broken
@@ -1397,6 +1421,8 @@ def build_ocrsel_models(doc_id: int, seed: int = SEED_DEFAULT) -> dict:
         (2, True, True, True, True, True, False),
         (3, False, True, False, False, True, False),
         (4, False, True, False, False, False, True),
+        (5, False, False, False, False, False, False),
+        (6, False, True, False, False, False, True),
     ]
     return {"model": model, "expected": expected}
 

@@ -96,7 +96,7 @@ class PdfFont:
         "base_name", "family_name", "bold", "italic", "small_caps",
         "widths", "default_width", "cid", "two_byte", "to_unicode",
         "encoding", "ascent", "descent", "type3", "font_matrix",
-        "valid_cids",
+        "valid_cids", "type3_glyph_hash", "broken_cached",
     )
 
     def __init__(self):
@@ -118,6 +118,14 @@ class PdfFont:
         # CIDs the embedded CID-keyed CFF actually defines (charset
         # keys + implicit 0), or None when no program constrains them.
         self.valid_cids: set[int] | None = None
+        # Type3 only: charCode -> CharProc content hash. Codes sharing
+        # one hash across >=3 charCodes are producer filler stamps
+        # (parsePdfDoc.js:523-534 pathHash analog).
+        self.type3_glyph_hash: dict[int, str] | None = None
+        # Memoized broken-ToUnicode verdict (the reference caches per
+        # font in a WeakMap; an id()-keyed global dict would serve
+        # stale verdicts after address reuse).
+        self.broken_cached: bool | None = None
 
     def unicode_for(self, code: int) -> str | None:
         if code in self.to_unicode:
@@ -248,6 +256,7 @@ def load_font(doc, font_dict) -> PdfFont:
             fm = doc.resolve(font_dict.get("FontMatrix"))
             if fm:
                 f.font_matrix = [float(doc.resolve(x)) for x in fm]
+            _hash_type3_charprocs(doc, font_dict, f)
         first_char = int(doc.resolve(font_dict.get("FirstChar", 0)) or 0)
         widths = doc.resolve(font_dict.get("Widths"))
         if widths:
@@ -324,6 +333,46 @@ def _remap_blank_glyphs(font_file2: bytes, f: PdfFont) -> None:
     for cid in candidates:
         if cid in empty:
             f.to_unicode[cid] = " "
+
+
+def _hash_type3_charprocs(doc, font_dict, f: PdfFont) -> None:
+    """charCode -> md5 of the CharProc stream, via /Encoding
+    /Differences glyph names and /CharProcs. Identical stamped outlines
+    share identical CharProc content, which is the filler signature the
+    broken-font classifier discounts (parsePdfDoc.js:523-534 uses a
+    parsed-path hash; content bytes are an equivalent identity here)."""
+    import hashlib
+
+    try:
+        enc_obj = doc.resolve(font_dict.get("Encoding"))
+        char_procs = doc.resolve(font_dict.get("CharProcs"))
+        if not isinstance(enc_obj, dict) or not isinstance(char_procs, dict):
+            return
+        diffs = doc.resolve(enc_obj.get("Differences"))
+        if not diffs:
+            return
+        code_to_name: dict[int, str] = {}
+        code = 0
+        for item in diffs:
+            item = doc.resolve(item)
+            if isinstance(item, (int, float)):
+                code = int(item)
+            else:
+                code_to_name[code] = str(item)
+                code += 1
+        proc_hash: dict[str, str] = {}
+        out: dict[int, str] = {}
+        for c, name in code_to_name.items():
+            if name not in char_procs:
+                continue
+            if name not in proc_hash:
+                proc_hash[name] = hashlib.md5(
+                    doc.stream_data(char_procs[name])).hexdigest()
+            out[c] = proc_hash[name]
+        if out:
+            f.type3_glyph_hash = out
+    except Exception:
+        pass
 
 
 def _apply_descriptor(doc, fd, f: PdfFont) -> None:

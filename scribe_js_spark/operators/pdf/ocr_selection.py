@@ -13,9 +13,9 @@ counters from parsePdfDoc.js:518-810:
 - filled non-rectangular glyph-height vector paths
   (pathTextCandidates).
 
-Type3 filler-glyph discounting (parsePdfDoc.js:523-534) needs Type3
-glyph path hashes, which the font layer does not model; those fonts
-fall back to the plain PUA-ratio test.
+Type3 filler-glyph discounting (parsePdfDoc.js:523-534) rides the
+CharProc content hashes the font layer records per charCode
+(fonts.py `_hash_type3_charprocs`).
 """
 
 from __future__ import annotations
@@ -33,21 +33,31 @@ BODY_TEXT_MIN = 100
 PATH_TEXT_H_MIN = 3
 PATH_TEXT_H_MAX = 80
 
-_broken_cache: dict = {}
-
-
 def broken_to_unicode_font(font) -> bool:
     """Font whose ToUnicode CMap maps mostly to the PUA / U+FFFD
-    (parsePdfDoc.js:518-551, sans Type3 filler discounting)."""
+    (parsePdfDoc.js:518-551). Type3 `.notdef` filler glyphs — one
+    outline stamped across >= 3 charCodes by subset producers — are
+    excluded from both counts so producer padding is not mistaken for
+    brokenness (parsePdfDoc.js:523-534)."""
     if font is None or not getattr(font, "to_unicode", None):
         return False
-    key = id(font)
-    cached = _broken_cache.get(key)
+    cached = getattr(font, "broken_cached", None)
     if cached is not None:
         return cached
+    filler_hashes: set = set()
+    glyph_hash = getattr(font, "type3_glyph_hash", None)
+    if getattr(font, "type3", False) and glyph_hash:
+        hash_count: dict = {}
+        for cc in font.to_unicode:
+            h = glyph_hash.get(cc)
+            if h is not None:
+                hash_count[h] = hash_count.get(h, 0) + 1
+        filler_hashes = {h for h, n in hash_count.items() if n >= 3}
     mapped = 0
     broken = 0
-    for s in font.to_unicode.values():
+    for cc, s in font.to_unicode.items():
+        if filler_hashes and glyph_hash.get(cc) in filler_hashes:
+            continue
         mapped += 1
         if not s:
             continue
@@ -55,7 +65,10 @@ def broken_to_unicode_font(font) -> bool:
         if 0xE000 <= cp <= 0xF8FF or cp == 0xFFFD:
             broken += 1
     is_broken = broken >= 3 and broken >= mapped * 0.5
-    _broken_cache[key] = is_broken
+    try:
+        font.broken_cached = is_broken
+    except AttributeError:
+        pass
     return is_broken
 
 

@@ -313,7 +313,9 @@ def render_pdf(model: dict, compress: bool | None = None,
     struct_tags = bool(model.get("struct_tags"))
     has_info = bool(model.get("producer") or model.get("creator"))
     if (use_bold_font or use_math_font or any_scan or any_broken
-            or any_annots or struct_tags) and (outline or form_xobject):
+            or any_annots or struct_tags
+            or any(p.get("type3_font") for p in model["pages"])) \
+            and (outline or form_xobject):
         raise ValueError("extra-object variants conflict with outline/"
                          "form_xobject object numbering")
 
@@ -345,6 +347,18 @@ def render_pdf(model: dict, compress: bool | None = None,
         f3_tu_num = _next_extra + 1
         f3_num = _next_extra + 2
         _next_extra += 2
+    any_type3 = any(p.get("type3_font") for p in model["pages"])
+    t3: dict = {}
+    if any_type3:
+        # Two Type3 fonts + shared CharProc streams: /F6 has four
+        # charCodes stamped with ONE filler outline (PUA-mapped) plus
+        # three real glyphs (clean mappings) — broken only if the
+        # filler discount is missing; /F7 has three distinct PUA-mapped
+        # glyphs — genuinely broken.
+        for i, key in enumerate(("tu_a", "font_a", "tu_b", "font_b",
+                                 "proc_f", "proc_a", "proc_b", "proc_c")):
+            t3[key] = _next_extra + 1 + i
+        _next_extra += 8
     annot_nums = {}
     for _pn, _p in enumerate(model["pages"]):
         nums = []
@@ -641,6 +655,9 @@ def render_pdf(model: dict, compress: bool | None = None,
         f2_res = f"/F2 {f2_num} 0 R " if use_bold_font else ""
         f2_res += f"/F5 {f5_num} 0 R " if use_math_font else ""
         f3_res = f"/F3 {f3_num} 0 R " if page.get("broken_font") else ""
+        if page.get("type3_font"):
+            f3_res += (f"/F6 {t3['font_a']} 0 R "
+                       f"/F7 {t3['font_b']} 0 R ")
         if page.get("scan_image"):
             xres = f"/XObject << /Im1 {img_num} 0 R >> " + xres
         annots_entry = ""
@@ -697,6 +714,47 @@ def render_pdf(model: dict, compress: bool | None = None,
              f"[{' '.join(['500'] * 95)}] /FontDescriptor 4 0 R "
              f"/Encoding /WinAnsiEncoding "
              f"/ToUnicode {f3_tu_num} 0 R >>").encode())
+    if any_type3:
+        def _bfchar_cmap(pairs):
+            body = "\n".join(f"<{c:02X}> <{u:04X}>" for c, u in pairs)
+            return (
+                "/CIDInit /ProcSet findresource begin\n12 dict begin\n"
+                "begincmap\n1 begincodespacerange\n<00> <FF>\n"
+                f"endcodespacerange\n{len(pairs)} beginbfchar\n{body}\n"
+                "endbfchar\nendcmap\nCMapName currentdict /CMap "
+                "defineresource pop\nend\nend").encode("latin-1")
+
+        tu_a = _bfchar_cmap(
+            [(97 + i, 0xE000 + i) for i in range(4)]
+            + [(101, ord("e")), (102, ord("f")), (103, ord("g"))])
+        tu_b = _bfchar_cmap([(97 + i, 0xE010 + i) for i in range(3)])
+        w.add(f"<< /Length {len(tu_a)} >>\nstream\n".encode()
+              + tu_a + b"\nendstream")
+        w.add(
+            (f"<< /Type /Font /Subtype /Type3 /FontBBox [0 0 1000 1000] "
+             f"/FontMatrix [0.001 0 0 0.001 0 0] "
+             f"/CharProcs << /gF {t3['proc_f']} 0 R /gA {t3['proc_a']} 0 R "
+             f"/gB {t3['proc_b']} 0 R /gC {t3['proc_c']} 0 R >> "
+             f"/Encoding << /Type /Encoding /Differences "
+             f"[97 /gF /gF /gF /gF /gA /gB /gC] >> "
+             f"/FirstChar 97 /LastChar 103 /Widths [500 500 500 500 500 "
+             f"500 500] /ToUnicode {t3['tu_a']} 0 R >>").encode())
+        w.add(f"<< /Length {len(tu_b)} >>\nstream\n".encode()
+              + tu_b + b"\nendstream")
+        w.add(
+            (f"<< /Type /Font /Subtype /Type3 /FontBBox [0 0 1000 1000] "
+             f"/FontMatrix [0.001 0 0 0.001 0 0] "
+             f"/CharProcs << /gA {t3['proc_a']} 0 R /gB {t3['proc_b']} 0 R "
+             f"/gC {t3['proc_c']} 0 R >> "
+             f"/Encoding << /Type /Encoding /Differences [97 /gA /gB /gC] >> "
+             f"/FirstChar 97 /LastChar 99 /Widths [500 500 500] "
+             f"/ToUnicode {t3['tu_b']} 0 R >>").encode())
+        for body in (b"500 0 d0 10 10 80 80 re f",
+                     b"500 0 d0 20 20 100 100 re f",
+                     b"500 0 d0 30 10 90 110 re f",
+                     b"500 0 d0 15 25 70 95 re f"):
+            w.add(f"<< /Length {len(body)} >>\nstream\n".encode()
+                  + body + b"\nendstream")
     for _pn, _p in enumerate(model["pages"]):
         for spec in _p.get("annots", []):
             sub = spec["subtype"]

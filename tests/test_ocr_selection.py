@@ -34,19 +34,20 @@ def test_masks_match_expected():
 
 def test_scope_overrides_and_doc_gates():
     stats, _, _ = _stats()
-    assert select_ocr_pages(stats, "text", "all") == [True] * 5
-    assert select_ocr_pages(stats, "text", "none") == [False] * 5
+    assert select_ocr_pages(stats, "text", "all") == [True] * 7
+    assert select_ocr_pages(stats, "text", "none") == [False] * 7
     # non-text documents OCR wholesale
-    assert select_ocr_pages(stats, "image", "autoShallow") == [True] * 5
+    assert select_ocr_pages(stats, "image", "autoShallow") == [True] * 7
     # 'ocr' docs with a trusted layer fall through to per-page gates:
     # the bare scan (page 1) still OCRs, the layered scan (page 2)
     # does not
     assert select_ocr_pages(
         stats, "ocr", "autoShallow",
-        use_pdf_text_ocr_main=True) == [False, True, False, False, False]
+        use_pdf_text_ocr_main=True) == [False, True, False, False, False,
+                                False, False]
     assert select_ocr_pages(
         stats, "ocr", "autoShallow",
-        use_pdf_text_ocr_main=False) == [True] * 5
+        use_pdf_text_ocr_main=False) == [True] * 7
 
 
 def test_requires_ocr_and_empty():
@@ -73,3 +74,28 @@ def test_merge_placements_reassembles_strips():
     left, bottom, right, top = merged[0]
     assert (left, right) == (100, 500)
     assert top - bottom == 200
+
+
+def test_type3_filler_discount():
+    """The filler font (/F6: one outline stamped across 4 PUA-mapped
+    charCodes + 3 clean glyphs) must NOT classify broken; the same font
+    WITHOUT glyph hashes (no discount possible) must classify broken —
+    parsePdfDoc.js:513-550."""
+    from scribe_js_spark.operators.pdf.ocr_selection import (
+        broken_to_unicode_font,
+    )
+    from scribe_js_spark.operators.pdf.fonts import PdfFont
+
+    f = PdfFont()
+    f.type3 = True
+    f.to_unicode = {97: "", 98: "", 99: "",
+                    100: "", 101: "e", 102: "f", 103: "g"}
+    f.type3_glyph_hash = {97: "H", 98: "H", 99: "H", 100: "H",
+                          101: "A", 102: "B", 103: "C"}
+    assert broken_to_unicode_font(f) is False
+
+    g = PdfFont()
+    g.type3 = True
+    g.to_unicode = dict(f.to_unicode)
+    g.type3_glyph_hash = None  # no CharProcs parsed -> no discount
+    assert broken_to_unicode_font(g) is True
