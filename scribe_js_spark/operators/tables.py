@@ -290,10 +290,19 @@ def extract_table_rows(page: OcrPage, bbox: Bbox,
     return out
 
 
-def render_table_markdown(cell_matrix: list[list[str]]) -> str:
-    """Markdown pipe table (writeMarkdown.js renderMarkdownTable)."""
+def render_table_markdown(cell_matrix: list[list[str]],
+                          escape: bool = False) -> str:
+    """Markdown pipe table (writeMarkdown.js renderMarkdownTable).
+    ``escape`` applies the markdown-special + pipe escaping the
+    reference applies when formatting is on (writeMarkdown.js:70)."""
     if not cell_matrix:
         return ""
+    if escape:
+        from ..export.markdown import _escape_markdown
+
+        cell_matrix = [
+            [_escape_markdown(c).replace("|", "\\|") for c in row]
+            for row in cell_matrix]
     n_cols = max(len(r) for r in cell_matrix)
     out = []
     for r, row in enumerate(cell_matrix):

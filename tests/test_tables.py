@@ -70,3 +70,45 @@ def test_calc_column_bounds():
     mid = (50 + 100) / 2
     assert bounds[0] == (10, mid)
     assert bounds[1] == (mid, 150)
+
+
+def test_markdown_interleaves_table_at_page_position():
+    """writeMarkdown folds a detected table into the flow at its page
+    position (writeMarkdown.js:150-188): paragraph above, pipe table,
+    paragraph below — and the table's lines never appear as prose."""
+    from scribe_js_spark.export.markdown import write_markdown
+
+    def _prose_par(y0, texts):
+        words, x = [], 100
+        for t in texts:
+            words.append({
+                "text": t, "chars": None, "out_words": [t],
+                "left": x, "right": x + len(t) * 15,
+                "top": y0 - 31, "bottom": y0 + 9, "conf": 97})
+            x += len(t) * 15 + 10
+        return {"lines": [{"words": words, "baseline_y": y0, "indent": 0}]}
+
+    table_model, values = _table_model(n_rows=5)
+    tpars = table_model["pages"][0]["pars"]
+    # table rows start at y=120 in _table_model; move them between the
+    # two prose paragraphs
+    for line in tpars[0]["lines"]:
+        for w in line["words"]:
+            w["top"] += 200
+            w["bottom"] += 200
+        line["baseline_y"] += 200
+    pars = [_prose_par(120, ["alpha", "beta"]),
+            tpars[0],
+            _prose_par(800, ["gamma", "delta"])]
+    model = {"doc_id": 0, "family": "base",
+             "pages": [{"pars": pars, "width": 1224, "height": 1584}]}
+    pages = extract_document(render_hocr(model).encode()).pages
+    md = write_markdown(pages)
+    ti = md.index("| 100 | 101 | 102 | 103 |")
+    assert md.index("alpha beta") < ti < md.index("gamma delta")
+    assert "| --- | --- | --- | --- |" in md
+    # table words appear exactly once (in the table, not as prose)
+    assert md.count("100") == 1
+    # suppressing detection keeps the old prose-only fold
+    md_plain = write_markdown(pages, detect_tables=False)
+    assert "|" not in md_plain
