@@ -995,10 +995,14 @@ def _q_docx_numbering(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from scribe_js_spark.extract import extract_document
 
+    from pyspark.sql.types import BooleanType
+
     schema = StructType([
         StructField("url", StringType()),
         StructField("par_n", LongType()),
         StructField("par_num", StringType()),
+        StructField("par_type", StringType()),
+        StructField("footnote_linked", BooleanType()),
     ])
 
     def fn(batches: Iterator) -> Iterator:
@@ -1011,9 +1015,14 @@ def _q_docx_numbering(spark: SparkSession, sf_dir: str) -> DataFrame:
                 i = 0
                 for page in res.pages:
                     for par in page.pars:
+                        linked = par.footnoteRefId is not None or any(
+                            w.footnoteParId is not None
+                            for line in par.lines for w in line.words)
                         out["url"].append(url)
                         out["par_n"].append(i)
                         out["par_num"].append(par.parNum)
+                        out["par_type"].append(par.type)
+                        out["footnote_linked"].append(linked)
                         i += 1
             yield pd.DataFrame(out)
 
@@ -1753,7 +1762,8 @@ def oracle_sql() -> dict[str, str]:
             f" FROM read_parquet("
             f"'{os.path.join(FIX_T2, 'abbyy_table.parquet')}')"),
         "docx_numbering": (
-            "SELECT url, par_n::BIGINT AS par_n, par_num"
+            "SELECT url, par_n::BIGINT AS par_n, par_num, par_type,"
+            " footnote_linked"
             f" FROM read_parquet("
             f"'{os.path.join(FIX_T2, 'docx_num.parquet')}')"),
         "linenum_caseb": (

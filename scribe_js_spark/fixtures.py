@@ -2928,6 +2928,15 @@ def build_docx_num_models(doc_id: int, seed: int = SEED_DEFAULT) -> dict:
     add({"numId": "3", "ilvl": 0}, "i")
     add({"numId": "3", "ilvl": 0}, "ii")
 
+    # Footnotes: two referenced out of (id) order plus an unreferenced
+    # one (must not be lifted). Markers become inline index words;
+    # footnote paragraphs append after the body in first-reference
+    # order with parNum = index and a live link to their marker word.
+    note_a = " ".join(_body(3))
+    note_b = " ".join(_body(4))
+    pars[1]["footnote_refs"] = ["7"]   # first reference  -> index 1
+    pars[4]["footnote_refs"] = ["3"]   # second reference -> index 2
+
     model = {
         "doc_id": doc_id, "family": "base",
         "pages": [{"pars": pars, "width": PAGE_W, "height": PAGE_H}],
@@ -2944,9 +2953,19 @@ def build_docx_num_models(doc_id: int, seed: int = SEED_DEFAULT) -> dict:
             },
             "nums": {"1": "0", "2": "1", "3": "2"},
         },
+        "docx_footnotes": {
+            "3": note_b, "7": note_a,
+            "9": " ".join(_body(3)),  # never referenced -> not lifted
+        },
     }
-    rows = [{"par_n": i, "par_num": pn}
+    rows = [{"par_n": i, "par_num": pn, "par_type": "body",
+             "footnote_linked": i in (1, 4)}
             for i, pn in enumerate(expected)]
+    n = len(rows)
+    rows.append({"par_n": n, "par_num": "1", "par_type": "footnote",
+                 "footnote_linked": True})
+    rows.append({"par_n": n + 1, "par_num": "2", "par_type": "footnote",
+                 "footnote_linked": True})
     return {"model": model, "expected": rows}
 
 

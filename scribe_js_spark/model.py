@@ -88,7 +88,7 @@ class OcrWord:
     __slots__ = (
         "text", "style", "lang", "conf", "bbox", "id", "line", "chars",
         "visualCoords", "lineNum", "textAlt", "styleRuns",
-        "renderMode", "strokeWidth", "mcid",
+        "renderMode", "strokeWidth", "mcid", "footnoteParId",
     )
 
     def __init__(self, line: "OcrLine", wid: str, text: str, bbox: Bbox):
@@ -116,6 +116,9 @@ class OcrWord:
         # marked-content id of the word's chars (tagged PDFs; the
         # reference's per-word signal map, parsePdfDoc.js:3073-3079)
         self.mcid = None
+        # footnote linkage: the id of the footnote paragraph this
+        # reference-marker word points at (convertDocDocx.js:928)
+        self.footnoteParId = None
 
     def clone(self) -> "OcrWord":
         w = OcrWord(self.line, self.id, self.text, self.bbox.copy())
@@ -131,6 +134,7 @@ class OcrWord:
         w.renderMode = self.renderMode
         w.strokeWidth = self.strokeWidth
         w.mcid = self.mcid
+        w.footnoteParId = self.footnoteParId
         if self.chars is not None:
             w.chars = [OcrChar(c.text, c.bbox.copy()) for c in self.chars]
         return w
@@ -158,7 +162,8 @@ class OcrLine:
 class OcrPar:
     """Paragraph (reference OcrPar, ocrObjects.js:72-104)."""
 
-    __slots__ = ("page", "bbox", "lines", "reason", "type", "parNum")
+    __slots__ = ("page", "bbox", "lines", "reason", "type", "parNum",
+                 "id", "footnoteRefId")
 
     def __init__(self, page: "OcrPage", bbox: Bbox):
         self.page = page
@@ -167,6 +172,10 @@ class OcrPar:
         self.reason = ""
         self.type = "body"
         self.parNum: Optional[str] = None
+        self.id: Optional[str] = None
+        # footnote linkage: id of the in-body reference-marker word
+        # (convertDocDocx.js:927)
+        self.footnoteRefId: Optional[str] = None
 
 
 class OcrPage:

@@ -8,8 +8,12 @@ levels with start/numFmt/lvlText, numId indirection, and the
 pStyle-linked level path through word/styles.xml) are lifted to
 ``par.parNum`` strings exactly as generateParNum does: per-numId level
 counters, deeper levels reset on increment, ``%n`` placeholders filled
-per level format, trailing period stripped. Footnote lifting remains
-deferred.
+per level format, trailing period stripped. Footnotes
+(word/footnotes.xml) are lifted too: reference-marker runs become
+inline index words, footnote paragraphs append after the body in
+first-reference order with parNum = index, and the marker word and
+footnote paragraph link bidirectionally
+(footnoteParId/footnoteRefId — convertDocDocx.js:495-595, 925-929).
 """
 
 from __future__ import annotations
@@ -186,8 +190,45 @@ def parse_docx_paragraphs(data: bytes) -> list[str]:
     return paragraphs
 
 
+_RUN_RE = re.compile(r"<w:r(?:\s[^>]*)?>(.*?)</w:r>", re.S)
+_FOOTNOTE_RE = re.compile(
+    r'<w:footnote\s+[^>]*w:id="([^"]+)"[^>]*>(.*?)</w:footnote>', re.S)
+_FOOTNOTE_REF_RE = re.compile(
+    r'<w:footnoteReference\s+[^>]*w:id="([^"]+)"')
+_FOOTNOTE_MARK_RE = re.compile(r"<w:footnoteRef\s*/>")
+
+
+def parse_footnotes(footnotes_xml: str) -> dict[str, str]:
+    """word/footnotes.xml -> {id: text}; separator footnotes (ids -1
+    and 0) and <w:footnoteRef/> marker runs are skipped
+    (convertDocDocx.js parseFootnotes, :398-440)."""
+    out: dict[str, str] = {}
+    for m in _FOOTNOTE_RE.finditer(footnotes_xml):
+        fid, content = m.group(1), m.group(2)
+        if fid in ("-1", "0"):
+            continue
+        texts = []
+        for rm in _RUN_RE.finditer(content):
+            rc = rm.group(1)
+            if _FOOTNOTE_MARK_RE.search(rc):
+                continue
+            rc = _TAB_RE.sub(" ", rc)
+            rc = _BR_RE.sub(" ", rc)
+            texts.append(" ".join(
+                unescape_xml(t) for t in _TEXT_RE.findall(rc)))
+        text = re.sub(r"\s+", " ", " ".join(texts)).strip()
+        if text:
+            out[fid] = text
+    return out
+
+
 def parse_docx_paragraphs_numbered(data: bytes):
-    """(paragraph texts, parNum-or-None per paragraph)."""
+    """Per-paragraph records: {text, par_num, par_type, footnote_id,
+    footnote_ref_ids}. Body paragraphs carry superscript footnote
+    markers inline (the 1-based first-reference index, as its own
+    word); footnote paragraphs are appended after the body in
+    first-reference order with parNum = str(index)
+    (convertDocDocx.js:495-595)."""
     with zipfile.ZipFile(io.BytesIO(data)) as zf:
         doc_xml = zf.read("word/document.xml").decode("utf-8")
         try:
@@ -198,17 +239,38 @@ def parse_docx_paragraphs_numbered(data: bytes):
             styles_xml = zf.read("word/styles.xml").decode("utf-8")
         except KeyError:
             styles_xml = ""
+        try:
+            footnotes_xml = zf.read("word/footnotes.xml").decode("utf-8")
+        except KeyError:
+            footnotes_xml = ""
     numbering = parse_numbering(numbering_xml) if numbering_xml else None
     style_nums = (parse_style_numbering(styles_xml)
                   if styles_xml else {})
+    footnotes = parse_footnotes(footnotes_xml) if footnotes_xml else {}
+    footnote_order: list[str] = []
     counters: dict = {}
-    texts, par_nums = [], []
+    pars: list[dict] = []
     for m in _PAR_RE.finditer(doc_xml):
         content = m.group(1)
-        body = _TAB_RE.sub(" ", content)
-        body = _BR_RE.sub(" ", body)
-        text = "".join(unescape_xml(t) for t in _TEXT_RE.findall(body))
-        text = re.sub(r"\s+", " ", text).strip()
+        pieces: list[str] = []
+        ref_ids: list[str] = []
+        for rm in _RUN_RE.finditer(content):
+            rc = rm.group(1)
+            ref = _FOOTNOTE_REF_RE.search(rc)
+            if ref:
+                fid = ref.group(1)
+                if fid not in footnotes:
+                    continue
+                if fid not in footnote_order:
+                    footnote_order.append(fid)
+                pieces.append(str(footnote_order.index(fid) + 1))
+                ref_ids.append(fid)
+                continue
+            rc = _TAB_RE.sub(" ", rc)
+            rc = _BR_RE.sub(" ", rc)
+            pieces.append(" ".join(
+                unescape_xml(t) for t in _TEXT_RE.findall(rc)))
+        text = re.sub(r"\s+", " ", " ".join(pieces)).strip()
         if not text:
             continue
         par_num = None
@@ -232,21 +294,59 @@ def parse_docx_paragraphs_numbered(data: bytes):
             if num_id is not None:
                 par_num = generate_par_num(
                     num_id, ilvl, numbering, counters)
-        texts.append(text)
-        par_nums.append(par_num)
-    return texts, par_nums
+        pars.append({"text": text, "par_num": par_num,
+                     "par_type": "body", "footnote_id": None,
+                     "footnote_ref_ids": ref_ids})
+    for i, fid in enumerate(footnote_order):
+        pars.append({"text": footnotes[fid],
+                     "par_num": str(i + 1), "par_type": "footnote",
+                     "footnote_id": fid, "footnote_ref_ids": []})
+    return pars
 
 
 def convert_doc_docx(data: bytes) -> list[OcrPage]:
-    paragraphs, par_nums = parse_docx_paragraphs_numbered(data)
-    pages = convert_doc_text("\n\n".join(paragraphs))
-    # Attach lifted numbering to the synthesized paragraph objects
-    # (1:1 when pagination didn't split; guarded otherwise).
+    par_recs = parse_docx_paragraphs_numbered(data)
+    pages = convert_doc_text("\n\n".join(p["text"] for p in par_recs))
+    # Attach lifted numbering/types to the synthesized paragraph
+    # objects (1:1 when pagination didn't split; guarded otherwise).
     all_pars = [par for page in pages for par in page.pars]
-    if len(all_pars) == len(par_nums):
-        for par, num in zip(all_pars, par_nums):
-            if num is not None:
-                par.parNum = num
+    if len(all_pars) == len(par_recs):
+        marker_words: dict[str, object] = {}
+        footnote_pars: dict[str, object] = {}
+        for pi, (par, rec) in enumerate(zip(all_pars, par_recs)):
+            if rec["par_num"] is not None:
+                par.parNum = rec["par_num"]
+            par.type = rec["par_type"]
+            par.id = f"par_docx_{pi + 1}"
+            # reference-marker words: the renderer emits markers after
+            # the body text, so scan from the paragraph end and take
+            # the last word matching the footnote's index string
+            for fid in rec["footnote_ref_ids"]:
+                marker = rec_marker(fid, par_recs)
+                for line in reversed(par.lines):
+                    found = next(
+                        (w for w in reversed(line.words)
+                         if w.text == marker), None)
+                    if found is not None:
+                        marker_words.setdefault(fid, found)
+                        break
+            if rec["footnote_id"] is not None:
+                footnote_pars[rec["footnote_id"]] = par
+        # bidirectional linkage (convertDocDocx.js:925-929)
+        for fid, par in footnote_pars.items():
+            w = marker_words.get(fid)
+            if w is not None:
+                par.footnoteRefId = w.id
+                w.footnoteParId = par.id
     for page in pages:
         page.textSource = "docx"
     return pages
+
+
+def rec_marker(fid: str, par_recs: list[dict]) -> str:
+    """The marker text for a footnote id = str(1-based position of its
+    footnote paragraph)."""
+    for rec in par_recs:
+        if rec["footnote_id"] == fid:
+            return rec["par_num"] or ""
+    return ""

@@ -65,6 +65,10 @@ def render_docx(model: dict) -> bytes:
                     f'<w:numId w:val="{num["numId"]}"/>'
                     "</w:numPr></w:pPr>")
             runs = f"<w:r><w:t>{escape_xml(' '.join(words))}</w:t></w:r>"
+            for fid in par.get("footnote_refs", ()):
+                runs += (f'<w:r><w:rPr><w:vertAlign w:val="superscript"/>'
+                         f'</w:rPr><w:footnoteReference w:id="{fid}"/>'
+                         f"</w:r>")
             pars_xml.append(f"<w:p>{ppr}{runs}</w:p>")
     document = (
         '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
@@ -79,4 +83,30 @@ def render_docx(model: dict) -> bytes:
         if model.get("docx_numbering"):
             zf.writestr("word/numbering.xml",
                         _numbering_xml(model["docx_numbering"]))
+        if model.get("docx_footnotes"):
+            zf.writestr("word/footnotes.xml",
+                        _footnotes_xml(model["docx_footnotes"]))
     return buf.getvalue()
+
+
+def _footnotes_xml(footnotes: dict) -> str:
+    """word/footnotes.xml with the conventional separator footnotes
+    (ids -1/0, which importers must skip) plus one <w:footnote> per
+    entry, each starting with a <w:footnoteRef/> marker run."""
+    parts = [
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<w:footnotes xmlns:w="http://schemas.openxmlformats.org/'
+        'wordprocessingml/2006/main">',
+        '<w:footnote w:type="separator" w:id="-1"><w:p><w:r>'
+        "<w:separator/></w:r></w:p></w:footnote>",
+        '<w:footnote w:type="continuationSeparator" w:id="0"><w:p>'
+        "<w:r><w:continuationSeparator/></w:r></w:p></w:footnote>",
+    ]
+    for fid, text in footnotes.items():
+        parts.append(
+            f'<w:footnote w:id="{fid}"><w:p><w:r><w:rPr>'
+            f'<w:vertAlign w:val="superscript"/></w:rPr>'
+            f"<w:footnoteRef/></w:r><w:r><w:t>"
+            f"{escape_xml(text)}</w:t></w:r></w:p></w:footnote>")
+    parts.append("</w:footnotes>")
+    return "".join(parts)
