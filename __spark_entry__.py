@@ -305,12 +305,17 @@ def _q_pdf_table_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     schema = StructType([
         StructField("url", StringType()),
+        StructField("table_n", LongType()),
         StructField("row_n", LongType()),
         StructField("col_n", LongType()),
         StructField("cell", StringType()),
     ])
 
     def fn(batches: Iterator) -> Iterator:
+        from scribe_js_spark.operators.pdf.tables_pdf import (
+            columns_from_separators,
+        )
+
         for pdf in batches:
             out = {f.name: [] for f in schema.fields}
             for url, html in zip(pdf["url"], pdf["html"]):
@@ -318,16 +323,21 @@ def _q_pdf_table_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
                 if res.error is not None or not res.pages:
                     continue
                 page = res.pages[0]
-                grids = [t for t in page.tables if t["method"] == "grid"]
-                if not grids:
-                    continue
-                matrix = extract_table_rows(page, grids[0]["bbox"])
-                for r, row in enumerate(matrix):
-                    for c, cell in enumerate(row):
-                        out["url"].append(url)
-                        out["row_n"].append(r)
-                        out["col_n"].append(c)
-                        out["cell"].append(cell)
+                for t_n, t in enumerate(page.tables):
+                    # unruled tables extract through their inferred
+                    # separator structure; grids through the rules
+                    cols = (columns_from_separators(
+                        t["bbox"], t["col_separators"])
+                        if t["method"] == "numeric"
+                        and t["col_separators"] else None)
+                    matrix = extract_table_rows(page, t["bbox"], cols)
+                    for r, row in enumerate(matrix):
+                        for c, cell in enumerate(row):
+                            out["url"].append(url)
+                            out["table_n"].append(t_n)
+                            out["row_n"].append(r)
+                            out["col_n"].append(c)
+                            out["cell"].append(cell)
             yield pd.DataFrame(out)
 
     df = spark.read.parquet(os.path.join(FIX_T2, "pdf_table_docs.parquet"))
@@ -349,6 +359,8 @@ def _q_pdf_table_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
         StructField("url", StringType()),
         StructField("table_n", LongType()),
         StructField("method", StringType()),
+        StructField("n_cols", LongType()),
+        StructField("header", StringType()),
     ])
 
     def fn(batches: Iterator) -> Iterator:
@@ -362,6 +374,9 @@ def _q_pdf_table_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
                     out["url"].append(url)
                     out["table_n"].append(t_n)
                     out["method"].append(t["method"])
+                    out["n_cols"].append(
+                        len(t.get("col_separators") or []) + 1)
+                    out["header"].append(t.get("header", "none"))
             yield pd.DataFrame(out)
 
     df = spark.read.parquet(os.path.join(FIX_T2, "pdf_table_docs.parquet"))
@@ -1801,15 +1816,14 @@ def oracle_sql() -> dict[str, str]:
             f" FROM read_parquet("
             f"'{os.path.join(FIX_T2, 'groupx.parquet')}')"),
         "pdf_table_cells": (
-            "SELECT url, row_n::BIGINT AS row_n, col_n::BIGINT AS col_n,"
+            "SELECT url, table_n::BIGINT AS table_n,"
+            " row_n::BIGINT AS row_n, col_n::BIGINT AS col_n,"
             " cell FROM read_parquet("
             f"'{os.path.join(FIX_T2, 'pdf_table.parquet')}')"),
         "pdf_table_regions": (
-            "WITH meta AS (SELECT url, n_tables FROM read_parquet("
-            f"'{os.path.join(FIX_T2, 'pdf_table_meta.parquet')}'))"
-            " SELECT url, 0::BIGINT AS table_n, 'grid' AS method FROM meta"
-            " UNION ALL SELECT url, 1::BIGINT, 'numeric' FROM meta"
-            " WHERE n_tables = 2"),
+            "SELECT url, table_n::BIGINT AS table_n, method,"
+            " n_cols::BIGINT AS n_cols, header FROM read_parquet("
+            f"'{os.path.join(FIX_T2, 'pdf_table_regions.parquet')}')"),
         "pdf_underline": (
             "SELECT url, page_n::BIGINT AS page_n,"
             " line_n::BIGINT AS line_n, word_n::BIGINT AS word_n,"

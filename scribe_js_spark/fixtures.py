@@ -1154,29 +1154,60 @@ def build_pdf_table_models(doc_id: int, seed: int = SEED_DEFAULT) -> dict:
             "table_grids": [{"col_xs": xs, "row_ys": row_ys}]}
     model = {"doc_id": doc_id, "family": "base", "pages": [page]}
     n_tables = 1
+    regions = [{"table_n": 0, "method": "grid", "n_cols": n_cols,
+                "header": "none"}]
+    num_cells = []
+
+    def _tok(text, x, yy):
+        return {"text": text, "chars": None, "out_words": [text],
+                "left": x, "right": x + len(text) * CHAR_W,
+                "top": yy - ASC_H, "bottom": yy + DESC_H, "conf": 97}
+
     if doc_id % 2 == 1:
+        with_header = doc_id % 4 == 1
+        num_xs = [MARGIN_LEFT] + [MARGIN_LEFT + 450 + c * 150
+                                  for c in range(3)]
+        # Keep the block's first row below the header-scan lookback
+        # horizon (10 row pitches) of the leading paragraph, so the
+        # detector's verdict never depends on the grid's row count.
+        y = max(y, 731)
+        if with_header:
+            # title row (single short cell) + 4-cell header row — the
+            # detectHeaders walk must extend the table band over both
+            title = rng.choice(LEXICON)
+            pars.append({"lines": [{
+                "words": [_tok(title, MARGIN_LEFT, y)],
+                "baseline_y": y, "indent": 0}]})
+            num_cells.append([title, "", "", ""])
+            y += LINE_PITCH
+            heads = [rng.choice(LEXICON) for _ in range(4)]
+            pars.append({"lines": [{
+                "words": [_tok(h, num_xs[i], y)
+                          for i, h in enumerate(heads)],
+                "baseline_y": y, "indent": 0}]})
+            num_cells.append(heads)
+            y += LINE_PITCH
         # borderless financial block: label + 3 numeric columns
         blines = []
         for r in range(4):
             label = rng.choice(LEXICON)
-            words = [{
-                "text": label, "chars": None, "out_words": [label],
-                "left": MARGIN_LEFT,
-                "right": MARGIN_LEFT + len(label) * CHAR_W,
-                "top": y - ASC_H, "bottom": y + DESC_H, "conf": 97}]
+            words = [_tok(label, num_xs[0], y)]
+            row_cells = [label]
             for c in range(3):
                 val = f"{(r + 1) * 1000 + c * 7},{100 + r}"
-                x = MARGIN_LEFT + 450 + c * 150
-                words.append({
-                    "text": val, "chars": None, "out_words": [val],
-                    "left": x, "right": x + len(val) * CHAR_W,
-                    "top": y - ASC_H, "bottom": y + DESC_H, "conf": 97})
+                words.append(_tok(val, num_xs[c + 1], y))
+                row_cells.append(val)
+            num_cells.append(row_cells)
             blines.append({"words": words, "baseline_y": y, "indent": 0})
             y += LINE_PITCH
         pars.append({"lines": blines})
         n_tables = 2
+        regions.append({
+            "table_n": 1, "method": "numeric", "n_cols": 4,
+            "header": "strong" if with_header else "none"})
     return {"model": model, "expected": expected, "n_tables": n_tables,
-            "n_grid_cols": n_cols}
+            "n_grid_cols": n_cols, "regions": regions,
+            "num_cells": num_cells}
 
 
 def write_pdf_table_parquet(path: str, n_docs: int = 30,
@@ -1189,7 +1220,7 @@ def write_pdf_table_parquet(path: str, n_docs: int = 30,
 
     from .render_pdf import render_pdf as _render
 
-    doc_rows, cell_rows, meta_rows = [], [], []
+    doc_rows, cell_rows, region_rows = [], [], []
     for doc_id in range(n_docs):
         m = build_pdf_table_models(doc_id, seed=seed)
         url = f"https://fixtures.test/pdf_table/{doc_id:08d}"
@@ -1197,13 +1228,18 @@ def write_pdf_table_parquet(path: str, n_docs: int = 30,
             "url": url, "html": _render(m["model"], rotate=False)})
         for rec in m["expected"]:
             cell_rows.append({"url": url, **rec})
-        meta_rows.append({"url": url, "n_tables": m["n_tables"]})
+        for r, row in enumerate(m["num_cells"]):
+            for c, cell in enumerate(row):
+                cell_rows.append({"url": url, "table_n": 1,
+                                  "row_n": r, "col_n": c, "cell": cell})
+        for rec in m["regions"]:
+            region_rows.append({"url": url, **rec})
     pd.DataFrame(doc_rows).to_parquet(
         os.path.join(path, "pdf_table_docs.parquet"), index=False)
     pd.DataFrame(cell_rows).to_parquet(
         os.path.join(path, "pdf_table.parquet"), index=False)
-    pd.DataFrame(meta_rows).to_parquet(
-        os.path.join(path, "pdf_table_meta.parquet"), index=False)
+    pd.DataFrame(region_rows).to_parquet(
+        os.path.join(path, "pdf_table_regions.parquet"), index=False)
 
 
 def build_groupx_models(doc_id: int, seed: int = SEED_DEFAULT) -> dict:

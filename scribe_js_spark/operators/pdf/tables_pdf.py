@@ -192,10 +192,184 @@ def detect_numeric_clusters(page, exclude_bboxes=()) -> list[dict]:
     return tables
 
 
+_YEAR_RE = re.compile(r"^(?:19|20)\d\d$")
+_FOOTMARK_RE = re.compile(r"^\(\d\)$")
+_ALPHA_RE = re.compile(r"[a-zA-Z]")
+
+
+def _is_data_value_word(t: str) -> bool:
+    return (is_num_word(t) and not _YEAR_RE.match(t)
+            and not _FOOTMARK_RE.match(t))
+
+
+def _phrase_merge(words, gap_factor: float = 0.6) -> list[list]:
+    """Merge consecutive words whose inter-word gap is small relative
+    to the average word height into one cell box (extractStructure /
+    extractCells gap rule, detectPdfTables.js:2525-2549). Returns
+    [(left, right, words)] sorted by left."""
+    ws = sorted(words, key=lambda w: w.bbox.left)
+    if not ws:
+        return []
+    avg_h = sum(w.bbox.bottom - w.bbox.top for w in ws) / len(ws)
+    gap = avg_h * gap_factor
+    cells = [[ws[0].bbox.left, ws[0].bbox.right, [ws[0]]]]
+    for w in ws[1:]:
+        if w.bbox.left - cells[-1][1] < gap:
+            cells[-1][1] = max(cells[-1][1], w.bbox.right)
+            cells[-1][2].append(w)
+        else:
+            cells.append([w.bbox.left, w.bbox.right, [w]])
+    return cells
+
+
+def infer_unruled_columns(page, bbox: Bbox) -> list[float]:
+    """Column separators for a borderless table from data-word
+    clustering (extractStructure word-level path,
+    detectPdfTables.js:2786-2990): phrase-merge each visual row, skip
+    rows above the first data row (year-only header rows would
+    otherwise bridge data columns), chain overlapping cell boxes
+    across rows into columns, and emit gap midpoints."""
+    rows = [r for r in group_lines_into_rows(
+        [l for l in page.lines
+         if bbox.top <= (l.bbox.top + l.bbox.bottom) / 2 <= bbox.bottom])]
+    first_data = -1
+    for ri, row_lines in enumerate(rows):
+        words = [w for line in row_lines for w in line.words]
+        n_data = sum(1 for w in words if _is_data_value_word(w.text))
+        if n_data >= 2:
+            first_data = ri
+            break
+    boxes = []
+    for ri, row_lines in enumerate(rows):
+        if first_data >= 0 and ri < first_data:
+            continue
+        words = [w for line in row_lines for w in line.words]
+        boxes.extend(
+            (c[0], c[1]) for c in _phrase_merge(words))
+    if not boxes:
+        return []
+    boxes.sort()
+    cols = [[boxes[0][0], boxes[0][1]]]
+    for left, right in boxes[1:]:
+        if left <= cols[-1][1]:  # x-overlap -> same column
+            cols[-1][1] = max(cols[-1][1], right)
+        else:
+            cols.append([left, right])
+    return [(cols[i][1] + cols[i + 1][0]) / 2
+            for i in range(len(cols) - 1)]
+
+
+def detect_table_header(page, table: dict) -> dict | None:
+    """Header association for a borderless table (detectHeaders,
+    detectPdfTables.js:2470-2726, rule-1 core): walk upward from the
+    first data row through header-like rows (all-text with >= 2 cells,
+    or a single cell of <= 4 alphabetic words), pick the all-text row
+    with the most cells (>= 3) as the primary header, keep only cells
+    that align with a data word, and report strong confidence at >= 4
+    aligned anchors. Extends the table band to the header top."""
+    bbox = table["bbox"]
+    data_rows = group_lines_into_rows(
+        [l for l in page.lines
+         if bbox.top <= (l.bbox.top + l.bbox.bottom) / 2 <= bbox.bottom])
+    if not data_rows:
+        return None
+    row_tops = sorted(min(l.bbox.top for l in r) for r in data_rows)
+    if len(row_tops) > 1:
+        spacings = sorted(
+            row_tops[i + 1] - row_tops[i] for i in range(len(row_tops) - 1))
+        avg_pitch = spacings[len(spacings) // 2]
+    else:
+        avg_pitch = 50.0
+    first_row_y = row_tops[0]
+    lookback = first_row_y - avg_pitch * 10
+
+    above = [
+        l for l in page.lines
+        if lookback <= l.bbox.top < first_row_y - 1
+        and not (l.bbox.right < bbox.left or l.bbox.left > bbox.right)]
+    if not above:
+        return None
+    groups: list[dict] = []
+    for line in above:
+        for g in groups:
+            if abs(g["y"] - line.bbox.top) < 5:
+                g["lines"].append(line)
+                break
+        else:
+            groups.append({"y": line.bbox.top, "lines": [line]})
+    annotated = []
+    for g in sorted(groups, key=lambda g: -g["y"]):
+        words = [w for line in g["lines"] for w in line.words]
+        cells = _phrase_merge(words)
+        n_data = sum(
+            1 for w in words if _is_data_value_word(w.text))
+        n_alpha = sum(1 for w in words if _ALPHA_RE.search(w.text))
+        annotated.append({
+            "y": g["y"], "cells": cells,
+            "all_text": n_data == 0, "mostly_text": n_alpha > n_data})
+
+    def _header_like(a) -> bool:
+        if len(a["cells"]) >= 2:
+            return a["all_text"]
+        if len(a["cells"]) == 1:
+            n_alpha = sum(1 for w in a["cells"][0][2]
+                          if _ALPHA_RE.search(w.text))
+            return a["mostly_text"] and n_alpha <= 4
+        return False
+
+    band_top = first_row_y
+    last_y = first_row_y
+    for a in annotated:
+        if not _header_like(a):
+            continue
+        if last_y - a["y"] > avg_pitch * 2:
+            break
+        band_top = a["y"]
+        last_y = a["y"]
+
+    best = None
+    for a in annotated:
+        if not a["all_text"] or len(a["cells"]) < 3:
+            continue
+        if best is None or len(a["cells"]) > len(best["cells"]):
+            best = a
+    if best is None:
+        if band_top >= first_row_y:
+            return None
+        return {"anchors": [], "band_top": band_top,
+                "confidence": "weak"}
+
+    data_words = [
+        w for r in data_rows for line in r for w in line.words]
+    aligned = []
+    for left, right, _cw in best["cells"]:
+        for w in data_words:
+            wc = (w.bbox.left + w.bbox.right) / 2
+            if left - 5 <= wc <= right + 5:
+                aligned.append((left + right) / 2)
+                break
+    confidence = ("strong"
+                  if len(aligned) >= 4
+                  and len(aligned) >= len(best["cells"]) * 0.5
+                  else "weak")
+    return {"anchors": aligned, "band_top": band_top,
+            "confidence": confidence}
+
+
+def columns_from_separators(bbox: Bbox, seps: list[float]) -> list[Bbox]:
+    """Column bound boxes from interior separator xs."""
+    edges = [bbox.left] + sorted(seps) + [bbox.right]
+    return [Bbox(edges[i], bbox.top, edges[i + 1], bbox.bottom)
+            for i in range(len(edges) - 1)]
+
+
 def detect_pdf_table_regions(page, paths, scale: float,
                              page_h_pts: float) -> list[dict]:
     """Composite PDF-side detector: strict ruled grids first, then
-    borderless numeric clusters that don't overlap a grid."""
+    borderless numeric clusters that don't overlap a grid. Borderless
+    tables get word-cluster column separators and, when a header block
+    sits above, the band extends over it (extractStructure +
+    detectHeaders)."""
     if len(page.lines) < 3:
         return []
     if len(paths) > MAX_TABLE_DETECTION_PATHS:
@@ -209,7 +383,17 @@ def detect_pdf_table_regions(page, paths, scale: float,
 
     for cand in detect_numeric_clusters(
             page, [t["bbox"] for t in tables]):
-        if not any(overlaps(cand["bbox"], t["bbox"]) for t in tables):
-            tables.append(cand)
+        if any(overlaps(cand["bbox"], t["bbox"]) for t in tables):
+            continue
+        header = detect_table_header(page, cand)
+        if header is not None and header["band_top"] < cand["bbox"].top:
+            cand["bbox"] = Bbox(
+                cand["bbox"].left, header["band_top"],
+                cand["bbox"].right, cand["bbox"].bottom)
+        cand["header"] = (header or {}).get("confidence", "none") \
+            if header else "none"
+        cand["col_separators"] = infer_unruled_columns(
+            page, cand["bbox"])
+        tables.append(cand)
     tables.sort(key=lambda t: t["bbox"].top)
     return tables
