@@ -203,10 +203,16 @@ def _q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     (50-query driver cap — see _q_ann_topk): SIMG containers (ids
     0-49), real PNG decode (ids 1000-1029: from-scratch chunk walk,
     zlib inflate, all five scanline filters; pixel (x,y) =
-    (x*7+y*13)%256 so the mean is SQL-computable). n_bytes is asserted
-    for SIMG only — a PNG's compressed size is not SQL-reproducible."""
+    (x*7+y*13)%256), and real baseline JPEG decode (ids 2000-2019:
+    from-scratch Huffman + IDCT; blockwise-constant pixels
+    (x//8*31 + y//8*17)%256, which round-trip losslessly because only
+    DC is nonzero and the DC quant step divides 8 — so the mean is
+    SQL-computable even through a lossy codec). n_bytes is asserted
+    for SIMG only — PNG/JPEG compressed sizes are not
+    SQL-reproducible."""
     import numpy as np
 
+    from scribe_js_spark.textops.jpeg import encode_jpeg_gray
     from scribe_js_spark.textops.multimodal import (
         decode_media,
         encode_png_gray,
@@ -224,6 +230,12 @@ def _q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         px = ((xs * 7 + ys * 13) % 256).astype(np.uint8)
         rows.append(
             (1000 + i, encode_png_gray(px, cycle_filters=i % 2 == 1)))
+    for i in range(20):
+        w = 17 + i % 9   # non-multiples of 8 exercise the MCU trim
+        h = 9 + i % 7
+        xs, ys = np.meshgrid(np.arange(w), np.arange(h))
+        px = (((xs // 8) * 31 + (ys // 8) * 17) % 256).astype(np.uint8)
+        rows.append((2000 + i, encode_jpeg_gray(px)))
     df = spark.createDataFrame(rows, ["media_id", "data"])
     return decode_media(df).select(
         "media_id", "kind",
@@ -2083,6 +2095,17 @@ WHERE len(list_intersect(ta.toks, tb.toks))
                      ((x.x * 7 + y.y * 13) % 256)::DOUBLE AS v
               FROM range(30) t(r), range(24) x(x), range(13) y(y)
               WHERE x.x < (16 + r % 8) AND y.y < (8 + r % 5)
+            ) GROUP BY media_id, w, h
+            UNION ALL
+            SELECT media_id, 'jpeg' AS kind, w::BIGINT AS width,
+                   h::BIGINT AS height, NULL::BIGINT AS n_bytes_simg,
+                   CAST(floor(avg(v) * 1e6) AS BIGINT) AS mean_e6
+            FROM (
+              SELECT 2000 + r AS media_id, (17 + r % 9) AS w,
+                     (9 + r % 7) AS h,
+                     (((x.x // 8) * 31 + (y.y // 8) * 17) % 256)::DOUBLE AS v
+              FROM range(20) t(r), range(26) x(x), range(16) y(y)
+              WHERE x.x < (17 + r % 9) AND y.y < (9 + r % 7)
             ) GROUP BY media_id, w, h
         """,
     }

@@ -192,9 +192,18 @@ def _decode_one(data: bytes) -> dict:
                 "n_bytes": len(data),
                 "mean_byte": float(px.mean()) if px.size else 0.0,
                 "error": None}
-    if data[:3] == b"\xff\xd8\xff":
-        # JPEG entropy decode needs a DCT stack this container lacks.
-        raise NotImplementedError("jpeg codec not available")
+    if data[:3] == b"\xff\xd8\xff" or data[:2] == b"\xff\xd8":
+        # From-scratch baseline decoder (textops/jpeg.py): grayscale
+        # SOF0 with real Huffman + IDCT. Progressive/color still raise
+        # NotImplementedError -> error column.
+        from .jpeg import decode_jpeg_gray
+
+        px = decode_jpeg_gray(data)
+        h, w = px.shape
+        return {"kind": "jpeg", "width": int(w), "height": int(h),
+                "n_bytes": len(data),
+                "mean_byte": float(px.mean()) if px.size else 0.0,
+                "error": None}
     return {"kind": None, "width": None, "height": None,
             "n_bytes": len(data), "mean_byte": None,
             "error": "unknown_media_format"}
@@ -216,6 +225,10 @@ def decode_media(df: DataFrame, id_col: str = "media_id",
                     rec = {"kind": None, "width": None, "height": None,
                            "n_bytes": len(bytes(data)), "mean_byte": None,
                            "error": f"not_implemented: {e}"}
+                except ValueError as e:
+                    rec = {"kind": None, "width": None, "height": None,
+                           "n_bytes": len(bytes(data)), "mean_byte": None,
+                           "error": f"decode_failure: {e}"}
                 out["media_id"].append(int(mid))
                 for key in ("kind", "width", "height", "n_bytes",
                             "mean_byte", "error"):
