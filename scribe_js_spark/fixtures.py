@@ -2740,6 +2740,23 @@ def build_list_models(doc_id: int, seed: int = SEED_DEFAULT) -> dict:
     for mark in ("(a)", "(b)"):
         expected.append({"par_n": len(expected), "first_word": mark,
                          "n_lines": 1})
+    y += PAR_GAP - LINE_PITCH
+
+    # dingbat bullets: a symbol glyph outside the explicit bullet set
+    # ("✦", category So) activates the bullet scheme via the
+    # lone-symbol rule (analyzeLayout.js lineEnumerator, last branch);
+    # the trailing "“"-led line is the negative control — punctuation
+    # never reads as a bullet, so it stays glued to the third item.
+    lines = []
+    for _ in range(3):
+        lines.append(_line(["✦"] + _body(4), y))
+        y += LINE_PITCH
+    lines.append(_line(["“"] + _body(3), y))
+    y += LINE_PITCH
+    pars.append({"lines": lines})
+    for k in range(3):
+        expected.append({"par_n": len(expected), "first_word": "✦",
+                         "n_lines": 2 if k == 2 else 1})
 
     model = {"doc_id": doc_id, "family": "base",
              "pages": [{"pars": pars, "width": PAGE_W,

@@ -24,6 +24,7 @@ size-ratio rule, simplified).
 from __future__ import annotations
 
 import re
+import unicodedata
 
 from ..model import OcrPage
 
@@ -381,6 +382,16 @@ def line_enumerator(line) -> dict | None:
                 "value": ord(m.group(1).lower()) - 96, "raw": w0}
     if _BULLET_RE.match(w0):
         return {"scheme": "bullet", "value": None, "raw": w0}
+    # A lone symbol or control glyph counts as a bullet: a dingbat-font
+    # marker, or a real bullet mangled by a corrupt ToUnicode into an
+    # arbitrary non-ASCII codepoint (even a C1 control). Punctuation is
+    # excluded (an opening curly quote can line-lead as its own word),
+    # and the >= 0x80 floor keeps ASCII operators out
+    # (analyzeLayout.js lineEnumerator, last branch).
+    if len(w0) == 1 and ord(w0) >= 0x80:
+        cat = unicodedata.category(w0)
+        if cat[0] in ("S", "C"):
+            return {"scheme": "bullet", "value": None, "raw": w0}
     return None
 
 
@@ -585,13 +596,15 @@ def _median_line_height(pages) -> float:
 
 
 def _detect_line_number_columns(pages, body_size: float) -> None:
-    """Standalone (case A) line-number columns: per page the longest
-    incrementing run (step <= 5) of left-margin integer-only lines at
-    one x; the document gate, per-page confidence and the cross-page
-    column lock with a one-page rescue window and the doc-wide value
-    cap (analyzeLayout.js:205-326). Case B merged prefixes (the number
-    leads a body line) are deferred — they need the enumerator
-    subsystem's extra discrimination."""
+    """Line-number columns, both cases (analyzeLayout.js:205-326):
+    case A standalone — per page the longest incrementing run
+    (step <= 5) of left-margin integer-only lines at one x, with the
+    document gate, per-page confidence, cross-page column lock,
+    one-page rescue window and doc-wide value cap; case B merged
+    prefixes (the number leads a body line) with the extra
+    discrimination below — run-length cap, numeric-first-word table
+    veto, pitch regularity, right-extent and density floors
+    (LN_MAX_RUN..LN_CASEB_MIN_DENSITY)."""
     ln_max_indent = body_size * 2
     page_runs: dict[int, dict] = {}
     gate_fired = False
