@@ -56,6 +56,8 @@ def test_unsupported_depth_rejected():
         decode_png(data)
 
 
-def test_jpeg_still_surfaces_as_error():
-    with pytest.raises(NotImplementedError):
+def test_corrupt_jpeg_surfaces_as_error():
+    # JPEG decode is implemented (textops/jpeg.py) as of round 3;
+    # corrupt input raises ValueError -> the decode_failure column.
+    with pytest.raises(ValueError):
         _decode_one(b"\xff\xd8\xff\xe0rest")
