@@ -203,16 +203,22 @@ def _q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     (50-query driver cap — see _q_ann_topk): SIMG containers (ids
     0-49), real PNG decode (ids 1000-1029: from-scratch chunk walk,
     zlib inflate, all five scanline filters; pixel (x,y) =
-    (x*7+y*13)%256), and real baseline JPEG decode (ids 2000-2019:
+    (x*7+y*13)%256), real baseline JPEG decode (ids 2000-2019:
     from-scratch Huffman + IDCT; blockwise-constant pixels
     (x//8*31 + y//8*17)%256, which round-trip losslessly because only
     DC is nonzero and the DC quant step divides 8 — so the mean is
-    SQL-computable even through a lossy codec). n_bytes is asserted
-    for SIMG only — PNG/JPEG compressed sizes are not
-    SQL-reproducible."""
+    SQL-computable even through a lossy codec), and color YCbCr JPEG
+    (ids 3000-3014: interleaved 3-component scans cycling 4:2:0 /
+    4:2:2 / 4:4:4 sampling and restart intervals; macroblock-constant
+    luma + image-constant chroma keep every stage — subsample, DC
+    quantize, upsample, JFIF color convert — exactly reproducible, and
+    the chroma pairs are chosen so no rounding lands on an exact .5).
+    n_bytes is asserted for SIMG only — PNG/JPEG compressed sizes are
+    not SQL-reproducible."""
     import numpy as np
 
-    from scribe_js_spark.textops.jpeg import encode_jpeg_gray
+    from scribe_js_spark.textops.jpeg import encode_jpeg_gray, \
+        encode_jpeg_ycbcr
     from scribe_js_spark.textops.multimodal import (
         decode_media,
         encode_png_gray,
@@ -236,6 +242,19 @@ def _q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         xs, ys = np.meshgrid(np.arange(w), np.arange(h))
         px = (((xs // 8) * 31 + (ys // 8) * 17) % 256).astype(np.uint8)
         rows.append((2000 + i, encode_jpeg_gray(px)))
+    for i in range(15):
+        w = 32 + (i % 3) * 16   # multiples of 16: every macroblock full
+        h = 16 + (i % 5) * 16
+        ys, xs = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+        lum = (((xs // 16) * 31 + (ys // 16) * 17) % 160 + 40).astype(
+            np.uint8)
+        cb = 112 + (i * 3) % 33
+        cr = 116 + (i * 5) % 29
+        rows.append((3000 + i, encode_jpeg_ycbcr(
+            lum, np.full((h, w), cb, np.uint8),
+            np.full((h, w), cr, np.uint8),
+            sampling=[(2, 2), (2, 1), (1, 1)][i % 3],
+            restart_interval=[0, 2, 5][i % 3])))
     df = spark.createDataFrame(rows, ["media_id", "data"])
     return decode_media(df).select(
         "media_id", "kind",
@@ -2106,6 +2125,31 @@ WHERE len(list_intersect(ta.toks, tb.toks))
                      (((x.x // 8) * 31 + (y.y // 8) * 17) % 256)::DOUBLE AS v
               FROM range(20) t(r), range(26) x(x), range(16) y(y)
               WHERE x.x < (17 + r % 9) AND y.y < (9 + r % 7)
+            ) GROUP BY media_id, w, h
+            UNION ALL
+            -- Color YCbCr rows (ids 3000+): macroblock-constant luma
+            -- Y(x,y) = ((x//16)*31 + (y//16)*17) % 160 + 40 with
+            -- image-constant chroma survives subsample -> DC-quantize
+            -- -> upsample exactly, and per-pixel
+            -- round(Y + off) == Y + round(off) because Y is an integer
+            -- and the chroma pairs keep every offset away from .5
+            -- (verified in tests/test_jpeg.py). The decoded mean is the
+            -- one float64 division numpy does: total_int / (3*n).
+            SELECT media_id, 'jpeg' AS kind, w::BIGINT AS width,
+                   h::BIGINT AS height, NULL::BIGINT AS n_bytes_simg,
+                   CAST(floor(
+                     (3 * SUM(y) + COUNT(*) * ANY_VALUE(offsum))::DOUBLE
+                     / (3 * COUNT(*)) * 1e6) AS BIGINT) AS mean_e6
+            FROM (
+              SELECT 3000 + r AS media_id,
+                     (32 + (r % 3) * 16) AS w, (16 + (r % 5) * 16) AS h,
+                     (((x.x // 16) * 31 + (y.y // 16) * 17) % 160 + 40) AS y,
+                     ROUND(1.402 * ((116 + (r * 5) % 29) - 128))
+                     + ROUND(-0.344136 * ((112 + (r * 3) % 33) - 128)
+                             - 0.714136 * ((116 + (r * 5) % 29) - 128))
+                     + ROUND(1.772 * ((112 + (r * 3) % 33) - 128)) AS offsum
+              FROM range(15) t(r), range(64) x(x), range(80) y(y)
+              WHERE x.x < (32 + (r % 3) * 16) AND y.y < (16 + (r % 5) * 16)
             ) GROUP BY media_id, w, h
         """,
     }

@@ -4,9 +4,10 @@ Covers the text-required subset of the reference's font stack
 (/root/reference/js/pdf/fonts/parsePdfFonts.js): BaseFont name ->
 bold/italic/small-caps flags, /Widths + /FirstChar, /Encoding base +
 /Differences, ToUnicode CMap (bfchar + bfrange), CID fonts with
-Identity-H and /W, ascent/descent from the descriptor. Font *program*
-parsing (CFF/glyf) is deferred per SURVEY.md §7 — it only affects
-ink-extent niceties, not extracted text.
+Identity-H and /W, ascent/descent from the descriptor. Embedded font
+*program* parsing (CID-keyed CFF charset walk, TrueType glyf presence)
+lives in fontprog.py and feeds validCIDs / blank-glyph remaps back
+into the emit path (reference: js/pdf/parsePdfDoc.js:1884).
 
 Encoding tables are public Adobe/Unicode facts: WinAnsiEncoding is
 cp1252 over the defined range; StandardEncoding differs in the quote

@@ -1,12 +1,15 @@
 """From-scratch baseline JPEG codec (ITU-T T.81 subset).
 
-Decoder: SOI marker walk, DQT (8-bit tables), SOF0 baseline grayscale,
-DHT canonical Huffman tables, SOS entropy decode (byte-stuffing-aware
-bit reader, DC differential + AC run/length with ZRL and EOB),
-dequantize, 2-D IDCT (separable 8x8 DCT-III matrix), level shift +
-clamp, MCU edge-padding trim. Progressive (SOF2), arithmetic coding,
-and multi-component scans raise NotImplementedError — surfaced as an
-error column upstream, never a crash (decode_media contract).
+Decoder: SOI marker walk, DQT (8-bit tables), SOF0 baseline with 1
+(grayscale) or 3 (YCbCr) components including chroma subsampling
+(any integer Hi/Vi ratio: 4:4:4, 4:2:2, 4:2:0), DHT canonical Huffman
+tables, DRI/RSTn restart intervals, SOS interleaved entropy decode
+(byte-stuffing-aware bit reader, per-component DC differential + AC
+run/length with ZRL and EOB), dequantize, 2-D IDCT (separable 8x8
+DCT-III matrix), chroma upsample by replication, JFIF YCbCr->RGB,
+level shift + clamp, MCU edge-padding trim. Progressive (SOF2) and
+arithmetic coding raise NotImplementedError — surfaced as an error
+column upstream, never a crash (decode_media contract).
 
 Encoder (fixture side): the exact inverse pipeline with the standard
 Annex K luminance Huffman tables. Blockwise-CONSTANT images with a DC
@@ -138,6 +141,17 @@ class _BitReader:
                 return table[(length, code)]
         raise ValueError("jpeg: invalid Huffman code")
 
+    def sync_restart(self) -> None:
+        """Byte-align and consume an RSTn marker (T.81 F.2.1.3.1).
+        Called exactly at restart-interval MCU boundaries."""
+        self.n = 0  # drop pad bits
+        if (self.pos + 1 < len(self.data)
+                and self.data[self.pos] == 0xFF
+                and 0xD0 <= self.data[self.pos + 1] <= 0xD7):
+            self.pos += 2
+        else:
+            raise ValueError("jpeg: missing restart marker")
+
 
 def _extend(v: int, t: int) -> int:
     """DC/AC magnitude decode (T.81 F.2.2.1 EXTEND)."""
@@ -146,16 +160,47 @@ def _extend(v: int, t: int) -> int:
     return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
 
 
-def decode_jpeg_gray(data: bytes) -> np.ndarray:
-    """Baseline grayscale JPEG -> uint8 array (h, w)."""
+def _decode_block(reader: _BitReader, dc_tab, ac_tab, pred: int,
+                  q: np.ndarray) -> tuple[np.ndarray, int]:
+    """One 8x8 block: Huffman DC diff + AC runs -> spatial pixels
+    (pre-level-shift float), plus the updated DC predictor."""
+    zz = np.zeros(64, dtype=np.int32)
+    t = reader.read_code(dc_tab)
+    pred += _extend(reader.read_bits(t), t)
+    zz[0] = pred
+    k = 1
+    while k < 64:
+        rs = reader.read_code(ac_tab)
+        r, s = rs >> 4, rs & 0xF
+        if s == 0:
+            if r == 15:  # ZRL
+                k += 16
+                continue
+            break  # EOB
+        k += r
+        if k > 63:
+            raise ValueError("jpeg: AC index overflow")
+        zz[k] = _extend(reader.read_bits(s), s)
+        k += 1
+    coef = np.zeros(64, dtype=np.float64)
+    coef[ZIGZAG] = zz * q
+    return _IDCT @ coef.reshape(8, 8) @ _IDCT.T, pred
+
+
+def decode_jpeg(data: bytes) -> np.ndarray:
+    """Baseline JPEG -> uint8 array: (h, w) for grayscale, (h, w, 3)
+    RGB for 3-component YCbCr (JFIF conversion, chroma upsampled by
+    replication). Supports interleaved scans, any integer subsampling
+    ratio, and DRI/RSTn restart intervals."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("jpeg: missing SOI")
     pos = 2
     qtables: dict[int, np.ndarray] = {}
     htables: dict[tuple[int, int], dict] = {}
     w = h = None
-    comp_q = 0
-    dc_id = ac_id = 0
+    comps: list[dict] = []       # SOF order: id, hs, vs, qid
+    scan: list[dict] = []        # SOS order: component + dc/ac table ids
+    restart_interval = 0
     while pos < len(data):
         if data[pos] != 0xFF:
             raise ValueError("jpeg: bad marker alignment")
@@ -179,9 +224,12 @@ def decode_jpeg_gray(data: bytes) -> np.ndarray:
                 p += 64
         elif marker == 0xC0:  # SOF0 baseline
             _prec, h, w, ncomp = struct.unpack_from(">BHHB", seg, 0)
-            if ncomp != 1:
-                raise NotImplementedError("jpeg: only grayscale baseline")
-            comp_q = seg[6 + 2]
+            if ncomp not in (1, 3):
+                raise NotImplementedError(f"jpeg: {ncomp}-component image")
+            for ci in range(ncomp):
+                cid, hv, qid = seg[6 + 3 * ci : 9 + 3 * ci]
+                comps.append({"id": cid, "hs": hv >> 4, "vs": hv & 0xF,
+                              "qid": qid})
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError("jpeg: non-baseline SOF")
@@ -194,53 +242,77 @@ def decode_jpeg_gray(data: bytes) -> np.ndarray:
                 vals = list(seg[p + 17 : p + 17 + n])
                 htables[(tc, th)] = _build_decode_table(bits, vals)
                 p += 17 + n
+        elif marker == 0xDD:  # DRI
+            restart_interval = struct.unpack_from(">H", seg, 0)[0]
         elif marker == 0xDA:  # SOS
             ns = seg[0]
-            if ns != 1:
-                raise NotImplementedError("jpeg: multi-component scan")
-            dc_id = seg[2] >> 4
-            ac_id = seg[2] & 0xF
+            if ns != len(comps):
+                raise NotImplementedError("jpeg: non-interleaved scan")
+            by_id = {c["id"]: c for c in comps}
+            for si in range(ns):
+                cid, tbl = seg[1 + 2 * si : 3 + 2 * si]
+                scan.append({**by_id[cid], "dc": tbl >> 4, "ac": tbl & 0xF})
             pos += seg_len
             break
         pos += seg_len
-    if w is None or h is None:
-        raise ValueError("jpeg: missing SOF0")
-    q = qtables[comp_q]
-    dc_tab = htables[(0, dc_id)]
-    ac_tab = htables[(1, ac_id)]
+    if w is None or h is None or not scan:
+        raise ValueError("jpeg: missing SOF0/SOS")
 
-    bw = (w + 7) // 8
-    bh = (h + 7) // 8
-    out = np.zeros((bh * 8, bw * 8), dtype=np.float64)
+    hmax = max(c["hs"] for c in scan)
+    vmax = max(c["vs"] for c in scan)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    planes = [np.zeros((mcuy * c["vs"] * 8, mcux * c["hs"] * 8),
+                       dtype=np.float64) for c in scan]
     reader = _BitReader(data, pos)
-    pred = 0
-    for by in range(bh):
-        for bx in range(bw):
-            zz = np.zeros(64, dtype=np.int32)
-            t = reader.read_code(dc_tab)
-            diff = _extend(reader.read_bits(t), t)
-            pred += diff
-            zz[0] = pred
-            k = 1
-            while k < 64:
-                rs = reader.read_code(ac_tab)
-                r, s = rs >> 4, rs & 0xF
-                if s == 0:
-                    if r == 15:  # ZRL
-                        k += 16
-                        continue
-                    break  # EOB
-                k += r
-                if k > 63:
-                    raise ValueError("jpeg: AC index overflow")
-                zz[k] = _extend(reader.read_bits(s), s)
-                k += 1
-            coef = np.zeros(64, dtype=np.float64)
-            coef[ZIGZAG] = zz * q
-            block = _IDCT @ coef.reshape(8, 8) @ _IDCT.T
-            out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = block
-    px = np.clip(np.round(out + 128.0), 0, 255).astype(np.uint8)
+    preds = [0] * len(scan)
+    mcu_count = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_count \
+                    and mcu_count % restart_interval == 0:
+                reader.sync_restart()
+                preds = [0] * len(scan)
+            for ci, c in enumerate(scan):
+                dc_tab = htables[(0, c["dc"])]
+                ac_tab = htables[(1, c["ac"])]
+                q = qtables[c["qid"]]
+                for v in range(c["vs"]):
+                    for u in range(c["hs"]):
+                        block, preds[ci] = _decode_block(
+                            reader, dc_tab, ac_tab, preds[ci], q)
+                        y0 = (my * c["vs"] + v) * 8
+                        x0 = (mx * c["hs"] + u) * 8
+                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = block
+            mcu_count += 1
+
+    if len(scan) == 1:
+        px = np.clip(np.round(planes[0] + 128.0), 0, 255).astype(np.uint8)
+        return px[:h, :w]
+    # Upsample chroma to luma resolution by replication, then JFIF
+    # YCbCr -> RGB on the level-shifted planes.
+    full = []
+    for ci, c in enumerate(scan):
+        p = planes[ci] + 128.0
+        p = np.repeat(np.repeat(p, vmax // c["vs"], axis=0),
+                      hmax // c["hs"], axis=1)
+        full.append(p[: mcuy * vmax * 8, : mcux * hmax * 8])
+    y, cb, cr = full
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    rgb = np.stack([r, g, b], axis=-1)
+    px = np.clip(np.round(rgb), 0, 255).astype(np.uint8)
     return px[:h, :w]
+
+
+def decode_jpeg_gray(data: bytes) -> np.ndarray:
+    """Baseline grayscale JPEG -> uint8 array (h, w). (Compatibility
+    wrapper; rejects color input so callers that assume 2-D stay safe.)"""
+    px = decode_jpeg(data)
+    if px.ndim != 2:
+        raise ValueError("jpeg: not grayscale")
+    return px
 
 
 # ------------------------------------------------------------- encoder
@@ -278,6 +350,59 @@ class _BitWriter:
             self.write(1, 1)  # pad with 1-bits per spec
 
 
+def _pad_to_blocks(px: np.ndarray, bh8: int, bw8: int) -> np.ndarray:
+    """Edge-replication pad a plane to (bh8, bw8)."""
+    h, w = px.shape
+    padded = np.zeros((bh8, bw8), dtype=np.float64)
+    padded[:h, :w] = px
+    if bw8 > w:
+        padded[:h, w:] = px[:, -1:]
+    if bh8 > h:
+        padded[h:, :] = padded[h - 1 : h, :]
+    return padded
+
+
+def _encode_block(writer: "_BitWriter", block: np.ndarray, q: np.ndarray,
+                  pred: int, dc_enc, ac_enc) -> int:
+    """Forward DCT + quantize + Huffman one 8x8 block; returns the new
+    DC predictor."""
+    coef = _DCT @ (block - 128.0) @ _DCT.T
+    zz = np.round(coef.reshape(64)[ZIGZAG] / q).astype(np.int64)
+    diff = int(zz[0]) - pred
+    pred = int(zz[0])
+    t, bits = _encode_magnitude(diff)
+    length, code = dc_enc[t]
+    writer.write(length, code)
+    if t:
+        writer.write(t, bits)
+    run = 0
+    last_nz = 0
+    for k in range(1, 64):
+        if zz[k] != 0:
+            last_nz = k
+    for k in range(1, last_nz + 1):
+        if zz[k] == 0:
+            run += 1
+            continue
+        while run > 15:
+            length, code = ac_enc[0xF0]  # ZRL
+            writer.write(length, code)
+            run -= 16
+        t, bits = _encode_magnitude(int(zz[k]))
+        length, code = ac_enc[(run << 4) | t]
+        writer.write(length, code)
+        writer.write(t, bits)
+        run = 0
+    if last_nz < 63:
+        length, code = ac_enc[0x00]  # EOB
+        writer.write(length, code)
+    return pred
+
+
+def _seg(marker: int, body: bytes) -> bytes:
+    return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+
 def encode_jpeg_gray(pixels, qtable=None) -> bytes:
     """uint8 (h, w) -> baseline grayscale JPEG with Annex K Huffman
     tables. Edge-replication padding to 8x8 MCUs."""
@@ -287,12 +412,7 @@ def encode_jpeg_gray(pixels, qtable=None) -> bytes:
          else np.asarray(qtable, dtype=np.int32).reshape(64))
     bw = (w + 7) // 8
     bh = (h + 7) // 8
-    padded = np.zeros((bh * 8, bw * 8), dtype=np.float64)
-    padded[:h, :w] = px
-    if bw * 8 > w:
-        padded[:h, w:] = px[:, -1:]
-    if bh * 8 > h:
-        padded[h:, :] = padded[h - 1 : h, :]
+    padded = _pad_to_blocks(px, bh * 8, bw * 8)
 
     dc_enc = _build_encode_table(DC_BITS, DC_VALS)
     ac_enc = _build_encode_table(AC_BITS, AC_VALS)
@@ -300,46 +420,83 @@ def encode_jpeg_gray(pixels, qtable=None) -> bytes:
     pred = 0
     for by in range(bh):
         for bx in range(bw):
-            block = padded[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
-            coef = _DCT @ block @ _DCT.T
-            zz = np.round(coef.reshape(64)[ZIGZAG] / q).astype(np.int64)
-            diff = int(zz[0]) - pred
-            pred = int(zz[0])
-            t, bits = _encode_magnitude(diff)
-            length, code = dc_enc[t]
-            writer.write(length, code)
-            if t:
-                writer.write(t, bits)
-            run = 0
-            last_nz = 0
-            for k in range(1, 64):
-                if zz[k] != 0:
-                    last_nz = k
-            for k in range(1, last_nz + 1):
-                if zz[k] == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    length, code = ac_enc[0xF0]  # ZRL
-                    writer.write(length, code)
-                    run -= 16
-                t, bits = _encode_magnitude(int(zz[k]))
-                length, code = ac_enc[(run << 4) | t]
-                writer.write(length, code)
-                writer.write(t, bits)
-                run = 0
-            if last_nz < 63:
-                length, code = ac_enc[0x00]  # EOB
-                writer.write(length, code)
+            pred = _encode_block(
+                writer, padded[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8],
+                q, pred, dc_enc, ac_enc)
     writer.flush()
 
-    def seg(marker: int, body: bytes) -> bytes:
-        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
-
-    dqt = seg(0xDB, bytes([0x00]) + bytes(int(v) for v in q))
-    sof = seg(0xC0, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
-    dht = seg(0xC4, bytes([0x00]) + bytes(DC_BITS) + bytes(DC_VALS)) \
-        + seg(0xC4, bytes([0x10]) + bytes(AC_BITS) + bytes(AC_VALS))
-    sos = seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    dqt = _seg(0xDB, bytes([0x00]) + bytes(int(v) for v in q))
+    sof = _seg(0xC0, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
+    dht = _seg(0xC4, bytes([0x00]) + bytes(DC_BITS) + bytes(DC_VALS)) \
+        + _seg(0xC4, bytes([0x10]) + bytes(AC_BITS) + bytes(AC_VALS))
+    sos = _seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
     return (b"\xff\xd8" + dqt + sof + dht + sos
+            + bytes(writer.out) + b"\xff\xd9")
+
+
+def encode_jpeg_ycbcr(y, cb, cr, sampling=(2, 2), restart_interval=0,
+                      qtable=None) -> bytes:
+    """Full-resolution Y/Cb/Cr uint8 planes (h, w) -> baseline 3-component
+    JPEG. ``sampling`` is the luma (Hi, Vi) — (2, 2) gives 4:2:0,
+    (2, 1) 4:2:2, (1, 1) 4:4:4; chroma is always (1, 1) and is
+    subsampled from the full-res planes by box averaging. All
+    components share quant table 0 and the Annex K luminance Huffman
+    tables (legal baseline). ``restart_interval`` > 0 emits DRI + RSTn
+    markers every that many MCUs."""
+    y = np.asarray(y, dtype=np.uint8)
+    hs, vs = sampling
+    h, w = y.shape
+    q = (QTABLE_FIXTURE if qtable is None
+         else np.asarray(qtable, dtype=np.int32).reshape(64))
+    mcux = (w + 8 * hs - 1) // (8 * hs)
+    mcuy = (h + 8 * vs - 1) // (8 * vs)
+
+    # Luma plane at full res; chroma planes box-averaged down by the
+    # sampling ratio (pad full-res planes to MCU-aligned first so the
+    # pooling windows are complete).
+    ypad = _pad_to_blocks(y, mcuy * vs * 8, mcux * hs * 8)
+    planes = [ypad]
+    for c in (cb, cr):
+        cpad = _pad_to_blocks(np.asarray(c, dtype=np.uint8),
+                              mcuy * vs * 8, mcux * hs * 8)
+        pooled = cpad.reshape(mcuy * 8, vs, mcux * 8, hs).mean(axis=(1, 3))
+        planes.append(np.round(pooled))
+    samp = [(hs, vs), (1, 1), (1, 1)]
+
+    dc_enc = _build_encode_table(DC_BITS, DC_VALS)
+    ac_enc = _build_encode_table(AC_BITS, AC_VALS)
+    writer = _BitWriter()
+    preds = [0, 0, 0]
+    rst = 0
+    mcu_count = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_count \
+                    and mcu_count % restart_interval == 0:
+                writer.flush()
+                writer.out += bytes([0xFF, 0xD0 + rst])
+                rst = (rst + 1) % 8
+                preds = [0, 0, 0]
+            for ci in range(3):
+                chs, cvs = samp[ci]
+                for v in range(cvs):
+                    for u in range(chs):
+                        y0 = (my * cvs + v) * 8
+                        x0 = (mx * chs + u) * 8
+                        preds[ci] = _encode_block(
+                            writer,
+                            planes[ci][y0 : y0 + 8, x0 : x0 + 8],
+                            q, preds[ci], dc_enc, ac_enc)
+            mcu_count += 1
+    writer.flush()
+
+    dqt = _seg(0xDB, bytes([0x00]) + bytes(int(v) for v in q))
+    sof_comps = bytes([1, (hs << 4) | vs, 0, 2, 0x11, 0, 3, 0x11, 0])
+    sof = _seg(0xC0, struct.pack(">BHHB", 8, h, w, 3) + sof_comps)
+    dht = _seg(0xC4, bytes([0x00]) + bytes(DC_BITS) + bytes(DC_VALS)) \
+        + _seg(0xC4, bytes([0x10]) + bytes(AC_BITS) + bytes(AC_VALS))
+    dri = (_seg(0xDD, struct.pack(">H", restart_interval))
+           if restart_interval else b"")
+    sos = _seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0]))
+    return (b"\xff\xd8" + dqt + sof + dht + dri + sos
             + bytes(writer.out) + b"\xff\xd9")

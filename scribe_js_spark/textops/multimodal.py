@@ -5,8 +5,10 @@ decode / feature-extract run as Arrow-batched pandas UDFs over
 ``mapInPandas`` — schema, batching and partition behavior are real and
 tested, and so is the PNG path: a from-scratch decoder (IHDR/IDAT
 chunk walk, zlib inflate, the five scanline filters vectorized with
-numpy) produces true pixel statistics with no imaging library. Other
-real formats (JPEG/...) raise ``NotImplementedError`` inside the
+numpy) produces true pixel statistics with no imaging library, as is
+the JPEG path (textops/jpeg.py: baseline grayscale + YCbCr with
+subsampling and restart markers). Unsupported shapes (progressive
+JPEG, 16-bit/Adam7 PNG) raise ``NotImplementedError`` inside the
 per-document handler and surface as an ``error`` column value, never a
 job failure — the same never-fatal contract as document extraction.
 The deterministic ``SIMG`` synthetic header remains the cheap test
@@ -193,13 +195,14 @@ def _decode_one(data: bytes) -> dict:
                 "mean_byte": float(px.mean()) if px.size else 0.0,
                 "error": None}
     if data[:3] == b"\xff\xd8\xff" or data[:2] == b"\xff\xd8":
-        # From-scratch baseline decoder (textops/jpeg.py): grayscale
-        # SOF0 with real Huffman + IDCT. Progressive/color still raise
-        # NotImplementedError -> error column.
-        from .jpeg import decode_jpeg_gray
+        # From-scratch baseline decoder (textops/jpeg.py): grayscale or
+        # YCbCr SOF0 with real Huffman + IDCT, subsampling + restart
+        # markers. Progressive still raises NotImplementedError ->
+        # error column.
+        from .jpeg import decode_jpeg
 
-        px = decode_jpeg_gray(data)
-        h, w = px.shape
+        px = decode_jpeg(data)
+        h, w = px.shape[:2]
         return {"kind": "jpeg", "width": int(w), "height": int(h),
                 "n_bytes": len(data),
                 "mean_byte": float(px.mean()) if px.size else 0.0,

@@ -74,3 +74,85 @@ def test_decode_media_surfaces_jpeg_and_errors(spark):
     assert rows[1]["error"] is None
     assert abs(rows[1]["mean_byte"] - float(px.mean())) < 1e-9
     assert rows[2]["error"].startswith("not_implemented")
+
+
+# ----------------------------------------------------- color (YCbCr)
+
+def _mb_luma(h, w):
+    ys, xs = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    return (((xs // 16) * 31 + (ys // 16) * 17) % 160 + 40).astype(np.uint8)
+
+
+def _expected_rgb(y, cb, cr):
+    yf = y.astype(np.float64)
+    cbf = cb.astype(np.float64)
+    crf = cr.astype(np.float64)
+    r = np.clip(np.round(yf + 1.402 * (crf - 128.0)), 0, 255)
+    g = np.clip(np.round(yf - 0.344136 * (cbf - 128.0)
+                         - 0.714136 * (crf - 128.0)), 0, 255)
+    b = np.clip(np.round(yf + 1.772 * (cbf - 128.0)), 0, 255)
+    return np.stack([r, g, b], axis=-1).astype(np.uint8)
+
+
+@pytest.mark.parametrize("sampling", [(2, 2), (2, 1), (1, 1)])
+def test_color_constant_chroma_lossless(sampling):
+    from scribe_js_spark.textops.jpeg import decode_jpeg, encode_jpeg_ycbcr
+
+    h, w = 32, 48
+    y = _mb_luma(h, w)
+    cb = np.full((h, w), 120, np.uint8)
+    cr = np.full((h, w), 140, np.uint8)
+    rgb = decode_jpeg(encode_jpeg_ycbcr(y, cb, cr, sampling=sampling))
+    assert rgb.shape == (h, w, 3)
+    assert np.array_equal(rgb, _expected_rgb(y, cb, cr))
+
+
+def test_color_444_blockwise_chroma_and_restart_markers():
+    from scribe_js_spark.textops.jpeg import decode_jpeg, encode_jpeg_ycbcr
+
+    h, w = 32, 48
+    ys, xs = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    y = _mb_luma(h, w)
+    cb = (((xs // 8) * 13) % 64 + 96).astype(np.uint8)
+    cr = (((ys // 8) * 7) % 64 + 96).astype(np.uint8)
+    data = encode_jpeg_ycbcr(y, cb, cr, sampling=(1, 1), restart_interval=3)
+    assert b"\xff\xdd" in data      # DRI present
+    assert b"\xff\xd0" in data      # at least one RST marker
+    assert np.array_equal(decode_jpeg(data), _expected_rgb(y, cb, cr))
+
+
+def test_color_420_odd_dims_mcu_trim():
+    from scribe_js_spark.textops.jpeg import decode_jpeg, encode_jpeg_ycbcr
+
+    h, w = 17, 23
+    y = _mb_luma(h, w)
+    cb = np.full((h, w), 112, np.uint8)
+    cr = np.full((h, w), 144, np.uint8)
+    rgb = decode_jpeg(encode_jpeg_ycbcr(y, cb, cr, sampling=(2, 2),
+                                        restart_interval=1))
+    assert rgb.shape == (h, w, 3)
+    assert np.array_equal(rgb, _expected_rgb(y, cb, cr))
+
+
+def test_color_gradient_roundtrip_within_quantization_error():
+    from scribe_js_spark.textops.jpeg import decode_jpeg, encode_jpeg_ycbcr
+
+    h, w = 24, 40
+    ys, xs = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    y = np.clip(60 + xs * 3 + ys * 2, 0, 255).astype(np.uint8)
+    cb = np.clip(100 + xs, 0, 255).astype(np.uint8)
+    cr = np.clip(100 + ys, 0, 255).astype(np.uint8)
+    rgb = decode_jpeg(encode_jpeg_ycbcr(y, cb, cr, sampling=(2, 2)))
+    exp = _expected_rgb(y, cb, cr)
+    # lossy: AC step 16 + 2x2 chroma pooling; stays within a few levels
+    assert int(np.abs(rgb.astype(int) - exp.astype(int)).max()) <= 24
+    assert abs(float(rgb.mean()) - float(exp.mean())) < 2.0
+
+
+def test_decode_jpeg_gray_rejects_color():
+    from scribe_js_spark.textops.jpeg import encode_jpeg_ycbcr
+
+    y = _mb_luma(16, 16)
+    c = np.full((16, 16), 128, np.uint8)
+    with pytest.raises(ValueError):
+        decode_jpeg_gray(encode_jpeg_ycbcr(y, c, c))

@@ -23,7 +23,8 @@ def main():
         .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
         # Documents are compute-heavy relative to their bytes: target
         # ~0.1-1s tasks so the scheduler can balance the tail.
-        .config("spark.sql.files.maxPartitionBytes", str(256 * 1024))
+        .config("spark.sql.files.maxPartitionBytes",
+                os.environ.get("SPARK_GRAFT_MPB", str(1024 * 1024)))
         .config("spark.ui.enabled", "false")
     ).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
