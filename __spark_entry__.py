@@ -255,6 +255,21 @@ def _q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             np.full((h, w), cr, np.uint8),
             sampling=[(2, 2), (2, 1), (1, 1)][i % 3],
             restart_interval=[0, 2, 5][i % 3])))
+    for i in range(10):  # 16-bit PNG: v*257 => MSB mean == v mean
+        w = 16 + i % 8
+        h = 8 + i % 5
+        xs, ys = np.meshgrid(np.arange(w), np.arange(h))
+        px16 = (((xs * 7 + ys * 13) % 256) * 257).astype(np.uint16)
+        rows.append((4000 + i, encode_png_gray(
+            px16, cycle_filters=i % 2 == 1, bit_depth=16,
+            interlace=i % 3 == 2)))
+    for i in range(10):  # Adam7-interlaced 8-bit PNG
+        w = 16 + i % 8
+        h = 8 + i % 5
+        xs, ys = np.meshgrid(np.arange(w), np.arange(h))
+        px = ((xs * 7 + ys * 13) % 256).astype(np.uint8)
+        rows.append((5000 + i, encode_png_gray(
+            px, cycle_filters=i % 2 == 1, interlace=True)))
     df = spark.createDataFrame(rows, ["media_id", "data"])
     return decode_media(df).select(
         "media_id", "kind",
@@ -2113,6 +2128,21 @@ WHERE len(list_intersect(ta.toks, tb.toks))
                      (8 + r % 5) AS h,
                      ((x.x * 7 + y.y * 13) % 256)::DOUBLE AS v
               FROM range(30) t(r), range(24) x(x), range(13) y(y)
+              WHERE x.x < (16 + r % 8) AND y.y < (8 + r % 5)
+            ) GROUP BY media_id, w, h
+            UNION ALL
+            -- 16-bit (ids 4000+, samples v*257 so the MSB mean is v's
+            -- mean) and Adam7-interlaced (ids 5000+) PNG families share
+            -- the 8-bit family's pixel formula and dims.
+            SELECT media_id, 'png' AS kind, w::BIGINT AS width,
+                   h::BIGINT AS height, NULL::BIGINT AS n_bytes_simg,
+                   CAST(floor(avg(v) * 1e6) AS BIGINT) AS mean_e6
+            FROM (
+              SELECT b.b + r AS media_id, (16 + r % 8) AS w,
+                     (8 + r % 5) AS h,
+                     ((x.x * 7 + y.y * 13) % 256)::DOUBLE AS v
+              FROM (VALUES (4000), (5000)) b(b),
+                   range(10) t(r), range(24) x(x), range(13) y(y)
               WHERE x.x < (16 + r % 8) AND y.y < (8 + r % 5)
             ) GROUP BY media_id, w, h
             UNION ALL

@@ -48,13 +48,66 @@ _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
 
+# Adam7 pass geometry: (x0, y0, dx, dy) per pass (PNG spec 4.5.2).
+_ADAM7 = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
+
+
+def _unfilter(raw: bytes, off: int, height: int, stride: int, bpp: int):
+    """Reconstruct `height` filtered scanlines of `stride` bytes from
+    raw[off:]; returns (pixels (height, stride) uint8, new offset).
+    Filter math is byte-level with a `bpp`-byte left reach (PNG spec
+    9.2) — identical for 8- and 16-bit samples."""
+    import numpy as np
+
+    if len(raw) < off + height * (stride + 1):
+        raise ValueError("PNG truncated scanlines")
+    out = np.zeros((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(height):
+        ftype = raw[off]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=off + 1).copy()
+        off += stride + 1
+        if ftype == 0:  # None
+            cur = line
+        elif ftype == 2:  # Up
+            cur = (line.astype(np.uint16) + prev).astype(np.uint8)
+        elif ftype in (1, 3, 4):
+            # Sub/Average/Paeth carry a left-pixel dependency, so the
+            # scanline reconstructs pixel-stepwise (vector ops span the
+            # channel lanes of one pixel at a time)
+            cur = np.zeros(stride, dtype=np.uint8)
+            for x in range(stride):
+                a = int(cur[x - bpp]) if x >= bpp else 0
+                b = int(prev[x])
+                if ftype == 1:
+                    val = line[x] + a
+                elif ftype == 3:
+                    val = line[x] + ((a + b) >> 1)
+                else:  # Paeth
+                    c = int(prev[x - bpp]) if x >= bpp else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) \
+                        else (b if pb <= pc else c)
+                    val = line[x] + pred
+                cur[x] = val & 0xFF
+        else:
+            raise ValueError(f"PNG filter {ftype}")
+        out[y] = cur
+        prev = cur
+    return out, off
+
+
 def decode_png(data: bytes):
     """From-scratch PNG decode -> (width, height, channels, pixel
-    ndarray HxWxC uint8). Supports 8-bit depth, all five scanline
-    filters (None/Sub/Up/Average/Paeth), non-interlaced images —
-    the shapes PDF producers and web scrapers actually emit.
+    ndarray HxWxC — uint8 for 8-bit, uint16 for 16-bit samples).
+    Supports all five scanline filters (None/Sub/Up/Average/Paeth),
+    both non-interlaced and Adam7-interlaced layouts, 8- and 16-bit
+    depths — the shapes PDF producers and web scrapers actually emit.
     Palette images return their index plane. Raises ValueError on
-    malformed streams and NotImplementedError for 16-bit or Adam7."""
+    malformed streams and NotImplementedError for sub-byte depths."""
     import numpy as np
 
     if data[:8] != _PNG_MAGIC:
@@ -78,85 +131,68 @@ def decode_png(data: bytes):
             break
     if width is None:
         raise ValueError("PNG missing IHDR")
-    if bit_depth != 8:
+    if bit_depth not in (8, 16):
         raise NotImplementedError(f"PNG bit depth {bit_depth}")
-    if interlace:
-        raise NotImplementedError("Adam7 interlaced PNG")
     channels = _PNG_CHANNELS.get(color_type)
     if channels is None:
         raise ValueError(f"PNG color type {color_type}")
+    sb = bit_depth // 8            # bytes per sample
+    bpp = channels * sb
     raw = zlib.decompress(bytes(idat))
-    stride = width * channels
-    if len(raw) < height * (stride + 1):
-        raise ValueError("PNG truncated scanlines")
-    out = np.zeros((height, stride), dtype=np.uint8)
-    prev = np.zeros(stride, dtype=np.uint8)
+
+    def to_pixels(byte_rows, h, w):
+        if sb == 1:
+            return byte_rows.reshape(h, w, channels)
+        return (byte_rows.reshape(h, w, channels, 2).astype(np.uint16)[
+            ..., 0] << 8) | byte_rows.reshape(h, w, channels, 2)[..., 1]
+
+    if not interlace:
+        rows, _ = _unfilter(raw, 0, height, width * bpp, bpp)
+        return width, height, channels, to_pixels(rows, height, width)
+    if interlace != 1:
+        raise ValueError(f"PNG interlace method {interlace}")
+    dtype = np.uint8 if sb == 1 else np.uint16
+    out = np.zeros((height, width, channels), dtype=dtype)
     off = 0
-    for y in range(height):
-        ftype = raw[off]
-        line = np.frombuffer(
-            raw, dtype=np.uint8, count=stride, offset=off + 1).copy()
-        off += stride + 1
-        if ftype == 0:  # None
-            cur = line
-        elif ftype == 2:  # Up
-            cur = (line.astype(np.uint16) + prev).astype(np.uint8)
-        elif ftype in (1, 3, 4):
-            # Sub/Average/Paeth carry a left-pixel dependency, so the
-            # scanline reconstructs pixel-stepwise (vector ops span the
-            # channel lanes of one pixel at a time)
-            cur = np.zeros(stride, dtype=np.uint8)
-            bpp = channels
-            for x in range(stride):
-                a = int(cur[x - bpp]) if x >= bpp else 0
-                b = int(prev[x])
-                if ftype == 1:
-                    val = line[x] + a
-                elif ftype == 3:
-                    val = line[x] + ((a + b) >> 1)
-                else:  # Paeth
-                    c = int(prev[x - bpp]) if x >= bpp else 0
-                    p = a + b - c
-                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                    pred = a if (pa <= pb and pa <= pc) \
-                        else (b if pb <= pc else c)
-                    val = line[x] + pred
-                cur[x] = val & 0xFF
-        else:
-            raise ValueError(f"PNG filter {ftype}")
-        out[y] = cur
-        prev = cur
-    return width, height, channels, out.reshape(height, width, channels)
+    for x0, y0, dx, dy in _ADAM7:
+        pw = (width - x0 + dx - 1) // dx
+        ph = (height - y0 + dy - 1) // dy
+        if pw <= 0 or ph <= 0:
+            continue
+        rows, off = _unfilter(raw, off, ph, pw * bpp, bpp)
+        out[y0::dy, x0::dx] = to_pixels(rows, ph, pw)
+    return width, height, channels, out
 
 
-def encode_png_gray(pixels, cycle_filters: bool = False) -> bytes:
-    """Minimal grayscale-8 PNG encoder — the fixture writer for the
-    decoder's oracle; numpy 2-D uint8 in, bytes out. With
-    ``cycle_filters`` each row y uses filter y % 5, exercising all five
-    reconstruction paths in the decoder."""
+def _filter_rows(byte_rows, bpp: int, cycle_filters: bool) -> bytes:
+    """Filter a (h, stride) uint8 byte matrix into PNG scanlines.
+    Byte-level (PNG spec 9.2) so it serves 8- and 16-bit samples; with
+    ``cycle_filters`` row y uses filter y % 5."""
     import numpy as np
 
-    px = np.asarray(pixels, dtype=np.uint8)
-    h, w = px.shape
+    h, stride = byte_rows.shape
     lines = []
-    prev = np.zeros(w, dtype=np.int32)
+    prev = np.zeros(stride, dtype=np.int32)
+    left = np.zeros(stride, dtype=np.int32)
     for y in range(h):
-        cur = px[y].astype(np.int32)
+        cur = byte_rows[y].astype(np.int32)
+        left[:bpp] = 0
+        left[bpp:] = cur[:-bpp] if stride > bpp else 0
         f = (y % 5) if cycle_filters else 0
         if f == 0:
             enc = cur
         elif f == 1:  # Sub
-            enc = cur - np.concatenate(([0], cur[:-1]))
+            enc = cur - left
         elif f == 2:  # Up
             enc = cur - prev
         elif f == 3:  # Average
-            enc = cur - ((np.concatenate(([0], cur[:-1])) + prev) >> 1)
+            enc = cur - ((left + prev) >> 1)
         else:  # Paeth
-            enc = np.zeros(w, dtype=np.int32)
-            for x in range(w):
-                a = int(cur[x - 1]) if x else 0
+            enc = np.zeros(stride, dtype=np.int32)
+            for x in range(stride):
+                a = int(cur[x - bpp]) if x >= bpp else 0
                 b = int(prev[x])
-                c = int(prev[x - 1]) if x else 0
+                c = int(prev[x - bpp]) if x >= bpp else 0
                 p = a + b - c
                 pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
                 pred = a if (pa <= pb and pa <= pc) \
@@ -164,13 +200,47 @@ def encode_png_gray(pixels, cycle_filters: bool = False) -> bytes:
                 enc[x] = cur[x] - pred
         lines.append(bytes([f]) + (enc & 0xFF).astype(np.uint8).tobytes())
         prev = cur
-    raw = b"".join(lines)
+    return b"".join(lines)
+
+
+def encode_png_gray(pixels, cycle_filters: bool = False,
+                    bit_depth: int = 8, interlace: bool = False) -> bytes:
+    """Minimal grayscale PNG encoder — the fixture writer for the
+    decoder's oracle; numpy 2-D uint8 (or uint16 for ``bit_depth=16``,
+    big-endian samples) in, bytes out. ``cycle_filters`` exercises all
+    five reconstruction paths; ``interlace`` writes Adam7 passes."""
+    import numpy as np
+
+    if bit_depth == 8:
+        px = np.asarray(pixels, dtype=np.uint8)
+        byte_img = px[..., None]
+    elif bit_depth == 16:
+        px = np.asarray(pixels, dtype=np.uint16)
+        byte_img = np.stack([(px >> 8).astype(np.uint8),
+                             (px & 0xFF).astype(np.uint8)], axis=-1)
+    else:
+        raise ValueError(f"bit depth {bit_depth}")
+    h, w = px.shape
+    bpp = bit_depth // 8
+    if not interlace:
+        raw = _filter_rows(byte_img.reshape(h, w * bpp), bpp, cycle_filters)
+    else:
+        parts = []
+        for x0, y0, dx, dy in _ADAM7:
+            sub = byte_img[y0::dy, x0::dx]
+            if sub.shape[0] == 0 or sub.shape[1] == 0:
+                continue
+            parts.append(_filter_rows(
+                sub.reshape(sub.shape[0], sub.shape[1] * bpp), bpp,
+                cycle_filters))
+        raw = b"".join(parts)
 
     def chunk(ctype: bytes, body: bytes) -> bytes:
         return (struct.pack(">I", len(body)) + ctype + body
                 + struct.pack(">I", zlib.crc32(ctype + body)))
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    ihdr = struct.pack(">IIBBBBB", w, h, bit_depth, 0, 0, 0,
+                       1 if interlace else 0)
     return (_PNG_MAGIC + chunk(b"IHDR", ihdr)
             + chunk(b"IDAT", zlib.compress(raw))
             + chunk(b"IEND", b""))
@@ -190,6 +260,10 @@ def _decode_one(data: bytes) -> dict:
                 "n_bytes": len(data), "mean_byte": mean, "error": None}
     if data[:8] == _PNG_MAGIC:
         width, height, _channels, px = decode_png(data)
+        if px.dtype.itemsize == 2:
+            # 16-bit samples: report the 8-bit-equivalent intensity
+            # (mean of the most-significant bytes).
+            px = px >> 8
         return {"kind": "png", "width": width, "height": height,
                 "n_bytes": len(data),
                 "mean_byte": float(px.mean()) if px.size else 0.0,

@@ -40,7 +40,7 @@ def test_malformed_png_raises():
         decode_png(good[:40])
 
 
-def test_unsupported_depth_rejected():
+def test_sub_byte_depth_rejected():
     import struct
     import zlib
 
@@ -48,12 +48,42 @@ def test_unsupported_depth_rejected():
         return (struct.pack(">I", len(body)) + ctype + body
                 + struct.pack(">I", zlib.crc32(ctype + body)))
 
-    ihdr16 = struct.pack(">IIBBBBB", 2, 2, 16, 0, 0, 0, 0)
-    data = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr16)
+    ihdr4 = struct.pack(">IIBBBBB", 2, 2, 4, 0, 0, 0, 0)
+    data = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr4)
             + chunk(b"IDAT", zlib.compress(b"\x00" * 10))
             + chunk(b"IEND", b""))
     with pytest.raises(NotImplementedError):
         decode_png(data)
+
+
+def _grad(h, w):
+    xs, ys = np.meshgrid(np.arange(w), np.arange(h))
+    return ((xs * 7 + ys * 13) % 256).astype(np.uint8)
+
+
+@pytest.mark.parametrize("dims", [(13, 23), (1, 1), (3, 5), (16, 17)])
+@pytest.mark.parametrize("cycle", [False, True])
+def test_adam7_roundtrip(dims, cycle):
+    h, w = dims
+    px = _grad(h, w)
+    rw, rh, _c, out = decode_png(
+        encode_png_gray(px, cycle_filters=cycle, interlace=True))
+    assert (rw, rh) == (w, h)
+    assert np.array_equal(out[:, :, 0], px)
+
+
+@pytest.mark.parametrize("interlace", [False, True])
+def test_16bit_roundtrip_and_msb_mean(interlace):
+    px16 = (_grad(13, 23).astype(np.uint16) * 257)
+    data = encode_png_gray(px16, cycle_filters=True, bit_depth=16,
+                           interlace=interlace)
+    _w, _h, _c, out = decode_png(data)
+    assert out.dtype == np.uint16
+    assert np.array_equal(out[:, :, 0], px16)
+    rec = _decode_one(data)
+    # mean_byte is the MSB mean: MSB of v*257 is v
+    assert rec["mean_byte"] == float((px16 >> 8).mean())
+    assert rec["error"] is None
 
 
 def test_corrupt_jpeg_surfaces_as_error():
