@@ -958,9 +958,11 @@ def _q_pdf_text_colors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_abbyy_table_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ABBYY table-layout blocks -> explicit column boxes + row bounds
-    -> cell matrix (convertTableLayoutAbbyy semantics, both the
-    first-row-width path and the content-coordinate recalc path)."""
+    """Explicit table layouts -> column boxes + row bounds -> cell
+    matrix: ABBYY blockType="Table" blocks (convertTableLayoutAbbyy,
+    both the first-row-width path and the content-coordinate recalc
+    path) plus Azure analyzeResult.tables docs (convertTableLayoutAzure:
+    polygon cells, span collapse, empty cells)."""
     from typing import Iterator
 
     import pandas as pd

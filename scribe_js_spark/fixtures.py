@@ -1623,13 +1623,109 @@ def build_abbyy_table_models(doc_id: int, seed: int = SEED_DEFAULT) -> dict:
             "bad_widths": bad_widths, "n_cols": n_cols}
 
 
+def build_azure_table_models(doc_id: int, seed: int = SEED_DEFAULT) -> dict:
+    """Azure DocIntel table-layout family: ``analyzeResult.tables``
+    with polygon cells (convertTableLayoutAzure semantics). Even docs
+    carry a plain grid; odd docs a first-row cell spanning two columns,
+    which per the reference collapses those columns into one wide
+    column box whose body cells merge. Cell (1, 1) is left empty
+    everywhere to exercise empty-cell output."""
+    rng = _doc_rng(seed + 97531, doc_id)
+    n_rows = rng.randint(3, 6)
+    n_cols = rng.randint(3, 4)
+    col_w = 180
+    tl = MARGIN_LEFT
+    span_first = doc_id % 2 == 1
+
+    lead_tok = rng.choice(LEXICON)
+    lead_par = {"lines": [{"words": [{
+        "text": lead_tok, "chars": None, "out_words": [lead_tok],
+        "left": MARGIN_LEFT, "right": MARGIN_LEFT + len(lead_tok) * CHAR_W,
+        "top": TOP_BASELINE - ASC_H, "bottom": TOP_BASELINE + DESC_H,
+        "conf": 97}], "baseline_y": TOP_BASELINE, "indent": 0}]}
+
+    def cell_box(r_i, c_i, c_span=1):
+        y = TOP_BASELINE + (2 + r_i) * LINE_PITCH
+        return (tl + c_i * col_w, y - ASC_H - 4,
+                tl + (c_i + c_span) * col_w, y + DESC_H + 4)
+
+    cells = []          # azure_tables cell records
+    table_pars = []     # one par per table row (page words/lines)
+    values: dict = {}   # (model_row, model_col) -> text
+    for r in range(n_rows):
+        y = TOP_BASELINE + (2 + r) * LINE_PITCH
+        words = []
+        for c in range(n_cols):
+            if r == 1 and c == 1:
+                cells.append({"row": r, "col": c, "content": "",
+                              "box": cell_box(r, c)})
+                continue
+            if span_first and r == 0:
+                if c == 0:
+                    val = "HDR"
+                    cells.append({"row": 0, "col": 0, "span": 2,
+                                  "content": val,
+                                  "box": cell_box(0, 0, 2)})
+                elif c == 1:
+                    continue  # covered by the span
+                else:
+                    val = str(100 + c)
+                    cells.append({"row": 0, "col": c, "content": val,
+                                  "box": cell_box(0, c)})
+            else:
+                val = str(100 * (r + 1) + c)
+                cells.append({"row": r, "col": c, "content": val,
+                              "box": cell_box(r, c)})
+            left = tl + c * col_w + 12
+            words.append({
+                "text": val, "chars": None, "out_words": [val],
+                "left": left, "right": left + len(val) * CHAR_W,
+                "top": y - ASC_H, "bottom": y + DESC_H, "conf": 96,
+                "quoted": False, "token": None})
+            values[(r, c)] = val
+        table_pars.append({"lines": [{"words": words, "baseline_y": y,
+                                      "indent": 0}]})
+
+    # Expected cells by the reference rule: column boxes are the first
+    # row's cell polygons; words fall into the box holding their
+    # midpoint, rows split at each row's max cell bottom.
+    col_boxes = [(c["box"][0], c["box"][2])
+                 for c in sorted((c for c in cells if c["row"] == 0),
+                                 key=lambda c: c["col"])]
+    expected = []
+    for r in range(n_rows):
+        for j, (bl, br) in enumerate(col_boxes):
+            texts = []
+            for c in range(n_cols):
+                if (r, c) not in values:
+                    continue
+                left = tl + c * col_w + 12
+                cx = left + len(values[(r, c)]) * CHAR_W / 2
+                if bl <= cx < br:
+                    texts.append(values[(r, c)])
+            expected.append({"table_n": 0, "row_n": r, "col_n": j,
+                             "cell": " ".join(texts)})
+
+    page = {"pars": [lead_par] + table_pars,
+            "width": PAGE_W, "height": PAGE_H,
+            "azure_tables": [{
+                "row_count": n_rows, "col_count": n_cols,
+                "cells": cells}]}
+    model = {"doc_id": doc_id, "family": "base", "pages": [page]}
+    return {"model": model, "expected": expected}
+
+
 def write_abbyy_table_parquet(path: str, n_docs: int = 30,
                               seed: int = SEED_DEFAULT) -> None:
-    """abbyy_table_docs.parquet (url, ABBYY XML bytes) +
-    abbyy_table.parquet golden cells."""
+    """abbyy_table_docs.parquet (url, ABBYY XML or Azure JSON bytes) +
+    abbyy_table.parquet golden cells — the explicit-table-layout
+    family (ABBYY blockType="Table" docs plus Azure
+    analyzeResult.tables docs)."""
     import os
 
     import pandas as pd
+
+    from .render_cloud import render_azure_docintel
 
     doc_rows, golden_rows = [], []
     for doc_id in range(n_docs):
@@ -1638,6 +1734,14 @@ def write_abbyy_table_parquet(path: str, n_docs: int = 30,
         doc_rows.append({
             "url": url,
             "html": render_abbyy(m["model"]).encode("utf-8")})
+        for rec in m["expected"]:
+            golden_rows.append({"url": url, **rec})
+    for doc_id in range(max(1, n_docs * 5 // 6)):
+        m = build_azure_table_models(doc_id, seed=seed)
+        url = f"https://fixtures.test/azure_table/{doc_id:08d}"
+        doc_rows.append({
+            "url": url,
+            "html": render_azure_docintel(m["model"]).encode("utf-8")})
         for rec in m["expected"]:
             golden_rows.append({"url": url, **rec})
     pd.DataFrame(doc_rows).to_parquet(

@@ -5,7 +5,10 @@ Semantics of /root/reference/js/import/convertDocAzureDocIntel.js:13-158:
 assigning words to lines, 8-number polygons (unit scaling for non-pixel
 documents), baseline slope from the line polygon bottom edge,
 ascHeight = 3/5 line polygon height, page angle from the page record;
-then pass3. (Azure table layout deferred with the other layout tables.)
+then pass3. ``analyzeResult.tables`` convert to explicit table layouts
+(convertTableLayoutAzure, convertDocAzureDocIntel.js:160-254): column
+boxes from the first row's cell polygons, table top/bottom from every
+cell polygon, row bounds from each row's max cell bottom.
 """
 
 from __future__ import annotations
@@ -15,6 +18,82 @@ import json
 from ..functions.stats import js_round
 from ..model import Bbox, OcrLine, OcrPage, OcrWord
 from .shared import pass3
+
+
+def convert_table_layout_azure(tables: list | None, pages_data: list,
+                               page_dims: dict | None) -> dict:
+    """analyzeResult.tables -> {page_idx: [table dict]}
+    (convertTableLayoutAzure, convertDocAzureDocIntel.js:175-254):
+    per table, column boxes come from the first row's cell polygons
+    (left = x1, right = x2 of the top edge), the table's top/bottom
+    from the min/max y over every cell polygon, and row bounds from
+    each row's max cell-polygon bottom (y3/y4). Cell spans are not
+    expanded — a spanning first-row cell simply yields one wide
+    column, as in the reference."""
+    result: dict[int, list[dict]] = {}
+    for table_data in tables or []:
+        regions = table_data.get("boundingRegions") or []
+        page_number = regions[0].get("pageNumber") if regions else None
+        if not page_number:
+            continue
+        page_idx = page_number - 1  # Azure is 1-indexed
+
+        mult_w = mult_h = 1.0
+        page_data = pages_data[page_idx] if page_idx < len(pages_data) \
+            else None
+        if page_data and page_dims and page_data.get("unit") != "pixel":
+            mult_w = page_dims["width"] / page_data["width"]
+            mult_h = page_dims["height"] / page_data["height"]
+
+        cells_by_row: dict[int, list[dict]] = {}
+        for cell in table_data.get("cells") or []:
+            cells_by_row.setdefault(cell.get("rowIndex", 0), []).append(cell)
+        first_row = sorted(cells_by_row.get(0, []),
+                           key=lambda c: c.get("columnIndex", 0))
+
+        table_top = float("inf")
+        table_bottom = float("-inf")
+        for cell in table_data.get("cells") or []:
+            regs = cell.get("boundingRegions") or []
+            poly = regs[0].get("polygon") if regs else None
+            if not poly:
+                continue
+            ys = [y * mult_h for y in poly[1::2]]
+            table_top = min(table_top, *ys)
+            table_bottom = max(table_bottom, *ys)
+
+        boxes = []
+        for cell in first_row:
+            regs = cell.get("boundingRegions") or []
+            poly = regs[0].get("polygon") if regs else None
+            if not poly:
+                continue
+            boxes.append((js_round(poly[0] * mult_w), js_round(table_top),
+                          js_round(poly[2] * mult_w),
+                          js_round(table_bottom)))
+
+        row_bounds = []
+        for r in range(table_data.get("rowCount") or 0):
+            max_bottom = 0.0
+            for cell in cells_by_row.get(r, []):
+                regs = cell.get("boundingRegions") or []
+                poly = regs[0].get("polygon") if regs else None
+                if not poly:
+                    continue
+                bottom = max(poly[5], poly[7]) * mult_h
+                if bottom > max_bottom:
+                    max_bottom = bottom
+            row_bounds.append(js_round(max_bottom))
+
+        if boxes:
+            result.setdefault(page_idx, []).append({
+                "bbox": Bbox(boxes[0][0], js_round(table_top),
+                             boxes[-1][2], js_round(table_bottom)),
+                "columns": boxes,
+                "row_bounds": row_bounds,
+                "method": "azure",
+            })
+    return result
 
 
 def convert_doc_azure_docintel(ocr_str: str,
@@ -102,5 +181,10 @@ def convert_doc_azure_docintel(ocr_str: str,
         page_obj.angle = page_data.get("angle") or 0
         pass3(page_obj)
         pages.append(page_obj)
+
+    tables_by_page = convert_table_layout_azure(
+        result.get("tables"), pages_data, page_dims)
+    for n, page_obj in enumerate(pages):
+        page_obj.tables = tables_by_page.get(n, [])
 
     return pages

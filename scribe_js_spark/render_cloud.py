@@ -103,8 +103,37 @@ def render_azure_docintel(model: dict) -> str:
             "width": page["width"], "height": page["height"],
             "words": words_out, "lines": lines_out,
         })
+    tables_out = []
+    for n, page in enumerate(model["pages"]):
+        for tbl in page.get("azure_tables", []):
+            cells = []
+            for cell in tbl["cells"]:
+                l, t, r, b = cell["box"]
+                cells.append({
+                    "rowIndex": cell["row"],
+                    "columnIndex": cell["col"],
+                    **({"columnSpan": cell["span"]}
+                       if cell.get("span") else {}),
+                    "content": cell.get("content", ""),
+                    "boundingRegions": [{
+                        "pageNumber": n + 1,
+                        "polygon": [l, t, r, t, r, b, l, b]}],
+                })
+            ls = min(c["box"][0] for c in tbl["cells"])
+            ts = min(c["box"][1] for c in tbl["cells"])
+            rs = max(c["box"][2] for c in tbl["cells"])
+            bs = max(c["box"][3] for c in tbl["cells"])
+            tables_out.append({
+                "rowCount": tbl["row_count"],
+                "columnCount": tbl["col_count"],
+                "boundingRegions": [{
+                    "pageNumber": n + 1,
+                    "polygon": [ls, ts, rs, ts, rs, bs, ls, bs]}],
+                "cells": cells,
+            })
     return json.dumps({
         "createdDateTime": "2026-01-01T00:00:00Z",
         "modelId": "prebuilt-read",
-        "analyzeResult": {"apiVersion": "2023-07-31", "pages": pages_out},
+        "analyzeResult": {"apiVersion": "2023-07-31", "pages": pages_out,
+                          **({"tables": tables_out} if tables_out else {})},
     })

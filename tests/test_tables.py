@@ -112,3 +112,30 @@ def test_markdown_interleaves_table_at_page_position():
     # suppressing detection keeps the old prose-only fold
     md_plain = write_markdown(pages, detect_tables=False)
     assert "|" not in md_plain
+
+
+def test_azure_table_layout_cells():
+    """Azure analyzeResult.tables -> column boxes from first-row cell
+    polygons, span collapse, empty cells (convertTableLayoutAzure)."""
+    from scribe_js_spark.extract import extract_document
+    from scribe_js_spark.fixtures import build_azure_table_models
+    from scribe_js_spark.operators.tables import extract_table_cells_fixed
+    from scribe_js_spark.render_cloud import render_azure_docintel
+
+    for doc_id in (0, 1):  # plain grid / spanning first row
+        m = build_azure_table_models(doc_id)
+        res = extract_document(
+            render_azure_docintel(m["model"]).encode("utf-8"))
+        assert res.error is None
+        page = res.pages[0]
+        assert len(page.tables) == 1
+        grid = extract_table_cells_fixed(page, page.tables[0])
+        got = [{"table_n": 0, "row_n": r, "col_n": c, "cell": cell}
+               for r, row in enumerate(grid)
+               for c, cell in enumerate(row)]
+        assert got == m["expected"]
+        if doc_id == 1:  # span collapsed a column
+            n_cols_model = max(
+                c["col"] for c in m["model"]["pages"][0]
+                ["azure_tables"][0]["cells"]) + 1
+            assert len(grid[0]) == n_cols_model - 1
