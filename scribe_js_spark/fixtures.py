@@ -1224,8 +1224,13 @@ def write_pdf_table_parquet(path: str, n_docs: int = 30,
     for doc_id in range(n_docs):
         m = build_pdf_table_models(doc_id, seed=seed)
         url = f"https://fixtures.test/pdf_table/{doc_id:08d}"
+        # Cycle content-stream filters: every 5th doc LZW-compressed,
+        # every 5th+1 RunLength — exercising the pre-Flate-era filters
+        # against the same golden cells.
+        sf = {0: "lzw", 1: "rle"}.get(doc_id % 5)
         doc_rows.append({
-            "url": url, "html": _render(m["model"], rotate=False)})
+            "url": url,
+            "html": _render(m["model"], rotate=False, stream_filter=sf)})
         for rec in m["expected"]:
             cell_rows.append({"url": url, **rec})
         for r, row in enumerate(m["num_cells"]):

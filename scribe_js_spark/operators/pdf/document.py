@@ -1,9 +1,11 @@
 """PDF document object layer: xref parsing, object cache, stream decode.
 
 Covers the reference's parsePdfUtils.js (findXrefOffset, parseXref for
-classic tables AND xref streams, extractStream FlateDecode + PNG
-predictors) and objectCache.js (lazy object decode + caching). Fresh
-implementation from the PDF 1.7 spec.
+classic tables AND xref streams, extractStream with the content-capable
+filters: FlateDecode + PNG predictors, LZWDecode + EarlyChange,
+RunLengthDecode, ASCIIHex/ASCII85) and objectCache.js (lazy object
+decode + caching). Fresh implementation from the PDF 1.7 spec; image
+codecs (DCT/CCITT/JBIG2/JPX) never reach the text layer.
 """
 
 from __future__ import annotations
@@ -294,6 +296,20 @@ class PdfDocument:
                 import base64
                 body = out.split(b"~>")[0].replace(b"\n", b"").replace(b"\r", b"")
                 out = base64.a85decode(body)
+            elif fname in ("LZWDecode", "LZW"):
+                early = 1
+                if isinstance(parm, dict):
+                    early = int(self.resolve(parm.get("EarlyChange", 1)))
+                out = _lzw_decode(out, early)
+                if isinstance(parm, dict) and int(
+                        self.resolve(parm.get("Predictor", 1))) >= 10:
+                    out = _png_predictor(
+                        out,
+                        int(self.resolve(parm.get("Columns", 1))),
+                        int(self.resolve(parm.get("Colors", 1))),
+                        int(self.resolve(parm.get("BitsPerComponent", 8))))
+            elif fname in ("RunLengthDecode", "RL"):
+                out = _rle_decode(out)
             else:
                 # image codecs (DCT/CCITT/JBIG2/JPX) never reach the text
                 # layer; leave bytes untouched (reference skips them too)
@@ -354,6 +370,75 @@ class PdfDocument:
                     continue
             return b"\n".join(parts)
         return self._stream_bytes(contents)
+
+
+def _lzw_decode(data: bytes, early_change: int = 1) -> bytes:
+    """LZWDecode (PDF 7.4.4 / TIFF variable-width LZW): 9->12-bit codes
+    MSB-first, 256 = clear table, 257 = EOD; with EarlyChange (the
+    default) the code width grows one entry early. Content streams in
+    pre-Flate-era PDFs use this filter."""
+    out = bytearray()
+    base = {i: bytes([i]) for i in range(256)}
+    table = dict(base)
+    next_code = 258
+    code_bits = 9
+    prev = None
+    acc = 0
+    nbits = 0
+    for byte in data:
+        acc = (acc << 8) | byte
+        nbits += 8
+        while nbits >= code_bits:
+            code = (acc >> (nbits - code_bits)) & ((1 << code_bits) - 1)
+            nbits -= code_bits
+            if code == 256:  # clear
+                table = dict(base)
+                next_code = 258
+                code_bits = 9
+                prev = None
+                continue
+            if code == 257:  # EOD
+                return bytes(out)
+            if prev is None:
+                entry = table.get(code)
+                if entry is None:
+                    raise PdfError("LZW: bad initial code")
+            else:
+                if code in table:
+                    entry = table[code]
+                elif code == next_code:
+                    entry = prev + prev[:1]
+                else:
+                    raise PdfError("LZW: code out of range")
+                table[next_code] = prev + entry[:1]
+                next_code += 1
+            out += entry
+            prev = entry
+            if (next_code + early_change >= (1 << code_bits)
+                    and code_bits < 12):
+                code_bits += 1
+    return bytes(out)
+
+
+def _rle_decode(data: bytes) -> bytes:
+    """RunLengthDecode (PDF 7.4.5): length byte 0-127 = copy next n+1
+    literally, 129-255 = repeat next byte 257-n times, 128 = EOD."""
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n:
+        length = data[i]
+        i += 1
+        if length == 128:
+            break
+        if length < 128:
+            out += data[i : i + length + 1]
+            i += length + 1
+        else:
+            if i < n:
+                out += bytes([data[i]]) * (257 - length)
+                i += 1
+    return bytes(out)
 
 
 def _png_predictor(data: bytes, columns: int, colors: int, bpc: int) -> bytes:

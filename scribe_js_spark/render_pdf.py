@@ -263,6 +263,78 @@ def _apply_encryption(w: "_Writer", mode: str, doc_id: int) -> None:
         f"/ID [<{doc_id_bytes.hex()}> <{doc_id_bytes.hex()}>] ")
 
 
+def _lzw_encode(data: bytes, early_change: int = 1) -> bytes:
+    """Variable-width LZW encoder (fixture side of LZWDecode): emits a
+    clear code first, EOD last, widths 9->12 growing one entry early
+    with EarlyChange (the PDF default)."""
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def put(code: int, bits: int):
+        nonlocal acc, nbits
+        acc = (acc << bits) | code
+        nbits += bits
+        while nbits >= 8:
+            out.append((acc >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+
+    table = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    code_bits = 9
+    put(256, code_bits)  # clear
+    seq = b""
+    for byte in data:
+        cand = seq + bytes([byte])
+        if cand in table:
+            seq = cand
+            continue
+        put(table[seq], code_bits)
+        table[cand] = next_code
+        next_code += 1
+        if (next_code + early_change > (1 << code_bits)
+                and code_bits < 12):
+            code_bits += 1
+        if next_code >= 4096 - 1:
+            put(256, code_bits)
+            table = {bytes([i]): i for i in range(256)}
+            next_code = 258
+            code_bits = 9
+        seq = bytes([byte])
+    if seq:
+        put(table[seq], code_bits)
+    put(257, code_bits)  # EOD
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def _rle_encode(data: bytes) -> bytes:
+    """RunLengthDecode inverse: runs >= 3 as repeats, rest literal."""
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n:
+        run = 1
+        while i + run < n and run < 128 and data[i + run] == data[i]:
+            run += 1
+        if run >= 3:
+            out += bytes([257 - run, data[i]])
+            i += run
+            continue
+        lit_start = i
+        while i < n and i - lit_start < 128:
+            run = 1
+            while i + run < n and run < 3 and data[i + run] == data[i]:
+                run += 1
+            if run >= 3:
+                break
+            i += 1
+        out += bytes([i - lit_start - 1]) + data[lit_start:i]
+    out.append(128)  # EOD
+    return bytes(out)
+
+
 def render_pdf(model: dict, compress: bool | None = None,
                tj_mode: bool | None = None,
                ligatures: bool | None = None,
@@ -275,7 +347,8 @@ def render_pdf(model: dict, compress: bool | None = None,
                sup_markers: bool = False,
                form_xobject: bool = False,
                encrypt_mode: str | None = None,
-               cff_subset: dict | None = None) -> bytes:
+               cff_subset: dict | None = None,
+               stream_filter: str | None = None) -> bytes:
     doc_id = model.get("doc_id", 0)
     if compress is None:
         compress = (doc_id % 2) == 1
@@ -628,7 +701,13 @@ def render_pdf(model: dict, compress: bool | None = None,
             xobj_num_holder = []
         stream = "\n".join(content).encode("latin-1")
         filt = b""
-        if compress:
+        if stream_filter == "lzw":
+            stream = _lzw_encode(stream)
+            filt = b"/Filter /LZWDecode "
+        elif stream_filter == "rle":
+            stream = _rle_encode(stream)
+            filt = b"/Filter /RunLengthDecode "
+        elif compress:
             stream = zlib.compress(stream)
             filt = b"/Filter /FlateDecode "
         page_obj_num = n_fixed + 1 + 2 * page_n
@@ -645,11 +724,15 @@ def render_pdf(model: dict, compress: bool | None = None,
             content_with_do = stream
             # append the Do call to the page content
             do_suffix = b"\nq 1 0 0 1 0 0 cm /FX Do Q"
-            if compress:
-                raw = "\n".join(content).encode("latin-1") + do_suffix
+            raw = "\n".join(content).encode("latin-1") + do_suffix
+            if stream_filter == "lzw":
+                stream = _lzw_encode(raw)
+            elif stream_filter == "rle":
+                stream = _rle_encode(raw)
+            elif compress:
                 stream = zlib.compress(raw)
             else:
-                stream = stream + do_suffix
+                stream = raw
         else:
             xres = ""
         f2_res = f"/F2 {f2_num} 0 R " if use_bold_font else ""

@@ -397,3 +397,37 @@ def test_column_detection():
     base = build_doc_model(5)
     res2 = extract_document(RENDERERS["hocr"](base).encode())
     assert all(detect_column_count(p) == 1 for p in res2.pages)
+
+
+def test_lzw_and_runlength_content_streams():
+    """LZWDecode (variable-width, EarlyChange) and RunLengthDecode are
+    content-stream-capable filters (PDF 7.4.4/7.4.5) used by
+    pre-Flate-era producers; extraction must be byte-identical to the
+    Flate path."""
+    from scribe_js_spark.extract import extract_document
+    from scribe_js_spark.fixtures import build_doc_model
+    from scribe_js_spark.render_pdf import render_pdf
+
+    model = build_doc_model(5, n_pages=2)
+    base = extract_document(
+        render_pdf(model, rotate=False, compress=True))
+    assert base.error is None
+    for sf in ("lzw", "rle"):
+        res = extract_document(
+            render_pdf(model, rotate=False, stream_filter=sf))
+        assert res.error is None, sf
+        assert res.text == base.text, sf
+
+
+def test_lzw_decoder_edge_cases():
+    from scribe_js_spark.operators.pdf.document import (
+        _lzw_decode, _rle_decode)
+    from scribe_js_spark.render_pdf import _lzw_encode, _rle_encode
+
+    # table growth past the 512/1024 width boundaries and a mid-stream
+    # clear (encoder resets near 4096)
+    data = bytes((i * 7 + (i >> 3)) % 4 for i in range(80000))
+    assert _lzw_decode(_lzw_encode(data)) == data
+    # RLE: runs, literals, 128-literal cap, EOD
+    data2 = b"x" * 300 + bytes(range(200)) + b"y" * 2 + b"z"
+    assert _rle_decode(_rle_encode(data2)) == data2
