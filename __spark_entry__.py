@@ -212,13 +212,21 @@ def _q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     4:2:2 / 4:4:4 sampling and restart intervals; macroblock-constant
     luma + image-constant chroma keep every stage — subsample, DC
     quantize, upsample, JFIF color convert — exactly reproducible, and
-    the chroma pairs are chosen so no rounding lands on an exact .5).
+    the chroma pairs are chosen so no rounding lands on an exact .5),
+    16-bit PNG (ids 4000+: v*257 samples, MSB mean exact), Adam7
+    interlaced PNG (ids 5000+), and progressive SOF2 JPEG (ids 6000+
+    gray / 6050+ color: spectral-selection + successive-approximation
+    scans built from the same quantized coefficients, so the decoded
+    pixels — and the oracle — equal the sequential encodings').
     n_bytes is asserted for SIMG only — PNG/JPEG compressed sizes are
     not SQL-reproducible."""
     import numpy as np
 
-    from scribe_js_spark.textops.jpeg import encode_jpeg_gray, \
-        encode_jpeg_ycbcr
+    from scribe_js_spark.textops.jpeg import (
+        encode_jpeg_gray,
+        encode_jpeg_progressive,
+        encode_jpeg_ycbcr,
+    )
     from scribe_js_spark.textops.multimodal import (
         decode_media,
         encode_png_gray,
@@ -270,6 +278,24 @@ def _q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         px = ((xs * 7 + ys * 13) % 256).astype(np.uint8)
         rows.append((5000 + i, encode_png_gray(
             px, cycle_filters=i % 2 == 1, interlace=True)))
+    for i in range(5):  # progressive (SOF2) grayscale, gray formula
+        w = 17 + i % 9
+        h = 9 + i % 7
+        xs, ys = np.meshgrid(np.arange(w), np.arange(h))
+        px = (((xs // 8) * 31 + (ys // 8) * 17) % 256).astype(np.uint8)
+        rows.append((6000 + i, encode_jpeg_progressive(px)))
+    for i in range(5):  # progressive color, 3000-family formula
+        w = 32 + (i % 3) * 16
+        h = 16 + (i % 5) * 16
+        ys, xs = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+        lum = (((xs // 16) * 31 + (ys // 16) * 17) % 160 + 40).astype(
+            np.uint8)
+        cb = 112 + (i * 3) % 33
+        cr = 116 + (i * 5) % 29
+        rows.append((6050 + i, encode_jpeg_progressive(
+            lum, np.full((h, w), cb, np.uint8),
+            np.full((h, w), cr, np.uint8),
+            sampling=[(2, 2), (2, 1), (1, 1)][i % 3])))
     df = spark.createDataFrame(rows, ["media_id", "data"])
     return decode_media(df).select(
         "media_id", "kind",
@@ -2152,11 +2178,13 @@ WHERE len(list_intersect(ta.toks, tb.toks))
                    h::BIGINT AS height, NULL::BIGINT AS n_bytes_simg,
                    CAST(floor(avg(v) * 1e6) AS BIGINT) AS mean_e6
             FROM (
-              SELECT 2000 + r AS media_id, (17 + r % 9) AS w,
+              SELECT b.b + r AS media_id, (17 + r % 9) AS w,
                      (9 + r % 7) AS h,
                      (((x.x // 8) * 31 + (y.y // 8) * 17) % 256)::DOUBLE AS v
-              FROM range(20) t(r), range(26) x(x), range(16) y(y)
-              WHERE x.x < (17 + r % 9) AND y.y < (9 + r % 7)
+              FROM (VALUES (2000, 20), (6000, 5)) b(b, n),
+                   range(20) t(r), range(26) x(x), range(16) y(y)
+              WHERE r < b.n
+                AND x.x < (17 + r % 9) AND y.y < (9 + r % 7)
             ) GROUP BY media_id, w, h
             UNION ALL
             -- Color YCbCr rows (ids 3000+): macroblock-constant luma
@@ -2173,15 +2201,17 @@ WHERE len(list_intersect(ta.toks, tb.toks))
                      (3 * SUM(y) + COUNT(*) * ANY_VALUE(offsum))::DOUBLE
                      / (3 * COUNT(*)) * 1e6) AS BIGINT) AS mean_e6
             FROM (
-              SELECT 3000 + r AS media_id,
+              SELECT b.b + r AS media_id,
                      (32 + (r % 3) * 16) AS w, (16 + (r % 5) * 16) AS h,
                      (((x.x // 16) * 31 + (y.y // 16) * 17) % 160 + 40) AS y,
                      ROUND(1.402 * ((116 + (r * 5) % 29) - 128))
                      + ROUND(-0.344136 * ((112 + (r * 3) % 33) - 128)
                              - 0.714136 * ((116 + (r * 5) % 29) - 128))
                      + ROUND(1.772 * ((112 + (r * 3) % 33) - 128)) AS offsum
-              FROM range(15) t(r), range(64) x(x), range(80) y(y)
-              WHERE x.x < (32 + (r % 3) * 16) AND y.y < (16 + (r % 5) * 16)
+              FROM (VALUES (3000, 15), (6050, 5)) b(b, n),
+                   range(15) t(r), range(64) x(x), range(80) y(y)
+              WHERE r < b.n
+                AND x.x < (32 + (r % 3) * 16) AND y.y < (16 + (r % 5) * 16)
             ) GROUP BY media_id, w, h
         """,
     }

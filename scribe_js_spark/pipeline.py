@@ -222,9 +222,11 @@ def extract_text(
 
     schema = EXTRACT_SPANS_SCHEMA if with_spans else EXTRACT_SCHEMA
 
-    # mapInArrow skips the pandas boxing layer; measured within box
-    # noise of mapInPandas on this VM (BENCH/BASELINE.md), so it stays
-    # opt-in until a quiet-window measurement separates them.
+    # mapInArrow skips the pandas boxing layer, but an interleaved A/B
+    # at local[32] (tools/bench_arrow_ab.py: pandas 13.3s vs arrow
+    # 16.3s, best-of-3 alternating) measured it 22% SLOWER here — the
+    # per-value .as_py() calls cost more than pandas' bulk object
+    # conversion. It stays opt-in for re-measurement on other shapes.
     use_arrow = (not with_spans
                  and os.environ.get("SPARK_GRAFT_ARROW", "0") == "1")
     if use_arrow:

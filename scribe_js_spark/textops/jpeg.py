@@ -1,15 +1,18 @@
-"""From-scratch baseline JPEG codec (ITU-T T.81 subset).
+"""From-scratch JPEG codec (ITU-T T.81 sequential + progressive).
 
-Decoder: SOI marker walk, DQT (8-bit tables), SOF0 baseline with 1
-(grayscale) or 3 (YCbCr) components including chroma subsampling
-(any integer Hi/Vi ratio: 4:4:4, 4:2:2, 4:2:0), DHT canonical Huffman
-tables, DRI/RSTn restart intervals, SOS interleaved entropy decode
-(byte-stuffing-aware bit reader, per-component DC differential + AC
-run/length with ZRL and EOB), dequantize, 2-D IDCT (separable 8x8
-DCT-III matrix), chroma upsample by replication, JFIF YCbCr->RGB,
-level shift + clamp, MCU edge-padding trim. Progressive (SOF2) and
-arithmetic coding raise NotImplementedError — surfaced as an error
-column upstream, never a crash (decode_media contract).
+Decoder: SOI marker walk, DQT (8-bit tables), SOF0/SOF1 sequential
+and SOF2 progressive frames with 1 (grayscale) or 3 (YCbCr)
+components including chroma subsampling (any integer Hi/Vi ratio:
+4:4:4, 4:2:2, 4:2:0), DHT canonical Huffman tables, DRI/RSTn restart
+intervals, interleaved and single-component scans (byte-stuffing-aware
+bit reader, per-component DC differential + AC run/length with ZRL and
+EOB), full progressive support — spectral selection AND successive
+approximation (DC/AC first + refinement passes with EOB runs) —
+dequantize, 2-D IDCT (separable 8x8 DCT-III matrix), chroma upsample
+by replication, JFIF YCbCr->RGB, level shift + clamp, MCU edge-padding
+trim. Arithmetic coding and hierarchical modes raise
+NotImplementedError — surfaced as an error column upstream, never a
+crash (decode_media contract).
 
 Encoder (fixture side): the exact inverse pipeline with the standard
 Annex K luminance Huffman tables. Blockwise-CONSTANT images with a DC
@@ -101,16 +104,21 @@ def _build_encode_table(bits, vals):
 
 class _BitReader:
     """MSB-first bit reader over entropy-coded data with 0xFF00
-    stuffing; 0xFFD9 (EOI) or any other marker ends the stream."""
+    stuffing. A non-stuffing, non-restart marker ends the scan's
+    entropy data: its position is recorded in ``marker_pos`` and
+    further reads return zero padding (T.81 allows the pad)."""
 
     def __init__(self, data: bytes, pos: int):
         self.data = data
         self.pos = pos
         self.acc = 0
         self.n = 0
+        self.marker_pos = None
 
     def read_bit(self) -> int:
         if self.n == 0:
+            if self.marker_pos is not None:
+                return 0  # zero padding past end of scan
             if self.pos >= len(self.data):
                 raise ValueError("jpeg: truncated entropy stream")
             b = self.data[self.pos]
@@ -119,9 +127,10 @@ class _BitReader:
                 nxt = self.data[self.pos] if self.pos < len(self.data) else 0xD9
                 if nxt == 0x00:
                     self.pos += 1
-                else:  # marker — treated as end of data; pad with 0s
-                    self.data = self.data[: self.pos - 1]
-                    b = 0
+                else:  # marker — end of this scan's entropy data
+                    self.marker_pos = self.pos - 1
+                    self.pos -= 1
+                    return 0
             self.acc = b
             self.n = 8
         self.n -= 1
@@ -145,6 +154,9 @@ class _BitReader:
         """Byte-align and consume an RSTn marker (T.81 F.2.1.3.1).
         Called exactly at restart-interval MCU boundaries."""
         self.n = 0  # drop pad bits
+        if self.marker_pos is not None:
+            self.pos = self.marker_pos
+            self.marker_pos = None
         if (self.pos + 1 < len(self.data)
                 and self.data[self.pos] == 0xFF
                 and 0xD0 <= self.data[self.pos + 1] <= 0xD7):
@@ -160,11 +172,10 @@ def _extend(v: int, t: int) -> int:
     return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
 
 
-def _decode_block(reader: _BitReader, dc_tab, ac_tab, pred: int,
-                  q: np.ndarray) -> tuple[np.ndarray, int]:
-    """One 8x8 block: Huffman DC diff + AC runs -> spatial pixels
-    (pre-level-shift float), plus the updated DC predictor."""
-    zz = np.zeros(64, dtype=np.int32)
+def _decode_block_zz(reader: _BitReader, dc_tab, ac_tab,
+                     pred: int, zz) -> int:
+    """Sequential entropy decode of one block's zigzag coefficients
+    into ``zz`` (int array view); returns the updated DC predictor."""
     t = reader.read_code(dc_tab)
     pred += _extend(reader.read_bits(t), t)
     zz[0] = pred
@@ -182,26 +193,161 @@ def _decode_block(reader: _BitReader, dc_tab, ac_tab, pred: int,
             raise ValueError("jpeg: AC index overflow")
         zz[k] = _extend(reader.read_bits(s), s)
         k += 1
-    coef = np.zeros(64, dtype=np.float64)
-    coef[ZIGZAG] = zz * q
-    return _IDCT @ coef.reshape(8, 8) @ _IDCT.T, pred
+    return pred
+
+
+def _dc_scan_block(reader, dc_tab, zz, pred: int, ah: int, al: int) -> int:
+    """Progressive DC: first pass codes diffs of DC >> al; refinement
+    adds one raw bit (T.81 G.1.2.1)."""
+    if ah == 0:
+        t = reader.read_code(dc_tab)
+        pred += _extend(reader.read_bits(t), t)
+        zz[0] = pred << al
+    else:
+        if reader.read_bit():
+            zz[0] |= 1 << al
+    return pred
+
+
+def _ac_first_block(reader, ac_tab, zz, ss: int, se: int, al: int,
+                    eobrun: list) -> None:
+    """Progressive AC first pass (T.81 G.1.2.2): run/size with EOBn
+    end-of-band runs, values scaled by << al."""
+    if eobrun[0] > 0:
+        eobrun[0] -= 1
+        return
+    k = ss
+    while k <= se:
+        rs = reader.read_code(ac_tab)
+        r, s = rs >> 4, rs & 0xF
+        if s == 0:
+            if r != 15:
+                eobrun[0] = (1 << r) - 1 + (reader.read_bits(r) if r else 0)
+                return
+            k += 16  # ZRL
+            continue
+        k += r
+        if k > se:
+            raise ValueError("jpeg: AC index past band")
+        zz[k] = _extend(reader.read_bits(s), s) << al
+        k += 1
+
+
+def _ac_refine_block(reader, ac_tab, zz, ss: int, se: int, al: int,
+                     eobrun: list) -> None:
+    """Progressive AC refinement (T.81 G.1.2.3, libjpeg
+    decode_mcu_AC_refine structure): correction bits for
+    already-nonzero coefficients, newly-significant +-1<<al values
+    placed after a counted run of zero-history positions."""
+    p1 = 1 << al
+    k = ss
+    if eobrun[0] == 0:
+        while k <= se:
+            rs = reader.read_code(ac_tab)
+            r, s = rs >> 4, rs & 0xF
+            newval = 0
+            if s:
+                if s != 1:
+                    raise ValueError("jpeg: bad refinement magnitude")
+                newval = p1 if reader.read_bit() else -p1
+            elif r != 15:
+                eobrun[0] = (1 << r) + (reader.read_bits(r) if r else 0)
+                break
+            while k <= se:
+                if zz[k] != 0:
+                    if reader.read_bit() and (zz[k] & p1) == 0:
+                        zz[k] += p1 if zz[k] >= 0 else -p1
+                else:
+                    r -= 1
+                    if r < 0:
+                        break
+                k += 1
+            if s and k <= se:
+                zz[k] = newval
+            k += 1
+    if eobrun[0] > 0:
+        while k <= se:
+            if zz[k] != 0:
+                if reader.read_bit() and (zz[k] & p1) == 0:
+                    zz[k] += p1 if zz[k] >= 0 else -p1
+            k += 1
+        eobrun[0] -= 1
+
+
+def _decode_scan(reader, scomps, coefs, geom, htables,
+                 restart_interval, progressive, ss, se, ah, al):
+    """One SOS scan's entropy data into the coefficient arrays.
+    Interleaved (multi-component) scans walk the MCU grid; single-
+    component scans walk the component's own block grid (T.81 A.2.2)."""
+    hmax, vmax, mcux, mcuy = geom
+    preds = {c["idx"]: 0 for c in scomps}
+    eobrun = [0]
+
+    def block(c, by, bx, zz):
+        if not progressive:
+            preds[c["idx"]] = _decode_block_zz(
+                reader, htables[(0, c["dc"])], htables[(1, c["ac"])],
+                preds[c["idx"]], zz)
+        elif ss == 0:
+            preds[c["idx"]] = _dc_scan_block(
+                reader, htables.get((0, c["dc"])), zz,
+                preds[c["idx"]], ah, al)
+        elif ah == 0:
+            _ac_first_block(reader, htables[(1, c["ac"])], zz,
+                            ss, se, al, eobrun)
+        else:
+            _ac_refine_block(reader, htables[(1, c["ac"])], zz,
+                             ss, se, al, eobrun)
+
+    def restart(count):
+        if restart_interval and count and count % restart_interval == 0:
+            reader.sync_restart()
+            for key in preds:
+                preds[key] = 0
+            eobrun[0] = 0
+
+    if len(scomps) == 1:
+        c = scomps[0]
+        cz = coefs[c["idx"]]
+        for bi in range(c["cbh"] * c["cbw"]):
+            restart(bi)
+            by, bx = divmod(bi, c["cbw"])
+            block(c, by, bx, cz[by, bx])
+    else:
+        n = 0
+        for my in range(mcuy):
+            for mx in range(mcux):
+                restart(n)
+                for c in scomps:
+                    for v in range(c["vs"]):
+                        for u in range(c["hs"]):
+                            block(c, my * c["vs"] + v, mx * c["hs"] + u,
+                                  coefs[c["idx"]][my * c["vs"] + v,
+                                                  mx * c["hs"] + u])
+                n += 1
 
 
 def decode_jpeg(data: bytes) -> np.ndarray:
-    """Baseline JPEG -> uint8 array: (h, w) for grayscale, (h, w, 3)
+    """Huffman JPEG -> uint8 array: (h, w) for grayscale, (h, w, 3)
     RGB for 3-component YCbCr (JFIF conversion, chroma upsampled by
-    replication). Supports interleaved scans, any integer subsampling
-    ratio, and DRI/RSTn restart intervals."""
+    replication). Supports baseline/extended sequential (SOF0/SOF1)
+    and progressive (SOF2) with spectral selection + successive
+    approximation, interleaved and single-component scans, any integer
+    subsampling ratio, and DRI/RSTn restart intervals. Arithmetic
+    coding and hierarchical modes raise NotImplementedError."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("jpeg: missing SOI")
     pos = 2
     qtables: dict[int, np.ndarray] = {}
     htables: dict[tuple[int, int], dict] = {}
     w = h = None
-    comps: list[dict] = []       # SOF order: id, hs, vs, qid
-    scan: list[dict] = []        # SOS order: component + dc/ac table ids
+    comps: list[dict] = []       # SOF order: id, hs, vs, qid, idx
+    progressive = False
     restart_interval = 0
-    while pos < len(data):
+    coefs = None                 # per-comp (bh, bw, 64) int32
+    geom = None                  # (hmax, vmax, mcux, mcuy)
+    saw_scan = False
+    while pos + 1 < len(data):
         if data[pos] != 0xFF:
             raise ValueError("jpeg: bad marker alignment")
         marker = data[pos + 1]
@@ -222,17 +368,18 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 qtables[tq] = np.frombuffer(
                     seg[p : p + 64], dtype=np.uint8).astype(np.int32)
                 p += 64
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 prog
+            progressive = marker == 0xC2
             _prec, h, w, ncomp = struct.unpack_from(">BHHB", seg, 0)
             if ncomp not in (1, 3):
                 raise NotImplementedError(f"jpeg: {ncomp}-component image")
             for ci in range(ncomp):
                 cid, hv, qid = seg[6 + 3 * ci : 9 + 3 * ci]
                 comps.append({"id": cid, "hs": hv >> 4, "vs": hv & 0xF,
-                              "qid": qid})
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                              "qid": qid, "idx": ci})
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise NotImplementedError("jpeg: non-baseline SOF")
+            raise NotImplementedError("jpeg: unsupported SOF mode")
         elif marker == 0xC4:  # DHT
             p = 0
             while p < len(seg):
@@ -245,54 +392,65 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack_from(">H", seg, 0)[0]
         elif marker == 0xDA:  # SOS
+            if not comps:
+                raise ValueError("jpeg: SOS before SOF")
+            if coefs is None:
+                hmax = max(c["hs"] for c in comps)
+                vmax = max(c["vs"] for c in comps)
+                mcux = (w + 8 * hmax - 1) // (8 * hmax)
+                mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+                geom = (hmax, vmax, mcux, mcuy)
+                for c in comps:
+                    cw = (w * c["hs"] + hmax - 1) // hmax
+                    ch = (h * c["vs"] + vmax - 1) // vmax
+                    c["cbw"] = (cw + 7) // 8
+                    c["cbh"] = (ch + 7) // 8
+                coefs = [np.zeros((mcuy * c["vs"], mcux * c["hs"], 64),
+                                  dtype=np.int32) for c in comps]
             ns = seg[0]
-            if ns != len(comps):
-                raise NotImplementedError("jpeg: non-interleaved scan")
             by_id = {c["id"]: c for c in comps}
-            for si in range(ns):
-                cid, tbl = seg[1 + 2 * si : 3 + 2 * si]
-                scan.append({**by_id[cid], "dc": tbl >> 4, "ac": tbl & 0xF})
-            pos += seg_len
-            break
+            scomps = []
+            p = 1
+            for _ in range(ns):
+                cid, tbl = seg[p], seg[p + 1]
+                p += 2
+                scomps.append({**by_id[cid], "dc": tbl >> 4,
+                               "ac": tbl & 0xF})
+            ss, se, ahal = seg[p], seg[p + 1], seg[p + 2]
+            ah, al = ahal >> 4, ahal & 0xF
+            if progressive and ss == 0 and se != 0:
+                raise ValueError("jpeg: invalid progressive DC band")
+            if len(scomps) > 1 and progressive and ss != 0:
+                raise ValueError("jpeg: interleaved progressive AC scan")
+            reader = _BitReader(data, pos + seg_len)
+            _decode_scan(reader, scomps, coefs, geom, htables,
+                         restart_interval, progressive, ss, se, ah, al)
+            saw_scan = True
+            pos = (reader.marker_pos if reader.marker_pos is not None
+                   else reader.pos)
+            continue
         pos += seg_len
-    if w is None or h is None or not scan:
-        raise ValueError("jpeg: missing SOF0/SOS")
+    if w is None or h is None or not saw_scan:
+        raise ValueError("jpeg: missing SOF/SOS")
 
-    hmax = max(c["hs"] for c in scan)
-    vmax = max(c["vs"] for c in scan)
-    mcux = (w + 8 * hmax - 1) // (8 * hmax)
-    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
-    planes = [np.zeros((mcuy * c["vs"] * 8, mcux * c["hs"] * 8),
-                       dtype=np.float64) for c in scan]
-    reader = _BitReader(data, pos)
-    preds = [0] * len(scan)
-    mcu_count = 0
-    for my in range(mcuy):
-        for mx in range(mcux):
-            if restart_interval and mcu_count \
-                    and mcu_count % restart_interval == 0:
-                reader.sync_restart()
-                preds = [0] * len(scan)
-            for ci, c in enumerate(scan):
-                dc_tab = htables[(0, c["dc"])]
-                ac_tab = htables[(1, c["ac"])]
-                q = qtables[c["qid"]]
-                for v in range(c["vs"]):
-                    for u in range(c["hs"]):
-                        block, preds[ci] = _decode_block(
-                            reader, dc_tab, ac_tab, preds[ci], q)
-                        y0 = (my * c["vs"] + v) * 8
-                        x0 = (mx * c["hs"] + u) * 8
-                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = block
-            mcu_count += 1
+    hmax, vmax, mcux, mcuy = geom
+    planes = []
+    for c in comps:
+        cz = coefs[c["idx"]]
+        bh, bw = cz.shape[:2]
+        q = qtables[c["qid"]]
+        deq = np.zeros((bh, bw, 64), dtype=np.float64)
+        deq[:, :, ZIGZAG] = cz * q
+        blocks = np.einsum("ki,mnij,lj->mnkl", _IDCT,
+                           deq.reshape(bh, bw, 8, 8), _IDCT)
+        plane = blocks.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
+        planes.append(plane)
 
-    if len(scan) == 1:
+    if len(comps) == 1:
         px = np.clip(np.round(planes[0] + 128.0), 0, 255).astype(np.uint8)
         return px[:h, :w]
-    # Upsample chroma to luma resolution by replication, then JFIF
-    # YCbCr -> RGB on the level-shifted planes.
     full = []
-    for ci, c in enumerate(scan):
+    for ci, c in enumerate(comps):
         p = planes[ci] + 128.0
         p = np.repeat(np.repeat(p, vmax // c["vs"], axis=0),
                       hmax // c["hs"], axis=1)
@@ -432,6 +590,216 @@ def encode_jpeg_gray(pixels, qtable=None) -> bytes:
     sos = _seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
     return (b"\xff\xd8" + dqt + sof + dht + sos
             + bytes(writer.out) + b"\xff\xd9")
+
+
+def _quantized_coefs(planes, samp, q):
+    """Forward DCT + quantize full planes -> per-component
+    (bh, bw, 64) zigzag coefficient arrays."""
+    out = []
+    for plane, (hs, vs) in zip(planes, samp):
+        ph, pw = plane.shape
+        bh, bw = ph // 8, pw // 8
+        coefs = np.zeros((bh, bw, 64), dtype=np.int64)
+        for by in range(bh):
+            for bx in range(bw):
+                block = plane[by * 8 : by * 8 + 8,
+                              bx * 8 : bx * 8 + 8] - 128.0
+                c = _DCT @ block @ _DCT.T
+                coefs[by, bx] = np.round(c.reshape(64)[ZIGZAG] / q)
+        out.append(coefs)
+    return out
+
+
+def encode_jpeg_progressive(y, cb=None, cr=None, sampling=(2, 2),
+                            qtable=None, al: int = 1) -> bytes:
+    """Progressive (SOF2) fixture encoder: an interleaved DC-first scan
+    at successive-approximation ``Al=al``, per-component AC-first scans
+    over spectral bands 1-5 and 6-63 at the same precision, then the
+    DC and AC refinement passes down to full precision. Exercises the
+    decoder's spectral-selection AND successive-approximation paths;
+    output pixels equal the baseline encoding of the same coefficients
+    (tested bit-for-bit)."""
+    y = np.asarray(y, dtype=np.uint8)
+    h, w = y.shape
+    q = (QTABLE_FIXTURE if qtable is None
+         else np.asarray(qtable, dtype=np.int32).reshape(64))
+    color = cb is not None
+    if color:
+        hs, vs = sampling
+        mcux = (w + 8 * hs - 1) // (8 * hs)
+        mcuy = (h + 8 * vs - 1) // (8 * vs)
+        ypad = _pad_to_blocks(y, mcuy * vs * 8, mcux * hs * 8)
+        planes = [ypad]
+        for c in (cb, cr):
+            cpad = _pad_to_blocks(np.asarray(c, dtype=np.uint8),
+                                  mcuy * vs * 8, mcux * hs * 8)
+            planes.append(np.round(cpad.reshape(
+                mcuy * 8, vs, mcux * 8, hs).mean(axis=(1, 3))))
+        samp = [(hs, vs), (1, 1), (1, 1)]
+    else:
+        mcux = (w + 7) // 8
+        mcuy = (h + 7) // 8
+        planes = [_pad_to_blocks(y, mcuy * 8, mcux * 8)]
+        samp = [(1, 1)]
+    coefs = _quantized_coefs(planes, samp, q)
+
+    dc_enc = _build_encode_table(DC_BITS, DC_VALS)
+    ac_enc = _build_encode_table(AC_BITS, AC_VALS)
+
+    def scan_seg(comp_specs, ss, se, ah, al_):
+        body = bytes([len(comp_specs)])
+        for cid in comp_specs:
+            body += bytes([cid, 0x00])
+        return _seg(0xDA, body + bytes([ss, se, (ah << 4) | al_]))
+
+    out = bytearray(b"\xff\xd8")
+    out += _seg(0xDB, bytes([0x00]) + bytes(int(v) for v in q))
+    if color:
+        sof_comps = bytes([1, (samp[0][0] << 4) | samp[0][1], 0,
+                           2, 0x11, 0, 3, 0x11, 0])
+        out += _seg(0xC2, struct.pack(">BHHB", 8, h, w, 3) + sof_comps)
+    else:
+        out += _seg(0xC2, struct.pack(">BHHB", 8, h, w, 1)
+                    + bytes([1, 0x11, 0]))
+    out += _seg(0xC4, bytes([0x00]) + bytes(DC_BITS) + bytes(DC_VALS))
+    out += _seg(0xC4, bytes([0x10]) + bytes(AC_BITS) + bytes(AC_VALS))
+
+    ncomp = len(coefs)
+
+    def mcu_blocks():
+        """(comp_idx, by, bx) in interleaved MCU order."""
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for ci in range(ncomp):
+                    chs, cvs = samp[ci]
+                    for v in range(cvs):
+                        for u in range(chs):
+                            yield ci, my * cvs + v, mx * chs + u
+
+    # ---- DC first scan (interleaved, Al=al)
+    wtr = _BitWriter()
+    preds = [0] * ncomp
+    for ci, by, bx in mcu_blocks():
+        v = int(coefs[ci][by, bx, 0]) >> al   # arithmetic point transform
+        t, bits = _encode_magnitude(v - preds[ci])
+        preds[ci] = v
+        length, code = dc_enc[t]
+        wtr.write(length, code)
+        if t:
+            wtr.write(t, bits)
+    wtr.flush()
+    out += scan_seg(list(range(1, ncomp + 1)), 0, 0, 0, al)
+    out += bytes(wtr.out)
+
+    # Single-component scans cover the component's true block grid
+    # (T.81 A.2.2), which is smaller than the MCU-padded grid when the
+    # image is not MCU-aligned.
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    cdims = []
+    for chs, cvs in samp:
+        cw = (w * chs + hmax - 1) // hmax
+        ch = (h * cvs + vmax - 1) // vmax
+        cdims.append(((ch + 7) // 8, (cw + 7) // 8))
+
+    # ---- AC first scans per component, two spectral bands
+    bands = [(1, 5), (6, 63)]
+    for ci in range(ncomp):
+        for ss, se in bands:
+            wtr = _BitWriter()
+            cz = coefs[ci]
+            for by in range(cdims[ci][0]):
+                for bx in range(cdims[ci][1]):
+                    zz = cz[by, bx]
+                    # AC point transform: magnitude shift toward zero
+                    vals = [((int(zz[k]) >> al) if zz[k] >= 0
+                             else -((-int(zz[k])) >> al))
+                            for k in range(ss, se + 1)]
+                    last = -1
+                    for i, v in enumerate(vals):
+                        if v:
+                            last = i
+                    run = 0
+                    for i in range(last + 1):
+                        v = vals[i]
+                        if v == 0:
+                            run += 1
+                            continue
+                        while run > 15:
+                            length, code = ac_enc[0xF0]
+                            wtr.write(length, code)
+                            run -= 16
+                        t, bits = _encode_magnitude(v)
+                        length, code = ac_enc[(run << 4) | t]
+                        wtr.write(length, code)
+                        wtr.write(t, bits)
+                        run = 0
+                    if last < se - ss:
+                        length, code = ac_enc[0x00]  # EOB (run 1)
+                        wtr.write(length, code)
+            wtr.flush()
+            out += scan_seg([ci + 1], ss, se, 0, al)
+            out += bytes(wtr.out)
+
+    # ---- DC refinement (Ah=al -> Al=al-1 ... 0); al is 1 in fixtures
+    for lvl in range(al - 1, -1, -1):
+        wtr = _BitWriter()
+        for ci, by, bx in mcu_blocks():
+            wtr.write(1, (int(coefs[ci][by, bx, 0]) >> lvl) & 1)
+        wtr.flush()
+        out += scan_seg(list(range(1, ncomp + 1)), 0, 0, lvl + 1, lvl)
+        out += bytes(wtr.out)
+
+    # ---- AC refinement per component per band (Ah=al -> Al=al-1 ...)
+    for lvl in range(al - 1, -1, -1):
+        for ci in range(ncomp):
+            for ss, se in bands:
+                wtr = _BitWriter()
+                cz = coefs[ci]
+                for by in range(cdims[ci][0]):
+                    for bx in range(cdims[ci][1]):
+                        zz = cz[by, bx]
+                        absv = [abs(int(zz[k])) >> lvl
+                                for k in range(ss, se + 1)]
+                        eob = -1
+                        for i, t in enumerate(absv):
+                            if t == 1:
+                                eob = i
+                        run = 0
+                        br: list[int] = []
+                        for i, t in enumerate(absv):
+                            if t == 0:
+                                run += 1
+                                continue
+                            while run > 15 and i <= eob:
+                                length, code = ac_enc[0xF0]
+                                wtr.write(length, code)
+                                for bit in br:
+                                    wtr.write(1, bit)
+                                br = []
+                                run -= 16
+                            if t > 1:  # already significant: buffer bit
+                                br.append(t & 1)
+                                continue
+                            # newly significant: (run, 1) + sign + bits
+                            length, code = ac_enc[(run << 4) | 1]
+                            wtr.write(length, code)
+                            wtr.write(1, 1 if zz[ss + i] > 0 else 0)
+                            for bit in br:
+                                wtr.write(1, bit)
+                            br = []
+                            run = 0
+                        if run > 0 or br:
+                            length, code = ac_enc[0x00]  # EOB, run 1
+                            wtr.write(length, code)
+                            for bit in br:
+                                wtr.write(1, bit)
+                wtr.flush()
+                out += scan_seg([ci + 1], ss, se, lvl + 1, lvl)
+                out += bytes(wtr.out)
+
+    out += b"\xff\xd9"
+    return bytes(out)
 
 
 def encode_jpeg_ycbcr(y, cb, cr, sampling=(2, 2), restart_interval=0,

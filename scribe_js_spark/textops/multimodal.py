@@ -6,9 +6,9 @@ decode / feature-extract run as Arrow-batched pandas UDFs over
 tested, and so is the PNG path: a from-scratch decoder (IHDR/IDAT
 chunk walk, zlib inflate, the five scanline filters vectorized with
 numpy) produces true pixel statistics with no imaging library, as is
-the JPEG path (textops/jpeg.py: baseline grayscale + YCbCr with
-subsampling and restart markers). Unsupported shapes (progressive
-JPEG, 16-bit/Adam7 PNG) raise ``NotImplementedError`` inside the
+the JPEG path (textops/jpeg.py: sequential + progressive, grayscale
++ YCbCr with subsampling and restart markers). Unsupported shapes
+(arithmetic-coded JPEG, sub-byte PNG) raise ``NotImplementedError`` inside the
 per-document handler and surface as an ``error`` column value, never a
 job failure — the same never-fatal contract as document extraction.
 The deterministic ``SIMG`` synthetic header remains the cheap test
@@ -269,10 +269,10 @@ def _decode_one(data: bytes) -> dict:
                 "mean_byte": float(px.mean()) if px.size else 0.0,
                 "error": None}
     if data[:3] == b"\xff\xd8\xff" or data[:2] == b"\xff\xd8":
-        # From-scratch baseline decoder (textops/jpeg.py): grayscale or
-        # YCbCr SOF0 with real Huffman + IDCT, subsampling + restart
-        # markers. Progressive still raises NotImplementedError ->
-        # error column.
+        # From-scratch decoder (textops/jpeg.py): sequential or
+        # progressive, grayscale or YCbCr, real Huffman + IDCT,
+        # subsampling + restart markers. Arithmetic coding raises
+        # NotImplementedError -> error column.
         from .jpeg import decode_jpeg
 
         px = decode_jpeg(data)

@@ -42,11 +42,11 @@ def test_random_noise_exercises_zrl_and_high_categories():
     assert dec.shape == px.shape  # decodes cleanly; lossy by design
 
 
-def test_progressive_rejected_honestly():
+def test_arithmetic_coding_rejected_honestly():
     px = _block_image(2, 2)
     data = bytearray(encode_jpeg_gray(px))
     i = bytes(data).find(b"\xff\xc0")
-    data[i + 1] = 0xC2  # flip SOF0 -> SOF2 (progressive)
+    data[i + 1] = 0xC9  # flip SOF0 -> SOF9 (arithmetic sequential)
     with pytest.raises(NotImplementedError):
         decode_jpeg_gray(bytes(data))
 
@@ -65,15 +65,19 @@ def test_decode_media_surfaces_jpeg_and_errors(spark):
     good = encode_jpeg_gray(px)
     bad = bytearray(good)
     i = bytes(bad).find(b"\xff\xc0")
-    bad[i + 1] = 0xC2
+    bad[i + 1] = 0xC9  # arithmetic-coded SOF: honest NotImplementedError
+    corrupt = bytearray(good)
+    corrupt[i + 1] = 0xC2  # progressive SOF over a baseline scan header
     df = spark.createDataFrame(
-        [(1, good), (2, bytes(bad))], ["media_id", "data"])
+        [(1, good), (2, bytes(bad)), (3, bytes(corrupt))],
+        ["media_id", "data"])
     rows = {r["media_id"]: r for r in decode_media(df).collect()}
     assert rows[1]["kind"] == "jpeg"
     assert rows[1]["width"] == 24 and rows[1]["height"] == 16
     assert rows[1]["error"] is None
     assert abs(rows[1]["mean_byte"] - float(px.mean())) < 1e-9
     assert rows[2]["error"].startswith("not_implemented")
+    assert rows[3]["error"].startswith("decode_failure")
 
 
 # ----------------------------------------------------- color (YCbCr)
@@ -156,3 +160,46 @@ def test_decode_jpeg_gray_rejects_color():
     c = np.full((16, 16), 128, np.uint8)
     with pytest.raises(ValueError):
         decode_jpeg_gray(encode_jpeg_ycbcr(y, c, c))
+
+
+# ------------------------------------------------- progressive (SOF2)
+
+def test_progressive_equals_baseline_gray():
+    """Progressive streams built from the same quantized coefficients
+    must decode bit-identically to the baseline stream — spectral
+    selection + successive approximation round through the refinement
+    passes exactly."""
+    from scribe_js_spark.textops.jpeg import (
+        decode_jpeg, encode_jpeg_progressive)
+
+    rng = np.random.RandomState(11)
+    for (h, w) in [(16, 24), (19, 29), (8, 8)]:
+        px = rng.randint(0, 256, size=(h, w)).astype(np.uint8)
+        base = decode_jpeg(encode_jpeg_gray(px))
+        prog = decode_jpeg(encode_jpeg_progressive(px))
+        assert np.array_equal(prog, base), (h, w)
+
+
+def test_progressive_equals_baseline_color():
+    from scribe_js_spark.textops.jpeg import (
+        decode_jpeg, encode_jpeg_progressive, encode_jpeg_ycbcr)
+
+    rng = np.random.RandomState(12)
+    for samp in [(2, 2), (2, 1), (1, 1)]:
+        for (h, w) in [(32, 48), (17, 23)]:
+            y = rng.randint(0, 256, size=(h, w)).astype(np.uint8)
+            cb = rng.randint(80, 176, size=(h, w)).astype(np.uint8)
+            cr = rng.randint(80, 176, size=(h, w)).astype(np.uint8)
+            base = decode_jpeg(encode_jpeg_ycbcr(y, cb, cr, sampling=samp))
+            prog = decode_jpeg(
+                encode_jpeg_progressive(y, cb, cr, sampling=samp))
+            assert np.array_equal(prog, base), (samp, h, w)
+
+
+def test_progressive_blockwise_constant_lossless():
+    from scribe_js_spark.textops.jpeg import (
+        decode_jpeg, encode_jpeg_progressive)
+
+    px = _block_image(3, 2)
+    dec = decode_jpeg(encode_jpeg_progressive(px))
+    assert np.array_equal(dec, px)
