@@ -231,6 +231,8 @@ def _q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         decode_media,
         encode_png_gray,
         encode_synth_image,
+        encode_synth_video,
+        encode_wav_pcm,
     )
 
     rows = [
@@ -296,13 +298,30 @@ def _q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             lum, np.full((h, w), cb, np.uint8),
             np.full((h, w), cr, np.uint8),
             sampling=[(2, 2), (2, 1), (1, 1)][i % 3])))
+    for i in range(5):  # PCM WAV: s(j) = (j*37) % 201 - 100, ch (s, -s)
+        frames = 1000 + 100 * i
+        rate = [8000, 16000, 44100, 22050, 11025][i]
+        s = ((np.arange(frames, dtype=np.int64) * 37) % 201 - 100).astype(
+            np.int16)
+        rows.append((7000 + i, encode_wav_pcm(
+            np.stack([s, -s], axis=1), rate)))
+    for i in range(5):  # SVID: real gray-JPEG frames, every n//4-th sampled
+        n_frames = 5 + i
+        xs, ys = np.meshgrid(np.arange(24), np.arange(16))
+        frames_ = [encode_jpeg_gray(
+            (((xs // 8) * 31 + (ys // 8) * 17 + f * 10) % 256).astype(
+                np.uint8)) for f in range(n_frames)]
+        rows.append((7100 + i, encode_synth_video(frames_, fps=4 + i)))
     df = spark.createDataFrame(rows, ["media_id", "data"])
     return decode_media(df).select(
         "media_id", "kind",
         F.col("width").cast("long"), F.col("height").cast("long"),
         F.when(F.col("kind") == "simg", F.col("n_bytes"))
         .cast("long").alias("n_bytes_simg"),
-        F.floor(F.col("mean_byte") * 1e6).cast("long").alias("mean_e6"))
+        F.floor(F.col("mean_byte") * 1e6).cast("long").alias("mean_e6"),
+        F.col("sample_rate").cast("long").alias("sample_rate"),
+        F.col("duration_ms").cast("long").alias("duration_ms"),
+        F.col("n_frames").cast("long").alias("n_frames"))
 
 
 def _q_eval_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2145,12 +2164,16 @@ WHERE len(list_intersect(ta.toks, tb.toks))
             SELECT r AS media_id, 'simg' AS kind,
                    (64 + r)::BIGINT AS width, (32 + r)::BIGINT AS height,
                    (112 + r)::BIGINT AS n_bytes_simg,
-                   ((r % 251) * 1000000)::BIGINT AS mean_e6
+                   ((r % 251) * 1000000)::BIGINT AS mean_e6,
+                   NULL::BIGINT AS sample_rate, NULL::BIGINT AS duration_ms,
+                   NULL::BIGINT AS n_frames
             FROM range(50) t(r)
             UNION ALL
             SELECT media_id, 'png' AS kind, w::BIGINT AS width,
                    h::BIGINT AS height, NULL::BIGINT AS n_bytes_simg,
-                   CAST(floor(avg(v) * 1e6) AS BIGINT) AS mean_e6
+                   CAST(floor(avg(v) * 1e6) AS BIGINT) AS mean_e6,
+                   NULL::BIGINT AS sample_rate, NULL::BIGINT AS duration_ms,
+                   NULL::BIGINT AS n_frames
             FROM (
               SELECT 1000 + r AS media_id, (16 + r % 8) AS w,
                      (8 + r % 5) AS h,
@@ -2164,7 +2187,9 @@ WHERE len(list_intersect(ta.toks, tb.toks))
             -- the 8-bit family's pixel formula and dims.
             SELECT media_id, 'png' AS kind, w::BIGINT AS width,
                    h::BIGINT AS height, NULL::BIGINT AS n_bytes_simg,
-                   CAST(floor(avg(v) * 1e6) AS BIGINT) AS mean_e6
+                   CAST(floor(avg(v) * 1e6) AS BIGINT) AS mean_e6,
+                   NULL::BIGINT AS sample_rate, NULL::BIGINT AS duration_ms,
+                   NULL::BIGINT AS n_frames
             FROM (
               SELECT b.b + r AS media_id, (16 + r % 8) AS w,
                      (8 + r % 5) AS h,
@@ -2176,7 +2201,9 @@ WHERE len(list_intersect(ta.toks, tb.toks))
             UNION ALL
             SELECT media_id, 'jpeg' AS kind, w::BIGINT AS width,
                    h::BIGINT AS height, NULL::BIGINT AS n_bytes_simg,
-                   CAST(floor(avg(v) * 1e6) AS BIGINT) AS mean_e6
+                   CAST(floor(avg(v) * 1e6) AS BIGINT) AS mean_e6,
+                   NULL::BIGINT AS sample_rate, NULL::BIGINT AS duration_ms,
+                   NULL::BIGINT AS n_frames
             FROM (
               SELECT b.b + r AS media_id, (17 + r % 9) AS w,
                      (9 + r % 7) AS h,
@@ -2199,7 +2226,9 @@ WHERE len(list_intersect(ta.toks, tb.toks))
                    h::BIGINT AS height, NULL::BIGINT AS n_bytes_simg,
                    CAST(floor(
                      (3 * SUM(y) + COUNT(*) * ANY_VALUE(offsum))::DOUBLE
-                     / (3 * COUNT(*)) * 1e6) AS BIGINT) AS mean_e6
+                     / (3 * COUNT(*)) * 1e6) AS BIGINT) AS mean_e6,
+                   NULL::BIGINT AS sample_rate, NULL::BIGINT AS duration_ms,
+                   NULL::BIGINT AS n_frames
             FROM (
               SELECT b.b + r AS media_id,
                      (32 + (r % 3) * 16) AS w, (16 + (r % 5) * 16) AS h,
@@ -2213,5 +2242,47 @@ WHERE len(list_intersect(ta.toks, tb.toks))
               WHERE r < b.n
                 AND x.x < (32 + (r % 3) * 16) AND y.y < (16 + (r % 5) * 16)
             ) GROUP BY media_id, w, h
+            UNION ALL
+            -- PCM WAV rows (ids 7000+): stereo (s, -s) with
+            -- s(j) = (j*37) % 201 - 100; mean_byte is the mean absolute
+            -- amplitude (one exact integer sum, one float64 division).
+            SELECT media_id, 'wav' AS kind, NULL::BIGINT AS width,
+                   NULL::BIGINT AS height, NULL::BIGINT AS n_bytes_simg,
+                   CAST(floor(SUM(ABS((j * 37) % 201 - 100))::DOUBLE
+                              / COUNT(*) * 1e6) AS BIGINT) AS mean_e6,
+                   ANY_VALUE(rate)::BIGINT AS sample_rate,
+                   (ANY_VALUE(frames) * 1000 // ANY_VALUE(rate))::BIGINT
+                     AS duration_ms,
+                   ANY_VALUE(frames)::BIGINT AS n_frames
+            FROM (
+              SELECT 7000 + r AS media_id, 1000 + 100 * r AS frames,
+                     [8000, 16000, 44100, 22050, 11025][r + 1] AS rate,
+                     j.j AS j
+              FROM range(5) t(r), range(1400) j(j)
+              WHERE j.j < 1000 + 100 * r
+            ) GROUP BY media_id
+            UNION ALL
+            -- SVID rows (ids 7100+): n = 5 + r real gray-JPEG frames
+            -- (frame f pixel = ((x//8)*31 + (y//8)*17 + f*10) % 256,
+            -- 24x16, lossless), every max(1, n//4)-th frame sampled;
+            -- equal dims make the mean over sampled frames equal the
+            -- mean over their pixel union.
+            SELECT media_id, 'svid' AS kind, 24::BIGINT AS width,
+                   16::BIGINT AS height, NULL::BIGINT AS n_bytes_simg,
+                   CAST(floor(AVG(v) * 1e6) AS BIGINT) AS mean_e6,
+                   NULL::BIGINT AS sample_rate,
+                   (ANY_VALUE(n) * 1000 // ANY_VALUE(fps))::BIGINT
+                     AS duration_ms,
+                   ANY_VALUE(n)::BIGINT AS n_frames
+            FROM (
+              SELECT 7100 + r AS media_id, 5 + r AS n, 4 + r AS fps,
+                     (((x.x // 8) * 31 + (y.y // 8) * 17 + f.f * 10)
+                      % 256)::DOUBLE AS v
+              FROM range(5) t(r), range(9) f(f), range(24) x(x),
+                   range(16) y(y)
+              WHERE f.f < 5 + r
+                AND f.f % (CASE WHEN (5 + r) // 4 < 1 THEN 1
+                           ELSE (5 + r) // 4 END) = 0
+            ) GROUP BY media_id
         """,
     }

@@ -11,8 +11,13 @@ the JPEG path (textops/jpeg.py: sequential + progressive, grayscale
 (arithmetic-coded JPEG, sub-byte PNG) raise ``NotImplementedError`` inside the
 per-document handler and surface as an ``error`` column value, never a
 job failure — the same never-fatal contract as document extraction.
-The deterministic ``SIMG`` synthetic header remains the cheap test
-path.
+Audio rides the same contract through a from-scratch RIFF/WAVE PCM
+parser (sample rate / duration / mean amplitude); video through the
+``SVID`` fixture container whose *frames* are real JPEG/PNG bytes —
+frame-sampling decodes every max(1, n//4)-th frame with the real
+codecs, so only the MP4/WebM demuxer is stood in for. ``resize_images``
+(nearest + box) is the feature-extract path. The deterministic
+``SIMG`` synthetic header remains the cheap test path.
 """
 
 from __future__ import annotations
@@ -38,11 +43,16 @@ MEDIA_META_SCHEMA = StructType([
     StructField("height", IntegerType()),
     StructField("n_bytes", LongType()),
     StructField("mean_byte", DoubleType()),
+    StructField("sample_rate", IntegerType()),
+    StructField("duration_ms", LongType()),
+    StructField("n_frames", IntegerType()),
     StructField("error", StringType()),
 ])
 
 _SIMG_MAGIC = b"SIMG"
+_SVID_MAGIC = b"SVID"
 _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+_RIFF_MAGIC = b"RIFF"
 
 # PNG color type -> samples per pixel
 _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
@@ -251,23 +261,150 @@ def encode_synth_image(width: int, height: int, payload: bytes) -> bytes:
     return _SIMG_MAGIC + struct.pack("<II", width, height) + payload
 
 
+# ------------------------------------------------------------ audio (WAV)
+
+def decode_wav(data: bytes):
+    """From-scratch RIFF/WAVE parser for integer PCM (8- and 16-bit):
+    walks the chunk list (fmt / data, skipping LIST etc.), returns
+    (sample_rate, channels, bits, n_frames, samples ndarray
+    (frames, channels) — int16 for 16-bit, uint8 for 8-bit). Raises
+    ValueError on malformed input, NotImplementedError for float or
+    compressed formats."""
+    import numpy as np
+
+    if data[:4] != _RIFF_MAGIC or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos = 12
+    fmt = None
+    pcm = None
+    n = len(data)
+    while pos + 8 <= n:
+        cid = data[pos : pos + 4]
+        (clen,) = struct.unpack_from("<I", data, pos + 4)
+        body = data[pos + 8 : pos + 8 + clen]
+        pos += 8 + clen + (clen & 1)  # chunks are word-aligned
+        if cid == b"fmt ":
+            if len(body) < 16:
+                raise ValueError("wav: short fmt chunk")
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            pcm = body
+    if fmt is None or pcm is None:
+        raise ValueError("wav: missing fmt/data chunk")
+    audio_format, channels, sample_rate, _brate, _align, bits = fmt
+    if audio_format != 1:
+        raise NotImplementedError(f"wav: format tag {audio_format}")
+    if bits not in (8, 16):
+        raise NotImplementedError(f"wav: {bits}-bit samples")
+    if channels < 1:
+        raise ValueError("wav: zero channels")
+    dtype = np.uint8 if bits == 8 else np.dtype("<i2")
+    samples = np.frombuffer(pcm, dtype=dtype)
+    frames = len(samples) // channels
+    samples = samples[: frames * channels].reshape(frames, channels)
+    return sample_rate, channels, bits, frames, samples
+
+
+def encode_wav_pcm(samples, sample_rate: int) -> bytes:
+    """Minimal PCM WAV writer (fixture side): int16 (frames, channels)
+    ndarray in, bytes out."""
+    import numpy as np
+
+    s = np.asarray(samples, dtype="<i2")
+    if s.ndim == 1:
+        s = s[:, None]
+    channels = s.shape[1]
+    pcm = s.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, channels, sample_rate,
+                      sample_rate * channels * 2, channels * 2, 16)
+    body = (b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(pcm)) + pcm)
+    return _RIFF_MAGIC + struct.pack("<I", len(body)) + body
+
+
+# ----------------------------------------------------------- video (SVID)
+
+def encode_synth_video(frames: list[bytes], fps: int) -> bytes:
+    """Deterministic fixture video container: a length-prefixed list of
+    real encoded frames (JPEG/PNG bytes — the per-frame codecs are the
+    real ones; only the *container* is synthetic, standing in for the
+    MP4/WebM demuxers this environment cannot ship)."""
+    out = bytearray(_SVID_MAGIC)
+    out += struct.pack("<II", len(frames), fps)
+    for f in frames:
+        out += struct.pack("<I", len(f)) + f
+    return bytes(out)
+
+
+def _decode_svid(data: bytes) -> dict:
+    """Frame-sample an SVID container: every max(1, n//4)-th frame is
+    decoded with the real image codecs; dims come from frame 0 and
+    mean_byte is the equal-weight mean over the sampled frames."""
+    n_frames, fps = struct.unpack_from("<II", data, 4)
+    if fps <= 0:
+        raise ValueError("svid: zero fps")
+    pos = 12
+    offsets = []
+    for _ in range(n_frames):
+        (flen,) = struct.unpack_from("<I", data, pos)
+        offsets.append((pos + 4, flen))
+        pos += 4 + flen
+    stride = max(1, n_frames // 4)
+    means = []
+    width = height = None
+    for i in range(0, n_frames, stride):
+        off, flen = offsets[i]
+        sub = _decode_one(data[off : off + flen])
+        if sub["error"] is not None:
+            raise ValueError(f"svid frame {i}: {sub['error']}")
+        if width is None:
+            width, height = sub["width"], sub["height"]
+        means.append(sub["mean_byte"])
+    return {"kind": "svid", "width": width, "height": height,
+            "n_bytes": len(data),
+            "mean_byte": (sum(means) / len(means)) if means else None,
+            "sample_rate": None,
+            "duration_ms": n_frames * 1000 // fps,
+            "n_frames": n_frames, "error": None}
+
+
+def _media_rec(**kw) -> dict:
+    rec = {"kind": None, "width": None, "height": None, "n_bytes": 0,
+           "mean_byte": None, "sample_rate": None, "duration_ms": None,
+           "n_frames": None, "error": None}
+    rec.update(kw)
+    return rec
+
+
 def _decode_one(data: bytes) -> dict:
     if data[:4] == _SIMG_MAGIC:
         width, height = struct.unpack("<II", data[4:12])
         payload = data[12:]
         mean = (sum(payload) / len(payload)) if payload else 0.0
-        return {"kind": "simg", "width": width, "height": height,
-                "n_bytes": len(data), "mean_byte": mean, "error": None}
+        return _media_rec(kind="simg", width=width, height=height,
+                          n_bytes=len(data), mean_byte=mean)
+    if data[:4] == _SVID_MAGIC:
+        return _decode_svid(data)
+    if data[:4] == _RIFF_MAGIC:
+        import numpy as np
+
+        rate, channels, _bits, frames, samples = decode_wav(data)
+        mean_amp = (float(np.abs(samples.astype(np.int64)).mean())
+                    if samples.size else 0.0)
+        return _media_rec(kind="wav", n_bytes=len(data),
+                          mean_byte=mean_amp, sample_rate=rate,
+                          duration_ms=frames * 1000 // rate,
+                          n_frames=frames)
     if data[:8] == _PNG_MAGIC:
         width, height, _channels, px = decode_png(data)
         if px.dtype.itemsize == 2:
             # 16-bit samples: report the 8-bit-equivalent intensity
             # (mean of the most-significant bytes).
             px = px >> 8
-        return {"kind": "png", "width": width, "height": height,
-                "n_bytes": len(data),
-                "mean_byte": float(px.mean()) if px.size else 0.0,
-                "error": None}
+        return _media_rec(kind="png", width=width, height=height,
+                          n_bytes=len(data),
+                          mean_byte=float(px.mean()) if px.size else 0.0)
     if data[:3] == b"\xff\xd8\xff" or data[:2] == b"\xff\xd8":
         # From-scratch decoder (textops/jpeg.py): sequential or
         # progressive, grayscale or YCbCr, real Huffman + IDCT,
@@ -277,13 +414,10 @@ def _decode_one(data: bytes) -> dict:
 
         px = decode_jpeg(data)
         h, w = px.shape[:2]
-        return {"kind": "jpeg", "width": int(w), "height": int(h),
-                "n_bytes": len(data),
-                "mean_byte": float(px.mean()) if px.size else 0.0,
-                "error": None}
-    return {"kind": None, "width": None, "height": None,
-            "n_bytes": len(data), "mean_byte": None,
-            "error": "unknown_media_format"}
+        return _media_rec(kind="jpeg", width=int(w), height=int(h),
+                          n_bytes=len(data),
+                          mean_byte=float(px.mean()) if px.size else 0.0)
+    return _media_rec(n_bytes=len(data), error="unknown_media_format")
 
 
 def decode_media(df: DataFrame, id_col: str = "media_id",
@@ -299,19 +433,104 @@ def decode_media(df: DataFrame, id_col: str = "media_id",
                 try:
                     rec = _decode_one(bytes(data))
                 except NotImplementedError as e:
-                    rec = {"kind": None, "width": None, "height": None,
-                           "n_bytes": len(bytes(data)), "mean_byte": None,
-                           "error": f"not_implemented: {e}"}
-                except ValueError as e:
-                    rec = {"kind": None, "width": None, "height": None,
-                           "n_bytes": len(bytes(data)), "mean_byte": None,
-                           "error": f"decode_failure: {e}"}
+                    rec = _media_rec(n_bytes=len(bytes(data)),
+                                     error=f"not_implemented: {e}")
+                except (ValueError, struct.error, IndexError) as e:
+                    rec = _media_rec(n_bytes=len(bytes(data)),
+                                     error=f"decode_failure: {e}")
                 out["media_id"].append(int(mid))
                 for key in ("kind", "width", "height", "n_bytes",
-                            "mean_byte", "error"):
+                            "mean_byte", "sample_rate", "duration_ms",
+                            "n_frames", "error"):
                     out[key].append(rec[key])
             yield pd.DataFrame(out)
 
     return df.select(
         df[id_col].alias("media_id"), df[bytes_col].alias("data")
     ).mapInPandas(fn, schema=MEDIA_META_SCHEMA)
+
+
+RESIZE_SCHEMA = StructType([
+    StructField("media_id", LongType()),
+    StructField("width", IntegerType()),
+    StructField("height", IntegerType()),
+    StructField("mean_byte", DoubleType()),
+    StructField("error", StringType()),
+])
+
+
+def _decode_pixels(data: bytes):
+    """Decode any supported still-image container to a (h, w[, c])
+    uint8 ndarray (SIMG payloads tile row-major)."""
+    import numpy as np
+
+    if data[:4] == _SIMG_MAGIC:
+        width, height = struct.unpack("<II", data[4:12])
+        payload = np.frombuffer(data, dtype=np.uint8, offset=12)
+        px = np.resize(payload, height * width).reshape(height, width)
+        return px
+    if data[:8] == _PNG_MAGIC:
+        _w, _h, _c, px = decode_png(data)
+        if px.dtype.itemsize == 2:
+            px = (px >> 8).astype("uint8")
+        return px[:, :, 0] if px.shape[2] == 1 else px
+    if data[:2] == b"\xff\xd8":
+        from .jpeg import decode_jpeg
+
+        return decode_jpeg(data)
+    raise ValueError("unknown_media_format")
+
+
+def resize_images(df: DataFrame, target_w: int, target_h: int,
+                  method: str = "nearest", id_col: str = "media_id",
+                  bytes_col: str = "data") -> DataFrame:
+    """Resize every decodable image to (target_w, target_h) via an
+    Arrow-batched pandas UDF and report the resized mean.
+    ``method='nearest'`` samples with the standard floor mapping
+    (src = dst * src_dim // dst_dim); ``method='box'`` (downscale by
+    integer factors only) averages each factor-sized window — for
+    integer ratios box-average of a constant block is exact, which is
+    what makes the resize oracle SQL-computable."""
+    if method not in ("nearest", "box"):
+        raise ValueError(f"resize method {method}")
+
+    def fn(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out = {f.name: [] for f in RESIZE_SCHEMA.fields}
+            for mid, data in zip(pdf[id_col], pdf[bytes_col]):
+                err = None
+                mean = None
+                try:
+                    px = _decode_pixels(bytes(data))
+                    h, w = px.shape[:2]
+                    if method == "nearest":
+                        ys = (np.arange(target_h) * h) // target_h
+                        xs = (np.arange(target_w) * w) // target_w
+                        res = px[ys][:, xs]
+                    else:
+                        fy, fx = h // target_h, w // target_w
+                        if fy < 1 or fx < 1 or h % target_h or w % target_w:
+                            raise ValueError(
+                                "box resize needs integer downscale")
+                        res = px[: fy * target_h, : fx * target_w]
+                        res = res.reshape(
+                            target_h, fy, target_w, fx, -1).mean(
+                            axis=(1, 3))
+                    mean = float(res.mean())
+                except NotImplementedError as e:
+                    err = f"not_implemented: {e}"
+                except (ValueError, struct.error, IndexError) as e:
+                    err = f"decode_failure: {e}"
+                out["media_id"].append(int(mid))
+                out["width"].append(target_w if err is None else None)
+                out["height"].append(target_h if err is None else None)
+                out["mean_byte"].append(mean)
+                out["error"].append(err)
+            yield pd.DataFrame(out)
+
+    return df.select(
+        df[id_col].alias("media_id"), df[bytes_col].alias("data")
+    ).mapInPandas(fn, schema=RESIZE_SCHEMA)
