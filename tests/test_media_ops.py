@@ -91,3 +91,52 @@ def test_resize_nearest_and_box(spark):
     assert abs(rows[1]["mean_byte"] - float(box.mean())) < 1e-9
     # 10x4 -> 16x8 is an upscale: box refuses, surfaces as error
     assert rows[2]["error"] is not None
+
+
+# ----------------------------------------------- property-based (hypothesis)
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    HAVE_HYP = True
+except ImportError:  # pragma: no cover
+    HAVE_HYP = False
+
+
+if HAVE_HYP:
+
+    @settings(max_examples=25, deadline=None)
+    @given(st.binary(min_size=0, max_size=4000))
+    def test_lzw_rle_roundtrip_arbitrary_bytes(data):
+        from scribe_js_spark.operators.pdf.document import (
+            _lzw_decode, _rle_decode)
+        from scribe_js_spark.render_pdf import _lzw_encode, _rle_encode
+
+        assert _lzw_decode(_lzw_encode(data)) == data
+        assert _rle_decode(_rle_encode(data)) == data
+
+    @settings(max_examples=15, deadline=None)
+    @given(st.integers(1, 40), st.integers(1, 40), st.integers(0, 2 ** 32 - 1))
+    def test_png_roundtrip_arbitrary_images(h, w, seed):
+        from scribe_js_spark.textops.multimodal import (
+            decode_png, encode_png_gray)
+
+        px = np.random.RandomState(seed % (2 ** 31)).randint(
+            0, 256, size=(h, w)).astype(np.uint8)
+        for interlace in (False, True):
+            _w, _h, _c, out = decode_png(
+                encode_png_gray(px, cycle_filters=True, interlace=interlace))
+            assert np.array_equal(out[:, :, 0], px)
+
+    @settings(max_examples=10, deadline=None)
+    @given(st.integers(8, 33), st.integers(8, 33), st.integers(0, 2 ** 31 - 1))
+    def test_jpeg_progressive_equals_baseline_property(h, w, seed):
+        from scribe_js_spark.textops.jpeg import (
+            decode_jpeg, encode_jpeg_gray, encode_jpeg_progressive)
+
+        px = np.random.RandomState(seed).randint(
+            0, 256, size=(h, w)).astype(np.uint8)
+        assert np.array_equal(
+            decode_jpeg(encode_jpeg_progressive(px)),
+            decode_jpeg(encode_jpeg_gray(px)))
