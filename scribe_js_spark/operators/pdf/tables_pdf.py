@@ -13,7 +13,12 @@ the minimal core reimplemented here:
 - right-clustered numeric row clustering (isRightClusteredNumeric,
   :14-28 + the Phase-0 dot-leader cluster rule, :66-100): >= 3 rows
   whose trailing tokens are >= 3 numeric words, within a 300 px
-  vertical window, form a borderless table candidate.
+  vertical window, form a borderless table candidate;
+- the Phase-0 quick bail-out (:72-100): zero same-top line pairs and
+  no dot-leader cluster -> prose page, only path-based detection runs;
+- unruled column-separator inference (word-cluster gaps over the
+  candidate band) and header association (a header-shaped block just
+  above extends the region), per the Phase 5.5/5.7 semantics.
 
 The 20k-path page cap (:5) is kept. Cell extraction reuses the
 OCR-side ``extract_table_rows`` (utils/detectTables.js semantics).
@@ -376,6 +381,24 @@ def detect_pdf_table_regions(page, paths, scale: float,
         paths = []
     h_lines, v_lines = classify_rule_lines(paths, scale, page_h_pts)
     tables = detect_strict_grids(h_lines, v_lines)
+
+    # Phase 0 quick bail-out (detectPdfTables.js:72-100): pages with no
+    # same-top line pairs are prose UNLESS a dot-leader cluster (>= 3
+    # right-clustered-numeric rows within a 300 pt window) says
+    # otherwise; for plain prose only the path-based detectors apply.
+    # At corpus scale this gates the text-side analysis off for the
+    # overwhelmingly common page shape.
+    lines = page.lines
+    same_y_pairs = sum(
+        1 for i in range(len(lines) - 1)
+        if abs(lines[i].bbox.top - lines[i + 1].bbox.top) < 5)
+    if same_y_pairs == 0:
+        dl_ys = sorted(ln.bbox.top for ln in lines
+                       if is_right_clustered_numeric(ln.words))
+        if not any(dl_ys[i + 2] - dl_ys[i] < 300
+                   for i in range(len(dl_ys) - 2)):
+            tables.sort(key=lambda t: t["bbox"].top)
+            return tables
 
     def overlaps(a: Bbox, b: Bbox) -> bool:
         return not (a.right < b.left or b.right < a.left

@@ -62,3 +62,21 @@ def test_plain_text_pages_have_no_tables():
     assert res.error is None
     for page in res.pages:
         assert page.tables == []
+
+
+def test_phase0_prose_bailout_keeps_grids():
+    """A prose page (no same-top pairs, no dot-leader cluster) returns
+    only path-based tables — the Phase-0 quick exit
+    (detectPdfTables.js:72-100)."""
+    from scribe_js_spark.fixtures import build_doc_model
+    from scribe_js_spark.operators.pdf.tables_pdf import (
+        detect_pdf_table_regions)
+
+    model = build_doc_model(7, n_pages=1)  # plain prose, no tables
+    res = extract_document(render_pdf(model, rotate=False))
+    assert res.error is None
+    page = res.pages[0]
+    # prose: zero same-top pairs, no dot-leader cluster -> the gate
+    # returns the (empty) path-based result without running the
+    # text-side cluster analysis
+    assert detect_pdf_table_regions(page, [], 2.0, 792) == []
