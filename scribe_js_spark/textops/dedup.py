@@ -78,8 +78,11 @@ def token_sets(df: DataFrame, text_col: str = "text") -> DataFrame:
 def jaccard_pairs(df: DataFrame, text_col: str = "text",
                   threshold: float = 0.8,
                   max_doc_id: int | None = None,
-                  max_token_df: int | None = None) -> DataFrame:
-    """Exact token-set Jaccard pairs >= threshold.
+                  max_token_df: int | None = None,
+                  ngram: int | None = None) -> DataFrame:
+    """Exact Jaccard pairs >= threshold over token sets, or over word
+    n-gram shingle sets when ``ngram`` is given (n-gram Jaccard —
+    stricter about local word order than bag-of-tokens).
 
     All-pairs via token inverted index (explode + self-join on token,
     groupBy pair). ``max_doc_id`` bounds the subset for oracle-checked
@@ -95,7 +98,11 @@ def jaccard_pairs(df: DataFrame, text_col: str = "text",
     base = df
     if max_doc_id is not None:
         base = base.filter(F.col("doc_id") < max_doc_id)
-    ts = token_sets(base, text_col)
+    if ngram is None:
+        ts = token_sets(base, text_col)
+    else:
+        ts = shingles(base, text_col, ngram).withColumnRenamed(
+            "shingles", "toks")
     sizes = ts.select("doc_id", F.size("toks").alias("sz"))
     inv = ts.select("doc_id", F.explode("toks").alias("tok"))
     if max_token_df is not None:
@@ -128,7 +135,8 @@ def jaccard_pairs(df: DataFrame, text_col: str = "text",
 
 def jaccard_for_pairs(df: DataFrame, candidates: DataFrame,
                       text_col: str = "text",
-                      threshold: float = 0.8) -> DataFrame:
+                      threshold: float = 0.8,
+                      ngram: int | None = None) -> DataFrame:
     """Exact token-set Jaccard over an explicit candidate-pair table —
     the verify stage of the LSH -> exact composition.
 
@@ -136,8 +144,11 @@ def jaccard_for_pairs(df: DataFrame, candidates: DataFrame,
     token sets twice (shuffle keyed on doc ids only — text shuffles as
     the token arrays of candidate docs, never the full corpus
     cross-product), so cost is O(|candidates|), the scale-safe shape.
+    ``ngram`` switches the sets to word n-gram shingles.
     """
-    ts = token_sets(df, text_col)
+    ts = (token_sets(df, text_col) if ngram is None
+          else shingles(df, text_col, ngram).withColumnRenamed(
+              "shingles", "toks"))
     a = ts.select(F.col("doc_id").alias("doc_a"),
                   F.col("toks").alias("_toks_a"))
     b = ts.select(F.col("doc_id").alias("doc_b"),
