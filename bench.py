@@ -150,6 +150,47 @@ def main():
         F.date_trunc("hour", "ts"), "event_type").agg(
         F.count("*"), F.sum("value")).count())
 
+    # Multimodal decode throughput: 600 mixed media blobs (real PNG +
+    # sequential/progressive JPEG + WAV + SVID frame-sampling) through
+    # the Arrow-batched decoder.
+    import numpy as np
+
+    from scribe_js_spark.textops.jpeg import (
+        encode_jpeg_gray,
+        encode_jpeg_progressive,
+    )
+    from scribe_js_spark.textops.multimodal import (
+        decode_media,
+        encode_png_gray,
+        encode_synth_video,
+        encode_wav_pcm,
+    )
+
+    xs, ys = np.meshgrid(np.arange(64), np.arange(48))
+    base_px = ((xs * 7 + ys * 13) % 256).astype(np.uint8)
+    blobs = []
+    for i in range(600):
+        px = ((base_px.astype(np.int32) + i) % 256).astype(np.uint8)
+        if i % 4 == 0:
+            blobs.append((i, encode_png_gray(px, cycle_filters=True)))
+        elif i % 4 == 1:
+            blobs.append((i, encode_jpeg_gray(px)))
+        elif i % 4 == 2:
+            blobs.append((i, encode_jpeg_progressive(px)))
+        else:
+            s = ((np.arange(4000, dtype=np.int64) * (i + 3)) % 201
+                 - 100).astype(np.int16)
+            blobs.append((i, encode_wav_pcm(s, 16000)))
+    blobs.append((600, encode_synth_video(
+        [encode_jpeg_gray(base_px) for _ in range(8)], fps=4)))
+    media_df = spark.createDataFrame(blobs, ["media_id", "data"]).cache()
+    media_df.count()
+    n_media = run("media_decode", lambda: decode_media(media_df).filter(
+        F.col("error").isNull()).count())
+    extras["media_blobs"] = n_media
+    extras["media_blobs_per_sec"] = round(
+        n_media / timings["media_decode"], 2)
+
     total = round(sum(timings.values()), 3)
     print(json.dumps({
         "metric": "extraction+textops wall time",
