@@ -7,6 +7,8 @@ Usage (via spark-submit --py-files scribe_js_spark.zip):
     python -m scribe_js_spark type     INPUT_PARQUET            # pdf_type per url
     python -m scribe_js_spark conf     INPUT_PARQUET            # conf summary
     python -m scribe_js_spark eval     LAYERS_PARQUET           # eval metrics
+    python -m scribe_js_spark dedup    DOCS_PARQUET [--method m]  # near-dup pairs
+    python -m scribe_js_spark media    MEDIA_PARQUET              # decode summary
 """
 
 from __future__ import annotations
@@ -88,6 +90,47 @@ def cmd_eval(args) -> int:
     return 0
 
 
+def cmd_dedup(args) -> int:
+    import pyspark.sql.functions as F
+
+    spark = _spark("scribe-dedup")
+    docs = spark.read.parquet(args.input)
+    if args.method == "exact":
+        from .textops.dedup import exact_dups
+
+        out = exact_dups(docs).filter(F.col("n_copies") > 1)
+    elif args.method == "minhash":
+        from .textops.dedup import minhash_lsh_pairs
+
+        out = minhash_lsh_pairs(docs)
+    elif args.method == "simhash":
+        from .textops.dedup import simhash_candidates
+
+        out = simhash_candidates(docs)
+    else:  # verified: LSH candidates -> exact Jaccard
+        from .textops.dedup import jaccard_for_pairs, minhash_lsh_pairs
+
+        out = jaccard_for_pairs(docs, minhash_lsh_pairs(docs),
+                                threshold=args.threshold,
+                                ngram=args.ngram)
+    out.show(args.limit, False)
+    print(f"total: {out.count()}")
+    return 0
+
+
+def cmd_media(args) -> int:
+    import pyspark.sql.functions as F
+
+    from .textops.multimodal import decode_media
+
+    spark = _spark("scribe-media")
+    meta = decode_media(spark.read.parquet(args.input))
+    meta.groupBy("kind", "error").agg(
+        F.count("*").alias("n"),
+        F.avg("mean_byte").alias("avg_mean")).orderBy("kind").show(50, False)
+    return 0
+
+
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser(prog="scribe_js_spark")
     sub = parser.add_subparsers(dest="cmd", required=True)
@@ -110,6 +153,19 @@ def main(argv=None) -> int:
     p = sub.add_parser("eval", help="compare OCR layers")
     p.add_argument("input")
     p.set_defaults(fn=cmd_eval)
+
+    p = sub.add_parser("dedup", help="near-duplicate detection")
+    p.add_argument("input")
+    p.add_argument("--method", default="verified",
+                   choices=["exact", "minhash", "simhash", "verified"])
+    p.add_argument("--threshold", type=float, default=0.8)
+    p.add_argument("--ngram", type=int, default=None)
+    p.add_argument("--limit", type=int, default=20)
+    p.set_defaults(fn=cmd_dedup)
+
+    p = sub.add_parser("media", help="decode a media table")
+    p.add_argument("input")
+    p.set_defaults(fn=cmd_media)
 
     args = parser.parse_args(argv)
     return args.fn(args)
