@@ -218,8 +218,10 @@ def _q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     gray / 6050+ color: spectral-selection + successive-approximation
     scans built from the same quantized coefficients, so the decoded
     pixels — and the oracle — equal the sequential encodings').
-    n_bytes is asserted for SIMG only — PNG/JPEG compressed sizes are
-    not SQL-reproducible."""
+    Plus GIF animations (ids 8000+: palette + LSB-LZW + interlace,
+    graphic-control delays), PCM WAV audio (ids 7000+) and SVID videos
+    of real JPEG frames (ids 7100+). n_bytes is asserted for SIMG only
+    — compressed sizes are not SQL-reproducible."""
     import numpy as np
 
     from scribe_js_spark.textops.jpeg import (
@@ -305,6 +307,17 @@ def _q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             np.int16)
         rows.append((7000 + i, encode_wav_pcm(
             np.stack([s, -s], axis=1), rate)))
+    from scribe_js_spark.textops.gif import encode_gif
+    for i in range(5):  # GIF: palette + LSB-LZW, animated, interlace
+        w = 20 + i
+        h = 10 + i
+        pal = np.array([[(j * 17) % 256, (j * 29) % 256, (j * 43) % 256]
+                        for j in range(16)], np.uint8)
+        xs, ys = np.meshgrid(np.arange(w), np.arange(h))
+        gframes = [((xs + ys + k) % 16).astype(np.uint8)
+                   for k in range(3 + i)]
+        rows.append((8000 + i, encode_gif(
+            gframes, pal, interlace=i % 2 == 1, delay_cs=5 + i)))
     for i in range(5):  # SVID: real gray-JPEG frames, every n//4-th sampled
         n_frames = 5 + i
         xs, ys = np.meshgrid(np.arange(24), np.arange(16))
@@ -2241,6 +2254,28 @@ WHERE len(list_intersect(ta.toks, tb.toks))
                    range(15) t(r), range(64) x(x), range(80) y(y)
               WHERE r < b.n
                 AND x.x < (32 + (r % 3) * 16) AND y.y < (16 + (r % 5) * 16)
+            ) GROUP BY media_id, w, h
+            UNION ALL
+            -- GIF rows (ids 8000+): 16-color palette
+            -- (j*17, j*29, j*43) % 256, frame k index (x+y+k) % 16,
+            -- n = 3 + r frames all sampled (stride 1), duration =
+            -- n * (5 + r) cs. The channel axis is generated so the
+            -- mean is one exact integer sum / one float64 division.
+            SELECT media_id, 'gif' AS kind, w::BIGINT AS width,
+                   h::BIGINT AS height, NULL::BIGINT AS n_bytes_simg,
+                   CAST(floor(AVG(v) * 1e6) AS BIGINT) AS mean_e6,
+                   NULL::BIGINT AS sample_rate,
+                   (ANY_VALUE(n) * (5 + ANY_VALUE(r0)) * 10)::BIGINT
+                     AS duration_ms,
+                   ANY_VALUE(n)::BIGINT AS n_frames
+            FROM (
+              SELECT 8000 + r AS media_id, 20 + r AS w, 10 + r AS h,
+                     3 + r AS n, r AS r0,
+                     ((((x.x + y.y + k.k) % 16)
+                       * [17, 29, 43][c.c + 1]) % 256)::DOUBLE AS v
+              FROM range(5) t(r), range(7) k(k), range(3) c(c),
+                   range(24) x(x), range(14) y(y)
+              WHERE k.k < 3 + r AND x.x < 20 + r AND y.y < 10 + r
             ) GROUP BY media_id, w, h
             UNION ALL
             -- PCM WAV rows (ids 7000+): stereo (s, -s) with

@@ -11,9 +11,12 @@ the JPEG path (textops/jpeg.py: sequential + progressive, grayscale
 (arithmetic-coded JPEG, sub-byte PNG) raise ``NotImplementedError`` inside the
 per-document handler and surface as an ``error`` column value, never a
 job failure — the same never-fatal contract as document extraction.
-Audio rides the same contract through a from-scratch RIFF/WAVE PCM
-parser (sample rate / duration / mean amplitude); video through the
-``SVID`` fixture container whose *frames* are real JPEG/PNG bytes —
+GIF (textops/gif.py: LSB-first LZW, palettes, interlace, animation
+frames with delays) decodes for real too; JPEG 2000 surfaces an honest
+not_implemented. Audio rides the same contract through a from-scratch
+RIFF/WAVE PCM parser (sample rate / duration / mean amplitude); video
+through the ``SVID`` fixture container whose *frames* are real
+JPEG/PNG bytes —
 frame-sampling decodes every max(1, n//4)-th frame with the real
 codecs, so only the MP4/WebM demuxer is stood in for. ``resize_images``
 (nearest + box) is the feature-extract path. The deterministic
@@ -386,6 +389,24 @@ def _decode_one(data: bytes) -> dict:
                           n_bytes=len(data), mean_byte=mean)
     if data[:4] == _SVID_MAGIC:
         return _decode_svid(data)
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        import numpy as np
+
+        from .gif import decode_gif
+
+        width, height, frames, delays_cs = decode_gif(data)
+        n = len(frames)
+        stride = max(1, n // 4)
+        sampled = frames[::stride]
+        mean = float(np.mean([f.mean() for f in sampled])) if sampled else None
+        return _media_rec(kind="gif", width=width, height=height,
+                          n_bytes=len(data), mean_byte=mean,
+                          duration_ms=(sum(delays_cs) * 10
+                                       if delays_cs else None),
+                          n_frames=n)
+    if data[4:8] == b"jP  " or data[:4] == b"\xff\x4f\xff\x51":
+        # JPEG 2000 (JP2 box / raw J2K codestream): honest stub
+        raise NotImplementedError("jpeg2000 codestream")
     if data[:4] == _RIFF_MAGIC:
         import numpy as np
 
