@@ -432,7 +432,7 @@ def _q_pdf_table_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
                     # separator structure; grids through the rules
                     cols = (columns_from_separators(
                         t["bbox"], t["col_separators"])
-                        if t["method"] == "numeric"
+                        if t["method"] in ("numeric", "header-rule")
                         and t["col_separators"] else None)
                     matrix = extract_table_rows(page, t["bbox"], cols)
                     for r, row in enumerate(matrix):

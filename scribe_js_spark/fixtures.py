@@ -1205,9 +1205,47 @@ def build_pdf_table_models(doc_id: int, seed: int = SEED_DEFAULT) -> dict:
         regions.append({
             "table_n": 1, "method": "numeric", "n_cols": 4,
             "header": "strong" if with_header else "none"})
+
+    hr_cells = []
+    if doc_id % 4 == 3:
+        # header-rule table (detectHeaderRuleTables): a header row above
+        # a ruling row of 4 disjoint rule segments, then 6 data rows of
+        # label + 3 numeric columns. No grid verticals anywhere.
+        hr_xs = [MARGIN_LEFT, MARGIN_LEFT + 260, MARGIN_LEFT + 420,
+                 MARGIN_LEFT + 580]
+        hr_ws = [240, 140, 140, 140]
+        yh = 1000
+        heads = [rng.choice(LEXICON) for _ in range(4)]
+        pars.append({"lines": [{
+            "words": [_tok(h, hr_xs[i] + 12, yh)
+                      for i, h in enumerate(heads)],
+            "baseline_y": yh, "indent": 0}]})
+        hr_cells.append(heads)
+        y_rule = yh + DESC_H + 6
+        page_rules = [{"left": hr_xs[i], "right": hr_xs[i] + hr_ws[i],
+                       "y": y_rule} for i in range(4)]
+        yd = y_rule + 40
+        dlines = []
+        for r in range(6):
+            label = rng.choice(LEXICON)
+            words = [_tok(label, hr_xs[0] + 12, yd)]
+            row_cells = [label]
+            for c in range(3):
+                val = f"{(r + 2) * 500 + c * 3},{200 + r}"
+                words.append(_tok(val, hr_xs[c + 1] + 12, yd))
+                row_cells.append(val)
+            hr_cells.append(row_cells)
+            dlines.append({"words": words, "baseline_y": yd, "indent": 0})
+            yd += LINE_PITCH
+        pars.append({"lines": dlines})
+        page.setdefault("rules", []).extend(page_rules)
+        n_tables += 1
+        regions.append({
+            "table_n": n_tables - 1, "method": "header-rule",
+            "n_cols": 4, "header": "none"})
     return {"model": model, "expected": expected, "n_tables": n_tables,
             "n_grid_cols": n_cols, "regions": regions,
-            "num_cells": num_cells}
+            "num_cells": num_cells, "hr_cells": hr_cells}
 
 
 def write_pdf_table_parquet(path: str, n_docs: int = 30,
@@ -1236,6 +1274,11 @@ def write_pdf_table_parquet(path: str, n_docs: int = 30,
         for r, row in enumerate(m["num_cells"]):
             for c, cell in enumerate(row):
                 cell_rows.append({"url": url, "table_n": 1,
+                                  "row_n": r, "col_n": c, "cell": cell})
+        for r, row in enumerate(m.get("hr_cells") or []):
+            for c, cell in enumerate(row):
+                cell_rows.append({"url": url,
+                                  "table_n": m["n_tables"] - 1,
                                   "row_n": r, "col_n": c, "cell": cell})
         for rec in m["regions"]:
             region_rows.append({"url": url, **rec})

@@ -18,7 +18,10 @@ the minimal core reimplemented here:
   no dot-leader cluster -> prose page, only path-based detection runs;
 - unruled column-separator inference (word-cluster gaps over the
   candidate band) and header association (a header-shaped block just
-  above extends the region), per the Phase 5.5/5.7 semantics.
+  above extends the region), per the Phase 5.5/5.7 semantics;
+- header-rule tables (detectHeaderRuleTables, :3354-3594): a ruling
+  row of >= 3 disjoint rule segments anchors header/data scans with
+  numeric-distribution validation.
 
 The 20k-path page cap (:5) is kept. Cell extraction reuses the
 OCR-side ``extract_table_rows`` (utils/detectTables.js semantics).
@@ -108,8 +111,17 @@ def _cluster(values, tol: float) -> list[float]:
 
 def detect_strict_grids(h_lines, v_lines) -> list[dict]:
     """Full ruled grids (tryDetectStrictGrid core): >= 3 horizontal rule
-    positions and >= 2 verticals that span the horizontal band."""
+    positions and >= 2 verticals that span the horizontal band. The
+    candidate band is scoped to the verticals' y-extent so unrelated
+    horizontal rules elsewhere on the page (header underlines, section
+    dividers) cannot stretch it open."""
     if len(h_lines) < 3 or len(v_lines) < 2:
+        return []
+    v_top = min(v["top"] for v in v_lines)
+    v_bottom = max(v["bottom"] for v in v_lines)
+    h_lines = [h for h in h_lines
+               if v_top - 5 <= h["y"] <= v_bottom + 5]
+    if len(h_lines) < 3:
         return []
     ys = _cluster([h["y"] for h in h_lines], 3)
     xs = _cluster([v["x"] for v in v_lines], 3)
@@ -132,6 +144,155 @@ def detect_strict_grids(h_lines, v_lines) -> list[dict]:
         "col_separators": seps,
         "method": "grid",
     }]
+
+
+def detect_header_rule_tables(h_lines, page) -> list[dict]:
+    """Tables anchored to a "ruling row" — a y-band of >= 3 mutually
+    disjoint horizontal rule segments spanning >= 30% of the page
+    (column underlines beneath a header row). Ports
+    detectHeaderRuleTables (detectPdfTables.js:3354-3594): y-grouping
+    (tol 3), subtotal-rule subset dedup, upward header scan
+    (1.5x median header spacing), downward data scan (2.5x median
+    early spacing, bounded by the next primary), column separators at
+    rule-segment midpoints, and the numeric-distribution validation
+    (>= 5 rows hitting 2+ numeric columns, >= 1 non-label column
+    numeric in >= 50% of rows)."""
+    lines = page.lines
+    if not lines or not h_lines:
+        return []
+    page_w = page.dims["width"]
+
+    y_groups: list[dict] = []
+    for hl in h_lines:
+        for g in y_groups:
+            if abs(g["y"] - hl["y"]) <= 3:
+                g["lines"].append(hl)
+                g["y"] = sum(x["y"] for x in g["lines"]) / len(g["lines"])
+                break
+        else:
+            y_groups.append({"y": hl["y"], "lines": [hl]})
+
+    ruling_rows = []
+    for g in y_groups:
+        if len(g["lines"]) < 3:
+            continue
+        cols = sorted(g["lines"], key=lambda x: x["left"])
+        if any(cols[i]["left"] < cols[i - 1]["right"] - 1
+               for i in range(1, len(cols))):
+            continue
+        if cols[-1]["right"] - cols[0]["left"] < page_w * 0.3:
+            continue
+        ruling_rows.append({"y": g["y"], "cols": cols})
+    if not ruling_rows:
+        return []
+    ruling_rows.sort(key=lambda r: r["y"])
+
+    def is_subset(sub, primary, tol=5):
+        return all(any(abs(c["left"] - pc["left"]) < tol
+                       and abs(c["right"] - pc["right"]) < tol
+                       for pc in primary["cols"]) for c in sub["cols"])
+
+    primaries = []
+    for rr in ruling_rows:
+        if not any(is_subset(rr, p["rule"]) for p in primaries):
+            left = rr["cols"][0]["left"]
+            right = rr["cols"][-1]["right"]
+            primaries.append({
+                "rule": rr, "left": left, "right": right,
+                "slack": max(20.0, (right - left) * 0.02),
+                "header_top": rr["y"], "header_idx": []})
+
+    # upward header scan
+    for pii, p in enumerate(primaries):
+        upper = primaries[pii - 1]["rule"]["y"] + 5 if pii > 0 else 0
+        above = sorted(
+            ((i, ln) for i, ln in enumerate(lines)
+             if ln.bbox.bottom <= p["rule"]["y"]
+             and ln.bbox.bottom >= upper
+             and ln.bbox.left >= p["left"] - p["slack"]
+             and ln.bbox.right <= p["right"] + p["slack"]),
+            key=lambda t: -t[1].bbox.top)
+        tops = sorted((ln.bbox.top for _i, ln in above[:8]), reverse=True)
+        spacings = sorted(tops[i - 1] - tops[i]
+                          for i in range(1, len(tops)))
+        med = spacings[len(spacings) // 2] if spacings else 30
+        gap_limit = max(med * 1.5, 45)
+        prev_top = p["rule"]["y"]
+        for i, ln in above:
+            if prev_top - ln.bbox.top > gap_limit:
+                break
+            p["header_idx"].append(i)
+            p["header_top"] = ln.bbox.top
+            prev_top = ln.bbox.top
+
+    results = []
+    for pii, p in enumerate(primaries):
+        lower = (primaries[pii + 1]["header_top"] - 1
+                 if pii + 1 < len(primaries) else page.dims["height"])
+        below = sorted(
+            ((i, ln) for i, ln in enumerate(lines)
+             if p["rule"]["y"] <= ln.bbox.top <= lower
+             and ln.bbox.left >= p["left"] - p["slack"]
+             and ln.bbox.right <= p["right"] + p["slack"]),
+            key=lambda t: t[1].bbox.top)
+        if len(below) < 2:
+            continue
+        early = sorted(below[i][1].bbox.top - below[i - 1][1].bbox.top
+                       for i in range(1, min(len(below), 6)))
+        med = early[len(early) // 2] if early else 30
+        data_gap = max(med * 2.5, 80)
+        data_idx = []
+        prev_top = p["rule"]["y"]
+        for i, ln in below:
+            if data_idx and ln.bbox.top - prev_top > data_gap:
+                break
+            data_idx.append(i)
+            prev_top = ln.bbox.top
+        if len(data_idx) < 2:
+            continue
+        data_idx += p["header_idx"]
+
+        cols = p["rule"]["cols"]
+        seps = [(cols[i - 1]["right"] + cols[i]["left"]) / 2
+                for i in range(1, len(cols))]
+        bottom = max(lines[i].bbox.bottom for i in data_idx)
+        rows = group_lines_into_rows([lines[i] for i in data_idx])
+        if len(rows) < 3:
+            continue
+
+        # numeric-distribution validation
+        bounds = [p["left"]] + seps + [p["right"]]
+        col_numeric = [0] * (len(bounds) - 1)
+        multi_col_rows = 0
+        for row in rows:
+            hit = set()
+            for ln in row:
+                for w in ln.words:
+                    # reference gate: must contain a digit (:3558-3559)
+                    if not (_DIGIT_RE.search(w.text)
+                            and _NUM_TOKEN_RE.match(w.text)):
+                        continue
+                    cx = (w.bbox.left + w.bbox.right) / 2
+                    for ci in range(len(bounds) - 1):
+                        if bounds[ci] <= cx < bounds[ci + 1]:
+                            hit.add(ci)
+                            break
+            if len(hit) >= 2:
+                multi_col_rows += 1
+            for ci in hit:
+                col_numeric[ci] += 1
+        if multi_col_rows < 5:
+            continue
+        if not any(col_numeric[ci] >= len(rows) * 0.5
+                   for ci in range(1, len(col_numeric))):
+            continue
+
+        results.append({
+            "bbox": Bbox(p["left"], p["header_top"], p["right"], bottom),
+            "col_separators": seps,
+            "method": "header-rule",
+        })
+    return results
 
 
 def group_lines_into_rows(lines, tol: float = 5.0) -> list[list]:
@@ -382,6 +543,14 @@ def detect_pdf_table_regions(page, paths, scale: float,
     h_lines, v_lines = classify_rule_lines(paths, scale, page_h_pts)
     tables = detect_strict_grids(h_lines, v_lines)
 
+    def _overlaps(a: Bbox, b: Bbox) -> bool:
+        return not (a.right < b.left or b.right < a.left
+                    or a.bottom < b.top or b.bottom < a.top)
+
+    for hr in detect_header_rule_tables(h_lines, page):
+        if not any(_overlaps(hr["bbox"], t["bbox"]) for t in tables):
+            tables.append(hr)
+
     # Phase 0 quick bail-out (detectPdfTables.js:72-100): pages with no
     # same-top line pairs are prose UNLESS a dot-leader cluster (>= 3
     # right-clustered-numeric rows within a 300 pt window) says
@@ -400,13 +569,9 @@ def detect_pdf_table_regions(page, paths, scale: float,
             tables.sort(key=lambda t: t["bbox"].top)
             return tables
 
-    def overlaps(a: Bbox, b: Bbox) -> bool:
-        return not (a.right < b.left or b.right < a.left
-                    or a.bottom < b.top or b.bottom < a.top)
-
     for cand in detect_numeric_clusters(
             page, [t["bbox"] for t in tables]):
-        if any(overlaps(cand["bbox"], t["bbox"]) for t in tables):
+        if any(_overlaps(cand["bbox"], t["bbox"]) for t in tables):
             continue
         header = detect_table_header(page, cand)
         if header is not None and header["band_top"] < cand["bbox"].top:

@@ -80,3 +80,24 @@ def test_phase0_prose_bailout_keeps_grids():
     # returns the (empty) path-based result without running the
     # text-side cluster analysis
     assert detect_pdf_table_regions(page, [], 2.0, 792) == []
+
+
+def test_header_rule_tables_end_to_end():
+    """Ruling-row tables (>= 3 disjoint rule segments under a header
+    row; detectHeaderRuleTables): region, separators at rule midpoints,
+    and cells through the rule-derived columns."""
+    from scribe_js_spark.operators.pdf.tables_pdf import (
+        columns_from_separators)
+
+    for doc_id in (3, 7):
+        m = build_pdf_table_models(doc_id)
+        res = extract_document(render_pdf(m["model"], rotate=False))
+        assert res.error is None
+        page = res.pages[0]
+        got = [(t["method"], len(t.get("col_separators") or []) + 1)
+               for t in page.tables]
+        assert got == [(r["method"], r["n_cols"]) for r in m["regions"]]
+        hr = page.tables[-1]
+        assert hr["method"] == "header-rule"
+        cols = columns_from_separators(hr["bbox"], hr["col_separators"])
+        assert extract_table_rows(page, hr["bbox"], cols) == m["hr_cells"]
