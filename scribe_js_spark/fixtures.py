@@ -1150,8 +1150,11 @@ def build_pdf_table_models(doc_id: int, seed: int = SEED_DEFAULT) -> dict:
     pars.append({"lines": lines})
     y += PAR_GAP
 
+    # Every 6th doc draws its grid as dashed stroke pieces — the
+    # reconstituteDashedLines path must rebuild the same rules.
     page = {"pars": pars, "width": PAGE_W, "height": PAGE_H,
-            "table_grids": [{"col_xs": xs, "row_ys": row_ys}]}
+            "table_grids": [{"col_xs": xs, "row_ys": row_ys,
+                             "dashed": doc_id % 6 == 2}]}
     model = {"doc_id": doc_id, "family": "base", "pages": [page]}
     n_tables = 1
     regions = [{"table_n": 0, "method": "grid", "n_cols": n_cols,

@@ -21,7 +21,10 @@ the minimal core reimplemented here:
   above extends the region), per the Phase 5.5/5.7 semantics;
 - header-rule tables (detectHeaderRuleTables, :3354-3594): a ruling
   row of >= 3 disjoint rule segments anchors header/data scans with
-  numeric-distribution validation.
+  numeric-distribution validation;
+- dashed-line reconstitution (reconstituteDashedLines, :1784-1864):
+  >= 5 collinear short stroke pieces with sub-2pt median gaps rebuild
+  into full rules before grid detection.
 
 The 20k-path page cap (:5) is kept. Cell extraction reuses the
 OCR-side ``extract_table_rows`` (utils/detectTables.js semantics).
@@ -97,6 +100,78 @@ def classify_rule_lines(paths, scale: float, page_h_pts: float):
                     "top": (page_h_pts - max(ys)) * scale,
                     "bottom": (page_h_pts - min(ys)) * scale})
     return h_lines, v_lines
+
+
+def reconstitute_dashed_lines(paths, h_lines, v_lines, scale: float,
+                              page_h_pts: float, page_h: float) -> None:
+    """Rebuild full-length rules from dashed/dotted stroke pieces
+    (reconstituteDashedLines, detectPdfTables.js:1784-1864): some PDFs
+    draw dashed borders as dozens of individual 2-command stroked
+    segments too short for the normal thresholds. Signature: >= 5
+    collinear pieces (position within 2 pt) whose median gap is
+    < 2 pt. Reconstituted lines are appended to h_lines / v_lines in
+    display space; page-spanning verticals and page-margin horizontals
+    are skipped as decoration."""
+    v_cand, h_cand = [], []
+    for path in paths:
+        if not path.stroke:
+            continue
+        cmds = path.commands
+        if len(cmds) != 2 or cmds[0][0] != "M" or cmds[1][0] != "L":
+            continue
+        w = abs(cmds[1][1] - cmds[0][1])
+        h = abs(cmds[1][2] - cmds[0][2])
+        if w < 2 and 1 < h <= 10:
+            v_cand.append({"x": (cmds[0][1] + cmds[1][1]) / 2,
+                           "y1": min(cmds[0][2], cmds[1][2]),
+                           "y2": max(cmds[0][2], cmds[1][2])})
+        elif h < 2 and 1 < w <= 30:
+            h_cand.append({"y": (cmds[0][2] + cmds[1][2]) / 2,
+                           "x1": min(cmds[0][1], cmds[1][1]),
+                           "x2": max(cmds[0][1], cmds[1][1])})
+
+    def groups_by(items, key):
+        out: list[list[dict]] = []
+        for it in sorted(items, key=lambda d: d[key]):
+            if out and abs(it[key] - out[-1][-1][key]) <= 2:
+                out[-1].append(it)
+            else:
+                out.append([it])
+        return out
+
+    if len(v_cand) >= 5:
+        for g in groups_by(v_cand, "x"):
+            if len(g) < 5:
+                continue
+            g.sort(key=lambda d: d["y1"])
+            gaps = sorted(g[i]["y1"] - g[i - 1]["y2"]
+                          for i in range(1, len(g)))
+            med = gaps[len(gaps) // 2]
+            if med < 0 or med >= 2:
+                continue
+            avg_x = sum(d["x"] for d in g) / len(g)
+            top = (page_h_pts - g[-1]["y2"]) * scale
+            bottom = (page_h_pts - g[0]["y1"]) * scale
+            if bottom - top > page_h * 0.8:
+                continue  # page border, not a table rule
+            v_lines.append({"x": avg_x * scale, "top": top,
+                            "bottom": bottom})
+    if len(h_cand) >= 5:
+        for g in groups_by(h_cand, "y"):
+            if len(g) < 5:
+                continue
+            g.sort(key=lambda d: d["x1"])
+            gaps = sorted(g[i]["x1"] - g[i - 1]["x2"]
+                          for i in range(1, len(g)))
+            med = gaps[len(gaps) // 2]
+            if med < 0 or med >= 2:
+                continue
+            avg_y = sum(d["y"] for d in g) / len(g)
+            y = (page_h_pts - avg_y) * scale
+            if y < page_h * 0.05 or y > page_h * 0.95:
+                continue  # margin decoration
+            h_lines.append({"left": g[0]["x1"] * scale,
+                            "right": g[-1]["x2"] * scale, "y": y})
 
 
 def _cluster(values, tol: float) -> list[float]:
@@ -541,6 +616,8 @@ def detect_pdf_table_regions(page, paths, scale: float,
     if len(paths) > MAX_TABLE_DETECTION_PATHS:
         paths = []
     h_lines, v_lines = classify_rule_lines(paths, scale, page_h_pts)
+    reconstitute_dashed_lines(paths, h_lines, v_lines, scale,
+                              page_h_pts, page.dims["height"])
     tables = detect_strict_grids(h_lines, v_lines)
 
     def _overlaps(a: Bbox, b: Bbox) -> bool:

@@ -582,6 +582,25 @@ def render_pdf(model: dict, compress: bool | None = None,
                 f"{rule['right'] - rule['left']} 1 re f")
         for grid in page.get("table_grids", []):
             xs, ys = grid["col_xs"], grid["row_ys"]
+            if grid.get("dashed"):
+                # dashed borders as individual short stroked segments
+                # (8 pt dashes, 1 pt gaps) — the shape
+                # reconstituteDashedLines rebuilds
+                for gy in ys:
+                    x = xs[0]
+                    while x < xs[-1]:
+                        x2 = min(x + 8, xs[-1])
+                        ops.append(f"{x} {page_h - gy} m "
+                                   f"{x2} {page_h - gy} l S")
+                        x = x2 + 1
+                for gx in xs:
+                    yy = ys[0]
+                    while yy < ys[-1]:
+                        y2 = min(yy + 8, ys[-1])
+                        ops.append(f"{gx} {page_h - y2} m "
+                                   f"{gx} {page_h - yy} l S")
+                        yy = y2 + 1
+                continue
             for gy in ys:  # horizontal rules span the columns
                 ops.append(
                     f"{xs[0]} {page_h - gy} {xs[-1] - xs[0]} 0.8 re f")

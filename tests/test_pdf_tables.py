@@ -101,3 +101,20 @@ def test_header_rule_tables_end_to_end():
         assert hr["method"] == "header-rule"
         cols = columns_from_separators(hr["bbox"], hr["col_separators"])
         assert extract_table_rows(page, hr["bbox"], cols) == m["hr_cells"]
+
+
+def test_dashed_grid_reconstitution():
+    """Dashed borders drawn as short stroke pieces reconstitute into
+    full rules (reconstituteDashedLines) and the grid detects as if
+    solidly ruled."""
+    m = build_pdf_table_models(2)  # doc_id % 6 == 2 -> dashed grid
+    res = extract_document(render_pdf(m["model"], rotate=False))
+    assert res.error is None
+    page = res.pages[0]
+    assert [t["method"] for t in page.tables] == ["grid"]
+    assert len(page.tables[0]["col_separators"]) == m["n_grid_cols"] - 1
+    matrix = extract_table_rows(page, page.tables[0]["bbox"])
+    got = [(r, c, cell) for r, row in enumerate(matrix)
+           for c, cell in enumerate(row)]
+    assert got == [(rec["row_n"], rec["col_n"], rec["cell"])
+                   for rec in m["expected"]]
