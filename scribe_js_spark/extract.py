@@ -99,6 +99,17 @@ class DocResult:
 def extract_document(data: bytes) -> DocResult:
     """bytes -> extracted reflowed text + page model; never raises."""
     try:
+        if data[:2] == b"\x1f\x8b":
+            # gzip-wrapped document (crawl archives commonly store the
+            # fetched body compressed); transparently unwrap, then
+            # detect the inner format as usual
+            import gzip as _gzip
+
+            try:
+                data = _gzip.decompress(data)
+            except Exception:
+                return DocResult([], None, None,
+                                 "parse_failure: bad gzip wrapper")
         fmt = detect_document_format(data)
         if fmt is None:
             return DocResult([], None, None, "unsupported_format")
@@ -166,6 +177,13 @@ def split_document_pages(data: bytes) -> tuple:
     """(fmt, [page_str, ...], error) — cheap narrow pre-stage for the
     page-fan-out path. Non-splittable formats return pages=None."""
     try:
+        if data[:2] == b"\x1f\x8b":
+            import gzip as _gzip
+
+            try:
+                data = _gzip.decompress(data)
+            except Exception:
+                return None, None, "parse_failure: bad gzip wrapper"
         fmt = detect_document_format(data)
         if fmt is None:
             return None, None, "unsupported_format"

@@ -431,3 +431,26 @@ def test_lzw_decoder_edge_cases():
     # RLE: runs, literals, 128-literal cap, EOD
     data2 = b"x" * 300 + bytes(range(200)) + b"y" * 2 + b"z"
     assert _rle_decode(_rle_encode(data2)) == data2
+
+
+def test_gzip_wrapped_documents_unwrap_transparently():
+    """Crawl archives store fetched bodies gzipped; extraction must
+    unwrap and produce byte-identical text, and a corrupt wrapper must
+    surface as an error, not a crash."""
+    import gzip
+
+    from scribe_js_spark.extract import (
+        extract_document, split_document_pages)
+    from scribe_js_spark.fixtures import build_doc_model, render_hocr
+
+    model = build_doc_model(9, n_pages=2)
+    raw = render_hocr(model).encode("utf-8")
+    base = extract_document(raw)
+    assert base.error is None
+    wrapped = extract_document(gzip.compress(raw))
+    assert wrapped.error is None
+    assert wrapped.text == base.text
+    fmt, pages, err = split_document_pages(gzip.compress(raw))
+    assert err is None and fmt == "hocr"
+    bad = extract_document(b"\x1f\x8b" + b"garbage!")
+    assert bad.error is not None and "gzip" in bad.error
