@@ -1,0 +1,110 @@
+"""URL operations for web-corpus pipelines — pure JVM expressions.
+
+Crawl dedup and per-site statistics hinge on canonical URLs; all of
+this stays inside whole-stage codegen (regexp/split/filter/array_sort
+built-ins, no Python in the hot path), so it runs at scan speed on a
+10^12-row table.
+
+- ``normalize_url``: lowercase scheme+host, strip the fragment, drop
+  default ports (:80 http / :443 https), remove tracking parameters
+  (utm_*, fbclid, gclid, msclkid, mc_eid, igshid, ref/ref_src), sort
+  the surviving query params, collapse an empty path to "/".
+- ``registrable_domain``: the site-level key — last two host labels,
+  or three under common multi-part public suffixes (co.uk, com.au...),
+  with any leading "www." stripped.
+- ``domain_stats``: per-registrable-domain page counts + URL dedup
+  ratio, the standard crawl-health aggregate.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+# Tracking parameters stripped during normalization (the industry-
+# standard removal set; all are pure analytics identifiers that never
+# change page content).
+TRACKING_PARAM_RE = (
+    "^(utm_[a-zA-Z0-9_]*|fbclid|gclid|msclkid|mc_eid|igshid|"
+    "ref|ref_src|spm|_hsenc|_hsmi)=")
+
+# Common multi-part public suffixes where the registrable domain takes
+# three labels (compact subset of the public-suffix list).
+MULTIPART_SUFFIXES = (
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "com.au", "net.au", "org.au",
+    "co.jp", "ne.jp", "or.jp", "com.br", "com.cn", "com.mx", "co.in",
+    "co.kr", "com.tr", "com.ar", "co.za", "com.sg", "com.hk",
+)
+
+
+def _scheme_host(url: Column) -> Column:
+    return F.regexp_extract(url, r"^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)", 1)
+
+
+def normalize_url(url: Column) -> Column:
+    """Canonical form of a URL column (see module docstring)."""
+    no_frag = F.regexp_replace(url, "#.*", "")
+    tail = F.regexp_replace(
+        no_frag, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*", "")
+    # lowercase scheme+host, then drop default ports
+    head = F.lower(_scheme_host(no_frag))
+    head = F.when(head.rlike("^http://.*:80$"),
+                  F.regexp_replace(head, ":80$", "")) \
+        .when(head.rlike("^https://.*:443$"),
+              F.regexp_replace(head, ":443$", "")) \
+        .otherwise(head)
+
+    path = F.regexp_extract(tail, r"^([^?]*)", 1)
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    query = F.regexp_extract(tail, r"\?(.*)$", 1)
+    params = F.array_sort(F.filter(
+        F.split(query, "&"),
+        lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_RE)))
+    return F.concat(
+        head, path,
+        F.when(F.size(params) > 0,
+               F.concat(F.lit("?"), F.array_join(params, "&")))
+        .otherwise(F.lit("")))
+
+
+def host_of(url: Column) -> Column:
+    """Lowercased host (no scheme, port, or credentials)."""
+    host = F.regexp_extract(
+        url, r"^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^@/]*@)?([^/:?#]*)", 1)
+    return F.lower(host)
+
+
+def registrable_domain(url: Column) -> Column:
+    """Site-level key: last 2 host labels (3 under multi-part public
+    suffixes), leading www. stripped."""
+    host = F.regexp_replace(host_of(url), r"^www\.", "")
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+    last2 = F.when(n >= 2, F.concat_ws(
+        ".", F.try_element_at(labels, F.lit(-2)), F.try_element_at(labels, F.lit(-1)))
+    ).otherwise(host)
+    last3 = F.when(n >= 3, F.concat_ws(
+        ".", F.try_element_at(labels, F.lit(-3)), F.try_element_at(labels, F.lit(-2)),
+        F.try_element_at(labels, F.lit(-1)))
+    ).otherwise(last2)
+    is_multi = F.try_element_at(labels, F.lit(-2)).isNotNull() & F.concat_ws(
+        ".", F.try_element_at(labels, F.lit(-2)), F.try_element_at(labels, F.lit(-1))).isin(
+        *MULTIPART_SUFFIXES)
+    return F.when(is_multi, last3).otherwise(last2)
+
+
+def domain_stats(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """Per-registrable-domain crawl-health aggregate: page count,
+    distinct normalized URLs, and the URL dedup ratio. One shuffle on
+    the domain key."""
+    url = F.col(url_col)
+    enriched = df.select(
+        registrable_domain(url).alias("domain"),
+        normalize_url(url).alias("norm_url"))
+    return (
+        enriched.groupBy("domain")
+        .agg(F.count("*").alias("n_pages"),
+             F.count_distinct("norm_url").alias("n_distinct_urls"))
+        .withColumn(
+            "dup_ratio",
+            F.round(1.0 - F.col("n_distinct_urls") / F.col("n_pages"), 6)))
