@@ -527,3 +527,20 @@ def run_extraction_job(
     else:
         metrics_df.writeTo(output_path + "_metrics").append()
     return metrics_row
+
+
+def write_bucketed(df: DataFrame, table: str, n_buckets: int,
+                   bucket_col: str = "url") -> None:
+    """Persist a table bucketed (and sorted) by ``bucket_col`` so that
+    subsequent equi-joins and aggregations on that key are co-located:
+    two tables bucketed the same way join with ZERO Exchange nodes —
+    at 100 TB that turns the biggest shuffle in a multi-layer compare
+    (joining OCR layers / resuming against committed output on url)
+    into a map-side merge. Spark bucketing rides the session catalog
+    (saveAsTable); set ``spark.sql.warehouse.dir`` to the target
+    storage root."""
+    (df.write.mode("overwrite")
+     .bucketBy(n_buckets, bucket_col)
+     .sortBy(bucket_col)
+     .format("parquet")
+     .saveAsTable(table))
