@@ -93,18 +93,24 @@ def registrable_domain(url: Column) -> Column:
     return F.when(is_multi, last3).otherwise(last2)
 
 
-def domain_stats(df: DataFrame, url_col: str = "url") -> DataFrame:
+def domain_stats(df: DataFrame, url_col: str = "url",
+                 approx: bool = False) -> DataFrame:
     """Per-registrable-domain crawl-health aggregate: page count,
-    distinct normalized URLs, and the URL dedup ratio. One shuffle on
-    the domain key."""
+    distinct normalized URLs, and the URL dedup ratio. Exact distinct
+    counting costs two shuffles (expand + final aggregate);
+    ``approx=True`` switches to HyperLogLog sketches — one shuffle of
+    constant-size state per domain, the right trade at 10^12 rows
+    where a 2% dedup-ratio error is immaterial."""
     url = F.col(url_col)
     enriched = df.select(
         registrable_domain(url).alias("domain"),
         normalize_url(url).alias("norm_url"))
+    distinct = (F.approx_count_distinct("norm_url") if approx
+                else F.count_distinct("norm_url"))
     return (
         enriched.groupBy("domain")
         .agg(F.count("*").alias("n_pages"),
-             F.count_distinct("norm_url").alias("n_distinct_urls"))
+             distinct.alias("n_distinct_urls"))
         .withColumn(
             "dup_ratio",
             F.round(1.0 - F.col("n_distinct_urls") / F.col("n_pages"), 6)))

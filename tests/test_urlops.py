@@ -77,3 +77,21 @@ def test_normalize_is_whole_stage_codegen(spark):
         ._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
+
+
+def test_domain_stats_approx_plan_has_single_shuffle(spark):
+    from scribe_js_spark.textops.urlops import domain_stats
+
+    df = spark.createDataFrame(
+        [(f"https://s{i % 3}.com/p{i}",) for i in range(30)], ["url"])
+    exact = domain_stats(df)._jdf.queryExecution() \
+        .executedPlan().toString()
+    approx = domain_stats(df, approx=True)._jdf.queryExecution() \
+        .executedPlan().toString()
+    import re
+
+    assert len(re.findall(r"Exchange", approx)) \
+        < len(re.findall(r"Exchange", exact))
+    rows = {r["domain"]: r for r in
+            domain_stats(df, approx=True).collect()}
+    assert rows["s0.com"]["n_pages"] == 10
