@@ -219,9 +219,13 @@ def _q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     scans built from the same quantized coefficients, so the decoded
     pixels — and the oracle — equal the sequential encodings').
     Plus GIF animations (ids 8000+: palette + LSB-LZW + interlace,
-    graphic-control delays), PCM WAV audio (ids 7000+) and SVID videos
-    of real JPEG frames (ids 7100+). n_bytes is asserted for SIMG only
-    — compressed sizes are not SQL-reproducible."""
+    graphic-control delays), PCM WAV audio (ids 7000+), SVID videos
+    of real JPEG frames (ids 7100+), TIFF (ids 9000+: none/LZW/PackBits
+    compressions, horizontal-differencing predictor), BMP (ids 9100+:
+    8-bit paletted + 24-bit, both row orders) and G.711 mu-law WAV
+    (ids 9200+: the companding round-trip is exact integer math, so
+    the mean amplitude reproduces in SQL). n_bytes is asserted for
+    SIMG only — compressed sizes are not SQL-reproducible."""
     import numpy as np
 
     from scribe_js_spark.textops.jpeg import (
@@ -325,6 +329,39 @@ def _q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             (((xs // 8) * 31 + (ys // 8) * 17 + f * 10) % 256).astype(
                 np.uint8)) for f in range(n_frames)]
         rows.append((7100 + i, encode_synth_video(frames_, fps=4 + i)))
+    from scribe_js_spark.textops.multimodal import (
+        _mulaw_compress,
+        encode_bmp,
+    )
+    from scribe_js_spark.textops.tiff import encode_tiff
+    for i in range(10):  # TIFF: gray formula, compressions x predictors
+        w = 16 + i % 8
+        h = 8 + i % 5
+        xs, ys = np.meshgrid(np.arange(w), np.arange(h))
+        px = ((xs * 7 + ys * 13) % 256).astype(np.uint8)
+        rows.append((9000 + i, encode_tiff(
+            px, compression=[1, 5, 32773][i % 3],
+            predictor=[1, 2][i % 2])))
+    for i in range(10):  # BMP: gray paletted / 24-bit RGB, both row orders
+        w = 16 + i % 8
+        h = 8 + i % 5
+        xs, ys = np.meshgrid(np.arange(w), np.arange(h))
+        g = ((xs * 7 + ys * 13) % 256).astype(np.uint8)
+        img = (g if i % 2 == 0 else np.stack(
+            [g, (g.astype(np.int32) + 9) % 256,
+             (g.astype(np.int32) + 77) % 256], -1).astype(np.uint8))
+        rows.append((9100 + i, encode_bmp(img, top_down=i % 3 == 0)))
+    for i in range(5):  # G.711 mu-law WAV: s(j) = ((j*37)%201 - 100)*50
+        frames = 800 + 100 * i
+        s = (((np.arange(frames, dtype=np.int64) * 37) % 201 - 100)
+             * 50).astype(np.int16)
+        enc = _mulaw_compress(s).tobytes()
+        import struct as _struct
+        fmt = _struct.pack("<HHIIHH", 7, 1, 8000, 8000, 1, 8)
+        body = (b"WAVE" + b"fmt " + _struct.pack("<I", len(fmt)) + fmt
+                + b"data" + _struct.pack("<I", len(enc)) + enc)
+        rows.append((9200 + i,
+                     b"RIFF" + _struct.pack("<I", len(body)) + body))
     df = spark.createDataFrame(rows, ["media_id", "data"])
     return decode_media(df).select(
         "media_id", "kind",
@@ -2255,6 +2292,72 @@ WHERE len(list_intersect(ta.toks, tb.toks))
               WHERE r < b.n
                 AND x.x < (32 + (r % 3) * 16) AND y.y < (16 + (r % 5) * 16)
             ) GROUP BY media_id, w, h
+            UNION ALL
+            -- TIFF rows (ids 9000+) and gray paletted BMP rows (even
+            -- ids 9100+): same gray pixel formula; BMP replicates the
+            -- gray value over 3 channels so the mean is unchanged.
+            SELECT media_id, kind, w::BIGINT AS width,
+                   h::BIGINT AS height, NULL::BIGINT AS n_bytes_simg,
+                   CAST(floor(avg(v) * 1e6) AS BIGINT) AS mean_e6,
+                   NULL::BIGINT AS sample_rate, NULL::BIGINT AS duration_ms,
+                   NULL::BIGINT AS n_frames
+            FROM (
+              SELECT b.b + r AS media_id, b.k AS kind, (16 + r % 8) AS w,
+                     (8 + r % 5) AS h,
+                     ((x.x * 7 + y.y * 13) % 256)::DOUBLE AS v
+              FROM (VALUES (9000, 'tiff', 10), (9100, 'bmp', 10)) b(b, k, n),
+                   range(10) t(r), range(24) x(x), range(13) y(y)
+              WHERE x.x < (16 + r % 8) AND y.y < (8 + r % 5)
+                AND r < b.n AND (b.b = 9000 OR r % 2 = 0)
+            ) GROUP BY media_id, kind, w, h
+            UNION ALL
+            -- 24-bit BMP rows (odd ids 9100+): channels
+            -- (v, (v+9)%256, (v+77)%256)
+            SELECT media_id, 'bmp' AS kind, w::BIGINT AS width,
+                   h::BIGINT AS height, NULL::BIGINT AS n_bytes_simg,
+                   CAST(floor(avg(v) * 1e6) AS BIGINT) AS mean_e6,
+                   NULL::BIGINT AS sample_rate, NULL::BIGINT AS duration_ms,
+                   NULL::BIGINT AS n_frames
+            FROM (
+              SELECT 9100 + r AS media_id, (16 + r % 8) AS w,
+                     (8 + r % 5) AS h,
+                     (((x.x * 7 + y.y * 13) % 256
+                       + [0, 9, 77][c.c + 1]) % 256)::DOUBLE AS v
+              FROM range(10) t(r), range(3) c(c), range(24) x(x),
+                   range(13) y(y)
+              WHERE r % 2 = 1
+                AND x.x < (16 + r % 8) AND y.y < (8 + r % 5)
+            ) GROUP BY media_id, w, h
+            UNION ALL
+            -- G.711 mu-law WAV rows (ids 9200+): source
+            -- s(j) = ((j*37)%201 - 100)*50 companded to mu-law and
+            -- expanded back; the reconstruction is exact integer math
+            -- (mag0 = min|s|+132, exp = floor(log2(mag0)) - 7,
+            -- mant = (mag0 >> (exp+3)) & 15,
+            -- recon = ((mant*8+132) << exp) - 132, re-signed) so the
+            -- mean absolute amplitude is SQL-computable.
+            SELECT media_id, 'wav' AS kind, NULL::BIGINT AS width,
+                   NULL::BIGINT AS height, NULL::BIGINT AS n_bytes_simg,
+                   CAST(floor(SUM(recon)::DOUBLE / COUNT(*) * 1e6)
+                        AS BIGINT) AS mean_e6,
+                   8000::BIGINT AS sample_rate,
+                   (ANY_VALUE(frames) * 1000 // 8000)::BIGINT
+                     AS duration_ms,
+                   ANY_VALUE(frames)::BIGINT AS n_frames
+            FROM (
+              SELECT 9200 + r AS media_id, 800 + 100 * r AS frames,
+                     ((((mag0 >> (e + 3)) & 15) * 8 + 132) << e) - 132
+                       AS recon
+              FROM (
+                SELECT r, j.j,
+                       LEAST(ABS(((j.j * 37) % 201 - 100) * 50), 32635)
+                         + 132 AS mag0,
+                       CAST(floor(log2(LEAST(ABS(((j.j * 37) % 201
+                         - 100) * 50), 32635) + 132)) AS INT) - 7 AS e
+                FROM range(5) t(r), range(1200) j(j)
+                WHERE j.j < 800 + 100 * r
+              )
+            ) GROUP BY media_id
             UNION ALL
             -- GIF rows (ids 8000+): 16-color palette
             -- (j*17, j*29, j*43) % 256, frame k index (x+y+k) % 16,

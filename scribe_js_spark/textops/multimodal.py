@@ -12,8 +12,10 @@ the JPEG path (textops/jpeg.py: sequential + progressive, grayscale
 per-document handler and surface as an ``error`` column value, never a
 job failure — the same never-fatal contract as document extraction.
 GIF (textops/gif.py: LSB-first LZW, palettes, interlace, animation
-frames with delays) decodes for real too; JPEG 2000 surfaces an honest
-not_implemented. Audio rides the same contract through a from-scratch
+frames with delays), TIFF (textops/tiff.py: none/LZW/PackBits strips,
+horizontal-differencing predictor, WhiteIsZero) and BMP (8-bit
+paletted / 24-bit, both row orders) decode for real too; JPEG 2000
+surfaces an honest not_implemented. Audio rides the same contract through a from-scratch
 RIFF/WAVE PCM parser (sample rate / duration / mean amplitude); video
 through the ``SVID`` fixture container whose *frames* are real
 JPEG/PNG bytes —
@@ -259,12 +261,147 @@ def encode_png_gray(pixels, cycle_filters: bool = False,
             + chunk(b"IEND", b""))
 
 
+def decode_bmp(data: bytes):
+    """From-scratch BMP decode -> (width, height, channels, pixels
+    (h, w, c) uint8). Supports the common uncompressed forms: 24-bit
+    BGR and 8-bit paletted, bottom-up or top-down rows, 4-byte row
+    padding. RLE and 16/32-bit variants raise NotImplementedError."""
+    import numpy as np
+
+    if data[:2] != b"BM":
+        raise ValueError("not a BMP")
+    if len(data) < 54:
+        raise ValueError("bmp: truncated header")
+    (px_off,) = struct.unpack_from("<I", data, 10)
+    (hdr_size, width, height) = struct.unpack_from("<IiI", data, 14)[:3]
+    width_i, height_i = struct.unpack_from("<ii", data, 18)
+    planes, bpp = struct.unpack_from("<HH", data, 26)
+    (compression,) = struct.unpack_from("<I", data, 30)
+    if compression != 0:
+        raise NotImplementedError(f"bmp: compression {compression}")
+    if bpp not in (8, 24):
+        raise NotImplementedError(f"bmp: {bpp}-bit pixels")
+    top_down = height_i < 0
+    h = abs(height_i)
+    w = width_i
+    if w <= 0 or h <= 0:
+        raise ValueError("bmp: bad dimensions")
+    if bpp == 8:
+        pal_off = 14 + hdr_size
+        pal = np.frombuffer(
+            data, dtype=np.uint8, count=256 * 4, offset=pal_off
+        ).reshape(256, 4)[:, :3][:, ::-1]  # BGRX -> RGB
+        stride = (w + 3) & ~3
+        need = stride * h
+        if len(data) < px_off + need:
+            raise ValueError("bmp: truncated pixel data")
+        rows = np.frombuffer(data, dtype=np.uint8, count=need,
+                             offset=px_off).reshape(h, stride)[:, :w]
+        if not top_down:
+            rows = rows[::-1]
+        return w, h, 3, pal[rows]
+    stride = (w * 3 + 3) & ~3
+    need = stride * h
+    if len(data) < px_off + need:
+        raise ValueError("bmp: truncated pixel data")
+    rows = np.frombuffer(data, dtype=np.uint8, count=need,
+                         offset=px_off).reshape(h, stride)
+    px = rows[:, : w * 3].reshape(h, w, 3)[:, :, ::-1]  # BGR -> RGB
+    if not top_down:
+        px = px[::-1]
+    return w, h, 3, np.ascontiguousarray(px)
+
+
+def encode_bmp(pixels, top_down: bool = False) -> bytes:
+    """Fixture BMP writer: (h, w) uint8 -> 8-bit paletted grayscale, or
+    (h, w, 3) uint8 RGB -> 24-bit."""
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    h, w = px.shape[:2]
+    if px.ndim == 2:
+        stride = (w + 3) & ~3
+        rows = np.zeros((h, stride), dtype=np.uint8)
+        rows[:, :w] = px if top_down else px[::-1]
+        pal = bytearray()
+        for i in range(256):
+            pal += bytes([i, i, i, 0])  # BGRX gray ramp
+        body = bytes(rows)
+        bpp = 8
+        pal_bytes = bytes(pal)
+    else:
+        stride = (w * 3 + 3) & ~3
+        rows = np.zeros((h, stride), dtype=np.uint8)
+        src = px if top_down else px[::-1]
+        rows[:, : w * 3] = src[:, :, ::-1].reshape(h, w * 3)
+        body = bytes(rows)
+        bpp = 24
+        pal_bytes = b""
+    px_off = 14 + 40 + len(pal_bytes)
+    hdr = b"BM" + struct.pack("<IHHI", px_off + len(body), 0, 0, px_off)
+    info = struct.pack("<IiiHHIIiiII", 40, w, -h if top_down else h,
+                       1, bpp, 0, len(body), 2835, 2835,
+                       256 if bpp == 8 else 0, 0)
+    return hdr + info + pal_bytes + body
+
+
 def encode_synth_image(width: int, height: int, payload: bytes) -> bytes:
     """Deterministic fake image container used by tests/benchmarks."""
     return _SIMG_MAGIC + struct.pack("<II", width, height) + payload
 
 
 # ------------------------------------------------------------ audio (WAV)
+
+def _mulaw_expand(enc):
+    """G.711 mu-law byte -> linear int16 (ITU-T G.711 table logic)."""
+    import numpy as np
+
+    u = (~enc.astype(np.int32)) & 0xFF
+    sign = (u & 0x80) != 0
+    exp = (u >> 4) & 0x07
+    mant = u & 0x0F
+    mag = (((mant << 3) + 0x84) << exp) - 0x84
+    return np.where(sign, -mag, mag).astype(np.int16)
+
+
+def _mulaw_compress(x):
+    """linear int16 -> G.711 mu-law byte (fixture side)."""
+    import numpy as np
+
+    x = x.astype(np.int32)
+    sign = np.where(x < 0, 0x80, 0)
+    mag = np.minimum(np.abs(x), 32635) + 0x84
+    exp = (np.floor(np.log2(mag)).astype(np.int32) - 7).clip(0, 7)
+    mant = (mag >> (exp + 3)) & 0x0F
+    return ((~(sign | (exp << 4) | mant)) & 0xFF).astype(np.uint8)
+
+
+def _alaw_expand(enc):
+    """G.711 A-law byte -> linear int16."""
+    import numpy as np
+
+    a = enc.astype(np.int32) ^ 0x55
+    sign = (a & 0x80) != 0
+    exp = (a >> 4) & 0x07
+    mant = a & 0x0F
+    mag = np.where(exp == 0, (mant << 4) + 8,
+                   ((mant << 4) + 0x108) << np.maximum(exp - 1, 0))
+    return np.where(sign, -mag, mag).astype(np.int16)
+
+
+def _alaw_compress(x):
+    """linear int16 -> G.711 A-law byte (fixture side)."""
+    import numpy as np
+
+    x = x.astype(np.int32)
+    sign = np.where(x < 0, 0x80, 0)
+    mag = np.minimum(np.abs(x), 32767)
+    exp = np.maximum(
+        (np.floor(np.log2(np.maximum(mag, 1))).astype(np.int32) - 7), 0)
+    exp = np.minimum(exp, 7)
+    mant = np.where(exp == 0, mag >> 4, (mag >> (exp + 3)) & 0x0F)
+    return (((sign | (exp << 4) | mant) ^ 0x55) & 0xFF).astype(np.uint8)
+
 
 def decode_wav(data: bytes):
     """From-scratch RIFF/WAVE parser for integer PCM (8- and 16-bit):
@@ -295,14 +432,23 @@ def decode_wav(data: bytes):
     if fmt is None or pcm is None:
         raise ValueError("wav: missing fmt/data chunk")
     audio_format, channels, sample_rate, _brate, _align, bits = fmt
-    if audio_format != 1:
+    if audio_format not in (1, 6, 7):
         raise NotImplementedError(f"wav: format tag {audio_format}")
-    if bits not in (8, 16):
-        raise NotImplementedError(f"wav: {bits}-bit samples")
     if channels < 1:
         raise ValueError("wav: zero channels")
-    dtype = np.uint8 if bits == 8 else np.dtype("<i2")
-    samples = np.frombuffer(pcm, dtype=dtype)
+    if audio_format == 1:
+        if bits not in (8, 16):
+            raise NotImplementedError(f"wav: {bits}-bit samples")
+        dtype = np.uint8 if bits == 8 else np.dtype("<i2")
+        samples = np.frombuffer(pcm, dtype=dtype)
+    else:
+        # G.711 companded telephony audio: 8-bit A-law (6) / mu-law (7)
+        # expand to linear 16-bit
+        if bits != 8:
+            raise ValueError(f"wav: g711 with {bits}-bit samples")
+        enc = np.frombuffer(pcm, dtype=np.uint8)
+        samples = (_alaw_expand(enc) if audio_format == 6
+                   else _mulaw_expand(enc))
     frames = len(samples) // channels
     samples = samples[: frames * channels].reshape(frames, channels)
     return sample_rate, channels, bits, frames, samples
@@ -404,6 +550,18 @@ def _decode_one(data: bytes) -> dict:
                           duration_ms=(sum(delays_cs) * 10
                                        if delays_cs else None),
                           n_frames=n)
+    if data[:4] in (b"II*\x00", b"MM\x00*"):
+        from .tiff import decode_tiff
+
+        width, height, _spp, px = decode_tiff(data)
+        return _media_rec(kind="tiff", width=width, height=height,
+                          n_bytes=len(data),
+                          mean_byte=float(px.mean()) if px.size else 0.0)
+    if data[:2] == b"BM":
+        width, height, _c, px = decode_bmp(data)
+        return _media_rec(kind="bmp", width=width, height=height,
+                          n_bytes=len(data),
+                          mean_byte=float(px.mean()) if px.size else 0.0)
     if data[4:8] == b"jP  " or data[:4] == b"\xff\x4f\xff\x51":
         # JPEG 2000 (JP2 box / raw J2K codestream): honest stub
         raise NotImplementedError("jpeg2000 codestream")

@@ -1,0 +1,221 @@
+"""From-scratch baseline TIFF decoder (6.0 subset).
+
+IFD walk (II/MM byte orders), strip-based grayscale/RGB images at
+8 bits per sample, compressions: none (1), LZW (5 — the MSB-first
+EarlyChange flavor shared with PDF streams), PackBits (32773), with
+horizontal differencing (Predictor 2). Tiled images, JPEG-in-TIFF,
+CCITT fax and sub-byte depths raise NotImplementedError — surfaced as
+the error column upstream.
+
+Encoder (fixture side): single-strip writer for the same subset.
+"""
+
+from __future__ import annotations
+
+import struct
+
+TAG_WIDTH = 256
+TAG_HEIGHT = 257
+TAG_BPS = 258
+TAG_COMPRESSION = 259
+TAG_PHOTOMETRIC = 262
+TAG_STRIP_OFFSETS = 273
+TAG_SPP = 277
+TAG_ROWS_PER_STRIP = 278
+TAG_STRIP_COUNTS = 279
+TAG_PREDICTOR = 317
+TAG_TILE_WIDTH = 322
+
+_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}
+
+
+def _packbits_decode(data: bytes) -> bytes:
+    """PackBits (TIFF 6.0 §9): n in 0..127 copy n+1 literal; n in
+    129..255 repeat next byte 257-n times; 128 is a no-op."""
+    out = bytearray()
+    i = 0
+    while i < len(data):
+        n = data[i]
+        i += 1
+        if n < 128:
+            out += data[i : i + n + 1]
+            i += n + 1
+        elif n > 128:
+            if i < len(data):
+                out += bytes([data[i]]) * (257 - n)
+                i += 1
+        # n == 128: no-op
+    return bytes(out)
+
+
+def _packbits_encode(data: bytes) -> bytes:
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n:
+        run = 1
+        while i + run < n and run < 128 and data[i + run] == data[i]:
+            run += 1
+        if run >= 2:
+            out += bytes([257 - run, data[i]])
+            i += run
+            continue
+        lit = i
+        while i < n and i - lit < 128:
+            run = 1
+            while i + run < n and run < 2 and data[i + run] == data[i]:
+                run += 1
+            if run >= 2 and i + run < n and data[i + run] == data[i]:
+                break
+            i += 1
+        out += bytes([i - lit - 1]) + data[lit:i]
+    return bytes(out)
+
+
+def decode_tiff(data: bytes):
+    """TIFF -> (width, height, samples_per_pixel, pixels ndarray
+    (h, w, spp) uint8)."""
+    import numpy as np
+
+    if data[:4] == b"II*\x00":
+        endian = "<"
+    elif data[:4] == b"MM\x00*":
+        endian = ">"
+    else:
+        raise ValueError("not a TIFF")
+    (ifd_off,) = struct.unpack_from(endian + "I", data, 4)
+    if ifd_off + 2 > len(data):
+        raise ValueError("tiff: truncated IFD offset")
+    (n_entries,) = struct.unpack_from(endian + "H", data, ifd_off)
+    tags: dict[int, list[int]] = {}
+    for i in range(n_entries):
+        base = ifd_off + 2 + 12 * i
+        if base + 12 > len(data):
+            raise ValueError("tiff: truncated IFD")
+        tag, typ, count = struct.unpack_from(endian + "HHI", data, base)
+        size = _TYPE_SIZE.get(typ, 1) * count
+        if size <= 4:
+            val_off = base + 8
+        else:
+            (val_off,) = struct.unpack_from(endian + "I", data, base + 8)
+        fmt = {1: "B", 3: "H", 4: "I"}.get(typ)
+        if fmt is None:
+            continue
+        try:
+            tags[tag] = list(struct.unpack_from(
+                endian + fmt * count, data, val_off))
+        except struct.error:
+            raise ValueError("tiff: truncated tag data")
+
+    def one(tag, default=None):
+        v = tags.get(tag)
+        return v[0] if v else default
+
+    if TAG_TILE_WIDTH in tags:
+        raise NotImplementedError("tiff: tiled layout")
+    width = one(TAG_WIDTH)
+    height = one(TAG_HEIGHT)
+    if not width or not height:
+        raise ValueError("tiff: missing dimensions")
+    spp = one(TAG_SPP, 1)
+    bps = tags.get(TAG_BPS, [8])
+    if any(b != 8 for b in bps):
+        raise NotImplementedError(f"tiff: {bps} bits per sample")
+    compression = one(TAG_COMPRESSION, 1)
+    predictor = one(TAG_PREDICTOR, 1)
+    offsets = tags.get(TAG_STRIP_OFFSETS)
+    counts = tags.get(TAG_STRIP_COUNTS)
+    if not offsets or not counts:
+        raise ValueError("tiff: missing strip tables")
+    rows_per_strip = one(TAG_ROWS_PER_STRIP, height)
+
+    raw = bytearray()
+    for off, cnt in zip(offsets, counts):
+        strip = data[off : off + cnt]
+        if len(strip) < cnt:
+            raise ValueError("tiff: truncated strip")
+        if compression == 1:
+            raw += strip
+        elif compression == 5:
+            from ..operators.pdf.document import _lzw_decode
+
+            raw += _lzw_decode(strip, early_change=1)
+        elif compression == 32773:
+            raw += _packbits_decode(strip)
+        else:
+            raise NotImplementedError(f"tiff: compression {compression}")
+    need = width * height * spp
+    if len(raw) < need:
+        raise ValueError("tiff: truncated image data")
+    px = np.frombuffer(bytes(raw), dtype=np.uint8,
+                       count=need).reshape(height, width, spp)
+    if predictor == 2:  # horizontal differencing: undo by row cumsum
+        px = np.cumsum(px.astype(np.int64), axis=1).astype(np.uint8)
+    elif predictor != 1:
+        raise NotImplementedError(f"tiff: predictor {predictor}")
+    _ = rows_per_strip
+    photometric = one(TAG_PHOTOMETRIC, 1)
+    if photometric == 0:  # WhiteIsZero: invert
+        px = (255 - px.astype(np.int16)).astype(np.uint8)
+    return width, height, spp, px
+
+
+def encode_tiff(pixels, compression: int = 1, predictor: int = 1,
+                photometric: int = 1) -> bytes:
+    """Fixture writer: single-strip little-endian TIFF for uint8
+    (h, w) or (h, w, spp) arrays; compression 1/5/32773."""
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim == 2:
+        px = px[:, :, None]
+    h, w, spp = px.shape
+    body = px
+    if predictor == 2:
+        d = body.astype(np.int16)
+        body = np.concatenate(
+            [d[:, :1], (d[:, 1:] - d[:, :-1])], axis=1).astype(np.uint8)
+    raw = body.tobytes()
+    if compression == 5:
+        from ..render_pdf import _lzw_encode
+
+        strip = _lzw_encode(raw, early_change=1)
+    elif compression == 32773:
+        strip = _packbits_encode(raw)
+    else:
+        strip = raw
+
+    entries = []
+
+    def entry(tag, typ, count, value):
+        entries.append((tag, typ, count, value))
+
+    strip_off_pos = None  # patched after layout
+    entry(TAG_WIDTH, 4, 1, w)
+    entry(TAG_HEIGHT, 4, 1, h)
+    entry(TAG_BPS, 3, 1, 8)  # one value: applies to all samples here
+    entry(TAG_COMPRESSION, 3, 1, compression)
+    entry(TAG_PHOTOMETRIC, 3, 1, photometric)
+    entry(TAG_STRIP_OFFSETS, 4, 1, 0)
+    entry(TAG_SPP, 3, 1, spp)
+    entry(TAG_ROWS_PER_STRIP, 4, 1, h)
+    entry(TAG_STRIP_COUNTS, 4, 1, len(strip))
+    if predictor != 1:
+        entry(TAG_PREDICTOR, 3, 1, predictor)
+    entries.sort()
+
+    ifd_off = 8
+    out = bytearray(b"II*\x00" + struct.pack("<I", ifd_off))
+    out += struct.pack("<H", len(entries))
+    data_off = ifd_off + 2 + 12 * len(entries) + 4
+    for tag, typ, count, value in entries:
+        if tag == TAG_STRIP_OFFSETS:
+            value = data_off
+            strip_off_pos = len(out) + 8
+        out += struct.pack("<HHI", tag, typ, count)
+        out += struct.pack("<I", value)
+    out += struct.pack("<I", 0)  # next IFD
+    assert len(out) == data_off
+    _ = strip_off_pos
+    out += strip
+    return bytes(out)
