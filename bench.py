@@ -191,6 +191,15 @@ def main():
     extras["media_blobs_per_sec"] = round(
         n_media / timings["media_decode"], 2)
 
+    # Image near-dups: pHash + pigeonhole block join over the image
+    # subset (every 4th blob is a re-encode of a neighbor, so the
+    # pair set is non-trivial).
+    from scribe_js_spark.textops.imagehash import image_near_dups
+
+    img_df = media_df.filter(F.col("media_id") % 4 < 3)
+    run("image_near_dups",
+        lambda: image_near_dups(img_df, max_distance=3).count())
+
     total = round(sum(timings.values()), 3)
     print(json.dumps({
         "metric": "extraction+textops wall time",
