@@ -1,0 +1,135 @@
+"""Text-layer PDF writer — the core of the reference's ``writePdf``
+(js/export/pdf/writePdf.js + writePdfText.js ocrPageToPDFStream),
+scoped to the text layer:
+
+- one page per OcrPage at the page's dims (PDF user space = model px);
+- every word positioned absolutely (``Tm``) at its bbox with a
+  per-word font size chosen so the constant-width WinAnsi base font
+  reproduces the word's exact pixel width (the reference sizes from
+  font metrics; with a 500/1000-em base font the algebra is exact);
+- ``text_mode='ebook'`` emits visible text, ``'invis'`` emits
+  ``3 Tr`` invisible text — the searchable-PDF overlay mode (image
+  underlays and embedded font programs are the out-of-scope rendering
+  half);
+- ``conf_thresh`` drops words below a confidence floor (the
+  reference's confThreshHigh gate for eval modes).
+
+The writer's contract is ROUNDTRIP: extracting the written PDF with
+this repo's own parser reproduces the source text byte-for-byte
+(tested across fixture families). Non-WinAnsi-encodable characters
+replace with '?' by default ('error' raises) — embedding subset font
+programs for arbitrary Unicode is the remaining rendering-side gap.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+from ..model import OcrPage
+
+FONT_EM = 500  # constant glyph advance per 1000 em — width algebra exact
+
+
+def _esc_winansi(s: str, on_unencodable: str) -> str:
+    out = []
+    for ch in s:
+        if ch in "\\()":
+            out.append("\\" + ch)
+            continue
+        code = ord(ch)
+        if 32 <= code <= 126:
+            out.append(ch)
+            continue
+        try:
+            out.append(f"\\{ch.encode('cp1252')[0]:03o}")
+        except UnicodeEncodeError:
+            if on_unencodable == "error":
+                raise ValueError(f"not WinAnsi-encodable: {ch!r}")
+            out.append("?")
+    return "".join(out)
+
+
+def _fmt(v: float) -> str:
+    """PDF number formatting (reference formatPdfNumber: trim trailing
+    zeros, max 2 decimals for page-space coordinates)."""
+    s = f"{v:.2f}".rstrip("0").rstrip(".")
+    return s if s else "0"
+
+
+def write_text_pdf(pages: list[OcrPage], text_mode: str = "ebook",
+                   conf_thresh: float = 0,
+                   on_unencodable: str = "replace") -> bytes:
+    """OcrPages -> text-layer PDF bytes (see module docstring)."""
+    if text_mode not in ("ebook", "invis"):
+        raise ValueError(f"text_mode {text_mode}")
+    objects: list[bytes] = []
+
+    def add(body: bytes) -> int:
+        objects.append(body)
+        return len(objects)
+
+    add(b"<< /Type /Catalog /Pages 2 0 R >>")  # 1
+    add(b"")                                   # 2: pages, patched below
+    font_num = add(
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica"
+        b" /Encoding /WinAnsiEncoding /FirstChar 0 /LastChar 255"
+        b" /Widths [" + b" ".join([b"500"] * 256) + b"]"
+        b" /FontDescriptor 4 0 R >>")          # 3
+    add(b"<< /Type /FontDescriptor /FontName /Helvetica /Flags 32"
+        b" /FontBBox [-166 -225 1000 931] /ItalicAngle 0 /Ascent 718"
+        b" /Descent -207 /CapHeight 718 /StemV 88 >>")  # 4
+
+    page_nums = []
+    for page in pages:
+        w = page.dims["width"]
+        h = page.dims["height"]
+        ops = ["BT"]
+        if text_mode == "invis":
+            ops.append("3 Tr")
+        for line in page.lines:
+            baseline_y = line.bbox.bottom + (
+                line.baseline[1] if line.baseline else 0)
+            for word in line.words:
+                if word.conf is not None and word.conf < conf_thresh:
+                    continue
+                if not word.text:
+                    continue
+                # font size reproducing the exact pixel width with the
+                # constant 500/1000-em advance
+                fs = (word.bbox.right - word.bbox.left) \
+                    / len(word.text) / (FONT_EM / 1000.0)
+                if fs <= 0:
+                    continue
+                y_pdf = h - baseline_y
+                ops.append(
+                    f"/F1 {_fmt(fs)} Tf 1 0 0 1 {_fmt(word.bbox.left)} "
+                    f"{_fmt(y_pdf)} Tm "
+                    f"({_esc_winansi(word.text, on_unencodable)}) Tj")
+        ops.append("ET")
+        stream = zlib.compress("\n".join(ops).encode("latin-1"))
+        content_num = add(
+            f"<< /Filter /FlateDecode /Length {len(stream)} >>\n"
+            f"stream\n".encode() + stream + b"\nendstream")
+        page_nums.append(add(
+            f"<< /Type /Page /Parent 2 0 R "
+            f"/MediaBox [0 0 {_fmt(w)} {_fmt(h)}] "
+            f"/Resources << /Font << /F1 {font_num} 0 R >> >> "
+            f"/Contents {content_num} 0 R >>".encode()))
+
+    kids = " ".join(f"{n} 0 R" for n in page_nums)
+    objects[1] = (f"<< /Type /Pages /Count {len(page_nums)} "
+                  f"/Kids [{kids}] >>".encode())
+
+    out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
+    offsets = []
+    for i, body in enumerate(objects, start=1):
+        offsets.append(len(out))
+        out += f"{i} 0 obj\n".encode() + body + b"\nendobj\n"
+    xref_pos = len(out)
+    out += f"xref\n0 {len(objects) + 1}\n".encode()
+    out += b"0000000000 65535 f \n"
+    for off in offsets:
+        out += f"{off:010d} 00000 n \n".encode()
+    out += (f"trailer\n<< /Size {len(objects) + 1} /Root 1 0 R >>\n"
+            f"startxref\n{xref_pos}\n%%EOF\n").encode()
+    return bytes(out)

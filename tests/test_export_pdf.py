@@ -1,0 +1,63 @@
+"""Text-layer PDF writer: roundtrip through our own parser."""
+
+import pytest
+
+from scribe_js_spark.export.pdf import write_text_pdf
+from scribe_js_spark.extract import extract_document
+from scribe_js_spark.fixtures import (
+    build_doc_model,
+    render_abbyy,
+    render_hocr,
+)
+from scribe_js_spark.render_pdf import render_pdf
+
+
+@pytest.mark.parametrize("mode", ["ebook", "invis"])
+def test_roundtrip_byte_identity(mode):
+    for doc_id in (0, 3, 5):
+        model = build_doc_model(doc_id, n_pages=2)
+        for blob in (render_hocr(model).encode(),
+                     render_abbyy(model).encode(),
+                     render_pdf(model, rotate=False)):
+            src = extract_document(blob)
+            assert src.error is None
+            back = extract_document(write_text_pdf(src.pages,
+                                                   text_mode=mode))
+            assert back.error is None
+            assert back.text == src.text
+
+
+def test_invis_mode_emits_tr3():
+    import zlib
+
+    model = build_doc_model(1)
+    src = extract_document(render_hocr(model).encode())
+    data = write_text_pdf(src.pages, text_mode="invis")
+    # first content stream contains the invisible-text render mode
+    i = data.find(b"stream\n") + 7
+    j = data.find(b"\nendstream", i)
+    ops = zlib.decompress(data[i:j])
+    assert b"3 Tr" in ops
+    assert b"3 Tr" not in zlib.decompress(
+        (lambda d: d[d.find(b"stream\n") + 7 : d.find(b"\nendstream")])(
+            write_text_pdf(src.pages, text_mode="ebook")))
+
+
+def test_conf_threshold_drops_words():
+    model = build_doc_model(2)
+    src = extract_document(render_hocr(model).encode())
+    all_words = extract_document(write_text_pdf(src.pages))
+    confident = extract_document(
+        write_text_pdf(src.pages, conf_thresh=75))
+    # the seeded 5% low-conf words disappear
+    assert len(confident.text) < len(all_words.text)
+
+
+def test_unencodable_policy():
+    model = build_doc_model(0, n_pages=1)
+    src = extract_document(render_hocr(model).encode())
+    src.pages[0].lines[0].words[0].text = "日本語"
+    back = extract_document(write_text_pdf(src.pages))
+    assert "???" in back.text
+    with pytest.raises(ValueError):
+        write_text_pdf(src.pages, on_unencodable="error")
