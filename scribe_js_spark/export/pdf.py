@@ -58,8 +58,18 @@ def _fmt(v: float) -> str:
 
 def write_text_pdf(pages: list[OcrPage], text_mode: str = "ebook",
                    conf_thresh: float = 0,
-                   on_unencodable: str = "replace") -> bytes:
-    """OcrPages -> text-layer PDF bytes (see module docstring)."""
+                   on_unencodable: str = "replace",
+                   outline: list | None = None,
+                   annotations: list | None = None) -> bytes:
+    """OcrPages -> text-layer PDF bytes (see module docstring).
+
+    ``outline``: flat [(title, page_n, y), ...] bookmark entries ->
+    a one-level /Outlines tree with explicit XYZ destinations
+    (writeOutline.js semantics). ``annotations``: per-page lists of
+    dicts {type: 'Link'|'Highlight'|'Text', rect: (l, t, r, b) in
+    page px, + uri= for links, contents=/author= for notes} ->
+    /Annots arrays (writePdfAnnots.js core). Both roundtrip through
+    this repo's own outline/annotation parsers."""
     if text_mode not in ("ebook", "invis"):
         raise ValueError(f"text_mode {text_mode}")
     objects: list[bytes] = []
@@ -68,7 +78,7 @@ def write_text_pdf(pages: list[OcrPage], text_mode: str = "ebook",
         objects.append(body)
         return len(objects)
 
-    add(b"<< /Type /Catalog /Pages 2 0 R >>")  # 1
+    add(b"")                                   # 1: catalog, patched below
     add(b"")                                   # 2: pages, patched below
     font_num = add(
         b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica"
@@ -116,9 +126,69 @@ def write_text_pdf(pages: list[OcrPage], text_mode: str = "ebook",
             f"/Resources << /Font << /F1 {font_num} 0 R >> >> "
             f"/Contents {content_num} 0 R >>".encode()))
 
+    # --- annotations: /Annots arrays appended to their pages
+    if annotations:
+        for page_n, annots in enumerate(annotations):
+            if page_n >= len(page_nums) or not annots:
+                continue
+            h = pages[page_n].dims["height"]
+            refs = []
+            for a in annots:
+                l, t, r, b = a["rect"]
+                rect = (f"[{_fmt(l)} {_fmt(h - b)} {_fmt(r)} "
+                        f"{_fmt(h - t)}]")
+                typ = a["type"]
+                if typ == "Link":
+                    body = (f"<< /Type /Annot /Subtype /Link /Rect {rect}"
+                            f" /Border [0 0 0] /A << /S /URI /URI"
+                            f" ({_esc_winansi(a['uri'], 'replace')}) >> >>")
+                elif typ == "Highlight":
+                    quad = (f"[{_fmt(l)} {_fmt(h - t)} {_fmt(r)} "
+                            f"{_fmt(h - t)} {_fmt(l)} {_fmt(h - b)} "
+                            f"{_fmt(r)} {_fmt(h - b)}]")
+                    body = (f"<< /Type /Annot /Subtype /Highlight"
+                            f" /Rect {rect} /QuadPoints {quad}"
+                            f" /C [1 1 0]"
+                            + (f" /T ({_esc_winansi(a['author'], 'replace')})"
+                               if a.get("author") else "")
+                            + " >>")
+                elif typ == "Text":
+                    body = (f"<< /Type /Annot /Subtype /Text /Rect {rect}"
+                            f" /Contents ({_esc_winansi(a.get('contents', ''), 'replace')})"
+                            + (f" /T ({_esc_winansi(a['author'], 'replace')})"
+                               if a.get("author") else "")
+                            + " /Name /Comment >>")
+                else:
+                    raise ValueError(f"annotation type {typ}")
+                refs.append(f"{add(body.encode())} 0 R")
+            pg = objects[page_nums[page_n] - 1]
+            objects[page_nums[page_n] - 1] = pg[:-3] + (
+                f" /Annots [{' '.join(refs)}] >>".encode())
+
     kids = " ".join(f"{n} 0 R" for n in page_nums)
     objects[1] = (f"<< /Type /Pages /Count {len(page_nums)} "
                   f"/Kids [{kids}] >>".encode())
+
+    # --- outline: one-level tree with explicit XYZ destinations
+    outlines_ref = ""
+    if outline:
+        root_num = len(objects) + 1
+        first = root_num + 1
+        last = root_num + len(outline)
+        add(f"<< /Type /Outlines /First {first} 0 R /Last {last} 0 R"
+            f" /Count {len(outline)} >>".encode())
+        for i, (title, page_n, y) in enumerate(outline):
+            h = pages[page_n].dims["height"]
+            prev_ = f" /Prev {root_num + i} 0 R" if i > 0 else ""
+            next_ = (f" /Next {root_num + i + 2} 0 R"
+                     if i + 1 < len(outline) else "")
+            add((f"<< /Title ({_esc_winansi(str(title), 'replace')})"
+                 f" /Parent {root_num} 0 R{prev_}{next_}"
+                 f" /Dest [{page_nums[page_n]} 0 R /XYZ 0 "
+                 f"{_fmt(h - y)} null] >>").encode())
+        outlines_ref = f" /Outlines {root_num} 0 R"
+    objects[0] = (f"<< /Type /Catalog /Pages 2 0 R{outlines_ref}"
+                  f" >>".encode())
 
     out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
     offsets = []

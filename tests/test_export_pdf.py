@@ -61,3 +61,44 @@ def test_unencodable_policy():
     assert "???" in back.text
     with pytest.raises(ValueError):
         write_text_pdf(src.pages, on_unencodable="error")
+
+
+def test_outline_and_annotations_roundtrip():
+    """Written bookmarks and annotations parse back through this
+    repo's own outline/annots parsers."""
+    from scribe_js_spark.operators.pdf.annots import (
+        extract_pdf_annotations)
+    from scribe_js_spark.operators.pdf.document import PdfDocument
+    from scribe_js_spark.operators.pdf.outline import parse_outline
+
+    model = build_doc_model(4, n_pages=3)
+    src = extract_document(render_hocr(model).encode())
+    pdf = write_text_pdf(
+        src.pages,
+        outline=[("Chapter One", 0, 120), ("Chapter Two", 2, 400)],
+        annotations=[
+            [{"type": "Link", "rect": (100, 200, 300, 230),
+              "uri": "https://example.com/x"},
+             {"type": "Highlight", "rect": (100, 300, 400, 330),
+              "author": "Reviewer"}],
+            [],
+            [{"type": "Text", "rect": (50, 60, 80, 90),
+              "contents": "check this", "author": "QA"}],
+        ])
+    back = extract_document(pdf)
+    assert back.error is None and back.text == src.text
+
+    entries = parse_outline(pdf)
+    assert [(e["title"], e["page_index"]) for e in entries] == [
+        ("Chapter One", 0), ("Chapter Two", 2)]
+
+    doc = PdfDocument(pdf)
+    pages = doc.get_pages()
+    a0 = extract_pdf_annotations(doc, pages[0])
+    assert {a["subtype"] for a in a0} == {"Link", "Highlight"}
+    assert a0[0]["uri"] == "https://example.com/x"
+    assert a0[1]["author"] == "Reviewer"
+    assert a0[1]["quad_points"] is not None
+    a2 = extract_pdf_annotations(doc, pages[2])
+    assert a2[0]["contents"] == "check this"
+    assert extract_pdf_annotations(doc, pages[1]) == []
