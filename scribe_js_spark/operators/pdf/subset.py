@@ -1,4 +1,5 @@
-"""PDF page subsetting — the core of the reference's subsetPdf
+"""PDF page subsetting and merging — the cores of the reference's
+subsetPdf and mergePdfs
 (js/export/pdf/subsetPdf.js): keep an ordered list of pages from an
 existing document, rebuild the /Pages tree, and emit only the objects
 still reachable from the catalog (dropped pages' content streams,
@@ -137,40 +138,47 @@ def subset_pdf(data: bytes, page_indices: list[int]) -> bytes:
         if typ in ("ObjStm", "XRef"):
             continue
         if isinstance(obj, StreamObj):
-            import zlib
-
-            sd = dict(obj.dict)
-            filters = doc.resolve(obj.dict.get("Filter"))
-            if isinstance(filters, (Name, str)):
-                filters = [filters]
-            fnames = [str(doc.resolve(f)) for f in (filters or [])]
-            body = doc.stream_data(obj)  # decoded through text filters
-            consumed = 0
-            for fn in fnames:
-                if fn in ("FlateDecode", "Fl", "ASCIIHexDecode", "AHx",
-                          "ASCII85Decode", "A85", "LZWDecode", "LZW",
-                          "RunLengthDecode", "RL"):
-                    consumed += 1
-                else:
-                    break
-            remaining = fnames[consumed:]  # image codecs stay encoded
-            for drop in ("Filter", "DecodeParms", "Length"):
-                sd.pop(drop, None)
-                sd.pop(Name(drop), None)
-            if not remaining:
-                body = zlib.compress(body)
-                sd[Name("Filter")] = Name("FlateDecode")
-            else:
-                names = [Name("FlateDecode")] + [Name(f)
-                                                 for f in remaining]
-                body = zlib.compress(body)
-                sd[Name("Filter")] = names
-            sd[Name("Length")] = len(body)
-            bodies[objnum] = (
-                serialize_object(sd).encode("latin-1")
-                + b"\nstream\n" + body + b"\nendstream")
+            bodies[objnum] = _emit_stream(doc, obj, dict(obj.dict))
         else:
             bodies[objnum] = serialize_object(obj).encode("latin-1")
+
+    return _assemble(bodies, root_num)
+
+
+def _emit_stream(doc: PdfDocument, obj: StreamObj, sd: dict) -> bytes:
+    """Serialize a stream object: text filters re-applied as one Flate
+    layer, image-codec filters kept tagged."""
+    import zlib
+
+    filters = doc.resolve(obj.dict.get("Filter"))
+    if isinstance(filters, (Name, str)):
+        filters = [filters]
+    fnames = [str(doc.resolve(f)) for f in (filters or [])]
+    body = doc.stream_data(obj)  # decoded through text filters
+    consumed = 0
+    for fn in fnames:
+        if fn in ("FlateDecode", "Fl", "ASCIIHexDecode", "AHx",
+                  "ASCII85Decode", "A85", "LZWDecode", "LZW",
+                  "RunLengthDecode", "RL"):
+            consumed += 1
+        else:
+            break
+    remaining = fnames[consumed:]  # image codecs stay encoded
+    for drop in ("Filter", "DecodeParms", "Length"):
+        sd.pop(drop, None)
+        sd.pop(Name(drop), None)
+    body = zlib.compress(body)
+    if not remaining:
+        sd[Name("Filter")] = Name("FlateDecode")
+    else:
+        sd[Name("Filter")] = [Name("FlateDecode")] + [
+            Name(f) for f in remaining]
+    sd[Name("Length")] = len(body)
+    return (serialize_object(sd).encode("latin-1")
+            + b"\nstream\n" + body + b"\nendstream")
+
+
+def _assemble(bodies: dict[int, bytes], root_num: int) -> bytes:
 
     out = bytearray(b"%PDF-1.7\n%\xe2\xe3\xcf\xd3\n")
     offsets: dict[int, int] = {}
@@ -190,3 +198,77 @@ def subset_pdf(data: bytes, page_indices: list[int]) -> bytes:
         f"trailer\n<< /Size {size} /Root {root_num} 0 R >>\n"
         f"startxref\n{xref_pos}\n%%EOF\n").encode()
     return bytes(out)
+
+
+def _remap(obj, mapping: dict):
+    """Deep-copy an object graph node with every Ref renumbered."""
+    if isinstance(obj, Ref):
+        return Ref(mapping[obj.num], 0)
+    if isinstance(obj, dict):
+        return {k: _remap(v, mapping) for k, v in obj.items()}
+    if isinstance(obj, list):
+        return [_remap(v, mapping) for v in obj]
+    return obj
+
+
+def merge_pdfs(datas: list[bytes]) -> bytes:
+    """Concatenate documents (mergePdfs.js core): every input's pages
+    append in order under one new Pages tree, each document's reachable
+    objects renumbered into a shared space. Document-level indexes drop
+    with the same subset semantics."""
+    if not datas:
+        raise ValueError("merge_pdfs: no inputs")
+    bodies: dict[int, bytes] = {}
+    kids: list[Ref] = []
+    next_num = 3  # 1 = catalog, 2 = pages root
+    for data in datas:
+        doc = PdfDocument(data)
+        pages = _page_objnums(doc)
+        if not pages:
+            raise ValueError("merge_pdfs: input with no pages")
+        flat: dict[int, dict] = {}
+        seen: set[int] = set()
+        for objnum, page in pages:
+            page = dict(page)
+            for key in ("Parent", "Annots", "StructParents"):
+                page.pop(key, None)
+                page.pop(Name(key), None)
+            flat[objnum] = page
+            seen.add(objnum)
+            _collect_refs(doc, page, seen)
+        mapping = {old: next_num + i
+                   for i, old in enumerate(sorted(seen))}
+        next_num += len(seen)
+        for old in sorted(seen):
+            obj = flat.get(old)
+            if obj is None:
+                obj = doc.get_object(old)
+            if obj is None:
+                continue
+            d = obj.dict if isinstance(obj, StreamObj) else (
+                obj if isinstance(obj, dict) else None)
+            typ = None
+            if d is not None:
+                tv = d.get("Type")
+                typ = str(doc.resolve(tv)) if tv is not None else None
+            if typ in ("ObjStm", "XRef"):
+                continue
+            if old in flat:
+                page = _remap(flat[old], mapping)
+                page[Name("Parent")] = Ref(2, 0)
+                bodies[mapping[old]] = serialize_object(page).encode(
+                    "latin-1")
+            elif isinstance(obj, StreamObj):
+                bodies[mapping[old]] = _emit_stream(
+                    doc, obj, _remap(dict(obj.dict), mapping))
+            else:
+                bodies[mapping[old]] = serialize_object(
+                    _remap(obj, mapping)).encode("latin-1")
+        kids.extend(Ref(mapping[objnum], 0) for objnum, _ in pages)
+    bodies[1] = serialize_object(
+        {Name("Type"): Name("Catalog"),
+         Name("Pages"): Ref(2, 0)}).encode("latin-1")
+    bodies[2] = serialize_object(
+        {Name("Type"): Name("Pages"), Name("Count"): len(kids),
+         Name("Kids"): kids}).encode("latin-1")
+    return _assemble(bodies, 1)

@@ -53,3 +53,24 @@ def test_out_of_range_raises():
     pdf = render_pdf(build_doc_model(0, n_pages=2), rotate=False)
     with pytest.raises(ValueError):
         subset_pdf(pdf, [2])
+
+
+def test_merge_pdfs_roundtrip_and_composition():
+    """merge: page order preserved across heterogeneous layouts
+    (classic / xref-stream / encrypted); composes with subset."""
+    from scribe_js_spark.operators.pdf.subset import merge_pdfs
+
+    a = render_pdf(build_doc_model(1, n_pages=2), rotate=False)
+    b = render_pdf(build_doc_model(6, n_pages=1), rotate=False,
+                   xref_stream=True)
+    c = render_pdf(build_doc_model(3, n_pages=2), rotate=False,
+                   encrypt_mode="rc4_128")
+    texts = [extract_document(x).text for x in (a, b, c)]
+    merged = merge_pdfs([a, b, c])
+    got = extract_document(merged)
+    assert got.error is None
+    assert got.text == "\n".join(texts)
+    assert extract_document(subset_pdf(merged, [2])).text == texts[1]
+
+    with pytest.raises(ValueError):
+        merge_pdfs([])
