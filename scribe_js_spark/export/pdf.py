@@ -60,7 +60,8 @@ def write_text_pdf(pages: list[OcrPage], text_mode: str = "ebook",
                    conf_thresh: float = 0,
                    on_unencodable: str = "replace",
                    outline: list | None = None,
-                   annotations: list | None = None) -> bytes:
+                   annotations: list | None = None,
+                   page_images: list | None = None) -> bytes:
     """OcrPages -> text-layer PDF bytes (see module docstring).
 
     ``outline``: flat [(title, page_n, y), ...] bookmark entries ->
@@ -69,7 +70,13 @@ def write_text_pdf(pages: list[OcrPage], text_mode: str = "ebook",
     dicts {type: 'Link'|'Highlight'|'Text', rect: (l, t, r, b) in
     page px, + uri= for links, contents=/author= for notes} ->
     /Annots arrays (writePdfAnnots.js core). Both roundtrip through
-    this repo's own outline/annotation parsers."""
+    this repo's own outline/annotation parsers.
+
+    ``page_images``: per-page JPEG bytes (or None) drawn full-page
+    UNDER the text (writePdfImages drawImageCommands core) — combined
+    with ``text_mode='invis'`` this is the complete searchable-PDF
+    shape: a scan image with an invisible text overlay, which this
+    repo's own determinePdfType classifies as an OCR-mode document."""
     if text_mode not in ("ebook", "invis"):
         raise ValueError(f"text_mode {text_mode}")
     objects: list[bytes] = []
@@ -90,10 +97,28 @@ def write_text_pdf(pages: list[OcrPage], text_mode: str = "ebook",
         b" /Descent -207 /CapHeight 718 /StemV 88 >>")  # 4
 
     page_nums = []
-    for page in pages:
+    for page_n, page in enumerate(pages):
         w = page.dims["width"]
         h = page.dims["height"]
-        ops = ["BT"]
+        img = (page_images[page_n]
+               if page_images and page_n < len(page_images) else None)
+        img_num = None
+        ops = []
+        if img is not None:
+            from ..textops.jpeg import decode_jpeg
+
+            px = decode_jpeg(img)
+            ih, iw = px.shape[:2]
+            space = b"/DeviceRGB" if px.ndim == 3 else b"/DeviceGray"
+            img_num = add(
+                b"<< /Type /XObject /Subtype /Image"
+                + f" /Width {iw} /Height {ih}".encode()
+                + b" /ColorSpace " + space
+                + b" /BitsPerComponent 8 /Filter /DCTDecode"
+                + f" /Length {len(img)} >>\nstream\n".encode()
+                + img + b"\nendstream")
+            ops.append(f"q {_fmt(w)} 0 0 {_fmt(h)} 0 0 cm /Im1 Do Q")
+        ops.append("BT")
         if text_mode == "invis":
             ops.append("3 Tr")
         for line in page.lines:
@@ -120,10 +145,12 @@ def write_text_pdf(pages: list[OcrPage], text_mode: str = "ebook",
         content_num = add(
             f"<< /Filter /FlateDecode /Length {len(stream)} >>\n"
             f"stream\n".encode() + stream + b"\nendstream")
+        xres = (f"/XObject << /Im1 {img_num} 0 R >> "
+                if img_num else "")
         page_nums.append(add(
             f"<< /Type /Page /Parent 2 0 R "
             f"/MediaBox [0 0 {_fmt(w)} {_fmt(h)}] "
-            f"/Resources << /Font << /F1 {font_num} 0 R >> >> "
+            f"/Resources << /Font << /F1 {font_num} 0 R >> {xres}>> "
             f"/Contents {content_num} 0 R >>".encode()))
 
     # --- annotations: /Annots arrays appended to their pages

@@ -102,3 +102,24 @@ def test_outline_and_annotations_roundtrip():
     a2 = extract_pdf_annotations(doc, pages[2])
     assert a2[0]["contents"] == "check this"
     assert extract_pdf_annotations(doc, pages[1]) == []
+
+
+def test_image_underlay_makes_searchable_pdf():
+    """invis text over a full-page scan image = the searchable-PDF
+    shape; our own determinePdfType classifies it 'ocr' and text
+    extraction stays byte-identical."""
+    import numpy as np
+
+    from scribe_js_spark.operators.pdf.parse import pdf_document_type
+    from scribe_js_spark.textops.jpeg import encode_jpeg_gray
+
+    model = build_doc_model(2, n_pages=2)
+    src = extract_document(render_hocr(model).encode())
+    scan = encode_jpeg_gray((np.ones((64, 48)) * 200).astype(np.uint8))
+    pdf = write_text_pdf(src.pages, text_mode="invis",
+                         page_images=[scan, scan])
+    back = extract_document(pdf)
+    assert back.error is None and back.text == src.text
+    assert pdf_document_type(pdf) == "ocr"
+    # visible-text mode over no image stays a native-text document
+    assert pdf_document_type(write_text_pdf(src.pages)) == "text"
