@@ -61,12 +61,16 @@ def write_text_pdf(pages: list[OcrPage], text_mode: str = "ebook",
                    on_unencodable: str = "replace",
                    outline: list | None = None,
                    annotations: list | None = None,
-                   page_images: list | None = None) -> bytes:
+                   page_images: list | None = None,
+                   doc_info: dict | None = None) -> bytes:
     """OcrPages -> text-layer PDF bytes (see module docstring).
 
-    ``outline``: flat [(title, page_n, y), ...] bookmark entries ->
-    a one-level /Outlines tree with explicit XYZ destinations
-    (writeOutline.js semantics). ``annotations``: per-page lists of
+    ``outline``: [(title, page_n, y), ...] bookmark entries, or
+    nested [(title, page_n, y, children), ...] -> an /Outlines tree
+    with explicit XYZ destinations (writeOutline.js semantics).
+    ``doc_info``: {Title, Author, Subject, Creator, ...} -> the /Info
+    dictionary (buildInfoDictBody), readable back through
+    inspect_metadata. ``annotations``: per-page lists of
     dicts {type: 'Link'|'Highlight'|'Text', rect: (l, t, r, b) in
     page px, + uri= for links, contents=/author= for notes} ->
     /Annots arrays (writePdfAnnots.js core). Both roundtrip through
@@ -196,24 +200,56 @@ def write_text_pdf(pages: list[OcrPage], text_mode: str = "ebook",
     objects[1] = (f"<< /Type /Pages /Count {len(page_nums)} "
                   f"/Kids [{kids}] >>".encode())
 
-    # --- outline: one-level tree with explicit XYZ destinations
+    # --- outline: tree with explicit XYZ destinations; entries are
+    # (title, page_n, y) or (title, page_n, y, children)
     outlines_ref = ""
     if outline:
-        root_num = len(objects) + 1
-        first = root_num + 1
-        last = root_num + len(outline)
-        add(f"<< /Type /Outlines /First {first} 0 R /Last {last} 0 R"
-            f" /Count {len(outline)} >>".encode())
-        for i, (title, page_n, y) in enumerate(outline):
-            h = pages[page_n].dims["height"]
-            prev_ = f" /Prev {root_num + i} 0 R" if i > 0 else ""
-            next_ = (f" /Next {root_num + i + 2} 0 R"
-                     if i + 1 < len(outline) else "")
-            add((f"<< /Title ({_esc_winansi(str(title), 'replace')})"
-                 f" /Parent {root_num} 0 R{prev_}{next_}"
-                 f" /Dest [{page_nums[page_n]} 0 R /XYZ 0 "
-                 f"{_fmt(h - y)} null] >>").encode())
+
+        def count(entries):
+            return sum(1 + count(e[3] if len(e) > 3 else [])
+                       for e in entries)
+
+        def emit(entries, parent_num):
+            # reserve contiguous slots for THIS level first so
+            # Prev/Next refs are known, then fill (children interleave
+            # after)
+            slots = []
+            for _ in entries:
+                slots.append(add(b""))
+            for i, e in enumerate(entries):
+                title, page_n, y = e[0], e[1], e[2]
+                kids = e[3] if len(e) > 3 else []
+                h = pages[page_n].dims["height"]
+                prev_ = f" /Prev {slots[i - 1]} 0 R" if i > 0 else ""
+                next_ = (f" /Next {slots[i + 1]} 0 R"
+                         if i + 1 < len(entries) else "")
+                child = ""
+                if kids:
+                    knums = emit(kids, slots[i])
+                    child = (f" /First {knums[0]} 0 R"
+                             f" /Last {knums[-1]} 0 R"
+                             f" /Count {count(kids)}")
+                objects[slots[i] - 1] = (
+                    f"<< /Title ({_esc_winansi(str(title), 'replace')})"
+                    f" /Parent {parent_num} 0 R{prev_}{next_}{child}"
+                    f" /Dest [{page_nums[page_n]} 0 R /XYZ 0 "
+                    f"{_fmt(h - y)} null] >>").encode()
+            return slots
+
+        root_num = add(b"")
+        top = emit(outline, root_num)
+        objects[root_num - 1] = (
+            f"<< /Type /Outlines /First {top[0]} 0 R"
+            f" /Last {top[-1]} 0 R /Count {count(outline)} >>").encode()
         outlines_ref = f" /Outlines {root_num} 0 R"
+
+    info_ref = ""
+    if doc_info:
+        entries = " ".join(
+            f"/{k} ({_esc_winansi(str(v), 'replace')})"
+            for k, v in doc_info.items())
+        info_num = add(f"<< {entries} >>".encode())
+        info_ref = f"{info_num}"
     objects[0] = (f"<< /Type /Catalog /Pages 2 0 R{outlines_ref}"
                   f" >>".encode())
 
@@ -227,6 +263,8 @@ def write_text_pdf(pages: list[OcrPage], text_mode: str = "ebook",
     out += b"0000000000 65535 f \n"
     for off in offsets:
         out += f"{off:010d} 00000 n \n".encode()
-    out += (f"trailer\n<< /Size {len(objects) + 1} /Root 1 0 R >>\n"
+    info_entry = f" /Info {info_ref} 0 R" if info_ref else ""
+    out += (f"trailer\n<< /Size {len(objects) + 1} /Root 1 0 R"
+            f"{info_entry} >>\n"
             f"startxref\n{xref_pos}\n%%EOF\n").encode()
     return bytes(out)

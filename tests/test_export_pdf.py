@@ -123,3 +123,24 @@ def test_image_underlay_makes_searchable_pdf():
     assert pdf_document_type(pdf) == "ocr"
     # visible-text mode over no image stays a native-text document
     assert pdf_document_type(write_text_pdf(src.pages)) == "text"
+
+
+def test_nested_outline_and_doc_info_roundtrip():
+    from scribe_js_spark.operators.pdf.metadata import inspect_metadata
+    from scribe_js_spark.operators.pdf.outline import parse_outline
+
+    model = build_doc_model(4, n_pages=3)
+    src = extract_document(render_hocr(model).encode())
+    pdf = write_text_pdf(
+        src.pages,
+        outline=[("Part I", 0, 100,
+                  [("Ch 1", 0, 300), ("Ch 2", 1, 100)]),
+                 ("Part II", 2, 100)],
+        doc_info={"Title": "My Doc", "Author": "A. Writer"})
+    assert extract_document(pdf).text == src.text
+    entries = parse_outline(pdf)
+    assert [e["title"] for e in entries] == ["Part I", "Part II"]
+    assert [c["title"] for c in entries[0]["children"]] == ["Ch 1", "Ch 2"]
+    assert entries[0]["children"][1]["page_index"] == 1
+    assert inspect_metadata(pdf)["info"] == {
+        "Title": "My Doc", "Author": "A. Writer"}
