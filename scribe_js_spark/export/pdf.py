@@ -17,8 +17,13 @@ scoped to the text layer:
 The writer's contract is ROUNDTRIP: extracting the written PDF with
 this repo's own parser reproduces the source text byte-for-byte
 (tested across fixture families). Non-WinAnsi-encodable characters
-replace with '?' by default ('error' raises) — embedding subset font
-programs for arbitrary Unicode is the remaining rendering-side gap.
+replace with '?' by default; ``on_unencodable='embed'`` switches
+affected words to a Type0/Identity-H font with an embedded CID-keyed
+CFF program (CID = BMP codepoint, identity ToUnicode, /DW width
+algebra) so arbitrary BMP text — CJK included — roundtrips. The
+embedded glyph outlines are structural placeholders (the CFF is the
+fixture-font builder's); the text layer, not print rendering, is the
+contract. 'error' raises instead.
 """
 
 from __future__ import annotations
@@ -100,6 +105,56 @@ def write_text_pdf(pages: list[OcrPage], text_mode: str = "ebook",
         b" /FontBBox [-166 -225 1000 931] /ItalicAngle 0 /Ascent 718"
         b" /Descent -207 /CapHeight 718 /StemV 88 >>")  # 4
 
+    # --- optional embedded-CFF Unicode font for non-WinAnsi words
+    def encodable(t: str) -> bool:
+        try:
+            t.encode("cp1252")
+            return True
+        except UnicodeEncodeError:
+            return False
+
+    f2_num = None
+    if on_unencodable == "embed":
+        codes = sorted({
+            ord(ch)
+            for page in pages for line in page.lines
+            for word in line.words
+            if word.text and not encodable(word.text)
+            for ch in word.text})
+        if any(c > 0xFFFF for c in codes):
+            raise ValueError("embed mode covers BMP codepoints only")
+        if codes:
+            from ..render_fonts import build_cff_cid
+            from ..render_pdf import _tounicode_ranges
+
+            cff = build_cff_cid(codes)
+            tou = _tounicode_ranges(codes)
+            desc_num = add(
+                b"<< /Type /FontDescriptor /FontName /EmbedCID /Flags 32"
+                b" /Ascent 718 /Descent -207 /CapHeight 718"
+                b" /ItalicAngle 0 /StemV 88"
+                b" /FontBBox [-166 -225 1000 931]"
+                + f" /FontFile3 {len(objects) + 2} 0 R >>".encode())
+            cff_num = add(
+                f"<< /Length {len(cff)} /Subtype /CIDFontType0C >>\n"
+                f"stream\n".encode() + cff + b"\nendstream")
+            tou_num = add(
+                f"<< /Length {len(tou)} >>\nstream\n".encode()
+                + tou + b"\nendstream")
+            cid_num = add(
+                b"<< /Type /Font /Subtype /CIDFontType0"
+                b" /BaseFont /EmbedCID /CIDSystemInfo"
+                b" << /Registry (Adobe) /Ordering (Identity)"
+                b" /Supplement 0 >>"
+                + f" /FontDescriptor {desc_num} 0 R"
+                  f" /DW {FONT_EM} >>".encode())
+            _ = cff_num
+            f2_num = add(
+                b"<< /Type /Font /Subtype /Type0 /BaseFont /EmbedCID"
+                b" /Encoding /Identity-H"
+                + f" /DescendantFonts [{cid_num} 0 R]"
+                  f" /ToUnicode {tou_num} 0 R >>".encode())
+
     page_nums = []
     for page_n, page in enumerate(pages):
         w = page.dims["width"]
@@ -140,10 +195,21 @@ def write_text_pdf(pages: list[OcrPage], text_mode: str = "ebook",
                 if fs <= 0:
                     continue
                 y_pdf = h - baseline_y
+                if f2_num is not None and not encodable(word.text):
+                    shown = ("<" + "".join(f"{ord(c):04X}"
+                                           for c in word.text) + ">")
+                    fname = "/F2"
+                else:
+                    shown = ("("
+                             + _esc_winansi(
+                                 word.text,
+                                 "replace" if on_unencodable == "embed"
+                                 else on_unencodable) + ")")
+                    fname = "/F1"
                 ops.append(
-                    f"/F1 {_fmt(fs)} Tf 1 0 0 1 {_fmt(word.bbox.left)} "
-                    f"{_fmt(y_pdf)} Tm "
-                    f"({_esc_winansi(word.text, on_unencodable)}) Tj")
+                    f"{fname} {_fmt(fs)} Tf 1 0 0 1 "
+                    f"{_fmt(word.bbox.left)} {_fmt(y_pdf)} Tm "
+                    f"{shown} Tj")
         ops.append("ET")
         stream = zlib.compress("\n".join(ops).encode("latin-1"))
         content_num = add(
@@ -151,10 +217,12 @@ def write_text_pdf(pages: list[OcrPage], text_mode: str = "ebook",
             f"stream\n".encode() + stream + b"\nendstream")
         xres = (f"/XObject << /Im1 {img_num} 0 R >> "
                 if img_num else "")
+        f2_res = f" /F2 {f2_num} 0 R" if f2_num is not None else ""
         page_nums.append(add(
             f"<< /Type /Page /Parent 2 0 R "
             f"/MediaBox [0 0 {_fmt(w)} {_fmt(h)}] "
-            f"/Resources << /Font << /F1 {font_num} 0 R >> {xres}>> "
+            f"/Resources << /Font << /F1 {font_num} 0 R{f2_res} >> "
+            f"{xres}>> "
             f"/Contents {content_num} 0 R >>".encode()))
 
     # --- annotations: /Annots arrays appended to their pages

@@ -144,3 +144,29 @@ def test_nested_outline_and_doc_info_roundtrip():
     assert entries[0]["children"][1]["page_index"] == 1
     assert inspect_metadata(pdf)["info"] == {
         "Title": "My Doc", "Author": "A. Writer"}
+
+
+def test_embed_mode_writes_arbitrary_bmp_unicode():
+    """on_unencodable='embed': non-WinAnsi words emit through a
+    Type0/Identity-H font with an embedded CID-keyed CFF (CID =
+    codepoint). CJK re-extracts with the per-char word semantics the
+    parser applies to CJK, so the writer reaches a fixed point after
+    one cycle; every codepoint survives."""
+    model = build_doc_model(0, n_pages=1)
+    src = extract_document(render_hocr(model).encode())
+    src.pages[0].lines[0].words[0].text = "日本語"
+    src.pages[0].lines[1].words[0].text = "Ωμέγα"
+    pdf = write_text_pdf(src.pages, on_unencodable="embed")
+    back = extract_document(pdf)
+    assert back.error is None
+    assert "Ωμέγα" in back.text
+    for ch in "日本語":
+        assert ch in back.text
+    # fixed point: writing the re-extracted pages reproduces the text
+    again = extract_document(
+        write_text_pdf(back.pages, on_unencodable="embed"))
+    assert again.text == back.text
+    # astral codepoints are explicitly out of the 2-byte CID space
+    src.pages[0].lines[0].words[0].text = "🎉"
+    with pytest.raises(ValueError):
+        write_text_pdf(src.pages, on_unencodable="embed")
