@@ -261,6 +261,78 @@ def encode_png_gray(pixels, cycle_filters: bool = False,
             + chunk(b"IEND", b""))
 
 
+def decode_netpbm(data: bytes):
+    """Netpbm P2/P3 (ASCII) and P5/P6 (binary) grayscale/RGB decode ->
+    (width, height, channels, pixels uint8/uint16). Comments and
+    arbitrary whitespace per the spec; maxval > 255 reads two-byte
+    big-endian samples."""
+    import numpy as np
+
+    if data[:2] not in (b"P2", b"P3", b"P5", b"P6"):
+        raise ValueError("not a netpbm image")
+    kind = data[:2].decode()
+    pos = 2
+    fields = []
+
+    def next_token():
+        nonlocal pos
+        while pos < len(data):
+            c = data[pos:pos + 1]
+            if c == b"#":
+                nl = data.find(b"\n", pos)
+                pos = len(data) if nl < 0 else nl + 1
+            elif c.isspace():
+                pos += 1
+            else:
+                break
+        start = pos
+        while pos < len(data) and not data[pos:pos + 1].isspace():
+            pos += 1
+        if start == pos:
+            raise ValueError("netpbm: truncated header")
+        return data[start:pos]
+
+    while len(fields) < 3:
+        fields.append(int(next_token()))
+    width, height, maxval = fields
+    if width <= 0 or height <= 0 or not 0 < maxval < 65536:
+        raise ValueError("netpbm: bad header values")
+    channels = 3 if kind in ("P3", "P6") else 1
+    n = width * height * channels
+    if kind in ("P2", "P3"):
+        vals = np.array([int(next_token()) for _ in range(n)])
+    else:
+        pos += 1  # single whitespace after maxval
+        if maxval > 255:
+            vals = np.frombuffer(data, dtype=">u2", count=n, offset=pos)
+        else:
+            vals = np.frombuffer(data, dtype=np.uint8, count=n,
+                                 offset=pos)
+    if len(vals) < n:
+        raise ValueError("netpbm: truncated pixel data")
+    dtype = np.uint16 if maxval > 255 else np.uint8
+    return width, height, channels, vals.astype(dtype).reshape(
+        height, width, channels)
+
+
+def encode_netpbm(pixels, binary: bool = True) -> bytes:
+    """Fixture writer: (h, w) -> PGM, (h, w, 3) -> PPM."""
+    import numpy as np
+
+    px = np.asarray(pixels)
+    h, w = px.shape[:2]
+    color = px.ndim == 3
+    maxval = 65535 if px.dtype.itemsize == 2 else 255
+    if binary:
+        kind = "P6" if color else "P5"
+        body = (px.astype(">u2") if maxval > 255
+                else px.astype(np.uint8)).tobytes()
+        return f"{kind} {w} {h} {maxval}\n".encode() + body
+    kind = "P3" if color else "P2"
+    nums = " ".join(str(int(v)) for v in px.reshape(-1))
+    return f"{kind}\n# fixture\n{w} {h} {maxval}\n{nums}\n".encode()
+
+
 def decode_bmp(data: bytes):
     """From-scratch BMP decode -> (width, height, channels, pixels
     (h, w, c) uint8). Supports the common uncompressed forms: 24-bit
@@ -560,6 +632,13 @@ def _decode_one(data: bytes) -> dict:
     if data[:2] == b"BM":
         width, height, _c, px = decode_bmp(data)
         return _media_rec(kind="bmp", width=width, height=height,
+                          n_bytes=len(data),
+                          mean_byte=float(px.mean()) if px.size else 0.0)
+    if data[:2] in (b"P2", b"P3", b"P5", b"P6"):
+        width, height, _c, px = decode_netpbm(data)
+        if px.dtype.itemsize == 2:
+            px = px >> 8  # 8-bit-equivalent intensity, like 16-bit PNG
+        return _media_rec(kind="pnm", width=width, height=height,
                           n_bytes=len(data),
                           mean_byte=float(px.mean()) if px.size else 0.0)
     if data[4:8] == b"jP  " or data[:4] == b"\xff\x4f\xff\x51":

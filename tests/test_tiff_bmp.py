@@ -81,3 +81,25 @@ def test_g711_wav_decodes():
         assert (rate, ch, frames) == (8000, 1, 800)
         err = np.abs(got[:, 0].astype(np.int64) - s).max()
         assert err < 1100
+
+
+def test_netpbm_roundtrips():
+    from scribe_js_spark.textops.multimodal import (
+        decode_netpbm, encode_netpbm)
+
+    g = _gray(19, 11)
+    rgb = np.stack([g, (g.astype(np.int32) + 9) % 256,
+                    (g.astype(np.int32) + 77) % 256], -1).astype(np.uint8)
+    g16 = g.astype(np.uint16) * 257
+    for img in (g, rgb):
+        for binary in (True, False):
+            _w, _h, _c, px = decode_netpbm(
+                encode_netpbm(img, binary=binary))
+            exp = img[:, :, None] if img.ndim == 2 else img
+            assert np.array_equal(px, exp)
+    _w, _h, _c, px = decode_netpbm(encode_netpbm(g16))
+    assert px.dtype == np.uint16 and np.array_equal(px[:, :, 0], g16)
+    with pytest.raises(ValueError):
+        decode_netpbm(b"P5 3 3 255\n\x00")  # truncated
+    with pytest.raises(ValueError):
+        decode_netpbm(b"P7 weird")
