@@ -588,3 +588,46 @@ def write_searchable_pdfs(df: DataFrame, text_mode: str = "invis",
             yield pd.DataFrame(out)
 
     return df.select("url", "html").mapInPandas(fn, schema=schema)
+
+
+def register_sql_functions(spark: SparkSession) -> None:
+    """Expose the engine to pure Spark SQL: after this,
+    ``SELECT scribe_extract_text(html) FROM corpus`` works anywhere a
+    SQL string does. All three functions are Arrow-batched pandas UDFs
+    over the same per-document core the DataFrame API uses.
+
+    - scribe_extract_text(binary) -> string (NULL on parse failure)
+    - scribe_extract_error(binary) -> string (NULL on success)
+    - scribe_detect_format(binary) -> string
+    """
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _text(html):
+        from .extract import extract_document
+
+        def one(b):
+            r = extract_document(bytes(b))
+            return r.text if r.error is None else None
+
+        return html.map(one)
+
+    def _error(html):
+        from .extract import extract_document
+
+        return html.map(lambda b: extract_document(bytes(b)).error)
+
+    def _format(html):
+        from .operators.detect import detect_document_format
+
+        return html.map(lambda b: detect_document_format(bytes(b)))
+
+    # `from __future__ import annotations` stringifies hints, which
+    # pandas_udf cannot inspect — attach real type objects instead
+    for fn in (_text, _error, _format):
+        fn.__annotations__ = {"html": pd.Series, "return": pd.Series}
+    spark.udf.register("scribe_extract_text", pandas_udf(_text, "string"))
+    spark.udf.register("scribe_extract_error",
+                       pandas_udf(_error, "string"))
+    spark.udf.register("scribe_detect_format",
+                       pandas_udf(_format, "string"))
