@@ -3409,6 +3409,13 @@ def make_corpus_rows(n_docs: int, seed: int = SEED_DEFAULT,
         else:
             html = RENDERERS[render_fmt](model).encode("utf-8")
         counts = expected_counts(golden_model)
+        if doc_id % 13 == 11:
+            # crawl archives store many bodies gzipped; the wrapper is
+            # transparent to extraction, so the expected text (and the
+            # byte-identity oracle) is unchanged
+            import gzip as _gzip
+
+            html = _gzip.compress(html, mtime=0)  # deterministic bytes
         rows.append({
             "url": f"https://fixtures.test/{fmt}/{doc_id:08d}",
             "warc_ts": base_ts + timedelta(seconds=doc_id),
