@@ -91,10 +91,16 @@ def _q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from scribe_js_spark.textops.quality import fingerprint
+    """Bag-of-words signatures + winnowing (rolling k-gram window
+    minima, the MOSS guarantee) in one result."""
+    from scribe_js_spark.textops.quality import (
+        fingerprint,
+        winnow_fingerprints,
+    )
 
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
-    return fingerprint(docs)
+    return fingerprint(docs).join(
+        winnow_fingerprints(docs, k=8, w=4), "doc_id")
 
 
 def _q_exact_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2094,12 +2100,31 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "fingerprint": r"""
-            SELECT doc_id,
+            WITH grams AS (
+              SELECT doc_id,
+                     CASE WHEN length(text) >= 8 THEN
+                       list_transform(range(1, length(text) - 8 + 2),
+                                      i -> md5(substring(text, i, 8)))
+                     ELSE [] END AS g
+              FROM documents
+            ), minima AS (
+              SELECT doc_id,
+                     CASE WHEN len(g) >= 4 THEN
+                       list_transform(range(1, len(g) - 4 + 2),
+                                      j -> list_min(list_slice(g, j, j + 3)))
+                     ELSE g END AS m
+              FROM grams
+            ), sel AS (
+              SELECT doc_id, list_sort(list_distinct(m)) AS s FROM minima
+            )
+            SELECT d.doc_id,
                    md5(array_to_string(list_sort(list_distinct(
-                       string_split_regex(trim(text), '\s+'))), ' '))
+                       string_split_regex(trim(d.text), '\s+'))), ' '))
                        AS token_set_sig,
-                   md5(text) AS text_sig
-            FROM documents
+                   md5(d.text) AS text_sig,
+                   md5(array_to_string(sel.s, ' ')) AS winnow_sig,
+                   len(sel.s)::BIGINT AS n_fingerprints
+            FROM documents d JOIN sel USING (doc_id)
         """,
         "exact_dups": """
             WITH sig AS (SELECT doc_id, md5(text) AS text_sig FROM documents),

@@ -107,6 +107,35 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def winnow_fingerprints(df: DataFrame, text_col: str = "text",
+                        k: int = 8, w: int = 4) -> DataFrame:
+    """Winnowing fingerprints (Schleimer/Wilkerson/Aiken, the MOSS
+    algorithm): hash every character k-gram, slide a window of ``w``
+    consecutive k-gram hashes, keep each window's minimum — the
+    guarantee is that any match of length >= k + w - 1 shares at least
+    one selected fingerprint. Pure JVM higher-order expressions
+    (transform / slice / array_min), zero shuffle; the doc-level
+    ``winnow_sig`` is the md5 of the sorted distinct selection."""
+    t = F.col(text_col)
+    n = F.length(t)
+    n_grams = n - k + 1
+    grams = F.when(n_grams >= 1, F.transform(
+        F.sequence(F.lit(1), n_grams),
+        lambda i: F.md5(F.substring(t, i, F.lit(k))),
+    )).otherwise(F.array().cast("array<string>"))
+    n_windows = F.size(grams) - w + 1
+    minima = F.when(n_windows >= 1, F.transform(
+        F.sequence(F.lit(1), n_windows),
+        lambda j: F.array_min(F.slice(grams, j, w)),
+    )).otherwise(grams)  # fewer than w grams: keep them all
+    sel = F.array_sort(F.array_distinct(minima))
+    return df.select(
+        "doc_id",
+        F.md5(F.array_join(sel, " ")).alias("winnow_sig"),
+        F.size(sel).cast("long").alias("n_fingerprints"),
+    )
+
+
 #: GPT-2-family pre-tokenizer shape: contraction suffixes, letter runs,
 #: digit runs, punctuation runs (each with an optional leading space),
 #: whitespace runs. Identical RE2-compatible pattern on both engines.

@@ -34,3 +34,47 @@ def test_ngram_jaccard_pairs_end_to_end(spark):
     rows = {(r["doc_a"], r["doc_b"]) for r in jaccard_pairs(
         df, threshold=0.5, ngram=2).collect()}
     assert (1, 2) in rows and (1, 3) not in rows
+
+
+def test_winnowing_guarantee(spark):
+    """The MOSS property: documents sharing a substring of length
+    >= k + w - 1 share at least one selected fingerprint."""
+    import pyspark.sql.functions as F
+
+    from scribe_js_spark.textops.quality import winnow_fingerprints
+
+    shared = "the quick brown fox jumps over the lazy dog"
+    rows = [
+        (1, "PREFIX AAA " + shared + " SUFFIX BBB"),
+        (2, "other start text " + shared + " other ending words"),
+        (3, "completely unrelated content with zero overlap at all"),
+        (4, "tiny"),  # shorter than k: empty fingerprint set
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    # recover the raw selections by grouping equal winnow hashes is
+    # not enough — use the per-doc selected sets via a self-join on
+    # exploded fingerprints
+    t = F.col("text")
+    k, w = 8, 4
+    grams = F.transform(
+        F.sequence(F.lit(1), F.length(t) - k + 1),
+        lambda i: F.md5(F.substring(t, i, F.lit(k))))
+    minima = F.transform(
+        F.sequence(F.lit(1), F.size(grams) - w + 1),
+        lambda j: F.array_min(F.slice(grams, j, w)))
+    sets = df.filter(F.length(t) >= k + w - 1).select(
+        "doc_id", F.explode(F.array_distinct(minima)).alias("fp"))
+    pairs = {(r["a"], r["b"]) for r in
+             sets.alias("x").join(
+                 sets.alias("y"),
+                 on=[F.col("x.fp") == F.col("y.fp"),
+                     F.col("x.doc_id") < F.col("y.doc_id")])
+             .select(F.col("x.doc_id").alias("a"),
+                     F.col("y.doc_id").alias("b")).distinct().collect()}
+    assert (1, 2) in pairs
+    assert not any(3 in p for p in pairs)
+
+    out = {r["doc_id"]: r for r in winnow_fingerprints(df).collect()}
+    assert out[4]["n_fingerprints"] == 0
+    assert out[1]["n_fingerprints"] > 0
+    assert out[1]["winnow_sig"] != out[2]["winnow_sig"]
