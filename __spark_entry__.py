@@ -184,13 +184,19 @@ def _q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gopher-style quality gate as a pushdown-friendly predicate."""
-    from scribe_js_spark.textops.quality import quality_filter
+    """Gopher-style quality gate (pushdown-friendly predicate) joined
+    with the exact repetition counters (dup lines/paras, alpha-token
+    and bullet/ellipsis line counts)."""
+    from scribe_js_spark.textops.quality import (
+        quality_filter,
+        repetition_signals,
+    )
 
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
-    return quality_filter(
+    kept = quality_filter(
         docs, min_tokens=20, max_punct_ratio=0.1,
         min_mean_token_len=3.0).select("doc_id")
+    return kept.join(repetition_signals(docs), "doc_id")
 
 
 def _q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2178,12 +2184,39 @@ def oracle_sql() -> dict[str, str]:
         """ + "\nUNION ALL\n" + _ann_lsh_sql_m() + "\nUNION ALL\n"
         + _ann_ivf_sql_m(),
         "quality_filter": r"""
-            SELECT doc_id FROM documents
-            WHERE len(string_split_regex(trim(text), '\s+')) >= 20
-              AND (length(text) - length(regexp_replace(text,
-                   '[.,;:!?''"()\[\]{}-]', '', 'g'))) <= length(text) * 0.1
-              AND (length(text) - len(string_split_regex(trim(text), '\s+'))
-                   + 1) >= 3.0 * len(string_split_regex(trim(text), '\s+'))
+            WITH kept AS (
+              SELECT doc_id FROM documents
+              WHERE len(string_split_regex(trim(text), '\s+')) >= 20
+                AND (length(text) - length(regexp_replace(text,
+                     '[.,;:!?''"()\[\]{}-]', '', 'g'))) <= length(text) * 0.1
+                AND (length(text) - len(string_split_regex(trim(text), '\s+'))
+                     + 1) >= 3.0 * len(string_split_regex(trim(text), '\s+'))
+            ), sig AS (
+              SELECT doc_id,
+                     list_filter(string_split(text, chr(10)),
+                                 x -> x != '') AS lines,
+                     list_filter(string_split_regex(text, '\n\n+'),
+                                 x -> x != '') AS paras,
+                     list_filter(string_split_regex(trim(text), '\s+'),
+                                 x -> regexp_matches(x, '\p{L}'))
+                       AS alphas
+              FROM documents
+            )
+            SELECT k.doc_id,
+                   len(lines)::BIGINT AS n_lines,
+                   (len(lines) - len(list_distinct(lines)))::BIGINT
+                     AS n_dup_lines,
+                   len(paras)::BIGINT AS n_paras,
+                   (len(paras) - len(list_distinct(paras)))::BIGINT
+                     AS n_dup_paras,
+                   len(alphas)::BIGINT AS alpha_tokens,
+                   len(list_filter(lines, x -> regexp_matches(x,
+                     '^\s*[-*' || chr(8226) || chr(9679) || chr(9642)
+                     || ']')))::BIGINT AS bullet_lines,
+                   len(list_filter(lines, x -> regexp_matches(x,
+                     '(\.\.\.|' || chr(8230) || ')\s*$')))::BIGINT
+                     AS ellipsis_lines
+            FROM kept k JOIN sig USING (doc_id)
         """,
         "events_hourly": """
             SELECT date_trunc('hour', ts) AS hour, event_type,

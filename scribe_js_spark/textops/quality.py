@@ -136,6 +136,46 @@ def winnow_fingerprints(df: DataFrame, text_col: str = "text",
     )
 
 
+def repetition_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition counters, all exact integers/JVM
+    expressions (Rae et al. 2021 table A1 signals that are exactly
+    computable without a tokenizer):
+
+    - n_lines / n_dup_lines: newline-split lines that appear more than
+      once (order-insensitive duplicate mass, counted per occurrence
+      beyond the first)
+    - n_paras / n_dup_paras: same over blank-line-split paragraphs
+    - alpha_tokens: whitespace tokens containing at least one letter
+      (the alpha-word fraction's numerator; Gopher drops docs below
+      80%)
+    - bullet_lines / ellipsis_lines: lines starting with a bullet mark
+      or ending with an ellipsis
+    """
+    t = F.col(text_col)
+    lines = F.filter(F.split(t, "\n"), lambda x: x != "")
+    paras = F.filter(F.split(t, "\n\n+"), lambda x: x != "")
+    toks = _tokens(t)
+
+    def dup_count(arr):
+        return (F.size(arr) - F.size(F.array_distinct(arr))).cast("long")
+
+    return df.select(
+        "doc_id",
+        F.size(lines).cast("long").alias("n_lines"),
+        dup_count(lines).alias("n_dup_lines"),
+        F.size(paras).cast("long").alias("n_paras"),
+        dup_count(paras).alias("n_dup_paras"),
+        F.size(F.filter(toks, lambda x: x.rlike("\\p{L}")))
+        .cast("long").alias("alpha_tokens"),
+        F.size(F.filter(
+            lines, lambda x: x.rlike("^\\s*[-*\u2022\u25cf\u25aa]")))
+        .cast("long").alias("bullet_lines"),
+        F.size(F.filter(
+            lines, lambda x: x.rlike("(\\.\\.\\.|\u2026)\\s*$")))
+        .cast("long").alias("ellipsis_lines"),
+    )
+
+
 #: GPT-2-family pre-tokenizer shape: contraction suffixes, letter runs,
 #: digit runs, punctuation runs (each with an optional leading space),
 #: whitespace runs. Identical RE2-compatible pattern on both engines.

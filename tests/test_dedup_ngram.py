@@ -78,3 +78,18 @@ def test_winnowing_guarantee(spark):
     assert out[4]["n_fingerprints"] == 0
     assert out[1]["n_fingerprints"] > 0
     assert out[1]["winnow_sig"] != out[2]["winnow_sig"]
+
+
+def test_repetition_signals(spark):
+    from scribe_js_spark.textops.quality import repetition_signals
+
+    rows = [
+        (1, "line one\nline two\nline one\n\npara a\n\npara a"),
+        (2, "- bullet\n* another\nends here...\nmore…"),
+        (3, "123 456 !!! abc d3f"),
+    ]
+    out = {r["doc_id"]: r for r in repetition_signals(
+        spark.createDataFrame(rows, ["doc_id", "text"])).collect()}
+    assert out[1]["n_dup_lines"] == 2 and out[1]["n_dup_paras"] == 1
+    assert out[2]["bullet_lines"] == 2 and out[2]["ellipsis_lines"] == 2
+    assert out[3]["alpha_tokens"] == 2
