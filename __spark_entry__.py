@@ -77,10 +77,15 @@ def _q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from scribe_js_spark.textops.quality import lang_id
+    """Stopword lang-ID joined with the Unicode script profile (the
+    calcLang codepoint-range generalization: exact per-script counts +
+    dominant script)."""
+    from scribe_js_spark.textops.quality import lang_id, script_id
 
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
-    return lang_id(docs)
+    return lang_id(docs).join(
+        script_id(docs).select("doc_id", "script", "n_latin", "n_han"),
+        "doc_id")
 
 
 def _q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1846,13 +1851,45 @@ def _ann_ivf_sql_m() -> str:
     return f"SELECT *, 'ivf' AS method FROM ({_ann_ivf_sql()})"
 
 
+def _script_sql() -> str:
+    """DuckDB mirror of textops.quality.script_id: per-range exact
+    counts + dominant script with the same tie order."""
+    from scribe_js_spark.textops.quality import SCRIPT_RANGES
+
+    def rx_duck(rx: str) -> str:
+        # python-style \uXXXX class -> RE2 \x{XXXX}
+        out = []
+        i = 0
+        while i < len(rx):
+            if rx[i] == "\\" and i + 1 < len(rx) and rx[i + 1] == "u":
+                out.append("\\x{" + rx[i + 2 : i + 6] + "}")
+                i += 6
+            else:
+                out.append(rx[i])
+                i += 1
+        return "".join(out)
+
+    counts = ",\n".join(
+        f"  (length(text) - length(regexp_replace(text,"
+        f" '{rx_duck(rx)}', '', 'g')))::BIGINT AS n_{name}"
+        for name, rx in SCRIPT_RANGES)
+    names = [name for name, _ in SCRIPT_RANGES]
+    best = "greatest(" + ", ".join(f"n_{n}" for n in names) + ")"
+    dominant = "'und'"
+    for n in reversed(names):
+        dominant = (f"CASE WHEN n_{n} = {best} AND {best} > 0"
+                    f" THEN '{n}' ELSE {dominant} END")
+    return (f"SELECT doc_id,\n{counts},\n  {dominant} AS script"
+            f" FROM documents")
+
+
 def oracle_sql() -> dict[str, str]:
     corpus = os.path.join(FIX_T2, "corpus.parquet").replace("'", "''")
     meta = os.path.join(FIX_T2, "meta.parquet").replace("'", "''")
     spans = os.path.join(FIX_T2, "spans.parquet").replace("'", "''")
     eval_p = os.path.join(FIX_T2, "eval.parquet").replace("'", "''")
     cons_p = os.path.join(FIX_T2, "consensus.parquet").replace("'", "''")
-    return {
+    out = {
         "eval_compare": (
             f"SELECT url, total::BIGINT AS total, correct::BIGINT AS correct,"
             f" incorrect::BIGINT AS incorrect, missed::BIGINT AS missed,"
@@ -2082,7 +2119,9 @@ def oracle_sql() -> dict[str, str]:
                   + len(list_filter(t, x -> x = 'los')) AS score_es
               FROM toks
             )
-            SELECT doc_id, lang AS lang_declared,
+            , script AS ({SCRIPT_SQL})
+            SELECT s2.doc_id, lang AS lang_declared,
+                   s2.n_latin, s2.n_han, s2.script,
                    score_en::BIGINT AS score_en, score_de::BIGINT AS score_de,
                    score_fr::BIGINT AS score_fr, score_es::BIGINT AS score_es,
                    CASE WHEN greatest(score_en, score_de, score_fr, score_es) = 0
@@ -2094,7 +2133,7 @@ def oracle_sql() -> dict[str, str]:
                         WHEN score_fr = greatest(score_en, score_de, score_fr, score_es)
                         THEN 'fr'
                         ELSE 'es' END AS lang_pred
-            FROM scores
+            FROM scores JOIN script s2 USING (doc_id)
         """,
         "token_counts": r"""
             SELECT doc_id,
@@ -2482,3 +2521,6 @@ WHERE len(list_intersect(ta.toks, tb.toks))
             ) GROUP BY media_id
         """,
     }
+    out["lang_id"] = out["lang_id"].replace(
+        "{SCRIPT_SQL}", _script_sql())
+    return out

@@ -136,6 +136,45 @@ def winnow_fingerprints(df: DataFrame, text_col: str = "text",
     )
 
 
+#: Unicode script ranges (the generalization of the reference's
+#: calcLang CJK/Cyrillic codepoint checks, miscUtils.js:180-204) —
+#: (name, regex character class). Counts are exact integers.
+SCRIPT_RANGES = (
+    ("latin", "[A-Za-z\u00c0-\u024f]"),
+    ("cyrillic", "[\u0400-\u04ff]"),
+    ("greek", "[\u0370-\u03ff]"),
+    ("arabic", "[\u0600-\u06ff]"),
+    ("hebrew", "[\u0590-\u05ff]"),
+    ("devanagari", "[\u0900-\u097f]"),
+    ("han", "[\u4e00-\u9fff]"),
+    ("kana", "[\u3040-\u30ff]"),
+    ("hangul", "[\uac00-\ud7af]"),
+    ("thai", "[\u0e00-\u0e7f]"),
+)
+
+
+def script_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document script profile: exact codepoint counts per Unicode
+    script range and the dominant script (ties broken by range order,
+    'und' when no scripted character appears). Pure JVM regexp counts,
+    zero shuffle — the script-level complement of the stopword
+    ``lang_id`` for languages Latin stopwords cannot see."""
+    t = F.col(text_col)
+    counts = [
+        (F.length(t) - F.length(F.regexp_replace(t, rx, "")))
+        .cast("long").alias(f"n_{name}")
+        for name, rx in SCRIPT_RANGES
+    ]
+    out = df.select("doc_id", *counts)
+    best = F.greatest(*[F.col(f"n_{name}") for name, _ in SCRIPT_RANGES])
+    script = F.lit("und")
+    for name, _ in reversed(SCRIPT_RANGES):
+        script = F.when(
+            (F.col(f"n_{name}") == best) & (best > 0), F.lit(name)
+        ).otherwise(script)
+    return out.withColumn("script", script)
+
+
 def repetition_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Gopher-style repetition counters, all exact integers/JVM
     expressions (Rae et al. 2021 table A1 signals that are exactly

@@ -93,3 +93,21 @@ def test_repetition_signals(spark):
     assert out[1]["n_dup_lines"] == 2 and out[1]["n_dup_paras"] == 1
     assert out[2]["bullet_lines"] == 2 and out[2]["ellipsis_lines"] == 2
     assert out[3]["alpha_tokens"] == 2
+
+
+def test_script_id_dominant_scripts(spark):
+    from scribe_js_spark.textops.quality import script_id
+
+    rows = [
+        (1, "hello latin world"),
+        (2, "Привет мир как дела"),
+        (3, "日本語のテキストです"),       # kana outnumbers han here
+        (4, "中文文本没有假名"),           # pure han
+        (5, "مرحبا بالعالم"),
+        (6, "한국어 텍스트"),
+        (7, "12345 !!!"),
+    ]
+    out = {r["doc_id"]: r["script"] for r in script_id(
+        spark.createDataFrame(rows, ["doc_id", "text"])).collect()}
+    assert out == {1: "latin", 2: "cyrillic", 3: "kana", 4: "han",
+                   5: "arabic", 6: "hangul", 7: "und"}
