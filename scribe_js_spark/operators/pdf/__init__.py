@@ -10,9 +10,11 @@ chars -> lines -> words grouping pass.
 Also covered here: encryption (crypto.py — RC4, AES-128, AES-256/R6),
 vector paths + underline detection (paths.py), table detection
 (tables_pdf.py), annotations, struct trees, outlines, metadata, and
-image-XObject inventory. Pixel image codecs for the text layer remain
-out of scope (SURVEY.md §7); Type3 glyphs carry widths/fillers through
-the OCR-selection gates (ocr_selection.py) without outline hashing.
+image-XObject inventory and page subset/merge (subset.py). The text
+layer never decodes pixels (SURVEY.md §7) — real PNG/JPEG/GIF/TIFF
+decoders live in textops/ for the multimodal path; Type3 glyphs carry
+widths/fillers through the OCR-selection gates (ocr_selection.py)
+without outline hashing.
 """
 
 from .parse import parse_pdf_document  # noqa: F401

@@ -6,9 +6,10 @@ in the document with dimensions, bit depth, mask flag, resolved color
 space (Indexed palette hival, ICCBased folded to its device analogue
 by /N), filter chain + codec extension (imageFilterToExt :1075),
 /Decode inversion, /SMask and /Interpolate flags, and the raw stream
-size. Pixel decode stays in the codec layer (PNG decode lives in
-textops/multimodal.py; DCT/JPX decoders are out of scope per SURVEY
-§2.1 — the inventory is what a multimodal pipeline partitions on).
+size. Pixel decode stays in the codec layer (PNG in
+textops/multimodal.py and baseline+progressive DCT/JPEG in
+textops/jpeg.py are real; JPX stays an honest stub — the inventory is
+what a multimodal pipeline partitions on).
 """
 
 from __future__ import annotations
