@@ -542,11 +542,14 @@ def _q_pdf_table_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_web_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Raw web-page main-content extraction (HTML boilerplate strip
-    with DOM heuristics): byte-identical content text per url."""
+    """Raw web pages (HTML boilerplate strip) AND EPUB containers
+    (OCF zip -> OPF spine -> chapters through the same extractor):
+    byte-identical content text per url."""
     from scribe_js_spark.pipeline import extract_text
 
-    df = spark.read.parquet(os.path.join(FIX_T2, "webhtml_docs.parquet"))
+    df = spark.read.parquet(
+        os.path.join(FIX_T2, "webhtml_docs.parquet")).unionByName(
+        spark.read.parquet(os.path.join(FIX_T2, "epub_docs.parquet")))
     return extract_text(df, salt=False).select("url", "text")
 
 
@@ -2077,7 +2080,9 @@ def oracle_sql() -> dict[str, str]:
         "extract_text": f"SELECT url, text FROM read_parquet('{corpus}')",
         "web_extract": (
             "SELECT url, text FROM read_parquet("
-            f"'{os.path.join(FIX_T2, 'webhtml.parquet')}')"),
+            f"'{os.path.join(FIX_T2, 'webhtml.parquet')}')"
+            " UNION ALL SELECT url, text FROM read_parquet("
+            f"'{os.path.join(FIX_T2, 'epub.parquet')}')"),
         "extract_meta": (
             f"SELECT url, format, page_count, word_count "
             f"FROM read_parquet('{meta}')"),

@@ -119,6 +119,9 @@ def extract_document(data: bytes) -> DocResult:
         elif fmt == "docx":
             from .operators.docx import convert_doc_docx
             pages = convert_doc_docx(data)
+        elif fmt == "epub":
+            from .operators.epub import convert_doc_epub
+            pages = convert_doc_epub(data)
         else:
             s = data.decode("utf-8", errors="replace")
             pages = _convert_pages(s, fmt)

@@ -2127,6 +2127,76 @@ def write_webhtml_parquet(path: str, n_docs: int = 40,
         os.path.join(path, "webhtml.parquet"), index=False)
 
 
+def build_epub_models(doc_id: int, seed: int = SEED_DEFAULT) -> dict:
+    """EPUB family: 2-4 spine chapters, each a full web-page document
+    from the webhtml family (chrome + content container), packed into
+    an OCF zip with container.xml + OPF manifest/spine. Expected text =
+    chapter contents joined by newline (page boundary = paragraph
+    boundary). Odd docs store chapters under an OEBPS/ subdirectory to
+    exercise href resolution against the OPF base path."""
+    import io
+    import zipfile
+
+    rng = _doc_rng(seed + 565656, doc_id)
+    n_chapters = rng.randint(2, 4)
+    chapters = [build_webhtml_models(doc_id * 7 + c, seed=seed)
+                for c in range(n_chapters)]
+    subdir = "OEBPS/" if doc_id % 2 == 1 else ""
+    opf_path = f"{subdir}content.opf"
+
+    manifest = "".join(
+        f'<item id="ch{c}" href="ch{c}.xhtml"'
+        f' media-type="application/xhtml+xml"/>'
+        for c in range(n_chapters))
+    spine = "".join(f'<itemref idref="ch{c}"/>'
+                    for c in range(n_chapters))
+    opf = (
+        '<?xml version="1.0"?><package xmlns="http://www.idpf.org/2007/opf"'
+        ' version="3.0" unique-identifier="id"><metadata>'
+        f'<dc:title xmlns:dc="http://purl.org/dc/elements/1.1/">'
+        f'Fixture Book {doc_id}</dc:title></metadata>'
+        f"<manifest>{manifest}</manifest><spine>{spine}</spine></package>")
+    container = (
+        '<?xml version="1.0"?><container version="1.0" xmlns='
+        '"urn:oasis:names:tc:opendocument:xmlns:container"><rootfiles>'
+        f'<rootfile full-path="{opf_path}" media-type='
+        '"application/oebps-package+xml"/></rootfiles></container>')
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
+        # mimetype first and STORED, per OCF
+        zf.writestr(zipfile.ZipInfo("mimetype"),
+                    "application/epub+zip",
+                    compress_type=zipfile.ZIP_STORED)
+        zf.writestr("META-INF/container.xml", container)
+        zf.writestr(opf_path, opf)
+        for c, ch in enumerate(chapters):
+            zf.writestr(f"{subdir}ch{c}.xhtml", ch["html"])
+    expected = "\n".join(ch["expected"] for ch in chapters)
+    return {"epub": buf.getvalue(), "expected": expected,
+            "n_chapters": n_chapters}
+
+
+def write_epub_parquet(path: str, n_docs: int = 25,
+                       seed: int = SEED_DEFAULT) -> None:
+    """epub_docs.parquet (url, epub bytes in html col) + epub.parquet
+    golden text."""
+    import os
+
+    import pandas as pd
+
+    doc_rows, golden_rows = [], []
+    for doc_id in range(n_docs):
+        m = build_epub_models(doc_id, seed=seed)
+        url = f"https://fixtures.test/epub/{doc_id:08d}"
+        doc_rows.append({"url": url, "html": m["epub"]})
+        golden_rows.append({"url": url, "text": m["expected"]})
+    pd.DataFrame(doc_rows).to_parquet(
+        os.path.join(path, "epub_docs.parquet"), index=False)
+    pd.DataFrame(golden_rows).to_parquet(
+        os.path.join(path, "epub.parquet"), index=False)
+
+
 def ensure_webhtml_bench_corpus(path: str, n_docs: int,
                                 seed: int = SEED_DEFAULT) -> str:
     """Write (once) and return a webhtml-only bench corpus parquet:

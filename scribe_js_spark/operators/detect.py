@@ -68,6 +68,10 @@ def detect_document_format(data: bytes) -> str | None:
         return "pdf"
     if data[:2] == b"PK" and b"word/document.xml" in data:
         return "docx"
+    if data[:2] == b"PK" and (
+            b"mimetypeapplication/epub+zip" in data[:256]
+            or b"META-INF/container.xml" in data):
+        return "epub"
     try:
         s = data.decode("utf-8")
     except UnicodeDecodeError:
