@@ -542,14 +542,20 @@ def _q_pdf_table_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_web_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Raw web pages (HTML boilerplate strip) AND EPUB containers
-    (OCF zip -> OPF spine -> chapters through the same extractor):
-    byte-identical content text per url."""
+    """The full web-ingestion story in one result: raw web pages (HTML
+    boilerplate strip), EPUB containers (OCF zip -> OPF spine), and
+    WARC crawl archives (record-gzip members, HTTP header strip,
+    chunked de-chunking) exploded to the north-rule table and
+    extracted — byte-identical content text per url."""
+    from scribe_js_spark.operators.warc import warc_to_table
     from scribe_js_spark.pipeline import extract_text
 
     df = spark.read.parquet(
         os.path.join(FIX_T2, "webhtml_docs.parquet")).unionByName(
         spark.read.parquet(os.path.join(FIX_T2, "epub_docs.parquet")))
+    warc = warc_to_table(
+        spark.read.parquet(os.path.join(FIX_T2, "warc_docs.parquet")))
+    df = df.unionByName(warc.select("url", "html"))
     return extract_text(df, salt=False).select("url", "text")
 
 
@@ -2082,7 +2088,9 @@ def oracle_sql() -> dict[str, str]:
             "SELECT url, text FROM read_parquet("
             f"'{os.path.join(FIX_T2, 'webhtml.parquet')}')"
             " UNION ALL SELECT url, text FROM read_parquet("
-            f"'{os.path.join(FIX_T2, 'epub.parquet')}')"),
+            f"'{os.path.join(FIX_T2, 'epub.parquet')}')"
+            " UNION ALL SELECT url, text FROM read_parquet("
+            f"'{os.path.join(FIX_T2, 'warc.parquet')}')"),
         "extract_meta": (
             f"SELECT url, format, page_count, word_count "
             f"FROM read_parquet('{meta}')"),

@@ -2197,6 +2197,73 @@ def write_epub_parquet(path: str, n_docs: int = 25,
         os.path.join(path, "epub.parquet"), index=False)
 
 
+def build_warc_models(warc_id: int, seed: int = SEED_DEFAULT) -> dict:
+    """WARC family: one Common-Crawl-style archive of 3-5 response
+    records (webhtml pages), interleaved with warcinfo/request records
+    the reader must skip. Even archives are record-wise gzip members
+    (.warc.gz layout), odd ones plain; every third response uses
+    chunked transfer-encoding."""
+    import gzip as _gzip
+
+    rng = _doc_rng(seed + 434343, warc_id)
+    n_pages = rng.randint(3, 5)
+
+    def record(headers: dict, body: bytes) -> bytes:
+        hdr = "WARC/1.0\r\n" + "".join(
+            f"{k}: {v}\r\n" for k, v in headers.items())
+        hdr += f"Content-Length: {len(body)}\r\n\r\n"
+        return hdr.encode("latin-1") + body + b"\r\n\r\n"
+
+    info_body = b"software: fixture-crawler/1.0\r\n"
+    recs = [record({"WARC-Type": "warcinfo"}, info_body)]
+    golden = []
+    for p in range(n_pages):
+        m = build_webhtml_models(warc_id * 11 + p, seed=seed)
+        payload = m["html"].encode("utf-8")
+        url = f"https://fixtures.test/warc/{warc_id:04d}/{p}"
+        date = f"2026-01-01T{warc_id % 24:02d}:{p:02d}:00Z"
+        recs.append(record(
+            {"WARC-Type": "request", "WARC-Target-URI": url},
+            b"GET / HTTP/1.1\r\nHost: fixtures.test\r\n\r\n"))
+        if p % 3 == 2:
+            http_body = (b"%x\r\n" % len(payload) + payload
+                         + b"\r\n0\r\n\r\n")
+            http = (b"HTTP/1.1 200 OK\r\n"
+                    b"Transfer-Encoding: chunked\r\n\r\n" + http_body)
+        else:
+            http = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+                    b"Content-Length: %d\r\n\r\n" % len(payload)
+                    + payload)
+        recs.append(record(
+            {"WARC-Type": "response", "WARC-Target-URI": url,
+             "WARC-Date": date}, http))
+        golden.append({"url": url, "text": m["expected"]})
+    if warc_id % 2 == 0:
+        blob = b"".join(_gzip.compress(r, mtime=0) for r in recs)
+    else:
+        blob = b"".join(recs)
+    return {"warc": blob, "golden": golden}
+
+
+def write_warc_parquet(path: str, n_archives: int = 8,
+                       seed: int = SEED_DEFAULT) -> None:
+    """warc_docs.parquet (warc_id, warc bytes) + warc.parquet golden
+    (url, text)."""
+    import os
+
+    import pandas as pd
+
+    doc_rows, golden_rows = [], []
+    for warc_id in range(n_archives):
+        m = build_warc_models(warc_id, seed=seed)
+        doc_rows.append({"warc_id": warc_id, "warc": m["warc"]})
+        golden_rows.extend(m["golden"])
+    pd.DataFrame(doc_rows).to_parquet(
+        os.path.join(path, "warc_docs.parquet"), index=False)
+    pd.DataFrame(golden_rows).to_parquet(
+        os.path.join(path, "warc.parquet"), index=False)
+
+
 def ensure_webhtml_bench_corpus(path: str, n_docs: int,
                                 seed: int = SEED_DEFAULT) -> str:
     """Write (once) and return a webhtml-only bench corpus parquet:
