@@ -125,3 +125,36 @@ def stream_events_hourly(spark: SparkSession, events_stream: DataFrame,
             F.col("win.start").alias("hour"), "event_type",
             "n_events", "sum_cents")
     )
+
+
+def stream_extract_warc(spark: SparkSession, input_dir: str,
+                        output_dir: str, checkpoint_dir: str,
+                        available_now: bool = True):
+    """Continuous crawl ingestion: watch a directory for new WARC
+    archives (``binaryFile`` source), explode each into the
+    (url, warc_ts, html) input table and extract — raw crawl archive
+    to clean text as a stream. Malformed archives skip inside the UDF;
+    the checkpoint makes every archive exactly-once."""
+    from .operators.warc import warc_to_table
+    from .pipeline import extract_text
+
+    stream = (
+        spark.readStream.format("binaryFile")
+        .schema("path string, modificationTime timestamp, "
+                "length long, content binary")
+        .option("pathGlobFilter", "*.warc*")
+        .option("maxFilesPerTrigger", 4)
+        .load(input_dir)
+        .select(F.col("content").alias("warc"))
+    )
+    extracted = extract_text(warc_to_table(stream), salt=False)
+    writer = (
+        extracted.writeStream
+        .format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -47,3 +47,36 @@ def test_warc_to_table_explodes_and_extracts(spark):
     df2 = spark.createDataFrame(
         [(0, blobs[0][1]["warc"]), (1, b"garbage")], ["warc_id", "warc"])
     assert warc_to_table(df2).count() == len(blobs[0][1]["golden"])
+
+
+def test_streaming_warc_ingestion(spark, tmp_path):
+    """binaryFile stream of WARC archives -> input table -> extraction,
+    exactly-once via checkpoint: a second availableNow run adds
+    nothing; a new archive adds only its rows."""
+    from scribe_js_spark.streaming import stream_extract_warc
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    m0 = build_warc_models(0)
+    (in_dir / "a.warc.gz").write_bytes(m0["warc"])
+
+    def drain():
+        q = stream_extract_warc(
+            spark, str(in_dir), str(tmp_path / "out"),
+            str(tmp_path / "ckpt"))
+        q.awaitTermination()
+
+    drain()
+    out = spark.read.parquet(str(tmp_path / "out"))
+    assert out.count() == len(m0["golden"])
+    drain()  # no new files: nothing re-processed
+    assert spark.read.parquet(str(tmp_path / "out")).count() == \
+        len(m0["golden"])
+    m1 = build_warc_models(1)
+    (in_dir / "b.warc").write_bytes(m1["warc"])
+    drain()
+    final = spark.read.parquet(str(tmp_path / "out"))
+    assert final.count() == len(m0["golden"]) + len(m1["golden"])
+    golden = {g["url"]: g["text"] for m in (m0, m1) for g in m["golden"]}
+    got = {r["url"]: r["text"] for r in final.collect()}
+    assert got == golden
