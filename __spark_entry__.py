@@ -1860,6 +1860,30 @@ def _ann_ivf_sql_m() -> str:
     return f"SELECT *, 'ivf' AS method FROM ({_ann_ivf_sql()})"
 
 
+def _lang_sql() -> str:
+    """DuckDB mirror of textops.quality.lang_id's scoring: generated
+    from the same LANG_MARKERS table so both engines always agree on
+    the marker set and tie order."""
+    from scribe_js_spark.textops.quality import LANG_MARKERS
+
+    langs = list(LANG_MARKERS)
+    raw = ",\n".join(
+        "                "
+        + " + ".join(f"len(list_filter(t, x -> x = '{w}'))"
+                     for w in LANG_MARKERS[lang])
+        + f" AS score_{lang}"
+        for lang in langs)
+    best = "greatest(" + ", ".join(f"score_{lang}" for lang in langs) + ")"
+    pred = "'und'"
+    for lang in reversed(langs):
+        pred = (f"CASE WHEN score_{lang} = {best} AND {best} > 0"
+                f" THEN '{lang}' ELSE {pred} END")
+    sel = ", ".join(f"score_{lang}::BIGINT AS score_{lang}"
+                    for lang in langs)
+    return (f"SELECT doc_id, lang, {sel},\n  {pred} AS lang_pred\n"
+            f"  FROM (SELECT doc_id, lang,\n{raw}\n  FROM toks)")
+
+
 def _script_sql() -> str:
     """DuckDB mirror of textops.quality.script_id: per-range exact
     counts + dominant script with the same tie order."""
@@ -2120,32 +2144,12 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id, lang,
                      string_split_regex(trim(lower(text)), '\s+') AS t
               FROM documents
-            ), scores AS (
-              SELECT doc_id, lang,
-                len(list_filter(t, x -> x = 'the')) + len(list_filter(t, x -> x = 'and'))
-                  + len(list_filter(t, x -> x = 'of')) AS score_en,
-                len(list_filter(t, x -> x = 'der')) + len(list_filter(t, x -> x = 'und'))
-                  + len(list_filter(t, x -> x = 'die')) AS score_de,
-                len(list_filter(t, x -> x = 'le')) + len(list_filter(t, x -> x = 'et'))
-                  + len(list_filter(t, x -> x = 'les')) AS score_fr,
-                len(list_filter(t, x -> x = 'el')) + len(list_filter(t, x -> x = 'y'))
-                  + len(list_filter(t, x -> x = 'los')) AS score_es
-              FROM toks
-            )
+            ), scores AS ({LANG_SQL})
             , script AS ({SCRIPT_SQL})
             SELECT s2.doc_id, lang AS lang_declared,
                    s2.n_latin, s2.n_han, s2.script,
-                   score_en::BIGINT AS score_en, score_de::BIGINT AS score_de,
-                   score_fr::BIGINT AS score_fr, score_es::BIGINT AS score_es,
-                   CASE WHEN greatest(score_en, score_de, score_fr, score_es) = 0
-                        THEN 'und'
-                        WHEN score_en = greatest(score_en, score_de, score_fr, score_es)
-                        THEN 'en'
-                        WHEN score_de = greatest(score_en, score_de, score_fr, score_es)
-                        THEN 'de'
-                        WHEN score_fr = greatest(score_en, score_de, score_fr, score_es)
-                        THEN 'fr'
-                        ELSE 'es' END AS lang_pred
+                   {SCORE_COLS},
+                   lang_pred
             FROM scores JOIN script s2 USING (doc_id)
         """,
         "token_counts": r"""
@@ -2534,6 +2538,11 @@ WHERE len(list_intersect(ta.toks, tb.toks))
             ) GROUP BY media_id
         """,
     }
+    from scribe_js_spark.textops.quality import LANG_MARKERS
+
     out["lang_id"] = out["lang_id"].replace(
-        "{SCRIPT_SQL}", _script_sql())
+        "{SCRIPT_SQL}", _script_sql()).replace(
+        "{LANG_SQL}", _lang_sql()).replace(
+        "{SCORE_COLS}", ", ".join(
+            f"score_{lang}" for lang in LANG_MARKERS))
     return out

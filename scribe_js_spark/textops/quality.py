@@ -19,11 +19,22 @@ from pyspark.sql import DataFrame
 # Marker stopwords per language for the n-gram/stopword language-ID
 # heuristic. Deliberately small and fixed: the heuristic must be exactly
 # reproducible in ANSI SQL for the correctness oracle.
+#: Per-language marker stopwords (high-frequency, short, distinctive;
+#: ties broken by code order). Chosen to be disjoint across languages
+#: so a marker never scores two candidates.
 LANG_MARKERS = {
     "en": ("the", "and", "of"),
     "de": ("der", "und", "die"),
     "fr": ("le", "et", "les"),
     "es": ("el", "y", "los"),
+    "it": ("il", "che", "della"),
+    "pt": ("o", "uma", "das"),
+    "nl": ("het", "een", "niet"),
+    "pl": ("nie", "się", "jest"),
+    "sv": ("och", "att", "det"),
+    "tr": ("bir", "ve", "için"),
+    "id": ("yang", "dan", "di"),
+    "vi": ("của", "và", "những"),
 }
 
 PUNCT_CLASS = r"[.,;:!?'\"()\[\]{}-]"

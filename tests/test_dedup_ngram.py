@@ -111,3 +111,22 @@ def test_script_id_dominant_scripts(spark):
         spark.createDataFrame(rows, ["doc_id", "text"])).collect()}
     assert out == {1: "latin", 2: "cyrillic", 3: "kana", 4: "han",
                    5: "arabic", 6: "hangul", 7: "und"}
+
+
+def test_lang_id_extended_languages(spark):
+    from scribe_js_spark.textops.quality import lang_id
+
+    rows = [
+        (1, "il cane che corre nella via della città"),
+        (2, "o resultado foi uma das melhores notícias"),
+        (3, "het is een mooie dag maar niet koud"),
+        (4, "och sedan gick det att se det hela"),
+        (5, "bir gün ve sonra için çok şey"),
+        (6, "yang penting dan baik di sini"),
+    ]
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame(rows, ["doc_id", "text"]).withColumn(
+        "lang", F.lit("x"))
+    out = {r["doc_id"]: r["lang_pred"] for r in lang_id(df).collect()}
+    assert out == {1: "it", 2: "pt", 3: "nl", 4: "sv", 5: "tr", 6: "id"}
