@@ -114,3 +114,44 @@ def domain_stats(df: DataFrame, url_col: str = "url",
         .withColumn(
             "dup_ratio",
             F.round(1.0 - F.col("n_distinct_urls") / F.col("n_pages"), 6)))
+
+
+def page_policy_signals(df: DataFrame, html_col: str = "html") -> DataFrame:
+    """Corpus-governance signals from raw page HTML, as pure JVM
+    regexp expressions over the first bytes of each document:
+
+    - ``noindex`` / ``nofollow``: robots meta directives — corpora
+      honoring publisher opt-outs drop or flag these pages;
+    - ``canonical_url``: the rel=canonical target (dedup key superior
+      to the fetch URL when present);
+    - ``license_url``: an explicit rel=license target or a
+      creativecommons.org/licenses link found in the page;
+    - ``declared_lang``: the <html lang=...> attribute.
+    """
+    h = F.col(html_col)
+    # decode binary -> string prefix; directives live in <head>
+    s = F.substring(h.cast("string"), 1, 65536)
+    robots = F.regexp_extract(
+        s, r"""(?is)<meta[^>]+name=["']robots["'][^>]+content=["']([^"']*)["']""", 1)
+    robots2 = F.regexp_extract(
+        s, r"""(?is)<meta[^>]+content=["']([^"']*)["'][^>]+name=["']robots["']""", 1)
+    directives = F.lower(F.when(robots != "", robots).otherwise(robots2))
+    return df.withColumn(
+        "noindex", directives.contains("noindex")
+    ).withColumn(
+        "nofollow", directives.contains("nofollow")
+    ).withColumn(
+        "canonical_url", F.nullif(F.regexp_extract(
+            s, r"""(?is)<link[^>]+rel=["']canonical["'][^>]+href=["']([^"']+)["']""",
+            1), F.lit(""))
+    ).withColumn(
+        "license_url", F.nullif(F.coalesce(
+            F.nullif(F.regexp_extract(
+                s, r"""(?is)<(?:link|a)[^>]+rel=["']license["'][^>]+href=["']([^"']+)["']""",
+                1), F.lit("")),
+            F.nullif(F.regexp_extract(
+                s, r"""(?i)(https?://creativecommons\.org/licenses/[^\s"'<>]+)""",
+                1), F.lit(""))), F.lit(""))
+    ).withColumn(
+        "declared_lang", F.nullif(F.regexp_extract(
+            s, r"""(?is)<html[^>]+lang=["']([^"']+)["']""", 1), F.lit("")))

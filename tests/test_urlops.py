@@ -95,3 +95,36 @@ def test_domain_stats_approx_plan_has_single_shuffle(spark):
     rows = {r["domain"]: r for r in
             domain_stats(df, approx=True).collect()}
     assert rows["s0.com"]["n_pages"] == 10
+
+
+def test_page_policy_signals(spark):
+    from scribe_js_spark.textops.urlops import page_policy_signals
+
+    rows = [
+        (1, b'<html lang="en"><head>'
+            b'<meta name="robots" content="noindex, nofollow">'
+            b'<link rel="canonical" href="https://a.com/x"></head>'
+            b'<body>hi</body></html>'),
+        (2, b'<html lang="de-DE"><head>'
+            b'<meta content="index,follow" name="robots">'
+            b'<a rel="license" href='
+            b'"https://creativecommons.org/licenses/by/4.0/">CC</a>'
+            b'</head></html>'),
+        (3, b'<html><body>see https://creativecommons.org/licenses/'
+            b'by-sa/3.0/ inline</body></html>'),
+        (4, b'plain no signals at all'),
+    ]
+    out = {r["doc_id"]: r for r in page_policy_signals(
+        spark.createDataFrame(rows, ["doc_id", "html"])).collect()}
+    assert out[1]["noindex"] and out[1]["nofollow"]
+    assert out[1]["canonical_url"] == "https://a.com/x"
+    assert not out[2]["noindex"]
+    assert out[2]["license_url"].endswith("/by/4.0/")
+    assert out[2]["declared_lang"] == "de-DE"
+    assert out[3]["license_url"].endswith("/by-sa/3.0/")
+    assert out[4]["canonical_url"] is None
+    # plan stays JVM-side
+    plan = page_policy_signals(
+        spark.createDataFrame(rows, ["doc_id", "html"]))._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
