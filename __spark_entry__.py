@@ -486,7 +486,8 @@ def _q_pdf_table_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
                     # separator structure; grids through the rules
                     cols = (columns_from_separators(
                         t["bbox"], t["col_separators"])
-                        if t["method"] in ("numeric", "header-rule")
+                        if t["method"] in ("numeric", "header-rule",
+                                           "segmented-hline")
                         and t["col_separators"] else None)
                     matrix = extract_table_rows(page, t["bbox"], cols)
                     for r, row in enumerate(matrix):
@@ -519,6 +520,7 @@ def _q_pdf_table_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
         StructField("method", StringType()),
         StructField("n_cols", LongType()),
         StructField("header", StringType()),
+        StructField("title", StringType()),
     ])
 
     def fn(batches: Iterator) -> Iterator:
@@ -535,6 +537,8 @@ def _q_pdf_table_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
                     out["n_cols"].append(
                         len(t.get("col_separators") or []) + 1)
                     out["header"].append(t.get("header", "none"))
+                    out["title"].append(
+                        t["title"]["text"] if t.get("title") else None)
             yield pd.DataFrame(out)
 
     df = spark.read.parquet(os.path.join(FIX_T2, "pdf_table_docs.parquet"))
@@ -2047,7 +2051,8 @@ def oracle_sql() -> dict[str, str]:
             f"'{os.path.join(FIX_T2, 'pdf_table.parquet')}')"),
         "pdf_table_regions": (
             "SELECT url, table_n::BIGINT AS table_n, method,"
-            " n_cols::BIGINT AS n_cols, header FROM read_parquet("
+            " n_cols::BIGINT AS n_cols, header, title"
+            " FROM read_parquet("
             f"'{os.path.join(FIX_T2, 'pdf_table_regions.parquet')}')"),
         "pdf_underline": (
             "SELECT url, page_n::BIGINT AS page_n,"

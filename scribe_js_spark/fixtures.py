@@ -1110,10 +1110,18 @@ def write_underline_parquet(path: str, n_docs: int = 40,
 def build_pdf_table_models(doc_id: int, seed: int = SEED_DEFAULT) -> dict:
     """PDF table family: one ruled-grid table (drawn h/v rule lines,
     numeric cells at 100*(row+1)+col) and, on odd docs, a borderless
-    right-clustered-numeric block, embedded between text paragraphs."""
+    right-clustered-numeric block, embedded between text paragraphs.
+    Variants: doc_id %6==2 draws the grid dashed
+    (reconstituteDashedLines), %6==5 draws it as per-cell border
+    segments with no verticals (detectSegmentedHLineTables), %6==4
+    stacks a second 3x3 grid below the first (connected-component
+    multi-table), %3==0 puts a 'Table 1 <word>' caption line above the
+    grid (detectTableTitle)."""
     rng = _doc_rng(seed + 5151, doc_id)
     n_rows = rng.randint(3, 6)
     n_cols = rng.randint(3, 5)
+    segmented = doc_id % 6 == 5
+    second_grid = doc_id % 6 == 4
     col_w = 180
     xs = [MARGIN_LEFT + i * col_w for i in range(n_cols + 1)]
 
@@ -1128,6 +1136,22 @@ def build_pdf_table_models(doc_id: int, seed: int = SEED_DEFAULT) -> dict:
         w["out_words"] = [w["text"]]
     pars.append({"lines": [{"words": lead, "baseline_y": y, "indent": 0}]})
     y += PAR_GAP
+
+    title_text = None
+    if doc_id % 3 == 0:
+        # caption line just above the grid (Phase-5.55 title scan)
+        tword = rng.choice(LEXICON)
+        title_text = f"Table 1 {tword}"
+        tx, twords = MARGIN_LEFT, []
+        for t in ("Table", "1", tword):
+            twords.append({
+                "text": t, "chars": None, "out_words": [t],
+                "left": tx, "right": tx + len(t) * CHAR_W,
+                "top": y - ASC_H, "bottom": y + DESC_H, "conf": 97})
+            tx += len(t) * CHAR_W + 10
+        pars.append({"lines": [{"words": twords, "baseline_y": y,
+                                "indent": 0}]})
+        y += LINE_PITCH
 
     # ruled grid: row baselines inside bands bounded by rule ys
     grid_top = y - ASC_H - 10
@@ -1150,16 +1174,54 @@ def build_pdf_table_models(doc_id: int, seed: int = SEED_DEFAULT) -> dict:
     pars.append({"lines": lines})
     y += PAR_GAP
 
-    # Every 6th doc draws its grid as dashed stroke pieces — the
-    # reconstituteDashedLines path must rebuild the same rules.
+    # segmented tables rule BELOW each row (no top border): the
+    # detector's 1.5-row-height top extension then reaches exactly the
+    # first data row, not the prose above the table
     page = {"pars": pars, "width": PAGE_W, "height": PAGE_H,
-            "table_grids": [{"col_xs": xs, "row_ys": row_ys,
-                             "dashed": doc_id % 6 == 2}]}
+            "table_grids": [{"col_xs": xs,
+                             "row_ys": row_ys[1:] if segmented
+                             else row_ys,
+                             "dashed": doc_id % 6 == 2,
+                             "segmented": segmented}]}
     model = {"doc_id": doc_id, "family": "base", "pages": [page]}
     n_tables = 1
-    regions = [{"table_n": 0, "method": "grid", "n_cols": n_cols,
-                "header": "none"}]
+    regions = [{"table_n": 0,
+                "method": "segmented-hline" if segmented else "grid",
+                "n_cols": n_cols, "header": "none",
+                "title": title_text}]
     num_cells = []
+
+    if second_grid:
+        # stacked second grid: its rules form a separate connected
+        # component -> a second "grid" table on the same page
+        g2_rows, g2_cols = 3, 3
+        xs2 = [MARGIN_LEFT + i * col_w for i in range(g2_cols + 1)]
+        g2_top = y - ASC_H - 10
+        row_ys2 = [g2_top]
+        lines2 = []
+        for r in range(g2_rows):
+            words = []
+            for c in range(g2_cols):
+                val = str(500 + 100 * (r + 1) + c)
+                x = xs2[c] + 12
+                words.append({
+                    "text": val, "chars": None, "out_words": [val],
+                    "left": x, "right": x + len(val) * CHAR_W,
+                    "top": y - ASC_H, "bottom": y + DESC_H, "conf": 97})
+                expected.append({"table_n": 1, "row_n": r, "col_n": c,
+                                 "cell": val})
+            lines2.append({"words": words, "baseline_y": y, "indent": 0})
+            row_ys2.append(y + DESC_H + 10)
+            y += LINE_PITCH
+        pars.append({"lines": lines2})
+        y += PAR_GAP
+        page["table_grids"].append(
+            {"col_xs": xs2, "row_ys": row_ys2, "dashed": False,
+             "segmented": False})
+        n_tables = 2
+        regions.append({"table_n": 1, "method": "grid",
+                        "n_cols": g2_cols, "header": "none",
+                        "title": None})
 
     def _tok(text, x, yy):
         return {"text": text, "chars": None, "out_words": [text],
@@ -1207,7 +1269,8 @@ def build_pdf_table_models(doc_id: int, seed: int = SEED_DEFAULT) -> dict:
         n_tables = 2
         regions.append({
             "table_n": 1, "method": "numeric", "n_cols": 4,
-            "header": "strong" if with_header else "none"})
+            "header": "strong" if with_header else "none",
+            "title": None})
 
     hr_cells = []
     if doc_id % 4 == 3:
@@ -1245,7 +1308,7 @@ def build_pdf_table_models(doc_id: int, seed: int = SEED_DEFAULT) -> dict:
         n_tables += 1
         regions.append({
             "table_n": n_tables - 1, "method": "header-rule",
-            "n_cols": 4, "header": "none"})
+            "n_cols": 4, "header": "none", "title": None})
     return {"model": model, "expected": expected, "n_tables": n_tables,
             "n_grid_cols": n_cols, "regions": regions,
             "num_cells": num_cells, "hr_cells": hr_cells}

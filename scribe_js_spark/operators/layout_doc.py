@@ -1,24 +1,40 @@
-"""Document-level layout analysis (furniture classification).
+"""Document-level layout analysis: the full analyzeLayout rule set.
 
-A focused port of the reference's analyzeLayout 3-phase design
-(/root/reference/js/import/analyzeLayout.js:16-3454) covering the
-furniture roles — the cross-page rules that fundamentally require the
-whole document in one pass (exactly why the Spark wrapper groups by
-url, SURVEY.md §2.5):
+A from-scratch implementation of the reference's analyzeLayout
+3-phase design (/root/reference/js/import/analyzeLayout.js:16-3454) —
+the cross-page rules that fundamentally require the whole document in
+one pass (exactly why the Spark wrapper groups by url, SURVEY.md
+§2.5). What lives here:
 
 - Phase 1: per-line features (band position, digit-stripped text key,
   lone-number detection).
 - Phase 2: document model — normalized text keys recurring in the top
   (or bottom) 8% band on at least half the pages are running
-  headers/footers; lone numbers whose value tracks the page index with
-  a constant offset across a run of pages are folios.
+  headers/footers; lone numbers (arabic or roman, roman_to_int) whose
+  value tracks the page index with a constant offset across a run of
+  pages are folios.
 - Phase 3: role assignment per paragraph: 'header' / 'footer' /
-  'pagenum', with the reference's single-page fallback (a lone number
-  in the margin band is a folio even without a sequence).
+  'pagenum' / 'title' / 'heading' / 'blockquote' / 'listItem' /
+  'tocEntry', with the reference's single-page fallback (a lone
+  number in the margin band is a folio even without a sequence) and
+  struct-tree corroboration when PDF structure tags are present
+  (_par_struct_tag).
 
-Title detection: a paragraph whose dominant font size is >= 1.5x the
-document body size on page 0's top half -> 'title' (analyzeLayout's
-size-ratio rule, simplified).
+Beyond furniture roles, the rest of the analyzeLayout surface:
+- List detection: line_enumerator recognizes bullet / arabic / roman /
+  alpha enumerators, detect_numbering_schemes fits document-wide
+  schemes, split_pars_at_enumerators breaks merged paragraphs at
+  enumerator heads.
+- TOC pages: split_toc_pages detects dot-leader/right-aligned-number
+  lines and splits them into per-entry paragraphs.
+- Line-number columns (legal transcripts): _detect_line_number_columns
+  handles case A (separate margin column) and case B (numbers glued to
+  the text line head) against a median body size.
+- Columns: cluster_peaks + detect_column_count estimate per-page
+  column layout from paragraph left-edge clustering.
+- collect_par_roles flattens the per-paragraph roles for the driver
+  oracle (furniture_roles / layout_roles2 / struct_layout_roles /
+  toc_entries / list_items / linenum_caseb / column_counts queries).
 """
 
 from __future__ import annotations

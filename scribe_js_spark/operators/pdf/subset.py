@@ -5,20 +5,30 @@ existing document, rebuild the /Pages tree, and emit only the objects
 still reachable from the catalog (dropped pages' content streams,
 fonts and images garbage-collect away instead of riding along dead).
 
-Catalog entries that index the full document (/Outlines, /Names,
-/StructTreeRoot, /OpenAction, /AcroForm) are dropped from the subset —
-their destinations reference removed pages and would resurrect them
-through the reachability walk; the reference filters them entry by
-entry, this port removes the indexes wholesale (documented subset
-semantics). Inherited page attributes (Resources/MediaBox/CropBox/
-Rotate) are flattened onto each kept page so the rebuilt flat tree
-preserves them.
+Document-wide indexes are handled entry-wise, matching the reference:
+
+- /Outlines is REBUILT: bookmarks whose destination page survives are
+  kept (named destinations resolved to explicit /Dest arrays); a node
+  whose page is dropped loses itself but its surviving descendants
+  are promoted to the nearest surviving ancestor; structural and
+  URI/action nodes always survive
+  (js/objects/outlineObjects.js:107-133, js/export/pdf/writeOutline.js:15-62).
+- page /Annots are FILTERED: an annotation is dropped only when its
+  /Dest or GoTo /A targets a removed page (js/export/pdf/subsetPdf.js:73-80).
+- /StructTreeRoot + /MarkInfo drop wholesale — the reference does the
+  same on a true subset (js/export/pdf/subsetPdf.js:401). /Names and
+  /Dests drop because surviving bookmarks carry resolved explicit
+  destinations.
+
+Inherited page attributes (Resources/MediaBox/CropBox/Rotate) are
+flattened onto each kept page so the rebuilt flat tree preserves them.
 """
 
 from __future__ import annotations
 
 from .document import Name, PdfDocument, Ref, StreamObj
 from .metadata import serialize_object
+from .outline import _build_name_dests
 
 _CATALOG_DROP = ("Outlines", "Names", "StructTreeRoot", "OpenAction",
                  "AcroForm", "Dests", "PageLabels")
@@ -71,6 +81,201 @@ def _collect_refs(doc: PdfDocument, obj, seen: set) -> None:
             _collect_refs(doc, v, seen)
 
 
+# -------------------------------------------- outline entry filtering
+
+
+def _dest_page(doc: PdfDocument, dest_obj, name_dests):
+    """Destination -> (page_objnum, resolved view list) or None. Like
+    outline._resolve_dest but keyed by page OBJECT NUMBER — kept pages
+    keep their objnums through a subset, so survival is a set test."""
+    dest_obj = doc.resolve(dest_obj)
+    if isinstance(dest_obj, bytes) or (
+            isinstance(dest_obj, (str, Name))):
+        key = dest_obj.decode("latin-1") if isinstance(dest_obj, bytes) \
+            else str(dest_obj)
+        target = doc.resolve(name_dests.get(key))
+        if isinstance(target, dict):
+            target = doc.resolve(target.get("D"))
+        dest_obj = target
+    if isinstance(dest_obj, list) and dest_obj \
+            and isinstance(dest_obj[0], Ref):
+        view = [doc.resolve(v) for v in dest_obj[1:]]
+        return dest_obj[0].num, view
+    return None
+
+
+def _has_refs(obj) -> bool:
+    if isinstance(obj, Ref):
+        return True
+    if isinstance(obj, dict):
+        return any(_has_refs(v) for v in obj.values())
+    if isinstance(obj, list):
+        return any(_has_refs(v) for v in obj)
+    return False
+
+
+def _deep_resolve(doc: PdfDocument, obj, depth=0):
+    if depth > 16:
+        return obj
+    obj = doc.resolve(obj)
+    if isinstance(obj, dict):
+        return {k: _deep_resolve(doc, v, depth + 1) for k, v in obj.items()}
+    if isinstance(obj, list):
+        return [_deep_resolve(doc, v, depth + 1) for v in obj]
+    return obj
+
+
+def _parse_outline_nodes(doc: PdfDocument, catalog: dict,
+                         name_dests: dict) -> list[dict]:
+    """Source /Outlines -> [{title, page, view, action, open, children}]
+    with `page` a page objnum (None for structural/action nodes) and
+    `action` a ref-free resolved /A dict kept opaque."""
+    outlines = doc.resolve(catalog.get("Outlines"))
+    if not isinstance(outlines, dict):
+        return []
+    visited: set[int] = set()
+
+    def walk(first_ref):
+        out = []
+        cur = first_ref
+        while isinstance(cur, Ref) and cur.num not in visited:
+            visited.add(cur.num)
+            item = doc.resolve(cur)
+            if not isinstance(item, dict):
+                break
+            title = doc.resolve(item.get("Title"))
+            if isinstance(title, str):
+                title = title.encode("latin-1", "replace")
+            elif not isinstance(title, bytes):
+                title = b""
+            page = view = action = None
+            if "Dest" in item:
+                hit = _dest_page(doc, item["Dest"], name_dests)
+                if hit:
+                    page, view = hit
+            elif "A" in item:
+                a = doc.resolve(item["A"])
+                if isinstance(a, dict):
+                    if str(doc.resolve(a.get("S", ""))) == "GoTo":
+                        hit = _dest_page(doc, a.get("D"), name_dests)
+                        if hit:
+                            page, view = hit
+                    else:
+                        resolved = _deep_resolve(doc, a)
+                        if not _has_refs(resolved):
+                            action = resolved
+            count = doc.resolve(item.get("Count", 0)) or 0
+            out.append({
+                "title": title, "page": page, "view": view or [],
+                "action": action,
+                "open": not (isinstance(count, (int, float)) and count < 0),
+                "children": walk(item.get("First")),
+            })
+            cur = item.get("Next")
+        return out
+
+    return walk(outlines.get("First"))
+
+
+def _filter_outline_nodes(nodes: list[dict], kept: set) -> list[dict]:
+    """remapOutline semantics (outlineObjects.js:114-133): dropped
+    node's surviving descendants promote to the nearest surviving
+    ancestor; page-less nodes always survive."""
+    out = []
+    for n in nodes:
+        children = _filter_outline_nodes(n["children"], kept)
+        if n["page"] is None or n["page"] in kept:
+            out.append({**n, "children": children})
+        else:
+            out.extend(children)
+    return out
+
+
+def _visible_count(nodes: list[dict]) -> int:
+    count = 0
+    for n in nodes:
+        count += 1
+        if n["open"]:
+            count += _visible_count(n["children"])
+    return count
+
+
+def _emit_outline(nodes: list[dict], start_num: int):
+    """Filtered tree -> ({objnum: dict}, root_objnum, next_objnum);
+    First/Last/Prev/Next/Parent/Count per writeOutline.js:15-62."""
+    root_num = start_num
+    next_num = [start_num + 1]
+
+    def assign(lst):
+        out = []
+        for n in lst:
+            num = next_num[0]
+            next_num[0] += 1
+            out.append((n, num, assign(n["children"])))
+        return out
+
+    tree = assign(nodes)
+    objs: dict[int, dict] = {}
+
+    def emit(entries, parent_num):
+        for k, (n, num, kids) in enumerate(entries):
+            d = {Name("Title"): b"\xfe\xff" + n["title"].decode(
+                "latin-1").encode("utf-16-be")
+                if n["title"][:2] != b"\xfe\xff" else n["title"]}
+            d[Name("Parent")] = Ref(parent_num, 0)
+            if k > 0:
+                d[Name("Prev")] = Ref(entries[k - 1][1], 0)
+            if k < len(entries) - 1:
+                d[Name("Next")] = Ref(entries[k + 1][1], 0)
+            if kids:
+                vis = _visible_count(n["children"])
+                d[Name("First")] = Ref(kids[0][1], 0)
+                d[Name("Last")] = Ref(kids[-1][1], 0)
+                d[Name("Count")] = vis if n["open"] else -vis
+            if n["page"] is not None:
+                view = n["view"] or [Name("Fit")]
+                d[Name("Dest")] = [Ref(n["page"], 0)] + list(view)
+            elif n["action"] is not None:
+                d[Name("A")] = n["action"]
+            objs[num] = d
+            emit(kids, num)
+
+    emit(tree, root_num)
+    objs[root_num] = {
+        Name("Type"): Name("Outlines"),
+        Name("First"): Ref(tree[0][1], 0),
+        Name("Last"): Ref(tree[-1][1], 0),
+        Name("Count"): _visible_count(nodes),
+    }
+    return objs, root_num, next_num[0]
+
+
+def _filter_annots(doc: PdfDocument, page: dict, kept: set,
+                   name_dests: dict) -> list | None:
+    """Entry-wise /Annots filter (subsetPdf.js:73-80): drop only
+    annotations whose /Dest or GoTo /A targets a removed page."""
+    annots = doc.resolve(page.get("Annots") or page.get(Name("Annots")))
+    if not isinstance(annots, list):
+        return None
+    out = []
+    for ref in annots:
+        ann = doc.resolve(ref)
+        if not isinstance(ann, dict):
+            continue
+        target = None
+        if "Dest" in ann:
+            target = _dest_page(doc, ann["Dest"], name_dests)
+        elif "A" in ann:
+            a = doc.resolve(ann["A"])
+            if isinstance(a, dict) \
+                    and str(doc.resolve(a.get("S", ""))) == "GoTo":
+                target = _dest_page(doc, a.get("D"), name_dests)
+        if target is not None and target[0] not in kept:
+            continue
+        out.append(ref)
+    return out
+
+
 def subset_pdf(data: bytes, page_indices: list[int]) -> bytes:
     """Keep the given 0-based pages, in the given order."""
     doc = PdfDocument(data)
@@ -82,10 +287,16 @@ def subset_pdf(data: bytes, page_indices: list[int]) -> bytes:
 
     root_ref = doc.trailer["Root"]
     root_num = root_ref.num
-    catalog = dict(doc.resolve(root_ref))
+    src_catalog = dict(doc.resolve(root_ref))
+    catalog = dict(src_catalog)
     for key in _CATALOG_DROP:
         catalog.pop(key, None)
         catalog.pop(Name(key), None)
+
+    kept_set = {n for n, _ in kept}
+    name_dests = _build_name_dests(doc, src_catalog)
+    outline_nodes = _filter_outline_nodes(
+        _parse_outline_nodes(doc, src_catalog, name_dests), kept_set)
 
     # new flat pages tree reuses the old pages-root object number
     pages_root_ref = catalog.get("Pages")
@@ -103,11 +314,21 @@ def subset_pdf(data: bytes, page_indices: list[int]) -> bytes:
     for objnum, page in kept:
         page = dict(page)
         page[Name("Parent")] = Ref(pages_num, 0)
-        page.pop("Annots", None)       # may point at removed pages
+        filtered = _filter_annots(doc, page, kept_set, name_dests)
+        page.pop("Annots", None)
         page.pop(Name("Annots"), None)
+        if filtered:
+            page[Name("Annots")] = filtered
         page.pop("StructParents", None)
         page.pop(Name("StructParents"), None)
         overrides[objnum] = page
+
+    if outline_nodes:
+        start = max(max(doc.xref, default=0), root_num, pages_num) + 1
+        outline_objs, outline_root, _ = _emit_outline(outline_nodes, start)
+        overrides.update(outline_objs)
+        catalog[Name("Outlines")] = Ref(outline_root, 0)
+        overrides[root_num] = catalog
 
     # reachability from the (rewritten) catalog
     seen: set[int] = set()
@@ -115,12 +336,14 @@ def subset_pdf(data: bytes, page_indices: list[int]) -> bytes:
     def collect(obj):
         _collect_refs(doc, obj, seen)
 
-    seen.add(root_num)
-    seen.add(pages_num)
-    collect(overrides[root_num])
-    collect(overrides[pages_num])
-    for objnum, _ in kept:
-        collect(overrides[objnum])
+    # overrides (catalog, pages root, kept pages, rebuilt outline) are
+    # roots themselves. Seed ALL override objnums before walking any:
+    # _collect_refs only walks the SOURCE doc, so an un-seeded Kids ref
+    # would recurse into the source page dict and drag its unfiltered
+    # /Annots and old /Parent tree back in.
+    seen.update(overrides)
+    for obj in overrides.values():
+        collect(obj)
 
     bodies: dict[int, bytes] = {}
     for objnum in sorted(seen):

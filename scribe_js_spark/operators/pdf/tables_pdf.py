@@ -70,19 +70,103 @@ def is_right_clustered_numeric(words) -> bool:
     return num_after_text >= 3
 
 
-def classify_rule_lines(paths, scale: float, page_h_pts: float):
-    """Painted-path M/L subpath extents -> thin horizontal and vertical
-    rule lines in the scaled top-left frame (classifyPaths core)."""
-    h_lines, v_lines = [], []
+def merge_collinear_segments(items, pos_key: str, start_key: str,
+                             end_key: str, tol: float = 5.0,
+                             gap: float = 10.0) -> list[dict]:
+    """mergeCollinearSegments (detectPdfTables.js:1717-1762): group by
+    position within ``tol``, merge extent-adjacent pieces whose gap is
+    <= ``gap``, and keep the pre-merge pieces under ``segments`` — a
+    segmented grid encodes its column breaks there."""
+    groups: list[dict] = []
+    for seg in items:
+        for g in groups:
+            if abs(seg[pos_key] - g["pos"]) <= tol:
+                g["segs"].append(seg)
+                break
+        else:
+            groups.append({"pos": seg[pos_key], "segs": [seg]})
+    out: list[dict] = []
+    for g in groups:
+        segs = sorted(g["segs"], key=lambda s: s[start_key])
+        cur = dict(segs[0])
+        parts = [{start_key: segs[0][start_key],
+                  end_key: segs[0][end_key]}]
+        for seg in segs[1:]:
+            if seg[start_key] <= cur[end_key] + gap:
+                if seg[end_key] > cur[end_key]:
+                    cur[end_key] = seg[end_key]
+                parts.append({start_key: seg[start_key],
+                              end_key: seg[end_key]})
+            else:
+                cur["segments"] = parts
+                out.append(cur)
+                cur = dict(seg)
+                parts = [{start_key: seg[start_key],
+                          end_key: seg[end_key]}]
+        cur["segments"] = parts
+        out.append(cur)
+    return out
+
+
+def _achromatic(color) -> bool:
+    """Achromatic (gray/black) color test (detectPdfTables.js:1162-1171)
+    — chromatic chart/decoration paths must not form phantom grids."""
+    if not color:
+        return True
+    if len(color) == 3:
+        return max(color) - min(color) < 0.15
+    if len(color) == 4:
+        return color[0] < 0.15 and color[1] < 0.15 and color[2] < 0.15
+    return True
+
+
+def classify_rule_lines(paths, scale: float, page_h_pts: float,
+                        page=None):
+    """Painted-path subpath extents -> merged thin horizontal/vertical
+    rule lines (with pre-merge ``segments``) plus header-fill rects, in
+    the scaled top-left frame (classifyPaths, detectPdfTables.js:1139).
+
+    Returns (h_lines, v_lines, header_fills). Chromatic paths are
+    excluded; when ``page`` is given the minimum h-rule width adapts to
+    the page's median line height (a cell border is at least one
+    character wide, :1147-1153)."""
+    min_w_pts = 10.0
+    page_h_px = page_h_pts * scale
+    if page is not None:
+        hs = sorted(
+            (ln.bbox.bottom - ln.bbox.top) / scale
+            for ln in page.lines
+            if 2 < (ln.bbox.bottom - ln.bbox.top) / scale < 100)
+        if hs:
+            min_w_pts = max(10.0, hs[len(hs) // 2])
+    raw_h, raw_v, header_fills = [], [], []
     for path in paths:
         if not path.fill and not path.stroke:
             continue
+        color = path.strokeColor if path.stroke else path.fillColor
         subpaths = []
         for c in path.commands:
             if c[0] == "M":
                 subpaths.append([(c[1], c[2])])
             elif c[0] == "L" and subpaths:
                 subpaths[-1].append((c[1], c[2]))
+        all_pts = [p for pts in subpaths for p in pts]
+        if path.fill and all_pts and _achromatic(path.fillColor):
+            # header background fill (:1410-1421): a wide filled band
+            # shorter than 30% of the page marks a header area
+            xs = [p[0] for p in all_pts]
+            ys = [p[1] for p in all_pts]
+            w, h = max(xs) - min(xs), max(ys) - min(ys)
+            if w > min_w_pts * 5 and min_w_pts * 3 <= h \
+                    < page_h_pts * 0.3:
+                header_fills.append({
+                    "left": min(xs) * scale,
+                    "right": max(xs) * scale,
+                    "top": (page_h_pts - max(ys)) * scale,
+                    "bottom": (page_h_pts - min(ys)) * scale})
+                continue
+        if not _achromatic(color):
+            continue
         for pts in subpaths:
             if len(pts) < 2:
                 continue
@@ -90,16 +174,21 @@ def classify_rule_lines(paths, scale: float, page_h_pts: float):
             ys = [p[1] for p in pts]
             w = max(xs) - min(xs)
             h = max(ys) - min(ys)
-            if h < 2 and w > 10:
-                h_lines.append({
-                    "left": min(xs) * scale, "right": max(xs) * scale,
-                    "y": (page_h_pts - max(ys)) * scale})
+            if h < 2 and w > min_w_pts:
+                y = (page_h_pts - max(ys)) * scale
+                if page_h_px * 0.05 < y < page_h_px * 0.95:
+                    raw_h.append({
+                        "left": min(xs) * scale,
+                        "right": max(xs) * scale, "y": y})
             elif w < 2 and h > 10:
-                v_lines.append({
-                    "x": min(xs) * scale,
-                    "top": (page_h_pts - max(ys)) * scale,
-                    "bottom": (page_h_pts - min(ys)) * scale})
-    return h_lines, v_lines
+                top = (page_h_pts - max(ys)) * scale
+                bottom = (page_h_pts - min(ys)) * scale
+                if bottom - top <= page_h_px * 0.8:
+                    raw_v.append({"x": min(xs) * scale, "top": top,
+                                  "bottom": bottom})
+    h_lines = merge_collinear_segments(raw_h, "y", "left", "right")
+    v_lines = merge_collinear_segments(raw_v, "x", "top", "bottom")
+    return h_lines, v_lines, header_fills
 
 
 def reconstitute_dashed_lines(paths, h_lines, v_lines, scale: float,
@@ -184,24 +273,24 @@ def _cluster(values, tol: float) -> list[float]:
     return [sum(c) / len(c) for c in out]
 
 
-def detect_strict_grids(h_lines, v_lines) -> list[dict]:
-    """Full ruled grids (tryDetectStrictGrid core): >= 3 horizontal rule
-    positions and >= 2 verticals that span the horizontal band. The
-    candidate band is scoped to the verticals' y-extent so unrelated
-    horizontal rules elsewhere on the page (header underlines, section
-    dividers) cannot stretch it open."""
+def _try_strict_grid(h_lines, v_lines) -> dict | None:
+    """One connected component of rules -> a grid table or None
+    (tryDetectStrictGrid core): >= 3 horizontal rule positions and
+    >= 2 verticals that span the horizontal band. The candidate band
+    is scoped to the verticals' y-extent so unrelated horizontal rules
+    elsewhere in the component cannot stretch it open."""
     if len(h_lines) < 3 or len(v_lines) < 2:
-        return []
+        return None
     v_top = min(v["top"] for v in v_lines)
     v_bottom = max(v["bottom"] for v in v_lines)
     h_lines = [h for h in h_lines
                if v_top - 5 <= h["y"] <= v_bottom + 5]
     if len(h_lines) < 3:
-        return []
+        return None
     ys = _cluster([h["y"] for h in h_lines], 3)
     xs = _cluster([v["x"] for v in v_lines], 3)
     if len(ys) < 3 or len(xs) < 2:
-        return []
+        return None
     top, bottom = ys[0], ys[-1]
     left, right = xs[0], xs[-1]
     # verticals must span the band; horizontals must span the width
@@ -212,13 +301,289 @@ def detect_strict_grids(h_lines, v_lines) -> list[dict]:
         h for h in h_lines
         if h["left"] <= left + 5 and h["right"] >= right - 5]
     if len(_cluster([v["x"] for v in spanning], 3)) < 2 or len(wide) < 3:
-        return []
+        return None
     seps = _cluster([v["x"] for v in spanning], 3)[1:-1]
-    return [{
+    return {
         "bbox": Bbox(left, top, right, bottom),
         "col_separators": seps,
         "method": "grid",
-    }]
+    }
+
+
+def detect_strict_grids(h_lines, v_lines) -> list[dict]:
+    """Full ruled grids, one per connected rule component
+    (detectStrictGrids, detectPdfTables.js:2169-2243): segments joined
+    through the grid's own intersections/abutments (tolerance 6) form
+    a component; each component is tried independently, so two stacked
+    or side-by-side grids on one page detect as two tables."""
+    if len(h_lines) < 3 or len(v_lines) < 2:
+        return []
+    tol = 6.0
+    n = len(h_lines) + len(v_lines)
+    parent = list(range(n))
+
+    def find(i):
+        while parent[i] != i:
+            parent[i] = parent[parent[i]]
+            i = parent[i]
+        return i
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+
+    for i, a in enumerate(h_lines):
+        for j in range(i + 1, len(h_lines)):
+            b = h_lines[j]
+            if abs(a["y"] - b["y"]) <= tol and \
+                    min(a["right"], b["right"]) >= \
+                    max(a["left"], b["left"]) - tol:
+                union(i, j)
+        for j, v in enumerate(v_lines):
+            if a["left"] - tol <= v["x"] <= a["right"] + tol \
+                    and v["top"] - tol <= a["y"] <= v["bottom"] + tol:
+                union(i, len(h_lines) + j)
+    for i, a in enumerate(v_lines):
+        for j in range(i + 1, len(v_lines)):
+            b = v_lines[j]
+            if abs(a["x"] - b["x"]) <= tol and \
+                    min(a["bottom"], b["bottom"]) >= \
+                    max(a["top"], b["top"]) - tol:
+                union(len(h_lines) + i, len(h_lines) + j)
+
+    comps: dict[int, tuple[list, list]] = {}
+    for i, h in enumerate(h_lines):
+        comps.setdefault(find(i), ([], []))[0].append(h)
+    for j, v in enumerate(v_lines):
+        comps.setdefault(find(len(h_lines) + j), ([], []))[1].append(v)
+
+    out = []
+    for hs, vs in comps.values():
+        t = _try_strict_grid(hs, vs)
+        if t is not None:
+            out.append(t)
+    out.sort(key=lambda t: (t["bbox"].top, t["bbox"].left))
+    return out
+
+
+def _cluster_hlines_by_x_extent(h_lines) -> list[list[dict]]:
+    """Cluster h-lines by >50% x-overlap with the cluster's union
+    extent, or abutment within 15 px (clusterHLinesByXExtent,
+    detectPdfTables.js:4139-4174)."""
+    clusters: list[dict] = []
+    for hl in h_lines:
+        for c in clusters:
+            o_left = max(hl["left"], c["left"])
+            o_right = min(hl["right"], c["right"])
+            overlap = max(0.0, o_right - o_left)
+            min_w = min(hl["right"] - hl["left"], c["right"] - c["left"])
+            gap = o_left - o_right
+            if (min_w > 0 and overlap / min_w > 0.5) \
+                    or (0 <= gap < 15):
+                c["lines"].append(hl)
+                c["left"] = min(c["left"], hl["left"])
+                c["right"] = max(c["right"], hl["right"])
+                break
+        else:
+            clusters.append({"lines": [hl], "left": hl["left"],
+                             "right": hl["right"]})
+    return [c["lines"] for c in clusters]
+
+
+def _split_cluster_by_y_gap(cluster: list[dict]) -> list[list[dict]]:
+    """Recursively split an h-line cluster at y-gaps > 4-5x the median
+    row gap — stacked tables sharing an x-extent separate here
+    (splitClusterByYGap, detectPdfTables.js:4099-4134)."""
+    srt = sorted(cluster, key=lambda h: h["y"])
+    uniq = [(srt[i]["y"], i) for i in range(len(srt))
+            if i == 0 or srt[i]["y"] - srt[i - 1]["y"] > 2]
+    if len(uniq) < 2:
+        return [cluster]
+    gaps = [(uniq[i][0] - uniq[i - 1][0], uniq[i][1])
+            for i in range(1, len(uniq))]
+    by_gap = sorted(gaps)
+    med = by_gap[(len(by_gap) - 1) // 2][0]
+    max_gap, max_idx = max(gaps)
+    ratio = 4 if len(uniq) >= 10 else 5
+    if med <= 0 or max_gap <= med * ratio:
+        return [cluster]
+    return (_split_cluster_by_y_gap(srt[:max_idx])
+            + _split_cluster_by_y_gap(srt[max_idx:]))
+
+
+def _region_rows(page, bbox: Bbox) -> list[dict]:
+    """Lines inside ``bbox`` grouped into visual rows, each row keeping
+    its page line indices (collectRowsInBbox semantics)."""
+    idxs = [i for i, ln in enumerate(page.lines)
+            if ln.bbox.top >= bbox.top - 5
+            and ln.bbox.bottom <= bbox.bottom + 5
+            and ln.bbox.left >= bbox.left - 10
+            and ln.bbox.right <= bbox.right + 10]
+    rows: list[dict] = []
+    for i in sorted(idxs, key=lambda i: page.lines[i].bbox.top):
+        top = page.lines[i].bbox.top
+        if rows and abs(top - rows[-1]["y"]) < 5:
+            rows[-1]["line_indices"].append(i)
+        else:
+            rows.append({"y": top, "line_indices": [i]})
+    return rows
+
+
+def detect_segmented_hline_grids(page, h_lines, v_lines,
+                                 header_fills) -> list[dict]:
+    """Tables drawn as per-cell border segments — each row's bottom rule
+    is several pieces breaking at column boundaries
+    (detectSegmentedHLineGrids + detectSegmentedHLineTables,
+    detectPdfTables.js:2411-2441, 3647-3770). Column separators come
+    from the shared break pattern; >= 3 rows with a consistent pattern
+    and < 3 region verticals (else it's a real grid) qualify. A cluster
+    spanning several stacked tables splits at large y-gaps, and
+    distinct break patterns within one cluster become separate tables
+    — the spanning-cell / multi-table path."""
+    if len(h_lines) < 3:
+        return []
+    out = []
+    for cluster in _cluster_hlines_by_x_extent(h_lines):
+        if len(cluster) < 3:
+            continue
+        for sub in _split_cluster_by_y_gap(cluster):
+            if len(sub) < 3:
+                continue
+            c_left = min(h["left"] for h in sub)
+            c_right = max(h["right"] for h in sub)
+            c_top = min(h["y"] for h in sub)
+            c_bottom = max(h["y"] for h in sub)
+            region_v = [
+                v for v in v_lines
+                if c_left - 5 <= v["x"] <= c_right + 5
+                and v["top"] <= c_bottom + 5
+                and v["bottom"] >= c_top - 5]
+            if len(region_v) >= 3:
+                continue
+            out.extend(_segmented_tables(sub, header_fills, page))
+    return out
+
+
+def _segmented_tables(cluster, header_fills, page) -> list[dict]:
+    """Break-pattern grouping + table assembly for one y-split cluster
+    (detectSegmentedHLineTables, detectPdfTables.js:3647-3770)."""
+    row_breaks = []
+    for hl in cluster:
+        segs = hl.get("segments") or []
+        if len(segs) < 2:
+            continue
+        segs = sorted(segs, key=lambda s: s["left"])
+        row_breaks.append({
+            "y": hl["y"],
+            "breaks": [round(s["right"]) for s in segs[:-1]],
+            "left": segs[0]["left"], "right": segs[-1]["right"]})
+    if len(row_breaks) < 3:
+        return []
+    groups: list[list[dict]] = []
+    for rb in row_breaks:
+        for g in groups:
+            ref = g[0]["breaks"]
+            if len(ref) == len(rb["breaks"]) and all(
+                    abs(a - b) <= 5
+                    for a, b in zip(ref, rb["breaks"])):
+                g.append(rb)
+                break
+        else:
+            groups.append([rb])
+    results = []
+    for g in groups:
+        if len(g) < 3 or len(g[0]["breaks"]) < 2:
+            continue
+        seps = sorted(
+            sum(rb["breaks"][j] for rb in g) / len(g)
+            for j in range(len(g[0]["breaks"])))
+        left = min(rb["left"] for rb in g)
+        right = max(rb["right"] for rb in g)
+        top = min(rb["y"] for rb in g)
+        bottom = max(rb["y"] for rb in g)
+        if right - left < page.dims["width"] * 0.3:
+            continue
+        fill = next(
+            (f for f in header_fills
+             if abs(f["left"] - left) <= 15
+             and abs(f["right"] - right) <= 15
+             and top - 200 <= f["bottom"] <= top + 5), None)
+        row_h = (bottom - top) / max(1, len(g) - 1)
+        bbox = Bbox(
+            left,
+            max(0.0, fill["top"] - 5 if fill else top - row_h * 1.5),
+            right, bottom + 5)
+        rows = _region_rows(page, bbox)
+        if len(rows) < 2:
+            continue
+        if sum(1 for r in rows if len(r["line_indices"]) >= 2) < 2:
+            continue
+        results.append({
+            "bbox": bbox, "col_separators": seps,
+            "method": "segmented-hline", "rows": rows,
+        })
+    return results
+
+
+_TABLE_TITLE_RE = re.compile(r"^Table\s+\d+", re.I)
+
+
+def detect_table_title(table: dict, lines) -> dict | None:
+    """'Table N ...' caption: nearest such line within 50 px above the
+    table, else a title-shaped first line inside it (detectTableTitle,
+    detectPdfTables.js:3775-3817)."""
+    bbox = table["bbox"]
+    best = None
+    for ln in lines:
+        if ln.bbox.bottom > bbox.top or \
+                ln.bbox.bottom < bbox.top - 50 or \
+                ln.bbox.right < bbox.left or ln.bbox.left > bbox.right:
+            continue
+        text = " ".join(w.text for w in ln.words)
+        if not _TABLE_TITLE_RE.match(text):
+            continue
+        dist = bbox.top - ln.bbox.bottom
+        if best is None or dist < best[0]:
+            best = (dist, text)
+    if best:
+        return {"text": best[1]}
+    inside = [ln for ln in lines
+              if bbox.top <= ln.bbox.top <= bbox.bottom
+              and ln.bbox.right >= bbox.left
+              and ln.bbox.left <= bbox.right]
+    if inside:
+        first = min(inside, key=lambda ln: ln.bbox.top)
+        text = " ".join(w.text for w in first.words)
+        if _TABLE_TITLE_RE.match(text):
+            return {"text": text}
+    return None
+
+
+def validate_stream_order(table: dict, lines) -> bool:
+    """Phase 6 (validateStreamOrder, detectPdfTables.js:4018-4051):
+    drop rows whose spatial left-to-right order contradicts content
+    stream order (chart labels swept into a candidate); column-major
+    rows (index gaps > 2) skip the check. The table survives with
+    >= 3 remaining rows. Mutates ``table['rows']``."""
+    rows = table.get("rows")
+    if rows is None:
+        return True
+    keep = []
+    for row in rows:
+        idxs = row["line_indices"]
+        if len(idxs) >= 2:
+            max_gap = max(idxs[k] - idxs[k - 1]
+                          for k in range(1, len(idxs)))
+            if max_gap <= 2:
+                by_x = sorted(idxs,
+                              key=lambda i: lines[i].bbox.left)
+                if any(by_x[j] < by_x[j - 1]
+                       for j in range(1, len(by_x))):
+                    continue
+        keep.append(row)
+    table["rows"] = keep
+    return len(keep) >= 3
 
 
 def detect_header_rule_tables(h_lines, page) -> list[dict]:
@@ -604,18 +969,34 @@ def columns_from_separators(bbox: Bbox, seps: list[float]) -> list[Bbox]:
             for i in range(len(edges) - 1)]
 
 
+def bbox_overlap(a: Bbox, b: Bbox) -> float:
+    """Intersection area over the smaller box's area
+    (bboxOverlap, detectPdfTables.js:4080-4091)."""
+    ol, ot = max(a.left, b.left), max(a.top, b.top)
+    o_r, ob = min(a.right, b.right), min(a.bottom, b.bottom)
+    if o_r <= ol or ob <= ot:
+        return 0.0
+    min_area = min((a.right - a.left) * (a.bottom - a.top),
+                   (b.right - b.left) * (b.bottom - b.top))
+    return ((o_r - ol) * (ob - ot)) / min_area if min_area > 0 else 0.0
+
+
 def detect_pdf_table_regions(page, paths, scale: float,
                              page_h_pts: float) -> list[dict]:
-    """Composite PDF-side detector: strict ruled grids first, then
-    borderless numeric clusters that don't overlap a grid. Borderless
-    tables get word-cluster column separators and, when a header block
-    sits above, the band extends over it (extractStructure +
-    detectHeaders)."""
+    """Composite PDF-side detector: strict ruled grids (one per rule
+    component) first, then segmented-hline tables and header-rule
+    tables not already covered by a grid, then borderless numeric
+    clusters. Borderless tables get word-cluster column separators
+    and, when a header block sits above, the band extends over it
+    (extractStructure + detectHeaders). Every table gets a Phase-5.55
+    title scan; non-grid candidates pass Phase-6 stream-order
+    validation."""
     if len(page.lines) < 3:
         return []
     if len(paths) > MAX_TABLE_DETECTION_PATHS:
         paths = []
-    h_lines, v_lines = classify_rule_lines(paths, scale, page_h_pts)
+    h_lines, v_lines, header_fills = classify_rule_lines(
+        paths, scale, page_h_pts, page)
     reconstitute_dashed_lines(paths, h_lines, v_lines, scale,
                               page_h_pts, page.dims["height"])
     tables = detect_strict_grids(h_lines, v_lines)
@@ -623,6 +1004,13 @@ def detect_pdf_table_regions(page, paths, scale: float,
     def _overlaps(a: Bbox, b: Bbox) -> bool:
         return not (a.right < b.left or b.right < a.left
                     or a.bottom < b.top or b.bottom < a.top)
+
+    for st in detect_segmented_hline_grids(page, h_lines, v_lines,
+                                           header_fills):
+        if not any(bbox_overlap(st["bbox"], t["bbox"]) > 0.3
+                   for t in tables):
+            if validate_stream_order(st, page.lines):
+                tables.append(st)
 
     for hr in detect_header_rule_tables(h_lines, page):
         if not any(_overlaps(hr["bbox"], t["bbox"]) for t in tables):
@@ -643,8 +1031,7 @@ def detect_pdf_table_regions(page, paths, scale: float,
                        if is_right_clustered_numeric(ln.words))
         if not any(dl_ys[i + 2] - dl_ys[i] < 300
                    for i in range(len(dl_ys) - 2)):
-            tables.sort(key=lambda t: t["bbox"].top)
-            return tables
+            return _finish_tables(tables, page)
 
     for cand in detect_numeric_clusters(
             page, [t["bbox"] for t in tables]):
@@ -660,5 +1047,12 @@ def detect_pdf_table_regions(page, paths, scale: float,
         cand["col_separators"] = infer_unruled_columns(
             page, cand["bbox"])
         tables.append(cand)
-    tables.sort(key=lambda t: t["bbox"].top)
+    return _finish_tables(tables, page)
+
+
+def _finish_tables(tables: list[dict], page) -> list[dict]:
+    """Shared tail: Phase-5.55 title scan + stable top-down order."""
+    for t in tables:
+        t["title"] = detect_table_title(t, page.lines)
+    tables.sort(key=lambda t: (t["bbox"].top, t["bbox"].left))
     return tables

@@ -601,6 +601,17 @@ def render_pdf(model: dict, compress: bool | None = None,
                                    f"{gx} {page_h - yy} l S")
                         yy = y2 + 1
                 continue
+            if grid.get("segmented"):
+                # per-cell border segments, no verticals: each row rule
+                # breaks at interior column boundaries (6 px gaps) —
+                # the shape detectSegmentedHLineTables reassembles
+                for gy in ys:
+                    for c in range(len(xs) - 1):
+                        x0 = xs[c] + (3 if c > 0 else 0)
+                        x1 = xs[c + 1] - (3 if c < len(xs) - 2 else 0)
+                        ops.append(
+                            f"{x0} {page_h - gy} {x1 - x0} 0.8 re f")
+                continue
             for gy in ys:  # horizontal rules span the columns
                 ops.append(
                     f"{xs[0]} {page_h - gy} {xs[-1] - xs[0]} 0.8 re f")
@@ -869,6 +880,9 @@ def render_pdf(model: dict, compress: bool | None = None,
                 body += f"/T ({_esc(spec['author'])}) "
             if sub == "Link" and spec.get("uri"):
                 body += f"/A << /S /URI /URI ({_esc(spec['uri'])}) >> "
+            if sub == "Link" and spec.get("goto_page") is not None:
+                tgt = n_fixed + 1 + 2 * spec["goto_page"]
+                body += f"/A << /S /GoTo /D [{tgt} 0 R /Fit] >> "
             if sub == "Highlight" and spec.get("quad_points"):
                 qp = " ".join(str(v) for v in spec["quad_points"])
                 body += f"/QuadPoints [{qp}] "

@@ -108,11 +108,17 @@ def phash_images(df: DataFrame, id_col: str = "media_id",
 
 def image_near_dups(df: DataFrame, max_distance: int = 3,
                     id_col: str = "media_id",
-                    bytes_col: str = "data") -> DataFrame:
+                    bytes_col: str = "data",
+                    max_bucket_size: int | None = None) -> DataFrame:
     """Image near-duplicate pairs: pHash -> 4 x 16-bit pigeonhole
     blocks -> block-equality join -> exact Hamming verify. A pair
     within ``max_distance`` (< 4) bits must agree on at least one
-    block, so the join is output-bound, not quadratic."""
+    block, so the join is output-bound, not quadratic.
+
+    ``max_bucket_size`` drops degenerate (block_n, block) keys — e.g.
+    monochrome images that all collapse to the same pHash block value
+    at corpus scale — same guard as minhash_lsh_pairs /
+    embedding_near_dups; the self-join stays output-bound."""
     hashed = phash_images(df, id_col, bytes_col) \
         .filter(F.col("error").isNull()).select("media_id", "phash")
     blocks = hashed.select(
@@ -120,6 +126,12 @@ def image_near_dups(df: DataFrame, max_distance: int = 3,
         F.posexplode(F.array(*[
             F.shiftrightunsigned("phash", 16 * i).bitwiseAND(F.lit(0xFFFF))
             for i in range(4)])).alias("block_n", "block"))
+    if max_bucket_size is not None:
+        ok = (blocks.groupBy("block_n", "block")
+              .agg(F.count("*").alias("_n"))
+              .filter(F.col("_n") <= max_bucket_size)
+              .drop("_n"))
+        blocks = blocks.join(ok, ["block_n", "block"])
     pairs = (
         blocks.alias("a")
         .join(blocks.alias("b"),

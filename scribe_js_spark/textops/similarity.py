@@ -170,12 +170,20 @@ def lsh_bucket(vec_col, dim: int, n_planes: int = _N_PLANES_DEFAULT):
 def embedding_near_dups(df: DataFrame, threshold: float = 0.95,
                         id_col: str = "vec_id",
                         vec_col: str = "embedding", dim: int = 64,
-                        n_planes: int = _N_PLANES_DEFAULT) -> DataFrame:
+                        n_planes: int = _N_PLANES_DEFAULT,
+                        max_bucket_size: int | None = None) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: candidates from the
     hyperplane-LSH bucket self-join (plus Hamming-1 neighbor buckets so
     a pair straddling one plane's boundary is still seen), verified by
     exact cosine >= threshold. Never all-pairs: cost is bound by bucket
     collisions, the same scale shape as the MinHash text path.
+
+    ``max_bucket_size`` drops degenerate buckets (e.g. the all-zero
+    embedding bucket at corpus scale) from the join key — same guard
+    as :func:`~..dedup.minhash_lsh_pairs`. With the cap, per-probe
+    match fan-out is <= cap, so output is bound by
+    rows * (n_planes + 1) * cap instead of quadratic in the hottest
+    bucket.
 
     Returns (vec_a, vec_b, sim_e6) with sim floored to micro-units for
     cross-engine stability."""
@@ -188,6 +196,14 @@ def embedding_near_dups(df: DataFrame, threshold: float = 0.95,
             F.col("bucket"),
             *[F.col("bucket").bitwiseXOR(F.lit(1 << p))
               for p in range(n_planes)])).alias("probe"))
+    if max_bucket_size is not None:
+        ok = (base.groupBy("bucket")
+              .agg(F.count("*").alias("_n"))
+              .filter(F.col("_n") <= max_bucket_size)
+              .drop("_n"))
+        base = base.join(ok, "bucket")
+        probes = probes.join(
+            ok.withColumnRenamed("bucket", "probe"), "probe")
     cand = (
         probes.alias("a")
         .join(base.alias("b"), F.col("a.probe") == F.col("b.bucket"))

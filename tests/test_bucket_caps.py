@@ -1,0 +1,92 @@
+"""Hot-bucket caps keep the LSH self-joins output-bound (VERDICT r3 #2).
+
+A degenerate bucket — every row hashing to one key — makes an uncapped
+bucket self-join quadratic on that key at corpus scale. minhash has had
+``max_bucket_size`` since r2; these fixtures prove the same guard on
+the embedding and image paths: with the cap the degenerate bucket's
+pairs vanish while genuine near-dup pairs elsewhere survive.
+"""
+
+import numpy as np
+import pytest
+
+
+def _photo(seed=0, h=64, w=96):
+    """Smooth low-frequency field (same generator as test_imagehash)."""
+    rng = np.random.RandomState(seed)
+    base = rng.rand(6, 8)
+    ys = np.linspace(0, 5, h)
+    xs = np.linspace(0, 7, w)
+    yi = np.clip(ys.astype(int), 0, 4)
+    xi = np.clip(xs.astype(int), 0, 6)
+    fy = ys - yi
+    fx = xs - xi
+    a = (base[yi][:, xi] * (1 - fy)[:, None] * (1 - fx)[None, :]
+         + base[yi + 1][:, xi] * fy[:, None] * (1 - fx)[None, :]
+         + base[yi][:, xi + 1] * (1 - fy)[:, None] * fx[None, :]
+         + base[yi + 1][:, xi + 1] * fy[:, None] * fx[None, :])
+    return (a * 255).astype(np.uint8)
+
+
+@pytest.fixture(scope="module")
+def emb_df(spark):
+    # 40 identical vectors -> one degenerate LSH bucket; one genuine
+    # near pair (1000, 1001) in a different region of the sphere.
+    deg = [(i, [1.0, 0.5, 0.25, 0.0, 0.0, 0.0, 0.0, 0.0])
+           for i in range(40)]
+    near = [
+        (1000, [-1.0, -0.9, 0.8, -0.7, 0.6, -0.5, 0.4, -0.3]),
+        (1001, [-1.0, -0.9, 0.8, -0.7, 0.6, -0.5, 0.4, -0.31]),
+    ]
+    return spark.createDataFrame(deg + near, ["vec_id", "embedding"])
+
+
+def test_embedding_cap_drops_degenerate_bucket(emb_df):
+    from scribe_js_spark.textops.similarity import embedding_near_dups
+
+    uncapped = embedding_near_dups(emb_df, threshold=0.99, dim=8)
+    rows = uncapped.collect()
+    # identical vectors: all C(40,2) pairs + the near pair
+    assert len(rows) == 40 * 39 // 2 + 1
+
+    capped = embedding_near_dups(emb_df, threshold=0.99, dim=8,
+                                 max_bucket_size=10)
+    got = {(r["vec_a"], r["vec_b"]) for r in capped.collect()}
+    assert got == {(1000, 1001)}
+
+
+def test_image_cap_drops_degenerate_bucket(spark):
+    from scribe_js_spark.textops.imagehash import image_near_dups
+    from scribe_js_spark.textops.jpeg import encode_jpeg_gray
+    from scribe_js_spark.textops.multimodal import encode_png_gray
+
+    img = _photo(2)
+    mono = np.full((32, 32), 128, dtype=np.uint8)
+    rows = [(i, encode_png_gray(mono)) for i in range(40)] + [
+        (1000, encode_png_gray(img)),
+        (1001, encode_jpeg_gray(img)),   # re-encoded duplicate of 1000
+    ]
+    df = spark.createDataFrame(rows, ["media_id", "data"])
+
+    uncapped = image_near_dups(df).collect()
+    assert len(uncapped) == 40 * 39 // 2 + 1
+
+    capped = image_near_dups(df, max_bucket_size=10)
+    got = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    assert got == {(1000, 1001)}
+
+
+def test_minhash_cap_reference_behavior(spark):
+    # The pre-existing text-path guard the new caps mirror: identical
+    # documents form one degenerate band bucket per band.
+    from scribe_js_spark.textops.dedup import minhash_lsh_pairs
+
+    docs = [(i, "the same exact document text repeated verbatim here")
+            for i in range(40)]
+    docs += [(1000, "an unrelated quick brown fox jumps over lazy dog"),
+             (1001, "an unrelated quick brown fox jumps over lazy dogs")]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    capped = minhash_lsh_pairs(df, max_bucket_size=10)
+    got = {(r["doc_a"], r["doc_b"]) for r in capped.collect()}
+    assert (1000, 1001) in got
+    assert not any(a < 40 and b < 40 for a, b in got)

@@ -118,3 +118,110 @@ def test_dashed_grid_reconstitution():
            for c, cell in enumerate(row)]
     assert got == [(rec["row_n"], rec["col_n"], rec["cell"])
                    for rec in m["expected"]]
+
+
+# ------------------- r4 fidelity push: segmented / multi-table / titles
+
+
+def test_segmented_hline_table_end_to_end():
+    """Per-cell border segments, no verticals
+    (detectSegmentedHLineTables): break pattern -> column separators,
+    cells extracted through them (docs 5, 11, 17 are the segmented
+    fixture variant)."""
+    from scribe_js_spark.operators.pdf.tables_pdf import (
+        columns_from_separators)
+    from scribe_js_spark.operators.tables import extract_table_rows
+
+    for doc_id in (5, 11, 17):
+        m = build_pdf_table_models(doc_id)
+        res = extract_document(render_pdf(m["model"], rotate=False))
+        assert res.error is None
+        page = res.pages[0]
+        seg = [t for t in page.tables
+               if t["method"] == "segmented-hline"]
+        assert len(seg) == 1
+        t = seg[0]
+        want = m["regions"][0]
+        assert len(t["col_separators"]) + 1 == want["n_cols"]
+        cols = columns_from_separators(t["bbox"], t["col_separators"])
+        matrix = extract_table_rows(page, t["bbox"], cols)
+        exp = [r for r in m["expected"] if r["table_n"] == 0]
+        got = {(r, c): cell for r, row in enumerate(matrix)
+               for c, cell in enumerate(row)}
+        assert got == {(r["row_n"], r["col_n"]): r["cell"] for r in exp}
+
+
+def test_two_grids_one_page():
+    """Two stacked ruled grids detect as two components -> two tables
+    (detectStrictGrids union-find; docs 4, 10 are the variant)."""
+    for doc_id in (4, 10):
+        m = build_pdf_table_models(doc_id)
+        res = extract_document(render_pdf(m["model"], rotate=False))
+        assert res.error is None
+        grids = [t for t in res.pages[0].tables
+                 if t["method"] == "grid"]
+        assert len(grids) == 2
+        assert grids[0]["bbox"].top < grids[1]["bbox"].top
+        assert len(grids[1]["col_separators"]) + 1 == 3
+
+
+def test_table_title_detection():
+    """A 'Table 1 <word>' caption line above the grid becomes the
+    table's title (detectTableTitle); tables without a caption get
+    None."""
+    m = build_pdf_table_models(0)
+    assert m["regions"][0]["title"] is not None
+    res = extract_document(render_pdf(m["model"], rotate=False))
+    t = res.pages[0].tables[0]
+    assert t["title"] is not None
+    assert t["title"]["text"] == m["regions"][0]["title"]
+
+    m2 = build_pdf_table_models(1)   # no caption variant
+    res2 = extract_document(render_pdf(m2["model"], rotate=False))
+    assert res2.pages[0].tables[0]["title"] is None
+
+
+def test_validate_stream_order_drops_bad_rows():
+    """Phase 6: a row whose spatial order contradicts stream order is
+    dropped; column-major rows (index gaps > 2) are exempt."""
+    from scribe_js_spark.model import Bbox
+    from scribe_js_spark.operators.pdf.tables_pdf import (
+        validate_stream_order)
+
+    class L:
+        def __init__(self, left):
+            self.bbox = Bbox(left, 0, left + 10, 10)
+
+    lines = [L(300), L(100), L(200), L(100), L(200), L(300),
+             L(100), L(200), L(300), L(50), L(400)]
+    table = {"rows": [
+        {"y": 0, "line_indices": [0, 1, 2]},    # spatial != stream: drop
+        {"y": 10, "line_indices": [3, 4, 5]},   # consistent: keep
+        {"y": 20, "line_indices": [6, 7, 8]},   # consistent: keep
+        {"y": 30, "line_indices": [9, 10]},     # keep
+    ]}
+    assert validate_stream_order(table, lines)
+    assert [r["y"] for r in table["rows"]] == [10, 20, 30]
+
+    # column-major (gaps > 2) skips the spatial check entirely
+    table2 = {"rows": [{"y": 0, "line_indices": [0, 6]},
+                       {"y": 10, "line_indices": [1, 7]},
+                       {"y": 20, "line_indices": [2, 8]}]}
+    assert validate_stream_order(table2, lines)
+    assert len(table2["rows"]) == 3
+
+
+def test_split_cluster_by_y_gap():
+    """Stacked tables sharing an x-extent split at a y-gap > 4-5x the
+    median row gap (splitClusterByYGap)."""
+    from scribe_js_spark.operators.pdf.tables_pdf import (
+        _split_cluster_by_y_gap)
+
+    h = [{"y": float(y), "left": 0.0, "right": 500.0}
+         for y in (0, 20, 40, 60, 400, 420, 440)]
+    parts = _split_cluster_by_y_gap(h)
+    assert [len(p) for p in parts] == [4, 3]
+    # consistent spacing: no split
+    h2 = [{"y": float(y), "left": 0.0, "right": 500.0}
+          for y in range(0, 200, 20)]
+    assert len(_split_cluster_by_y_gap(h2)) == 1
