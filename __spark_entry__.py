@@ -46,12 +46,96 @@ def _q_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_extract_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extraction metadata joined with writer-output hashes: every
+    document is re-written through writeHocr / writeAlto / writeDocx /
+    writeMarkdown / writeHtml and the re-derived text is hashed against
+    the corpus golden (md5(text) computed by the oracle in SQL).
+
+    - hocr_rt_md5 / alto_rt_md5: full reflowed text after a
+      write -> re-import roundtrip. NULL for the docx/text source
+      families: their paragraph breaks come from source markup, not
+      geometry, so a geometric re-import cannot recover every break —
+      the reference's writeHocr drops paragraph objects the same way
+      (writeHocr.js:101-106).
+    - docx_rt_md5: writeDocx(reflow) -> convertDocDocx roundtrip,
+      newline-normalized (DOCX is pageless, so a paragraph continuing
+      across a page boundary re-imports as two paragraphs).
+    - md_fold_md5: writeMarkdown with page separators folded and
+      <sup> markers stripped equals the reflow text byte-for-byte.
+    - html_ws_md5: writeHtml tag-stripped, whitespace-collapsed.
+    """
+    from typing import Iterator
+
+    from pyspark.sql.types import (
+        LongType, StringType, StructField, StructType)
+
     from scribe_js_spark.pipeline import extract_text
 
-    return extract_text(_corpus(spark, FIX_T2), salt=True).select(
+    meta = extract_text(_corpus(spark, FIX_T2), salt=True).select(
         "url", "format",
         F.col("page_count").cast("long").alias("page_count"),
         F.col("word_count").cast("long").alias("word_count"))
+
+    schema = StructType([
+        StructField("url", StringType()),
+        StructField("hocr_rt_md5", StringType()),
+        StructField("alto_rt_md5", StringType()),
+        StructField("docx_rt_md5", StringType()),
+        StructField("md_fold_md5", StringType()),
+        StructField("html_ws_md5", StringType()),
+    ])
+
+    def fn(batches: Iterator) -> Iterator:
+        import hashlib
+        import re as _re
+
+        import pandas as pd
+
+        from scribe_js_spark.export.alto import write_alto
+        from scribe_js_spark.export.docx import write_docx
+        from scribe_js_spark.export.hocr import write_hocr
+        from scribe_js_spark.export.html import write_html
+        from scribe_js_spark.export.markdown import write_markdown
+        from scribe_js_spark.extract import extract_document
+
+        def h(s: str) -> str:
+            return hashlib.md5(s.encode("utf-8")).hexdigest()
+
+        for pdf in batches:
+            out = {f.name: [] for f in schema.fields}
+            for url, html in zip(pdf["url"], pdf["html"]):
+                res = extract_document(bytes(html))
+                if res.error is not None:
+                    continue
+                fam = url.split("/")[-2]
+                if fam in ("docx", "text"):
+                    hocr_rt = alto_rt = None
+                else:
+                    hocr_rt = h(extract_document(
+                        write_hocr(res.pages).encode()).text)
+                    alto_rt = h(extract_document(
+                        write_alto(res.pages).encode()).text)
+                docx_rt = h(extract_document(
+                    write_docx(res.pages, reflow_text=True))
+                    .text.replace("\n", " "))
+                folded = write_markdown(res.pages).replace(
+                    "\n\n---\n\n\n", "\n")
+                md_fold = h(folded.replace("<sup>", "")
+                            .replace("</sup>", ""))
+                body = _re.sub(r"<[^>]+>", " ", write_html(res.pages))
+                import html as _h
+                html_ws = h(_re.sub(
+                    r"\s+", " ", _h.unescape(body)).strip())
+                out["url"].append(url)
+                out["hocr_rt_md5"].append(hocr_rt)
+                out["alto_rt_md5"].append(alto_rt)
+                out["docx_rt_md5"].append(docx_rt)
+                out["md_fold_md5"].append(md_fold)
+                out["html_ws_md5"].append(html_ws)
+            yield pd.DataFrame(out)
+
+    corpus = _corpus(spark, FIX_T2).select("url", "html")
+    return meta.join(corpus.mapInPandas(fn, schema=schema), "url")
 
 
 def _q_extract_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -70,10 +154,13 @@ def _q_extract_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from scribe_js_spark.textops.quality import doc_stats
+    """Per-document stats joined with the BPE-ish token counting
+    (token_counts folded in to stay under the driver's 50-query cap;
+    both are single-pass JVM expressions over the same scan)."""
+    from scribe_js_spark.textops.quality import doc_stats, token_counts
 
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
-    return doc_stats(docs)
+    return doc_stats(docs).join(token_counts(docs), "doc_id")
 
 
 def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -86,13 +173,6 @@ def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lang_id(docs).join(
         script_id(docs).select("doc_id", "script", "n_latin", "n_han"),
         "doc_id")
-
-
-def _q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from scribe_js_spark.textops.quality import token_counts
-
-    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
-    return token_counts(docs)
 
 
 def _q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -186,6 +266,21 @@ def _q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
     return embedding_near_dups(emb, threshold=0.3)
+
+
+def _q_image_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash image near-duplicates: DCT pHash -> 4x16-bit
+    pigeonhole block join -> exact Hamming verify, with the hot-bucket
+    cap active (the fixture's 12 identical monochrome images collapse
+    to one pHash bucket of size 12 > cap 8 and must NOT pair; a corrupt
+    blob must land in the error path). Oracle: the constructed pair set
+    (each photo's PNG / JPEG-re-encode / 2x-upscale renditions pair,
+    unrelated photos don't) from imagedup_pairs.parquet."""
+    from scribe_js_spark.textops.imagehash import image_near_dups
+
+    df = spark.read.parquet(os.path.join(FIX_T2, "imagedup_docs.parquet"))
+    return image_near_dups(df, max_distance=3, max_bucket_size=8) \
+        .select("id_a", "id_b")
 
 
 def _q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -404,6 +499,93 @@ def _q_consensus(spark: SparkSession, sf_dir: str) -> DataFrame:
     layers = spark.read.parquet(os.path.join(FIX_T2, "layers.parquet"))
     return consensus_vote(layers).select(
         "url", "word_id", "text", F.col("conf").cast("long").alias("conf"))
+
+
+def _q_combined_layer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The combined-layer operator family driven end-to-end per page:
+    ocrAddsNewText gate, buildCombinedLayer chosen/keep_ocr,
+    combineOCRPage line restoration (remove the middle line, re-add it
+    from a donor parse, emit the full line-text listing), reorderOcrPage
+    priority-box permutation (first min(4, n) lines reversed), and
+    calcConf tallies. Oracle: fixtures/t2/combined.parquet, derived
+    from the layer models (not by running the operators)."""
+    from typing import Iterator
+
+    import pandas as pd
+    from pyspark.sql.types import (
+        BooleanType, LongType, StringType, StructField, StructType)
+
+    schema = StructType([
+        StructField("url", StringType()),
+        StructField("page_n", LongType()),
+        StructField("adds_new", BooleanType()),
+        StructField("chosen", StringType()),
+        StructField("keep_ocr", BooleanType()),
+        StructField("combined_lines", StringType()),
+        StructField("reorder_key", StringType()),
+        StructField("conf_total", LongType()),
+        StructField("conf_high", LongType()),
+    ])
+
+    def fn(batches: Iterator) -> Iterator:
+        from scribe_js_spark.extract import extract_document
+        from scribe_js_spark.model import OcrPage
+        from scribe_js_spark.operators.combine import (
+            build_combined_pages, combine_ocr_page)
+        from scribe_js_spark.operators.compare import ocr_adds_new_text
+        from scribe_js_spark.operators.editing import (
+            calc_conf, reorder_ocr_page)
+
+        for pdf in batches:
+            out = {f.name: [] for f in schema.fields}
+            for url, h_truth, h_ocr in zip(
+                    pdf["url"], pdf["html_truth"], pdf["html_ocr_a"]):
+                truth = extract_document(bytes(h_truth))
+                ocr_a = extract_document(bytes(h_ocr))
+                if truth.error is not None or ocr_a.error is not None:
+                    continue
+                decisions = build_combined_pages(truth.pages, ocr_a.pages)
+                donor = extract_document(bytes(h_truth))
+                mutate = extract_document(bytes(h_truth))
+                for page_n, (t_page, a_page) in enumerate(
+                        zip(truth.pages, ocr_a.pages)):
+                    idx = len(mutate.pages[page_n].lines) // 2
+                    page_m = mutate.pages[page_n]
+                    del page_m.lines[idx]
+                    new_page = OcrPage(page_n, dict(page_m.dims))
+                    new_page.lines = [donor.pages[page_n].lines[idx]]
+                    combine_ocr_page(new_page, page_m)
+                    combined_lines = "\n".join(
+                        " ".join(w.text for w in ln.words)
+                        for ln in page_m.lines)
+
+                    r_page = extract_document(bytes(h_truth)).pages[page_n]
+                    m_r = min(4, len(r_page.lines))
+                    boxes = {
+                        i: {"coords": r_page.lines[i].bbox,
+                            "type": "order", "order": m_r - 1 - i}
+                        for i in range(m_r)}
+                    reorder_ocr_page(r_page, boxes)
+                    reorder_key = "|".join(
+                        ln.words[0].text for ln in r_page.lines
+                        if ln.words)
+
+                    conf = calc_conf([a_page])
+                    out["url"].append(url)
+                    out["page_n"].append(page_n)
+                    out["adds_new"].append(
+                        ocr_adds_new_text(t_page, a_page))
+                    out["chosen"].append(decisions[page_n]["chosen"])
+                    out["keep_ocr"].append(decisions[page_n]["keep_ocr"])
+                    out["combined_lines"].append(combined_lines)
+                    out["reorder_key"].append(reorder_key)
+                    out["conf_total"].append(conf["total"])
+                    out["conf_high"].append(conf["highConf"])
+            yield pd.DataFrame(out)
+
+    df = spark.read.parquet(os.path.join(FIX_T2, "layers.parquet"))
+    return df.select("url", "html_truth", "html_ocr_a") \
+        .mapInPandas(fn, schema=schema)
 
 
 def _q_pdf_underline(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -776,13 +958,55 @@ def _q_pdf_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         StructField("annot_authors", StringType()),
         StructField("n_image_meta", LongType()),
         StructField("prior_revisions", LongType()),
+        # scrub-roundtrip columns (scrubMetadata.js rules): after
+        # scrub_metadata every identifying category reads clean, the
+        # /Prev chain collapses to 1 revision, and extracted text is
+        # byte-identical to the pre-scrub document
+        StructField("text_identical", BooleanType()),
+        StructField("info_clean", BooleanType()),
+        StructField("xmp_clean", BooleanType()),
+        StructField("hidden_clean", BooleanType()),
+        StructField("authors_clean", BooleanType()),
+        StructField("actions_clean", BooleanType()),
+        StructField("images_clean", BooleanType()),
+        StructField("ocg_leaks_clean", BooleanType()),
+        StructField("decrypted", BooleanType()),
+        StructField("scrub_revisions", LongType()),
     ])
 
     def fn(batches: Iterator) -> Iterator:
+        from scribe_js_spark.extract import extract_document
+        from scribe_js_spark.operators.pdf.metadata import scrub_metadata
+
         for pdf in batches:
             out = {f.name: [] for f in schema.fields}
             for url, html in zip(pdf["url"], pdf["html"]):
-                rep = inspect_metadata(bytes(html))
+                data = bytes(html)
+                rep = inspect_metadata(data)
+                before = extract_document(data)
+                clean = scrub_metadata(data)
+                after = extract_document(clean)
+                srep = inspect_metadata(clean)
+                out["text_identical"].append(
+                    before.error is None and after.error is None
+                    and after.text == before.text)
+                out["info_clean"].append(
+                    not srep["info"] and not srep["custom_info_keys"])
+                out["xmp_clean"].append(
+                    srep["xmp_catalog_bytes"] == 0
+                    and srep["xmp_objects"] == 0
+                    and srep["piece_info"] == 0)
+                out["hidden_clean"].append(srep["hidden_info"] == 0)
+                out["authors_clean"].append(
+                    not srep["annotation_authors"])
+                out["actions_clean"].append(
+                    not srep["open_action"] and not srep["javascript"])
+                out["images_clean"].append(not srep["image_meta"])
+                out["ocg_leaks_clean"].append(all(
+                    ":" not in n and ".psd" not in n
+                    for n in srep["ocg_names"]))
+                out["decrypted"].append(not srep["encrypted"])
+                out["scrub_revisions"].append(srep["prior_revisions"])
                 out["url"].append(url)
                 out["title"].append(rep["info"].get("Title"))
                 out["author"].append(rep["info"].get("Author"))
@@ -859,74 +1083,6 @@ def _q_outline_headings(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(out)
 
     df = spark.read.parquet(os.path.join(FIX_T2, "heading_docs.parquet"))
-    return df.select("url", "html").mapInPandas(fn, schema=schema)
-
-
-def _q_scrub_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Metadata scrub roundtrip (scrubMetadata.js rules): after
-    scrub_metadata every identifying category reads clean, the /Prev
-    revision chain collapses to 1, and extracted text is byte-identical
-    to the pre-scrub document."""
-    from typing import Iterator
-
-    import pandas as pd
-    from pyspark.sql.types import (
-        BooleanType, LongType, StringType, StructField, StructType)
-
-    from scribe_js_spark.extract import extract_document
-    from scribe_js_spark.operators.pdf.metadata import (
-        inspect_metadata,
-        scrub_metadata,
-    )
-
-    schema = StructType([
-        StructField("url", StringType()),
-        StructField("text_identical", BooleanType()),
-        StructField("info_clean", BooleanType()),
-        StructField("xmp_clean", BooleanType()),
-        StructField("hidden_clean", BooleanType()),
-        StructField("authors_clean", BooleanType()),
-        StructField("actions_clean", BooleanType()),
-        StructField("images_clean", BooleanType()),
-        StructField("ocg_leaks_clean", BooleanType()),
-        StructField("decrypted", BooleanType()),
-        StructField("revisions", LongType()),
-    ])
-
-    def fn(batches: Iterator) -> Iterator:
-        for pdf in batches:
-            out = {f.name: [] for f in schema.fields}
-            for url, html in zip(pdf["url"], pdf["html"]):
-                data = bytes(html)
-                before = extract_document(data)
-                if before.error is not None:
-                    continue
-                clean = scrub_metadata(data)
-                after = extract_document(clean)
-                rep = inspect_metadata(clean)
-                out["url"].append(url)
-                out["text_identical"].append(
-                    after.error is None and after.text == before.text)
-                out["info_clean"].append(
-                    not rep["info"] and not rep["custom_info_keys"])
-                out["xmp_clean"].append(
-                    rep["xmp_catalog_bytes"] == 0
-                    and rep["xmp_objects"] == 0
-                    and rep["piece_info"] == 0)
-                out["hidden_clean"].append(rep["hidden_info"] == 0)
-                out["authors_clean"].append(
-                    not rep["annotation_authors"])
-                out["actions_clean"].append(
-                    not rep["open_action"] and not rep["javascript"])
-                out["images_clean"].append(not rep["image_meta"])
-                out["ocg_leaks_clean"].append(all(
-                    ":" not in n and ".psd" not in n
-                    for n in rep["ocg_names"]))
-                out["decrypted"].append(not rep["encrypted"])
-                out["revisions"].append(rep["prior_revisions"])
-            yield pd.DataFrame(out)
-
-    df = spark.read.parquet(os.path.join(FIX_T2, "metadata_docs.parquet"))
     return df.select("url", "html").mapInPandas(fn, schema=schema)
 
 
@@ -1602,6 +1758,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eval_compare": _q_eval_compare,
         "consensus_vote": _q_consensus,
         "merge_comb": _q_merge_comb,
+        "combined_layer": _q_combined_layer,
         "pdf_underline": _q_pdf_underline,
         "pdf_encrypted": _q_pdf_encrypted,
         "pdf_group_rules": _q_pdf_group_rules,
@@ -1619,7 +1776,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "outline_headings": _q_outline_headings,
         "struct_layout_roles": _q_struct_layout_roles,
         "pdf_images": _q_pdf_images,
-        "scrub_roundtrip": _q_scrub_roundtrip,
         "pdf_struct_tags": _q_pdf_struct_tags,
         "pdf_table_cells": _q_pdf_table_cells,
         "pdf_table_regions": _q_pdf_table_regions,
@@ -1638,7 +1794,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_stats": _q_doc_stats,
         "lang_id": _q_lang_id,
         "fingerprint": _q_fingerprint,
-        "token_counts": _q_token_counts,
         "exact_dups": _q_exact_dups,
         "jaccard_pairs": _q_jaccard_pairs,
         "jaccard_verified": _q_jaccard_verified,
@@ -1646,6 +1801,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_candidates": _q_simhash,
         "ann_topk": _q_ann_topk,
         "embedding_near_dups": _q_embedding_near_dups,
+        "image_near_dups": _q_image_near_dups,
         "quality_filter": _q_quality_filter,
         "events_hourly": _q_events_hourly,
         "media_decode": _q_media_decode,
@@ -1961,14 +2117,16 @@ def oracle_sql() -> dict[str, str]:
             f"'{os.path.join(FIX_T2, 'struct_roles.parquet')}')"),
         # Every scrubbed doc must read fully clean with byte-identical
         # text and a single revision — the golden is the constant row.
-        "scrub_roundtrip": (
-            "SELECT url, true AS text_identical, true AS info_clean,"
-            " true AS xmp_clean, true AS hidden_clean,"
-            " true AS authors_clean, true AS actions_clean,"
-            " true AS images_clean, true AS ocg_leaks_clean,"
-            " true AS decrypted, 1::BIGINT AS revisions"
+        "image_near_dups": (
+            "SELECT id_a::BIGINT AS id_a, id_b::BIGINT AS id_b"
             f" FROM read_parquet("
-            f"'{os.path.join(FIX_T2, 'metadata_docs.parquet')}')"),
+            f"'{os.path.join(FIX_T2, 'imagedup_pairs.parquet')}')"),
+        "combined_layer": (
+            "SELECT url, page_n::BIGINT AS page_n, adds_new, chosen,"
+            " keep_ocr, combined_lines, reorder_key,"
+            " conf_total::BIGINT AS conf_total,"
+            " conf_high::BIGINT AS conf_high FROM read_parquet("
+            f"'{os.path.join(FIX_T2, 'combined.parquet')}')"),
         "pdf_images": (
             "SELECT url, image_n::BIGINT AS image_n,"
             " width::BIGINT AS width, height::BIGINT AS height,"
@@ -1997,7 +2155,12 @@ def oracle_sql() -> dict[str, str]:
             " viewer_prefs, n_signatures::BIGINT AS n_signatures,"
             " n_hidden_info::BIGINT AS n_hidden_info, annot_authors,"
             " n_image_meta::BIGINT AS n_image_meta,"
-            " prior_revisions::BIGINT AS prior_revisions"
+            " prior_revisions::BIGINT AS prior_revisions,"
+            " true AS text_identical, true AS info_clean,"
+            " true AS xmp_clean, true AS hidden_clean,"
+            " true AS authors_clean, true AS actions_clean,"
+            " true AS images_clean, true AS ocg_leaks_clean,"
+            " true AS decrypted, 1::BIGINT AS scrub_revisions"
             f" FROM read_parquet("
             f"'{os.path.join(FIX_T2, 'pdf_meta.parquet')}')"),
         "abbyy_table_cells": (
@@ -2121,8 +2284,18 @@ def oracle_sql() -> dict[str, str]:
             " UNION ALL SELECT url, text FROM read_parquet("
             f"'{os.path.join(FIX_T2, 'warc.parquet')}')"),
         "extract_meta": (
-            f"SELECT url, format, page_count, word_count "
-            f"FROM read_parquet('{meta}')"),
+            f"SELECT m.url, format, page_count, word_count,"
+            " CASE WHEN regexp_matches(m.url, '/(docx|text)/')"
+            " THEN NULL ELSE md5(c.text) END AS hocr_rt_md5,"
+            " CASE WHEN regexp_matches(m.url, '/(docx|text)/')"
+            " THEN NULL ELSE md5(c.text) END AS alto_rt_md5,"
+            " md5(replace(c.text, chr(10), ' ')) AS docx_rt_md5,"
+            " md5(c.text) AS md_fold_md5,"
+            r" md5(regexp_replace(trim(c.text), '\s+', ' ', 'g'))"
+            " AS html_ws_md5"
+            f" FROM read_parquet('{meta}') m"
+            f" JOIN read_parquet('{os.path.join(FIX_T2, 'corpus.parquet')}') c"
+            " ON m.url = c.url"),
         "extract_spans": (
             f'SELECT url, page_n::BIGINT AS page_n, line_n::BIGINT AS line_n,'
             f' word_n::BIGINT AS word_n, word_id, text, "left", "top",'
@@ -2141,7 +2314,12 @@ def oracle_sql() -> dict[str, str]:
                    (length(text) - length(regexp_replace(text,
                        '[.,;:!?''"()\[\]{}-]', '', 'g')))::BIGINT AS n_punct,
                    (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))::BIGINT
-                       AS n_digits
+                       AS n_digits,
+                   len(string_split_regex(trim(text), '\s+'))::BIGINT
+                       AS n_ws_tokens,
+                   len(regexp_extract_all(text,
+                       '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+'))::BIGINT
+                       AS n_bpe_segments
             FROM documents
         """,
         "lang_id": r"""
@@ -2156,15 +2334,6 @@ def oracle_sql() -> dict[str, str]:
                    {SCORE_COLS},
                    lang_pred
             FROM scores JOIN script s2 USING (doc_id)
-        """,
-        "token_counts": r"""
-            SELECT doc_id,
-                   len(string_split_regex(trim(text), '\s+'))::BIGINT
-                       AS n_ws_tokens,
-                   len(regexp_extract_all(text,
-                       '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+'))::BIGINT
-                       AS n_bpe_segments
-            FROM documents
         """,
         "fingerprint": r"""
             WITH grams AS (

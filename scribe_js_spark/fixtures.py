@@ -899,10 +899,67 @@ def build_layer_models(doc_id: int, seed: int = SEED_DEFAULT) -> dict:
             "text": out_text, "conf": conf,
         })
 
+    # Expected combined-layer values per page, derived from the model
+    # dicts (NOT by running the operators): the ocrAddsNewText gate
+    # replicated over the planted substitutions, buildCombinedLayer's
+    # chosen/keep_ocr from the gate, calcConf tallies from the planted
+    # confs, combineOCRPage's line restoration (full line-text listing
+    # after remove-middle-line + re-add), and reorderOcrPage's
+    # priority-box permutation (first min(4, n) lines reversed).
+    import re as _re
+
+    def _gate_norm(t: str) -> str:
+        return _re.sub(r"[^0-9a-z]", "", t.lower())
+
+    combined_expected = []
+    for page_n, page in enumerate(truth["pages"]):
+        t_lines = [ln for par in page["pars"] for ln in par["lines"]]
+        a_lines = [ln for par in ocr_a["pages"][page_n]["pars"]
+                   for ln in par["lines"]]
+        native_stream = " ".join(
+            t for t in (_gate_norm(w["text"]) for ln in t_lines
+                        for w in ln["words"]) if t)
+        new_chars = new_nums = new_text_lines = 0
+        for ln in a_lines:
+            line_new = 0
+            for w in ln["words"]:
+                tok = _gate_norm(w["text"])
+                if len(tok) < 2 or w["conf"] < 85 \
+                        or tok in native_stream:
+                    continue
+                if _re.match(r"^[a-z]{3,}$", tok) \
+                        and _re.search(r"[aeiouy]", tok):
+                    new_chars += len(tok)
+                    line_new += 1
+                elif _re.match(r"^[0-9]{2,}$", tok):
+                    new_nums += 1
+            if line_new >= 3:
+                new_text_lines += 1
+        adds = (new_text_lines >= 2 or new_nums >= 10
+                or new_chars >= 100)
+        line_texts = [" ".join(w["text"] for w in ln["words"])
+                      for ln in t_lines]
+        m_r = min(4, len(t_lines))
+        reorder_idx = list(range(m_r - 1, -1, -1)) + \
+            list(range(m_r, len(t_lines)))
+        a_words = [w for ln in a_lines for w in ln["words"]]
+        combined_expected.append({
+            "page_n": page_n,
+            "adds_new": adds,
+            "chosen": "ocr" if adds else "native",
+            "keep_ocr": adds,
+            "combined_lines": "\n".join(line_texts),
+            "reorder_key": "|".join(
+                t_lines[i]["words"][0]["text"] for i in reorder_idx),
+            "conf_total": len(a_words),
+            "conf_high": sum(1 for w in a_words if w["conf"] > 85),
+        })
+
     return {
         "truth": truth, "ocr_a": ocr_a, "ocr_b": ocr_b,
         "eval_expected": eval_expected,
         "consensus_expected": consensus_expected,
+        "combined_expected": combined_expected,
     }
 
 
@@ -1354,6 +1411,88 @@ def write_pdf_table_parquet(path: str, n_docs: int = 30,
         os.path.join(path, "pdf_table.parquet"), index=False)
     pd.DataFrame(region_rows).to_parquet(
         os.path.join(path, "pdf_table_regions.parquet"), index=False)
+
+
+def write_imagedup_parquet(path: str, n_groups: int = 10,
+                           n_unrelated: int = 10,
+                           n_mono: int = 12) -> None:
+    """imagedup_docs.parquet (media_id, data) + imagedup_pairs.parquet
+    golden (id_a, id_b) for the image near-dup oracle.
+
+    Construction (the golden pair set is hand-derived, not computed):
+    each group g carries three renditions of one photo — PNG, lossy
+    JPEG re-encode, 2x-upscale PNG (ids 10g, 10g+1, 10g+2) — so every
+    within-group pair is a near-dup; unrelated photos (ids 500+u) pair
+    with nothing; ``n_mono`` identical monochrome images (ids 900+)
+    collapse to one pHash and are dropped by the hot-bucket cap
+    (max_bucket_size=8 < n_mono); one corrupt blob (id 999) must land
+    in the error path without pairs. Generation ASSERTS the perceptual
+    separation (within-group Hamming <= 3, cross-source > 3) so the
+    golden stays valid if the photo generator changes."""
+    import os
+
+    import numpy as np
+    import pandas as pd
+
+    from .textops.imagehash import phash64_pixels
+    from .textops.jpeg import encode_jpeg_gray
+    from .textops.multimodal import encode_png_gray
+
+    def photo(seed, h=64, w=96):
+        rng = np.random.RandomState(seed)
+        base = rng.rand(6, 8)
+        ys = np.linspace(0, 5, h)
+        xs = np.linspace(0, 7, w)
+        yi = np.clip(ys.astype(int), 0, 4)
+        xi = np.clip(xs.astype(int), 0, 6)
+        fy = (ys - yi)[:, None]
+        fx = (xs - xi)[None, :]
+        a = (base[yi][:, xi] * (1 - fy) * (1 - fx)
+             + base[yi + 1][:, xi] * fy * (1 - fx)
+             + base[yi][:, xi + 1] * (1 - fy) * fx
+             + base[yi + 1][:, xi + 1] * fy * fx)
+        return (a * 255).astype(np.uint8)
+
+    def ham(a, b):
+        return bin(a ^ b).count("1")
+
+    rows, pairs, hashes = [], [], {}
+    for g in range(n_groups):
+        img = photo(1000 + 37 * g)
+        up = np.repeat(np.repeat(img, 2, 0), 2, 1)
+        variants = [encode_png_gray(img), encode_jpeg_gray(img),
+                    encode_png_gray(up)]
+        hs = [phash64_pixels(img),
+              phash64_pixels(__import__(
+                  "scribe_js_spark.textops.jpeg", fromlist=["decode_jpeg"]
+              ).decode_jpeg(variants[1])),
+              phash64_pixels(up)]
+        for i in range(3):
+            for j in range(i + 1, 3):
+                assert ham(hs[i], hs[j]) <= 3, (g, i, j)
+        hashes[g] = hs[0]
+        for i, data in enumerate(variants):
+            rows.append({"media_id": 10 * g + i, "data": data})
+        for i in range(3):
+            for j in range(i + 1, 3):
+                pairs.append({"id_a": 10 * g + i, "id_b": 10 * g + j})
+    for u in range(n_unrelated):
+        img = photo(5000 + 101 * u)
+        hashes[f"u{u}"] = phash64_pixels(img)
+        rows.append({"media_id": 500 + u, "data": encode_png_gray(img)})
+    keys = list(hashes)
+    for i, ka in enumerate(keys):
+        for kb in keys[i + 1:]:
+            assert ham(hashes[ka], hashes[kb]) > 3, (ka, kb)
+    mono = np.full((32, 32), 128, dtype=np.uint8)
+    for k in range(n_mono):
+        rows.append({"media_id": 900 + k, "data": encode_png_gray(mono)})
+    rows.append({"media_id": 999, "data": b"not an image"})
+    pd.DataFrame(rows).to_parquet(
+        os.path.join(path, "imagedup_docs.parquet"), index=False)
+    pd.DataFrame(sorted(pairs, key=lambda p: (p["id_a"], p["id_b"])))\
+        .to_parquet(os.path.join(path, "imagedup_pairs.parquet"),
+                    index=False)
 
 
 def build_groupx_models(doc_id: int, seed: int = SEED_DEFAULT) -> dict:
@@ -3674,6 +3813,7 @@ def write_corpus_parquet(path: str, n_docs: int, seed: int = SEED_DEFAULT,
     layer_rows = []
     eval_rows = []
     consensus_rows = []
+    combined_rows = []
     for _, row in df.iterrows():
         doc_id = int(row["url"].rsplit("/", 1)[1])
         if doc_id % 10 != 3:
@@ -3689,6 +3829,8 @@ def write_corpus_parquet(path: str, n_docs: int, seed: int = SEED_DEFAULT,
         eval_rows.append({"url": url, **layers["eval_expected"]})
         for rec in layers["consensus_expected"]:
             consensus_rows.append({"url": url, **rec})
+        for rec in layers["combined_expected"]:
+            combined_rows.append({"url": url, **rec})
     # Furniture-role golden rows (document-level layout pass).
     role_rows = []
     for _, row in df.iterrows():
@@ -3712,3 +3854,5 @@ def write_corpus_parquet(path: str, n_docs: int, seed: int = SEED_DEFAULT,
         os.path.join(path, "eval.parquet"), index=False)
     pd.DataFrame(consensus_rows).to_parquet(
         os.path.join(path, "consensus.parquet"), index=False)
+    pd.DataFrame(combined_rows).to_parquet(
+        os.path.join(path, "combined.parquet"), index=False)
