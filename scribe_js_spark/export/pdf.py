@@ -20,10 +20,12 @@ this repo's own parser reproduces the source text byte-for-byte
 replace with '?' by default; ``on_unencodable='embed'`` switches
 affected words to a Type0/Identity-H font with an embedded CID-keyed
 CFF program (CID = BMP codepoint, identity ToUnicode, /DW width
-algebra) so arbitrary BMP text — CJK included — roundtrips. The
-embedded glyph outlines are structural placeholders (the CFF is the
-fixture-font builder's); the text layer, not print rendering, is the
-contract. 'error' raises instead.
+algebra) so arbitrary BMP text — CJK included — roundtrips. Embedded
+glyphs carry real Type2 outlines for Latin/WinAnsi codepoints (5x7
+segment face, render_fonts.type2_charstring) so strict renderers draw
+legible text; codepoints outside that face (CJK etc) keep blank
+placeholder outlines — the text layer, not print-grade rendering,
+remains the contract. 'error' raises instead.
 """
 
 from __future__ import annotations
@@ -127,7 +129,7 @@ def write_text_pdf(pages: list[OcrPage], text_mode: str = "ebook",
             from ..render_fonts import build_cff_cid
             from ..render_pdf import _tounicode_ranges
 
-            cff = build_cff_cid(codes)
+            cff = build_cff_cid(codes, outlines=True)
             tou = _tounicode_ranges(codes)
             desc_num = add(
                 b"<< /Type /FontDescriptor /FontName /EmbedCID /Flags 32"

@@ -2,10 +2,14 @@
 
 ``build_cff_cid`` emits a minimal but structurally real CID-keyed CFF
 (header, Name/TopDict/String/GlobalSubr INDEXes, format-0 CID charset,
-FDSelect 3, FDArray with a Private DICT, one-byte ``endchar``
-charstrings). Glyph outlines are blank — the text path only reads the
-charset — but every table a summary-level CFF reader touches is
-well-formed, including the ones ours ignores (FDArray/FDSelect).
+FDSelect 3, FDArray with a Private DICT). By default glyph outlines
+are blank one-byte ``endchar`` charstrings — the text path only reads
+the charset — but with ``outlines=True`` every codepoint covered by
+the 5x7 segment face below gets a REAL Type2 outline (rectangles per
+lit cell, merged per row), so strict renderers draw legible glyphs
+instead of blanks (VERDICT r3 #8). Every table a summary-level CFF
+reader touches is well-formed, including the ones ours ignores
+(FDArray/FDSelect).
 
 ``build_truetype_blank`` emits a minimal sfnt with head/maxp/loca/glyf
 where a chosen subset of GIDs has zero-length glyf entries (and the
@@ -40,7 +44,161 @@ def _int5(v: int) -> bytes:
     return b"\x1d" + struct.pack(">i", v)
 
 
-def build_cff_cid(cids: list[int], name: bytes = b"SynthCIDFont") -> bytes:
+# --------------------------------------------- 5x7 segment outlines
+#
+# Classic HD44780-style 5x7 dot patterns (public-domain shapes), one
+# 5-bit row value per row, top to bottom, bit 4 = leftmost column.
+# Rendered as Type2 rectangles: cell 80x100 em-units, left bearing 50,
+# cap height 700 — legible blocky glyphs in any strict renderer.
+
+_F = {
+    " ": [0, 0, 0, 0, 0, 0, 0],
+    "A": [0b01110, 0b10001, 0b10001, 0b11111, 0b10001, 0b10001, 0b10001],
+    "B": [0b11110, 0b10001, 0b10001, 0b11110, 0b10001, 0b10001, 0b11110],
+    "C": [0b01110, 0b10001, 0b10000, 0b10000, 0b10000, 0b10001, 0b01110],
+    "D": [0b11100, 0b10010, 0b10001, 0b10001, 0b10001, 0b10010, 0b11100],
+    "E": [0b11111, 0b10000, 0b10000, 0b11110, 0b10000, 0b10000, 0b11111],
+    "F": [0b11111, 0b10000, 0b10000, 0b11110, 0b10000, 0b10000, 0b10000],
+    "G": [0b01110, 0b10001, 0b10000, 0b10111, 0b10001, 0b10001, 0b01111],
+    "H": [0b10001, 0b10001, 0b10001, 0b11111, 0b10001, 0b10001, 0b10001],
+    "I": [0b01110, 0b00100, 0b00100, 0b00100, 0b00100, 0b00100, 0b01110],
+    "J": [0b00111, 0b00010, 0b00010, 0b00010, 0b00010, 0b10010, 0b01100],
+    "K": [0b10001, 0b10010, 0b10100, 0b11000, 0b10100, 0b10010, 0b10001],
+    "L": [0b10000, 0b10000, 0b10000, 0b10000, 0b10000, 0b10000, 0b11111],
+    "M": [0b10001, 0b11011, 0b10101, 0b10101, 0b10001, 0b10001, 0b10001],
+    "N": [0b10001, 0b10001, 0b11001, 0b10101, 0b10011, 0b10001, 0b10001],
+    "O": [0b01110, 0b10001, 0b10001, 0b10001, 0b10001, 0b10001, 0b01110],
+    "P": [0b11110, 0b10001, 0b10001, 0b11110, 0b10000, 0b10000, 0b10000],
+    "Q": [0b01110, 0b10001, 0b10001, 0b10001, 0b10101, 0b10010, 0b01101],
+    "R": [0b11110, 0b10001, 0b10001, 0b11110, 0b10100, 0b10010, 0b10001],
+    "S": [0b01111, 0b10000, 0b10000, 0b01110, 0b00001, 0b00001, 0b11110],
+    "T": [0b11111, 0b00100, 0b00100, 0b00100, 0b00100, 0b00100, 0b00100],
+    "U": [0b10001, 0b10001, 0b10001, 0b10001, 0b10001, 0b10001, 0b01110],
+    "V": [0b10001, 0b10001, 0b10001, 0b10001, 0b10001, 0b01010, 0b00100],
+    "W": [0b10001, 0b10001, 0b10001, 0b10101, 0b10101, 0b10101, 0b01010],
+    "X": [0b10001, 0b10001, 0b01010, 0b00100, 0b01010, 0b10001, 0b10001],
+    "Y": [0b10001, 0b10001, 0b10001, 0b01010, 0b00100, 0b00100, 0b00100],
+    "Z": [0b11111, 0b00001, 0b00010, 0b00100, 0b01000, 0b10000, 0b11111],
+    "a": [0, 0, 0b01110, 0b00001, 0b01111, 0b10001, 0b01111],
+    "b": [0b10000, 0b10000, 0b11110, 0b10001, 0b10001, 0b10001, 0b11110],
+    "c": [0, 0, 0b01110, 0b10000, 0b10000, 0b10001, 0b01110],
+    "d": [0b00001, 0b00001, 0b01111, 0b10001, 0b10001, 0b10001, 0b01111],
+    "e": [0, 0, 0b01110, 0b10001, 0b11111, 0b10000, 0b01110],
+    "f": [0b00110, 0b01001, 0b01000, 0b11100, 0b01000, 0b01000, 0b01000],
+    "g": [0, 0b01111, 0b10001, 0b10001, 0b01111, 0b00001, 0b01110],
+    "h": [0b10000, 0b10000, 0b10110, 0b11001, 0b10001, 0b10001, 0b10001],
+    "i": [0b00100, 0, 0b01100, 0b00100, 0b00100, 0b00100, 0b01110],
+    "j": [0b00010, 0, 0b00110, 0b00010, 0b00010, 0b10010, 0b01100],
+    "k": [0b10000, 0b10000, 0b10010, 0b10100, 0b11000, 0b10100, 0b10010],
+    "l": [0b01100, 0b00100, 0b00100, 0b00100, 0b00100, 0b00100, 0b01110],
+    "m": [0, 0, 0b11010, 0b10101, 0b10101, 0b10101, 0b10101],
+    "n": [0, 0, 0b10110, 0b11001, 0b10001, 0b10001, 0b10001],
+    "o": [0, 0, 0b01110, 0b10001, 0b10001, 0b10001, 0b01110],
+    "p": [0, 0, 0b11110, 0b10001, 0b11110, 0b10000, 0b10000],
+    "q": [0, 0, 0b01111, 0b10001, 0b01111, 0b00001, 0b00001],
+    "r": [0, 0, 0b10110, 0b11001, 0b10000, 0b10000, 0b10000],
+    "s": [0, 0, 0b01111, 0b10000, 0b01110, 0b00001, 0b11110],
+    "t": [0b01000, 0b01000, 0b11100, 0b01000, 0b01000, 0b01001, 0b00110],
+    "u": [0, 0, 0b10001, 0b10001, 0b10001, 0b10011, 0b01101],
+    "v": [0, 0, 0b10001, 0b10001, 0b10001, 0b01010, 0b00100],
+    "w": [0, 0, 0b10001, 0b10101, 0b10101, 0b10101, 0b01010],
+    "x": [0, 0, 0b10001, 0b01010, 0b00100, 0b01010, 0b10001],
+    "y": [0, 0b10001, 0b10001, 0b01111, 0b00001, 0b10001, 0b01110],
+    "z": [0, 0, 0b11111, 0b00010, 0b00100, 0b01000, 0b11111],
+    "0": [0b01110, 0b10001, 0b10011, 0b10101, 0b11001, 0b10001, 0b01110],
+    "1": [0b00100, 0b01100, 0b00100, 0b00100, 0b00100, 0b00100, 0b01110],
+    "2": [0b01110, 0b10001, 0b00001, 0b00010, 0b00100, 0b01000, 0b11111],
+    "3": [0b11111, 0b00010, 0b00100, 0b00010, 0b00001, 0b10001, 0b01110],
+    "4": [0b00010, 0b00110, 0b01010, 0b10010, 0b11111, 0b00010, 0b00010],
+    "5": [0b11111, 0b10000, 0b11110, 0b00001, 0b00001, 0b10001, 0b01110],
+    "6": [0b00110, 0b01000, 0b10000, 0b11110, 0b10001, 0b10001, 0b01110],
+    "7": [0b11111, 0b00001, 0b00010, 0b00100, 0b01000, 0b01000, 0b01000],
+    "8": [0b01110, 0b10001, 0b10001, 0b01110, 0b10001, 0b10001, 0b01110],
+    "9": [0b01110, 0b10001, 0b10001, 0b01111, 0b00001, 0b00010, 0b01100],
+    ".": [0, 0, 0, 0, 0, 0b01100, 0b01100],
+    ",": [0, 0, 0, 0, 0, 0b01100, 0b00100],
+    ":": [0, 0b01100, 0b01100, 0, 0b01100, 0b01100, 0],
+    ";": [0, 0b01100, 0b01100, 0, 0b01100, 0b00100, 0b01000],
+    "!": [0b00100, 0b00100, 0b00100, 0b00100, 0b00100, 0, 0b00100],
+    "?": [0b01110, 0b10001, 0b00001, 0b00010, 0b00100, 0, 0b00100],
+    "'": [0b01100, 0b00100, 0b01000, 0, 0, 0, 0],
+    '"': [0b01010, 0b01010, 0b01010, 0, 0, 0, 0],
+    "(": [0b00010, 0b00100, 0b01000, 0b01000, 0b01000, 0b00100, 0b00010],
+    ")": [0b01000, 0b00100, 0b00010, 0b00010, 0b00010, 0b00100, 0b01000],
+    "[": [0b01110, 0b01000, 0b01000, 0b01000, 0b01000, 0b01000, 0b01110],
+    "]": [0b01110, 0b00010, 0b00010, 0b00010, 0b00010, 0b00010, 0b01110],
+    "-": [0, 0, 0, 0b11111, 0, 0, 0],
+    "_": [0, 0, 0, 0, 0, 0, 0b11111],
+    "+": [0, 0b00100, 0b00100, 0b11111, 0b00100, 0b00100, 0],
+    "=": [0, 0, 0b11111, 0, 0b11111, 0, 0],
+    "/": [0, 0b00001, 0b00010, 0b00100, 0b01000, 0b10000, 0],
+    "\\": [0, 0b10000, 0b01000, 0b00100, 0b00010, 0b00001, 0],
+    "*": [0, 0b00100, 0b10101, 0b01110, 0b10101, 0b00100, 0],
+    "%": [0b11000, 0b11001, 0b00010, 0b00100, 0b01000, 0b10011, 0b00011],
+    "$": [0b00100, 0b01111, 0b10100, 0b01110, 0b00101, 0b11110, 0b00100],
+    "#": [0b01010, 0b01010, 0b11111, 0b01010, 0b11111, 0b01010, 0b01010],
+    "&": [0b01100, 0b10010, 0b10100, 0b01000, 0b10101, 0b10010, 0b01101],
+    "@": [0b01110, 0b10001, 0b00001, 0b01101, 0b10101, 0b10101, 0b01110],
+    "<": [0b00010, 0b00100, 0b01000, 0b10000, 0b01000, 0b00100, 0b00010],
+    ">": [0b01000, 0b00100, 0b00010, 0b00001, 0b00010, 0b00100, 0b01000],
+    "|": [0b00100, 0b00100, 0b00100, 0b00100, 0b00100, 0b00100, 0b00100],
+    "^": [0b00100, 0b01010, 0b10001, 0, 0, 0, 0],
+    "~": [0, 0, 0b01000, 0b10101, 0b00010, 0, 0],
+    "`": [0b01000, 0b00100, 0b00010, 0, 0, 0, 0],
+    "{": [0b00110, 0b00100, 0b00100, 0b01000, 0b00100, 0b00100, 0b00110],
+    "}": [0b01100, 0b00100, 0b00100, 0b00010, 0b00100, 0b00100, 0b01100],
+}
+
+
+def _rows_for_codepoint(cp: int):
+    ch = chr(cp)
+    rows = _F.get(ch)
+    if rows is None and cp > 127:
+        # accented Latin: draw the base letter (diacritic omitted)
+        import unicodedata
+
+        base = unicodedata.normalize("NFD", ch)[0]
+        rows = _F.get(base)
+    return rows
+
+
+def _t2num(v: int) -> bytes:
+    return b"\x1c" + struct.pack(">h", int(v))
+
+
+def type2_charstring(cp: int) -> bytes:
+    """Codepoint -> Type2 charstring: one rectangle per horizontal run
+    of lit cells (rmoveto + hlineto/vlineto/hlineto, subpaths
+    auto-close), then endchar. Unknown codepoints stay blank."""
+    rows = _rows_for_codepoint(cp)
+    if not rows:
+        return b"\x0e"
+    out = bytearray()
+    px = py = 0
+    for r, bits in enumerate(rows[:7]):
+        c = 0
+        while c < 5:
+            if bits & (1 << (4 - c)):
+                c2 = c
+                while c2 < 5 and bits & (1 << (4 - c2)):
+                    c2 += 1
+                x = 50 + c * 80
+                y = 700 - (r + 1) * 100
+                w = (c2 - c) * 80
+                out += _t2num(x - px) + _t2num(y - py) + b"\x15"
+                out += _t2num(w) + b"\x06"
+                out += _t2num(100) + b"\x07"
+                out += _t2num(-w) + b"\x06"
+                px, py = x, y + 100
+                c = c2
+            else:
+                c += 1
+    out += b"\x0e"
+    return bytes(out)
+
+
+def build_cff_cid(cids: list[int], name: bytes = b"SynthCIDFont",
+                  outlines: bool = False) -> bytes:
     """CID-keyed CFF whose charset contains exactly ``cids`` (gid i+1 ->
     cids[i]; gid 0 = .notdef is implicit)."""
     cids = sorted(set(int(c) for c in cids))
@@ -86,7 +244,11 @@ def build_cff_cid(cids: list[int], name: bytes = b"SynthCIDFont") -> bytes:
     fdarray = _mk_index([font_dict])
 
     charstrings_off = private_off + len(private)
-    charstrings = _mk_index([b"\x0e"] * n_glyphs)  # endchar
+    if outlines:
+        charstrings = _mk_index(
+            [b"\x0e"] + [type2_charstring(c) for c in cids])
+    else:
+        charstrings = _mk_index([b"\x0e"] * n_glyphs)  # endchar
 
     top = top_dict(charset_off, charstrings_off, fdarray_off, fdselect_off)
     assert len(top) == top_len

@@ -201,3 +201,96 @@ def test_write_searchable_pdfs_distributed(spark):
                     back.pages, on_unencodable="embed")).text == back.text
             n_checked += 1
         assert n_checked >= 10
+
+
+# ----------------------------- real glyph outlines (VERDICT r3 #8)
+
+
+def _interp_type2(cs: bytes):
+    """Minimal independent Type2 interpreter: returns closed subpaths
+    as lists of (x, y) points. Understands the operators the segment
+    face emits (16-bit numbers, rmoveto, hlineto, vlineto, endchar)."""
+    import struct
+
+    stack, paths, cur = [], [], []
+    x = y = 0
+    i = 0
+    while i < len(cs):
+        b = cs[i]
+        if b == 0x1C:
+            stack.append(struct.unpack(">h", cs[i + 1:i + 3])[0])
+            i += 3
+            continue
+        i += 1
+        if b == 21:                      # rmoveto
+            if cur:
+                paths.append(cur)
+            x += stack[-2]
+            y += stack[-1]
+            cur = [(x, y)]
+            stack.clear()
+        elif b == 6:                     # hlineto (single-arg form)
+            x += stack[0]
+            cur.append((x, y))
+            stack.clear()
+        elif b == 7:                     # vlineto
+            y += stack[0]
+            cur.append((x, y))
+            stack.clear()
+        elif b == 14:                    # endchar
+            if cur:
+                paths.append(cur)
+            break
+        else:
+            raise AssertionError(f"unexpected op {b}")
+    return paths
+
+
+def test_segment_face_outlines_are_real():
+    """Every printable-ASCII glyph (minus space) decodes to >= 1 closed
+    rectangle with positive area inside the em box; accented Latin
+    falls back to the base letter; CJK stays blank by design."""
+    from scribe_js_spark.render_fonts import type2_charstring
+
+    for cp in range(33, 127):
+        paths = _interp_type2(type2_charstring(cp))
+        assert paths, chr(cp)
+        for p in paths:
+            assert len(p) == 4          # rect: move + 3 lines, auto-close
+            xs = [pt[0] for pt in p]
+            ys = [pt[1] for pt in p]
+            assert 0 <= min(xs) and max(xs) <= 500, chr(cp)
+            assert 0 <= min(ys) and max(ys) <= 700, chr(cp)
+            assert (max(xs) - min(xs)) * (max(ys) - min(ys)) > 0, chr(cp)
+    assert _interp_type2(type2_charstring(ord("é")))   # base 'e'
+    assert _interp_type2(type2_charstring(0x4E2D)) == []  # CJK blank
+    assert _interp_type2(type2_charstring(ord(" "))) == []
+
+
+def test_embedded_cff_with_outlines_parses_and_roundtrips():
+    """The outline-bearing CFF stays parseable by the font-program
+    reader (charset/CID mapping intact) and the embed-mode PDF text
+    layer still roundtrips byte-identically."""
+    from scribe_js_spark.export.pdf import write_text_pdf
+    from scribe_js_spark.extract import extract_document
+    from scribe_js_spark.fixtures import RENDERERS, build_doc_model
+    from scribe_js_spark.operators.pdf.fontprog import parse_cff_summary
+    from scribe_js_spark.render_fonts import build_cff_cid
+
+    codes = [ord(c) for c in "Héllo中"]
+    cff = build_cff_cid(codes, outlines=True)
+    summary = parse_cff_summary(cff)
+    assert summary["ok"] and summary["is_cid"]
+    assert summary["n_glyphs"] == len(set(codes)) + 1
+
+    model = build_doc_model(3)
+    # plant a word the WinAnsi path can't encode
+    model["pages"][0]["pars"][0]["lines"][0]["words"][0]["text"] = "中文é"
+    model["pages"][0]["pars"][0]["lines"][0]["words"][0]["out_words"] = ["中文é"]
+    pages = extract_document(RENDERERS["hocr"](model).encode()).pages
+    pdf = write_text_pdf(pages, on_unencodable="embed")
+    res = extract_document(pdf)
+    assert res.error is None
+    # CJK re-imports with per-character word segmentation (standard);
+    # every codepoint survives the embed font
+    assert "中文é" in res.text.replace(" ", "")
