@@ -669,7 +669,8 @@ def _q_pdf_table_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
                     cols = (columns_from_separators(
                         t["bbox"], t["col_separators"])
                         if t["method"] in ("numeric", "header-rule",
-                                           "segmented-hline")
+                                           "segmented-hline",
+                                           "row-band")
                         and t["col_separators"] else None)
                     matrix = extract_table_rows(page, t["bbox"], cols)
                     for r, row in enumerate(matrix):

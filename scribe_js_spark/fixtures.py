@@ -1164,6 +1164,73 @@ def write_underline_parquet(path: str, n_docs: int = 40,
         os.path.join(path, "underline.parquet"), index=False)
 
 
+def _build_zebra_table_model(doc_id: int, seed: int) -> dict:
+    """Row-band (zebra / per-cell-background) table docs: 16 rows x 4
+    cols, every row's cells drawn as light-gray filled rects with 6 px
+    gaps at column boundaries, NO rule lines anywhere. Even docs carry
+    numeric cells (the bands adopt the numeric-cluster candidate,
+    detectPdfTables.js:342-368); odd docs carry alpha cells so no text
+    candidate forms and the >= 8-band region stands alone (:443-446)."""
+    rng = _doc_rng(seed + 6161, doc_id)
+    n_rows, n_cols, col_w = 16, 4, 180
+    xs = [MARGIN_LEFT + i * col_w for i in range(n_cols + 1)]
+    numeric = doc_id % 2 == 0
+
+    pars, expected, y = [], [], TOP_BASELINE
+    lead = []
+    for i in range(5):
+        t = rng.choice(LEXICON)
+        lead.append({"text": t, "chars": None, "out_words": [t],
+                     "left": MARGIN_LEFT + i * 110,
+                     "right": MARGIN_LEFT + i * 110 + 90,
+                     "top": y - ASC_H, "bottom": y + DESC_H, "conf": 97})
+    pars.append({"lines": [{"words": lead, "baseline_y": y,
+                            "indent": 0}]})
+    # below the header-scan lookback horizon (10 row pitches) so the
+    # lead paragraph can't be adopted as the table's header band, and
+    # with 3-char cells so each cell is its own line (the x-gap
+    # exceeds the line-split threshold -> same-top pairs keep Phase 0
+    # from bailing; a one-line-per-row alpha zebra is invisible to the
+    # reference's Phase 0 too)
+    y = 680
+
+    bands, lines = [], []
+    for r in range(n_rows):
+        words = []
+        for c in range(n_cols):
+            if numeric:
+                val = str(100 * (r + 1) + c)
+            else:
+                val = (chr(97 + r % 26) + chr(97 + (r + 7) % 26)
+                       + chr(97 + c))
+            x = xs[c] + 12
+            words.append({
+                "text": val, "chars": None, "out_words": [val],
+                "left": x, "right": x + len(val) * CHAR_W,
+                "top": y - ASC_H, "bottom": y + DESC_H, "conf": 97})
+            expected.append({"table_n": 0, "row_n": r, "col_n": c,
+                             "cell": val})
+        lines.append({"words": words, "baseline_y": y, "indent": 0})
+        bands.append({
+            "top": y - ASC_H - 5, "bottom": y + DESC_H + 5,
+            "cells": [
+                (xs[c] + (3 if c > 0 else 0),
+                 xs[c + 1] - (3 if c < n_cols - 1 else 0))
+                for c in range(n_cols)]})
+        y += LINE_PITCH
+    pars.append({"lines": lines})
+
+    page = {"pars": pars, "width": PAGE_W, "height": PAGE_H,
+            "row_bands": bands}
+    model = {"doc_id": doc_id, "family": "base", "pages": [page]}
+    return {"model": model, "expected": expected, "n_tables": 1,
+            "n_grid_cols": n_cols,
+            "regions": [{"table_n": 0, "method": "row-band",
+                         "n_cols": n_cols, "header": "none",
+                         "title": None}],
+            "num_cells": [], "hr_cells": []}
+
+
 def build_pdf_table_models(doc_id: int, seed: int = SEED_DEFAULT) -> dict:
     """PDF table family: one ruled-grid table (drawn h/v rule lines,
     numeric cells at 100*(row+1)+col) and, on odd docs, a borderless
@@ -1173,7 +1240,10 @@ def build_pdf_table_models(doc_id: int, seed: int = SEED_DEFAULT) -> dict:
     segments with no verticals (detectSegmentedHLineTables), %6==4
     stacks a second 3x3 grid below the first (connected-component
     multi-table), %3==0 puts a 'Table 1 <word>' caption line above the
-    grid (detectTableTitle)."""
+    grid (detectTableTitle); doc_id >= 30 are the row-band (zebra)
+    docs (extractRowBandStructure)."""
+    if doc_id >= 30:
+        return _build_zebra_table_model(doc_id, seed)
     rng = _doc_rng(seed + 5151, doc_id)
     n_rows = rng.randint(3, 6)
     n_cols = rng.randint(3, 5)
@@ -1371,7 +1441,7 @@ def build_pdf_table_models(doc_id: int, seed: int = SEED_DEFAULT) -> dict:
             "num_cells": num_cells, "hr_cells": hr_cells}
 
 
-def write_pdf_table_parquet(path: str, n_docs: int = 30,
+def write_pdf_table_parquet(path: str, n_docs: int = 36,
                             seed: int = SEED_DEFAULT) -> None:
     """pdf_table_docs.parquet (url, html) + pdf_table.parquet golden
     grid cells + pdf_table_meta.parquet (url, n_tables)."""

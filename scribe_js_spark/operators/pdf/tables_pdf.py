@@ -120,16 +120,29 @@ def _achromatic(color) -> bool:
     return True
 
 
+def _row_band_color(color) -> bool:
+    """Row-band fill colors: achromatic or light (isRowBandColor,
+    detectPdfTables.js:1175-1180)."""
+    if _achromatic(color):
+        return True
+    if color and len(color) == 3:
+        return all(c >= 0.5 for c in color)
+    return False
+
+
 def classify_rule_lines(paths, scale: float, page_h_pts: float,
                         page=None):
     """Painted-path subpath extents -> merged thin horizontal/vertical
-    rule lines (with pre-merge ``segments``) plus header-fill rects, in
-    the scaled top-left frame (classifyPaths, detectPdfTables.js:1139).
+    rule lines (with pre-merge ``segments``) plus row-band fill rects
+    and header-fill rects, in the scaled top-left frame (classifyPaths,
+    detectPdfTables.js:1139).
 
-    Returns (h_lines, v_lines, header_fills). Chromatic paths are
-    excluded; when ``page`` is given the minimum h-rule width adapts to
-    the page's median line height (a cell border is at least one
-    character wide, :1147-1153)."""
+    Returns (h_lines, v_lines, filled_rects, header_fills). Chromatic
+    paths are excluded from rules; when ``page`` is given the minimum
+    h-rule width adapts to the page's median line height (a cell border
+    is at least one character wide, :1147-1153). ``filled_rects`` are
+    the row-band-colored cell/stripe backgrounds (:1401-1409) that
+    Phase 3.5 assembles into row-band regions."""
     min_w_pts = 10.0
     page_h_px = page_h_pts * scale
     if page is not None:
@@ -139,7 +152,7 @@ def classify_rule_lines(paths, scale: float, page_h_pts: float,
             if 2 < (ln.bbox.bottom - ln.bbox.top) / scale < 100)
         if hs:
             min_w_pts = max(10.0, hs[len(hs) // 2])
-    raw_h, raw_v, header_fills = [], [], []
+    raw_h, raw_v, filled_rects, header_fills = [], [], [], []
     for path in paths:
         if not path.fill and not path.stroke:
             continue
@@ -151,19 +164,25 @@ def classify_rule_lines(paths, scale: float, page_h_pts: float,
             elif c[0] == "L" and subpaths:
                 subpaths[-1].append((c[1], c[2]))
         all_pts = [p for pts in subpaths for p in pts]
-        if path.fill and all_pts and _achromatic(path.fillColor):
-            # header background fill (:1410-1421): a wide filled band
-            # shorter than 30% of the page marks a header area
+        if path.fill and all_pts:
             xs = [p[0] for p in all_pts]
             ys = [p[1] for p in all_pts]
             w, h = max(xs) - min(xs), max(ys) - min(ys)
+            rect = {
+                "left": min(xs) * scale,
+                "right": max(xs) * scale,
+                "top": (page_h_pts - max(ys)) * scale,
+                "bottom": (page_h_pts - min(ys)) * scale}
+            # row-band cell/stripe background (:1401-1409)
+            if w > min_w_pts and min_w_pts * 0.5 <= h < min_w_pts * 5 \
+                    and _row_band_color(path.fillColor):
+                filled_rects.append(rect)
+                continue
+            # header background fill (:1410-1421): a wide filled band
+            # shorter than 30% of the page marks a header area
             if w > min_w_pts * 5 and min_w_pts * 3 <= h \
-                    < page_h_pts * 0.3:
-                header_fills.append({
-                    "left": min(xs) * scale,
-                    "right": max(xs) * scale,
-                    "top": (page_h_pts - max(ys)) * scale,
-                    "bottom": (page_h_pts - min(ys)) * scale})
+                    < page_h_pts * 0.3 and _achromatic(path.fillColor):
+                header_fills.append(rect)
                 continue
         if not _achromatic(color):
             continue
@@ -188,7 +207,7 @@ def classify_rule_lines(paths, scale: float, page_h_pts: float,
                                   "bottom": bottom})
     h_lines = merge_collinear_segments(raw_h, "y", "left", "right")
     v_lines = merge_collinear_segments(raw_v, "x", "top", "bottom")
-    return h_lines, v_lines, header_fills
+    return h_lines, v_lines, filled_rects, header_fills
 
 
 def reconstitute_dashed_lines(paths, h_lines, v_lines, scale: float,
@@ -524,6 +543,147 @@ def _segmented_tables(cluster, header_fills, page) -> list[dict]:
             "method": "segmented-hline", "rows": rows,
         })
     return results
+
+
+def extract_row_band_structure(filled_rects: list[dict]) -> list[dict]:
+    """Phase 3.5 (extractRowBandStructure, detectPdfTables.js:1542-1704):
+    filled rects -> row-band regions. Fills group by y-range (tol 2),
+    each group's touching fills merge into disjoint x-ranges while the
+    raw per-cell extents are kept; bands (width > 50) cluster into
+    vertically-contiguous regions; cell edges appearing in at least
+    half the bands become the dominant column anchors, and separators
+    are the midpoints between adjacent dominant right/left pairs.
+
+    Returns [{top, bottom, left, right, col_xs, row_ys}]."""
+    if not filled_rects or len(filled_rects) < 3:
+        return []
+    y_groups: list[dict] = []
+    for f in filled_rects:
+        for g in y_groups:
+            if abs(g["top"] - f["top"]) < 2 \
+                    and abs(g["bottom"] - f["bottom"]) < 2:
+                g["items"].append(f)
+                break
+        else:
+            y_groups.append({"top": f["top"], "bottom": f["bottom"],
+                             "items": [f]})
+    bands = []
+    for g in y_groups:
+        items = sorted(g["items"], key=lambda f: f["left"])
+        ranges: list[list[float]] = []
+        cells = []
+        for f in items:
+            cells.append((f["left"], f["right"]))
+            if ranges and f["left"] <= ranges[-1][1] + 0.5:
+                ranges[-1][1] = max(ranges[-1][1], f["right"])
+            else:
+                ranges.append([f["left"], f["right"]])
+        if not ranges or ranges[-1][1] - ranges[0][0] <= 50:
+            continue
+        bands.append({"top": g["top"], "bottom": g["bottom"],
+                      "ranges": ranges, "cells": cells})
+    if len(bands) < 3:
+        return []
+    bands.sort(key=lambda b: b["top"])
+    regions: list[list[dict]] = []
+    for b in bands:
+        b_left = b["ranges"][0][0]
+        b_right = b["ranges"][-1][1]
+        for r in regions:
+            last = r[-1]
+            gap = b["top"] - last["bottom"]
+            vert_close = gap <= max(
+                (last["bottom"] - last["top"]) * 2, 10)
+            h_overlap = b_right > last["ranges"][0][0] \
+                and b_left < last["ranges"][-1][1]
+            if vert_close and h_overlap:
+                r.append(b)
+                break
+        else:
+            regions.append([b])
+
+    def _cluster_anchors(values: list[float]) -> list[dict]:
+        out: list[dict] = []
+        for v in sorted(values):
+            if out and v - out[-1]["mean"] < 3:
+                out[-1]["values"].append(v)
+                out[-1]["mean"] = (sum(out[-1]["values"])
+                                   / len(out[-1]["values"]))
+            else:
+                out.append({"values": [v], "mean": v})
+        return out
+
+    results = []
+    for region in regions:
+        if len(region) < 3:
+            continue
+        lefts = [c[0] for b in region for c in b["cells"]]
+        rights = [c[1] for b in region for c in b["cells"]]
+        min_count = -(-len(region) // 2)
+        dom_l = sorted(c["mean"] for c in _cluster_anchors(lefts)
+                       if len(c["values"]) >= min_count)
+        dom_r = sorted(c["mean"] for c in _cluster_anchors(rights)
+                       if len(c["values"]) >= min_count)
+        if not dom_l:
+            continue
+        col_xs = [(dom_r[i] + dom_l[i + 1]) / 2
+                  for i in range(len(dom_l) - 1)
+                  if i < len(dom_r)]
+        results.append({
+            "top": region[0]["top"], "bottom": region[-1]["bottom"],
+            "left": dom_l[0], "right": dom_r[-1] if dom_r else dom_l[0],
+            "col_xs": col_xs,
+            "row_ys": [(b["top"], b["bottom"]) for b in region],
+        })
+    return results
+
+
+def make_row_band_candidates(rbr: dict, base: dict | None,
+                             page) -> list[dict]:
+    """Row-band region -> table candidate(s)
+    (makeRowBandCandidates, detectPdfTables.js:802-878): rows inside
+    the band bbox, split at y-gaps > 2x the median row spacing (and
+    > 50) into one candidate per group. Column separators come from the
+    region's dominant cell anchors (the reference threads them through
+    rowBandRegion into extractStructure; this port puts them on the
+    candidate directly)."""
+    left = min(base["bbox"].left, rbr["left"]) if base else rbr["left"]
+    right = max(base["bbox"].right, rbr["right"]) if base \
+        else rbr["right"]
+    bbox = Bbox(left, rbr["top"], right, rbr["bottom"])
+    rows = _region_rows(page, bbox)
+
+    def cand(bb, rws):
+        return {"bbox": bb, "col_separators": list(rbr["col_xs"]),
+                "method": "row-band", "rows": rws}
+
+    if len(rows) < 3:
+        return [cand(bbox, rows)]
+    srt = sorted(rows, key=lambda r: r["y"])
+    spacings = [srt[i]["y"] - srt[i - 1]["y"]
+                for i in range(1, len(srt))]
+    med = sorted(spacings)[len(spacings) // 2]
+    groups = [[0, 0]]
+    for i in range(1, len(srt)):
+        if spacings[i - 1] > med * 2 and spacings[i - 1] > 50:
+            groups.append([i, i])
+        else:
+            groups[-1][1] = i
+    if len(groups) == 1:
+        return [cand(bbox, rows)]
+    out = []
+    for s, e in groups:
+        if e - s < 2:
+            continue
+        grows = srt[s:e + 1]
+        bottom = max(page.lines[li].bbox.bottom
+                     for r in grows for li in r["line_indices"])
+        sub = Bbox(left,
+                   bbox.top if s == 0 else grows[0]["y"],
+                   right,
+                   bbox.bottom if e == len(srt) - 1 else bottom + 5)
+        out.append(cand(sub, _region_rows(page, sub)))
+    return out
 
 
 _TABLE_TITLE_RE = re.compile(r"^Table\s+\d+", re.I)
@@ -995,7 +1155,7 @@ def detect_pdf_table_regions(page, paths, scale: float,
         return []
     if len(paths) > MAX_TABLE_DETECTION_PATHS:
         paths = []
-    h_lines, v_lines, header_fills = classify_rule_lines(
+    h_lines, v_lines, filled_rects, header_fills = classify_rule_lines(
         paths, scale, page_h_pts, page)
     reconstitute_dashed_lines(paths, h_lines, v_lines, scale,
                               page_h_pts, page.dims["height"])
@@ -1047,6 +1207,33 @@ def detect_pdf_table_regions(page, paths, scale: float,
         cand["col_separators"] = infer_unruled_columns(
             page, cand["bbox"])
         tables.append(cand)
+
+    # Phase 3.5/4 row-band integration (detectPdfTables.js:282-287,
+    # 320-446): a region matching exactly one non-grid candidate lends
+    # it the band structure (bbox extension + dominant-anchor
+    # separators); an unmatched region with >= 8 bands stands alone.
+    rbrs = [r for r in extract_row_band_structure(filled_rects)
+            if r["right"] - r["left"] >= page.dims["width"] * 0.3]
+    for rbr in rbrs:
+        r_bbox = Bbox(rbr["left"], rbr["top"], rbr["right"],
+                      rbr["bottom"])
+        matches = [t for t in tables
+                   if bbox_overlap(t["bbox"], r_bbox) > 0.3]
+        if len(matches) == 1 and matches[0]["method"] != "grid":
+            t = matches[0]
+            t["bbox"] = Bbox(
+                min(t["bbox"].left, rbr["left"]),
+                min(t["bbox"].top, rbr["top"]),
+                max(t["bbox"].right, rbr["right"]),
+                max(t["bbox"].bottom, rbr["bottom"]))
+            if rbr["col_xs"]:
+                t["col_separators"] = list(rbr["col_xs"])
+            t["method"] = "row-band"
+            t["rows"] = _region_rows(page, t["bbox"])
+        elif not matches and len(rbr["row_ys"]) >= 8:
+            for c in make_row_band_candidates(rbr, None, page):
+                if validate_stream_order(c, page.lines):
+                    tables.append(c)
     return _finish_tables(tables, page)
 
 

@@ -576,6 +576,14 @@ def render_pdf(model: dict, compress: bool | None = None,
                         ops.append(
                             f"{word['left']} {y_base - 4} "
                             f"{word['right'] - word['left']} 1.5 re f")
+        for band in page.get("row_bands", []):
+            # light-gray cell/stripe backgrounds (row-band tables):
+            # one filled rect per cell, restored to black afterwards
+            h_band = band["bottom"] - band["top"]
+            for x0, x1 in band["cells"]:
+                ops.append(
+                    f"0.9 g {x0} {page_h - band['bottom']} "
+                    f"{x1 - x0} {h_band} re f 0 g")
         for rule in page.get("rules", []):
             ops.append(
                 f"{rule['left']} {page_h - rule['y']} "

@@ -225,3 +225,54 @@ def test_split_cluster_by_y_gap():
     h2 = [{"y": float(y), "left": 0.0, "right": 500.0}
           for y in range(0, 200, 20)]
     assert len(_split_cluster_by_y_gap(h2)) == 1
+
+
+def test_row_band_tables_end_to_end():
+    """Zebra / per-cell-background tables (extractRowBandStructure +
+    makeRowBandCandidates): doc 30 (numeric cells) exercises the
+    adoption path — the band region lends its dominant-anchor columns
+    to the numeric candidate; doc 31 (alpha cells) exercises the
+    standalone >= 8-band path where no text candidate forms."""
+    from scribe_js_spark.operators.pdf.tables_pdf import (
+        columns_from_separators)
+    from scribe_js_spark.operators.tables import extract_table_rows
+
+    for doc_id in (30, 31):
+        m = build_pdf_table_models(doc_id)
+        res = extract_document(render_pdf(m["model"], rotate=False))
+        assert res.error is None
+        page = res.pages[0]
+        assert [t["method"] for t in page.tables] == ["row-band"]
+        t = page.tables[0]
+        assert len(t["col_separators"]) + 1 == 4
+        cols = columns_from_separators(t["bbox"], t["col_separators"])
+        matrix = extract_table_rows(page, t["bbox"], cols)
+        got = {(r, c): cell for r, row in enumerate(matrix)
+               for c, cell in enumerate(row)}
+        assert got == {(r["row_n"], r["col_n"]): r["cell"]
+                       for r in m["expected"]}
+
+
+def test_extract_row_band_structure_units():
+    """Band assembly semantics: touching fills merge into one range
+    but keep per-cell anchors; a narrow icon-sized fill is rejected;
+    subtotal-row merged cells that appear in under half the bands
+    don't contribute column anchors."""
+    from scribe_js_spark.operators.pdf.tables_pdf import (
+        extract_row_band_structure)
+
+    def band(y, cells):
+        return [{"left": l, "right": r, "top": y, "bottom": y + 20}
+                for l, r in cells]
+
+    cells3 = [(100, 250), (256, 400), (406, 550)]
+    fills = band(0, cells3) + band(30, cells3) + band(60, cells3)
+    # one merged subtotal band (single wide fill) + an icon-sized fill
+    fills += band(90, [(100, 550)])
+    fills += [{"left": 600, "top": 300, "right": 620, "bottom": 320}]
+    out = extract_row_band_structure(fills)
+    assert len(out) == 1
+    rbr = out[0]
+    assert len(rbr["row_ys"]) == 4
+    # separators at the midpoints of the dominant 3-cell pattern
+    assert [round(x) for x in rbr["col_xs"]] == [253, 403]
