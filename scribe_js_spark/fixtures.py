@@ -1231,6 +1231,158 @@ def _build_zebra_table_model(doc_id: int, seed: int) -> dict:
             "num_cells": [], "hr_cells": []}
 
 
+def _build_phase2_table_model(doc_id: int, seed: int) -> dict:
+    """Text-candidate engine docs (Phase 1/2/4): layouts only the full
+    row-analysis pipeline detects —
+
+    - 36: all-alpha 'text' table (>= 3-segment rows, zero numerics,
+      min_rows=4 regime);
+    - 37: two side-by-side tables whose same-y rows split into
+      stream-consecutive sub-rows and then into separate candidates by
+      x-overlap union-find;
+    - 38: column-major stream order (each column its own paragraph;
+      >= 3 pure-numeric singleton fragments accept the row) under a
+      row-major header row;
+    - 39: one table whose halves are separated by a narrow section
+      header — the bridge rule keeps them one candidate."""
+    variant = doc_id - 36
+    rng = _doc_rng(seed + 7171, doc_id)
+
+    pars, expected, regions = [], [], []
+
+    def tok(text, x, yy):
+        return {"text": text, "chars": None, "out_words": [text],
+                "left": x, "right": x + len(text) * CHAR_W,
+                "top": yy - ASC_H, "bottom": yy + DESC_H, "conf": 97}
+
+    y = TOP_BASELINE
+    lead = [tok(rng.choice(LEXICON), MARGIN_LEFT + i * 110, y)
+            for i in range(5)]
+    pars.append({"lines": [{"words": lead, "baseline_y": y,
+                            "indent": 0}]})
+    y = 680
+
+    if variant == 0:
+        # all-alpha text table: 5 rows x 4 cols, 5-char cells wide
+        # enough to clear the tiny-fragment rejection (>= 70 px)
+        xs = [MARGIN_LEFT + i * 200 for i in range(4)]
+        lines = []
+        for r in range(5):
+            words = []
+            for c in range(4):
+                val = f"t{chr(97 + r)}{chr(97 + c)}xy"
+                words.append(tok(val, xs[c] + 12, y))
+                expected.append({"table_n": 0, "row_n": r, "col_n": c,
+                                 "cell": val})
+            lines.append({"words": words, "baseline_y": y, "indent": 0})
+            y += LINE_PITCH
+        pars.append({"lines": lines})
+        regions.append({"table_n": 0, "method": "text", "n_cols": 4,
+                        "header": "none", "title": None})
+    elif variant == 1:
+        # side-by-side: each table a separate paragraph (column-major
+        # stream BETWEEN tables, row-major within), 5 rows of
+        # label + 3 numbers per side
+        for side, x0 in enumerate((MARGIN_LEFT, MARGIN_LEFT + 540)):
+            yy = y
+            lines = []
+            for r in range(5):
+                words = [tok(f"row{r:02d}{chr(97 + side)}", x0 + 12, yy)]
+                row_cells = [words[0]["text"]]
+                for c in range(3):
+                    val = f"{(r + 1) * 1000 + c + side * 7:,}"
+                    words.append(tok(val, x0 + 150 + c * 100, yy))
+                    row_cells.append(val)
+                for cn, cell in enumerate(row_cells):
+                    expected.append({"table_n": side, "row_n": r,
+                                     "col_n": cn, "cell": cell})
+                lines.append({"words": words, "baseline_y": yy,
+                              "indent": 0})
+                yy += LINE_PITCH
+            pars.append({"lines": lines})
+            regions.append({"table_n": side, "method": "numeric",
+                            "n_cols": 4, "header": "none",
+                            "title": None})
+    elif variant == 2:
+        # column-major body under a row-major header row
+        n_rows, col_xs = 6, [MARGIN_LEFT, 400, 600, 800]
+        heads = []
+        for c in range(4):
+            h = f"hd{chr(97 + c)}xy"
+            heads.append(tok(h, col_xs[c] + 12, y))
+            expected.append({"table_n": 0, "row_n": 0, "col_n": c,
+                             "cell": h})
+        pars.append({"lines": [{"words": [w], "baseline_y": y,
+                                "indent": 0} for w in heads]})
+        body_y = y + LINE_PITCH
+        for c in range(4):
+            yy = body_y
+            lines = []
+            for r in range(n_rows):
+                val = f"lab{r:02d}" if c == 0 \
+                    else f"{(r + 1) * 100 + c:,}"
+                lines.append({"words": [tok(val, col_xs[c] + 12, yy)],
+                              "baseline_y": yy, "indent": 0})
+                expected.append({"table_n": 0, "row_n": r + 1,
+                                 "col_n": c, "cell": val})
+                yy += LINE_PITCH
+            pars.append({"lines": lines})
+        y = body_y + n_rows * LINE_PITCH
+        regions.append({"table_n": 0, "method": "numeric", "n_cols": 4,
+                        "header": "none", "title": None})
+    else:
+        # bridged: 4 + 4 numeric rows around a narrow section header;
+        # direct gap > threshold but each bridged step stays under it
+        xs0 = MARGIN_LEFT
+        row_n = 0
+        lines = []
+        for r in range(4):
+            words = [tok(f"row{r:02d}x", xs0 + 12, y)]
+            cells = [words[0]["text"]]
+            for c in range(3):
+                val = f"{(r + 1) * 1000 + c:,}"
+                words.append(tok(val, xs0 + 250 + c * 150, y))
+                cells.append(val)
+            for cn, cell in enumerate(cells):
+                expected.append({"table_n": 0, "row_n": row_n,
+                                 "col_n": cn, "cell": cell})
+            lines.append({"words": words, "baseline_y": y, "indent": 0})
+            row_n += 1
+            y += LINE_PITCH
+        y += 48  # section header 100 px below the last data row
+        sect = tok("section", xs0 + 12, y)
+        lines.append({"words": [sect], "baseline_y": y, "indent": 0})
+        expected.append({"table_n": 0, "row_n": row_n, "col_n": 0,
+                         "cell": "section"})
+        for cn in range(1, 4):
+            expected.append({"table_n": 0, "row_n": row_n,
+                             "col_n": cn, "cell": ""})
+        row_n += 1
+        y += 100  # second step of the bridge, also under the threshold
+        for r in range(4, 8):
+            words = [tok(f"row{r:02d}x", xs0 + 12, y)]
+            cells = [words[0]["text"]]
+            for c in range(3):
+                val = f"{(r + 1) * 1000 + c:,}"
+                words.append(tok(val, xs0 + 250 + c * 150, y))
+                cells.append(val)
+            for cn, cell in enumerate(cells):
+                expected.append({"table_n": 0, "row_n": row_n,
+                                 "col_n": cn, "cell": cell})
+            lines.append({"words": words, "baseline_y": y, "indent": 0})
+            row_n += 1
+            y += LINE_PITCH
+        pars.append({"lines": lines})
+        regions.append({"table_n": 0, "method": "numeric", "n_cols": 4,
+                        "header": "none", "title": None})
+
+    page = {"pars": pars, "width": PAGE_W, "height": PAGE_H}
+    model = {"doc_id": doc_id, "family": "base", "pages": [page]}
+    return {"model": model, "expected": expected,
+            "n_tables": len(regions), "n_grid_cols": 4,
+            "regions": regions, "num_cells": [], "hr_cells": []}
+
+
 def build_pdf_table_models(doc_id: int, seed: int = SEED_DEFAULT) -> dict:
     """PDF table family: one ruled-grid table (drawn h/v rule lines,
     numeric cells at 100*(row+1)+col) and, on odd docs, a borderless
@@ -1240,10 +1392,14 @@ def build_pdf_table_models(doc_id: int, seed: int = SEED_DEFAULT) -> dict:
     segments with no verticals (detectSegmentedHLineTables), %6==4
     stacks a second 3x3 grid below the first (connected-component
     multi-table), %3==0 puts a 'Table 1 <word>' caption line above the
-    grid (detectTableTitle); doc_id >= 30 are the row-band (zebra)
-    docs (extractRowBandStructure)."""
-    if doc_id >= 30:
+    grid (detectTableTitle); doc_id 30-35 are the row-band (zebra)
+    docs (extractRowBandStructure); doc_id 36-39 are the Phase-1/2
+    text-candidate docs (text table / side-by-side / column-major /
+    bridged)."""
+    if 30 <= doc_id < 36:
         return _build_zebra_table_model(doc_id, seed)
+    if doc_id >= 36:
+        return _build_phase2_table_model(doc_id, seed)
     rng = _doc_rng(seed + 5151, doc_id)
     n_rows = rng.randint(3, 6)
     n_cols = rng.randint(3, 5)
@@ -1407,7 +1563,11 @@ def build_pdf_table_models(doc_id: int, seed: int = SEED_DEFAULT) -> dict:
         hr_xs = [MARGIN_LEFT, MARGIN_LEFT + 260, MARGIN_LEFT + 420,
                  MARGIN_LEFT + 580]
         hr_ws = [240, 140, 140, 140]
-        yh = 1000
+        # far enough below the numeric block that the Phase-2 run
+        # threshold (3x median row spacing) separates the two tables —
+        # closer and the reference's own row grouping would merge them
+        # into one candidate that the header-rule table then replaces
+        yh = 1060
         heads = [rng.choice(LEXICON) for _ in range(4)]
         pars.append({"lines": [{
             "words": [_tok(h, hr_xs[i] + 12, yh)
@@ -1441,7 +1601,7 @@ def build_pdf_table_models(doc_id: int, seed: int = SEED_DEFAULT) -> dict:
             "num_cells": num_cells, "hr_cells": hr_cells}
 
 
-def write_pdf_table_parquet(path: str, n_docs: int = 36,
+def write_pdf_table_parquet(path: str, n_docs: int = 40,
                             seed: int = SEED_DEFAULT) -> None:
     """pdf_table_docs.parquet (url, html) + pdf_table.parquet golden
     grid cells + pdf_table_meta.parquet (url, n_tables)."""

@@ -1,33 +1,42 @@
-"""PDF-side table detection (minimal core of detectPdfTables).
+"""PDF-side table detection — the detectPdfTables phase ladder.
 
-The reference's detector (/root/reference/js/pdf/detectPdfTables.js,
-4.2k LoC) layers many candidate generators; SURVEY.md §2.5 sanctions
-the minimal core reimplemented here:
+A from-scratch implementation of the reference's detector
+(/root/reference/js/pdf/detectPdfTables.js, 4.2k LoC), phase by phase:
 
-- path classification into thin horizontal / vertical rule lines
-  (classifyPaths, :1139 — M/L subpath extents, same thresholds as the
-  underline extractor but both axes);
-- strict-grid detection (tryDetectStrictGrid, :2298): clustered rule
-  ys and xs where the verticals span the horizontal band and vice
-  versa -> table bbox + interior column separators;
-- right-clustered numeric row clustering (isRightClusteredNumeric,
-  :14-28 + the Phase-0 dot-leader cluster rule, :66-100): >= 3 rows
-  whose trailing tokens are >= 3 numeric words, within a 300 px
-  vertical window, form a borderless table candidate;
-- the Phase-0 quick bail-out (:72-100): zero same-top line pairs and
-  no dot-leader cluster -> prose page, only path-based detection runs;
-- unruled column-separator inference (word-cluster gaps over the
-  candidate band) and header association (a header-shaped block just
-  above extends the region), per the Phase 5.5/5.7 semantics;
-- header-rule tables (detectHeaderRuleTables, :3354-3594): a ruling
-  row of >= 3 disjoint rule segments anchors header/data scans with
-  numeric-distribution validation;
-- dashed-line reconstitution (reconstituteDashedLines, :1784-1864):
-  >= 5 collinear short stroke pieces with sub-2pt median gaps rebuild
-  into full rules before grid detection.
+- Phase 0 quick bail-out (:72-100): zero same-top line pairs and no
+  dot-leader cluster -> prose page, only path-based detection runs;
+- Phase 1 table-like row identification (find_table_like_rows,
+  :121-247): stream-consecutive multi-line rows with numbers or >= 3
+  segments, single-line right-clustered-numeric rows, column-major
+  pure-numeric fragment rows, index-gapped sub-row splitting;
+- Phase 2 run/cluster grouping (group_rows_into_candidates,
+  :908-1125): dynamic y threshold, section-header bridging, x-overlap
+  union-find for side-by-side tables, cluster-local gap re-check;
+- Phase 3 path classification (classify_rule_lines, :1139): merged
+  rule lines with pre-merge ``segments``, achromatic filter, adaptive
+  minimum rule width, row-band fills, header fills; dashed-line
+  reconstitution (:1784-1864);
+- Phase 3.5 row-band structure (extract_row_band_structure,
+  :1542-1704) + candidate adoption / standalone >= 8-band tables
+  (make_row_band_candidates, :802-878);
+- Phase 4 validation (validate_candidate, :1914-2063): alignment,
+  segment consistency, tiny-fragment / prose / narrative rejections;
+  grid tables override overlapping text candidates;
+- strict grids one-per-connected-rule-component (detect_strict_grids,
+  :2169-2243) and segmented-hline tables (:2411, :3647) with break
+  patterns as column separators;
+- header-rule tables (detect_header_rule_tables, :3354-3594);
+- Phase 5.55 'Table N' title scan (detect_table_title, :3775-3817);
+- Phase 5.5/5.7-style header association + unruled column inference
+  (detect_table_header, infer_unruled_columns);
+- Phase 6 stream-order validation (validate_stream_order, :4018-4051).
 
-The 20k-path page cap (:5) is kept. Cell extraction reuses the
-OCR-side ``extract_table_rows`` (utils/detectTables.js semantics).
+Known deviations, each noted at the definition: bbox.top stays at the
+rows instead of the 3-row-height expansion + refineTableTop shrink;
+row-band column anchors ride directly on the candidate instead of
+through extractStructure. The 20k-path page cap (:5) is kept. Cell
+extraction reuses the OCR-side ``extract_table_rows``
+(utils/detectTables.js semantics).
 """
 
 from __future__ import annotations
@@ -545,6 +554,322 @@ def _segmented_tables(cluster, header_fills, page) -> list[dict]:
     return results
 
 
+# ------------------------------------- Phase 1/2: text-side candidates
+
+
+def find_table_like_rows(page) -> list[dict]:
+    """Phase 1 (detectPdfTables.js:121-247): group lines into visual
+    rows and keep the table-like ones —
+
+    - multi-line rows whose stream indices are consecutive (gap <= 2)
+      with numeric content OR >= 3 segments;
+    - single-line right-clustered-numeric rows (financial statements
+      emit label + leader + numbers as one line object);
+    - column-major numeric rows: >= 4 index-scattered fragments of
+      which >= 3 are pure-numeric singletons;
+    - on multi-column pages, index-gapped rows split into consecutive
+      sub-sequences tested independently.
+
+    Returns [{y, line_indices, has_numbers}]."""
+    lines = page.lines
+    out = []
+    for row in _region_rows(page, Bbox(float("-inf"), float("-inf"),
+                                       float("inf"), float("inf"))):
+        idxs = sorted(row["line_indices"])
+        if len(idxs) < 2:
+            if len(idxs) == 1 and is_right_clustered_numeric(
+                    lines[idxs[0]].words):
+                out.append({"y": row["y"], "line_indices": idxs,
+                            "has_numbers": True})
+            continue
+        max_gap = max(idxs[k] - idxs[k - 1]
+                      for k in range(1, len(idxs)))
+        if max_gap > 2:
+            subs, cur = [], [idxs[0]]
+            for j in idxs[1:]:
+                if j - cur[-1] <= 2:
+                    cur.append(j)
+                else:
+                    subs.append(cur)
+                    cur = [j]
+            subs.append(cur)
+            if len(subs) >= 4:
+                pure = sum(
+                    1 for s in subs
+                    if len(s) == 1 and len(lines[s[0]].words) == 1
+                    and is_num_word(lines[s[0]].words[0].text))
+                if pure >= 3:
+                    out.append({"y": row["y"], "line_indices": idxs,
+                                "has_numbers": True})
+                    continue
+            for s in subs:
+                if len(s) < 2:
+                    if len(s) == 1 and is_right_clustered_numeric(
+                            lines[s[0]].words):
+                        out.append({"y": lines[s[0]].bbox.top,
+                                    "line_indices": s,
+                                    "has_numbers": True})
+                    continue
+                n_num = sum(
+                    1 for i in s for w in lines[i].words
+                    if is_num_word(w.text))
+                if n_num >= 1 or len(s) >= 3:
+                    out.append({
+                        "y": sum(lines[i].bbox.top for i in s) / len(s),
+                        "line_indices": s,
+                        "has_numbers": n_num >= 1})
+            continue
+        n_num = sum(1 for i in idxs for w in lines[i].words
+                    if is_num_word(w.text))
+        if n_num >= 1 or len(idxs) >= 3:
+            out.append({"y": row["y"], "line_indices": idxs,
+                        "has_numbers": n_num >= 1})
+    return out
+
+
+def _bridge_ok(lines, bracket, y_low, y_high, left, right,
+               x_tol, threshold) -> bool:
+    """Section-header bridging (:955-1000 / :1063-1095): 1-3 narrow
+    intervening lines inside the table's x-region whose y-steps all
+    stay under the run threshold keep two table-like rows in one run;
+    a wide (>60% of run width) line blocks the bridge."""
+    ys = [y_low]
+    any_wide = False
+    for li, ln in enumerate(lines):
+        if li in bracket:
+            continue
+        ly = ln.bbox.top
+        if y_low < ly < y_high and left - x_tol <= ln.bbox.left <= right:
+            ys.append(ly)
+            if ln.bbox.right - ln.bbox.left > (right - left) * 0.6:
+                any_wide = True
+    if not (0 < len(ys) - 1 <= 3) or any_wide:
+        return False
+    ys.append(y_high)
+    ys.sort()
+    return max(ys[s] - ys[s - 1] for s in range(1, len(ys))) < threshold
+
+
+def group_rows_into_candidates(table_like_rows: list[dict],
+                               page) -> list[dict]:
+    """Phase 2 (groupRowsIntoCandidates, detectPdfTables.js:908-1125):
+    runs of vertically-close table-like rows (dynamic threshold =
+    max(3x median spacing, 150) capped at 20% page height, with
+    section-header bridging), split into x-overlap clusters via
+    union-find (side-by-side tables on multi-column pages), each
+    cluster's y-gaps re-checked with cluster-local width, surviving
+    sub-clusters of >= 3 rows (4 when no row has numbers) become
+    candidates.
+
+    Deviation: the reference expands bbox.top by 3 row heights for
+    path correlation and re-shrinks it in refineTableTop; this port
+    keeps bbox at the rows and extends via header association
+    downstream."""
+    lines = page.lines
+    rows = sorted(table_like_rows, key=lambda r: r["y"])
+    if not rows:
+        return []
+    threshold = 150.0
+    if len(rows) >= 3:
+        spac = sorted(rows[i]["y"] - rows[i - 1]["y"]
+                      for i in range(1, len(rows)))
+        threshold = max(spac[len(spac) // 2] * 3, 150.0)
+    threshold = min(threshold, page.dims["height"] * 0.2)
+
+    def extent(row):
+        ls = [lines[i].bbox.left for i in row["line_indices"]]
+        rs = [lines[i].bbox.right for i in row["line_indices"]]
+        return min(ls), max(rs)
+
+    candidates = []
+    run_start = 0
+    for i in range(1, len(rows) + 1):
+        cont = False
+        if i < len(rows):
+            gap = rows[i]["y"] - rows[i - 1]["y"]
+            if gap < threshold:
+                cont = True
+            else:
+                l0, r0 = extent(rows[i - 1])
+                l1, r1 = extent(rows[i])
+                left, right = min(l0, l1), max(r0, r1)
+                bracket = set(rows[i - 1]["line_indices"]) \
+                    | set(rows[i]["line_indices"])
+                cont = _bridge_ok(
+                    lines, bracket, rows[i - 1]["y"], rows[i]["y"],
+                    left, right, max(50.0, (right - left) * 0.05),
+                    threshold)
+        if cont:
+            continue
+        run = rows[run_start:i]
+        run_start = i
+        min_rows = 3 if any(r["has_numbers"] for r in run) else 4
+        if len(run) < min_rows:
+            continue
+        # x-overlap union-find clustering
+        exts = [extent(r) for r in run]
+        parent = list(range(len(run)))
+
+        def find(a):
+            while parent[a] != a:
+                parent[a] = parent[parent[a]]
+                a = parent[a]
+            return a
+
+        for a in range(len(run)):
+            for b in range(a + 1, len(run)):
+                if exts[a][1] > exts[b][0] + 10 \
+                        and exts[b][1] > exts[a][0] + 10:
+                    parent[find(a)] = find(b)
+        clusters: dict[int, list[dict]] = {}
+        for j, r in enumerate(run):
+            clusters.setdefault(find(j), []).append(r)
+        for cluster in clusters.values():
+            if len(cluster) < min_rows:
+                continue
+            cluster.sort(key=lambda r: r["y"])
+            c_l = min(lines[i2].bbox.left for r in cluster
+                      for i2 in r["line_indices"])
+            c_r = max(lines[i2].bbox.right for r in cluster
+                      for i2 in r["line_indices"])
+            splits = [0]
+            for k in range(1, len(cluster)):
+                if cluster[k]["y"] - cluster[k - 1]["y"] <= threshold:
+                    continue
+                bracket = set(cluster[k - 1]["line_indices"]) \
+                    | set(cluster[k]["line_indices"])
+                if not _bridge_ok(
+                        lines, bracket, cluster[k - 1]["y"],
+                        cluster[k]["y"], c_l, c_r,
+                        max(50.0, (c_r - c_l) * 0.05), threshold):
+                    splits.append(k)
+            splits.append(len(cluster))
+            for si in range(len(splits) - 1):
+                sub = cluster[splits[si]:splits[si + 1]]
+                if len(sub) < min_rows:
+                    continue
+                idxs = [i2 for r in sub for i2 in r["line_indices"]]
+                bbox = Bbox(
+                    min(lines[i2].bbox.left for i2 in idxs),
+                    min(lines[i2].bbox.top for i2 in idxs),
+                    max(lines[i2].bbox.right for i2 in idxs),
+                    max(lines[i2].bbox.bottom for i2 in idxs))
+                candidates.append({
+                    "bbox": bbox,
+                    "rows": [{"y": r["y"],
+                              "line_indices": list(r["line_indices"])}
+                             for r in sub],
+                    "col_separators": [],
+                    "method": "numeric" if any(
+                        r["has_numbers"] for r in sub) else "text",
+                })
+    return candidates
+
+
+_HAS_LETTER_RE = re.compile(r"[a-zA-Z]")
+
+
+def validate_candidate(cand: dict, lines) -> bool:
+    """Phase 4 (validateCandidate, detectPdfTables.js:1914-2063):
+
+    1. >= 3 multi-segment rows (single-line right-clustered-numeric
+       counts);
+    2. >= 2 aligned edge positions (left and right edges binned to 5,
+       each needing max(2, 0.3 x rows) occurrences — right-aligned
+       numeric columns align on the right only);
+    3. segment-count consistency (mode, +-1 cluster for >= 10 rows,
+       >= 40%);
+    4. tiny-fragment rejection (> 70% of lines narrower than 70 px =
+       equation subscripts, not cells);
+    5. prose-cell rejection (> 40% of rows have >= 2 cells with 3+
+       alphabetic words and zero numeric tokens);
+    6. narrative-row rejection (> 50% of multi-seg rows where every
+       cell is a 2+-word text fragment and none is narrow)."""
+    rows = cand["rows"]
+
+    def multi_seg(r):
+        return len(r["line_indices"]) >= 2 or (
+            len(r["line_indices"]) == 1
+            and is_right_clustered_numeric(
+                lines[r["line_indices"][0]].words))
+
+    ms_rows = [r for r in rows if multi_seg(r)]
+    if len(ms_rows) < 3:
+        return False
+
+    left_counts: dict[int, int] = {}
+    right_counts: dict[int, int] = {}
+    for r in rows:
+        for i in r["line_indices"]:
+            lk = round(lines[i].bbox.left / 5) * 5
+            rk = round(lines[i].bbox.right / 5) * 5
+            left_counts[lk] = left_counts.get(lk, 0) + 1
+            right_counts[rk] = right_counts.get(rk, 0) + 1
+    need = max(2, len(rows) * 0.3)
+    aligned = sum(1 for c in left_counts.values() if c >= need) \
+        + sum(1 for c in right_counts.values() if c >= need)
+    if aligned < 2:
+        return False
+
+    seg_counts: dict[int, int] = {}
+    for r in ms_rows:
+        n = len(r["line_indices"])
+        seg_counts[n] = seg_counts.get(n, 0) + 1
+    if len(ms_rows) >= 10:
+        best = max(
+            (seg_counts.get(c - 1, 0) + seg_counts.get(c, 0)
+             + seg_counts.get(c + 1, 0)) for c in seg_counts)
+        if best < len(ms_rows) * 0.4:
+            return False
+    elif max(seg_counts.values()) < len(ms_rows) * 0.4:
+        return False
+
+    total = tiny = 0
+    for r in rows:
+        for i in r["line_indices"]:
+            total += 1
+            if lines[i].bbox.right - lines[i].bbox.left < 70:
+                tiny += 1
+    if total and tiny / total > 0.7:
+        return False
+
+    def cell_is_prose(i):
+        ws = lines[i].words
+        if len(ws) < 3:
+            return False
+        alpha = sum(1 for w in ws if _HAS_LETTER_RE.search(w.text))
+        numeric = sum(1 for w in ws if is_num_word(w.text))
+        return alpha >= 3 and numeric == 0
+
+    prose_rows = sum(
+        1 for r in rows if len(r["line_indices"]) >= 2
+        and sum(1 for i in r["line_indices"] if cell_is_prose(i)) >= 2)
+    if prose_rows > len(rows) * 0.4:
+        return False
+
+    def cell_is_text_fragment(i):
+        ws = lines[i].words
+        return len(ws) >= 2 and any(
+            _HAS_LETTER_RE.search(w.text) for w in ws)
+
+    n_ms = sum(1 for r in rows if len(r["line_indices"]) >= 2)
+    if n_ms >= 3:
+        narrative = 0
+        for r in rows:
+            idxs = r["line_indices"]
+            if len(idxs) < 2:
+                continue
+            max_w = max(lines[i].bbox.right - lines[i].bbox.left
+                        for i in idxs)
+            if all(cell_is_text_fragment(i)
+                   and lines[i].bbox.right - lines[i].bbox.left
+                   >= max_w * 0.5 for i in idxs):
+                narrative += 1
+        if narrative > n_ms * 0.5:
+            return False
+    return True
+
+
 def extract_row_band_structure(filled_rects: list[dict]) -> list[dict]:
     """Phase 3.5 (extractRowBandStructure, detectPdfTables.js:1542-1704):
     filled rects -> row-band regions. Fills group by y-range (tol 2),
@@ -911,53 +1236,6 @@ def group_lines_into_rows(lines, tol: float = 5.0) -> list[list]:
     return [r["lines"] for r in rows]
 
 
-def detect_numeric_clusters(page, exclude_bboxes=()) -> list[dict]:
-    """Borderless dot-leader / financial-row tables: clusters of >= 3
-    right-clustered-numeric visual rows within a 300 px window. Rows
-    inside ``exclude_bboxes`` (already-detected ruled grids) don't seed
-    or chain clusters."""
-
-    def _inside_excluded(row_lines) -> bool:
-        top = min(l.bbox.top for l in row_lines)
-        bot = max(l.bbox.bottom for l in row_lines)
-        mid = (top + bot) / 2
-        return any(b.top <= mid <= b.bottom for b in exclude_bboxes)
-
-    numeric_rows = []
-    for row_lines in group_lines_into_rows(page.lines):
-        if _inside_excluded(row_lines):
-            continue
-        words = sorted(
-            (w for line in row_lines for w in line.words),
-            key=lambda w: w.bbox.left)
-        if is_right_clustered_numeric(words):
-            numeric_rows.append(row_lines)
-    out = []
-    cluster: list = []
-    for row_lines in numeric_rows:
-        top = min(l.bbox.top for l in row_lines)
-        if cluster and top - cluster[-1][0] > 300:
-            if len(cluster) >= 3:
-                out.append(cluster)
-            cluster = []
-        cluster.append((top, row_lines))
-    if len(cluster) >= 3:
-        out.append(cluster)
-    tables = []
-    for rows in out:
-        lines = [l for _, row_lines in rows for l in row_lines]
-        tables.append({
-            "bbox": Bbox(
-                min(l.bbox.left for l in lines),
-                min(l.bbox.top for l in lines),
-                max(l.bbox.right for l in lines),
-                max(l.bbox.bottom for l in lines)),
-            "col_separators": [],
-            "method": "numeric",
-        })
-    return tables
-
-
 _YEAR_RE = re.compile(r"^(?:19|20)\d\d$")
 _FOOTMARK_RE = re.compile(r"^\(\d\)$")
 _ALPHA_RE = re.compile(r"[a-zA-Z]")
@@ -997,7 +1275,9 @@ def infer_unruled_columns(page, bbox: Bbox) -> list[float]:
     across rows into columns, and emit gap midpoints."""
     rows = [r for r in group_lines_into_rows(
         [l for l in page.lines
-         if bbox.top <= (l.bbox.top + l.bbox.bottom) / 2 <= bbox.bottom])]
+         if bbox.top <= (l.bbox.top + l.bbox.bottom) / 2 <= bbox.bottom
+         and l.bbox.left >= bbox.left - 10
+         and l.bbox.right <= bbox.right + 10])]
     first_data = -1
     for ri, row_lines in enumerate(rows):
         words = [w for line in row_lines for w in line.words]
@@ -1193,15 +1473,24 @@ def detect_pdf_table_regions(page, paths, scale: float,
                    for i in range(len(dl_ys) - 2)):
             return _finish_tables(tables, page)
 
-    for cand in detect_numeric_clusters(
-            page, [t["bbox"] for t in tables]):
+    # Phase 1/2/4: text-side candidates (table-like row identification,
+    # run/cluster grouping, validation); grid/path tables override
+    # overlapping text candidates (detectPdfTables.js:296-315)
+    text_cands = [
+        c for c in group_rows_into_candidates(
+            find_table_like_rows(page), page)
+        if validate_candidate(c, page.lines)]
+    for cand in text_cands:
         if any(_overlaps(cand["bbox"], t["bbox"]) for t in tables):
+            continue
+        if not validate_stream_order(cand, page.lines):
             continue
         header = detect_table_header(page, cand)
         if header is not None and header["band_top"] < cand["bbox"].top:
             cand["bbox"] = Bbox(
                 cand["bbox"].left, header["band_top"],
                 cand["bbox"].right, cand["bbox"].bottom)
+            cand["rows"] = _region_rows(page, cand["bbox"])
         cand["header"] = (header or {}).get("confidence", "none") \
             if header else "none"
         cand["col_separators"] = infer_unruled_columns(

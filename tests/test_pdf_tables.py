@@ -276,3 +276,81 @@ def test_extract_row_band_structure_units():
     assert len(rbr["row_ys"]) == 4
     # separators at the midpoints of the dominant 3-cell pattern
     assert [round(x) for x in rbr["col_xs"]] == [253, 403]
+
+
+# ------------------------ Phase 1/2/4 text-candidate engine (r4)
+
+
+def _detect(doc_id):
+    m = build_pdf_table_models(doc_id)
+    res = extract_document(render_pdf(m["model"], rotate=False))
+    assert res.error is None
+    return m, res.pages[0]
+
+
+def test_text_table_no_numbers():
+    """All-alpha >= 3-segment rows form a 'text' candidate under the
+    min_rows=4 regime (Phase 1 signal B without numerics)."""
+    m, page = _detect(36)
+    assert [(t["method"], len(t["col_separators"]) + 1)
+            for t in page.tables] == [("text", 4)]
+
+
+def test_side_by_side_tables_split_by_x_cluster():
+    """Same-y rows from two adjacent tables split into
+    stream-consecutive sub-rows, then x-overlap union-find separates
+    the candidates (groupRowsIntoCandidates :1015-1035)."""
+    m, page = _detect(37)
+    assert [t["method"] for t in page.tables] == ["numeric", "numeric"]
+    a, b = page.tables
+    assert a["bbox"].right < b["bbox"].left
+
+
+def test_column_major_stream_rows():
+    """Column-major PDFs emit each cell as its own scattered line;
+    >= 3 pure-numeric singleton fragments accept the visual row
+    (Phase 1 :167-183), and Phase 6 exempts these rows from the
+    spatial-order check."""
+    m, page = _detect(38)
+    assert len(page.tables) == 1
+    assert len(page.tables[0]["rows"]) >= 6
+
+
+def test_section_header_bridging():
+    """A narrow 1-line section header between two halves of a table
+    bridges the over-threshold y-gap (:955-1000) — one candidate, not
+    two."""
+    m, page = _detect(39)
+    assert len(page.tables) == 1
+    assert len(page.tables[0]["rows"]) >= 8
+
+
+def test_validate_candidate_rejections():
+    """Phase 4 rejections: tiny equation fragments and prose cells
+    never become tables."""
+    from scribe_js_spark.model import Bbox
+    from scribe_js_spark.operators.pdf.tables_pdf import (
+        validate_candidate)
+
+    class W:
+        def __init__(self, text):
+            self.text = text
+
+    class L:
+        def __init__(self, left, right, words):
+            self.bbox = Bbox(left, 0, right, 10)
+            self.words = [W(t) for t in words]
+
+    # tiny fragments (equation subscripts): every line < 70 px
+    lines = [L(i * 100, i * 100 + 30, ["x"]) for i in range(9)]
+    cand = {"rows": [{"y": r * 20, "line_indices": [3 * r, 3 * r + 1,
+                                                    3 * r + 2]}
+                     for r in range(3)]}
+    assert not validate_candidate(cand, lines)
+
+    # prose cells: 3+ alphabetic words, zero numerics, in 2+ cells
+    lines2 = [L((i % 2) * 400, (i % 2) * 400 + 350,
+                ["lorem", "ipsum", "dolor", "sit"]) for i in range(6)]
+    cand2 = {"rows": [{"y": r * 20, "line_indices": [2 * r, 2 * r + 1]}
+                      for r in range(3)]}
+    assert not validate_candidate(cand2, lines2)
