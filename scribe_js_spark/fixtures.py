@@ -1244,11 +1244,18 @@ def _build_phase2_table_model(doc_id: int, seed: int) -> dict:
       >= 3 pure-numeric singleton fragments accept the row) under a
       row-major header row;
     - 39: one table whose halves are separated by a narrow section
-      header — the bridge rule keeps them one candidate."""
+      header — the bridge rule keeps them one candidate;
+    - 40: ruled grid whose header strip has FEWER verticals (header
+      cells spanning data columns — the strict-subset asymmetry
+      tryDetectStrictGrid allows);
+    - 41: ruled grid with an unstroked label column to its left and a
+      Total row below the bottom rule (extendTableToAdjacentContent
+      left + bottom extensions)."""
     variant = doc_id - 36
     rng = _doc_rng(seed + 7171, doc_id)
 
     pars, expected, regions = [], [], []
+    page_grids = None
 
     def tok(text, x, yy):
         return {"text": text, "chars": None, "out_words": [text],
@@ -1330,6 +1337,88 @@ def _build_phase2_table_model(doc_id: int, seed: int) -> dict:
         y = body_y + n_rows * LINE_PITCH
         regions.append({"table_n": 0, "method": "numeric", "n_cols": 4,
                         "header": "none", "title": None})
+    elif variant == 4:
+        # spanning-header grid: the header strip's verticals are a
+        # strict subset of the data columns
+        n_rows, n_cols, col_w = 4, 4, 180
+        xs = [MARGIN_LEFT + i * col_w for i in range(n_cols + 1)]
+        head_y = y
+        heads = ["h2007x", "h2008x"]
+        pars.append({"lines": [{
+            "words": [tok(heads[0], xs[0] + 12, head_y),
+                      tok(heads[1], xs[2] + 12, head_y)],
+            "baseline_y": head_y, "indent": 0}]})
+        expected.extend([
+            {"table_n": 0, "row_n": 0, "col_n": 0, "cell": heads[0]},
+            {"table_n": 0, "row_n": 0, "col_n": 1, "cell": ""},
+            {"table_n": 0, "row_n": 0, "col_n": 2, "cell": heads[1]},
+            {"table_n": 0, "row_n": 0, "col_n": 3, "cell": ""}])
+        head_top = head_y - ASC_H - 10
+        data_top = head_y + DESC_H + 10
+        y = head_y + LINE_PITCH
+        row_ys = [data_top]
+        lines = []
+        for r in range(n_rows):
+            words = []
+            for c in range(n_cols):
+                val = str(100 * (r + 1) + c)
+                words.append(tok(val, xs[c] + 12, y))
+                expected.append({"table_n": 0, "row_n": r + 1,
+                                 "col_n": c, "cell": val})
+            lines.append({"words": words, "baseline_y": y, "indent": 0})
+            row_ys.append(y + DESC_H + 10)
+            y += LINE_PITCH
+        pars.append({"lines": lines})
+        page_grids = [
+            {"col_xs": [xs[0], xs[2], xs[4]],
+             "row_ys": [head_top, data_top],
+             "dashed": False, "segmented": False},
+            {"col_xs": xs, "row_ys": row_ys,
+             "dashed": False, "segmented": False}]
+        regions.append({"table_n": 0, "method": "grid", "n_cols": 4,
+                        "header": "none", "title": None})
+    elif variant == 5:
+        # grid over the numeric columns only; labels unstroked to the
+        # left; 'Total' summary row below the bottom rule
+        n_rows, n_cols, col_w = 4, 3, 180
+        # the label-to-grid gap must exceed the line-split threshold:
+        # a label merged with its first value into one stream line is
+        # only 'row-overlap' evidence, which the reference (correctly)
+        # refuses to confirm a label column from on its own
+        gx0 = MARGIN_LEFT + 280
+        xs = [gx0 + i * col_w for i in range(n_cols + 1)]
+        row_ys = [y - ASC_H - 10]
+        lines = []
+        for r in range(n_rows):
+            label = f"item{r:02d}"
+            words = [tok(label, MARGIN_LEFT + 12, y)]
+            expected.append({"table_n": 0, "row_n": r, "col_n": 0,
+                             "cell": label})
+            for c in range(n_cols):
+                val = str(100 * (r + 1) + c)
+                words.append(tok(val, xs[c] + 12, y))
+                expected.append({"table_n": 0, "row_n": r,
+                                 "col_n": c + 1, "cell": val})
+            lines.append({"words": words, "baseline_y": y, "indent": 0})
+            row_ys.append(y + DESC_H + 10)
+            y += LINE_PITCH
+        pars.append({"lines": lines})
+        y += 20  # summary row 72 px below the last data baseline
+        t_words = [tok("Total", MARGIN_LEFT + 12, y)]
+        sums = [str(sum(100 * (r + 1) + c for r in range(n_rows)))
+                for c in range(n_cols)]
+        cells = ["Total"] + sums
+        for c, val in enumerate(sums):
+            t_words.append(tok(val, xs[c] + 12, y))
+        for cn, cell in enumerate(cells):
+            expected.append({"table_n": 0, "row_n": n_rows,
+                             "col_n": cn, "cell": cell})
+        pars.append({"lines": [{"words": t_words, "baseline_y": y,
+                                "indent": 0}]})
+        page_grids = [{"col_xs": xs, "row_ys": row_ys,
+                       "dashed": False, "segmented": False}]
+        regions.append({"table_n": 0, "method": "grid", "n_cols": 4,
+                        "header": "none", "title": None})
     else:
         # bridged: 4 + 4 numeric rows around a narrow section header;
         # direct gap > threshold but each bridged step stays under it
@@ -1377,6 +1466,8 @@ def _build_phase2_table_model(doc_id: int, seed: int) -> dict:
                         "header": "none", "title": None})
 
     page = {"pars": pars, "width": PAGE_W, "height": PAGE_H}
+    if page_grids:
+        page["table_grids"] = page_grids
     model = {"doc_id": doc_id, "family": "base", "pages": [page]}
     return {"model": model, "expected": expected,
             "n_tables": len(regions), "n_grid_cols": 4,
@@ -1434,7 +1525,10 @@ def build_pdf_table_models(doc_id: int, seed: int = SEED_DEFAULT) -> dict:
             tx += len(t) * CHAR_W + 10
         pars.append({"lines": [{"words": twords, "baseline_y": y,
                                 "indent": 0}]})
-        y += LINE_PITCH
+        # extra clearance: the grid bbox extends 5 px above its top
+        # rule (tryDetectStrictGrid :2369), and a caption overlapping
+        # that margin is (correctly) not fully above the table
+        y += LINE_PITCH + 12
 
     # ruled grid: row baselines inside bands bounded by rule ys
     grid_top = y - ASC_H - 10
@@ -1601,7 +1695,7 @@ def build_pdf_table_models(doc_id: int, seed: int = SEED_DEFAULT) -> dict:
             "num_cells": num_cells, "hr_cells": hr_cells}
 
 
-def write_pdf_table_parquet(path: str, n_docs: int = 40,
+def write_pdf_table_parquet(path: str, n_docs: int = 42,
                             seed: int = SEED_DEFAULT) -> None:
     """pdf_table_docs.parquet (url, html) + pdf_table.parquet golden
     grid cells + pdf_table_meta.parquet (url, n_tables)."""

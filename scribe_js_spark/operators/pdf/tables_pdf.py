@@ -301,44 +301,99 @@ def _cluster(values, tol: float) -> list[float]:
     return [sum(c) / len(c) for c in out]
 
 
-def _try_strict_grid(h_lines, v_lines) -> dict | None:
+def _union_spans_fully(segs, left: float, right: float,
+                       tol: float) -> bool:
+    """A chain of h-segments covers [left, right] with gaps <= tol
+    (unionSpansFully, detectPdfTables.js:2276-2296)."""
+    if not segs:
+        return False
+    cover = left
+    for s in segs:
+        if s["left"] > cover + tol:
+            return False
+        cover = max(cover, s["right"])
+    return cover >= right - tol
+
+
+def _try_strict_grid(h_lines, v_lines, page) -> dict | None:
     """One connected component of rules -> a grid table or None
-    (tryDetectStrictGrid core): >= 3 horizontal rule positions and
-    >= 2 verticals that span the horizontal band. The candidate band
-    is scoped to the verticals' y-extent so unrelated horizontal rules
-    elsewhere in the component cannot stretch it open."""
-    if len(h_lines) < 3 or len(v_lines) < 2:
-        return None
-    v_top = min(v["top"] for v in v_lines)
-    v_bottom = max(v["bottom"] for v in v_lines)
-    h_lines = [h for h in h_lines
-               if v_top - 5 <= h["y"] <= v_bottom + 5]
+    (tryDetectStrictGrid, detectPdfTables.js:2298-2395): every strip
+    between consecutive rule ys must be horizontally closed and carry
+    verticals aligned with the component's outer borders; data strips
+    share one canonical column set, and the only allowed asymmetry is
+    a header strip whose boundaries are a strict SUBSET of it (a
+    header cell may span several data columns). Rows are populated
+    per strip from the page lines."""
     if len(h_lines) < 3:
         return None
-    ys = _cluster([h["y"] for h in h_lines], 3)
-    xs = _cluster([v["x"] for v in v_lines], 3)
-    if len(ys) < 3 or len(xs) < 2:
+    left = min(h["left"] for h in h_lines)
+    right = max(h["right"] for h in h_lines)
+    if right - left < page.dims["width"] * 0.3:
         return None
-    top, bottom = ys[0], ys[-1]
-    left, right = xs[0], xs[-1]
-    # verticals must span the band; horizontals must span the width
-    spanning = [
-        v for v in v_lines
-        if v["top"] <= top + 5 and v["bottom"] >= bottom - 5]
-    wide = [
-        h for h in h_lines
-        if h["left"] <= left + 5 and h["right"] >= right - 5]
-    if len(_cluster([v["x"] for v in spanning], 3)) < 2 or len(wide) < 3:
+    ys = _cluster([h["y"] for h in h_lines], 5)
+    if len(ys) < 3:
         return None
-    seps = _cluster([v["x"] for v in spanning], 3)[1:-1]
+    segs_by_y = {
+        py: sorted(
+            ({"left": h["left"], "right": h["right"]}
+             for h in h_lines if abs(h["y"] - py) < 5),
+            key=lambda s: s["left"])
+        for py in ys}
+    strips = []
+    for i in range(len(ys) - 1):
+        top, bot = ys[i], ys[i + 1]
+        strip_vs = [v for v in v_lines
+                    if v["top"] <= top + 10 and v["bottom"] >= bot - 10]
+        xs = _cluster([v["x"] for v in strip_vs], 10)
+        if len(xs) < 2 or abs(xs[0] - left) > 15 \
+                or abs(xs[-1] - right) > 15:
+            return None
+        if not _union_spans_fully(segs_by_y[top], left, right, 15):
+            return None
+        if not _union_spans_fully(segs_by_y[bot], left, right, 15):
+            return None
+        strips.append({"top": top, "bottom": bot, "xs": xs})
+    if len(strips) < 2:
+        return None
+    max_cols = max(len(s["xs"]) for s in strips)
+    data = [s for s in strips if len(s["xs"]) == max_cols]
+    if len(data) < 2:
+        return None
+    canon = data[0]["xs"]
+    for s in data:
+        if len(s["xs"]) != len(canon) or any(
+                abs(a - b) >= 10 for a, b in zip(s["xs"], canon)):
+            return None
+    for s in strips:
+        if len(s["xs"]) == max_cols:
+            continue
+        if any(not any(abs(cx - x) < 10 for cx in canon)
+               for x in s["xs"]):
+            return None
+    bbox = Bbox(left, ys[0] - 5, right, ys[-1] + 5)
+    rows = []
+    for s in strips:
+        idxs = [
+            i for i, ln in enumerate(page.lines)
+            if s["top"] - 5 <= (ln.bbox.top + ln.bbox.bottom) / 2
+            <= s["bottom"] + 5
+            and ln.bbox.left >= bbox.left - 10
+            and ln.bbox.right <= bbox.right + 10]
+        if idxs:
+            rows.append({
+                "line_indices": idxs,
+                "y": sum(page.lines[i].bbox.top
+                         for i in idxs) / len(idxs)})
+    if len(rows) < 2:
+        return None
     return {
-        "bbox": Bbox(left, top, right, bottom),
-        "col_separators": seps,
+        "bbox": bbox,
+        "col_separators": canon[1:-1],
         "method": "grid",
+        "rows": rows,
     }
 
-
-def detect_strict_grids(h_lines, v_lines) -> list[dict]:
+def detect_strict_grids(h_lines, v_lines, page) -> list[dict]:
     """Full ruled grids, one per connected rule component
     (detectStrictGrids, detectPdfTables.js:2169-2243): segments joined
     through the grid's own intersections/abutments (tolerance 6) form
@@ -388,7 +443,7 @@ def detect_strict_grids(h_lines, v_lines) -> list[dict]:
 
     out = []
     for hs, vs in comps.values():
-        t = _try_strict_grid(hs, vs)
+        t = _try_strict_grid(hs, vs, page)
         if t is not None:
             out.append(t)
     out.sort(key=lambda t: (t["bbox"].top, t["bbox"].left))
@@ -1011,6 +1066,130 @@ def make_row_band_candidates(rbr: dict, base: dict | None,
     return out
 
 
+def extend_table_to_adjacent_content(table: dict, page,
+                                     siblings: list[dict]) -> None:
+    """Phase 5.6 (extendTableToAdjacentContent,
+    detectPdfTables.js:3827-4010): widen a table to content the rule
+    grid missed —
+
+    - LEFT: narrow lines clearly left of the bbox whose tops align
+      with existing rows on more than half the rows form an unstroked
+      label column (the old bbox.left becomes a separator); pure
+      page-furniture number strips (no alphabetic text) are refused,
+      as is a candidate strip as wide as half the table (a parallel
+      table in the other page column);
+    - TOP (only after a left extension): a heading line inside the new
+      label column within 2 median row heights above the top;
+    - BOTTOM: rows just below whose >= 2 segments land inside the
+      existing column structure are continuation rows (Total /
+      Previous Year); stops at the first non-aligning row and clamps
+      at a stacked sibling's first data row."""
+    rows = table.get("rows")
+    if not rows or len(rows) < 2:
+        return
+    lines = page.lines
+    srt = sorted(r["y"] for r in rows)
+    spac = sorted(srt[i] - srt[i - 1] for i in range(1, len(srt)))
+    median = spac[len(spac) // 2] if spac else 50.0
+    y_match = max(10.0, median * 0.4)
+    existing = {i for r in rows for i in r["line_indices"]}
+    bbox = table["bbox"]
+    bw = bbox.right - bbox.left
+
+    left_adj: dict[float, list[int]] = {}
+    overlap_adj: dict[float, list[int]] = {}
+    for i, ln in enumerate(lines):
+        if i in existing or ln.bbox.left >= bbox.left - 10:
+            continue
+        row_y = next((r["y"] for r in rows
+                      if abs(ln.bbox.top - r["y"]) <= y_match), None)
+        if row_y is None:
+            continue
+        clearly_left = ln.bbox.right < bbox.left - 10
+        if clearly_left and ln.bbox.right - ln.bbox.left < bw * 0.5:
+            left_adj.setdefault(row_y, []).append(i)
+        elif not clearly_left:
+            overlap_adj.setdefault(row_y, []).append(i)
+
+    extended_left = False
+    old_left = bbox.left
+    if len(left_adj) > len(rows) * 0.5 and len(left_adj) >= 2:
+        adj_idxs = [i for arr in left_adj.values() for i in arr]
+        new_left = min(lines[i].bbox.left for i in adj_idxs)
+        max_right = max(lines[i].bbox.right for i in adj_idxs)
+        if not any(_ALPHA_RE.search(w.text)
+                   for i in adj_idxs for w in lines[i].words):
+            return  # page-furniture number strip, not a label column
+        if max_right - new_left >= bw * 0.5:
+            return  # parallel table body, not a narrow label strip
+        if new_left < old_left - 10:
+            table["col_separators"] = sorted(
+                [old_left] + list(table["col_separators"]))
+            table["bbox"] = bbox = Bbox(
+                new_left, bbox.top, bbox.right, bbox.bottom)
+            for row_y, arr in list(left_adj.items()) \
+                    + list(overlap_adj.items()):
+                r = next((r for r in rows if r["y"] == row_y), None)
+                if r:
+                    r["line_indices"].extend(
+                        i for i in arr if i not in r["line_indices"])
+            extended_left = True
+
+    if extended_left:
+        label_right = table["col_separators"][0]
+        top_limit = bbox.top - median * 2
+        new_top = bbox.top
+        for i, ln in enumerate(lines):
+            if i in existing:
+                continue
+            if top_limit <= ln.bbox.top < new_top \
+                    and ln.bbox.left >= bbox.left - 5 \
+                    and ln.bbox.right <= label_right + 5:
+                new_top = ln.bbox.top
+        if new_top < bbox.top:
+            table["bbox"] = bbox = Bbox(
+                bbox.left, new_top, bbox.right, bbox.bottom)
+
+    bounds = [bbox.left] + list(table["col_separators"]) + [bbox.right]
+    below_limit = bbox.bottom + median * 1.5
+    for other in siblings:
+        if other is table or not other.get("rows"):
+            continue
+        if other["bbox"].right < bbox.left \
+                or other["bbox"].left > bbox.right:
+            continue
+        first_y = min(r["y"] for r in other["rows"])
+        if bbox.bottom < first_y and first_y - 5 < below_limit:
+            below_limit = first_y - 5
+    below: dict[float, list[int]] = {}
+    for i, ln in enumerate(lines):
+        if i in existing:
+            continue
+        ly = ln.bbox.top
+        if not bbox.bottom < ly <= below_limit:
+            continue
+        if ln.bbox.right < bbox.left or ln.bbox.left > bbox.right:
+            continue
+        key = next((y for y in below if abs(ly - y) < 5), None)
+        below.setdefault(key if key is not None else ly, []).append(i)
+    for y in sorted(below):
+        arr = below[y]
+        if len(arr) < 2:
+            continue
+        col_hits = sum(
+            1 for i in arr
+            if any(lines[i].bbox.right > bounds[c]
+                   and lines[i].bbox.left < bounds[c + 1]
+                   for c in range(len(bounds) - 1)))
+        if col_hits < 2:
+            break
+        bottom = max(max(lines[i].bbox.bottom for i in arr),
+                     bbox.bottom)
+        table["bbox"] = bbox = Bbox(
+            bbox.left, bbox.top, bbox.right, bottom)
+        rows.append({"y": y, "line_indices": arr})
+
+
 _TABLE_TITLE_RE = re.compile(r"^Table\s+\d+", re.I)
 
 
@@ -1439,7 +1618,7 @@ def detect_pdf_table_regions(page, paths, scale: float,
         paths, scale, page_h_pts, page)
     reconstitute_dashed_lines(paths, h_lines, v_lines, scale,
                               page_h_pts, page.dims["height"])
-    tables = detect_strict_grids(h_lines, v_lines)
+    tables = detect_strict_grids(h_lines, v_lines, page)
 
     def _overlaps(a: Bbox, b: Bbox) -> bool:
         return not (a.right < b.left or b.right < a.left
@@ -1527,7 +1706,10 @@ def detect_pdf_table_regions(page, paths, scale: float,
 
 
 def _finish_tables(tables: list[dict], page) -> list[dict]:
-    """Shared tail: Phase-5.55 title scan + stable top-down order."""
+    """Shared tail: Phase-5.6 adjacent-content extension, Phase-5.55
+    title scan, stable top-down order."""
+    for t in tables:
+        extend_table_to_adjacent_content(t, page, tables)
     for t in tables:
         t["title"] = detect_table_title(t, page.lines)
     tables.sort(key=lambda t: (t["bbox"].top, t["bbox"].left))

@@ -354,3 +354,73 @@ def test_validate_candidate_rejections():
     cand2 = {"rows": [{"y": r * 20, "line_indices": [2 * r, 2 * r + 1]}
                       for r in range(3)]}
     assert not validate_candidate(cand2, lines2)
+
+
+def test_spanning_header_grid():
+    """A header strip whose verticals are a strict subset of the data
+    columns (a cell spanning several data columns) is the one allowed
+    grid asymmetry (tryDetectStrictGrid :2346-2366)."""
+    m, page = _detect(40)
+    assert [(t["method"], len(t["col_separators"]) + 1)
+            for t in page.tables] == [("grid", 4)]
+    # header strip became the first row with the spanning cells
+    from scribe_js_spark.operators.tables import extract_table_rows
+    matrix = extract_table_rows(page, page.tables[0]["bbox"], None)
+    assert matrix[0][0].startswith("h2007")
+    assert matrix[0][1] == ""
+
+
+def test_extend_table_label_column_and_total_row():
+    """Phase 5.6: an unstroked label column left of the ruled grid
+    joins the table (old left edge becomes a separator) and a 'Total'
+    row below the bottom rule is captured as a continuation row."""
+    m, page = _detect(41)
+    t = page.tables[0]
+    assert t["method"] == "grid"
+    assert len(t["col_separators"]) + 1 == 4
+    assert len(t["rows"]) == 5            # 4 data strips + Total row
+    from scribe_js_spark.operators.tables import extract_table_rows
+    matrix = extract_table_rows(page, t["bbox"], None)
+    assert matrix[0][0] == "item00"
+    assert matrix[-1][0] == "Total"
+
+
+def test_extend_table_refuses_number_strip_and_wide_column():
+    """The label-column extension refuses pure-numeric page furniture
+    (legal line numbers) — a real label column carries text."""
+    from scribe_js_spark.model import Bbox
+    from scribe_js_spark.operators.pdf.tables_pdf import (
+        extend_table_to_adjacent_content)
+
+    class W:
+        def __init__(self, text):
+            self.text = text
+
+    class L:
+        def __init__(self, left, top, right, words):
+            self.bbox = Bbox(left, top, right, top + 20)
+            self.words = [W(t) for t in words]
+
+    class P:
+        pass
+
+    page = P()
+    # table lines at x 300-800, rows y 0/50/100; margin numbers at x 20
+    page.lines = [L(300, y, 800, ["1,00" + str(y)]) for y in (0, 50, 100)]
+    n0 = len(page.lines)
+    page.lines += [L(20, y, 40, [str(i + 1)])
+                   for i, y in enumerate((0, 50, 100))]
+    table = {"bbox": Bbox(300, 0, 800, 120),
+             "col_separators": [500.0],
+             "rows": [{"y": float(y), "line_indices": [i]}
+                      for i, y in enumerate((0, 50, 100))]}
+    extend_table_to_adjacent_content(table, page, [table])
+    assert table["bbox"].left == 300      # refused: no alphabetic text
+    assert len(table["rows"]) == 3
+    # with alphabetic labels instead, the column is adopted
+    page.lines = page.lines[:n0] + [
+        L(20, y, 140, ["item", str(i + 1)])
+        for i, y in enumerate((0, 50, 100))]
+    extend_table_to_adjacent_content(table, page, [table])
+    assert table["bbox"].left == 20
+    assert table["col_separators"][0] == 300
