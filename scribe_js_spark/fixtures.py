@@ -1250,7 +1250,9 @@ def _build_phase2_table_model(doc_id: int, seed: int) -> dict:
       tryDetectStrictGrid allows);
     - 41: ruled grid with an unstroked label column to its left and a
       Total row below the bottom rule (extendTableToAdjacentContent
-      left + bottom extensions)."""
+      left + bottom extensions);
+    - 42: grid drawn as per-cell stroked rectangles (re S) — only the
+      edge-decomposing extractGridSegments path sees its lines."""
     variant = doc_id - 36
     rng = _doc_rng(seed + 7171, doc_id)
 
@@ -1417,6 +1419,28 @@ def _build_phase2_table_model(doc_id: int, seed: int) -> dict:
                                 "indent": 0}]})
         page_grids = [{"col_xs": xs, "row_ys": row_ys,
                        "dashed": False, "segmented": False}]
+        regions.append({"table_n": 0, "method": "grid", "n_cols": 4,
+                        "header": "none", "title": None})
+    elif variant == 6:
+        # per-cell stroked-rectangle grid
+        n_rows, n_cols, col_w = 4, 4, 180
+        xs = [MARGIN_LEFT + i * col_w for i in range(n_cols + 1)]
+        row_ys = [y - ASC_H - 10]
+        lines = []
+        for r in range(n_rows):
+            words = []
+            for c in range(n_cols):
+                val = str(100 * (r + 1) + c)
+                words.append(tok(val, xs[c] + 12, y))
+                expected.append({"table_n": 0, "row_n": r,
+                                 "col_n": c, "cell": val})
+            lines.append({"words": words, "baseline_y": y, "indent": 0})
+            row_ys.append(y + DESC_H + 10)
+            y += LINE_PITCH
+        pars.append({"lines": lines})
+        page_grids = [{"col_xs": xs, "row_ys": row_ys,
+                       "dashed": False, "segmented": False,
+                       "cell_rects": True}]
         regions.append({"table_n": 0, "method": "grid", "n_cols": 4,
                         "header": "none", "title": None})
     else:
@@ -1695,7 +1719,7 @@ def build_pdf_table_models(doc_id: int, seed: int = SEED_DEFAULT) -> dict:
             "num_cells": num_cells, "hr_cells": hr_cells}
 
 
-def write_pdf_table_parquet(path: str, n_docs: int = 42,
+def write_pdf_table_parquet(path: str, n_docs: int = 43,
                             seed: int = SEED_DEFAULT) -> None:
     """pdf_table_docs.parquet (url, html) + pdf_table.parquet golden
     grid cells + pdf_table_meta.parquet (url, n_tables)."""

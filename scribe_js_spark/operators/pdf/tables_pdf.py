@@ -301,6 +301,63 @@ def _cluster(values, tol: float) -> list[float]:
     return [sum(c) / len(c) for c in out]
 
 
+def extract_grid_segments(paths, scale: float, page_h_pts: float):
+    """Grid-specific segment extraction (extractGridSegments,
+    detectPdfTables.js:2079-2155) — more inclusive than
+    classify_rule_lines: every edge of every stroked rectangle is
+    decomposed (per-cell ``re S`` borders become shared grid lines,
+    no tiling check), stroked polylines emit each M-L piece, and thin
+    filled rectangles become single segments. Returns raw (h, v)
+    segment lists for merge_collinear_segments."""
+    h_lines: list[dict] = []
+    v_lines: list[dict] = []
+
+    def add_seg(x1, y1, x2, y2):
+        w, h = abs(x2 - x1), abs(y2 - y1)
+        if h < 2 and w > 5:
+            h_lines.append({
+                "left": min(x1, x2) * scale,
+                "right": max(x1, x2) * scale,
+                "y": (page_h_pts - (y1 + y2) / 2) * scale})
+        elif w < 2 and h > 5:
+            v_lines.append({
+                "x": (x1 + x2) / 2 * scale,
+                "top": (page_h_pts - max(y1, y2)) * scale,
+                "bottom": (page_h_pts - min(y1, y2)) * scale})
+
+    for path in paths:
+        if not path.fill and not path.stroke:
+            continue
+        cmds = path.commands
+        if path.stroke and len(cmds) == 5 and cmds[0][0] == "M" \
+                and cmds[1][0] == "L" and cmds[2][0] == "L" \
+                and cmds[3][0] == "L" and cmds[4][0] == "Z":
+            pts = [(c[1], c[2]) for c in cmds[:4]]
+            for k in range(4):
+                x1, y1 = pts[k]
+                x2, y2 = pts[(k + 1) % 4]
+                add_seg(x1, y1, x2, y2)
+            continue
+        if path.stroke:
+            for k in range(len(cmds) - 1):
+                if cmds[k][0] in ("M", "L") and cmds[k + 1][0] == "L":
+                    add_seg(cmds[k][1], cmds[k][2],
+                            cmds[k + 1][1], cmds[k + 1][2])
+            continue
+        xs = [c[1] for c in cmds if c[0] in ("M", "L")]
+        ys = [c[2] for c in cmds if c[0] in ("M", "L")]
+        if not xs:
+            continue
+        w, h = max(xs) - min(xs), max(ys) - min(ys)
+        if h < 5 and w > 5:
+            add_seg(min(xs), (min(ys) + max(ys)) / 2,
+                    max(xs), (min(ys) + max(ys)) / 2)
+        elif w < 5 and h > 5:
+            add_seg((min(xs) + max(xs)) / 2, min(ys),
+                    (min(xs) + max(xs)) / 2, max(ys))
+    return h_lines, v_lines
+
+
 def _union_spans_fully(segs, left: float, right: float,
                        tol: float) -> bool:
     """A chain of h-segments covers [left, right] with gaps <= tol
@@ -1618,7 +1675,13 @@ def detect_pdf_table_regions(page, paths, scale: float,
         paths, scale, page_h_pts, page)
     reconstitute_dashed_lines(paths, h_lines, v_lines, scale,
                               page_h_pts, page.dims["height"])
-    tables = detect_strict_grids(h_lines, v_lines, page)
+    # strict grids use the more inclusive segment extraction so grids
+    # drawn as per-cell stroked rectangles detect (detectStrictGrids
+    # :2169-2172 feeds extractGridSegments, not classifyPaths)
+    gh, gv = extract_grid_segments(paths, scale, page_h_pts)
+    tables = detect_strict_grids(
+        merge_collinear_segments(gh, "y", "left", "right"),
+        merge_collinear_segments(gv, "x", "top", "bottom"), page)
 
     def _overlaps(a: Bbox, b: Bbox) -> bool:
         return not (a.right < b.left or b.right < a.left

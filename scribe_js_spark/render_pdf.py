@@ -609,6 +609,18 @@ def render_pdf(model: dict, compress: bool | None = None,
                                    f"{gx} {page_h - yy} l S")
                         yy = y2 + 1
                 continue
+            if grid.get("cell_rects"):
+                # per-cell stroked rectangles (re S): adjacent cells
+                # share their borders — the shape extractGridSegments
+                # decomposes into grid lines edge by edge
+                for ri in range(len(ys) - 1):
+                    for c in range(len(xs) - 1):
+                        w_c = xs[c + 1] - xs[c]
+                        h_c = ys[ri + 1] - ys[ri]
+                        ops.append(
+                            f"{xs[c]} {page_h - ys[ri + 1]} "
+                            f"{w_c} {h_c} re S")
+                continue
             if grid.get("segmented"):
                 # per-cell border segments, no verticals: each row rule
                 # breaks at interior column boundaries (6 px gaps) —

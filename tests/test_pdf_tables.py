@@ -424,3 +424,13 @@ def test_extend_table_refuses_number_strip_and_wide_column():
     extend_table_to_adjacent_content(table, page, [table])
     assert table["bbox"].left == 20
     assert table["col_separators"][0] == 300
+
+
+def test_stroked_cell_rect_grid():
+    """A grid drawn as per-cell stroked rectangles (re S) detects via
+    extractGridSegments' edge decomposition — classifyPaths alone
+    never sees its lines (doc 42)."""
+    m, page = _detect(42)
+    assert [(t["method"], len(t["col_separators"]) + 1)
+            for t in page.tables] == [("grid", 4)]
+    assert len(page.tables[0]["rows"]) == 4
