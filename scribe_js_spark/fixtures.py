@@ -1252,7 +1252,10 @@ def _build_phase2_table_model(doc_id: int, seed: int) -> dict:
       Total row below the bottom rule (extendTableToAdjacentContent
       left + bottom extensions);
     - 42: grid drawn as per-cell stroked rectangles (re S) — only the
-      edge-decomposing extractGridSegments path sees its lines."""
+      edge-decomposing extractGridSegments path sees its lines;
+    - 43: numeric table under STACKED 2-cell header rows (the
+      annual-report "As at / 31st March" pattern, detectHeaders
+      Rule 2 — cross-row x-alignment makes the header strong)."""
     variant = doc_id - 36
     rng = _doc_rng(seed + 7171, doc_id)
 
@@ -1421,6 +1424,43 @@ def _build_phase2_table_model(doc_id: int, seed: int) -> dict:
                        "dashed": False, "segmented": False}]
         regions.append({"table_n": 0, "method": "grid", "n_cols": 4,
                         "header": "none", "title": None})
+    elif variant == 7:
+        # stacked 2-cell header rows over label + 2 numeric columns
+        num_x = (550, 850)
+        heads = [("h2006x", "h2007x"), ("(Rs)xx", "(Rs)xx")]
+        for hrow in heads:
+            hl = [{"words": [tok(hrow[0], num_x[0] + 12, y)],
+                   "baseline_y": y, "indent": 0},
+                  {"words": [tok(hrow[1], num_x[1] + 12, y)],
+                   "baseline_y": y, "indent": 0}]
+            pars.append({"lines": hl})
+            y += LINE_PITCH
+        lines = []
+        for r in range(5):
+            label = f"item{r:02d}"
+            row_words = [tok(label, MARGIN_LEFT + 12, y),
+                         tok(f"{(r + 1) * 100:,}", num_x[0] + 12, y),
+                         tok(f"{(r + 1) * 200:,}", num_x[1] + 12, y)]
+            lines.append({"words": row_words, "baseline_y": y,
+                          "indent": 0})
+            y += LINE_PITCH
+        pars.append({"lines": lines})
+        for rn, hrow in enumerate(heads):
+            expected.append({"table_n": 0, "row_n": rn, "col_n": 0,
+                             "cell": ""})
+            expected.append({"table_n": 0, "row_n": rn, "col_n": 1,
+                             "cell": hrow[0]})
+            expected.append({"table_n": 0, "row_n": rn, "col_n": 2,
+                             "cell": hrow[1]})
+        for r in range(5):
+            expected.append({"table_n": 0, "row_n": r + 2, "col_n": 0,
+                             "cell": f"item{r:02d}"})
+            expected.append({"table_n": 0, "row_n": r + 2, "col_n": 1,
+                             "cell": f"{(r + 1) * 100:,}"})
+            expected.append({"table_n": 0, "row_n": r + 2, "col_n": 2,
+                             "cell": f"{(r + 1) * 200:,}"})
+        regions.append({"table_n": 0, "method": "numeric", "n_cols": 3,
+                        "header": "strong", "title": None})
     elif variant == 6:
         # per-cell stroked-rectangle grid
         n_rows, n_cols, col_w = 4, 4, 180
@@ -1719,7 +1759,7 @@ def build_pdf_table_models(doc_id: int, seed: int = SEED_DEFAULT) -> dict:
             "num_cells": num_cells, "hr_cells": hr_cells}
 
 
-def write_pdf_table_parquet(path: str, n_docs: int = 43,
+def write_pdf_table_parquet(path: str, n_docs: int = 44,
                             seed: int = SEED_DEFAULT) -> None:
     """pdf_table_docs.parquet (url, html) + pdf_table.parquet golden
     grid cells + pdf_table_meta.parquet (url, n_tables)."""

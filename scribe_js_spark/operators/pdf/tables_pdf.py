@@ -1615,7 +1615,36 @@ def detect_table_header(page, table: dict) -> dict | None:
             continue
         if best is None or len(a["cells"]) > len(best["cells"]):
             best = a
-    if best is None:
+
+    # Rule 2 (detectHeaders :2609-2664): stacked 2-cell headers. When
+    # no single row has 3+ cells, 2+ all-text rows of exactly two
+    # cells sharing x-positions (within 15% of the table width) are
+    # the annual-report "As at / 31st March / (Rs. in Crores)"
+    # pattern — the cross-row alignment is the structural signal.
+    best_cells = [ (c[0], c[1]) for c in best["cells"] ] if best else None
+    from_stacked = False
+    if best_cells is None:
+        two_cell = [a for a in annotated
+                    if a["all_text"] and len(a["cells"]) == 2]
+        if len(two_cell) >= 2:
+            x_tol = (bbox.right - bbox.left) * 0.15
+            ref = two_cell[0]
+            ref_lc = (ref["cells"][0][0] + ref["cells"][0][1]) / 2
+            ref_rc = (ref["cells"][1][0] + ref["cells"][1][1]) / 2
+            sums, n = [0.0, 0.0], 0
+            for a in two_cell:
+                lc = (a["cells"][0][0] + a["cells"][0][1]) / 2
+                rc = (a["cells"][1][0] + a["cells"][1][1]) / 2
+                if abs(lc - ref_lc) < x_tol and abs(rc - ref_rc) < x_tol:
+                    sums[0] += lc
+                    sums[1] += rc
+                    n += 1
+            if n >= 2:
+                from_stacked = True
+                best_cells = [(sums[0] / n - 50, sums[0] / n + 50),
+                              (sums[1] / n - 50, sums[1] / n + 50)]
+
+    if best_cells is None:
         if band_top >= first_row_y:
             return None
         return {"anchors": [], "band_top": band_top,
@@ -1624,15 +1653,16 @@ def detect_table_header(page, table: dict) -> dict | None:
     data_words = [
         w for r in data_rows for line in r for w in line.words]
     aligned = []
-    for left, right, _cw in best["cells"]:
+    for left, right in best_cells:
         for w in data_words:
             wc = (w.bbox.left + w.bbox.right) / 2
             if left - 5 <= wc <= right + 5:
                 aligned.append((left + right) / 2)
                 break
+    min_anchors = 2 if from_stacked else 4
     confidence = ("strong"
-                  if len(aligned) >= 4
-                  and len(aligned) >= len(best["cells"]) * 0.5
+                  if len(aligned) >= min_anchors
+                  and len(aligned) >= len(best_cells) * 0.5
                   else "weak")
     return {"anchors": aligned, "band_top": band_top,
             "confidence": confidence}

@@ -434,3 +434,14 @@ def test_stroked_cell_rect_grid():
     assert [(t["method"], len(t["col_separators"]) + 1)
             for t in page.tables] == [("grid", 4)]
     assert len(page.tables[0]["rows"]) == 4
+
+
+def test_stacked_two_cell_header_rule2():
+    """detectHeaders Rule 2: no single header row has 3+ cells, but
+    2+ all-text rows of exactly two x-aligned cells (the annual-report
+    'As at / 31st March' stack) make the header strong (doc 43)."""
+    m, page = _detect(43)
+    t = page.tables[0]
+    assert t["method"] == "numeric"
+    assert t["header"] == "strong"
+    assert len(t["col_separators"]) + 1 == 3
