@@ -1255,7 +1255,11 @@ def _build_phase2_table_model(doc_id: int, seed: int) -> dict:
       edge-decomposing extractGridSegments path sees its lines;
     - 43: numeric table under STACKED 2-cell header rows (the
       annual-report "As at / 31st March" pattern, detectHeaders
-      Rule 2 — cross-row x-alignment makes the header strong)."""
+      Rule 2 — cross-row x-alignment makes the header strong);
+    - 44: financial rows "label ....... $ 1,234 $ 567": leader-dot
+      runs absorb into the label phrase and currency glyphs chain
+      into their number (extractStructure cell merger) so neither
+      forms a spurious column."""
     variant = doc_id - 36
     rng = _doc_rng(seed + 7171, doc_id)
 
@@ -1423,6 +1427,28 @@ def _build_phase2_table_model(doc_id: int, seed: int) -> dict:
         page_grids = [{"col_xs": xs, "row_ys": row_ys,
                        "dashed": False, "segmented": False}]
         regions.append({"table_n": 0, "method": "grid", "n_cols": 4,
+                        "header": "none", "title": None})
+    elif variant == 8:
+        # currency + dot-leader rows
+        dots = "." * 7
+        lines = []
+        for r in range(5):
+            label = f"item{r:02d}"
+            words = [tok(label, MARGIN_LEFT + 12, y),
+                     tok(dots, 250, y),
+                     tok("$", 500, y),
+                     tok(f"{(r + 1) * 1000:,}", 540, y),
+                     tok("$", 800, y),
+                     tok(f"{(r + 1) * 500:,}", 840, y)]
+            lines.append({"words": words, "baseline_y": y, "indent": 0})
+            cells = [f"{label} {dots}",
+                     f"$ {(r + 1) * 1000:,}", f"$ {(r + 1) * 500:,}"]
+            for cn, cell in enumerate(cells):
+                expected.append({"table_n": 0, "row_n": r,
+                                 "col_n": cn, "cell": cell})
+            y += LINE_PITCH
+        pars.append({"lines": lines})
+        regions.append({"table_n": 0, "method": "numeric", "n_cols": 3,
                         "header": "none", "title": None})
     elif variant == 7:
         # stacked 2-cell header rows over label + 2 numeric columns
@@ -1759,7 +1785,7 @@ def build_pdf_table_models(doc_id: int, seed: int = SEED_DEFAULT) -> dict:
             "num_cells": num_cells, "hr_cells": hr_cells}
 
 
-def write_pdf_table_parquet(path: str, n_docs: int = 44,
+def write_pdf_table_parquet(path: str, n_docs: int = 45,
                             seed: int = SEED_DEFAULT) -> None:
     """pdf_table_docs.parquet (url, html) + pdf_table.parquet golden
     grid cells + pdf_table_meta.parquet (url, n_tables)."""

@@ -1502,13 +1502,101 @@ def _phrase_merge(words, gap_factor: float = 0.6) -> list[list]:
     return cells
 
 
-def infer_unruled_columns(page, bbox: Bbox) -> list[float]:
-    """Column separators for a borderless table from data-word
-    clustering (extractStructure word-level path,
-    detectPdfTables.js:2786-2990): phrase-merge each visual row, skip
-    rows above the first data row (year-only header rows would
-    otherwise bridge data columns), chain overlapping cell boxes
-    across rows into columns, and emit gap midpoints."""
+_CURRENCY_RE = re.compile(r"^[$\u20ac\u00a3\u00a5\u00a2]+$")
+_LEADER_RE = re.compile(r"^[*.]+$")
+
+
+def _merge_row_cells(row_words, avg_line_h: float) -> list[dict]:
+    """extractStructure's row-level cell merger
+    (detectPdfTables.js:2890-2947), in spatial order: a currency
+    symbol (or a run of coincident duplicates) chains into the
+    following word; leader-filler dot runs absorb into the current
+    phrase regardless of gap; digit-bearing words NEVER merge into a
+    phrase (independent numeric cells); otherwise consecutive textual
+    words merge while the x-gap stays under 0.4x the line height."""
+    ws = sorted(row_words, key=lambda w: w.bbox.left)
+    gap_threshold = avg_line_h * 0.4
+    cells = []
+    w = 0
+    while w < len(ws):
+        if _CURRENCY_RE.match(ws[w].text):
+            left, right = ws[w].bbox.left, ws[w].bbox.right
+            j2 = w + 1
+            while j2 < len(ws) and _CURRENCY_RE.match(ws[j2].text):
+                left = min(left, ws[j2].bbox.left)
+                right = max(right, ws[j2].bbox.right)
+                j2 += 1
+            if j2 < len(ws):
+                left = min(left, ws[j2].bbox.left)
+                right = max(right, ws[j2].bbox.right)
+                j2 += 1
+            cells.append({"left": left, "right": right})
+            w = j2
+            continue
+        left, right = ws[w].bbox.left, ws[w].bbox.right
+        cur_has_digit = bool(_DIGIT_RE.search(ws[w].text))
+        j2 = w + 1
+        while j2 < len(ws) and not _CURRENCY_RE.match(ws[j2].text):
+            t = ws[j2].text
+            if len(t) >= 3 and _LEADER_RE.match(t):
+                left = min(left, ws[j2].bbox.left)
+                right = max(right, ws[j2].bbox.right)
+                j2 += 1
+                continue
+            if cur_has_digit or _DIGIT_RE.search(t):
+                break
+            if ws[j2].bbox.left - right > gap_threshold:
+                break
+            left = min(left, ws[j2].bbox.left)
+            right = max(right, ws[j2].bbox.right)
+            j2 += 1
+        cells.append({"left": left, "right": right})
+        w = j2
+    return cells
+
+
+def _is_narrative_line(line) -> bool:
+    """Footnote/prose line inside a candidate
+    (extractStructure :2800-2812): 7+ non-leader words of which fewer
+    than half are numeric/currency."""
+    total = numeric = 0
+    for w in line.words:
+        if _LEADER_RE.match(w.text):
+            continue
+        total += 1
+        if is_num_word(w.text) or _CURRENCY_RE.match(w.text):
+            numeric += 1
+    return total > 6 and numeric / total < 0.5
+
+
+def infer_unruled_columns(page, bbox: Bbox,
+                          header_anchors: list[float] | None = None,
+                          method: str | None = None) -> list[float]:
+    """Column separators for a borderless table — the word-level path
+    of extractStructure (detectPdfTables.js:2782-3060):
+
+    - rows above the first data row (year-only headers) and
+      narrative/footnote rows wider than half the candidate are
+      excluded from clustering;
+    - per row, cells come from :func:`_merge_row_cells` (currency
+      chains, digit-no-merge, leader absorption);
+    - 1-D interval clustering (calcColumnBounds) over all cell boxes;
+    - columns with content in fewer than max(2, 25%) of the data rows
+      are pruned into their neighbor (outlier label overhangs);
+    - with strong ``header_anchors``, header-derived separators
+      (anchor midpoints + a synthesized label-column separator)
+      replace the clustering result when it under-counts a sparse
+      table (< 3 seps and header found more) or over-splits
+      (>= 2x the header's count)."""
+    from ..tables import calc_column_bounds
+
+    class _Box:
+        __slots__ = ("left", "right")
+
+        def __init__(self, left, right):
+            self.left = left
+            self.right = right
+
     rows = [r for r in group_lines_into_rows(
         [l for l in page.lines
          if bbox.top <= (l.bbox.top + l.bbox.bottom) / 2 <= bbox.bottom
@@ -1518,28 +1606,78 @@ def infer_unruled_columns(page, bbox: Bbox) -> list[float]:
     for ri, row_lines in enumerate(rows):
         words = [w for line in row_lines for w in line.words]
         n_data = sum(1 for w in words if _is_data_value_word(w.text))
-        if n_data >= 2:
+        has_cur = any(_CURRENCY_RE.match(w.text) for w in words)
+        if n_data >= 2 or has_cur:
             first_data = ri
             break
+    cand_w = bbox.right - bbox.left
     boxes = []
+    data_row_boxes = []
     for ri, row_lines in enumerate(rows):
         if first_data >= 0 and ri < first_data:
             continue
+        if any(line.bbox.right - line.bbox.left > cand_w * 0.5
+               and _is_narrative_line(line) for line in row_lines):
+            continue
         words = [w for line in row_lines for w in line.words]
-        boxes.extend(
-            (c[0], c[1]) for c in _phrase_merge(words))
-    if not boxes:
+        if not words:
+            continue
+        hs = [line.bbox.bottom - line.bbox.top for line in row_lines
+              if line.bbox.bottom > line.bbox.top]
+        avg_h = sum(hs) / len(hs) if hs else 20.0
+        row_cells = _merge_row_cells(words, avg_h)
+        boxes.extend(_Box(c["left"], c["right"]) for c in row_cells)
+        data_row_boxes.append(row_cells)
+    if len(boxes) < 2:
         return []
-    boxes.sort()
-    cols = [[boxes[0][0], boxes[0][1]]]
-    for left, right in boxes[1:]:
-        if left <= cols[-1][1]:  # x-overlap -> same column
-            cols[-1][1] = max(cols[-1][1], right)
-        else:
-            cols.append([left, right])
-    return [(cols[i][1] + cols[i + 1][0]) / 2
-            for i in range(len(cols) - 1)]
+    bounds = [list(b) for b in calc_column_bounds(boxes)]
 
+    # low-coverage column pruning (:2950-3005, data-row part)
+    if len(bounds) > 2:
+        floor_n = max(2, int(len(data_row_boxes) * 0.25))
+
+        def covered(col, cells):
+            return any(col[0] <= (c["left"] + c["right"]) / 2 <= col[1]
+                       for c in cells)
+
+        c = len(bounds) - 1
+        while c >= 0 and len(bounds) > 2:
+            hits = sum(1 for cells in data_row_boxes
+                       if covered(bounds[c], cells))
+            if hits == 0 or hits < floor_n:
+                if c == 0:
+                    bounds[1][0] = bounds[0][0]
+                else:
+                    bounds[c - 1][1] = bounds[c][1]
+                del bounds[c]
+            c -= 1
+
+    seps = [(bounds[i][1] + bounds[i + 1][0]) / 2
+            for i in range(len(bounds) - 1)]
+
+    if header_anchors and len(header_anchors) >= 2:
+        anchors = sorted(header_anchors)
+        h_seps = [(anchors[i] + anchors[i + 1]) / 2
+                  for i in range(len(anchors) - 1)]
+        left_guard = anchors[0] - 10
+        has_label = any(
+            l.bbox.right < left_guard for row_lines in rows
+            for l in row_lines)
+        if has_label:
+            half = (anchors[1] - anchors[0]) / 2
+            label_sep = anchors[0] - half
+            if label_sep > bbox.left + 5 \
+                    and anchors[0] - bbox.left > half * 2:
+                h_seps.insert(0, label_sep)
+        h_seps.sort()
+        sparse_under = len(h_seps) > len(seps) and len(seps) < 3
+        over_split = (len(h_seps) < len(seps) and len(h_seps) >= 2
+                      and len(h_seps) <= len(seps) * 0.5)
+        row_band_over = (method == "row-band" and len(h_seps) >= 2
+                         and len(h_seps) < len(seps))
+        if sparse_under or over_split or row_band_over:
+            return h_seps
+    return seps
 
 def detect_table_header(page, table: dict) -> dict | None:
     """Header association for a borderless table (detectHeaders,
@@ -1766,7 +1904,11 @@ def detect_pdf_table_regions(page, paths, scale: float,
         cand["header"] = (header or {}).get("confidence", "none") \
             if header else "none"
         cand["col_separators"] = infer_unruled_columns(
-            page, cand["bbox"])
+            page, cand["bbox"],
+            header_anchors=(header or {}).get("anchors")
+            if header and header.get("confidence") == "strong"
+            else None,
+            method=cand["method"])
         tables.append(cand)
 
     # Phase 3.5/4 row-band integration (detectPdfTables.js:282-287,

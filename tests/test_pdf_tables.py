@@ -445,3 +445,45 @@ def test_stacked_two_cell_header_rule2():
     assert t["method"] == "numeric"
     assert t["header"] == "strong"
     assert len(t["col_separators"]) + 1 == 3
+
+
+def test_currency_chain_and_leader_dots():
+    """extractStructure cell merger: '$' chains into its number and
+    '.......' leaders absorb into the label phrase — neither forms a
+    spurious column (doc 44)."""
+    m, page = _detect(44)
+    t = page.tables[0]
+    assert len(t["col_separators"]) + 1 == 3
+
+
+def test_header_anchor_separator_replacement():
+    """Sparse tables: when word clustering under-counts (< 3 seps) and
+    a strong header found more anchors, the header-derived separators
+    (anchor midpoints + synthesized label separator) win."""
+    from scribe_js_spark.model import Bbox, OcrLine, OcrPage, OcrWord
+    from scribe_js_spark.operators.pdf.tables_pdf import (
+        infer_unruled_columns)
+
+    page = OcrPage(0, {"width": 1224, "height": 1584})
+
+    def line(y, x, text):
+        ln = OcrLine(page, Bbox(x, y, x + len(text) * 15, y + 40),
+                     [0.0, 0.0])
+        w = OcrWord(ln, f"w{y}_{x}", text,
+                    Bbox(x, y, x + len(text) * 15, y + 40))
+        ln.words = [w]
+        return ln
+
+    # sparse: labels + ONE populated numeric column; the header named 4
+    page.lines = []
+    for r in range(4):
+        y = 100 + r * 50
+        page.lines.append(line(y, 100, f"item{r:02d}"))
+        page.lines.append(line(y, 500, "1,234"))
+    bbox = Bbox(100, 95, 1180, 300)
+    plain = infer_unruled_columns(page, bbox)
+    assert len(plain) < 3
+    with_hdr = infer_unruled_columns(
+        page, bbox, header_anchors=[530.0, 730.0, 930.0, 1130.0])
+    assert len(with_hdr) == 4            # label sep + 3 anchor midpoints
+    assert with_hdr[0] < 530
