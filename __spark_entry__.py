@@ -454,6 +454,13 @@ def _q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows.append((9000 + i, encode_tiff(
             px, compression=[1, 5, 32773][i % 3],
             predictor=[1, 2][i % 2])))
+    for i in range(9):  # CCITT fax TIFF: bilevel threshold of the gray
+        w = 16 + i % 8
+        h = 8 + i % 5
+        xs, ys = np.meshgrid(np.arange(w), np.arange(h))
+        px = ((xs * 7 + ys * 13) % 256).astype(np.uint8)
+        rows.append((9300 + i, encode_tiff(
+            px[:, :, None], compression=[2, 3, 4][i % 3])))
     for i in range(10):  # BMP: gray paletted / 24-bit RGB, both row orders
         w = 16 + i % 8
         h = 8 + i % 5
@@ -2599,6 +2606,23 @@ WHERE len(list_intersect(ta.toks, tb.toks))
               WHERE x.x < (16 + r % 8) AND y.y < (8 + r % 5)
                 AND r < b.n AND (b.b = 9000 OR r % 2 = 0)
             ) GROUP BY media_id, kind, w, h
+            UNION ALL
+            -- CCITT fax TIFF rows (ids 9300+, compressions MH/G3/G4):
+            -- bilevel threshold of the gray formula at 128 -> decoded
+            -- pixel is 255 where the gray value >= 128, else 0
+            SELECT media_id, 'tiff' AS kind, w::BIGINT AS width,
+                   h::BIGINT AS height, NULL::BIGINT AS n_bytes_simg,
+                   CAST(floor(avg(v) * 1e6) AS BIGINT) AS mean_e6,
+                   NULL::BIGINT AS sample_rate, NULL::BIGINT AS duration_ms,
+                   NULL::BIGINT AS n_frames
+            FROM (
+              SELECT 9300 + r AS media_id, (16 + r % 8) AS w,
+                     (8 + r % 5) AS h,
+                     (CASE WHEN (x.x * 7 + y.y * 13) % 256 >= 128
+                           THEN 255 ELSE 0 END)::DOUBLE AS v
+              FROM range(9) t(r), range(24) x(x), range(13) y(y)
+              WHERE x.x < (16 + r % 8) AND y.y < (8 + r % 5)
+            ) GROUP BY media_id, w, h
             UNION ALL
             -- 24-bit BMP rows (odd ids 9100+): channels
             -- (v, (v+9)%256, (v+77)%256)

@@ -3,9 +3,12 @@
 IFD walk (II/MM byte orders), strip-based grayscale/RGB images at
 8 bits per sample, compressions: none (1), LZW (5 — the MSB-first
 EarlyChange flavor shared with PDF streams), PackBits (32773), with
-horizontal differencing (Predictor 2). Tiled images, JPEG-in-TIFF,
-CCITT fax and sub-byte depths raise NotImplementedError — surfaced as
-the error column upstream.
+horizontal differencing (Predictor 2), plus bilevel CCITT fax images
+(1 bit per sample): Modified Huffman (2), Group 3 1-D with EOLs (3)
+and Group 4 / T.6 2-D (4) through the from-scratch ``textops.ccitt``
+codec — fax output expands to 0/255 grayscale. Tiled images,
+JPEG-in-TIFF and other sub-byte depths raise NotImplementedError —
+surfaced as the error column upstream.
 
 Encoder (fixture side): single-strip writer for the same subset.
 """
@@ -119,9 +122,29 @@ def decode_tiff(data: bytes):
         raise ValueError("tiff: missing dimensions")
     spp = one(TAG_SPP, 1)
     bps = tags.get(TAG_BPS, [8])
+    compression = one(TAG_COMPRESSION, 1)
+    if compression in (2, 3, 4):
+        # CCITT fax: bilevel, whole image in one strip run
+        if any(b != 1 for b in bps) or spp != 1:
+            raise NotImplementedError("tiff: fax must be bilevel")
+        from .ccitt import decode_g4, decode_mh
+
+        offsets = tags.get(TAG_STRIP_OFFSETS)
+        counts = tags.get(TAG_STRIP_COUNTS)
+        if not offsets or not counts:
+            raise ValueError("tiff: missing strip tables")
+        enc = b"".join(data[o:o + c] for o, c in zip(offsets, counts))
+        if compression == 4:
+            bits = decode_g4(enc, width, height)
+        else:
+            bits = decode_mh(enc, width, height, eols=compression == 3)
+        px = np.array(bits, dtype=np.uint8)[:, :, None] * 255
+        if one(TAG_PHOTOMETRIC, 0) == 0:
+            # WhiteIsZero (fax default): 1 bits are BLACK
+            px = 255 - px
+        return width, height, 1, px
     if any(b != 8 for b in bps):
         raise NotImplementedError(f"tiff: {bps} bits per sample")
-    compression = one(TAG_COMPRESSION, 1)
     predictor = one(TAG_PREDICTOR, 1)
     offsets = tags.get(TAG_STRIP_OFFSETS)
     counts = tags.get(TAG_STRIP_COUNTS)
@@ -163,13 +186,26 @@ def decode_tiff(data: bytes):
 def encode_tiff(pixels, compression: int = 1, predictor: int = 1,
                 photometric: int = 1) -> bytes:
     """Fixture writer: single-strip little-endian TIFF for uint8
-    (h, w) or (h, w, spp) arrays; compression 1/5/32773."""
+    (h, w) or (h, w, spp) arrays; compression 1/5/32773, or CCITT
+    fax 2/3/4 (input thresholded at 128 -> bilevel, PhotometricInterp
+    WhiteIsZero)."""
     import numpy as np
 
     px = np.asarray(pixels, dtype=np.uint8)
     if px.ndim == 2:
         px = px[:, :, None]
     h, w, spp = px.shape
+    if compression in (2, 3, 4):
+        from .ccitt import encode_g4, encode_mh
+
+        assert spp == 1, "fax is bilevel"
+        bits = [[0 if v >= 128 else 1 for v in row]
+                for row in px[:, :, 0].tolist()]  # 1 = black
+        if compression == 4:
+            strip = encode_g4(bits, w)
+        else:
+            strip = encode_mh(bits, w, eols=compression == 3)
+        return _assemble_tiff(w, h, 1, compression, 0, strip, bps=1)
     body = px
     if predictor == 2:
         d = body.astype(np.int16)
@@ -185,15 +221,20 @@ def encode_tiff(pixels, compression: int = 1, predictor: int = 1,
     else:
         strip = raw
 
+    return _assemble_tiff(w, h, spp, compression, photometric, strip,
+                          bps=8, predictor=predictor)
+
+
+def _assemble_tiff(w, h, spp, compression, photometric, strip,
+                   bps=8, predictor=1) -> bytes:
     entries = []
 
     def entry(tag, typ, count, value):
         entries.append((tag, typ, count, value))
 
-    strip_off_pos = None  # patched after layout
     entry(TAG_WIDTH, 4, 1, w)
     entry(TAG_HEIGHT, 4, 1, h)
-    entry(TAG_BPS, 3, 1, 8)  # one value: applies to all samples here
+    entry(TAG_BPS, 3, 1, bps)  # one value: applies to all samples here
     entry(TAG_COMPRESSION, 3, 1, compression)
     entry(TAG_PHOTOMETRIC, 3, 1, photometric)
     entry(TAG_STRIP_OFFSETS, 4, 1, 0)
@@ -211,11 +252,9 @@ def encode_tiff(pixels, compression: int = 1, predictor: int = 1,
     for tag, typ, count, value in entries:
         if tag == TAG_STRIP_OFFSETS:
             value = data_off
-            strip_off_pos = len(out) + 8
         out += struct.pack("<HHI", tag, typ, count)
         out += struct.pack("<I", value)
     out += struct.pack("<I", 0)  # next IFD
     assert len(out) == data_off
-    _ = strip_off_pos
     out += strip
     return bytes(out)
