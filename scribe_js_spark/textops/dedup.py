@@ -278,12 +278,18 @@ def simhash(df: DataFrame, text_col: str = "text") -> DataFrame:
     return ts.select("doc_id", sig.alias("simhash"))
 
 
-def simhash_candidates(df: DataFrame, text_col: str = "text") -> DataFrame:
+def simhash_candidates(df: DataFrame, text_col: str = "text",
+                       max_bucket_size: int | None = None) -> DataFrame:
     """Near-dup candidates within Hamming distance 3 of each other:
     4x15-bit block join (pigeonhole: <=3 differing bits leave one of 4
     blocks identical), then exact popcount filter. Blocks come from one
     posexplode over the computed signature — the signature expression
-    is evaluated once per join side, not once per block."""
+    is evaluated once per join side, not once per block.
+
+    ``max_bucket_size`` drops degenerate (blk, blk_val) keys — e.g.
+    thousands of near-empty documents collapsing to signature 0 —
+    the same hot-bucket guard as minhash_lsh_pairs /
+    embedding_near_dups / image_near_dups."""
     sh = simhash(df, text_col)
     blk_vals = F.array(*[
         F.shiftrightunsigned(F.col("simhash"), blk * 15)
@@ -293,6 +299,12 @@ def simhash_candidates(df: DataFrame, text_col: str = "text") -> DataFrame:
     blocks = sh.select(
         "doc_id", "simhash",
         F.posexplode(blk_vals).alias("blk", "blk_val"))
+    if max_bucket_size is not None:
+        ok = (blocks.groupBy("blk", "blk_val")
+              .agg(F.count("*").alias("_n"))
+              .filter(F.col("_n") <= max_bucket_size)
+              .drop("_n"))
+        blocks = blocks.join(ok, ["blk", "blk_val"])
     xor = F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
     hamming = F.bit_count(xor).cast("int")
     # Hamming filter BEFORE the dedup-distinct: the popcount is a cheap

@@ -90,3 +90,20 @@ def test_minhash_cap_reference_behavior(spark):
     got = {(r["doc_a"], r["doc_b"]) for r in capped.collect()}
     assert (1000, 1001) in got
     assert not any(a < 40 and b < 40 for a, b in got)
+
+
+def test_simhash_cap_drops_degenerate_block(spark):
+    # near-empty docs collapse to one signature -> one degenerate
+    # block bucket per block; the cap keeps the join output-bound
+    from scribe_js_spark.textops.dedup import simhash_candidates
+
+    docs = [(i, "x") for i in range(40)]
+    docs += [(1000, "the quick brown fox jumps over the lazy dog"),
+             (1001, "the quick brown fox jumps over the lazy dogs")]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    capped = simhash_candidates(df, max_bucket_size=10)
+    got = {(r["doc_a"], r["doc_b"]) for r in capped.collect()}
+    assert not any(a < 40 and b < 40 for a, b in got)
+    uncapped = simhash_candidates(df)
+    assert sum(1 for r in uncapped.collect()
+               if r["doc_a"] < 40 and r["doc_b"] < 40) == 40 * 39 // 2
