@@ -1122,19 +1122,22 @@ def _q_pdf_images(spark: SparkSession, sf_dir: str) -> DataFrame:
         StructField("has_smask", BooleanType()),
         StructField("interpolate", BooleanType()),
         StructField("n_raw_bytes", LongType()),
+        StructField("pixels_mean_e6", LongType()),
     ])
 
     def fn(batches: Iterator) -> Iterator:
         for pdf in batches:
             out = {f.name: [] for f in schema.fields}
             for url, html in zip(pdf["url"], pdf["html"]):
-                for n, rec in enumerate(extract_images(bytes(html))):
+                for n, rec in enumerate(extract_images(
+                        bytes(html), with_pixels=True)):
                     out["url"].append(url)
                     out["image_n"].append(n)
                     for k in ("width", "height", "bpc", "image_mask",
                               "colorspace", "palette_hival", "filter",
                               "ext", "decode_invert", "has_smask",
-                              "interpolate", "n_raw_bytes"):
+                              "interpolate", "n_raw_bytes",
+                              "pixels_mean_e6"):
                         out[k].append(rec[k])
             yield pd.DataFrame(out)
 
@@ -2140,6 +2143,7 @@ def oracle_sql() -> dict[str, str]:
             " width::BIGINT AS width, height::BIGINT AS height,"
             " bpc::BIGINT AS bpc, image_mask, colorspace,"
             " palette_hival::BIGINT AS palette_hival, filter, ext,"
+            " pixels_mean_e6::BIGINT AS pixels_mean_e6,"
             " decode_invert, has_smask, interpolate,"
             " n_raw_bytes::BIGINT AS n_raw_bytes"
             f" FROM read_parquet("

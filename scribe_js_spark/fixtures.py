@@ -3032,8 +3032,12 @@ def build_image_models(doc_id: int, seed: int = SEED_DEFAULT) -> dict:
     (with /Interpolate on every 6th doc), a 1-bit /ImageMask with an
     inverted /Decode, an /Indexed palette image, and per-doc-id
     variants: DCTDecode (jpg), JPXDecode (jp2), ICCBased N=4 (folds to
-    DeviceCMYK), and a gray image carrying a /SMask (the soft mask is
-    itself inventoried — the sweep is doc-wide)."""
+    DeviceCMYK), a gray image carrying a /SMask (the soft mask is
+    itself inventoried — the sweep is doc-wide), and a CCITT Group 4
+    fax image (the classic scanned-PDF shape) whose decoded mean is
+    part of the golden. Every record carries ``pixels_mean_e6`` — the
+    analytic decoded-pixel mean for the decodable codecs, None where
+    decode_image_pixels stubs or the payload is broken."""
     import zlib
 
     from .render_pdf import _Writer
@@ -3047,6 +3051,8 @@ def build_image_models(doc_id: int, seed: int = SEED_DEFAULT) -> dict:
     def img(dict_body: str, data: bytes, **g):
         img_defs.append((dict_body, data, g))
 
+    import math as _m
+
     interp = doc_id % 6 == 0
     rgb_raw = bytes((x * 7 + doc_id) % 256 for x in range(wd * ht * 3))
     rgb = zlib.compress(rgb_raw)
@@ -3057,15 +3063,36 @@ def build_image_models(doc_id: int, seed: int = SEED_DEFAULT) -> dict:
         rgb, width=wd, height=ht, bpc=8, image_mask=False,
         colorspace="DeviceRGB", palette_hival=-1, filter="FlateDecode",
         ext="raw", decode_invert=False, has_smask=False,
-        interpolate=interp, n_raw_bytes=len(rgb))
+        interpolate=interp, n_raw_bytes=len(rgb),
+        pixels_mean_e6=int(_m.floor(
+            sum(rgb_raw) / len(rgb_raw) * 1e6)))
 
     mask = bytes([0b10101010] * (((wd + 7) // 8) * ht))
+    # /Decode [1 0] inverts the 1,0,1,0 bit pattern: even columns 0,
+    # odd columns 255 -> mean = 255 * floor(wd/2) / wd
     img(f"/Subtype /Image /Width {wd} /Height {ht} /ImageMask true "
         f"/BitsPerComponent 1 /Decode [1 0]",
         mask, width=wd, height=ht, bpc=1, image_mask=True,
         colorspace="DeviceGray", palette_hival=-1, filter="",
         ext="raw", decode_invert=True, has_smask=False,
-        interpolate=False, n_raw_bytes=len(mask))
+        interpolate=False, n_raw_bytes=len(mask),
+        pixels_mean_e6=int(_m.floor(255 * (wd // 2) / wd * 1e6)))
+
+    from .textops.ccitt import encode_g4
+    fax_bits = [[1 if (x * 7 + y * 13) % 256 < 128 else 0
+                 for x in range(wd)] for y in range(ht)]
+    fax = encode_g4(fax_bits, wd)
+    fax_mean = 255 * sum(1 - b for row in fax_bits for b in row) \
+        / (wd * ht)
+    img(f"/Subtype /Image /Width {wd} /Height {ht} "
+        f"/ColorSpace /DeviceGray /BitsPerComponent 1 "
+        f"/Filter /CCITTFaxDecode "
+        f"/DecodeParms << /K -1 /Columns {wd} /Rows {ht} >>",
+        fax, width=wd, height=ht, bpc=1, image_mask=False,
+        colorspace="DeviceGray", palette_hival=-1,
+        filter="CCITTFaxDecode", ext="raw", decode_invert=False,
+        has_smask=False, interpolate=False, n_raw_bytes=len(fax),
+        pixels_mean_e6=int(_m.floor(fax_mean * 1e6)))
 
     pal = zlib.compress(bytes(x % 4 for x in range(wd * ht)))
     img(f"/Subtype /Image /Width {wd} /Height {ht} "
@@ -3074,7 +3101,7 @@ def build_image_models(doc_id: int, seed: int = SEED_DEFAULT) -> dict:
         pal, width=wd, height=ht, bpc=8, image_mask=False,
         colorspace="Indexed", palette_hival=3, filter="FlateDecode",
         ext="raw", decode_invert=False, has_smask=False,
-        interpolate=False, n_raw_bytes=len(pal))
+        interpolate=False, n_raw_bytes=len(pal), pixels_mean_e6=None)
 
     if doc_id % 2 == 0:
         jpg = (b"\xff\xd8\xff\xdb\x00\x05\x00\x01\x02"
@@ -3085,7 +3112,8 @@ def build_image_models(doc_id: int, seed: int = SEED_DEFAULT) -> dict:
             jpg, width=wd * 2, height=ht * 2, bpc=8, image_mask=False,
             colorspace="DeviceRGB", palette_hival=-1,
             filter="DCTDecode", ext="jpg", decode_invert=False,
-            has_smask=False, interpolate=False, n_raw_bytes=len(jpg))
+            has_smask=False, interpolate=False, n_raw_bytes=len(jpg),
+            pixels_mean_e6=None)
 
     if doc_id % 3 == 0:
         jp2 = b"\xff\x4f\xff\x51" + bytes(16)
@@ -3095,7 +3123,8 @@ def build_image_models(doc_id: int, seed: int = SEED_DEFAULT) -> dict:
             jp2, width=wd, height=ht, bpc=8, image_mask=False,
             colorspace="DeviceRGB", palette_hival=-1,
             filter="JPXDecode", ext="jp2", decode_invert=False,
-            has_smask=False, interpolate=False, n_raw_bytes=len(jp2))
+            has_smask=False, interpolate=False, n_raw_bytes=len(jp2),
+            pixels_mean_e6=None)
 
     # fixed objects: 1 Catalog, 2 Pages, 3 Page, 4 Contents, then the
     # images (+ optional ICC stream / SMask pair appended after).
@@ -3142,7 +3171,8 @@ def build_image_models(doc_id: int, seed: int = SEED_DEFAULT) -> dict:
             width=wd, height=ht, bpc=8, image_mask=False,
             colorspace="DeviceCMYK", palette_hival=-1,
             filter="FlateDecode", ext="raw", decode_invert=False,
-            has_smask=False, interpolate=False, n_raw_bytes=len(cmyk)))
+            has_smask=False, interpolate=False, n_raw_bytes=len(cmyk),
+            pixels_mean_e6=None))
     if smask_num:
         sm = zlib.compress(bytes(wd * ht))
         w.add((f"<< /Subtype /Image /Width {wd} /Height {ht} "
@@ -3159,12 +3189,14 @@ def build_image_models(doc_id: int, seed: int = SEED_DEFAULT) -> dict:
             width=wd, height=ht, bpc=8, image_mask=False,
             colorspace="DeviceGray", palette_hival=-1,
             filter="FlateDecode", ext="raw", decode_invert=False,
-            has_smask=False, interpolate=False, n_raw_bytes=len(sm)))
+            has_smask=False, interpolate=False, n_raw_bytes=len(sm),
+            pixels_mean_e6=0))
         golden.append(dict(
             width=wd, height=ht, bpc=8, image_mask=False,
             colorspace="DeviceGray", palette_hival=-1,
             filter="FlateDecode", ext="raw", decode_invert=False,
-            has_smask=True, interpolate=False, n_raw_bytes=len(gray)))
+            has_smask=True, interpolate=False, n_raw_bytes=len(gray),
+            pixels_mean_e6=0))
     for n, g in enumerate(golden):
         g["image_n"] = n
     return {"pdf": w.build(), "expected": golden}

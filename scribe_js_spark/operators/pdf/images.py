@@ -6,10 +6,13 @@ in the document with dimensions, bit depth, mask flag, resolved color
 space (Indexed palette hival, ICCBased folded to its device analogue
 by /N), filter chain + codec extension (imageFilterToExt :1075),
 /Decode inversion, /SMask and /Interpolate flags, and the raw stream
-size. Pixel decode stays in the codec layer (PNG in
-textops/multimodal.py and baseline+progressive DCT/JPEG in
-textops/jpeg.py are real; JPX stays an honest stub — the inventory is
-what a multimodal pipeline partitions on).
+size. Pixel decode (``decode_image_pixels``) covers the real codecs:
+CCITTFaxDecode (K<0 Group 4 / K=0 Modified Huffman through
+textops/ccitt — the classic scanned-PDF shape), DCTDecode (baseline +
+progressive JPEG through textops/jpeg), uncompressed/Flate 8-bpc
+gray/RGB samples, and raw 1-bpc bilevel; JPX and JBIG2 stay honest
+NotImplementedError stubs — the inventory is what a multimodal
+pipeline partitions on.
 """
 
 from __future__ import annotations
@@ -124,11 +127,89 @@ def parse_image_object(doc: PdfDocument, objnum: int,
     }
 
 
-def extract_images(data: bytes) -> list[dict]:
+def decode_image_pixels(doc: PdfDocument, obj: StreamObj):
+    """Image XObject -> grayscale-equivalent uint8 array (h, w) or
+    (h, w, 3), or raise NotImplementedError for codecs we stub
+    (JPX/JBIG2) / unsupported layouts. ``doc.stream_data`` applies the
+    text filters and leaves codec bytes untouched, so the fax/JPEG
+    payload arrives intact."""
+    import numpy as np
+
+    d = obj.dict
+    width = int(doc.resolve(d.get("Width")))
+    height = int(doc.resolve(d.get("Height")))
+    bpc = int(doc.resolve(d.get("BitsPerComponent", 8)) or 8)
+    filters = _filter_names(doc, d)
+    data = doc.stream_data(obj)
+    codec = next((f for f in filters if f in _CODECS), None)
+    if codec == "CCITTFaxDecode":
+        from ...textops.ccitt import decode_g4, decode_mh
+
+        parms = doc.resolve(d.get("DecodeParms"))
+        if isinstance(parms, list):
+            parms = next((doc.resolve(p) for p in parms
+                          if isinstance(doc.resolve(p), dict)), {})
+        parms = parms if isinstance(parms, dict) else {}
+        k = int(doc.resolve(parms.get("K", 0)) or 0)
+        cols = int(doc.resolve(parms.get("Columns", 1728)) or 1728)
+        rows = int(doc.resolve(parms.get("Rows", height)) or height)
+        black_is_1 = doc.resolve(parms.get("BlackIs1")) is True
+        if k < 0:
+            bits = decode_g4(data, cols, rows)
+        elif k == 0:
+            bits = decode_mh(data, cols, rows, eols=False)
+        else:
+            raise NotImplementedError("ccitt: mixed 2-D (K > 0)")
+        # the decoder returns 1 = black ink; emit ink-oriented
+        # grayscale (black ink = 0, paper = 255). BlackIs1 only names
+        # which SAMPLE value carries ink; a producer pairing it with a
+        # /Decode inversion cancels back to the same ink meaning, so
+        # the pixel surface this API exposes is stable either way.
+        _ = black_is_1
+        return (1 - np.array(bits, dtype=np.uint8)) * 255
+    if codec == "DCTDecode":
+        from ...textops.jpeg import decode_jpeg
+
+        return decode_jpeg(data)
+    if codec is not None:
+        raise NotImplementedError(f"image codec {codec}")
+    cs, _hival = _colorspace(doc, d)
+    if bpc == 8 and cs in ("DeviceGray", "DeviceRGB"):
+        spp = 3 if cs == "DeviceRGB" else 1
+        need = width * height * spp
+        if len(data) < need:
+            raise ValueError("image: truncated samples")
+        arr = np.frombuffer(data[:need], dtype=np.uint8)
+        return arr.reshape(
+            (height, width, 3) if spp == 3 else (height, width))
+    if bpc == 1:
+        row_bytes = (width + 7) // 8
+        if len(data) < row_bytes * height:
+            raise ValueError("image: truncated bilevel samples")
+        bits = np.unpackbits(
+            np.frombuffer(data[:row_bytes * height], dtype=np.uint8)
+            .reshape(height, row_bytes), axis=1)[:, :width]
+        decode = doc.resolve(d.get("Decode"))
+        inverted = (isinstance(decode, list) and len(decode) >= 2
+                    and float(doc.resolve(decode[0]))
+                    > float(doc.resolve(decode[1])))
+        if inverted:
+            bits = 1 - bits
+        return (bits * 255).astype(np.uint8)
+    raise NotImplementedError(f"image layout bpc={bpc} cs={cs}")
+
+
+def extract_images(data: bytes,
+                   with_pixels: bool = False) -> list[dict]:
     """Every image XObject in the document, in object-number order
     (extractImages, parsePdfImages.js:199 — doc-wide xref sweep, so
     unreferenced/orphaned images are inventoried too). Total: corrupt
-    documents yield the empty inventory rather than raising."""
+    documents yield the empty inventory rather than raising.
+
+    With ``with_pixels`` each record gains ``pixels_mean_e6`` — the
+    decoded mean pixel value in micro-units through
+    :func:`decode_image_pixels` (fax/JPEG/raw), or None where the
+    codec is stubbed or the payload is broken (never fatal)."""
     try:
         doc = PdfDocument(data)
     except Exception:
@@ -148,5 +229,14 @@ def extract_images(data: bytes) -> list[dict]:
         except Exception:
             continue
         if info:
+            if with_pixels:
+                try:
+                    px = decode_image_pixels(doc, obj)
+                    import math
+
+                    info["pixels_mean_e6"] = int(
+                        math.floor(float(px.mean()) * 1e6))
+                except Exception:
+                    info["pixels_mean_e6"] = None
             out.append(info)
     return out
