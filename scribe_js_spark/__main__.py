@@ -9,6 +9,7 @@ Usage (via spark-submit --py-files scribe_js_spark.zip):
     python -m scribe_js_spark eval     LAYERS_PARQUET           # eval metrics
     python -m scribe_js_spark dedup    DOCS_PARQUET [--method m]  # near-dup pairs
     python -m scribe_js_spark media    MEDIA_PARQUET              # decode summary
+    python -m scribe_js_spark tables   INPUT_PARQUET OUT_DIR       # detected tables -> xlsx+md
 """
 
 from __future__ import annotations
@@ -131,6 +132,64 @@ def cmd_media(args) -> int:
     return 0
 
 
+def cmd_tables(args) -> int:
+    """Detected tables per document -> one .xlsx (all tables as
+    sheets-in-one via blank-row separation) and one .md per url into
+    OUT_DIR — the writeTabular verb of the reference CLI, driven by
+    the full detectPdfTables ladder."""
+    import os
+
+    spark = _spark("scribe-tables")
+
+    def fn(batches):
+        import pandas as pd
+
+        from .export.xlsx import write_xlsx
+        from .extract import extract_document
+        from .operators.pdf.tables_pdf import columns_from_separators
+        from .operators.tables import (extract_table_rows,
+                                       render_table_markdown)
+
+        os.makedirs(args.output, exist_ok=True)
+        for pdf in batches:
+            out = {"url": [], "n_tables": [], "n_cells": []}
+            for url, html in zip(pdf["url"], pdf["html"]):
+                res = extract_document(bytes(html))
+                matrices = []
+                if res.error is None:
+                    for page in res.pages:
+                        for t in getattr(page, "tables", []) or []:
+                            cols = (columns_from_separators(
+                                t["bbox"], t["col_separators"])
+                                if t["method"] != "grid"
+                                and t.get("col_separators") else None)
+                            m = extract_table_rows(page, t["bbox"], cols)
+                            if m:
+                                matrices.append(m)
+                slug = url.rstrip("/").rsplit("/", 1)[-1] or "doc"
+                if matrices:
+                    with open(os.path.join(
+                            args.output, f"{slug}.xlsx"), "wb") as f:
+                        f.write(write_xlsx(matrices))
+                    md = "\n\n".join(
+                        render_table_markdown(m)
+                        for m in matrices)
+                    with open(os.path.join(
+                            args.output, f"{slug}.md"), "w") as f:
+                        f.write(md + "\n")
+                out["url"].append(url)
+                out["n_tables"].append(len(matrices))
+                out["n_cells"].append(
+                    sum(len(r) for m in matrices for r in m))
+            yield pd.DataFrame(out)
+
+    df = spark.read.parquet(args.input).select("url", "html")
+    res = df.mapInPandas(
+        fn, schema="url string, n_tables long, n_cells long")
+    res.orderBy("url").show(args.limit, False)
+    return 0
+
+
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser(prog="scribe_js_spark")
     sub = parser.add_subparsers(dest="cmd", required=True)
@@ -166,6 +225,12 @@ def main(argv=None) -> int:
     p = sub.add_parser("media", help="decode a media table")
     p.add_argument("input")
     p.set_defaults(fn=cmd_media)
+
+    p = sub.add_parser("tables", help="extract detected tables")
+    p.add_argument("input")
+    p.add_argument("output")
+    p.add_argument("--limit", type=int, default=20)
+    p.set_defaults(fn=cmd_tables)
 
     args = parser.parse_args(argv)
     return args.fn(args)
