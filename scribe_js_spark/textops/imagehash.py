@@ -118,9 +118,19 @@ def image_near_dups(df: DataFrame, max_distance: int = 3,
     ``max_bucket_size`` drops degenerate (block_n, block) keys — e.g.
     monochrome images that all collapse to the same pHash block value
     at corpus scale — same guard as minhash_lsh_pairs /
-    embedding_near_dups; the self-join stays output-bound."""
-    hashed = phash_images(df, id_col, bytes_col) \
-        .filter(F.col("error").isNull()).select("media_id", "phash")
+    embedding_near_dups; the self-join stays output-bound.
+
+    The pHash table is persisted before the self-join: the plan
+    otherwise re-runs the Arrow decode+DCT UDF once per join side
+    (plus once for the cap count) — 3x the dominant cost. The
+    persisted state is only (media_id, phash) — 16 bytes a row; at
+    corpus scale you would checkpoint it to a table instead."""
+    from pyspark import StorageLevel
+
+    hashed = (phash_images(df, id_col, bytes_col)
+              .filter(F.col("error").isNull())
+              .select("media_id", "phash")
+              .persist(StorageLevel.MEMORY_AND_DISK))
     blocks = hashed.select(
         "media_id", "phash",
         F.posexplode(F.array(*[
