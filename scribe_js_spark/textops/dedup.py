@@ -236,8 +236,15 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
             for r in range(rows_per_band)]))
         for band in range(bands)
     ])
+    # persisted: the bucket self-join otherwise recomputes the full
+    # shingle+md5 signature pipeline once per join side (plus once for
+    # the cap count). State is (doc_id, band, bucket) only — at corpus
+    # scale you would checkpoint the signature table instead.
+    from pyspark import StorageLevel
+
     band_rows = sig.select(
-        "doc_id", F.posexplode(buckets).alias("band", "bucket"))
+        "doc_id", F.posexplode(buckets).alias("band", "bucket")) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
     if max_bucket_size is not None:
         ok = (band_rows.groupBy("band", "bucket")
               .agg(F.count("*").alias("_n"))
@@ -296,9 +303,12 @@ def simhash_candidates(df: DataFrame, text_col: str = "text",
         .bitwiseAND(F.lit(0x7FFF)).cast("long")
         for blk in range(SIMHASH_BLOCKS)
     ])
+    from pyspark import StorageLevel
+
     blocks = sh.select(
         "doc_id", "simhash",
-        F.posexplode(blk_vals).alias("blk", "blk_val"))
+        F.posexplode(blk_vals).alias("blk", "blk_val")) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
     if max_bucket_size is not None:
         ok = (blocks.groupBy("blk", "blk_val")
               .agg(F.count("*").alias("_n"))

@@ -187,9 +187,12 @@ def embedding_near_dups(df: DataFrame, threshold: float = 0.95,
 
     Returns (vec_a, vec_b, sim_e6) with sim floored to micro-units for
     cross-engine stability."""
+    from pyspark import StorageLevel
+
     base = df.select(
         F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"),
-        lsh_bucket(F.col(vec_col), dim, n_planes).alias("bucket"))
+        lsh_bucket(F.col(vec_col), dim, n_planes).alias("bucket")) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
     probes = base.select(
         "vid", "vec",
         F.explode(F.array(
