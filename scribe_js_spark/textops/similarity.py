@@ -207,19 +207,27 @@ def embedding_near_dups(df: DataFrame, threshold: float = 0.95,
         base = base.join(ok, "bucket")
         probes = probes.join(
             ok.withColumnRenamed("bucket", "probe"), "probe")
+    # the multiprobe join yields each pair up to n_planes+1 times;
+    # dedup on the ID PAIR ONLY (8+8 bytes through the distinct's
+    # shuffle) and re-join the persisted vectors for the verify —
+    # shuffling the 64-float arrays through distinct costs ~8x the
+    # bytes for nothing
     cand = (
         probes.alias("a")
         .join(base.alias("b"), F.col("a.probe") == F.col("b.bucket"))
         .filter(F.col("a.vid") < F.col("b.vid"))
         .select(F.col("a.vid").alias("vec_a"),
-                F.col("a.vec").alias("va"),
-                F.col("b.vid").alias("vec_b"),
-                F.col("b.vec").alias("vb"))
+                F.col("b.vid").alias("vec_b"))
         .distinct()
     )
+    va = base.select(F.col("vid").alias("vec_a"),
+                     F.col("vec").alias("va"))
+    vb = base.select(F.col("vid").alias("vec_b"),
+                     F.col("vec").alias("vb"))
     sim = cosine(F.col("va"), F.col("vb"))
     return (
-        cand.withColumn("sim", sim)
+        cand.join(va, "vec_a").join(vb, "vec_b")
+        .withColumn("sim", sim)
         .filter(F.col("sim") >= threshold)
         .select("vec_a", "vec_b",
                 F.floor(F.col("sim") * 1e6).cast("long").alias("sim_e6"))
