@@ -750,7 +750,17 @@ def _q_web_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     warc = warc_to_table(
         spark.read.parquet(os.path.join(FIX_T2, "warc_docs.parquet")))
     df = df.unionByName(warc.select("url", "html"))
-    return extract_text(df, salt=False).select("url", "text")
+    out = extract_text(df, salt=False).select("url", "text")
+    # PII redaction columns (textops.quality.pii_scrub — the
+    # C4/Gopher-style corpus-prep pass): typed-token scrub hash +
+    # per-document match counts, oracled against goldens scrubbed
+    # with the same Java/Python/RE2-common patterns
+    from scribe_js_spark.textops.quality import pii_scrub
+
+    return pii_scrub(out).select(
+        "url", "text",
+        F.md5("text_scrubbed").alias("pii_scrubbed_md5"),
+        "n_emails", "n_ipv4", "n_phones")
 
 
 def _q_pdf_inline_math(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2289,11 +2299,11 @@ def oracle_sql() -> dict[str, str]:
         # model (FIXTURES.md) — the DuckDB side just reads them.
         "extract_text": f"SELECT url, text FROM read_parquet('{corpus}')",
         "web_extract": (
-            "SELECT url, text FROM read_parquet("
+            "SELECT url, text, md5(pii_scrubbed) AS pii_scrubbed_md5, n_emails::BIGINT AS n_emails, n_ipv4::BIGINT AS n_ipv4, n_phones::BIGINT AS n_phones FROM read_parquet("
             f"'{os.path.join(FIX_T2, 'webhtml.parquet')}')"
-            " UNION ALL SELECT url, text FROM read_parquet("
+            " UNION ALL SELECT url, text, md5(pii_scrubbed) AS pii_scrubbed_md5, n_emails::BIGINT AS n_emails, n_ipv4::BIGINT AS n_ipv4, n_phones::BIGINT AS n_phones FROM read_parquet("
             f"'{os.path.join(FIX_T2, 'epub.parquet')}')"
-            " UNION ALL SELECT url, text FROM read_parquet("
+            " UNION ALL SELECT url, text, md5(pii_scrubbed) AS pii_scrubbed_md5, n_emails::BIGINT AS n_emails, n_ipv4::BIGINT AS n_ipv4, n_phones::BIGINT AS n_phones FROM read_parquet("
             f"'{os.path.join(FIX_T2, 'warc.parquet')}')"),
         "extract_meta": (
             f"SELECT m.url, format, page_count, word_count,"

@@ -2672,6 +2672,29 @@ def write_math_parquet(path: str, n_docs: int = 25,
         os.path.join(path, "math.parquet"), index=False)
 
 
+_PII_RES = [
+    (__import__("re").compile(
+        r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"), "<EMAIL>"),
+    (__import__("re").compile(
+        r"\b(?:\d{1,3}\.){3}\d{1,3}\b"), "<IP>"),
+    (__import__("re").compile(r"\+\d[\d .()-]{6,}\d"), "<PHONE>"),
+]
+
+
+def _pii_golden(text: str) -> dict:
+    """Golden-side mirror of textops.quality.pii_scrub: same patterns
+    (the Java/Python/RE2-common subset), same order, counts on the
+    original text."""
+    counts = {}
+    for (rx, _), name in zip(_PII_RES, ("n_emails", "n_ipv4",
+                                        "n_phones")):
+        counts[name] = len(rx.findall(text))
+    scrubbed = text
+    for rx, repl in _PII_RES:
+        scrubbed = rx.sub(repl, scrubbed)
+    return {"pii_scrubbed": scrubbed, **counts}
+
+
 def build_webhtml_models(doc_id: int, seed: int = SEED_DEFAULT) -> dict:
     """Raw-web-page family: Common-Crawl-style HTML with scripts,
     styles, nav/header/aside/footer chrome, a link-farm 'related' box,
@@ -2688,6 +2711,13 @@ def build_webhtml_models(doc_id: int, seed: int = SEED_DEFAULT) -> dict:
     paras = [_para(rng.randint(18, 45)) for _ in range(rng.randint(3, 6))]
     # entity handling: one paragraph carries an escaped ampersand
     paras[0] = paras[0] + " alpha & beta"
+    # PII-bearing paragraph: drives the pii_scrub columns of the
+    # web_extract oracle (goldens scrub with the same patterns in
+    # Python — see _pii_golden)
+    paras.append(
+        f"contact {rng.choice(LEXICON)}{doc_id}@example.com or call "
+        f"+1 555 {doc_id % 10000:04d} 0199 at host "
+        f"192.168.{doc_id % 256}.{(doc_id * 7) % 256} today")
     expected = "\n".join([headline] + paras)
 
     body_paras = "".join(
@@ -2736,7 +2766,8 @@ def write_webhtml_parquet(path: str, n_docs: int = 40,
         url = f"https://fixtures.test/webhtml/{doc_id:08d}"
         doc_rows.append({"url": url,
                          "html": m["html"].encode("utf-8")})
-        golden_rows.append({"url": url, "text": m["expected"]})
+        golden_rows.append({"url": url, "text": m["expected"],
+                            **_pii_golden(m["expected"])})
     pd.DataFrame(doc_rows).to_parquet(
         os.path.join(path, "webhtml_docs.parquet"), index=False)
     pd.DataFrame(golden_rows).to_parquet(
@@ -2806,7 +2837,8 @@ def write_epub_parquet(path: str, n_docs: int = 25,
         m = build_epub_models(doc_id, seed=seed)
         url = f"https://fixtures.test/epub/{doc_id:08d}"
         doc_rows.append({"url": url, "html": m["epub"]})
-        golden_rows.append({"url": url, "text": m["expected"]})
+        golden_rows.append({"url": url, "text": m["expected"],
+                            **_pii_golden(m["expected"])})
     pd.DataFrame(doc_rows).to_parquet(
         os.path.join(path, "epub_docs.parquet"), index=False)
     pd.DataFrame(golden_rows).to_parquet(
@@ -2873,7 +2905,8 @@ def write_warc_parquet(path: str, n_archives: int = 8,
     for warc_id in range(n_archives):
         m = build_warc_models(warc_id, seed=seed)
         doc_rows.append({"warc_id": warc_id, "warc": m["warc"]})
-        golden_rows.extend(m["golden"])
+        golden_rows.extend(
+            {**rec, **_pii_golden(rec["text"])} for rec in m["golden"])
     pd.DataFrame(doc_rows).to_parquet(
         os.path.join(path, "warc_docs.parquet"), index=False)
     pd.DataFrame(golden_rows).to_parquet(

@@ -63,3 +63,25 @@ def test_script_style_contents_never_leak():
         "candidate selection heuristics here.</p></main></body></html>")
     joined = " ".join(paras)
     assert "leak" not in joined and "color" not in joined
+
+
+def test_pii_scrub_cross_engine_agreement(spark):
+    """Spark's JVM pii_scrub and the fixture-side Python mirror
+    (_pii_golden) agree byte-for-byte on every web-family golden —
+    the patterns live in the Java/Python/RE2-common regex subset."""
+    import pandas as pd
+
+    from scribe_js_spark.fixtures import _pii_golden
+    from scribe_js_spark.textops.quality import pii_scrub
+
+    g = pd.read_parquet("fixtures/t2/webhtml.parquet")
+    df = spark.createDataFrame(g[["url", "text"]])
+    rows = {r["url"]: r for r in pii_scrub(df).collect()}
+    for _, row in g.iterrows():
+        want = _pii_golden(row["text"])
+        got = rows[row["url"]]
+        assert got["text_scrubbed"] == want["pii_scrubbed"], row["url"]
+        assert got["n_emails"] == want["n_emails"]
+        assert got["n_ipv4"] == want["n_ipv4"]
+        assert got["n_phones"] == want["n_phones"]
+        assert "<EMAIL>" in got["text_scrubbed"]
