@@ -2,14 +2,17 @@
 
 def build_training_corpus(docs, text_col: str = "text",
                           min_tokens: int = 10,
-                          near_dup_threshold: float = 0.8):
+                          near_dup_threshold: float = 0.8,
+                          scrub_pii: bool = False):
     """The end-to-end cleaning pipeline in one call — the shape a
     training-data run actually executes:
 
       quality gate (JVM predicate) -> exact dedup (md5 hash-groupBy,
       keep the canonical copy) -> near-dup removal (MinHash-LSH
       candidates -> exact-Jaccard verify, drop the higher doc_id of
-      each confirmed pair)
+      each confirmed pair) [-> PII redaction when ``scrub_pii``:
+      the text column is replaced with its typed-token scrub and
+      pii_* counters join the stats]
 
     Returns (clean DataFrame with the input's columns, stats dict of
     exact integer counters). Every stage is the scale-safe plan shape
@@ -39,6 +42,24 @@ def build_training_corpus(docs, text_col: str = "text",
     clean = uniq.join(drop, "doc_id", "left_anti")
     n_clean = clean.count()
 
+    pii_stats = {}
+    if scrub_pii:
+        from .quality import pii_scrub
+
+        scrubbed = pii_scrub(clean, text_col=text_col)
+        agg = scrubbed.agg(
+            F.sum("n_emails").alias("e"),
+            F.sum("n_ipv4").alias("i"),
+            F.sum("n_phones").alias("p")).collect()[0]
+        pii_stats = {
+            "pii_emails": int(agg["e"] or 0),
+            "pii_ipv4": int(agg["i"] or 0),
+            "pii_phones": int(agg["p"] or 0),
+        }
+        clean = scrubbed.drop(text_col, "n_emails", "n_ipv4",
+                              "n_phones") \
+            .withColumnRenamed("text_scrubbed", text_col)
+
     stats = {
         "input_docs": n_input,
         "after_quality": n_quality,
@@ -47,5 +68,6 @@ def build_training_corpus(docs, text_col: str = "text",
         "dropped_quality": n_input - n_quality,
         "dropped_exact": n_quality - n_exact,
         "dropped_near": n_exact - n_clean,
+        **pii_stats,
     }
     return clean, stats

@@ -26,3 +26,26 @@ def test_build_training_corpus(spark):
     assert kept == [1, 4]
     # clean keeps the input schema
     assert set(clean.columns) == {"doc_id", "text"}
+
+
+def test_training_corpus_pii_stage(spark):
+    # texts must be genuinely distinct or the near-dedup stage
+    # (correctly) removes them before the PII stage counts anything
+    import random
+
+    rng = random.Random(11)
+    words = ("alpha beta gamma delta epsilon zeta eta theta iota "
+             "kappa lam mu nu xi omicron pi rho sigma tau").split()
+    docs = spark.createDataFrame(
+        [(i, " ".join(rng.sample(words, 12)) + " "
+          + " ".join(rng.sample(words, 8))
+          + f" reach me at user{i}@mail.example.org now")
+         for i in range(4)],
+        ["doc_id", "text"])
+    from scribe_js_spark.textops import build_training_corpus
+
+    clean, stats = build_training_corpus(docs, scrub_pii=True)
+    assert stats["pii_emails"] == 4
+    texts = [r["text"] for r in clean.collect()]
+    assert all("<EMAIL>" in t for t in texts)
+    assert not any("@mail.example.org" in t for t in texts)
