@@ -493,7 +493,12 @@ def run_extraction_job(
     t0 = time.time()
     result = extract_text(
         df, with_spans=with_spans, salt=salt, resume_against=resume_against)
-    result = result.withColumn("run_id", F.lit(run_id))
+    # per-partition lineage: every committed row names the run AND the
+    # task partition that produced it, so a partial failure is
+    # attributable and the resume anti-join (keyed on url within
+    # run_id history) restarts exactly the unprocessed remainder
+    result = result.withColumn("run_id", F.lit(run_id)) \
+        .withColumn("lineage_partition", F.spark_partition_id())
     if fmt == "parquet":
         result.write.mode("append").parquet(output_path)
     else:
@@ -502,8 +507,13 @@ def run_extraction_job(
 
     committed = (spark.read.parquet(output_path) if fmt == "parquet"
                  else spark.read.table(output_path))
-    metrics_row = extraction_metrics(
-        committed.filter(F.col("run_id") == run_id)).collect()[0].asDict()
+    this_run = committed.filter(F.col("run_id") == run_id)
+    metrics_row = extraction_metrics(this_run).collect()[0].asDict()
+    if "lineage_partition" in this_run.columns:
+        metrics_row["partitions_total"] = this_run.select(
+            "lineage_partition").distinct().count()
+    else:
+        metrics_row["partitions_total"] = None
     metrics_row["elapsed_sec"] = elapsed
     metrics_row["docs_per_sec"] = (
         metrics_row["docs_total"] / elapsed if elapsed > 0 else None)
@@ -516,6 +526,7 @@ def run_extraction_job(
         StructField("parse_failure_rate", DoubleType()),
         StructField("pages_total", LongType()),
         StructField("spans_total", LongType()),
+        StructField("partitions_total", LongType()),
         StructField("elapsed_sec", DoubleType()),
         StructField("docs_per_sec", DoubleType()),
     ])
