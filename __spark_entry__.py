@@ -454,13 +454,14 @@ def _q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows.append((9000 + i, encode_tiff(
             px, compression=[1, 5, 32773][i % 3],
             predictor=[1, 2][i % 2])))
-    for i in range(9):  # CCITT fax TIFF: bilevel threshold of the gray
+    for i in range(12):  # CCITT fax TIFF: bilevel threshold of gray
         w = 16 + i % 8
         h = 8 + i % 5
         xs, ys = np.meshgrid(np.arange(w), np.arange(h))
         px = ((xs * 7 + ys * 13) % 256).astype(np.uint8)
+        comp = [2, 3, 4, 3][i % 4]
         rows.append((9300 + i, encode_tiff(
-            px[:, :, None], compression=[2, 3, 4][i % 3])))
+            px[:, :, None], compression=comp, t4_2d=i % 4 == 3)))
     for i in range(10):  # BMP: gray paletted / 24-bit RGB, both row orders
         w = 16 + i % 8
         h = 8 + i % 5
@@ -2621,7 +2622,8 @@ WHERE len(list_intersect(ta.toks, tb.toks))
                 AND r < b.n AND (b.b = 9000 OR r % 2 = 0)
             ) GROUP BY media_id, kind, w, h
             UNION ALL
-            -- CCITT fax TIFF rows (ids 9300+, compressions MH/G3/G4):
+            -- CCITT fax TIFF rows (ids 9300+, compressions cycling
+            -- MH / G3 1-D / G4 / G3 mixed 2-D):
             -- bilevel threshold of the gray formula at 128 -> decoded
             -- pixel is 255 where the gray value >= 128, else 0
             SELECT media_id, 'tiff' AS kind, w::BIGINT AS width,
@@ -2634,7 +2636,7 @@ WHERE len(list_intersect(ta.toks, tb.toks))
                      (8 + r % 5) AS h,
                      (CASE WHEN (x.x * 7 + y.y * 13) % 256 >= 128
                            THEN 255 ELSE 0 END)::DOUBLE AS v
-              FROM range(9) t(r), range(24) x(x), range(13) y(y)
+              FROM range(12) t(r), range(24) x(x), range(13) y(y)
               WHERE x.x < (16 + r % 8) AND y.y < (8 + r % 5)
             ) GROUP BY media_id, w, h
             UNION ALL

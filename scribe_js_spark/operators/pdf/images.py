@@ -143,7 +143,8 @@ def decode_image_pixels(doc: PdfDocument, obj: StreamObj):
     data = doc.stream_data(obj)
     codec = next((f for f in filters if f in _CODECS), None)
     if codec == "CCITTFaxDecode":
-        from ...textops.ccitt import decode_g4, decode_mh
+        from ...textops.ccitt import (decode_g3_2d, decode_g4,
+                                      decode_mh)
 
         parms = doc.resolve(d.get("DecodeParms"))
         if isinstance(parms, list):
@@ -159,7 +160,7 @@ def decode_image_pixels(doc: PdfDocument, obj: StreamObj):
         elif k == 0:
             bits = decode_mh(data, cols, rows, eols=False)
         else:
-            raise NotImplementedError("ccitt: mixed 2-D (K > 0)")
+            bits = decode_g3_2d(data, cols, rows)
         # the decoder returns 1 = black ink; emit ink-oriented
         # grayscale (black ink = 0, paper = 255). BlackIs1 only names
         # which SAMPLE value carries ink; a producer pairing it with a

@@ -170,80 +170,115 @@ def _changes(row: list[int], width: int) -> list[int]:
     return out
 
 
+def _decode_2d_line(br: "_BitReader", ref: list[int],
+                    width: int) -> list[int]:
+    """Decode one 2-D-coded line against the reference line
+    (shared by T.6 / G4 and the 2-D lines of T.4 K>0)."""
+    ref_changes = _changes(ref, width)
+    cur = [0] * width
+    a0 = -1
+    color = 0
+    guard = 0
+    while a0 < width:
+        guard += 1
+        if guard > 2 * width + 16:
+            # malicious/corrupt input where a0 stops advancing
+            # (e.g. VL modes walking backward) must raise, not hang
+            raise ValueError("ccitt: no forward progress")
+        # b1: first changing element on the reference line right
+        # of a0 whose run color is opposite the current color
+        b1 = _b1_of(ref_changes, a0, color)
+        b2 = _next_change(ref_changes, b1)
+
+        window = br.peek(7)
+        if window.startswith(_MODE_V[0]):
+            br.skip(1)
+            a1 = b1
+            _fill(cur, max(a0, 0), a1, color)
+            a0, color = a1, 1 - color
+        elif window.startswith(_MODE_H):
+            br.skip(3)
+            r1 = _read_run(br, color == 0)
+            r2 = _read_run(br, color != 0)
+            start = max(a0, 0)
+            a1 = start + r1
+            a2 = a1 + r2
+            _fill(cur, start, a1, color)
+            _fill(cur, a1, min(a2, width), 1 - color)
+            a0 = a2
+        elif window.startswith(_MODE_P):
+            br.skip(4)
+            _fill(cur, max(a0, 0), b2, color)
+            a0 = b2
+        else:
+            for d in (1, -1, 2, -2, 3, -3):
+                if window.startswith(_MODE_V[d]):
+                    br.skip(len(_MODE_V[d]))
+                    a1 = b1 + d
+                    _fill(cur, max(a0, 0), a1, color)
+                    a0, color = a1, 1 - color
+                    break
+            else:
+                raise ValueError("ccitt: bad 2-D mode code")
+    return cur
+
+
+def _decode_1d_line(br: "_BitReader", width: int) -> list[int]:
+    """Decode one 1-D (Modified Huffman) line."""
+    row = [0] * width
+    pos = 0
+    white = True
+    guard = 0
+    while pos < width:
+        guard += 1
+        if guard > 2 * width + 16:
+            raise ValueError("ccitt: no forward progress")
+        run = _read_run(br, white)
+        if not white:
+            for i in range(pos, min(pos + run, width)):
+                row[i] = 1
+        pos += run
+        white = not white
+    return row
+
+
 def decode_g4(data: bytes, width: int, height: int) -> list[list[int]]:
     """T.6 (Group 4) decode -> rows of 0 (white) / 1 (black)."""
     br = _BitReader(data)
     ref = [0] * width
     rows = []
     for _y in range(height):
-        ref_changes = _changes(ref, width)
-        cur = [0] * width
-        a0 = -1
-        color = 0
-        guard = 0
-        while a0 < width:
-            guard += 1
-            if guard > 2 * width + 16:
-                # malicious/corrupt input where a0 stops advancing
-                # (e.g. VL modes walking backward) must raise, not hang
-                raise ValueError("ccitt: no forward progress")
-            # b1: first changing element on the reference line right
-            # of a0 whose run color is opposite the current color
-            b1 = _b1_of(ref_changes, a0, color)
-            b2 = _next_change(ref_changes, b1)
+        cur = _decode_2d_line(br, ref, width)
+        rows.append(cur)
+        ref = cur
+    return rows
 
-            window = br.peek(7)
-            if window.startswith(_MODE_V[0]):
-                br.skip(1)
-                a1 = b1
-                _fill(cur, max(a0, 0), a1, color)
-                a0, color = a1, 1 - color
-            elif window.startswith(_MODE_H):
-                br.skip(3)
-                r1 = _read_run(br, color == 0)
-                r2 = _read_run(br, color != 0)
-                start = max(a0, 0)
-                a1 = start + r1
-                a2 = a1 + r2
-                _fill(cur, start, a1, color)
-                _fill(cur, a1, min(a2, width), 1 - color)
-                a0 = a2
-            elif window.startswith(_MODE_P):
-                br.skip(4)
-                _fill(cur, max(a0, 0), b2, color)
-                a0 = b2
-            elif window.startswith(_MODE_V[1]):
-                br.skip(3)
-                a1 = b1 + 1
-                _fill(cur, max(a0, 0), a1, color)
-                a0, color = a1, 1 - color
-            elif window.startswith(_MODE_V[-1]):
-                br.skip(3)
-                a1 = b1 - 1
-                _fill(cur, max(a0, 0), a1, color)
-                a0, color = a1, 1 - color
-            elif window.startswith(_MODE_V[2]):
-                br.skip(6)
-                a1 = b1 + 2
-                _fill(cur, max(a0, 0), a1, color)
-                a0, color = a1, 1 - color
-            elif window.startswith(_MODE_V[-2]):
-                br.skip(6)
-                a1 = b1 - 2
-                _fill(cur, max(a0, 0), a1, color)
-                a0, color = a1, 1 - color
-            elif window.startswith(_MODE_V[3]):
-                br.skip(7)
-                a1 = b1 + 3
-                _fill(cur, max(a0, 0), a1, color)
-                a0, color = a1, 1 - color
-            elif window.startswith(_MODE_V[-3]):
-                br.skip(7)
-                a1 = b1 - 3
-                _fill(cur, max(a0, 0), a1, color)
-                a0, color = a1, 1 - color
-            else:
-                raise ValueError("ccitt: bad 2-D mode code")
+
+def _skip_to_eol(br: "_BitReader") -> None:
+    guard = 0
+    while br.peek(12) != _EOL:
+        br.skip(1)
+        guard += 1
+        if guard > 64 or br.eof():
+            raise ValueError("ccitt: missing EOL")
+    br.skip(12)
+
+
+def decode_g3_2d(data: bytes, width: int, height: int) -> list[list[int]]:
+    """T.4 mixed 2-D (K > 1) decode: every line starts with an EOL
+    followed by one tag bit — 1 selects a 1-D line, 0 a 2-D line
+    coded against the previous line."""
+    br = _BitReader(data)
+    ref = [0] * width
+    rows = []
+    for _y in range(height):
+        _skip_to_eol(br)
+        tag = br.peek(1)
+        br.skip(1)
+        if tag == "1":
+            cur = _decode_1d_line(br, width)
+        else:
+            cur = _decode_2d_line(br, ref, width)
         rows.append(cur)
         ref = cur
     return rows
@@ -353,39 +388,18 @@ def _a1_of(cur_changes: list[int], a0: int, color: int) -> int:
 def decode_mh(data: bytes, width: int, height: int,
               eols: bool = False) -> list[list[int]]:
     """1-D Modified Huffman decode (TIFF compression 2; with
-    ``eols`` the G3/compression-3 variant that prefixes each line
-    with an EOL and byte-aligns nothing)."""
+    ``eols`` the G3/compression-3 1-D variant that prefixes each line
+    with an EOL)."""
     br = _BitReader(data)
     rows = []
     for _y in range(height):
         if eols:
-            # consume fill zeros then the EOL (000000000001)
-            guard = 0
-            while br.peek(12) != _EOL:
-                br.skip(1)
-                guard += 1
-                if guard > 64 or br.eof():
-                    raise ValueError("ccitt: missing EOL")
-            br.skip(12)
+            _skip_to_eol(br)
         else:
             # TIFF compression 2: each row starts on a byte boundary
             if br.pos % 8:
                 br.skip(8 - br.pos % 8)
-        row = [0] * width
-        pos = 0
-        white = True
-        guard = 0
-        while pos < width:
-            guard += 1
-            if guard > 2 * width + 16:
-                raise ValueError("ccitt: no forward progress")
-            run = _read_run(br, white)
-            if not white:
-                for i in range(pos, min(pos + run, width)):
-                    row[i] = 1
-            pos += run
-            white = not white
-        rows.append(row)
+        rows.append(_decode_1d_line(br, width))
     return rows
 
 
@@ -410,4 +424,60 @@ def encode_mh(rows: list[list[int]], width: int,
             _write_run(bw, run, white)
             pos += run
             white = not white
+    return bw.bytes()
+
+
+def _encode_1d_line(bw: "_BitWriter", cur: list[int],
+                    width: int) -> None:
+    pos = 0
+    white = True
+    while pos < width:
+        run = 0
+        while pos + run < width and (cur[pos + run] == 0) == white:
+            run += 1
+        _write_run(bw, run, white)
+        pos += run
+        white = not white
+
+
+def _encode_2d_line(bw: "_BitWriter", cur: list[int], ref: list[int],
+                    width: int) -> None:
+    ref_changes = _changes(ref, width)
+    cur_changes = _changes(cur, width)
+    a0 = -1
+    color = 0
+    while a0 < width:
+        a1 = _a1_of(cur_changes, a0, color)
+        b1 = _b1_of(ref_changes, a0, color)
+        b2 = _next_change(ref_changes, b1)
+        if b2 < a1:
+            bw.write(_MODE_P)
+            a0 = b2
+        elif abs(a1 - b1) <= 3:
+            bw.write(_MODE_V[a1 - b1])
+            a0, color = a1, 1 - color
+        else:
+            a2 = _a1_of(cur_changes, a1, 1 - color)
+            bw.write(_MODE_H)
+            start = max(a0, 0)
+            _write_run(bw, a1 - start, color == 0)
+            _write_run(bw, a2 - a1, color != 0)
+            a0 = a2
+
+
+def encode_g3_2d(rows: list[list[int]], width: int,
+                 k: int = 4) -> bytes:
+    """T.4 mixed 2-D encode: every K-th line is 1-D (tag bit 1), the
+    lines between are 2-D against the previous line (tag bit 0)."""
+    bw = _BitWriter()
+    ref = None
+    for y, cur in enumerate(rows):
+        bw.write(_EOL)
+        if y % k == 0 or ref is None:
+            bw.write("1")
+            _encode_1d_line(bw, cur, width)
+        else:
+            bw.write("0")
+            _encode_2d_line(bw, cur, ref, width)
+        ref = cur
     return bw.bytes()

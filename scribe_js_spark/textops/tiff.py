@@ -26,6 +26,7 @@ TAG_STRIP_OFFSETS = 273
 TAG_SPP = 277
 TAG_ROWS_PER_STRIP = 278
 TAG_STRIP_COUNTS = 279
+TAG_T4_OPTIONS = 292
 TAG_PREDICTOR = 317
 TAG_TILE_WIDTH = 322
 
@@ -127,7 +128,7 @@ def decode_tiff(data: bytes):
         # CCITT fax: bilevel, whole image in one strip run
         if any(b != 1 for b in bps) or spp != 1:
             raise NotImplementedError("tiff: fax must be bilevel")
-        from .ccitt import decode_g4, decode_mh
+        from .ccitt import decode_g3_2d, decode_g4, decode_mh
 
         offsets = tags.get(TAG_STRIP_OFFSETS)
         counts = tags.get(TAG_STRIP_COUNTS)
@@ -136,6 +137,9 @@ def decode_tiff(data: bytes):
         enc = b"".join(data[o:o + c] for o, c in zip(offsets, counts))
         if compression == 4:
             bits = decode_g4(enc, width, height)
+        elif compression == 3 and one(TAG_T4_OPTIONS, 0) & 1:
+            # T4Options bit 0: 2-D (mixed) coding
+            bits = decode_g3_2d(enc, width, height)
         else:
             bits = decode_mh(enc, width, height, eols=compression == 3)
         px = np.array(bits, dtype=np.uint8)[:, :, None] * 255
@@ -184,7 +188,7 @@ def decode_tiff(data: bytes):
 
 
 def encode_tiff(pixels, compression: int = 1, predictor: int = 1,
-                photometric: int = 1) -> bytes:
+                photometric: int = 1, t4_2d: bool = False) -> bytes:
     """Fixture writer: single-strip little-endian TIFF for uint8
     (h, w) or (h, w, spp) arrays; compression 1/5/32773, or CCITT
     fax 2/3/4 (input thresholded at 128 -> bilevel, PhotometricInterp
@@ -196,16 +200,21 @@ def encode_tiff(pixels, compression: int = 1, predictor: int = 1,
         px = px[:, :, None]
     h, w, spp = px.shape
     if compression in (2, 3, 4):
-        from .ccitt import encode_g4, encode_mh
+        from .ccitt import encode_g3_2d, encode_g4, encode_mh
 
         assert spp == 1, "fax is bilevel"
         bits = [[0 if v >= 128 else 1 for v in row]
                 for row in px[:, :, 0].tolist()]  # 1 = black
+        t4_options = None
         if compression == 4:
             strip = encode_g4(bits, w)
+        elif compression == 3 and t4_2d:
+            strip = encode_g3_2d(bits, w)
+            t4_options = 1
         else:
             strip = encode_mh(bits, w, eols=compression == 3)
-        return _assemble_tiff(w, h, 1, compression, 0, strip, bps=1)
+        return _assemble_tiff(w, h, 1, compression, 0, strip, bps=1,
+                              t4_options=t4_options)
     body = px
     if predictor == 2:
         d = body.astype(np.int16)
@@ -226,7 +235,7 @@ def encode_tiff(pixels, compression: int = 1, predictor: int = 1,
 
 
 def _assemble_tiff(w, h, spp, compression, photometric, strip,
-                   bps=8, predictor=1) -> bytes:
+                   bps=8, predictor=1, t4_options=None) -> bytes:
     entries = []
 
     def entry(tag, typ, count, value):
@@ -243,6 +252,8 @@ def _assemble_tiff(w, h, spp, compression, photometric, strip,
     entry(TAG_STRIP_COUNTS, 4, 1, len(strip))
     if predictor != 1:
         entry(TAG_PREDICTOR, 3, 1, predictor)
+    if t4_options is not None:
+        entry(TAG_T4_OPTIONS, 4, 1, t4_options)
     entries.sort()
 
     ifd_off = 8

@@ -114,3 +114,19 @@ def test_media_pipeline_decodes_fax(spark):
         assert out[mid]["kind"] == "tiff"
         assert out[mid]["width"] == 24 and out[mid]["height"] == 10
         assert abs(out[mid]["mean_byte"] - img.mean()) < 1e-9
+
+
+def test_g3_mixed_2d_roundtrip_and_tiff():
+    """T.4 mixed 2-D (K > 1): EOL + tag bit per line, 2-D lines coded
+    against the previous line; TIFF compression 3 with T4Options bit 0
+    and the PDF CCITT K>0 path both ride it."""
+    from scribe_js_spark.textops.ccitt import decode_g3_2d, encode_g3_2d
+
+    rows = _pattern(53, 9)
+    for k in (1, 2, 4):
+        assert decode_g3_2d(encode_g3_2d(rows, 53, k=k), 53, 9) == rows
+
+    img = (np.array(_pattern(31, 12)) * 255).astype(np.uint8)
+    t = encode_tiff(img, compression=3, t4_2d=True)
+    w, h, spp, px = decode_tiff(t)
+    assert (px[:, :, 0] == img).all()
