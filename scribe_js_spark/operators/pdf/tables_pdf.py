@@ -1740,6 +1740,14 @@ def detect_table_header(page, table: dict) -> dict | None:
     band_top = first_row_y
     last_y = first_row_y
     for a in annotated:
+        # introductory prose ("...were as follows:") terminates the
+        # upward walk — only the literal trailing token is checked, so
+        # legitimate sub-headers like "Deferred:" keep chaining
+        # (refineTableTop, detectPdfTables.js:3235-3241)
+        row_last = a["cells"][-1][2][-1] if a["cells"] \
+            and a["cells"][-1][2] else None
+        if row_last is not None and row_last.text == "follows:":
+            break
         if not _header_like(a):
             continue
         if last_y - a["y"] > avg_pitch * 2:

@@ -487,3 +487,46 @@ def test_header_anchor_separator_replacement():
         page, bbox, header_anchors=[530.0, 730.0, 930.0, 1130.0])
     assert len(with_hdr) == 4            # label sep + 3 anchor midpoints
     assert with_hdr[0] < 530
+
+
+def test_follows_prose_stops_header_walk():
+    """'...were as follows:' is introductory prose, not a header row —
+    the upward header walk stops there instead of absorbing it
+    (refineTableTop :3235-3241); a short sub-header like 'Deferred:'
+    keeps chaining."""
+    from scribe_js_spark.model import Bbox, OcrLine, OcrPage, OcrWord
+    from scribe_js_spark.operators.pdf.tables_pdf import (
+        detect_table_header)
+
+    page = OcrPage(0, {"width": 1224, "height": 1584})
+
+    def line(y, x, texts):
+        ln = OcrLine(page, Bbox(x, y, x + sum(len(t) + 1 for t in texts)
+                                * 15, y + 40), [0.0, 0.0])
+        ws = []
+        cx = x
+        for t in texts:
+            ws.append(OcrWord(ln, f"w{y}_{cx}", t,
+                              Bbox(cx, y, cx + len(t) * 15, y + 40)))
+            cx += (len(t) + 1) * 15
+        ln.words = ws
+        return ln
+
+    page.lines = [
+        line(40, 100, ["results", "were", "as", "follows:"]),
+        line(100, 100, ["Deferred:"]),
+        line(160, 100, ["ha"]), line(160, 500, ["hb"]),
+        line(160, 800, ["hc"]),
+        line(220, 100, ["item00"]), line(220, 500, ["1,234"]),
+        line(220, 800, ["9,876"]),
+        line(270, 100, ["item01"]), line(270, 500, ["2,234"]),
+        line(270, 800, ["8,876"]),
+        line(320, 100, ["item02"]), line(320, 500, ["3,234"]),
+        line(320, 800, ["7,876"]),
+    ]
+    table = {"bbox": Bbox(95, 215, 1000, 340)}
+    h = detect_table_header(page, table)
+    assert h is not None
+    # band reaches the 3-cell header row and the Deferred: sub-header,
+    # but NOT the follows: prose line
+    assert 95 <= h["band_top"] <= 105
