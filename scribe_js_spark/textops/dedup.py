@@ -21,7 +21,10 @@ the correctness oracles — the hash family is an implementation detail;
 verifiability is the requirement. Signatures are computed ONCE per
 plan side: band/block buckets come from ``posexplode`` over an array
 built from the materialized signature columns, never from per-band
-unions that would re-evaluate the signature.
+unions that would re-evaluate the signature — and since round 4 the
+band/block tables are ``persist()``-ed so the self-join's two sides
+(plus the hot-bucket cap count) share one computation; at corpus
+scale you would checkpoint the signature table instead.
 
 All built-in column expressions / higher-order functions — no Python in
 the hot path.
