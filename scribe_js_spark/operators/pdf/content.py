@@ -126,10 +126,18 @@ class ContentTokenizer:
             arr = []
             while True:
                 lex.skip_ws()
+                if lex.pos >= len(lex.data):
+                    return arr        # unterminated array at EOF
                 if lex.peek_byte() == 0x5D:
                     lex.pos += 1
                     return arr
+                before = lex.pos
                 arr.append(self._read_operand())
+                if lex.pos == before:
+                    # stray delimiter inside a corrupt array (e.g.
+                    # '[ ) )') reads as an empty token without
+                    # advancing — skip the byte or loop forever
+                    lex.pos += 1
         tok = lex.read_token_word()
         try:
             return float(tok) if b"." in tok or b"e" in tok.lower() else int(tok)

@@ -84,3 +84,44 @@ if HAVE_HYP:
             except (ValueError, NotImplementedError, _struct.error,
                     IndexError):
                 pass  # decode_media converts these to the error column
+
+
+def test_table_documents_never_raise_on_mutations():
+    """The full detectPdfTables ladder (strict/segmented/row-band/
+    header-rule/Phase-1/2 text engine) runs inside every PDF parse;
+    mutations of the table fixture docs — grids, zebra fills,
+    segmented rules, caption lines — must land in the error column or
+    degrade, never raise."""
+    from scribe_js_spark.fixtures import build_pdf_table_models
+    from scribe_js_spark.render_pdf import render_pdf
+
+    rng = np.random.RandomState(99)
+    bases = []
+    for doc_id in (0, 31, 35, 38, 41, 42):   # grid/zebra/phase2/ext/rects
+        m = build_pdf_table_models(doc_id)
+        bases.append(render_pdf(m["model"], rotate=False))
+    for base in bases:
+        for _ in range(25):
+            res = extract_document(_mutate(base, rng))
+            assert res is not None  # error column or degraded output
+
+
+def test_fax_tiff_never_raises_in_media_path():
+    """Corrupt fax payloads must surface in decode_media's error
+    column — the ccitt forward-progress guards turn would-be hangs
+    into exceptions the wrapper absorbs."""
+    from scribe_js_spark.textops.multimodal import _decode_pixels
+    from scribe_js_spark.textops.tiff import encode_tiff
+
+    img = (np.arange(0, 255, 17, dtype=np.uint8)[None, :]
+           .repeat(9, axis=0))
+    rng = np.random.RandomState(7)
+    for comp in (2, 3, 4):
+        base = encode_tiff((img > 120).astype(np.uint8) * 255,
+                           compression=comp)
+        for _ in range(40):
+            data = _mutate(base, rng)
+            try:
+                _decode_pixels(data)
+            except Exception:
+                pass  # any exception is fine; hanging is not
