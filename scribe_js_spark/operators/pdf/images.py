@@ -155,19 +155,31 @@ def decode_image_pixels(doc: PdfDocument, obj: StreamObj):
         cols = int(doc.resolve(parms.get("Columns", 1728)) or 1728)
         rows = int(doc.resolve(parms.get("Rows", height)) or height)
         black_is_1 = doc.resolve(parms.get("BlackIs1")) is True
+        # PDF default is a continuous bitstream; /EncodedByteAlign
+        # opts into per-line byte alignment (decodeCCITT.js:477).
+        byte_align = doc.resolve(parms.get("EncodedByteAlign")) is True
+        eols = doc.resolve(parms.get("EndOfLine")) is True
         if k < 0:
-            bits = decode_g4(data, cols, rows)
+            bits = decode_g4(data, cols, rows, byte_align=byte_align)
         elif k == 0:
-            bits = decode_mh(data, cols, rows, eols=False)
+            bits = decode_mh(data, cols, rows, eols=eols,
+                             byte_align=byte_align)
         else:
-            bits = decode_g3_2d(data, cols, rows)
-        # the decoder returns 1 = black ink; emit ink-oriented
-        # grayscale (black ink = 0, paper = 255). BlackIs1 only names
-        # which SAMPLE value carries ink; a producer pairing it with a
-        # /Decode inversion cancels back to the same ink meaning, so
-        # the pixel surface this API exposes is stable either way.
-        _ = black_is_1
-        return (1 - np.array(bits, dtype=np.uint8)) * 255
+            bits = decode_g3_2d(data, cols, rows,
+                                byte_align=byte_align)
+        # the decoder returns 1 = black ink. Sample value of ink is
+        # BlackIs1 (default false -> ink sample 0); /Decode [1 0]
+        # inverts the sample->gray mapping. Net gray of ink is the XOR
+        # of the two flags: both defaulted or both set -> ink renders
+        # black (0); exactly one set -> ink renders white (255).
+        decode = doc.resolve(d.get("Decode"))
+        decode_invert = (isinstance(decode, list) and len(decode) >= 2
+                         and float(doc.resolve(decode[0]))
+                         > float(doc.resolve(decode[1])))
+        ink = np.array(bits, dtype=np.uint8)
+        if black_is_1 != decode_invert:
+            ink = 1 - ink
+        return (1 - ink) * 255
     if codec == "DCTDecode":
         from ...textops.jpeg import decode_jpeg
 

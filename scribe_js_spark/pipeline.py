@@ -505,7 +505,11 @@ def run_extraction_job(
         result.writeTo(output_path).append()
     elapsed = time.time() - t0
 
-    committed = (spark.read.parquet(output_path) if fmt == "parquet"
+    # mergeSchema: a resumed dataset may hold pre-lineage files whose
+    # footer (if picked arbitrarily) would hide the lineage_partition
+    # column; merging unions the schemas across commits.
+    committed = (spark.read.option("mergeSchema", "true")
+                 .parquet(output_path) if fmt == "parquet"
                  else spark.read.table(output_path))
     this_run = committed.filter(F.col("run_id") == run_id)
     metrics_row = extraction_metrics(this_run).collect()[0].asDict()

@@ -56,9 +56,11 @@ def build_training_corpus(docs, text_col: str = "text",
             "pii_ipv4": int(agg["i"] or 0),
             "pii_phones": int(agg["p"] or 0),
         }
+        cols_before = clean.columns
         clean = scrubbed.drop(text_col, "n_emails", "n_ipv4",
                               "n_phones") \
-            .withColumnRenamed("text_scrubbed", text_col)
+            .withColumnRenamed("text_scrubbed", text_col) \
+            .select(*cols_before)
 
     stats = {
         "input_docs": n_input,

@@ -242,12 +242,18 @@ def _decode_1d_line(br: "_BitReader", width: int) -> list[int]:
     return row
 
 
-def decode_g4(data: bytes, width: int, height: int) -> list[list[int]]:
-    """T.6 (Group 4) decode -> rows of 0 (white) / 1 (black)."""
+def decode_g4(data: bytes, width: int, height: int,
+              byte_align: bool = False) -> list[list[int]]:
+    """T.6 (Group 4) decode -> rows of 0 (white) / 1 (black).
+
+    ``byte_align`` is PDF /EncodedByteAlign: each coded line begins on
+    a byte boundary (decodeCCITT.js:477 honors the same flag)."""
     br = _BitReader(data)
     ref = [0] * width
     rows = []
     for _y in range(height):
+        if byte_align and br.pos % 8:
+            br.skip(8 - br.pos % 8)
         cur = _decode_2d_line(br, ref, width)
         rows.append(cur)
         ref = cur
@@ -255,23 +261,28 @@ def decode_g4(data: bytes, width: int, height: int) -> list[list[int]]:
 
 
 def _skip_to_eol(br: "_BitReader") -> None:
-    guard = 0
+    # T.4 permits arbitrary-length zero fill before an EOL (minimum
+    # scan-line-time padding), so the scan is bounded only by the
+    # remaining bits in the stream, not a fixed budget.
     while br.peek(12) != _EOL:
-        br.skip(1)
-        guard += 1
-        if guard > 64 or br.eof():
+        if br.eof():
             raise ValueError("ccitt: missing EOL")
+        br.skip(1)
     br.skip(12)
 
 
-def decode_g3_2d(data: bytes, width: int, height: int) -> list[list[int]]:
+def decode_g3_2d(data: bytes, width: int, height: int,
+                 byte_align: bool = False) -> list[list[int]]:
     """T.4 mixed 2-D (K > 1) decode: every line starts with an EOL
     followed by one tag bit — 1 selects a 1-D line, 0 a 2-D line
-    coded against the previous line."""
+    coded against the previous line. ``byte_align`` (/EncodedByteAlign)
+    realigns to a byte boundary before each EOL scan."""
     br = _BitReader(data)
     ref = [0] * width
     rows = []
     for _y in range(height):
+        if byte_align and br.pos % 8:
+            br.skip(8 - br.pos % 8)
         _skip_to_eol(br)
         tag = br.peek(1)
         br.skip(1)
@@ -386,31 +397,45 @@ def _a1_of(cur_changes: list[int], a0: int, color: int) -> int:
 
 
 def decode_mh(data: bytes, width: int, height: int,
-              eols: bool = False) -> list[list[int]]:
+              eols: bool = False,
+              byte_align: bool | None = None) -> list[list[int]]:
     """1-D Modified Huffman decode (TIFF compression 2; with
     ``eols`` the G3/compression-3 1-D variant that prefixes each line
-    with an EOL)."""
+    with an EOL).
+
+    ``byte_align`` distinguishes the two EOL-less dialects: TIFF
+    compression 2 byte-aligns every row (the default when ``eols`` is
+    false, preserving the historical behavior), while PDF
+    CCITTFaxDecode K=0 is a continuous bitstream unless
+    /EncodedByteAlign is set (decodeCCITT.js:477 default false)."""
     br = _BitReader(data)
+    if byte_align is None:
+        byte_align = not eols
     rows = []
     for _y in range(height):
         if eols:
-            _skip_to_eol(br)
-        else:
-            # TIFF compression 2: each row starts on a byte boundary
-            if br.pos % 8:
+            if byte_align and br.pos % 8:
                 br.skip(8 - br.pos % 8)
+            _skip_to_eol(br)
+        elif byte_align and br.pos % 8:
+            br.skip(8 - br.pos % 8)
         rows.append(_decode_1d_line(br, width))
     return rows
 
 
 def encode_mh(rows: list[list[int]], width: int,
-              eols: bool = False) -> bytes:
-    """1-D Modified Huffman encode (inverse of :func:`decode_mh`)."""
+              eols: bool = False,
+              byte_align: bool | None = None) -> bytes:
+    """1-D Modified Huffman encode (inverse of :func:`decode_mh`).
+    ``byte_align=False`` emits the PDF K=0 continuous-bitstream
+    dialect (no per-row padding)."""
     bw = _BitWriter()
+    if byte_align is None:
+        byte_align = not eols
     for cur in rows:
         if eols:
             bw.write(_EOL)
-        else:
+        elif byte_align:
             pad = -sum(len(b) for b in bw.bits) % 8
             if pad:
                 bw.write("0" * pad)

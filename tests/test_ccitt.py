@@ -130,3 +130,47 @@ def test_g3_mixed_2d_roundtrip_and_tiff():
     t = encode_tiff(img, compression=3, t4_2d=True)
     w, h, spp, px = decode_tiff(t)
     assert (px[:, :, 0] == img).all()
+
+
+def test_mh_continuous_bitstream_dialect():
+    """PDF CCITTFaxDecode K=0 default: a continuous bitstream with no
+    per-row byte alignment (decodeCCITT.js:477, EncodedByteAlign
+    default false). Width 17 guarantees rows end mid-byte, so the
+    aligned (TIFF) and unaligned (PDF) encodings genuinely differ."""
+    rows = _pattern(17, 9)
+    packed = encode_mh(rows, 17, byte_align=False)
+    aligned = encode_mh(rows, 17, byte_align=True)
+    assert packed != aligned
+    assert len(packed) < len(aligned)
+    assert decode_mh(packed, 17, 9, byte_align=False) == rows
+    # decoding the continuous stream with TIFF row alignment must NOT
+    # reproduce the image (this was the pre-fix behavior)
+    try:
+        misread = decode_mh(packed, 17, 9, byte_align=True)
+    except ValueError:
+        misread = None
+    assert misread != rows
+    # default (byte_align=None) keeps TIFF compression-2 semantics
+    assert decode_mh(aligned, 17, 9) == rows
+
+
+def test_g4_and_g3_byte_align_flag():
+    from scribe_js_spark.textops.ccitt import decode_g3_2d, encode_g3_2d
+
+    rows = _pattern(19, 7)
+    # byte_align=False is the default continuous layout
+    assert decode_g4(encode_g4(rows, 19), 19, 7,
+                     byte_align=False) == rows
+    # g3 2-D: zero fill keeps EOLs findable whether or not the decoder
+    # additionally realigns first
+    enc = encode_g3_2d(rows, 19, k=2)
+    assert decode_g3_2d(enc, 19, 7, byte_align=False) == rows
+
+
+def test_eol_fill_beyond_64_bits():
+    """T.4 allows arbitrary-length zero fill before an EOL (minimum
+    scan-line time); a 13-byte zero prefix (104 fill bits) must not
+    trip the decoder (the old fixed 64-bit scan budget raised)."""
+    rows = _pattern(12, 3)
+    enc = encode_mh(rows, 12, eols=True)
+    assert decode_mh(b"\x00" * 13 + enc, 12, 3, eols=True) == rows

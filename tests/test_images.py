@@ -51,6 +51,10 @@ def test_decode_image_pixels_fax_and_raw():
 
     m = build_image_models(3)
     recs = extract_images(m["pdf"], with_pixels=True)
+    _check_fax_and_raw(m, recs)
+
+
+def _check_fax_and_raw(m, recs):
     by_filter = {}
     for r in recs:
         by_filter.setdefault(r["filter"], []).append(r)
@@ -61,3 +65,88 @@ def test_decode_image_pixels_fax_and_raw():
     assert len(recs) == len(m["expected"])
     for r, want in zip(recs, m["expected"]):
         assert r["pixels_mean_e6"] == want["pixels_mean_e6"], r
+
+
+def _one_fax_pdf(dict_body: str, data: bytes) -> bytes:
+    """Minimal single-image PDF wrapping a CCITT payload."""
+    from scribe_js_spark.render_pdf import _Writer
+
+    w = _Writer()
+    content = b"q 100 0 0 80 72 600 cm /Im0 Do Q"
+    w.add(b"<< /Type /Catalog /Pages 2 0 R >>")
+    w.add(b"<< /Type /Pages /Kids [3 0 R] /Count 1 "
+          b"/MediaBox [0 0 612 792] >>")
+    w.add(b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R "
+          b"/Resources << /XObject << /Im0 5 0 R >> >> >>")
+    w.add(b"<< /Length %d >>\nstream\n" % len(content)
+          + content + b"\nendstream")
+    w.add((f"<< {dict_body} /Length {len(data)} >>\nstream\n"
+           ).encode() + data + b"\nendstream")
+    return w.build()
+
+
+def _fax_pixels(dict_body: str, data: bytes):
+    from scribe_js_spark.operators.pdf.document import PdfDocument
+    from scribe_js_spark.operators.pdf.images import decode_image_pixels
+
+    doc = PdfDocument(_one_fax_pdf(dict_body, data))
+    obj = doc.get_object(5)
+    return decode_image_pixels(doc, obj)
+
+
+def test_fax_k0_continuous_and_encoded_byte_align():
+    """PDF K=0 default is a continuous bitstream; /EncodedByteAlign
+    opts into per-row byte alignment (ref decodeCCITT.js:477 reads the
+    flag with default false). Width 17 forces rows to end mid-byte so
+    the two layouts genuinely differ."""
+    from scribe_js_spark.textops.ccitt import encode_mh
+
+    wd, ht = 17, 9
+    bits = [[1 if (x * 7 + y * 13) % 256 < 128 else 0
+             for x in range(wd)] for y in range(ht)]
+    want = (1 - __import__("numpy").array(bits, dtype="uint8")) * 255
+
+    base = (f"/Subtype /Image /Width {wd} /Height {ht} "
+            f"/ColorSpace /DeviceGray /BitsPerComponent 1 "
+            f"/Filter /CCITTFaxDecode ")
+    packed = encode_mh(bits, wd, byte_align=False)
+    px = _fax_pixels(
+        base + f"/DecodeParms << /K 0 /Columns {wd} /Rows {ht} >>",
+        packed)
+    assert (px == want).all()
+
+    aligned = encode_mh(bits, wd, byte_align=True)
+    px = _fax_pixels(
+        base + f"/DecodeParms << /K 0 /Columns {wd} /Rows {ht} "
+               f"/EncodedByteAlign true >>",
+        aligned)
+    assert (px == want).all()
+
+
+def test_fax_blackis1_decode_net_inversion():
+    """BlackIs1 and /Decode [1 0] each invert; set together they
+    cancel. A file setting only one must come out inverted relative to
+    the default (the pre-fix code ignored both)."""
+    from scribe_js_spark.textops.ccitt import encode_g4
+
+    wd, ht = 16, 8
+    bits = [[1 if (x + y) % 3 == 0 else 0 for x in range(wd)]
+            for y in range(ht)]
+    ink_black = (1 - __import__("numpy").array(
+        bits, dtype="uint8")) * 255
+    ink_white = 255 - ink_black
+    fax = encode_g4(bits, wd)
+    base = (f"/Subtype /Image /Width {wd} /Height {ht} "
+            f"/ColorSpace /DeviceGray /BitsPerComponent 1 "
+            f"/Filter /CCITTFaxDecode ")
+    parms = f"/K -1 /Columns {wd} /Rows {ht}"
+    cases = [
+        (f"/DecodeParms << {parms} >>", ink_black),
+        (f"/DecodeParms << {parms} /BlackIs1 true >>", ink_white),
+        (f"/Decode [1 0] /DecodeParms << {parms} >>", ink_white),
+        (f"/Decode [1 0] /DecodeParms << {parms} /BlackIs1 true >>",
+         ink_black),
+    ]
+    for dict_body, want in cases:
+        px = _fax_pixels(base + dict_body, fax)
+        assert (px == want).all(), dict_body

@@ -45,6 +45,9 @@ def test_training_corpus_pii_stage(spark):
     from scribe_js_spark.textops import build_training_corpus
 
     clean, stats = build_training_corpus(docs, scrub_pii=True)
+    # the scrub stage must not reorder columns: positional consumers
+    # see the same layout whether or not the flag is on
+    assert clean.columns == docs.columns
     assert stats["pii_emails"] == 4
     texts = [r["text"] for r in clean.collect()]
     assert all("<EMAIL>" in t for t in texts)
