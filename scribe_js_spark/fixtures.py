@@ -1231,6 +1231,157 @@ def _build_zebra_table_model(doc_id: int, seed: int) -> dict:
             "num_cells": [], "hr_cells": []}
 
 
+def _build_refine_top_model(doc_id: int, seed: int) -> dict:
+    """Phase-5.5 refineTableTop docs (detectPdfTables.js:3095-3352) —
+    each exercises one top-refinement mechanism over a borderless
+    label+3-numeric-column block whose Phase-2 bbox was expanded by 3
+    row heights:
+
+    - 45: a wide prose line inside the expanded region; the chain
+      scan rejects it (gap > 0.45x pitch, width > 0.6x candidate) so
+      the refined top excludes it — its words must NOT become cells;
+    - 46: a stacked 2-row multi-segment header whose cell xs differ
+      across rows (Rule 2 misses -> weak); the 2.5x-pitch
+      multi-segment chain still reaches both rows;
+    - 47: a Rule-2 strong stacked header (matching cell xs) under a
+      '...as follows:' prose line that sits inside the expanded
+      region; the strong band_top short-circuit takes the top and
+      the follows: line stays out;
+    - 48: a narrow single-cell header just above a full-width rule;
+      the gap to the data exceeds the 0.45x single-segment budget, so
+      only the hLine scan anchor (closest rule within 1.5x pitch)
+      lets the chain reach it;
+    - 49: two stacked sibling blocks 160 px apart; the lower block's
+      scan is floored at the upper's bbox.bottom — without the floor
+      the multi-segment chain (gap 120 < 2.5x pitch) would swallow
+      the upper table's rows."""
+    rng = _doc_rng(seed + 7171, doc_id)
+    num_xs = [MARGIN_LEFT] + [MARGIN_LEFT + 450 + c * 150
+                              for c in range(3)]
+
+    def _tok(text, x, yy):
+        return {"text": text, "chars": None, "out_words": [text],
+                "left": x, "right": x + len(text) * CHAR_W,
+                "top": yy - ASC_H, "bottom": yy + DESC_H, "conf": 97}
+
+    pars, expected = [], []
+    y = TOP_BASELINE
+    lead = [_tok(rng.choice(LEXICON), MARGIN_LEFT + i * 110, y)
+            for i in range(5)]
+    pars.append({"lines": [{"words": lead, "baseline_y": y,
+                            "indent": 0}]})
+
+    def data_rows(y0, n, base, table_n, row0):
+        lines = []
+        yy = y0
+        for r in range(n):
+            label = rng.choice(LEXICON)
+            words = [_tok(label, num_xs[0], yy)]
+            expected.append({"table_n": table_n, "row_n": row0 + r,
+                             "col_n": 0, "cell": label})
+            for c in range(3):
+                val = f"{base + (r + 1) * 1000 + c * 7},{100 + r}"
+                words.append(_tok(val, num_xs[c + 1], yy))
+                expected.append({"table_n": table_n,
+                                 "row_n": row0 + r, "col_n": c + 1,
+                                 "cell": val})
+            lines.append({"words": words, "baseline_y": yy,
+                          "indent": 0})
+            yy += LINE_PITCH
+        pars.append({"lines": lines})
+        return yy
+
+    def header_row(yy, cells, table_n, row_n):
+        """cells: list of (col_n, x). Emits the golden row with ''
+        for uncovered columns."""
+        words = []
+        by_col = dict(cells)
+        for col in range(4):
+            if col in by_col:
+                t = rng.choice(LEXICON)
+                words.append(_tok(t, by_col[col], yy))
+                expected.append({"table_n": table_n, "row_n": row_n,
+                                 "col_n": col, "cell": t})
+            else:
+                expected.append({"table_n": table_n, "row_n": row_n,
+                                 "col_n": col, "cell": ""})
+        pars.append({"lines": [{"words": words, "baseline_y": yy,
+                                "indent": 0}]})
+
+    page = {"pars": pars, "width": PAGE_W, "height": PAGE_H}
+    regions = []
+    header = "none"
+    n_tables = 1
+
+    if doc_id == 45:
+        yd = 800
+        # tight 10 px inter-word gaps: the line phrase-merges into ONE
+        # wide prose cell (never header-like), and the line itself
+        # stays a single OcrLine (single-segment for the chain scan)
+        prose, cx = [], MARGIN_LEFT
+        for _ in range(8):
+            t = rng.choice(LEXICON)
+            prose.append(_tok(t, cx, yd - 2 * LINE_PITCH))
+            cx += len(t) * CHAR_W + 10
+        pars.append({"lines": [{"words": prose,
+                                "baseline_y": yd - 2 * LINE_PITCH,
+                                "indent": 0}]})
+        data_rows(yd, 5, 0, 0, 0)
+    elif doc_id == 46:
+        # header rows at 2 and 3 pitches up: the outer row's top sits
+        # ABOVE the ~2.87-pitch Phase-2 expansion, so only the
+        # 2.5x-pitch multi-segment chain can reach it
+        yd = 800
+        header_row(yd - 3 * LINE_PITCH, [(1, num_xs[1]), (3, num_xs[3])],
+                   0, 0)
+        header_row(yd - 2 * LINE_PITCH, [(0, num_xs[0]), (2, num_xs[2])],
+                   0, 1)
+        data_rows(yd, 5, 0, 0, 2)
+        header = "weak"
+    elif doc_id == 47:
+        yd = 800
+        yf = yd - 4 * LINE_PITCH
+        intro, cx = [], MARGIN_LEFT
+        for t in ("results", "were", "as", "follows:"):
+            intro.append(_tok(t, cx, yf))
+            cx += len(t) * CHAR_W + 10
+        pars.append({"lines": [{"words": intro, "baseline_y": yf,
+                                "indent": 0}]})
+        header_row(yd - 3 * LINE_PITCH,
+                   [(1, num_xs[1] + 10), (3, num_xs[3] + 10)], 0, 0)
+        header_row(yd - 2 * LINE_PITCH,
+                   [(1, num_xs[1] + 10), (3, num_xs[3] + 10)], 0, 1)
+        data_rows(yd, 5, 0, 0, 2)
+        header = "strong"
+    elif doc_id == 48:
+        yh = 730
+        yd = yh + 70
+        header_row(yh, [(1, num_xs[1])], 0, 0)
+        page["rules"] = [{"left": MARGIN_LEFT,
+                          "right": num_xs[3] + 120, "y": yh + 14}]
+        data_rows(yd, 5, 0, 0, 1)
+        header = "weak"
+    elif doc_id == 49:
+        # sibling gap 157: above the Phase-2 run-split threshold
+        # (3 x 52-pitch = 156) so two candidates form, yet the chain
+        # gap (157 - 28 px rendered line height = 129) stays under the
+        # 2.5x-pitch multi-segment budget (130) — only the top floor
+        # keeps the lower scan out of the upper table
+        y_up = 700
+        y_end = data_rows(y_up, 4, 0, 0, 0)
+        data_rows(y_end - LINE_PITCH + 157, 5, 50000, 1, 0)
+        n_tables = 2
+        regions.append({"table_n": 1, "method": "numeric",
+                        "n_cols": 4, "header": "none", "title": None})
+
+    regions.insert(0, {"table_n": 0, "method": "numeric", "n_cols": 4,
+                       "header": header, "title": None})
+    model = {"doc_id": doc_id, "family": "base", "pages": [page]}
+    return {"model": model, "expected": expected, "n_tables": n_tables,
+            "n_grid_cols": 4, "regions": regions, "num_cells": [],
+            "hr_cells": []}
+
+
 def _build_phase2_table_model(doc_id: int, seed: int) -> dict:
     """Text-candidate engine docs (Phase 1/2/4): layouts only the full
     row-analysis pipeline detects —
@@ -1579,6 +1730,8 @@ def build_pdf_table_models(doc_id: int, seed: int = SEED_DEFAULT) -> dict:
     bridged)."""
     if 30 <= doc_id < 36:
         return _build_zebra_table_model(doc_id, seed)
+    if doc_id >= 45:
+        return _build_refine_top_model(doc_id, seed)
     if doc_id >= 36:
         return _build_phase2_table_model(doc_id, seed)
     rng = _doc_rng(seed + 5151, doc_id)
@@ -1785,7 +1938,7 @@ def build_pdf_table_models(doc_id: int, seed: int = SEED_DEFAULT) -> dict:
             "num_cells": num_cells, "hr_cells": hr_cells}
 
 
-def write_pdf_table_parquet(path: str, n_docs: int = 45,
+def write_pdf_table_parquet(path: str, n_docs: int = 50,
                             seed: int = SEED_DEFAULT) -> None:
     """pdf_table_docs.parquet (url, html) + pdf_table.parquet golden
     grid cells + pdf_table_meta.parquet (url, n_tables)."""

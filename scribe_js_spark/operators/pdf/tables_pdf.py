@@ -771,12 +771,9 @@ def group_rows_into_candidates(table_like_rows: list[dict],
     union-find (side-by-side tables on multi-column pages), each
     cluster's y-gaps re-checked with cluster-local width, surviving
     sub-clusters of >= 3 rows (4 when no row has numbers) become
-    candidates.
-
-    Deviation: the reference expands bbox.top by 3 row heights for
-    path correlation and re-shrinks it in refineTableTop; this port
-    keeps bbox at the rows and extends via header association
-    downstream."""
+    candidates. bbox.top is expanded by 3 average row heights for
+    path correlation (:1107-1110); Phase 5.5 refine_table_top
+    re-shrinks it once header evidence is in."""
     lines = page.lines
     rows = sorted(table_like_rows, key=lambda r: r["y"])
     if not rows:
@@ -866,6 +863,12 @@ def group_rows_into_candidates(table_like_rows: list[dict],
                     min(lines[i2].bbox.top for i2 in idxs),
                     max(lines[i2].bbox.right for i2 in idxs),
                     max(lines[i2].bbox.bottom for i2 in idxs))
+                # generous top expansion for path correlation; the
+                # final top is refined in Phase 5.5 once hLine data is
+                # available (refineTableTop)
+                avg_rh = (bbox.bottom - bbox.top) / len(sub)
+                bbox = Bbox(bbox.left, max(0.0, bbox.top - avg_rh * 3),
+                            bbox.right, bbox.bottom)
                 candidates.append({
                     "bbox": bbox,
                     "rows": [{"y": r["y"],
@@ -1080,10 +1083,9 @@ def make_row_band_candidates(rbr: dict, base: dict | None,
     """Row-band region -> table candidate(s)
     (makeRowBandCandidates, detectPdfTables.js:802-878): rows inside
     the band bbox, split at y-gaps > 2x the median row spacing (and
-    > 50) into one candidate per group. Column separators come from the
-    region's dominant cell anchors (the reference threads them through
-    rowBandRegion into extractStructure; this port puts them on the
-    candidate directly)."""
+    > 50) into one candidate per group. Column structure is NOT set
+    here — each candidate carries the region (``row_band``) and the
+    fills flow through extract_structure (:809-817)."""
     left = min(base["bbox"].left, rbr["left"]) if base else rbr["left"]
     right = max(base["bbox"].right, rbr["right"]) if base \
         else rbr["right"]
@@ -1091,8 +1093,8 @@ def make_row_band_candidates(rbr: dict, base: dict | None,
     rows = _region_rows(page, bbox)
 
     def cand(bb, rws):
-        return {"bbox": bb, "col_separators": list(rbr["col_xs"]),
-                "method": "row-band", "rows": rws}
+        return {"bbox": bb, "col_separators": [],
+                "method": "row-band", "rows": rws, "row_band": rbr}
 
     if len(rows) < 3:
         return [cand(bbox, rows)]
@@ -1521,19 +1523,23 @@ def _merge_row_cells(row_words, avg_line_h: float) -> list[dict]:
     while w < len(ws):
         if _CURRENCY_RE.match(ws[w].text):
             left, right = ws[w].bbox.left, ws[w].bbox.right
+            top = ws[w].bbox.top
             j2 = w + 1
             while j2 < len(ws) and _CURRENCY_RE.match(ws[j2].text):
                 left = min(left, ws[j2].bbox.left)
                 right = max(right, ws[j2].bbox.right)
+                top = min(top, ws[j2].bbox.top)
                 j2 += 1
             if j2 < len(ws):
                 left = min(left, ws[j2].bbox.left)
                 right = max(right, ws[j2].bbox.right)
+                top = min(top, ws[j2].bbox.top)
                 j2 += 1
-            cells.append({"left": left, "right": right})
+            cells.append({"left": left, "right": right, "top": top})
             w = j2
             continue
         left, right = ws[w].bbox.left, ws[w].bbox.right
+        top = ws[w].bbox.top
         cur_has_digit = bool(_DIGIT_RE.search(ws[w].text))
         j2 = w + 1
         while j2 < len(ws) and not _CURRENCY_RE.match(ws[j2].text):
@@ -1541,6 +1547,7 @@ def _merge_row_cells(row_words, avg_line_h: float) -> list[dict]:
             if len(t) >= 3 and _LEADER_RE.match(t):
                 left = min(left, ws[j2].bbox.left)
                 right = max(right, ws[j2].bbox.right)
+                top = min(top, ws[j2].bbox.top)
                 j2 += 1
                 continue
             if cur_has_digit or _DIGIT_RE.search(t):
@@ -1549,8 +1556,9 @@ def _merge_row_cells(row_words, avg_line_h: float) -> list[dict]:
                 break
             left = min(left, ws[j2].bbox.left)
             right = max(right, ws[j2].bbox.right)
+            top = min(top, ws[j2].bbox.top)
             j2 += 1
-        cells.append({"left": left, "right": right})
+        cells.append({"left": left, "right": right, "top": top})
         w = j2
     return cells
 
@@ -1569,25 +1577,31 @@ def _is_narrative_line(line) -> bool:
     return total > 6 and numeric / total < 0.5
 
 
-def infer_unruled_columns(page, bbox: Bbox,
-                          header_anchors: list[float] | None = None,
-                          method: str | None = None) -> list[float]:
-    """Column separators for a borderless table — the word-level path
-    of extractStructure (detectPdfTables.js:2782-3060):
+def _line_is_pure_text(line) -> bool:
+    for w in line.words:
+        if is_num_word(w.text) or _CURRENCY_RE.match(w.text):
+            return False
+    return True
 
-    - rows above the first data row (year-only headers) and
-      narrative/footnote rows wider than half the candidate are
-      excluded from clustering;
+
+def infer_unruled_columns(page, table: dict) -> list[float]:
+    """Word-level column inference for a borderless table — the word
+    path of extractStructure (detectPdfTables.js:2782-3042), driven by
+    the candidate's detected rows (the reference iterates table.rows,
+    not a bbox scan):
+
+    - rows before the first data row (>= 2 numeric tokens or a
+      currency symbol) are excluded from clustering but their words
+      count toward column coverage as header rows;
+    - narrative rows (a line wider than half the candidate that reads
+      as prose) are skipped, unless the narrative line is pure text
+      and a sibling line in the row carries numerics (:2852-2868);
     - per row, cells come from :func:`_merge_row_cells` (currency
-      chains, digit-no-merge, leader absorption);
+      chains, digit-no-merge, leader absorption), in spatial order;
     - 1-D interval clustering (calcColumnBounds) over all cell boxes;
-    - columns with content in fewer than max(2, 25%) of the data rows
-      are pruned into their neighbor (outlier label overhangs);
-    - with strong ``header_anchors``, header-derived separators
-      (anchor midpoints + a synthesized label-column separator)
-      replace the clustering result when it under-counts a sparse
-      table (< 3 seps and header found more) or over-splits
-      (>= 2x the header's count)."""
+    - columns with zero data-row coverage, or fewer than
+      max(2, 25% of data rows) total (data + header) hits, are pruned
+      into their neighbor (:2950-3040)."""
     from ..tables import calc_column_bounds
 
     class _Box:
@@ -1597,54 +1611,119 @@ def infer_unruled_columns(page, bbox: Bbox,
             self.left = left
             self.right = right
 
-    rows = [r for r in group_lines_into_rows(
-        [l for l in page.lines
-         if bbox.top <= (l.bbox.top + l.bbox.bottom) / 2 <= bbox.bottom
-         and l.bbox.left >= bbox.left - 10
-         and l.bbox.right <= bbox.right + 10])]
+    lines = page.lines
+    bbox = table["bbox"]
+    rows = sorted(table.get("rows") or [], key=lambda r: r["y"])
     first_data = -1
-    for ri, row_lines in enumerate(rows):
-        words = [w for line in row_lines for w in line.words]
-        n_data = sum(1 for w in words if _is_data_value_word(w.text))
-        has_cur = any(_CURRENCY_RE.match(w.text) for w in words)
+    for ri, r in enumerate(rows):
+        n_data = 0
+        has_cur = False
+        for i in r["line_indices"]:
+            for w in lines[i].words:
+                if _is_data_value_word(w.text):
+                    n_data += 1
+                if _CURRENCY_RE.match(w.text):
+                    has_cur = True
         if n_data >= 2 or has_cur:
             first_data = ri
             break
     cand_w = bbox.right - bbox.left
-    boxes = []
-    data_row_boxes = []
-    for ri, row_lines in enumerate(rows):
+    all_cells: list[dict] = []
+    for ri, r in enumerate(rows):
         if first_data >= 0 and ri < first_data:
             continue
-        if any(line.bbox.right - line.bbox.left > cand_w * 0.5
-               and _is_narrative_line(line) for line in row_lines):
+        has_narrative = False
+        for i in r["line_indices"]:
+            line = lines[i]
+            lw = line.bbox.right - line.bbox.left
+            if cand_w > 0 and lw > cand_w * 0.5 \
+                    and _is_narrative_line(line):
+                if len(r["line_indices"]) > 1 \
+                        and _line_is_pure_text(line):
+                    other_numeric = any(
+                        _is_data_value_word(w.text)
+                        or _CURRENCY_RE.match(w.text)
+                        for j in r["line_indices"] if j != i
+                        for w in lines[j].words)
+                    if other_numeric:
+                        continue
+                has_narrative = True
+                break
+        if has_narrative:
             continue
-        words = [w for line in row_lines for w in line.words]
+        words = [w for i in r["line_indices"] for w in lines[i].words]
         if not words:
             continue
-        hs = [line.bbox.bottom - line.bbox.top for line in row_lines
-              if line.bbox.bottom > line.bbox.top]
+        hs = [lines[i].bbox.bottom - lines[i].bbox.top
+              for i in r["line_indices"]
+              if lines[i].bbox.bottom > lines[i].bbox.top]
         avg_h = sum(hs) / len(hs) if hs else 20.0
-        row_cells = _merge_row_cells(words, avg_h)
-        boxes.extend(_Box(c["left"], c["right"]) for c in row_cells)
-        data_row_boxes.append(row_cells)
-    if len(boxes) < 2:
+        all_cells.extend(_merge_row_cells(words, avg_h))
+    if len(all_cells) < 2:
         return []
-    bounds = [list(b) for b in calc_column_bounds(boxes)]
+    bounds = [list(b) for b in calc_column_bounds(
+        [_Box(c["left"], c["right"]) for c in all_cells])]
 
-    # low-coverage column pruning (:2950-3005, data-row part)
+    # low-coverage column pruning (:2950-3040): data rows come from
+    # y-clustering the merged cells; header rows (pre-data rows with
+    # 2+ line fragments, plus the detected header band above the
+    # bbox) count toward coverage but cannot carry a column alone
     if len(bounds) > 2:
-        floor_n = max(2, int(len(data_row_boxes) * 0.25))
+        y_rows: list[dict] = []
+        for c in all_cells:
+            for yr in y_rows:
+                if abs(c["top"] - yr["y"]) < 10:
+                    yr["cells"].append(c)
+                    break
+            else:
+                y_rows.append({"y": c["top"], "cells": [c]})
+        header_rows: list[dict] = []
 
-        def covered(col, cells):
+        def _add_header_word(w):
+            for yr in header_rows:
+                if abs(w.bbox.top - yr["y"]) < 10:
+                    yr["cells"].append(
+                        {"left": w.bbox.left, "right": w.bbox.right})
+                    return
+            header_rows.append({
+                "y": w.bbox.top,
+                "cells": [{"left": w.bbox.left, "right": w.bbox.right}]})
+
+        if first_data > 0:
+            for r in rows[:first_data]:
+                if len(r["line_indices"]) < 2:
+                    continue
+                for i in r["line_indices"]:
+                    for w in lines[i].words:
+                        _add_header_word(w)
+        headers = table.get("headers")
+        if headers and headers.get("band_top") is not None \
+                and headers.get("band_bottom") is not None:
+            h_top, h_bot = headers["band_top"], headers["band_bottom"]
+            for line in lines:
+                if not (h_top <= line.bbox.top < h_bot):
+                    continue
+                if line.bbox.top >= bbox.top:
+                    continue
+                if line.bbox.right < bbox.left \
+                        or line.bbox.left > bbox.right:
+                    continue
+                for w in line.words:
+                    _add_header_word(w)
+
+        floor_n = max(2, int(len(y_rows) * 0.25))
+
+        def _covered(col, cells):
             return any(col[0] <= (c["left"] + c["right"]) / 2 <= col[1]
                        for c in cells)
 
         c = len(bounds) - 1
         while c >= 0 and len(bounds) > 2:
-            hits = sum(1 for cells in data_row_boxes
-                       if covered(bounds[c], cells))
-            if hits == 0 or hits < floor_n:
+            data_hits = sum(1 for yr in y_rows
+                            if _covered(bounds[c], yr["cells"]))
+            head_hits = sum(1 for yr in header_rows
+                            if _covered(bounds[c], yr["cells"]))
+            if data_hits == 0 or data_hits + head_hits < floor_n:
                 if c == 0:
                     bounds[1][0] = bounds[0][0]
                 else:
@@ -1652,32 +1731,78 @@ def infer_unruled_columns(page, bbox: Bbox,
                 del bounds[c]
             c -= 1
 
-    seps = [(bounds[i][1] + bounds[i + 1][0]) / 2
+    return [(bounds[i][1] + bounds[i + 1][0]) / 2
             for i in range(len(bounds) - 1)]
 
-    if header_anchors and len(header_anchors) >= 2:
-        anchors = sorted(header_anchors)
-        h_seps = [(anchors[i] + anchors[i + 1]) / 2
-                  for i in range(len(anchors) - 1)]
+
+def extract_structure(page, table: dict) -> None:
+    """extractStructure (detectPdfTables.js:2728-3093): column
+    separators for a validated table. Path-derived separators
+    (grid / segmented-hline / header-rule) are authoritative and
+    skip inference. Otherwise word-cluster the rows, then:
+
+    - a strong header's anchor-midpoint separators (plus a
+      synthesized label-column separator when data sits left of the
+      first anchor) REPLACE the clustering result when it
+      under-counts a sparse table (< 3 seps, header found more),
+      over-splits (>= 2x the header count), or over-splits a
+      row-band table at all (:3043-3062);
+    - a row-band region's fill-derived colXs replace text-inferred
+      separators only when the text columns include a narrow outlier
+      (< 30% of the median column width) and the fills give >= 3
+      columns (:3065-3090) — the fills flow through the region
+      attached to the candidate, not a copied separator list."""
+    if table.get("col_separators"):
+        return
+    bbox = table["bbox"]
+    headers = table.get("headers")
+    header_seps = None
+    if headers and headers.get("confidence") == "strong" \
+            and len(headers.get("anchors") or []) >= 2:
+        anchors = sorted(headers["anchors"])
+        seps = [(anchors[i] + anchors[i + 1]) / 2
+                for i in range(len(anchors) - 1)]
         left_guard = anchors[0] - 10
         has_label = any(
-            l.bbox.right < left_guard for row_lines in rows
-            for l in row_lines)
+            page.lines[i].bbox.right < left_guard
+            for r in table.get("rows") or [] for i in r["line_indices"])
         if has_label:
             half = (anchors[1] - anchors[0]) / 2
             label_sep = anchors[0] - half
             if label_sep > bbox.left + 5 \
                     and anchors[0] - bbox.left > half * 2:
-                h_seps.insert(0, label_sep)
-        h_seps.sort()
-        sparse_under = len(h_seps) > len(seps) and len(seps) < 3
-        over_split = (len(h_seps) < len(seps) and len(h_seps) >= 2
-                      and len(h_seps) <= len(seps) * 0.5)
-        row_band_over = (method == "row-band" and len(h_seps) >= 2
-                         and len(h_seps) < len(seps))
+                seps.insert(0, label_sep)
+        header_seps = sorted(seps)
+
+    seps = infer_unruled_columns(page, table)
+    if header_seps:
+        sparse_under = len(header_seps) > len(seps) and len(seps) < 3
+        over_split = (len(header_seps) < len(seps)
+                      and len(header_seps) >= 2
+                      and len(header_seps) <= len(seps) * 0.5)
+        row_band_over = (table["method"] == "row-band"
+                         and len(header_seps) >= 2
+                         and len(header_seps) < len(seps))
         if sparse_under or over_split or row_band_over:
-            return h_seps
-    return seps
+            seps = header_seps
+    table["col_separators"] = seps
+
+    rbr = table.get("row_band")
+    if rbr and rbr.get("col_xs") and table["col_separators"]:
+        fill_seps = sorted(rbr["col_xs"])
+        widths = []
+        prev = bbox.left
+        for s in table["col_separators"]:
+            widths.append(s - prev)
+            prev = s
+        widths.append(bbox.right - prev)
+        widths.sort()
+        median_w = widths[len(widths) // 2]
+        if median_w > 0 and widths[0] < median_w * 0.3 \
+                and len(fill_seps) + 1 >= 3:
+            table["col_separators"] = fill_seps
+
+
 
 def detect_table_header(page, table: dict) -> dict | None:
     """Header association for a borderless table (detectHeaders,
@@ -1686,14 +1811,13 @@ def detect_table_header(page, table: dict) -> dict | None:
     or a single cell of <= 4 alphabetic words), pick the all-text row
     with the most cells (>= 3) as the primary header, keep only cells
     that align with a data word, and report strong confidence at >= 4
-    aligned anchors. Extends the table band to the header top."""
+    aligned anchors. Row geometry comes from the candidate's detected
+    rows (the reference consults table.rows, :2473-2485), not a bbox
+    scan — the bbox arrives pre-expanded from Phase 2."""
     bbox = table["bbox"]
-    data_rows = group_lines_into_rows(
-        [l for l in page.lines
-         if bbox.top <= (l.bbox.top + l.bbox.bottom) / 2 <= bbox.bottom])
-    if not data_rows:
+    if not table.get("rows"):
         return None
-    row_tops = sorted(min(l.bbox.top for l in r) for r in data_rows)
+    row_tops = sorted(r["y"] for r in table["rows"])
     if len(row_tops) > 1:
         spacings = sorted(
             row_tops[i + 1] - row_tops[i] for i in range(len(row_tops) - 1))
@@ -1702,10 +1826,12 @@ def detect_table_header(page, table: dict) -> dict | None:
         avg_pitch = 50.0
     first_row_y = row_tops[0]
     lookback = first_row_y - avg_pitch * 10
+    row_idx = {i for r in table["rows"] for i in r["line_indices"]}
 
     above = [
-        l for l in page.lines
-        if lookback <= l.bbox.top < first_row_y - 1
+        l for li, l in enumerate(page.lines)
+        if li not in row_idx
+        and lookback <= l.bbox.top < first_row_y
         and not (l.bbox.right < bbox.left or l.bbox.left > bbox.right)]
     if not above:
         return None
@@ -1794,10 +1920,11 @@ def detect_table_header(page, table: dict) -> dict | None:
         if band_top >= first_row_y:
             return None
         return {"anchors": [], "band_top": band_top,
-                "confidence": "weak"}
+                "band_bottom": first_row_y, "confidence": "weak"}
 
     data_words = [
-        w for r in data_rows for line in r for w in line.words]
+        w for r in table["rows"] for i in r["line_indices"]
+        for w in page.lines[i].words]
     aligned = []
     for left, right in best_cells:
         for w in data_words:
@@ -1811,7 +1938,186 @@ def detect_table_header(page, table: dict) -> dict | None:
                   and len(aligned) >= len(best_cells) * 0.5
                   else "weak")
     return {"anchors": aligned, "band_top": band_top,
-            "confidence": confidence}
+            "band_bottom": first_row_y, "confidence": confidence}
+
+
+_NUMERIC_TAIL_RE = re.compile(r"[\d)%]$")
+_SENTENCE_END_RE = re.compile(r"[.!?:]$")
+
+
+def _last_word_text(line) -> str:
+    return line.words[-1].text if line.words else ""
+
+
+def refine_table_top(table: dict, lines, h_lines: list[dict],
+                     top_floor: float = 0.0) -> None:
+    """Phase 5.5 top-boundary refinement (refineTableTop,
+    detectPdfTables.js:3095-3352): replace the generous Phase-2
+    expansion with a precise top. A strong header band is
+    authoritative (minus colon-prose pushes); otherwise chain upward
+    from the first data row (skipping leading wide/sentence-end
+    single-line rows), anchored at the closest hLine within 1.5 row
+    pitches, accepting multi-segment rows within 2.5x the median row
+    pitch and narrow single-segment rows within 0.45x, stopping at
+    'follows:' prose / wide paragraphs / page-margin-left lines /
+    x-disjoint narrow rows; then push the result past straddling,
+    'follows:'-ending and wide-paragraph lines, and past leading
+    all-'follows:' rows."""
+    rows = table["rows"]
+    if not rows:
+        return
+    bbox = table["bbox"]
+    headers = table.get("headers")
+    first_data_y = min(r["y"] for r in rows)
+    if headers and headers.get("confidence") == "strong":
+        strong_top = max(top_floor, headers["band_top"] - 5)
+        for line in lines:
+            if line.bbox.top < strong_top \
+                    or line.bbox.top >= first_data_y:
+                continue
+            if line.bbox.right < bbox.left \
+                    or line.bbox.left > bbox.right:
+                continue
+            if _last_word_text(line) == "follows:" \
+                    and line.bbox.bottom > strong_top:
+                strong_top = line.bbox.bottom + 1
+        table["bbox"] = Bbox(bbox.left, strong_top, bbox.right,
+                             bbox.bottom)
+        return
+
+    sorted_rows = sorted(rows, key=lambda r: r["y"])
+    cand_w = bbox.right - bbox.left
+    # skip leading wide / sentence-ending single-line rows: prose that
+    # slipped into the candidate must not anchor the scan
+    first_idx = 0
+    while first_idx < len(sorted_rows) - 1:
+        r = sorted_rows[first_idx]
+        if len(r["line_indices"]) != 1:
+            break
+        line = lines[r["line_indices"][0]]
+        last = _last_word_text(line)
+        if is_num_token(last) and _DIGIT_RE.search(last) \
+                and _NUMERIC_TAIL_RE.search(last):
+            break
+        wide = (line.bbox.right - line.bbox.left) > cand_w * 0.5
+        sentence_end = bool(_SENTENCE_END_RE.search(last)) \
+            and len(line.words) >= 3
+        if not wide and not sentence_end:
+            break
+        first_idx += 1
+    first_row_y = sorted_rows[first_idx]["y"]
+    avg_rh = 50.0
+    if len(sorted_rows) > 1:
+        spac = sorted(sorted_rows[i]["y"] - sorted_rows[i - 1]["y"]
+                      for i in range(1, len(sorted_rows)))
+        avg_rh = spac[len(spac) // 2]
+    all_idx = {i for r in rows for i in r["line_indices"]}
+
+    # scan anchor: the CLOSEST hLine above the first row (within 1.5
+    # pitches) marks the header/data boundary
+    scan_anchor = first_row_y
+    hl_limit = first_row_y - avg_rh * 1.5
+    for hl in h_lines:
+        if hl["right"] < bbox.left or hl["left"] > bbox.right:
+            continue
+        if hl_limit < hl["y"] < first_row_y:
+            if scan_anchor == first_row_y or hl["y"] > scan_anchor:
+                scan_anchor = hl["y"]
+
+    data_left = min((lines[i].bbox.left
+                     for r in rows for i in r["line_indices"]),
+                    default=float("inf"))
+
+    def _is_multi_segment(li: int, line) -> bool:
+        return any(
+            lj != li and abs(lines[lj].bbox.top - line.bbox.top) < 5
+            and lines[lj].bbox.right >= bbox.left
+            and lines[lj].bbox.left <= bbox.right
+            for lj in range(len(lines)))
+
+    above = [(li, line) for li, line in enumerate(lines)
+             if li not in all_idx and line.bbox.top < first_row_y
+             and line.bbox.bottom > top_floor
+             and not (line.bbox.right < bbox.left
+                      or line.bbox.left > bbox.right)]
+    above.sort(key=lambda t: -t[1].bbox.top)  # bottom-up
+
+    header_top = scan_anchor
+    single_range: list[float] | None = None
+    for li, line in above:
+        if _last_word_text(line) == "follows:":
+            break
+        line_w = line.bbox.right - line.bbox.left
+        gap = header_top - line.bbox.bottom
+        if _is_multi_segment(li, line):
+            if gap > avg_rh * 2.5:
+                break
+            header_top = min(header_top, line.bbox.top)
+            single_range = None
+            continue
+        if gap > avg_rh * 0.45:
+            continue
+        if line_w > cand_w * 0.6:
+            break
+        if line.bbox.left < data_left - 20:
+            break
+        if single_range and (line.bbox.right < single_range[0]
+                             or line.bbox.left > single_range[1]):
+            break
+        header_top = min(header_top, line.bbox.top)
+        if line_w <= cand_w * 0.5:
+            if single_range is None:
+                single_range = [line.bbox.left, line.bbox.right]
+            else:
+                single_range[0] = min(single_range[0], line.bbox.left)
+                single_range[1] = max(single_range[1], line.bbox.right)
+
+    final_top = max(top_floor, header_top - 5)
+
+    # post-scan cleanup: push past straddling lines, 'follows:' prose
+    # and wide paragraph text inside [final_top, first_row_y]
+    pushed = True
+    while pushed:
+        pushed = False
+        for li, line in enumerate(lines):
+            if li in all_idx:
+                continue
+            if line.bbox.right < bbox.left or line.bbox.left > bbox.right:
+                continue
+            if line.bbox.bottom <= final_top \
+                    or line.bbox.top >= first_row_y:
+                continue
+            if line.bbox.top < final_top:
+                final_top = line.bbox.bottom + 1
+                pushed = True
+                continue
+            if _last_word_text(line) == "follows:":
+                final_top = line.bbox.bottom + 1
+                pushed = True
+                continue
+            line_w = line.bbox.right - line.bbox.left
+            if not _is_multi_segment(li, line) and line_w > cand_w * 0.6:
+                final_top = line.bbox.bottom + 1
+                pushed = True
+
+    # leading rows made entirely of 'follows:' lines are intro prose
+    # that shares the header row's y — push past them
+    for r in sorted_rows:
+        if r["y"] > final_top + avg_rh * 1.5:
+            break
+        all_follows = bool(r["line_indices"]) and all(
+            not lines[i].words
+            or lines[i].words[-1].text == "follows:"
+            for i in r["line_indices"])
+        if all_follows:
+            row_bot = max(lines[i].bbox.bottom
+                          for i in r["line_indices"])
+            if row_bot > final_top:
+                final_top = row_bot + 1
+        else:
+            break
+
+    table["bbox"] = Bbox(bbox.left, final_top, bbox.right, bbox.bottom)
 
 
 def columns_from_separators(bbox: Bbox, seps: list[float]) -> list[Bbox]:
@@ -1899,30 +2205,20 @@ def detect_pdf_table_regions(page, paths, scale: float,
             find_table_like_rows(page), page)
         if validate_candidate(c, page.lines)]
     for cand in text_cands:
-        if any(_overlaps(cand["bbox"], t["bbox"]) for t in tables):
+        # grid/path tables override on AREA overlap > 0.3 (:310) —
+        # the Phase-2 top expansion legitimately grazes neighbors
+        if any(bbox_overlap(cand["bbox"], t["bbox"]) > 0.3
+               for t in tables):
             continue
         if not validate_stream_order(cand, page.lines):
             continue
-        header = detect_table_header(page, cand)
-        if header is not None and header["band_top"] < cand["bbox"].top:
-            cand["bbox"] = Bbox(
-                cand["bbox"].left, header["band_top"],
-                cand["bbox"].right, cand["bbox"].bottom)
-            cand["rows"] = _region_rows(page, cand["bbox"])
-        cand["header"] = (header or {}).get("confidence", "none") \
-            if header else "none"
-        cand["col_separators"] = infer_unruled_columns(
-            page, cand["bbox"],
-            header_anchors=(header or {}).get("anchors")
-            if header and header.get("confidence") == "strong"
-            else None,
-            method=cand["method"])
         tables.append(cand)
 
     # Phase 3.5/4 row-band integration (detectPdfTables.js:282-287,
-    # 320-446): a region matching exactly one non-grid candidate lends
-    # it the band structure (bbox extension + dominant-anchor
-    # separators); an unmatched region with >= 8 bands stands alone.
+    # 320-446): a region matching exactly one non-grid candidate RIDES
+    # the candidate (bbox union; column anchors flow through
+    # extract_structure below, :352-384); an unmatched region with
+    # >= 8 bands stands alone.
     rbrs = [r for r in extract_row_band_structure(filled_rects)
             if r["right"] - r["left"] >= page.dims["width"] * 0.3]
     for rbr in rbrs:
@@ -1932,19 +2228,73 @@ def detect_pdf_table_regions(page, paths, scale: float,
                    if bbox_overlap(t["bbox"], r_bbox) > 0.3]
         if len(matches) == 1 and matches[0]["method"] != "grid":
             t = matches[0]
+            prev_left = t["bbox"].left
             t["bbox"] = Bbox(
                 min(t["bbox"].left, rbr["left"]),
                 min(t["bbox"].top, rbr["top"]),
                 max(t["bbox"].right, rbr["right"]),
                 max(t["bbox"].bottom, rbr["bottom"]))
-            if rbr["col_xs"]:
-                t["col_separators"] = list(rbr["col_xs"])
-            t["method"] = "row-band"
+            t["row_band"] = rbr
+            if t["method"] in ("header-rule", "segmented-hline"):
+                # leftward extension past path-derived columns keeps
+                # the old left edge as a label-column separator (:370)
+                if t["bbox"].left < prev_left - 5:
+                    seps = list(t.get("col_separators") or [])
+                    seps.insert(0, prev_left)
+                    t["col_separators"] = sorted(seps)
+            else:
+                t["method"] = "row-band"
             t["rows"] = _region_rows(page, t["bbox"])
         elif not matches and len(rbr["row_ys"]) >= 8:
             for c in make_row_band_candidates(rbr, None, page):
                 if validate_stream_order(c, page.lines):
                     tables.append(c)
+
+    # Header detection runs FIRST (:459-462): extract_structure and
+    # refine_table_top consult table["headers"] as a first-class
+    # signal instead of re-deriving header evidence ad-hoc.
+    for t in tables:
+        if t["method"] == "grid":
+            t["headers"] = None
+            continue
+        t["headers"] = detect_table_header(page, t)
+        # the exported header label reflects bands the table actually
+        # CONSUMES: path-derived tops (segmented-hline / header-rule
+        # without an attached row band) ignore the band, so they stay
+        # 'none' even though headers are computed for completeness
+        consumed = t.get("row_band") or t["method"] not in (
+            "segmented-hline", "header-rule")
+        t["header"] = t["headers"]["confidence"] \
+            if t["headers"] and consumed else "none"
+    for t in tables:
+        t.setdefault("header", "none")
+        extract_structure(page, t)
+
+    # Phase 5.5: refine table tops now that path data is in. Path
+    # methods carry authoritative tops and are exempt unless a
+    # row-band region was attached; stacked siblings floor the scan
+    # at the neighbor's bottom, compared against the FIRST DATA ROW
+    # (bbox.top was inflated in Phase 2, :667-683).
+    for t in tables:
+        if t["method"] == "grid":
+            continue
+        has_band = bool(t.get("row_band"))
+        if not has_band and t["method"] in ("segmented-hline",
+                                            "header-rule"):
+            continue
+        my_first = min((r["y"] for r in t.get("rows") or []),
+                       default=t["bbox"].top)
+        top_floor = 0.0
+        for other in tables:
+            if other is t:
+                continue
+            ob = other["bbox"]
+            if ob.bottom <= my_first and ob.bottom > top_floor \
+                    and ob.right >= t["bbox"].left \
+                    and ob.left <= t["bbox"].right:
+                top_floor = ob.bottom
+        refine_table_top(t, page.lines, h_lines, top_floor)
+        t["rows"] = _region_rows(page, t["bbox"])
     return _finish_tables(tables, page)
 
 

@@ -1,5 +1,7 @@
 """PDF-side table detection tests (detectPdfTables minimal core)."""
 
+import pytest
+
 from scribe_js_spark.extract import extract_document
 from scribe_js_spark.fixtures import build_pdf_table_models
 from scribe_js_spark.operators.pdf.tables_pdf import (
@@ -476,15 +478,24 @@ def test_header_anchor_separator_replacement():
 
     # sparse: labels + ONE populated numeric column; the header named 4
     page.lines = []
+    rows = []
     for r in range(4):
         y = 100 + r * 50
         page.lines.append(line(y, 100, f"item{r:02d}"))
         page.lines.append(line(y, 500, "1,234"))
+        rows.append({"y": float(y),
+                     "line_indices": [2 * r, 2 * r + 1]})
     bbox = Bbox(100, 95, 1180, 300)
-    plain = infer_unruled_columns(page, bbox)
+    table = {"bbox": bbox, "rows": rows, "method": "numeric",
+             "col_separators": []}
+    plain = infer_unruled_columns(page, table)
     assert len(plain) < 3
-    with_hdr = infer_unruled_columns(
-        page, bbox, header_anchors=[530.0, 730.0, 930.0, 1130.0])
+    from scribe_js_spark.operators.pdf.tables_pdf import extract_structure
+    table["headers"] = {
+        "anchors": [530.0, 730.0, 930.0, 1130.0], "band_top": 60.0,
+        "band_bottom": 100.0, "confidence": "strong"}
+    extract_structure(page, table)
+    with_hdr = table["col_separators"]
     assert len(with_hdr) == 4            # label sep + 3 anchor midpoints
     assert with_hdr[0] < 530
 
@@ -524,9 +535,89 @@ def test_follows_prose_stops_header_walk():
         line(320, 100, ["item02"]), line(320, 500, ["3,234"]),
         line(320, 800, ["7,876"]),
     ]
-    table = {"bbox": Bbox(95, 215, 1000, 340)}
+    table = {"bbox": Bbox(95, 215, 1000, 340),
+             "rows": [{"y": 220.0, "line_indices": [5, 6, 7]},
+                      {"y": 270.0, "line_indices": [8, 9, 10]},
+                      {"y": 320.0, "line_indices": [11, 12, 13]}]}
     h = detect_table_header(page, table)
     assert h is not None
     # band reaches the 3-cell header row and the Deferred: sub-header,
     # but NOT the follows: prose line
     assert 95 <= h["band_top"] <= 105
+
+
+def _table_cells(page):
+    from scribe_js_spark.operators.pdf.tables_pdf import (
+        columns_from_separators)
+    from scribe_js_spark.operators.tables import extract_table_rows
+
+    out = []
+    for tn, t in enumerate(page.tables):
+        cols = (columns_from_separators(t["bbox"], t["col_separators"])
+                if t["col_separators"] else None)
+        for r, row in enumerate(extract_table_rows(page, t["bbox"], cols)):
+            for c, cell in enumerate(row):
+                out.append((tn, r, c, cell))
+    return out
+
+
+@pytest.mark.parametrize("doc_id", range(45, 50))
+def test_refine_table_top_family(doc_id):
+    """Phase-5.5 refineTableTop docs (detectPdfTables.js:3095-3352):
+    wide-prose shrink (45), out-of-expansion multi-segment chain (46),
+    strong stacked header + 'follows:' stop (47), hLine scan anchor
+    (48), sibling top floor (49). 45-47 fail if refine_table_top is
+    stubbed (verified at authoring time); 48/49 carry dedicated
+    counterfactual tests below."""
+    m = build_pdf_table_models(doc_id)
+    res = extract_document(render_pdf(m["model"], rotate=False))
+    assert res.error is None
+    page = res.pages[0]
+    got = [(t["method"], len(t.get("col_separators") or []) + 1,
+            t.get("header", "none")) for t in page.tables]
+    assert got == [(r["method"], r["n_cols"], r["header"])
+                   for r in m["regions"]]
+    want = sorted((e["table_n"], e["row_n"], e["col_n"], e["cell"])
+                  for e in m["expected"])
+    assert sorted(_table_cells(page)) == want
+
+
+def test_refine_top_hline_anchor_counterfactual():
+    """Doc 48's header rides ONLY on the hLine scan anchor: the gap
+    from the first data row to the header exceeds the 0.45x-pitch
+    single-segment budget, so removing the rule must drop the header
+    row from the table (refineTableTop :3160-3175)."""
+    m = build_pdf_table_models(48)
+    page48 = m["model"]["pages"][0]
+    assert page48.pop("rules", None), "doc 48 must carry the rule"
+    res = extract_document(render_pdf(m["model"], rotate=False))
+    page = res.pages[0]
+    cells = _table_cells(page)
+    # data rows only: 5 rows x 4 cols; no header row
+    assert len(cells) == 20
+    header_texts = {e["cell"] for e in m["expected"]
+                    if e["row_n"] == 0 and e["cell"]}
+    assert not any(c[3] in header_texts for c in cells)
+
+
+def test_refine_top_sibling_floor_counterfactual():
+    """Doc 49's lower table: the upper sibling's bbox.bottom floors
+    the upward scan; with the floor forced to 0 the multi-segment
+    chain (gap 120 < 2.5x pitch) swallows the upper table's rows
+    (refineTableTop topFloor, detectPdfTables.js:667-683)."""
+    from scribe_js_spark.operators.pdf.tables_pdf import (
+        refine_table_top)
+
+    m = build_pdf_table_models(49)
+    res = extract_document(render_pdf(m["model"], rotate=False))
+    page = res.pages[0]
+    assert len(page.tables) == 2
+    upper, lower = page.tables
+    assert lower["bbox"].top > upper["bbox"].bottom
+
+    # counterfactual: rebuild the lower table's pre-refine state and
+    # refine with no floor — the chain must climb into the upper table
+    cand = {"bbox": lower["bbox"], "rows": lower["rows"],
+            "method": "numeric", "headers": lower.get("headers")}
+    refine_table_top(cand, page.lines, [], top_floor=0.0)
+    assert cand["bbox"].top < upper["bbox"].bottom
