@@ -1265,13 +1265,20 @@ def _q_abbyy_table_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     matrix: ABBYY blockType="Table" blocks (convertTableLayoutAbbyy,
     both the first-row-width path and the content-coordinate recalc
     path) plus Azure analyzeResult.tables docs (convertTableLayoutAzure:
-    polygon cells, span collapse, empty cells)."""
+    polygon cells, span collapse, empty cells). Every row also carries
+    ``xlsx_rt_md5`` — the document's cell matrices written through
+    write_xlsx (writeTabular.js:10-260) and RE-READ from the workbook
+    bytes, digested; the oracle holds the same digest of the
+    independently-derived expected matrices, so a writer defect (lost
+    cell, bad escaping, broken row numbering) breaks the match."""
     from typing import Iterator
 
     import pandas as pd
     from pyspark.sql.types import (
         LongType, StringType, StructField, StructType)
 
+    from scribe_js_spark.export.xlsx import (
+        matrices_digest, read_xlsx_cells, write_xlsx)
     from scribe_js_spark.extract import extract_document
     from scribe_js_spark.operators.tables import extract_table_cells_fixed
 
@@ -1281,6 +1288,7 @@ def _q_abbyy_table_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         StructField("row_n", LongType()),
         StructField("col_n", LongType()),
         StructField("cell", StringType()),
+        StructField("xlsx_rt_md5", StringType()),
     ])
 
     def fn(batches: Iterator) -> Iterator:
@@ -1290,16 +1298,24 @@ def _q_abbyy_table_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
                 res = extract_document(bytes(html))
                 if res.error is not None:
                     continue
+                matrices, flat = [], []
                 for page in res.pages:
-                    for t_n, table in enumerate(page.tables):
+                    for table in page.tables:
                         grid = extract_table_cells_fixed(page, table)
+                        t_n = len(matrices)
+                        matrices.append(grid)
                         for r, row in enumerate(grid):
                             for c, cell in enumerate(row):
-                                out["url"].append(url)
-                                out["table_n"].append(t_n)
-                                out["row_n"].append(r)
-                                out["col_n"].append(c)
-                                out["cell"].append(cell)
+                                flat.append((t_n, r, c, cell))
+                rt = matrices_digest(read_xlsx_cells(
+                    write_xlsx(matrices)))
+                for t_n, r, c, cell in flat:
+                    out["url"].append(url)
+                    out["table_n"].append(t_n)
+                    out["row_n"].append(r)
+                    out["col_n"].append(c)
+                    out["cell"].append(cell)
+                    out["xlsx_rt_md5"].append(rt)
             yield pd.DataFrame(out)
 
     df = spark.read.parquet(
@@ -2188,7 +2204,8 @@ def oracle_sql() -> dict[str, str]:
             f"'{os.path.join(FIX_T2, 'pdf_meta.parquet')}')"),
         "abbyy_table_cells": (
             "SELECT url, table_n::BIGINT AS table_n,"
-            " row_n::BIGINT AS row_n, col_n::BIGINT AS col_n, cell"
+            " row_n::BIGINT AS row_n, col_n::BIGINT AS col_n, cell,"
+            " xlsx_rt_md5"
             f" FROM read_parquet("
             f"'{os.path.join(FIX_T2, 'abbyy_table.parquet')}')"),
         "docx_numbering": (

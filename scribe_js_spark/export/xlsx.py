@@ -101,3 +101,52 @@ def write_xlsx(tables: list[list[list[str]]]) -> bytes:
             info.compress_type = zipfile.ZIP_DEFLATED
             zf.writestr(info, data)
     return buf.getvalue()
+
+
+def read_xlsx_cells(data: bytes) -> list[list[list[str]]]:
+    """Inverse of :func:`write_xlsx`: sheet1.xml inline-string cells
+    back into per-table matrices. Tables are delimited by the blank
+    separator rows create_cells leaves as gaps in the row numbering."""
+    import re as _re
+    from xml.sax.saxutils import unescape as _unescape
+
+    with zipfile.ZipFile(io.BytesIO(data)) as zf:
+        sheet = zf.read("xl/worksheets/sheet1.xml").decode("utf-8")
+    tables: list[list[list[str]]] = []
+    current: list[list[str]] = []
+    last_n = 0
+    for row_m in _re.finditer(r'<row r="(\d+)">(.*?)</row>', sheet):
+        n = int(row_m.group(1))
+        if current and n > last_n + 1:
+            tables.append(current)
+            current = []
+        cells: dict[int, str] = {}
+        for c_m in _re.finditer(
+                r'<c r="([A-Z]+)\d+" t="inlineStr">'
+                r"<is><t>(.*?)</t></is></c>", row_m.group(2)):
+            col = 0
+            for ch in c_m.group(1):
+                col = col * 26 + (ord(ch) - 64)
+            cells[col - 1] = _unescape(
+                c_m.group(2), {"&apos;": "'", "&quot;": '"'})
+        width = max(cells) + 1 if cells else 0
+        current.append([cells.get(i, "") for i in range(width)])
+        last_n = n
+    if current:
+        tables.append(current)
+    return tables
+
+
+def matrices_digest(tables: list[list[list[str]]]) -> str:
+    """Canonical md5 of a cell-matrix list — the XLSX writer-roundtrip
+    oracle hashes the re-read workbook with this and compares against
+    the same digest of the independently-derived expected matrices."""
+    import hashlib
+
+    h = hashlib.md5()
+    for t, matrix in enumerate(tables):
+        for r, row in enumerate(matrix):
+            for c, cell in enumerate(row):
+                h.update(f"{t}\x1e{r}\x1e{c}\x1e{cell}\x1f"
+                         .encode("utf-8"))
+    return h.hexdigest()

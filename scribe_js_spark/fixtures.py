@@ -2540,12 +2540,27 @@ def write_abbyy_table_parquet(path: str, n_docs: int = 30,
     """abbyy_table_docs.parquet (url, ABBYY XML or Azure JSON bytes) +
     abbyy_table.parquet golden cells — the explicit-table-layout
     family (ABBYY blockType="Table" docs plus Azure
-    analyzeResult.tables docs)."""
+    analyzeResult.tables docs). Each golden row carries
+    ``xlsx_rt_md5``: the canonical digest of the EXPECTED cell
+    matrices, computed directly from the hand-derived cells — never by
+    running the XLSX writer — so the driver row proves
+    read(write(matrices)) == expected."""
     import os
 
     import pandas as pd
 
+    from .export.xlsx import matrices_digest
     from .render_cloud import render_azure_docintel
+
+    def _expected_digest(recs) -> str:
+        tables: dict = {}
+        for rec in recs:
+            tables.setdefault(rec["table_n"], {}) \
+                .setdefault(rec["row_n"], {})[rec["col_n"]] = rec["cell"]
+        mats = [[[rows[rn][cn] for cn in sorted(rows[rn])]
+                 for rn in sorted(rows)]
+                for _tn, rows in sorted(tables.items())]
+        return matrices_digest(mats)
 
     doc_rows, golden_rows = [], []
     for doc_id in range(n_docs):
@@ -2554,16 +2569,18 @@ def write_abbyy_table_parquet(path: str, n_docs: int = 30,
         doc_rows.append({
             "url": url,
             "html": render_abbyy(m["model"]).encode("utf-8")})
+        dig = _expected_digest(m["expected"])
         for rec in m["expected"]:
-            golden_rows.append({"url": url, **rec})
+            golden_rows.append({"url": url, **rec, "xlsx_rt_md5": dig})
     for doc_id in range(max(1, n_docs * 5 // 6)):
         m = build_azure_table_models(doc_id, seed=seed)
         url = f"https://fixtures.test/azure_table/{doc_id:08d}"
         doc_rows.append({
             "url": url,
             "html": render_azure_docintel(m["model"]).encode("utf-8")})
+        dig = _expected_digest(m["expected"])
         for rec in m["expected"]:
-            golden_rows.append({"url": url, **rec})
+            golden_rows.append({"url": url, **rec, "xlsx_rt_md5": dig})
     pd.DataFrame(doc_rows).to_parquet(
         os.path.join(path, "abbyy_table_docs.parquet"), index=False)
     pd.DataFrame(golden_rows).to_parquet(

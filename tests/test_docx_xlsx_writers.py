@@ -94,3 +94,25 @@ def test_xlsx_cells_and_roundtrip():
 def test_xlsx_escapes_markup():
     sheet = create_cells([[["<&>"]]])
     assert "&lt;&amp;&gt;" in sheet
+
+
+def test_xlsx_read_back_and_digest():
+    """read_xlsx_cells inverts write_xlsx across multiple tables
+    (blank-row separators), empty cells and markup-bearing text; the
+    canonical digest matches the one computed directly from the
+    matrices — and stops matching if the workbook loses a cell."""
+    from scribe_js_spark.export.xlsx import (
+        matrices_digest, read_xlsx_cells, write_xlsx)
+
+    tables = [
+        [["a", "b<&>'\"", ""], ["1,234", "", "x"]],
+        [["only"], ["two", "cells"]],
+    ]
+    data = write_xlsx(tables)
+    assert read_xlsx_cells(data) == tables
+    assert matrices_digest(read_xlsx_cells(data)) \
+        == matrices_digest(tables)
+    # a defective writer (dropped cell) must change the digest
+    broken = [[r[:] for r in t] for t in tables]
+    broken[0][1][2] = "Y"
+    assert matrices_digest(broken) != matrices_digest(tables)
