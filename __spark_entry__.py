@@ -336,8 +336,11 @@ def _q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     compressions, horizontal-differencing predictor), BMP (ids 9100+:
     8-bit paletted + 24-bit, both row orders) and G.711 mu-law WAV
     (ids 9200+: the companding round-trip is exact integer math, so
-    the mean amplitude reproduces in SQL). n_bytes is asserted for
-    SIMG only — compressed sizes are not SQL-reproducible."""
+    the mean amplitude reproduces in SQL), and JBIG2 standalone files
+    (ids 9400+: MQ-coded generic regions cycling arithmetic template
+    0 / MMR / TPGDON / template 2 over the same bilevel threshold as
+    the fax rows). n_bytes is asserted for SIMG only — compressed
+    sizes are not SQL-reproducible."""
     import numpy as np
 
     from scribe_js_spark.textops.jpeg import (
@@ -462,6 +465,16 @@ def _q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         comp = [2, 3, 4, 3][i % 4]
         rows.append((9300 + i, encode_tiff(
             px[:, :, None], compression=comp, t4_2d=i % 4 == 3)))
+    from scribe_js_spark.textops.jbig2 import build_jbig2_file
+    for i in range(8):  # JBIG2 standalone: generic-region coding modes
+        w = 16 + i % 8
+        h = 8 + i % 5
+        xs, ys = np.meshgrid(np.arange(w), np.arange(h))
+        bits = ((((xs * 7 + ys * 13) % 256) < 128)
+                .astype(int).tolist())
+        kw = [{}, {"mmr": True}, {"tpgdon": True},
+              {"template": 2}][i % 4]
+        rows.append((9400 + i, build_jbig2_file(bits, **kw)))
     for i in range(10):  # BMP: gray paletted / 24-bit RGB, both row orders
         w = 16 + i % 8
         h = 8 + i % 5
@@ -2654,6 +2667,23 @@ WHERE len(list_intersect(ta.toks, tb.toks))
                      (CASE WHEN (x.x * 7 + y.y * 13) % 256 >= 128
                            THEN 255 ELSE 0 END)::DOUBLE AS v
               FROM range(12) t(r), range(24) x(x), range(13) y(y)
+              WHERE x.x < (16 + r % 8) AND y.y < (8 + r % 5)
+            ) GROUP BY media_id, w, h
+            UNION ALL
+            -- JBIG2 standalone rows (ids 9400+, generic regions
+            -- cycling arithmetic T0 / MMR / TPGDON / template 2):
+            -- same bilevel threshold, ink where the gray value < 128
+            SELECT media_id, 'jbig2' AS kind, w::BIGINT AS width,
+                   h::BIGINT AS height, NULL::BIGINT AS n_bytes_simg,
+                   CAST(floor(avg(v) * 1e6) AS BIGINT) AS mean_e6,
+                   NULL::BIGINT AS sample_rate, NULL::BIGINT AS duration_ms,
+                   NULL::BIGINT AS n_frames
+            FROM (
+              SELECT 9400 + r AS media_id, (16 + r % 8) AS w,
+                     (8 + r % 5) AS h,
+                     (CASE WHEN (x.x * 7 + y.y * 13) % 256 >= 128
+                           THEN 255 ELSE 0 END)::DOUBLE AS v
+              FROM range(8) t(r), range(24) x(x), range(13) y(y)
               WHERE x.x < (16 + r % 8) AND y.y < (8 + r % 5)
             ) GROUP BY media_id, w, h
             UNION ALL

@@ -3297,6 +3297,30 @@ def build_image_models(doc_id: int, seed: int = SEED_DEFAULT) -> dict:
         has_smask=False, interpolate=False, n_raw_bytes=len(fax),
         pixels_mean_e6=int(_m.floor(fax_mean * 1e6)))
 
+    from .textops.jbig2 import build_jbig2_embedded, build_jbig2_pair
+    jb_bits = [[1 if (x * 5 + y * 11) % 7 < 3 else 0
+                for x in range(wd)] for y in range(ht)]
+    jb_kw = [{}, {"mmr": True}, {"tpgdon": True},
+             {"template": 2}][doc_id % 4]
+    jb_split = doc_id % 3 == 1
+    if jb_split:
+        jb_globals, jb = build_jbig2_pair(jb_bits, **jb_kw)
+        jb_parms = " /DecodeParms << /JBIG2Globals __JBGNUM__ 0 R >>"
+    else:
+        jb_globals = None
+        jb = build_jbig2_embedded(jb_bits, **jb_kw)
+        jb_parms = ""
+    jb_mean = 255 * sum(1 - b for row in jb_bits for b in row) \
+        / (wd * ht)
+    img(f"/Subtype /Image /Width {wd} /Height {ht} "
+        f"/ColorSpace /DeviceGray /BitsPerComponent 1 "
+        f"/Filter /JBIG2Decode{jb_parms}",
+        jb, width=wd, height=ht, bpc=1, image_mask=False,
+        colorspace="DeviceGray", palette_hival=-1,
+        filter="JBIG2Decode", ext="raw", decode_invert=False,
+        has_smask=False, interpolate=False, n_raw_bytes=len(jb),
+        pixels_mean_e6=int(_m.floor(jb_mean * 1e6)))
+
     pal = zlib.compress(bytes(x % 4 for x in range(wd * ht)))
     img(f"/Subtype /Image /Width {wd} /Height {ht} "
         f"/ColorSpace [/Indexed /DeviceRGB 3 <000000ff0000%s00ff00>] "
@@ -3341,6 +3365,10 @@ def build_image_models(doc_id: int, seed: int = SEED_DEFAULT) -> dict:
     if doc_id % 4 == 0:
         smask_num, smask_target_num = nxt, nxt + 1
         nxt += 2
+    jb_globals_num = None
+    if jb_globals is not None:
+        jb_globals_num = nxt
+        nxt += 1
 
     content = b"q 100 0 0 80 72 600 cm /Im0 Do Q"
     w.add(b"<< /Type /Catalog /Pages 2 0 R >>")
@@ -3357,6 +3385,9 @@ def build_image_models(doc_id: int, seed: int = SEED_DEFAULT) -> dict:
     w.add(b"<< /Length %d >>\nstream\n" % len(content)
           + content + b"\nendstream")
     for dict_body, data, g in img_defs:
+        if jb_globals_num is not None:
+            dict_body = dict_body.replace(
+                "__JBGNUM__", str(jb_globals_num))
         w.add((f"<< {dict_body} /Length {len(data)} >>\nstream\n"
                ).encode() + data + b"\nendstream")
         golden.append(g)
@@ -3400,6 +3431,11 @@ def build_image_models(doc_id: int, seed: int = SEED_DEFAULT) -> dict:
             filter="FlateDecode", ext="raw", decode_invert=False,
             has_smask=True, interpolate=False, n_raw_bytes=len(gray),
             pixels_mean_e6=0))
+    if jb_globals_num is not None:
+        # JBIG2Globals stream (not an image XObject — the inventory
+        # sweep must not list it); holds the page-information segment
+        w.add((f"<< /Length {len(jb_globals)} >>\nstream\n"
+               ).encode() + jb_globals + b"\nendstream")
     for n, g in enumerate(golden):
         g["image_n"] = n
     return {"pdf": w.build(), "expected": golden}

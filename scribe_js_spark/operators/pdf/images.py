@@ -7,12 +7,14 @@ space (Indexed palette hival, ICCBased folded to its device analogue
 by /N), filter chain + codec extension (imageFilterToExt :1075),
 /Decode inversion, /SMask and /Interpolate flags, and the raw stream
 size. Pixel decode (``decode_image_pixels``) covers the real codecs:
-CCITTFaxDecode (K<0 Group 4 / K=0 Modified Huffman through
-textops/ccitt — the classic scanned-PDF shape), DCTDecode (baseline +
-progressive JPEG through textops/jpeg), uncompressed/Flate 8-bpc
-gray/RGB samples, and raw 1-bpc bilevel; JPX and JBIG2 stay honest
-NotImplementedError stubs — the inventory is what a multimodal
-pipeline partitions on.
+CCITTFaxDecode (all four T.4/T.6 modes through textops/ccitt — the
+classic scanned-PDF shape), JBIG2Decode generic regions (arithmetic
+templates 0-3 + TPGDON + MMR through textops/jbig2, with
+/JBIG2Globals honored), DCTDecode (baseline + progressive JPEG
+through textops/jpeg), uncompressed/Flate 8-bpc gray/RGB samples,
+and raw 1-bpc bilevel; JPX and the JBIG2 symbol/text/halftone
+families stay honest NotImplementedError stubs — the inventory is
+what a multimodal pipeline partitions on.
 """
 
 from __future__ import annotations
@@ -184,6 +186,26 @@ def decode_image_pixels(doc: PdfDocument, obj: StreamObj):
         from ...textops.jpeg import decode_jpeg
 
         return decode_jpeg(data)
+    if codec == "JBIG2Decode":
+        from ...textops.jbig2 import decode_jbig2
+
+        parms = doc.resolve(d.get("DecodeParms"))
+        if isinstance(parms, list):
+            parms = next((doc.resolve(p) for p in parms
+                          if isinstance(doc.resolve(p), dict)), {})
+        parms = parms if isinstance(parms, dict) else {}
+        gstream = doc.resolve(parms.get("JBIG2Globals"))
+        gdata = doc.stream_data(gstream) \
+            if isinstance(gstream, StreamObj) else b""
+        ink = decode_jbig2(data, gdata)
+        # the filter emits ink as sample 0 (JBIG2's 1=black inverted,
+        # PDF 7.4.7); only a /Decode [1 0] flips that
+        decode = doc.resolve(d.get("Decode"))
+        if (isinstance(decode, list) and len(decode) >= 2
+                and float(doc.resolve(decode[0]))
+                > float(doc.resolve(decode[1]))):
+            ink = 1 - ink
+        return ((1 - ink) * 255).astype(np.uint8)
     if codec is not None:
         raise NotImplementedError(f"image codec {codec}")
     cs, _hival = _colorspace(doc, d)

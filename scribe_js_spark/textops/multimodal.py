@@ -644,6 +644,17 @@ def _decode_one(data: bytes) -> dict:
     if data[4:8] == b"jP  " or data[:4] == b"\xff\x4f\xff\x51":
         # JPEG 2000 (JP2 box / raw J2K codestream): honest stub
         raise NotImplementedError("jpeg2000 codestream")
+    if data[:8] == b"\x97JB2\r\n\x1a\n":
+        # JBIG2 standalone file (T.88 annex D): generic regions decode
+        # through the MQ coder; symbol/text segments surface as errors
+        from .jbig2 import decode_jbig2
+
+        ink = decode_jbig2(data)
+        h, w = ink.shape
+        px = (1 - ink) * 255
+        return _media_rec(kind="jbig2", width=int(w), height=int(h),
+                          n_bytes=len(data),
+                          mean_byte=float(px.mean()) if px.size else 0.0)
     if data[:4] == _RIFF_MAGIC:
         import numpy as np
 

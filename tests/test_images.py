@@ -150,3 +150,38 @@ def test_fax_blackis1_decode_net_inversion():
     for dict_body, want in cases:
         px = _fax_pixels(base + dict_body, fax)
         assert (px == want).all(), dict_body
+
+
+def test_jbig2_generic_region_in_pdf():
+    """JBIG2Decode images decode through the MQ generic-region path;
+    doc 4 (doc_id % 3 == 1) stores the page-information segment in a
+    separate /JBIG2Globals stream, doc 9 uses MMR, doc 6 arithmetic
+    template 0, doc 2 TPGDON — all must hit the analytic pixel mean."""
+    from scribe_js_spark.fixtures import build_image_models
+    from scribe_js_spark.operators.pdf.images import extract_images
+
+    for doc_id in (2, 4, 6, 9):
+        m = build_image_models(doc_id)
+        recs = extract_images(m["pdf"], with_pixels=True)
+        jb = [r for r in recs if r["filter"] == "JBIG2Decode"]
+        assert len(jb) == 1, doc_id
+        want = next(e for e in m["expected"]
+                    if e["filter"] == "JBIG2Decode")
+        assert jb[0]["pixels_mean_e6"] == want["pixels_mean_e6"], doc_id
+        assert jb[0]["pixels_mean_e6"] is not None
+
+
+def test_jbig2_unsupported_families_surface_as_errors():
+    """A symbol-dictionary segment (type 0) raises NotImplementedError
+    naming the family — the pipeline turns that into an error column,
+    never a crash."""
+    import struct
+
+    import pytest
+
+    from scribe_js_spark.textops.jbig2 import decode_jbig2
+
+    seg = struct.pack(">I", 0) + bytes([0x00, 0x00, 0x01]) \
+        + struct.pack(">I", 4) + b"\x00\x00\x00\x00"
+    with pytest.raises(NotImplementedError, match="symbol dictionary"):
+        decode_jbig2(seg)
