@@ -141,6 +141,18 @@ def main():
     queries10 = emb.filter(F.col("vec_id") < 10)
     run("ann_topk", lambda: ann_topk_bruteforce(emb, queries10, k=5).count())
     run("ann_topk_lsh", lambda: ann_topk_lsh(emb, queries10, k=5).count())
+    # serving shape: the corpus's lsh_bucket is materialized once with
+    # the table (with_lsh_bucket + write) and every query batch reads
+    # it from the scan instead of re-projecting n_planes x dim per row
+    from scribe_js_spark.textops.similarity import with_lsh_bucket
+
+    emb_pre_path = os.path.join(
+        BENCH_CACHE, f"emb_bucketed_{SF_DIR.rstrip('/').rsplit('sf', 1)[-1]}")
+    if not os.path.exists(emb_pre_path):
+        with_lsh_bucket(emb).write.mode("overwrite").parquet(emb_pre_path)
+    emb_pre = spark.read.parquet(emb_pre_path)
+    run("ann_topk_lsh_prebucketed",
+        lambda: ann_topk_lsh(emb_pre, queries10, k=5).count())
     # Threshold 0.3: sf embeddings are near-orthogonal random vectors
     # (max observed cosine ~0.48), so 0.3 yields a non-trivial pair set
     # while the LSH bucketing still prunes nearly all of the n^2 space.

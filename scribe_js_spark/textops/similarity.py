@@ -167,11 +167,42 @@ def lsh_bucket(vec_col, dim: int, n_planes: int = _N_PLANES_DEFAULT):
     return bucket
 
 
+def with_lsh_bucket(df: DataFrame, vec_col: str = "embedding",
+                    dim: int = 64,
+                    n_planes: int = _N_PLANES_DEFAULT,
+                    out_col: str = "lsh_bucket") -> DataFrame:
+    """Materialize the hyperplane bucket id onto the embedding table.
+
+    The bucket expression costs O(n_planes x dim) JVM work per row;
+    for a corpus queried repeatedly (ANN serving, periodic dedup
+    sweeps) compute it ONCE, persist it with the embeddings
+    (``pipeline.write_bucketed(..., bucket_col=out_col)`` makes the
+    self-join shuffle-free too), and let :func:`ann_topk_lsh` /
+    :func:`embedding_near_dups` pick the column up from the scan.
+    The stored ids are only valid for the same (dim, n_planes) —
+    the hyperplanes are deterministic in those parameters."""
+    return df.withColumn(
+        out_col, lsh_bucket(F.col(vec_col), dim, n_planes))
+
+
+def _corpus_bucket(df: DataFrame, vec_col: str, dim: int,
+                   n_planes: int, bucket_col: str | None):
+    """The corpus-side bucket column: a pre-materialized column when
+    present (by name, or auto-detected as ``lsh_bucket``), else the
+    inline projection."""
+    if bucket_col is None and "lsh_bucket" in df.columns:
+        bucket_col = "lsh_bucket"
+    if bucket_col is not None:
+        return F.col(bucket_col).cast("long")
+    return lsh_bucket(F.col(vec_col), dim, n_planes)
+
+
 def embedding_near_dups(df: DataFrame, threshold: float = 0.95,
                         id_col: str = "vec_id",
                         vec_col: str = "embedding", dim: int = 64,
                         n_planes: int = _N_PLANES_DEFAULT,
-                        max_bucket_size: int | None = None) -> DataFrame:
+                        max_bucket_size: int | None = None,
+                        bucket_col: str | None = None) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: candidates from the
     hyperplane-LSH bucket self-join (plus Hamming-1 neighbor buckets so
     a pair straddling one plane's boundary is still seen), verified by
@@ -186,12 +217,16 @@ def embedding_near_dups(df: DataFrame, threshold: float = 0.95,
     bucket.
 
     Returns (vec_a, vec_b, sim_e6) with sim floored to micro-units for
-    cross-engine stability."""
+    cross-engine stability. With a pre-materialized bucket column
+    (``bucket_col``, or an ``lsh_bucket`` column auto-detected on the
+    input — see :func:`with_lsh_bucket`) the per-row hyperplane
+    projection is skipped entirely and the bucket rides the scan."""
     from pyspark import StorageLevel
 
     base = df.select(
         F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"),
-        lsh_bucket(F.col(vec_col), dim, n_planes).alias("bucket")) \
+        _corpus_bucket(df, vec_col, dim, n_planes, bucket_col)
+        .alias("bucket")) \
         .persist(StorageLevel.MEMORY_AND_DISK)
     probes = base.select(
         "vid", "vec",
@@ -237,13 +272,21 @@ def embedding_near_dups(df: DataFrame, threshold: float = 0.95,
 def ann_topk_lsh(df: DataFrame, queries: DataFrame, k: int = 5,
                  id_col: str = "vec_id", vec_col: str = "embedding",
                  dim: int = 64, n_planes: int = _N_PLANES_DEFAULT,
-                 multiprobe: bool = True) -> DataFrame:
+                 multiprobe: bool = True,
+                 bucket_col: str | None = None) -> DataFrame:
     """LSH-bucketed approximate top-k: candidates share the query's
     bucket (or any Hamming-1 neighbor bucket when ``multiprobe``), then
-    exact cosine re-rank within candidates."""
+    exact cosine re-rank within candidates. The corpus side never
+    shuffles (queries broadcast); with a pre-materialized bucket
+    column (``bucket_col`` / auto-detected ``lsh_bucket`` — see
+    :func:`with_lsh_bucket`) the corpus scan reads the stored id
+    instead of re-projecting n_planes x dim per row on every query
+    batch. Query-side buckets are always computed (the probe set is
+    tiny)."""
     c = df.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"),
-        lsh_bucket(F.col(vec_col), dim, n_planes).alias("bucket"))
+        _corpus_bucket(df, vec_col, dim, n_planes, bucket_col)
+        .alias("bucket"))
     probe_buckets = F.array(
         *([F.col("q_bucket")] + [
             F.col("q_bucket").bitwiseXOR(F.lit(1 << p))
