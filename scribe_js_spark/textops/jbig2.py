@@ -145,6 +145,10 @@ def encode_generic_bitmap(rows: list[list[int]], template: int = 0,
 
 _FILE_MAGIC = b"\x97JB2\r\n\x1a\n"
 
+#: allocation bound for corrupt headers: 64 Mpixel (~A0 at 600 dpi) —
+#: a fuzzed width/height field must not become a multi-GB np.full
+_MAX_PIXELS = 1 << 26
+
 
 def _read_segment_header(data: bytes, pos: int):
     """T.88 7.2 -> (header dict, next position)."""
@@ -159,6 +163,11 @@ def _read_segment_header(data: bytes, pos: int):
     count = rts >> 5
     if count == 7:
         count = struct.unpack(">I", data[pos:pos + 4])[0] & 0x1FFFFFFF
+        if count > len(data):
+            # a corrupt long-form count would spin the referred-to
+            # loop for up to 2^29 iterations — bound it by the bytes
+            # that could possibly hold the numbers
+            raise ValueError("jbig2: implausible referred-to count")
         pos += 4 + (count + 8) // 8
     else:
         pos += 1
@@ -218,18 +227,24 @@ def decode_jbig2(data: bytes, globals_data: bytes = b""):
             if t in _UNSUPPORTED:
                 raise NotImplementedError(f"jbig2: {_UNSUPPORTED[t]}")
             if t == 48:                      # page information
+                if len(body) < 17:
+                    raise ValueError("jbig2: short page info")
                 pw, ph = struct.unpack(">II", body[:8])
                 pflags = body[16]
                 page_default = (pflags >> 2) & 1
                 if ph == 0xFFFFFFFF:
                     page = None              # striped; size by regions
                 else:
+                    if pw * ph > _MAX_PIXELS:
+                        raise ValueError("jbig2: implausible page size")
                     page = np.full((ph, pw), page_default,
                                    dtype=np.uint8)
             elif t in (36, 38, 39):          # generic region
                 if len(body) < 18:
                     raise ValueError("jbig2: short generic region")
                 w, h, x, y = struct.unpack(">IIII", body[:16])
+                if (x + w) * (y + h) > _MAX_PIXELS or w * h == 0:
+                    raise ValueError("jbig2: implausible region")
                 gflags = body[17]
                 mmr = bool(gflags & 1)
                 template = (gflags >> 1) & 3
@@ -250,6 +265,10 @@ def decode_jbig2(data: bytes, globals_data: bytes = b""):
                 if page is None:
                     page = np.zeros((y + h, x + w), dtype=np.uint8)
                 elif page.shape[0] < y + h or page.shape[1] < x + w:
+                    if max(page.shape[0], y + h) \
+                            * max(page.shape[1], x + w) > _MAX_PIXELS:
+                        raise ValueError(
+                            "jbig2: implausible page growth")
                     grown = np.full(
                         (max(page.shape[0], y + h),
                          max(page.shape[1], x + w)),

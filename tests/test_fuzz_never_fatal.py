@@ -125,3 +125,69 @@ def test_fax_tiff_never_raises_in_media_path():
                 _decode_pixels(data)
             except Exception:
                 pass  # any exception is fine; hanging is not
+
+
+def test_font_crypto_docs_never_raise_on_mutations():
+    """The embedded-font-program parsers (CFF charset/charstrings,
+    CMap) and the RC4/AES decryption layer see attacker-shaped bytes
+    at corpus scale; mutated cffsub and encrypted docs must land in
+    the error column or degrade, never raise or hang."""
+    from scribe_js_spark.fixtures import (
+        CFF_DROP_CODES, CFF_UNMAPPED_CODES, build_doc_model)
+    from scribe_js_spark.render_pdf import render_pdf
+
+    model = build_doc_model(5, n_pages=1)
+    bases = [
+        render_pdf(model, rotate=False, cff_subset={
+            "drop": CFF_DROP_CODES, "unmapped": CFF_UNMAPPED_CODES}),
+        render_pdf(model, rotate=False, encrypt_mode="rc4_128"),
+        render_pdf(model, rotate=False, encrypt_mode="aesv2"),
+        render_pdf(model, rotate=False, encrypt_mode="aesv3"),
+    ]
+    rng = np.random.RandomState(4242)
+    for base in bases:
+        for _ in range(30):
+            res = extract_document(_mutate(base, rng))
+            assert res is not None
+
+
+def test_subset_rewriter_never_hangs_on_mutations():
+    """The entry-wise subset/merge rewriter walks xref, outlines,
+    named dests and annots of arbitrary inputs; any exception is
+    acceptable (callers wrap it), hanging or interpreter-level errors
+    are not."""
+    from scribe_js_spark.fixtures import build_doc_model
+    from scribe_js_spark.operators.pdf.subset import merge_pdfs, subset_pdf
+    from scribe_js_spark.render_pdf import render_pdf
+
+    base = render_pdf(build_doc_model(2), rotate=False, outline=True)
+    rng = np.random.RandomState(77)
+    for _ in range(60):
+        data = _mutate(base, rng)
+        try:
+            subset_pdf(data, [0])
+        except Exception:
+            pass
+        try:
+            merge_pdfs([data, base])
+        except Exception:
+            pass
+
+
+def test_jbig2_never_hangs_on_mutations():
+    """Corrupt JBIG2: mutated valid streams and arbitrary prefixes
+    must raise cleanly — the referred-to-count and dimension guards
+    turn allocation/spin bombs into ValueErrors."""
+    from scribe_js_spark.textops.jbig2 import (
+        build_jbig2_embedded, build_jbig2_file, decode_jbig2)
+
+    bits = [[(x + y) % 2 for x in range(20)] for y in range(12)]
+    bases = [build_jbig2_embedded(bits), build_jbig2_file(bits),
+             build_jbig2_embedded(bits, mmr=True)]
+    rng = np.random.RandomState(13)
+    for base in bases:
+        for _ in range(40):
+            try:
+                decode_jbig2(_mutate(base, rng))
+            except Exception:
+                pass  # typed errors fine; hangs/allocation bombs not
