@@ -981,6 +981,8 @@ def build_comb_models(doc_id: int, seed: int = SEED_DEFAULT) -> dict:
     - merge:    two Legacy words vs one LSTM word -> LSTM word wins,
                 id suffixed 'b'
     """
+    if doc_id >= 40:
+        return _build_comb_image_models(doc_id, seed)
     rng = _doc_rng(seed + 31337, doc_id)
     scenarios = ("match", "conflict", "reject", "skip", "split", "merge")
     n_lines = rng.randint(6, 12)
@@ -1080,10 +1082,136 @@ def build_comb_models(doc_id: int, seed: int = SEED_DEFAULT) -> dict:
             "expected": expected}
 
 
-def write_comb_parquet(path: str, n_docs: int = 40,
+def _build_comb_image_models(doc_id: int, seed: int) -> dict:
+    """Image-bearing comb docs (doc_id >= 40): the page's binary scan
+    (rendered from the TRUE text with the same 5x7 rasterizer
+    evalWords uses) lets the visual metric decide conflicts
+    (compareOCRModule.js:203 evalWords; :862-905 comb consumers).
+
+    Scenario classes per line (cycled):
+    - image_keep:    Legacy (A) matches the scan, LSTM (B) differs ->
+                     WITHOUT the image the LSTM-prior fallback would
+                     take B; the visual metric keeps A (decisive);
+    - image_replace: the scan matches B -> B's text wins, now on
+                     visual evidence instead of the prior;
+    - match:         identical words -> conf 100 (family parity);
+    - image_twotoone:two gapped Legacy words vs one LSTM word spanning
+                     both (box-sum 2-to-1): the LSTM render bleeds
+                     into the inter-word gap the scan leaves blank, so
+                     the pair is retained (without the image the
+                     merged word would win via the prior)."""
+    import numpy as np
+
+    from .operators.evalwords import draw_word
+    from .textops.multimodal import encode_png_gray
+
+    rng = _doc_rng(seed + 51515, doc_id)
+    scenarios = ("image_keep", "image_replace", "match",
+                 "image_twotoone")
+    n_lines = rng.randint(5, 9)
+    a_lines, b_lines, expected, truth_texts = [], [], [], []
+    y = TOP_BASELINE
+    for i in range(n_lines):
+        scen = scenarios[i % len(scenarios)]
+        x0 = MARGIN_LEFT
+        a_words, b_words = [], []
+
+        def _w(text, left, right, chars=None):
+            return {"text": text, "chars": chars, "out_words": [text],
+                    "left": left, "right": right,
+                    "top": y - ASC_H, "bottom": y + DESC_H, "conf": 97}
+
+        def _chars(text):
+            return [(c, CHAR_W) for c in text]
+
+        if scen == "image_keep":
+            tok = rng.choice(LEXICON)
+            mut = _mutate_word(tok, doc_id + i)
+            r = x0 + len(tok) * CHAR_W
+            a_words.append(_w(tok, x0, r, _chars(tok)))
+            b_words.append(_w(mut, x0, r))
+            truth_texts.append([tok])
+            expected.append({"line_n": i, "word_n": 0,
+                             "word_id": f"word_1_{i + 1}_1",
+                             "text": tok, "conf": 0,
+                             "left": x0, "right": r})
+        elif scen == "image_replace":
+            tok = rng.choice(LEXICON)
+            mut = _mutate_word(tok, doc_id + i)
+            r = x0 + len(tok) * CHAR_W
+            a_words.append(_w(mut, x0, r, _chars(mut)))
+            b_words.append(_w(tok, x0, r))
+            truth_texts.append([tok])
+            expected.append({"line_n": i, "word_n": 0,
+                             "word_id": f"word_1_{i + 1}_1",
+                             "text": tok, "conf": 0,
+                             "left": x0, "right": r})
+        elif scen == "match":
+            tok = rng.choice(LEXICON)
+            r = x0 + len(tok) * CHAR_W
+            a_words.append(_w(tok, x0, r, _chars(tok)))
+            b_words.append(_w(tok, x0, r))
+            truth_texts.append([tok])
+            expected.append({"line_n": i, "word_n": 0,
+                             "word_id": f"word_1_{i + 1}_1",
+                             "text": tok, "conf": 100,
+                             "left": x0, "right": r})
+        else:  # image_twotoone
+            t1, t2 = rng.choice(LEXICON), rng.choice(LEXICON)
+            gap = 3 * CHAR_W
+            m1 = x0 + len(t1) * CHAR_W
+            m2 = m1 + gap
+            r = m2 + len(t2) * CHAR_W
+            a_words.append(_w(t1, x0, m1, _chars(t1)))
+            a_words.append(_w(t2, m2, r, _chars(t2)))
+            b_words.append(_w(t1 + t2, x0, r))
+            truth_texts.append([t1, t2])
+            expected.append({"line_n": i, "word_n": 0,
+                             "word_id": f"word_1_{i + 1}_1",
+                             "text": t1, "conf": 0,
+                             "left": x0, "right": m1})
+            expected.append({"line_n": i, "word_n": 1,
+                             "word_id": f"word_1_{i + 1}_2",
+                             "text": t2, "conf": 0,
+                             "left": m2, "right": r})
+        a_lines.append({"words": a_words, "baseline_y": y, "indent": 0})
+        b_lines.append({"words": b_words, "baseline_y": y, "indent": 0})
+        y += LINE_PITCH
+
+    def _model(lines, family):
+        return {"doc_id": doc_id, "family": family,
+                "pages": [{"pars": [{"lines": lines}],
+                           "width": PAGE_W, "height": PAGE_H}]}
+
+    legacy = _model(a_lines, "charlevel")
+    lstm = _model(b_lines, "base")
+
+    # The scan is rendered at the PARSED Legacy geometry (the same
+    # boxes evalWords will render candidates into) — the char-level
+    # hOCR parse derives the word bottom from the char boxes
+    # (baseline), not the authored descender, and any fixture-side
+    # guess would drift from it.
+    from .extract import extract_document
+
+    parsed = extract_document(
+        render_hocr(legacy).encode("utf-8")).pages[0]
+    img = np.full((PAGE_H, PAGE_W), 255, dtype=np.uint8)
+    for line, texts in zip(parsed.lines, truth_texts):
+        for w, text in zip(line.words, texts):
+            draw_word(img, text, w.bbox)
+
+    return {"legacy": legacy,
+            "lstm": lstm,
+            "expected": expected,
+            "page_image": encode_png_gray(img)}
+
+
+def write_comb_parquet(path: str, n_docs: int = 46,
                        seed: int = SEED_DEFAULT) -> None:
-    """comb_layers.parquet (url, html_legacy, html_lstm) + comb.parquet
-    golden merged-word rows for the merge_comb oracle."""
+    """comb_layers.parquet (url, html_legacy, html_lstm, page_image) +
+    comb.parquet golden merged-word rows for the merge_comb oracle.
+    Docs 40+ carry the binarized page scan (PNG) that drives the
+    image-based evalWords conflict decisions."""
     import os
 
     import pandas as pd
@@ -1096,6 +1224,7 @@ def write_comb_parquet(path: str, n_docs: int = 40,
             "url": url,
             "html_legacy": render_hocr(m["legacy"]).encode("utf-8"),
             "html_lstm": render_hocr(m["lstm"]).encode("utf-8"),
+            "page_image": m.get("page_image"),
         })
         for rec in m["expected"]:
             golden_rows.append({"url": url, **rec})

@@ -136,10 +136,17 @@ def consensus_vote(df: DataFrame, base_col: str = "html_ocr_a",
 
 def merge_comb_layers(df: DataFrame, col_a: str = "html_legacy",
                       col_b: str = "html_lstm",
-                      legacy_lstm_comb: bool = True) -> DataFrame:
+                      legacy_lstm_comb: bool = True,
+                      image_col: str = "page_image") -> DataFrame:
     """Comb-mode merge of two engine layers per document: page-pairwise
     comb_merge_page (compareOCRModule.js comb branch), emitting the
-    merged word stream. Zero-shuffle mapInPandas keyed by document."""
+    merged word stream. Zero-shuffle mapInPandas keyed by document.
+
+    When the input carries ``image_col`` (PNG bytes of the binarized
+    page scan, nullable), conflicts are additionally scored with the
+    image-based evalWords metric against page 0's image — the
+    reference's visual comparison path."""
+    has_image = image_col in df.columns
 
     def fn(batches: Iterator) -> Iterator:
         import pandas as pd
@@ -151,12 +158,20 @@ def merge_comb_layers(df: DataFrame, col_a: str = "html_legacy",
             for row in pdf.itertuples(index=False):
                 pages_a = _pages_of(getattr(row, col_a))
                 pages_b = _pages_of(getattr(row, col_b))
+                image = None
+                raw = getattr(row, image_col, None) if has_image else None
+                if raw is not None and len(raw) > 0:
+                    from .textops.multimodal import decode_png
+
+                    _w, _h, _c, px = decode_png(bytes(raw))
+                    image = px[:, :, 0]
                 for i, pa in enumerate(pages_a):
                     if i >= len(pages_b):
                         break
                     merged = comb_merge_page(
                         pa, pages_b[i],
-                        legacy_lstm_comb=legacy_lstm_comb)
+                        legacy_lstm_comb=legacy_lstm_comb,
+                        page_image=image if i == 0 else None)
                     for line_n, line in enumerate(merged.lines):
                         for word_n, w in enumerate(line.words):
                             out["url"].append(row.url)
@@ -169,4 +184,5 @@ def merge_comb_layers(df: DataFrame, col_a: str = "html_legacy",
                             out["right"].append(int(w.bbox.right))
             yield pd.DataFrame(out)
 
-    return df.select("url", col_a, col_b).mapInPandas(fn, schema=COMB_SCHEMA)
+    cols = ["url", col_a, col_b] + ([image_col] if has_image else [])
+    return df.select(*cols).mapInPandas(fn, schema=COMB_SCHEMA)

@@ -17,11 +17,14 @@ Reimplements the ``mode === 'comb'`` branch of compareOCRPageImp
   suffixing, the eg/ie skip list, and the majority-line asc/x-height
   adoption (:950-1040).
 
-The image-based ``evalWords`` visual metric requires page rendering and
-is out of scope (SURVEY.md §2.6); both error metrics therefore start at
-the reference's no-signal value 1.0 and all decisions flow through the
-deterministic text rules: rejectWordLegacy, textAlt agreement, word
-count/letter penalties, and the documented LSTM-prior fallback
+The image-based ``evalWords`` visual metric (:203-397) runs when the
+caller supplies a binary ``page_image`` (see operators/evalwords.py —
+both conflict sides are rendered at the word geometry and scored
+against the scan, and the Legacy textAlt rescue :885-899 can fire).
+Without an image both error metrics keep the reference's no-signal
+value 1.0 and all decisions flow through the deterministic text
+rules: rejectWordLegacy, textAlt agreement, word count/letter
+penalties, and the documented LSTM-prior fallback
 (`legacyLSTMComb && hocrAError > 0.5` -> LSTM wins conflicts, which is
 the reference's stated behavior when the Legacy word cannot be
 visually confirmed).
@@ -137,10 +140,19 @@ def _graft_legacy_chars(words_a_arr, words_b_arr):
 def comb_merge_page(page_a: OcrPage, page_b: OcrPage, *,
                     legacy_lstm_comb: bool = False,
                     eval_conflicts: bool = True,
-                    use_bbox_b: bool = False) -> OcrPage:
+                    use_bbox_b: bool = False,
+                    page_image=None) -> OcrPage:
     """Merge page B (e.g. Tesseract LSTM) into a clone of page A (e.g.
     Tesseract Legacy), following compareOCRPageImp comb mode. Returns
-    the merged page; inputs are not mutated."""
+    the merged page; inputs are not mutated.
+
+    ``page_image`` (uint8 numpy bitmap, 255 = paper) enables the
+    image-based evalWords metric (compareOCRModule.js:203) for
+    conflicts: each side's text is rendered at the word geometry and
+    scored against the scan crop, and the Legacy textAlt rescue
+    (:885-899) runs when both primary readings score > 0.5. Without an
+    image both error metrics keep the no-signal value 1.0 and the
+    documented LSTM-prior fallback decides."""
     page = copy.deepcopy(page_a)
     for line in page.lines:
         for w in line.words:
@@ -258,17 +270,40 @@ def comb_merge_page(page_a: OcrPage, page_b: OcrPage, *,
                                 and word_a.textAlt == word_b.text:
                             b_err = 0.0
                         else:
-                            # evalWords visual metric unavailable (oos):
-                            # both sides keep the no-signal 1.0 base.
-                            a_err = EVAL_UNAVAILABLE + penalize_word([word_a])
-                            b_err = EVAL_UNAVAILABLE + penalize_word([word_b])
+                            if page_image is not None:
+                                from .evalwords import eval_words
+
+                                clone = word_a.clone()
+                                clone.text = word_b.text
+                                m_a, m_b = eval_words(
+                                    [word_a], [clone], page_image)
+                            else:
+                                m_a = m_b = EVAL_UNAVAILABLE
+                            a_err = m_a + penalize_word([word_a])
+                            b_err = m_b + penalize_word([word_b])
                             if legacy_lstm_comb and reject_word_legacy(
                                     word_a.text, word_b.text):
                                 b_err = 0.0
-                            # The textAlt re-evaluation branch (:877-890)
-                            # also needs the visual metric; a_alt_err
-                            # stays 1.0 so it never fires, matching the
-                            # reference's behavior without an image.
+                            # textAlt rescue (:885-899): when both
+                            # primary readings fail visually, try the
+                            # raw Legacy classifier choice; it must
+                            # score < 0.5 AND beat both by >= 0.1
+                            if page_image is not None \
+                                    and legacy_lstm_comb \
+                                    and a_err > 0.5 and b_err > 0.5 \
+                                    and word_a.textAlt \
+                                    and word_a.textAlt != word_b.text:
+                                from .evalwords import eval_words
+
+                                alt = word_a.clone()
+                                alt.text = word_a.textAlt
+                                m_alt, _ = eval_words(
+                                    [alt], [], page_image)
+                                a_alt_err = m_alt + penalize_word([alt])
+                                if a_alt_err >= 0.5 \
+                                        or (a_err - a_alt_err) < 0.1 \
+                                        or (b_err - a_alt_err) < 0.1:
+                                    a_alt_err = 1.0
                     else:
                         words_a_text = "".join(w.text for w in words_a_arr)
                         words_b_text = "".join(w.text for w in words_b_arr)
@@ -276,10 +311,18 @@ def comb_merge_page(page_a: OcrPage, page_b: OcrPage, *,
                                 words_a_text, words_b_text):
                             b_err = 0.0
                         else:
-                            a_err = (EVAL_UNAVAILABLE
+                            if page_image is not None:
+                                from .evalwords import eval_words
+
+                                m_a, m_b = eval_words(
+                                    words_a_arr, words_b_arr,
+                                    page_image)
+                            else:
+                                m_a = m_b = EVAL_UNAVAILABLE
+                            a_err = (m_a
                                      + (len(words_a_arr) - 1) * 0.025
                                      + penalize_word(words_a_arr))
-                            b_err = (EVAL_UNAVAILABLE
+                            b_err = (m_b
                                      + (len(words_b_arr) - 1) * 0.025
                                      + penalize_word(words_b_arr))
                             if words_a_text == words_b_text:

@@ -111,3 +111,54 @@ def test_comb_inputs_not_mutated():
     comb_merge_page(pa, pb, legacy_lstm_comb=True)
     assert [w.text for line in pa.lines for w in line.words] == texts_before
     assert [w.conf for line in pa.lines for w in line.words] == confs_before
+
+
+def _merged_tuples(pa, pb, image):
+    merged = comb_merge_page(pa, pb, legacy_lstm_comb=True,
+                             page_image=image)
+    return [(ln, wn, w.id, w.text, int(w.conf))
+            for ln, line in enumerate(merged.lines)
+            for wn, w in enumerate(line.words)]
+
+
+def test_comb_image_family_visual_decisions():
+    """Image-bearing comb docs (40+): the binary scan decides
+    conflicts via evalWords — Legacy kept where it matches the scan
+    (the no-image LSTM-prior would have replaced it), LSTM taken where
+    the scan matches it, and a gapped word pair retained against a
+    merged LSTM word whose render bleeds into the gap. Removing the
+    image must break the goldens (decisiveness)."""
+    from scribe_js_spark.textops.multimodal import decode_png
+
+    for doc_id in (40, 43):
+        m = build_comb_models(doc_id)
+        pa = _pages(m["legacy"])[0]
+        pb = _pages(m["lstm"])[0]
+        _w, _h, _c, px = decode_png(m["page_image"])
+        want = [(e["line_n"], e["word_n"], e["word_id"], e["text"],
+                 e["conf"]) for e in m["expected"]]
+        assert _merged_tuples(pa, pb, px[:, :, 0]) == want
+        assert _merged_tuples(pa, pb, None) != want
+
+
+def test_comb_image_text_alt_rescue():
+    """textAlt rescue (compareOCRModule.js:885-899): when BOTH primary
+    readings score > 0.5 against the scan and the raw Legacy
+    classifier choice matches it, the alt text wins. Only reachable
+    with an image — the no-image path leaves a_alt_err at 1.0."""
+    import numpy as np
+
+    from scribe_js_spark.operators.evalwords import draw_word
+
+    truth = "12345"
+    pa = _one_word_page("edcba", text_alt=truth)
+    pb = _one_word_page("vwxyz")
+    img = np.full((1000, 1000), 255, dtype=np.uint8)
+    draw_word(img, truth, pa.lines[0].words[0].bbox)
+
+    merged = comb_merge_page(pa, pb, legacy_lstm_comb=True,
+                             page_image=img)
+    assert merged.lines[0].words[0].text == truth
+    # without the image the LSTM prior takes B instead
+    merged = comb_merge_page(pa, pb, legacy_lstm_comb=True)
+    assert merged.lines[0].words[0].text == "vwxyz"
