@@ -3426,19 +3426,40 @@ def build_image_models(doc_id: int, seed: int = SEED_DEFAULT) -> dict:
         has_smask=False, interpolate=False, n_raw_bytes=len(fax),
         pixels_mean_e6=int(_m.floor(fax_mean * 1e6)))
 
-    from .textops.jbig2 import build_jbig2_embedded, build_jbig2_pair
-    jb_bits = [[1 if (x * 5 + y * 11) % 7 < 3 else 0
-                for x in range(wd)] for y in range(ht)]
-    jb_kw = [{}, {"mmr": True}, {"tpgdon": True},
-             {"template": 2}][doc_id % 4]
-    jb_split = doc_id % 3 == 1
-    if jb_split:
-        jb_globals, jb = build_jbig2_pair(jb_bits, **jb_kw)
-        jb_parms = " /DecodeParms << /JBIG2Globals __JBGNUM__ 0 R >>"
-    else:
+    from .textops.jbig2 import (build_jbig2_embedded, build_jbig2_pair,
+                                build_jbig2_symbol_text)
+    if doc_id % 5 == 2:
+        # symbol-dictionary + text-region coding (the scanner-encoder
+        # shape): two glyphs placed four times; the page bitmap is
+        # composed here so the golden mean stays analytic
+        g1 = [[1 if (x + y) % 2 == 0 else 0 for x in range(4)]
+              for y in range(5)]
+        g2 = [[1 if x in (0, 3) or y in (0, 4) else 0
+               for x in range(4)] for y in range(5)]
+        placements = [(0, 1, 1), (1, 6, 1), (1, 1, 7), (0, 6, 7)]
+        jb_bits = [[0] * wd for _ in range(ht)]
+        for si, px_, py_ in placements:
+            g = g1 if si == 0 else g2
+            for yy in range(5):
+                for xx in range(4):
+                    jb_bits[py_ + yy][px_ + xx] |= g[yy][xx]
+        jb = build_jbig2_symbol_text([g1, g2], placements, wd, ht)
         jb_globals = None
-        jb = build_jbig2_embedded(jb_bits, **jb_kw)
         jb_parms = ""
+    else:
+        jb_bits = [[1 if (x * 5 + y * 11) % 7 < 3 else 0
+                    for x in range(wd)] for y in range(ht)]
+        jb_kw = [{}, {"mmr": True}, {"tpgdon": True},
+                 {"template": 2}][doc_id % 4]
+        jb_split = doc_id % 3 == 1
+        if jb_split:
+            jb_globals, jb = build_jbig2_pair(jb_bits, **jb_kw)
+            jb_parms = (" /DecodeParms << /JBIG2Globals"
+                        " __JBGNUM__ 0 R >>")
+        else:
+            jb_globals = None
+            jb = build_jbig2_embedded(jb_bits, **jb_kw)
+            jb_parms = ""
     jb_mean = 255 * sum(1 - b for row in jb_bits for b in row) \
         / (wd * ht)
     img(f"/Subtype /Image /Width {wd} /Height {ht} "

@@ -13,13 +13,20 @@ decodeBitmap, :915-1048 segment headers, :1251-1561 chunk walk):
   contexts 0x9B25/0x0795/0xE5/0x195, T.88 6.2.5.7), context built
   MSB-first over the template+AT positions sorted by (y, x);
 - MMR generic regions through the existing T.6 codec (ccitt.py);
-- page composition: immediate generic regions OR'd onto the page
-  bitmap at their region offsets.
+- arithmetic-integer decoding (T.88 Annex A IADH/IADW/IAEX/IADT/
+  IAFS/IADS/IAIT + IAID prefix tree), SYMBOL DICTIONARIES (6.5,
+  height classes, shared GB contexts, export runs) and TEXT REGIONS
+  (6.4, strip placement, all four reference corners, transposed and
+  XOR composition) — the shape scanner encoders emit for text-heavy
+  pages (decodeJBIG2.js:531-775);
+- page composition: immediate generic and text regions OR'd onto the
+  page bitmap at their region offsets.
 
-Symbol-dictionary / text-region / halftone / refinement segments
-raise NotImplementedError — surfaced as honest error columns by the
-image pipeline, never a crash. The matching encoder
-(:func:`build_jbig2_embedded`) exists for fixture generation.
+Huffman-coded symbol/text segments, refinement/aggregation, pattern/
+halftone segments raise NotImplementedError — surfaced as honest
+error columns by the image pipeline, never a crash. Matching encoders
+(:func:`build_jbig2_embedded`, :func:`build_jbig2_symbol_text`) exist
+for fixture generation.
 """
 
 from __future__ import annotations
@@ -59,28 +66,21 @@ def _positions(template: int, at: list[tuple[int, int]]):
     return pos
 
 
-def decode_generic_bitmap(data: bytes, width: int, height: int,
-                          template: int = 0,
-                          at: list[tuple[int, int]] | None = None,
-                          mmr: bool = False,
-                          tpgdon: bool = False) -> list[list[int]]:
-    """Generic-region bitmap -> rows of 0/1 (1 = black)."""
-    if mmr:
-        from .ccitt import decode_g4
-
-        return decode_g4(data, width, height)
-    if at is None:
-        at = NOMINAL_AT[template]
+def _decode_bitmap_core(dec: MQDecoder, gb_cx, width: int,
+                        height: int, template: int,
+                        at: list[tuple[int, int]],
+                        tpgdon: bool) -> list[list[int]]:
+    """Arithmetic generic-bitmap decode on a SHARED decoder + GB
+    context set (symbol dictionaries decode every symbol through one
+    coder, decodeSymbolDictionary -> decodeBitmap)."""
     pos = _positions(template, at)
     n = len(pos)
-    dec = MQDecoder(data)
-    cx = new_contexts(1 << n)
     rows: list[list[int]] = []
     ltp = 0
     pseudo = _TPGDON_CTX[template]
     for y in range(height):
         if tpgdon:
-            ltp ^= dec.decode(cx[pseudo])
+            ltp ^= dec.decode(gb_cx[pseudo])
             if ltp:
                 rows.append(list(rows[-1]) if rows else [0] * width)
                 continue
@@ -94,8 +94,25 @@ def decode_generic_bitmap(data: bytes, width: int, height: int,
                         yy < y or (yy == y and xx < x)):
                     if rows[yy][xx]:
                         ctx |= 1 << (n - 1 - k)
-            row[x] = dec.decode(cx[ctx])
+            row[x] = dec.decode(gb_cx[ctx])
     return rows
+
+
+def decode_generic_bitmap(data: bytes, width: int, height: int,
+                          template: int = 0,
+                          at: list[tuple[int, int]] | None = None,
+                          mmr: bool = False,
+                          tpgdon: bool = False) -> list[list[int]]:
+    """Generic-region bitmap -> rows of 0/1 (1 = black)."""
+    if mmr:
+        from .ccitt import decode_g4
+
+        return decode_g4(data, width, height)
+    if at is None:
+        at = NOMINAL_AT[template]
+    n = len(_positions(template, at))
+    return _decode_bitmap_core(MQDecoder(data), new_contexts(1 << n),
+                               width, height, template, at, tpgdon)
 
 
 def encode_generic_bitmap(rows: list[list[int]], template: int = 0,
@@ -110,10 +127,22 @@ def encode_generic_bitmap(rows: list[list[int]], template: int = 0,
 
         return encode_g4(rows, width)
     at = NOMINAL_AT[template]
+    enc = MQEncoder()
+    n = len(_positions(template, at))
+    cx = new_contexts(1 << n)
+    _encode_bitmap_core(enc, cx, rows, template, tpgdon)
+    return enc.flush()
+
+
+def _encode_bitmap_core(enc: MQEncoder, gb_cx,
+                        rows: list[list[int]], template: int,
+                        tpgdon: bool = False) -> None:
+    at = NOMINAL_AT[template]
+    height = len(rows)
+    width = len(rows[0]) if rows else 0
     pos = _positions(template, at)
     n = len(pos)
-    enc = MQEncoder()
-    cx = new_contexts(1 << n)
+    cx = gb_cx
     pseudo = _TPGDON_CTX[template]
     ltp = 0
     prev: list[int] | None = None
@@ -137,7 +166,6 @@ def encode_generic_bitmap(rows: list[list[int]], template: int = 0,
                         ctx |= 1 << (n - 1 - k)
             enc.encode(cx[ctx], rows[y][x])
         prev = rows[y]
-    return enc.flush()
 
 
 # --------------------------------------------------------- segments
@@ -190,12 +218,15 @@ def _read_segment_header(data: bytes, pos: int):
 
 
 _UNSUPPORTED = {
-    0: "symbol dictionary", 4: "text region", 6: "text region",
-    7: "text region", 16: "pattern dictionary", 20: "halftone region",
+    16: "pattern dictionary", 20: "halftone region",
     22: "halftone region", 23: "halftone region",
     40: "refinement region", 42: "refinement region",
     43: "refinement region",
 }
+
+
+def _int8(b: int) -> int:
+    return b - 256 if b >= 128 else b
 
 
 def decode_jbig2(data: bytes, globals_data: bytes = b""):
@@ -213,6 +244,24 @@ def decode_jbig2(data: bytes, globals_data: bytes = b""):
 
     page = None
     page_default = 0
+    seg_exports: dict[int, list] = {}
+
+    def compose(region, x, y, w, h):
+        nonlocal page
+        if page is None:
+            page = np.zeros((y + h, x + w), dtype=np.uint8)
+        elif page.shape[0] < y + h or page.shape[1] < x + w:
+            if max(page.shape[0], y + h) \
+                    * max(page.shape[1], x + w) > _MAX_PIXELS:
+                raise ValueError("jbig2: implausible page growth")
+            grown = np.full(
+                (max(page.shape[0], y + h),
+                 max(page.shape[1], x + w)),
+                page_default, dtype=np.uint8)
+            grown[:page.shape[0], :page.shape[1]] = page
+            page = grown
+        page[y:y + h, x:x + w] |= region
+
     for chunk in (globals_data, data):
         pos = 0
         while pos < len(chunk):
@@ -261,21 +310,73 @@ def decode_jbig2(data: bytes, globals_data: bytes = b""):
                 bits = decode_generic_bitmap(
                     body[p:], w, h, template=template, at=at or None,
                     mmr=mmr, tpgdon=tpgdon)
-                region = np.array(bits, dtype=np.uint8)
-                if page is None:
-                    page = np.zeros((y + h, x + w), dtype=np.uint8)
-                elif page.shape[0] < y + h or page.shape[1] < x + w:
-                    if max(page.shape[0], y + h) \
-                            * max(page.shape[1], x + w) > _MAX_PIXELS:
-                        raise ValueError(
-                            "jbig2: implausible page growth")
-                    grown = np.full(
-                        (max(page.shape[0], y + h),
-                         max(page.shape[1], x + w)),
-                        page_default, dtype=np.uint8)
-                    grown[:page.shape[0], :page.shape[1]] = page
-                    page = grown
-                page[y:y + h, x:x + w] |= region
+                compose(np.array(bits, dtype=np.uint8), x, y, w, h)
+            elif t == 0:                     # symbol dictionary
+                if len(body) < 2:
+                    raise ValueError("jbig2: short symbol dictionary")
+                dflags = struct.unpack(">H", body[:2])[0]
+                if dflags & 1:
+                    raise NotImplementedError(
+                        "jbig2: huffman symbol dictionary")
+                if dflags & 2:
+                    raise NotImplementedError(
+                        "jbig2: refinement/aggregation symbol "
+                        "dictionary")
+                sd_template = (dflags >> 10) & 3
+                p = 2
+                sd_at = []
+                for _ in range(4 if sd_template == 0 else 1):
+                    sd_at.append((_int8(body[p]), _int8(body[p + 1])))
+                    p += 2
+                n_ex, n_new = struct.unpack(">II", body[p:p + 8])
+                p += 8
+                if n_new > 1 << 16 or n_ex > 1 << 16:
+                    raise ValueError(
+                        "jbig2: implausible symbol counts")
+                input_syms: list = []
+                for r in hdr["referred"]:
+                    input_syms.extend(seg_exports.get(r, []))
+                seg_exports[hdr["number"]] = decode_symbol_dictionary(
+                    MQDecoder(body[p:]), input_syms, n_new, n_ex,
+                    sd_template, sd_at)
+            elif t in (4, 6, 7):             # text region
+                if len(body) < 23:
+                    raise ValueError("jbig2: short text region")
+                w, h, x, y = struct.unpack(">IIII", body[:16])
+                if (x + w) * (y + h) > _MAX_PIXELS or w * h == 0:
+                    raise ValueError("jbig2: implausible region")
+                tflags = struct.unpack(">H", body[17:19])[0]
+                if tflags & 1:
+                    raise NotImplementedError(
+                        "jbig2: huffman text region")
+                if tflags & 2:
+                    raise NotImplementedError(
+                        "jbig2: refinement text region")
+                log_strip = (tflags >> 2) & 3
+                ref_corner = (tflags >> 4) & 3
+                transposed = bool(tflags & 64)
+                comb_op = (tflags >> 7) & 3
+                default_pixel = (tflags >> 9) & 1
+                ds_offset = (tflags >> 10) & 0x1F
+                if ds_offset >= 16:
+                    ds_offset -= 32
+                p = 19
+                n_inst = struct.unpack(">I", body[p:p + 4])[0]
+                p += 4
+                if n_inst > _MAX_PIXELS:
+                    raise ValueError(
+                        "jbig2: implausible instance count")
+                syms: list = []
+                for r in hdr["referred"]:
+                    syms.extend(seg_exports.get(r, []))
+                if not syms:
+                    raise ValueError(
+                        "jbig2: text region without symbols")
+                bits = decode_text_region(
+                    MQDecoder(body[p:]), syms, w, h, n_inst,
+                    1 << log_strip, ref_corner, transposed,
+                    ds_offset, comb_op, default_pixel)
+                compose(np.array(bits, dtype=np.uint8), x, y, w, h)
             # 49/50/51 end-of-page/stripe/file, 62 extension: no-op
     if page is None:
         raise ValueError("jbig2: no region decoded")
@@ -286,9 +387,12 @@ def decode_jbig2(data: bytes, globals_data: bytes = b""):
 
 
 def _segment(number: int, seg_type: int, page: int,
-             body: bytes) -> bytes:
-    head = struct.pack(">I", number) + bytes([seg_type & 0x3F, 0x00,
-                                              page & 0xFF])
+             body: bytes, referred: tuple[int, ...] = ()) -> bytes:
+    assert len(referred) <= 4 and number <= 256
+    head = struct.pack(">I", number) + bytes([
+        seg_type & 0x3F, (len(referred) << 5) & 0xE0])
+    head += bytes(referred)
+    head += bytes([page & 0xFF])
     return head + struct.pack(">I", len(body)) + body
 
 
@@ -332,3 +436,359 @@ def build_jbig2_file(rows: list[list[int]], **kw) -> bytes:
     """Standalone file organization (sequential, known page count)."""
     return _FILE_MAGIC + b"\x01" \
         + struct.pack(">I", 1) + build_jbig2_embedded(rows, **kw)
+
+
+# -------------------------------------------- arithmetic integers
+
+
+class _IntCtx:
+    """One arithmetic-integer context store (a decodeInteger
+    'procedure': IADH, IADW, IAEX, ... — T.88 Annex A). Contexts are
+    keyed by the PREV tree value, allocated on first touch."""
+
+    __slots__ = ("cx",)
+
+    def __init__(self):
+        self.cx: dict[int, list[int]] = {}
+
+    def get(self, prev: int) -> list[int]:
+        c = self.cx.get(prev)
+        if c is None:
+            c = self.cx[prev] = [0, 0]
+        return c
+
+
+def _int_next_prev(prev: int, bit: int) -> int:
+    return (prev << 1 | bit) if prev < 256 \
+        else (((prev << 1 | bit) & 511) | 256)
+
+
+def decode_int(dec: MQDecoder, ctx: _IntCtx):
+    """T.88 A.2 arithmetic integer -> int, or None for OOB
+    (decodeInteger, decodeJBIG2.js:68-91)."""
+    prev = 1
+
+    def bits(n: int) -> int:
+        nonlocal prev
+        v = 0
+        for _ in range(n):
+            b = dec.decode(ctx.get(prev))
+            prev = _int_next_prev(prev, b)
+            v = (v << 1) | b
+        return v
+
+    sign = bits(1)
+    if not bits(1):
+        v = bits(2)
+    elif not bits(1):
+        v = bits(4) + 4
+    elif not bits(1):
+        v = bits(6) + 20
+    elif not bits(1):
+        v = bits(8) + 84
+    elif not bits(1):
+        v = bits(12) + 340
+    else:
+        v = bits(32) + 4436
+    if sign:
+        return -v if v > 0 else None     # sign with value 0 == OOB
+    return v
+
+
+def encode_int(enc: MQEncoder, ctx: _IntCtx, value) -> None:
+    """Inverse of :func:`decode_int`; ``None`` emits OOB."""
+    prev = 1
+
+    def put(bit: int) -> None:
+        nonlocal prev
+        enc.encode(ctx.get(prev), bit)
+        prev = _int_next_prev(prev, bit)
+
+    def putbits(v: int, n: int) -> None:
+        for i in range(n - 1, -1, -1):
+            put((v >> i) & 1)
+
+    if value is None:
+        put(1)
+        put(0)
+        putbits(0, 2)
+        return
+    put(1 if value < 0 else 0)
+    v = -value if value < 0 else value
+    if v < 4:
+        put(0)
+        putbits(v, 2)
+    elif v < 20:
+        put(1), put(0)
+        putbits(v - 4, 4)
+    elif v < 84:
+        put(1), put(1), put(0)
+        putbits(v - 20, 6)
+    elif v < 340:
+        put(1), put(1), put(1), put(0)
+        putbits(v - 84, 8)
+    elif v < 4436:
+        put(1), put(1), put(1), put(1), put(0)
+        putbits(v - 340, 12)
+    else:
+        put(1), put(1), put(1), put(1), put(1)
+        putbits(v - 4436, 32)
+
+
+def decode_iaid(dec: MQDecoder, ctx: _IntCtx, code_length: int) -> int:
+    """Symbol-id decode over a prefix tree of ``code_length`` bits
+    (decodeIAID, decodeJBIG2.js:94-106)."""
+    prev = 1
+    for _ in range(code_length):
+        prev = (prev << 1) | dec.decode(ctx.get(prev))
+    return prev - (1 << code_length)
+
+
+def encode_iaid(enc: MQEncoder, ctx: _IntCtx, code_length: int,
+                value: int) -> None:
+    prev = 1
+    for i in range(code_length - 1, -1, -1):
+        bit = (value >> i) & 1
+        enc.encode(ctx.get(prev), bit)
+        prev = (prev << 1) | bit
+
+
+def _ceil_log2(x: int) -> int:
+    if x <= 0:
+        return 0
+    return (x - 1).bit_length()
+
+
+# --------------------------------- symbol dictionary + text region
+
+
+def decode_symbol_dictionary(dec: MQDecoder, input_symbols: list,
+                             n_new: int, n_ex: int, template: int,
+                             at: list[tuple[int, int]]) -> list:
+    """Arithmetic symbol dictionary (T.88 6.5;
+    decodeSymbolDictionary, decodeJBIG2.js:531-648, non-huffman
+    non-refinement path): height classes of delta-coded widths, every
+    symbol bitmap through ONE shared coder + GB context set, then
+    exported-run flags over input + new symbols."""
+    iadh, iadw, iaex = _IntCtx(), _IntCtx(), _IntCtx()
+    gb_cx = new_contexts(1 << len(_positions(template, at)))
+    new_symbols: list = []
+    cur_h = 0
+    while len(new_symbols) < n_new:
+        dh = decode_int(dec, iadh)
+        if dh is None:
+            raise ValueError("jbig2: OOB height class delta")
+        cur_h += dh
+        if cur_h <= 0 or cur_h > 1 << 16:
+            raise ValueError("jbig2: implausible symbol height")
+        cur_w = 0
+        while True:
+            dw = decode_int(dec, iadw)
+            if dw is None:
+                break
+            cur_w += dw
+            if cur_w <= 0 or cur_w * cur_h > _MAX_PIXELS:
+                raise ValueError("jbig2: implausible symbol size")
+            if len(new_symbols) >= n_new:
+                raise ValueError(
+                    "jbig2: more symbols than declared")
+            new_symbols.append(_decode_bitmap_core(
+                dec, gb_cx, cur_w, cur_h, template, at, False))
+    flags: list[bool] = []
+    total = len(input_symbols) + n_new
+    cur = False
+    while len(flags) < total:
+        run = decode_int(dec, iaex)
+        if run is None or run < 0:
+            raise ValueError("jbig2: bad export run")
+        flags.extend([cur] * min(run, total - len(flags)))
+        cur = not cur
+    exported = [s for s, f in
+                zip(list(input_symbols) + new_symbols, flags) if f]
+    if len(exported) != n_ex:
+        raise ValueError("jbig2: exported symbol count mismatch")
+    return exported
+
+
+def decode_text_region(dec: MQDecoder, symbols: list, width: int,
+                       height: int, n_instances: int,
+                       strip_size: int, ref_corner: int,
+                       transposed: bool, ds_offset: int,
+                       comb_op: int, default_pixel: int):
+    """Arithmetic text region (T.88 6.4; decodeTextRegion,
+    decodeJBIG2.js:650-775, non-huffman non-refinement): strip-major
+    placement of dictionary symbols. Returns rows of 0/1."""
+    iadt, iafs, iads, iait = (_IntCtx(), _IntCtx(), _IntCtx(),
+                              _IntCtx())
+    iaid = _IntCtx()
+    code_length = _ceil_log2(len(symbols))
+    bitmap = [[default_pixel] * width for _ in range(height)]
+    first = decode_int(dec, iadt)
+    if first is None:
+        raise ValueError("jbig2: bad initial strip T")
+    strip_t = -first
+    first_s = 0
+    i = 0
+    guard = 0
+    while i < n_instances:
+        guard += 1
+        if guard > n_instances + 16:
+            raise ValueError("jbig2: text region makes no progress")
+        dt = decode_int(dec, iadt)
+        if dt is None:
+            raise ValueError("jbig2: bad strip delta T")
+        strip_t += dt
+        dfs = decode_int(dec, iafs)
+        if dfs is None:
+            raise ValueError("jbig2: bad first S")
+        first_s += dfs
+        cur_s = first_s
+        while True:
+            cur_t = 0
+            if strip_size > 1:
+                cur_t = decode_int(dec, iait) or 0
+            t = strip_size * strip_t + cur_t
+            sym_id = decode_iaid(dec, iaid, code_length)
+            if sym_id >= len(symbols):
+                raise ValueError("jbig2: symbol id out of range")
+            sym = symbols[sym_id]
+            sym_h = len(sym)
+            sym_w = len(sym[0]) if sym_h else 0
+            increment = 0
+            if not transposed:
+                if ref_corner > 1:
+                    cur_s += sym_w - 1
+                else:
+                    increment = sym_w - 1
+            elif not (ref_corner & 1):
+                cur_s += sym_h - 1
+            else:
+                increment = sym_h - 1
+            if transposed:
+                off_t = t - (sym_w - 1 if ref_corner & 2 else 0)
+                off_s = cur_s - (0 if ref_corner & 1 else sym_h - 1)
+                for s2 in range(sym_h):
+                    yy = off_s + s2
+                    if not (0 <= yy < height):
+                        continue
+                    row = bitmap[yy]
+                    for t2 in range(min(width - off_t, sym_w)):
+                        if comb_op == 2:
+                            row[off_t + t2] ^= sym[s2][t2]
+                        else:
+                            row[off_t + t2] |= sym[s2][t2]
+            else:
+                off_t = t - (0 if ref_corner & 1 else sym_h - 1)
+                off_s = cur_s - (sym_w - 1 if ref_corner & 2 else 0)
+                for t2 in range(sym_h):
+                    yy = off_t + t2
+                    if not (0 <= yy < height):
+                        continue
+                    row = bitmap[yy]
+                    for s2 in range(sym_w):
+                        xx = off_s + s2
+                        if 0 <= xx < width:
+                            if comb_op == 2:
+                                row[xx] ^= sym[t2][s2]
+                            else:
+                                row[xx] |= sym[t2][s2]
+            i += 1
+            ds = decode_int(dec, iads)
+            if ds is None:
+                break
+            cur_s += increment + ds + ds_offset
+    return bitmap
+
+
+def encode_symbol_dictionary(symbols: list) -> bytes:
+    """Arithmetic symbol-dictionary segment DATA for ``symbols``
+    (already sorted by ascending height): flags + AT + counts + MQ
+    payload. All symbols are exported in dictionary order."""
+    enc = MQEncoder()
+    iadh, iadw, iaex = _IntCtx(), _IntCtx(), _IntCtx()
+    gb_cx = new_contexts(1 << len(_positions(0, NOMINAL_AT[0])))
+    cur_h = 0
+    i = 0
+    n = len(symbols)
+    while i < n:
+        h = len(symbols[i])
+        encode_int(enc, iadh, h - cur_h)
+        cur_h = h
+        cur_w = 0
+        while i < n and len(symbols[i]) == h:
+            w = len(symbols[i][0])
+            encode_int(enc, iadw, w - cur_w)
+            cur_w = w
+            _encode_bitmap_core(enc, gb_cx, symbols[i], 0)
+            i += 1
+        encode_int(enc, iadw, None)          # OOB closes the class
+    encode_int(enc, iaex, 0)                 # zero excluded ...
+    encode_int(enc, iaex, n)                 # ... then export all
+    body = struct.pack(">H", 0)              # arith, template 0
+    for ax, ay in NOMINAL_AT[0]:
+        body += struct.pack("bb", ax, ay)
+    body += struct.pack(">II", n, n)         # exported, new
+    return body + enc.flush()
+
+
+def encode_text_region(symbols: list, placements, width: int,
+                       height: int) -> bytes:
+    """Arithmetic text-region segment DATA: ``placements`` is a list
+    of (symbol_index, x, y) with (x, y) the glyph's TOP-LEFT corner
+    (refCorner = TOPLEFT, strip size 1, non-transposed, OR)."""
+    enc = MQEncoder()
+    iadt, iafs, iads = _IntCtx(), _IntCtx(), _IntCtx()
+    iaid = _IntCtx()
+    code_length = _ceil_log2(len(symbols))
+    placed = sorted(placements, key=lambda p: (p[2], p[1]))
+    encode_int(enc, iadt, 0)                 # stripT starts at 0
+    strip_t = 0
+    first_s = 0
+    j = 0
+    while j < len(placed):
+        y = placed[j][2]
+        encode_int(enc, iadt, y - strip_t)
+        strip_t = y
+        strip = [p for p in placed[j:] if p[2] == y]
+        encode_int(enc, iafs, strip[0][1] - first_s)
+        first_s = strip[0][1]
+        cur_s = first_s
+        for k, (sym_idx, x, _y) in enumerate(strip):
+            if k > 0:
+                prev_w = len(symbols[strip[k - 1][0]][0])
+                encode_int(enc, iads, x - cur_s - (prev_w - 1))
+                cur_s = x
+            encode_iaid(enc, iaid, code_length, sym_idx)
+        encode_int(enc, iads, None)          # OOB ends the strip
+        j += len(strip)
+    body = struct.pack(">IIII", width, height, 0, 0) + b"\x00"
+    body += struct.pack(">H", 1 << 4)        # refCorner TOPLEFT
+    body += struct.pack(">I", len(placed))
+    return body + enc.flush()
+
+
+def build_jbig2_symbol_text(symbols: list, placements,
+                            width: int, height: int) -> bytes:
+    """Embedded-organization stream: page info + symbol dictionary +
+    one immediate text region placing dictionary symbols — the shape
+    scanner encoders emit for text-heavy pages. ``symbols`` are
+    bitmaps (rows of 0/1); ``placements`` are (symbol_index, x, y)
+    top-left placements. Symbols are re-sorted by height internally
+    (the dictionary decodes in height-class order) and placement
+    indices remapped."""
+    order = sorted(range(len(symbols)),
+                   key=lambda i: (len(symbols[i]), i))
+    remap = {orig: new for new, orig in enumerate(order)}
+    sorted_syms = [symbols[i] for i in order]
+    placed = [(remap[i], x, y) for i, x, y in placements]
+
+    page_info = struct.pack(">IIII", width, height, 0, 0) \
+        + b"\x01" + b"\x00\x00"
+    out = _segment(0, 48, 1, page_info)
+    out += _segment(1, 0, 1, encode_symbol_dictionary(sorted_syms))
+    out += _segment(2, 6, 1,
+                    encode_text_region(sorted_syms, placed,
+                                       width, height),
+                    referred=(1,))
+    out += _segment(3, 49, 1, b"")
+    return out

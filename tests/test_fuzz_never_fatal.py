@@ -179,11 +179,15 @@ def test_jbig2_never_hangs_on_mutations():
     must raise cleanly — the referred-to-count and dimension guards
     turn allocation/spin bombs into ValueErrors."""
     from scribe_js_spark.textops.jbig2 import (
-        build_jbig2_embedded, build_jbig2_file, decode_jbig2)
+        build_jbig2_embedded, build_jbig2_file, build_jbig2_symbol_text,
+        decode_jbig2)
 
     bits = [[(x + y) % 2 for x in range(20)] for y in range(12)]
+    g = [[1, 0, 1], [0, 1, 0], [1, 0, 1]]
     bases = [build_jbig2_embedded(bits), build_jbig2_file(bits),
-             build_jbig2_embedded(bits, mmr=True)]
+             build_jbig2_embedded(bits, mmr=True),
+             build_jbig2_symbol_text(
+                 [g], [(0, 2, 2), (0, 8, 2), (0, 2, 8)], 16, 16)]
     rng = np.random.RandomState(13)
     for base in bases:
         for _ in range(40):

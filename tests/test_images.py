@@ -153,14 +153,16 @@ def test_fax_blackis1_decode_net_inversion():
 
 
 def test_jbig2_generic_region_in_pdf():
-    """JBIG2Decode images decode through the MQ generic-region path;
-    doc 4 (doc_id % 3 == 1) stores the page-information segment in a
+    """JBIG2Decode images decode through the MQ path; doc 4
+    (doc_id % 3 == 1) stores the page-information segment in a
     separate /JBIG2Globals stream, doc 9 uses MMR, doc 6 arithmetic
-    template 0, doc 2 TPGDON — all must hit the analytic pixel mean."""
+    template 0, doc 10 TPGDON, and docs 2/7 (doc_id % 5 == 2) the
+    symbol-dictionary + text-region form — all must hit the analytic
+    pixel mean."""
     from scribe_js_spark.fixtures import build_image_models
     from scribe_js_spark.operators.pdf.images import extract_images
 
-    for doc_id in (2, 4, 6, 9):
+    for doc_id in (2, 4, 6, 7, 9, 10):
         m = build_image_models(doc_id)
         recs = extract_images(m["pdf"], with_pixels=True)
         jb = [r for r in recs if r["filter"] == "JBIG2Decode"]
@@ -172,16 +174,69 @@ def test_jbig2_generic_region_in_pdf():
 
 
 def test_jbig2_unsupported_families_surface_as_errors():
-    """A symbol-dictionary segment (type 0) raises NotImplementedError
-    naming the family — the pipeline turns that into an error column,
-    never a crash."""
+    """Huffman-coded symbol dictionaries and halftone patterns raise
+    NotImplementedError naming the family — the pipeline turns that
+    into an error column, never a crash."""
     import struct
 
     import pytest
 
     from scribe_js_spark.textops.jbig2 import decode_jbig2
 
-    seg = struct.pack(">I", 0) + bytes([0x00, 0x00, 0x01]) \
+    huff_dict = struct.pack(">I", 0) + bytes([0x00, 0x00, 0x01]) \
+        + struct.pack(">I", 2) + struct.pack(">H", 1)
+    with pytest.raises(NotImplementedError,
+                       match="huffman symbol dictionary"):
+        decode_jbig2(huff_dict)
+    pattern = struct.pack(">I", 0) + bytes([16, 0x00, 0x01]) \
         + struct.pack(">I", 4) + b"\x00\x00\x00\x00"
-    with pytest.raises(NotImplementedError, match="symbol dictionary"):
-        decode_jbig2(seg)
+    with pytest.raises(NotImplementedError, match="pattern"):
+        decode_jbig2(pattern)
+
+
+def test_jbig2_symbol_text_region_roundtrip():
+    """Symbol-dictionary + text-region coding (the scanner-encoder
+    shape): glyphs decode through the shared-context dictionary and
+    place through the strip machinery; docs 2/7/12/17/22 carry this
+    form in the pdf_images family (doc_id % 5 == 2)."""
+    import numpy as np
+
+    from scribe_js_spark.textops.jbig2 import (
+        build_jbig2_symbol_text, decode_jbig2)
+
+    def glyph(seed, w, h):
+        return [[1 if (x * 3 + y * 5 + seed) % 4 < 2 else 0
+                 for x in range(w)] for y in range(h)]
+
+    symbols = [glyph(0, 6, 9), glyph(1, 5, 9), glyph(2, 7, 8),
+               glyph(3, 4, 11)]
+    placements = [(0, 3, 2), (1, 12, 2), (2, 20, 2), (0, 30, 2),
+                  (3, 3, 20), (2, 10, 20), (1, 40, 20), (0, 5, 40)]
+    data = build_jbig2_symbol_text(symbols, placements, 60, 60)
+    page = decode_jbig2(data)
+    want = np.zeros((60, 60), np.uint8)
+    for i, x, y in placements:
+        g = np.array(symbols[i], np.uint8)
+        want[y:y + g.shape[0], x:x + g.shape[1]] |= g
+    assert page.shape == (60, 60)
+    assert (page == want).all()
+
+
+def test_jbig2_integer_codec_roundtrip():
+    """The arithmetic integer coder covers every bucket boundary and
+    OOB (T.88 Annex A)."""
+    from scribe_js_spark.textops.jbig2 import (
+        _IntCtx, decode_int, encode_int)
+    from scribe_js_spark.textops.mq import MQDecoder, MQEncoder
+
+    values = [0, 1, 3, 4, 19, 20, 83, 84, 339, 340, 4435, 4436,
+              100000, -1, -4, -20, -84, -340, -4436, -99999,
+              None, 7, None, -2]
+    enc = MQEncoder()
+    ctx = _IntCtx()
+    for v in values:
+        encode_int(enc, ctx, v)
+    dec = MQDecoder(enc.flush())
+    ctx2 = _IntCtx()
+    got = [decode_int(dec, ctx2) for _ in values]
+    assert got == values
