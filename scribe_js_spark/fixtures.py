@@ -1511,6 +1511,66 @@ def _build_refine_top_model(doc_id: int, seed: int) -> dict:
             "hr_cells": []}
 
 
+def _build_rule_cluster_model(doc_id: int, seed: int) -> dict:
+    """Phase-5.7 doc (refine_text_columns_from_rules,
+    detectPdfTables.js:735-762): a label + two-numeric-column table
+    whose numeric cells X-SCATTER row to row so word clustering merges
+    them into one blob column (2 columns total), while a 2-segment
+    disjoint rule cluster under the table carries the true column
+    geometry — its gap midpoint plus a synthesized label separator
+    give 3 columns. Without Phase 5.7 the doc reports 2 columns and
+    the numeric cells collapse."""
+    rng = _doc_rng(seed + 8282, doc_id)
+
+    def _tok(text, x, yy):
+        return {"text": text, "chars": None, "out_words": [text],
+                "left": x, "right": x + len(text) * CHAR_W,
+                "top": yy - ASC_H, "bottom": yy + DESC_H, "conf": 97}
+
+    pars, expected = [], []
+    y = TOP_BASELINE
+    lead = [_tok(rng.choice(LEXICON), MARGIN_LEFT + i * 110, y)
+            for i in range(5)]
+    pars.append({"lines": [{"words": lead, "baseline_y": y,
+                            "indent": 0}]})
+
+    yd = 700
+    lines = []
+    for r in range(5):
+        label = rng.choice(LEXICON)
+        n1 = f"{1000 + r}"            # 4 chars -> 60 px wide
+        n2 = f"{2000 + r}"
+        x1 = 520 + r * 25             # centers 550..650 (< sep 690)
+        x2 = 665 + r * 5              # centers 695..715 (> sep 690)
+        words = [_tok(label, MARGIN_LEFT, yd),
+                 _tok(n1, x1, yd), _tok(n2, x2, yd)]
+        expected.append({"table_n": 0, "row_n": r, "col_n": 0,
+                         "cell": label})
+        expected.append({"table_n": 0, "row_n": r, "col_n": 1,
+                         "cell": n1})
+        expected.append({"table_n": 0, "row_n": r, "col_n": 2,
+                         "cell": n2})
+        lines.append({"words": words, "baseline_y": yd, "indent": 0})
+        yd += LINE_PITCH
+    pars.append({"lines": lines})
+
+    page = {"pars": pars, "width": PAGE_W, "height": PAGE_H,
+            # two disjoint rules under the data: only 2 segments, so
+            # the >= 3-segment header-rule detector stays silent and
+            # Phase 5.7 is the only consumer
+            # both rules stay within the table's x-span (+30): the
+            # cluster gating rejects rules that overrun the bbox
+            "rules": [{"left": 480, "right": 670, "y": yd - 20},
+                      {"left": 700, "right": 745, "y": yd - 20}]}
+    model = {"doc_id": doc_id, "family": "base", "pages": [page]}
+    return {"model": model, "expected": expected, "n_tables": 1,
+            "n_grid_cols": 3,
+            "regions": [{"table_n": 0, "method": "numeric",
+                         "n_cols": 3, "header": "none",
+                         "title": None}],
+            "num_cells": [], "hr_cells": []}
+
+
 def _build_phase2_table_model(doc_id: int, seed: int) -> dict:
     """Text-candidate engine docs (Phase 1/2/4): layouts only the full
     row-analysis pipeline detects —
@@ -1859,6 +1919,8 @@ def build_pdf_table_models(doc_id: int, seed: int = SEED_DEFAULT) -> dict:
     bridged)."""
     if 30 <= doc_id < 36:
         return _build_zebra_table_model(doc_id, seed)
+    if doc_id >= 50:
+        return _build_rule_cluster_model(doc_id, seed)
     if doc_id >= 45:
         return _build_refine_top_model(doc_id, seed)
     if doc_id >= 36:
@@ -2067,7 +2129,7 @@ def build_pdf_table_models(doc_id: int, seed: int = SEED_DEFAULT) -> dict:
             "num_cells": num_cells, "hr_cells": hr_cells}
 
 
-def write_pdf_table_parquet(path: str, n_docs: int = 50,
+def write_pdf_table_parquet(path: str, n_docs: int = 51,
                             seed: int = SEED_DEFAULT) -> None:
     """pdf_table_docs.parquet (url, html) + pdf_table.parquet golden
     grid cells + pdf_table_meta.parquet (url, n_tables)."""

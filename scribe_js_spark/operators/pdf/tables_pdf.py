@@ -2195,7 +2195,7 @@ def detect_pdf_table_regions(page, paths, scale: float,
                        if is_right_clustered_numeric(ln.words))
         if not any(dl_ys[i + 2] - dl_ys[i] < 300
                    for i in range(len(dl_ys) - 2)):
-            return _finish_tables(tables, page)
+            return _finish_tables(tables, page, h_lines)
 
     # Phase 1/2/4: text-side candidates (table-like row identification,
     # run/cluster grouping, validation); grid/path tables override
@@ -2295,14 +2295,86 @@ def detect_pdf_table_regions(page, paths, scale: float,
                 top_floor = ob.bottom
         refine_table_top(t, page.lines, h_lines, top_floor)
         t["rows"] = _region_rows(page, t["bbox"])
-    return _finish_tables(tables, page)
+    return _finish_tables(tables, page, h_lines)
 
 
-def _finish_tables(tables: list[dict], page) -> list[dict]:
-    """Shared tail: Phase-5.6 adjacent-content extension, Phase-5.55
-    title scan, stable top-down order."""
+def find_disjoint_rule_clusters(h_lines, page) -> list[dict]:
+    """y-bands of >= 2 mutually disjoint horizontal segments spanning
+    >= 20% of the page width (findDisjointRuleClusters,
+    detectPdfTables.js:3602-3635) — authoritative column geometry for
+    Phase 5.7."""
+    y_groups: list[dict] = []
+    for hl in h_lines:
+        for g in y_groups:
+            if abs(g["y"] - hl["y"]) <= 3:
+                g["lines"].append(hl)
+                g["y"] = sum(l["y"] for l in g["lines"]) \
+                    / len(g["lines"])
+                break
+        else:
+            y_groups.append({"y": hl["y"], "lines": [hl]})
+    clusters = []
+    for g in y_groups:
+        if len(g["lines"]) < 2:
+            continue
+        srt = sorted(g["lines"], key=lambda l: l["left"])
+        if any(srt[i]["left"] < srt[i - 1]["right"] - 1
+               for i in range(1, len(srt))):
+            continue
+        if srt[-1]["right"] - srt[0]["left"] \
+                < page.dims["width"] * 0.2:
+            continue
+        clusters.append({"y": g["y"],
+                         "cols": [(l["left"], l["right"])
+                                  for l in srt]})
+    return clusters
+
+
+def refine_text_columns_from_rules(tables: list[dict], page,
+                                   h_lines) -> None:
+    """Phase 5.7 (detectPdfTables.js:735-762): a disjoint rule cluster
+    inside a text-derived table carries authoritative column geometry;
+    replace word-clustering separators with rule-gap midpoints (plus a
+    synthesized label-column separator when the table extends left of
+    the leftmost rule) unless the text found strictly MORE columns."""
+    clusters = find_disjoint_rule_clusters(h_lines, page)
+    if not clusters:
+        return
+    for t in tables:
+        if t["method"] not in ("text", "numeric"):
+            continue
+        bbox = t["bbox"]
+        best = None
+        for cl in clusters:
+            if cl["y"] < bbox.top - 30 or cl["y"] > bbox.bottom + 30:
+                continue
+            if cl["cols"][0][0] < bbox.left - 30:
+                continue
+            if cl["cols"][-1][1] > bbox.right + 30:
+                continue
+            if best is None or len(cl["cols"]) > len(best["cols"]):
+                best = cl
+        if best is None:
+            continue
+        synth_label = bbox.left < best["cols"][0][0] - 20
+        new_cols = len(best["cols"]) + (1 if synth_label else 0)
+        if len(t.get("col_separators") or []) + 1 > new_cols:
+            continue
+        seps = [best["cols"][0][0]] if synth_label else []
+        for i in range(1, len(best["cols"])):
+            seps.append((best["cols"][i - 1][1]
+                         + best["cols"][i][0]) / 2)
+        t["col_separators"] = sorted(seps)
+
+
+def _finish_tables(tables: list[dict], page,
+                   h_lines=()) -> list[dict]:
+    """Shared tail: Phase-5.6 adjacent-content extension, Phase-5.7
+    rule-cluster column refinement, Phase-5.55 title scan, stable
+    top-down order."""
     for t in tables:
         extend_table_to_adjacent_content(t, page, tables)
+    refine_text_columns_from_rules(tables, page, h_lines)
     for t in tables:
         t["title"] = detect_table_title(t, page.lines)
     tables.sort(key=lambda t: (t["bbox"].top, t["bbox"].left))

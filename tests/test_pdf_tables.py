@@ -621,3 +621,19 @@ def test_refine_top_sibling_floor_counterfactual():
             "method": "numeric", "headers": lower.get("headers")}
     refine_table_top(cand, page.lines, [], top_floor=0.0)
     assert cand["bbox"].top < upper["bbox"].bottom
+
+
+def test_rule_cluster_column_refinement():
+    """Phase 5.7 (detectPdfTables.js:735-762): doc 50's x-scattered
+    numeric cells cluster into one blob column, and only the disjoint
+    rule pair under the table recovers the 3-column structure; with
+    refine_text_columns_from_rules stubbed the doc reports 2 columns
+    (verified at authoring time)."""
+    m = build_pdf_table_models(50)
+    res = extract_document(render_pdf(m["model"], rotate=False))
+    page = res.pages[0]
+    assert [(t["method"], len(t["col_separators"]) + 1)
+            for t in page.tables] == [("numeric", 3)]
+    want = sorted((e["table_n"], e["row_n"], e["col_n"], e["cell"])
+                  for e in m["expected"])
+    assert sorted(_table_cells(page)) == want
