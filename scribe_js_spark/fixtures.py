@@ -1511,6 +1511,68 @@ def _build_refine_top_model(doc_id: int, seed: int) -> dict:
             "hr_cells": []}
 
 
+def _build_sibling_split_model(doc_id: int, seed: int) -> dict:
+    """Phase-5.4 sibling-split doc (detectPdfTables.js:560-640): two
+    banded sections sharing one zebra stripe set, each closing with a
+    'Total ...' row, separated by a 110 px gap — wider than 2x the
+    52 px row pitch (split trigger) yet inside the band region's
+    vertical-contiguity tolerance and the Phase-2 run threshold, so a
+    SINGLE adopted candidate splits into two sibling tables. Without
+    the split the doc reports one 10-row table."""
+    rng = _doc_rng(seed + 9393, doc_id)
+    num_xs = [MARGIN_LEFT, MARGIN_LEFT + 450, MARGIN_LEFT + 600,
+              MARGIN_LEFT + 750]
+
+    def _tok(text, x, yy):
+        return {"text": text, "chars": None, "out_words": [text],
+                "left": x, "right": x + len(text) * CHAR_W,
+                "top": yy - ASC_H, "bottom": yy + DESC_H, "conf": 97}
+
+    pars, expected, bands = [], [], []
+    y = TOP_BASELINE
+    lead = [_tok(rng.choice(LEXICON), MARGIN_LEFT + i * 110, y)
+            for i in range(5)]
+    pars.append({"lines": [{"words": lead, "baseline_y": y,
+                            "indent": 0}]})
+
+    y = 600
+    lines = []
+    for table_n in range(2):
+        for r in range(5):
+            label = "Total" if r == 4 else rng.choice(LEXICON)
+            words = [_tok(label, num_xs[0], y)]
+            expected.append({"table_n": table_n, "row_n": r,
+                             "col_n": 0, "cell": label})
+            for c in range(3):
+                val = f"{(table_n + 1) * 10000 + (r + 1) * 100 + c}"
+                words.append(_tok(val, num_xs[c + 1], y))
+                expected.append({"table_n": table_n, "row_n": r,
+                                 "col_n": c + 1, "cell": val})
+            lines.append({"words": words, "baseline_y": y,
+                          "indent": 0})
+            bands.append({
+                "top": y - ASC_H - 5, "bottom": y + DESC_H + 5,
+                "cells": [(num_xs[0], num_xs[1] - 6),
+                          (num_xs[1], num_xs[2] - 6),
+                          (num_xs[2], num_xs[3] - 6),
+                          (num_xs[3], num_xs[3] + 90)]})
+            y += LINE_PITCH
+        y += 110 - LINE_PITCH   # inter-section gap: 110 px row pitch
+    pars.append({"lines": lines})
+
+    page = {"pars": pars, "width": PAGE_W, "height": PAGE_H,
+            "row_bands": bands}
+    model = {"doc_id": doc_id, "family": "base", "pages": [page]}
+    return {"model": model, "expected": expected, "n_tables": 2,
+            "n_grid_cols": 4,
+            "regions": [
+                {"table_n": 0, "method": "row-band", "n_cols": 4,
+                 "header": "none", "title": None},
+                {"table_n": 1, "method": "row-band", "n_cols": 4,
+                 "header": "none", "title": None}],
+            "num_cells": [], "hr_cells": []}
+
+
 def _build_rule_cluster_model(doc_id: int, seed: int) -> dict:
     """Phase-5.7 doc (refine_text_columns_from_rules,
     detectPdfTables.js:735-762): a label + two-numeric-column table
@@ -1919,6 +1981,8 @@ def build_pdf_table_models(doc_id: int, seed: int = SEED_DEFAULT) -> dict:
     bridged)."""
     if 30 <= doc_id < 36:
         return _build_zebra_table_model(doc_id, seed)
+    if doc_id >= 51:
+        return _build_sibling_split_model(doc_id, seed)
     if doc_id >= 50:
         return _build_rule_cluster_model(doc_id, seed)
     if doc_id >= 45:
@@ -2129,7 +2193,7 @@ def build_pdf_table_models(doc_id: int, seed: int = SEED_DEFAULT) -> dict:
             "num_cells": num_cells, "hr_cells": hr_cells}
 
 
-def write_pdf_table_parquet(path: str, n_docs: int = 51,
+def write_pdf_table_parquet(path: str, n_docs: int = 52,
                             seed: int = SEED_DEFAULT) -> None:
     """pdf_table_docs.parquet (url, html) + pdf_table.parquet golden
     grid cells + pdf_table_meta.parquet (url, n_tables)."""

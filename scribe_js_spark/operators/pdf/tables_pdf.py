@@ -48,6 +48,7 @@ from ...model import Bbox
 MAX_TABLE_DETECTION_PATHS = 20000
 _NUM_TOKEN_RE = re.compile(r"^[\d,$%.()+-]+$")
 _DIGIT_RE = re.compile(r"\d")
+_TOTAL_RE = re.compile(r"^Total\b", re.I)
 
 
 def is_num_token(t: str) -> bool:
@@ -2270,13 +2271,68 @@ def detect_pdf_table_regions(page, paths, scale: float,
         t.setdefault("header", "none")
         extract_structure(page, t)
 
+    # Phase 5.4 sibling split (detectPdfTables.js:560-640): a row-band
+    # candidate whose data rows fall into exactly two groups across a
+    # wide gap (> 2x median pitch and > 50), BOTH closing with a
+    # 'Total ...' row, is two stacked sibling tables sharing one
+    # header rule / band stripe. Splits inherit column structure; the
+    # non-first split's top is locked so refine cannot chain it back
+    # through the sibling.
+    split_work = []
+    for t in tables:
+        if not t.get("row_band") or len(t.get("rows") or []) < 4:
+            continue
+        srt = sorted(t["rows"], key=lambda r: r["y"])
+        spac = [srt[i2]["y"] - srt[i2 - 1]["y"]
+                for i2 in range(1, len(srt))]
+        med = sorted(spac)[len(spac) // 2]
+        groups = [[0, 0]]
+        for i2 in range(1, len(srt)):
+            if spac[i2 - 1] > med * 2 and spac[i2 - 1] > 50:
+                groups.append([i2, i2])
+            else:
+                groups[-1][1] = i2
+        if len(groups) != 2:
+            continue
+
+        def _ends_total(row):
+            return any(_TOTAL_RE.match(" ".join(
+                w.text for w in page.lines[li].words).strip())
+                for li in row["line_indices"])
+
+        if not (_ends_total(srt[groups[0][1]])
+                and _ends_total(srt[groups[1][1]])):
+            continue
+        splits = []
+        for gi, (s, e) in enumerate(groups):
+            grows = srt[s:e + 1]
+            top = t["bbox"].top if gi == 0 else grows[0]["y"]
+            bottom = t["bbox"].bottom if gi == len(groups) - 1 \
+                else max(page.lines[li].bbox.bottom
+                         for r in grows
+                         for li in r["line_indices"]) + 5
+            splits.append({
+                "bbox": Bbox(t["bbox"].left, top,
+                             t["bbox"].right, bottom),
+                "rows": grows,
+                "col_separators": list(t.get("col_separators") or []),
+                "method": t["method"],
+                "row_band": t.get("row_band"),
+                "headers": None, "header": "none",
+                "split_top_locked": gi > 0,
+            })
+        split_work.append((t, splits))
+    for orig, splits in split_work:
+        idx = tables.index(orig)
+        tables[idx:idx + 1] = splits
+
     # Phase 5.5: refine table tops now that path data is in. Path
     # methods carry authoritative tops and are exempt unless a
     # row-band region was attached; stacked siblings floor the scan
     # at the neighbor's bottom, compared against the FIRST DATA ROW
     # (bbox.top was inflated in Phase 2, :667-683).
     for t in tables:
-        if t["method"] == "grid":
+        if t["method"] == "grid" or t.get("split_top_locked"):
             continue
         has_band = bool(t.get("row_band"))
         if not has_band and t["method"] in ("segmented-hline",

@@ -637,3 +637,20 @@ def test_rule_cluster_column_refinement():
     want = sorted((e["table_n"], e["row_n"], e["col_n"], e["cell"])
                   for e in m["expected"])
     assert sorted(_table_cells(page)) == want
+
+
+def test_sibling_total_split():
+    """Phase 5.4 (detectPdfTables.js:560-640): doc 51's two banded
+    sections — one stripe set, each ending in a 'Total ...' row,
+    110 px apart — split from a single adopted candidate into two
+    sibling tables; the second split's locked top keeps refine from
+    chaining back through the first."""
+    m = build_pdf_table_models(51)
+    res = extract_document(render_pdf(m["model"], rotate=False))
+    page = res.pages[0]
+    assert [(t["method"], len(t["col_separators"]) + 1)
+            for t in page.tables] == [("row-band", 4), ("row-band", 4)]
+    assert page.tables[0]["bbox"].bottom < page.tables[1]["bbox"].top
+    want = sorted((e["table_n"], e["row_n"], e["col_n"], e["cell"])
+                  for e in m["expected"])
+    assert sorted(_table_cells(page)) == want
