@@ -3563,9 +3563,17 @@ def build_image_models(doc_id: int, seed: int = SEED_DEFAULT) -> dict:
         g2 = [[1 if x in (0, 3) or y in (0, 4) else 0
                for x in range(4)] for y in range(5)]
         placements = [(0, 1, 1), (1, 6, 1), (1, 1, 7), (0, 6, 7)]
+        if doc_id % 10 == 7:
+            # one instance refined against its dictionary symbol
+            # (per-instance IARI + generic refinement)
+            g1r = [row[:] for row in g1]
+            g1r[2][1] ^= 1
+            g1r[4][2] ^= 1
+            placements = placements[:3] + [(0, 6, 7, g1r)]
         jb_bits = [[0] * wd for _ in range(ht)]
-        for si, px_, py_ in placements:
-            g = g1 if si == 0 else g2
+        for p in placements:
+            si, px_, py_ = p[0], p[1], p[2]
+            g = p[3] if len(p) > 3 else (g1 if si == 0 else g2)
             for yy in range(5):
                 for xx in range(4):
                     jb_bits[py_ + yy][px_ + xx] |= g[yy][xx]

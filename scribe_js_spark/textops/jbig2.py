@@ -19,11 +19,15 @@ decodeBitmap, :915-1048 segment headers, :1251-1561 chunk walk):
   (6.4, strip placement, all four reference corners, transposed and
   XOR composition) — the shape scanner encoders emit for text-heavy
   pages (decodeJBIG2.js:531-775);
+- per-instance GENERIC REFINEMENT inside text regions (6.3: IARI +
+  RDW/RDH/RDX/RDY, both refinement templates, shared GR contexts —
+  decodeRefinement, decodeJBIG2.js:461-529);
 - page composition: immediate generic and text regions OR'd onto the
   page bitmap at their region offsets.
 
-Huffman-coded symbol/text segments, refinement/aggregation, pattern/
-halftone segments raise NotImplementedError — surfaced as honest
+Huffman-coded symbol/text segments, symbol-dictionary refinement/
+aggregation, TPGRON, and pattern/halftone segments raise
+NotImplementedError — surfaced as honest
 error columns by the image pipeline, never a crash. Matching encoders
 (:func:`build_jbig2_embedded`, :func:`build_jbig2_symbol_text`) exist
 for fixture generation.
@@ -349,9 +353,7 @@ def decode_jbig2(data: bytes, globals_data: bytes = b""):
                 if tflags & 1:
                     raise NotImplementedError(
                         "jbig2: huffman text region")
-                if tflags & 2:
-                    raise NotImplementedError(
-                        "jbig2: refinement text region")
+                refine = bool(tflags & 2)
                 log_strip = (tflags >> 2) & 3
                 ref_corner = (tflags >> 4) & 3
                 transposed = bool(tflags & 64)
@@ -360,7 +362,13 @@ def decode_jbig2(data: bytes, globals_data: bytes = b""):
                 ds_offset = (tflags >> 10) & 0x1F
                 if ds_offset >= 16:
                     ds_offset -= 32
+                r_template = (tflags >> 15) & 1
                 p = 19
+                r_at = None
+                if refine and r_template == 0:
+                    r_at = [(_int8(body[p]), _int8(body[p + 1])),
+                            (_int8(body[p + 2]), _int8(body[p + 3]))]
+                    p += 4
                 n_inst = struct.unpack(">I", body[p:p + 4])[0]
                 p += 4
                 if n_inst > _MAX_PIXELS:
@@ -375,7 +383,8 @@ def decode_jbig2(data: bytes, globals_data: bytes = b""):
                 bits = decode_text_region(
                     MQDecoder(body[p:]), syms, w, h, n_inst,
                     1 << log_strip, ref_corner, transposed,
-                    ds_offset, comb_op, default_pixel)
+                    ds_offset, comb_op, default_pixel,
+                    refine=refine, r_template=r_template, r_at=r_at)
                 compose(np.array(bits, dtype=np.uint8), x, y, w, h)
             # 49/50/51 end-of-page/stripe/file, 62 extension: no-op
     if page is None:
@@ -559,6 +568,88 @@ def _ceil_log2(x: int) -> int:
     return (x - 1).bit_length()
 
 
+#: refinement templates (T.88 6.3.5.3; reference RefinementTemplates,
+#: decodeJBIG2.js:243-281): context = coding-template bits over the
+#: bitmap being decoded, then reference-template bits over the
+#: reference bitmap, shifted MSB-first in listed order.
+_REF_TEMPLATES = {
+    0: ([(0, -1), (1, -1), (-1, 0)],
+        [(0, -1), (1, -1), (-1, 0), (0, 0), (1, 0), (-1, 1), (0, 1),
+         (1, 1)]),
+    1: ([(-1, -1), (0, -1), (1, -1), (-1, 0)],
+        [(0, -1), (-1, 0), (0, 0), (1, 0), (0, 1), (1, 1)]),
+}
+
+
+def _ref_positions(template: int, at):
+    coding, reference = _REF_TEMPLATES[template]
+    if template == 0:
+        coding = coding + [tuple(at[0])]
+        reference = reference + [tuple(at[1])]
+    return coding, reference
+
+
+def decode_refinement(dec: MQDecoder, gr_cx, width: int, height: int,
+                      template: int, reference: list,
+                      off_x: int, off_y: int, at) -> list[list[int]]:
+    """Generic refinement decode (decodeRefinement,
+    decodeJBIG2.js:461-529, TPGRON unsupported): each pixel's context
+    combines the already-decoded neighborhood with the reference
+    bitmap shifted by (off_x, off_y)."""
+    coding, refpos = _ref_positions(template, at)
+    ref_h = len(reference)
+    ref_w = len(reference[0]) if ref_h else 0
+    rows: list[list[int]] = []
+    for i in range(height):
+        row = [0] * width
+        rows.append(row)
+        for j in range(width):
+            ctx = 0
+            for dx, dy in coding:
+                i0, j0 = i + dy, j + dx
+                bit = rows[i0][j0] if (i0 >= 0 and 0 <= j0 < width
+                                       and (i0 < i or j0 < j)) else 0
+                ctx = (ctx << 1) | bit
+            for dx, dy in refpos:
+                i0 = i + dy - off_y
+                j0 = j + dx - off_x
+                bit = reference[i0][j0] \
+                    if 0 <= i0 < ref_h and 0 <= j0 < ref_w else 0
+                ctx = (ctx << 1) | bit
+            row[j] = dec.decode(gr_cx[ctx])
+    return rows
+
+
+def encode_refinement(enc: MQEncoder, gr_cx, rows: list[list[int]],
+                      template: int, reference: list,
+                      off_x: int, off_y: int, at) -> None:
+    """Inverse of :func:`decode_refinement` — fixture generation."""
+    coding, refpos = _ref_positions(template, at)
+    ref_h = len(reference)
+    ref_w = len(reference[0]) if ref_h else 0
+    height = len(rows)
+    width = len(rows[0]) if rows else 0
+    for i in range(height):
+        for j in range(width):
+            ctx = 0
+            for dx, dy in coding:
+                i0, j0 = i + dy, j + dx
+                bit = rows[i0][j0] if (i0 >= 0 and 0 <= j0 < width
+                                       and (i0 < i or j0 < j)) else 0
+                ctx = (ctx << 1) | bit
+            for dx, dy in refpos:
+                i0 = i + dy - off_y
+                j0 = j + dx - off_x
+                bit = reference[i0][j0] \
+                    if 0 <= i0 < ref_h and 0 <= j0 < ref_w else 0
+                ctx = (ctx << 1) | bit
+            enc.encode(gr_cx[ctx], rows[i][j])
+
+
+#: nominal refinement AT pixels our encoder writes for template 0.
+REF_NOMINAL_AT = [(-2, 0), (-2, 0)]
+
+
 # --------------------------------- symbol dictionary + text region
 
 
@@ -614,13 +705,27 @@ def decode_text_region(dec: MQDecoder, symbols: list, width: int,
                        height: int, n_instances: int,
                        strip_size: int, ref_corner: int,
                        transposed: bool, ds_offset: int,
-                       comb_op: int, default_pixel: int):
+                       comb_op: int, default_pixel: int,
+                       refine: bool = False, r_template: int = 0,
+                       r_at=None):
     """Arithmetic text region (T.88 6.4; decodeTextRegion,
-    decodeJBIG2.js:650-775, non-huffman non-refinement): strip-major
-    placement of dictionary symbols. Returns rows of 0/1."""
+    decodeJBIG2.js:650-775, non-huffman): strip-major placement of
+    dictionary symbols; with ``refine``, per-instance IARI selects a
+    generic refinement of the placed symbol (RDW/RDH/RDX/RDY deltas,
+    shared GR contexts). Returns rows of 0/1."""
     iadt, iafs, iads, iait = (_IntCtx(), _IntCtx(), _IntCtx(),
                               _IntCtx())
     iaid = _IntCtx()
+    iari = _IntCtx()
+    iardw, iardh, iardx, iardy = (_IntCtx(), _IntCtx(), _IntCtx(),
+                                  _IntCtx())
+    gr_cx = None
+    if refine:
+        n_gr = len(_ref_positions(r_template,
+                                  r_at or REF_NOMINAL_AT)[0]) \
+            + len(_ref_positions(r_template,
+                                 r_at or REF_NOMINAL_AT)[1])
+        gr_cx = new_contexts(1 << n_gr)
     code_length = _ceil_log2(len(symbols))
     bitmap = [[default_pixel] * width for _ in range(height)]
     first = decode_int(dec, iadt)
@@ -654,6 +759,21 @@ def decode_text_region(dec: MQDecoder, symbols: list, width: int,
             sym = symbols[sym_id]
             sym_h = len(sym)
             sym_w = len(sym[0]) if sym_h else 0
+            if refine and decode_int(dec, iari):
+                rdw = decode_int(dec, iardw) or 0
+                rdh = decode_int(dec, iardh) or 0
+                rdx = decode_int(dec, iardx) or 0
+                rdy = decode_int(dec, iardy) or 0
+                sym_w += rdw
+                sym_h += rdh
+                if sym_w <= 0 or sym_h <= 0 \
+                        or sym_w * sym_h > _MAX_PIXELS:
+                    raise ValueError(
+                        "jbig2: implausible refined symbol")
+                sym = decode_refinement(
+                    dec, gr_cx, sym_w, sym_h, r_template,
+                    symbols[sym_id], (rdw >> 1) + rdx,
+                    (rdh >> 1) + rdy, r_at or REF_NOMINAL_AT)
             increment = 0
             if not transposed:
                 if ref_corner > 1:
@@ -734,13 +854,24 @@ def encode_symbol_dictionary(symbols: list) -> bytes:
 def encode_text_region(symbols: list, placements, width: int,
                        height: int) -> bytes:
     """Arithmetic text-region segment DATA: ``placements`` is a list
-    of (symbol_index, x, y) with (x, y) the glyph's TOP-LEFT corner
-    (refCorner = TOPLEFT, strip size 1, non-transposed, OR)."""
+    of (symbol_index, x, y) — or (symbol_index, x, y, refined_bitmap)
+    to refine the placed instance against its dictionary symbol —
+    with (x, y) the glyph's TOP-LEFT corner (refCorner = TOPLEFT,
+    strip size 1, non-transposed, OR)."""
+    refine = any(len(p) > 3 and p[3] is not None for p in placements)
     enc = MQEncoder()
     iadt, iafs, iads = _IntCtx(), _IntCtx(), _IntCtx()
     iaid = _IntCtx()
+    iari = _IntCtx()
+    iardw, iardh, iardx, iardy = (_IntCtx(), _IntCtx(), _IntCtx(),
+                                  _IntCtx())
+    gr_cx = None
+    if refine:
+        coding, refpos = _ref_positions(0, REF_NOMINAL_AT)
+        gr_cx = new_contexts(1 << (len(coding) + len(refpos)))
     code_length = _ceil_log2(len(symbols))
-    placed = sorted(placements, key=lambda p: (p[2], p[1]))
+    placed = sorted((tuple(p) + (None,))[:4] for p in placements)
+    placed = sorted(placed, key=lambda p: (p[2], p[1]))
     encode_int(enc, iadt, 0)                 # stripT starts at 0
     strip_t = 0
     first_s = 0
@@ -753,16 +884,38 @@ def encode_text_region(symbols: list, placements, width: int,
         encode_int(enc, iafs, strip[0][1] - first_s)
         first_s = strip[0][1]
         cur_s = first_s
-        for k, (sym_idx, x, _y) in enumerate(strip):
+        prev_w = None
+        for k, (sym_idx, x, _y, refined) in enumerate(strip):
             if k > 0:
-                prev_w = len(symbols[strip[k - 1][0]][0])
                 encode_int(enc, iads, x - cur_s - (prev_w - 1))
                 cur_s = x
             encode_iaid(enc, iaid, code_length, sym_idx)
+            sym = symbols[sym_idx]
+            if refine:
+                if refined is None:
+                    encode_int(enc, iari, 0)
+                    prev_w = len(sym[0])
+                else:
+                    encode_int(enc, iari, 1)
+                    rdw = len(refined[0]) - len(sym[0])
+                    rdh = len(refined) - len(sym)
+                    encode_int(enc, iardw, rdw)
+                    encode_int(enc, iardh, rdh)
+                    encode_int(enc, iardx, -(rdw >> 1))
+                    encode_int(enc, iardy, -(rdh >> 1))
+                    encode_refinement(enc, gr_cx, refined, 0, sym,
+                                      0, 0, REF_NOMINAL_AT)
+                    prev_w = len(refined[0])
+            else:
+                prev_w = len(sym[0])
         encode_int(enc, iads, None)          # OOB ends the strip
         j += len(strip)
     body = struct.pack(">IIII", width, height, 0, 0) + b"\x00"
-    body += struct.pack(">H", 1 << 4)        # refCorner TOPLEFT
+    flags = (1 << 4) | (2 if refine else 0)  # refCorner TOPLEFT
+    body += struct.pack(">H", flags)
+    if refine:
+        for ax, ay in REF_NOMINAL_AT:
+            body += struct.pack("bb", ax, ay)
     body += struct.pack(">I", len(placed))
     return body + enc.flush()
 
@@ -780,7 +933,7 @@ def build_jbig2_symbol_text(symbols: list, placements,
                    key=lambda i: (len(symbols[i]), i))
     remap = {orig: new for new, orig in enumerate(order)}
     sorted_syms = [symbols[i] for i in order]
-    placed = [(remap[i], x, y) for i, x, y in placements]
+    placed = [(remap[p[0]],) + tuple(p[1:]) for p in placements]
 
     page_info = struct.pack(">IIII", width, height, 0, 0) \
         + b"\x01" + b"\x00\x00"

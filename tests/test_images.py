@@ -240,3 +240,34 @@ def test_jbig2_integer_codec_roundtrip():
     ctx2 = _IntCtx()
     got = [decode_int(dec, ctx2) for _ in values]
     assert got == values
+
+
+def test_jbig2_text_region_refinement_roundtrip():
+    """Per-instance generic refinement inside a text region (IARI +
+    RDW/RDH/RDX/RDY + shared GR contexts; decodeRefinement,
+    decodeJBIG2.js:461-529): refined instances decode to their own
+    bitmap, unrefined ones to the dictionary symbol."""
+    import numpy as np
+
+    from scribe_js_spark.textops.jbig2 import (
+        build_jbig2_symbol_text, decode_jbig2)
+
+    def glyph(seed, w, h):
+        return [[1 if (x * 3 + y * 5 + seed) % 4 < 2 else 0
+                 for x in range(w)] for y in range(h)]
+
+    symbols = [glyph(0, 6, 9), glyph(1, 5, 9)]
+    ref0 = [row[:] + [1 if y % 2 else 0]
+            for y, row in enumerate(glyph(0, 6, 9))]
+    ref0[2][3] ^= 1
+    ref0[5][1] ^= 1
+    placements = [(0, 3, 2), (1, 14, 2), (0, 25, 2, ref0),
+                  (1, 3, 20), (0, 14, 20, ref0), (0, 30, 20)]
+    data = build_jbig2_symbol_text(symbols, placements, 50, 40)
+    page = decode_jbig2(data)
+    want = np.zeros((40, 50), np.uint8)
+    for p in placements:
+        g = np.array(p[3] if len(p) > 3 and p[3] is not None
+                     else symbols[p[0]], np.uint8)
+        want[p[2]:p[2] + g.shape[0], p[1]:p[1] + g.shape[1]] |= g
+    assert (page == want).all()
