@@ -1511,6 +1511,90 @@ def _build_refine_top_model(doc_id: int, seed: int) -> dict:
             "hr_cells": []}
 
 
+def _build_multi_region_model(doc_id: int, seed: int) -> dict:
+    """Multi-region split doc (detectPdfTables.js:388-440): two banded
+    sections whose stripe sets sit 160 px apart — beyond the band
+    region's vertical-contiguity tolerance, so TWO regions form — with
+    a 2-cell column-header row in the gap. The header row bridges the
+    Phase-2 run (section-header bridging), so ONE text candidate spans
+    both regions; the header-separated rule then splits it into one
+    table per region, the second of which adopts the header row as its
+    band via refine_table_top."""
+    rng = _doc_rng(seed + 10404, doc_id)
+    num_xs = [MARGIN_LEFT, MARGIN_LEFT + 450, MARGIN_LEFT + 600,
+              MARGIN_LEFT + 750]
+
+    def _tok(text, x, yy):
+        return {"text": text, "chars": None, "out_words": [text],
+                "left": x, "right": x + len(text) * CHAR_W,
+                "top": yy - ASC_H, "bottom": yy + DESC_H, "conf": 97}
+
+    pars, expected, bands = [], [], []
+    y = TOP_BASELINE
+    lead = [_tok(rng.choice(LEXICON), MARGIN_LEFT + i * 110, y)
+            for i in range(5)]
+    pars.append({"lines": [{"words": lead, "baseline_y": y,
+                            "indent": 0}]})
+
+    y = 600
+    lines = []
+    heads = [rng.choice(LEXICON), rng.choice(LEXICON)]
+    for table_n in range(2):
+        if table_n == 1:
+            # the separating header row: 2 cells over the numeric
+            # columns, midway through the 160 px inter-section gap
+            yh = y - 80
+            lines.append({"words": [_tok(heads[0], num_xs[1], yh),
+                                    _tok(heads[1], num_xs[3], yh)],
+                          "baseline_y": yh, "indent": 0})
+            expected.append({"table_n": 1, "row_n": 0, "col_n": 0,
+                             "cell": ""})
+            expected.append({"table_n": 1, "row_n": 0, "col_n": 1,
+                             "cell": heads[0]})
+            expected.append({"table_n": 1, "row_n": 0, "col_n": 2,
+                             "cell": ""})
+            expected.append({"table_n": 1, "row_n": 0, "col_n": 3,
+                             "cell": heads[1]})
+        row0 = 0 if table_n == 0 else 1
+        for r in range(5):
+            label = rng.choice(LEXICON)
+            words = [_tok(label, num_xs[0], y)]
+            expected.append({"table_n": table_n, "row_n": row0 + r,
+                             "col_n": 0, "cell": label})
+            for c in range(3):
+                val = f"{(table_n + 1) * 10000 + (r + 1) * 100 + c}"
+                words.append(_tok(val, num_xs[c + 1], y))
+                expected.append({"table_n": table_n,
+                                 "row_n": row0 + r, "col_n": c + 1,
+                                 "cell": val})
+            lines.append({"words": words, "baseline_y": y,
+                          "indent": 0})
+            bands.append({
+                "top": y - ASC_H - 5, "bottom": y + DESC_H + 5,
+                "cells": [(num_xs[0], num_xs[1] - 6),
+                          (num_xs[1], num_xs[2] - 6),
+                          (num_xs[2], num_xs[3] - 6),
+                          (num_xs[3], num_xs[3] + 90)]})
+            y += LINE_PITCH
+        y += 160 - LINE_PITCH   # inter-section row gap: 160 px
+    pars.append({"lines": lines})
+
+    page = {"pars": pars, "width": PAGE_W, "height": PAGE_H,
+            "row_bands": bands}
+    model = {"doc_id": doc_id, "family": "base", "pages": [page]}
+    return {"model": model, "expected": expected, "n_tables": 2,
+            "n_grid_cols": 4,
+            "regions": [
+                # 'weak': the lead paragraph splits into an all-text
+                # multi-cell row, a Rule-1 candidate with < 4 aligned
+                # anchors (the reference's detectHeaders does the same)
+                {"table_n": 0, "method": "row-band", "n_cols": 4,
+                 "header": "weak", "title": None},
+                {"table_n": 1, "method": "row-band", "n_cols": 4,
+                 "header": "weak", "title": None}],
+            "num_cells": [], "hr_cells": []}
+
+
 def _build_sibling_split_model(doc_id: int, seed: int) -> dict:
     """Phase-5.4 sibling-split doc (detectPdfTables.js:560-640): two
     banded sections sharing one zebra stripe set, each closing with a
@@ -1981,6 +2065,8 @@ def build_pdf_table_models(doc_id: int, seed: int = SEED_DEFAULT) -> dict:
     bridged)."""
     if 30 <= doc_id < 36:
         return _build_zebra_table_model(doc_id, seed)
+    if doc_id >= 52:
+        return _build_multi_region_model(doc_id, seed)
     if doc_id >= 51:
         return _build_sibling_split_model(doc_id, seed)
     if doc_id >= 50:
@@ -2193,7 +2279,7 @@ def build_pdf_table_models(doc_id: int, seed: int = SEED_DEFAULT) -> dict:
             "num_cells": num_cells, "hr_cells": hr_cells}
 
 
-def write_pdf_table_parquet(path: str, n_docs: int = 52,
+def write_pdf_table_parquet(path: str, n_docs: int = 53,
                             seed: int = SEED_DEFAULT) -> None:
     """pdf_table_docs.parquet (url, html) + pdf_table.parquet golden
     grid cells + pdf_table_meta.parquet (url, n_tables)."""

@@ -2216,37 +2216,90 @@ def detect_pdf_table_regions(page, paths, scale: float,
         tables.append(cand)
 
     # Phase 3.5/4 row-band integration (detectPdfTables.js:282-287,
-    # 320-446): a region matching exactly one non-grid candidate RIDES
-    # the candidate (bbox union; column anchors flow through
-    # extract_structure below, :352-384); an unmatched region with
-    # >= 8 bands stands alone.
+    # 320-446), keyed on the CANDIDATE like the reference: a candidate
+    # matching exactly one region adopts it (bbox union; column
+    # anchors flow through extract_structure below, :352-384); a
+    # candidate spanning SEVERAL regions splits into one table per
+    # region when the regions are substantial (3+ with 5+ bands) or
+    # every adjacent pair is separated by a multi-fragment header row
+    # (:388-440); an unmatched region with >= 8 bands stands alone.
     rbrs = [r for r in extract_row_band_structure(filled_rects)
             if r["right"] - r["left"] >= page.dims["width"] * 0.3]
+    region_matches = {
+        id(rbr): [t for t in tables
+                  if bbox_overlap(
+                      t["bbox"],
+                      Bbox(rbr["left"], rbr["top"], rbr["right"],
+                           rbr["bottom"])) > 0.3]
+        for rbr in rbrs}
+    cand_regions: dict[int, list] = {}
     for rbr in rbrs:
-        r_bbox = Bbox(rbr["left"], rbr["top"], rbr["right"],
-                      rbr["bottom"])
-        matches = [t for t in tables
-                   if bbox_overlap(t["bbox"], r_bbox) > 0.3]
-        if len(matches) == 1 and matches[0]["method"] != "grid":
-            t = matches[0]
-            prev_left = t["bbox"].left
-            t["bbox"] = Bbox(
-                min(t["bbox"].left, rbr["left"]),
-                min(t["bbox"].top, rbr["top"]),
-                max(t["bbox"].right, rbr["right"]),
-                max(t["bbox"].bottom, rbr["bottom"]))
-            t["row_band"] = rbr
-            if t["method"] in ("header-rule", "segmented-hline"):
-                # leftward extension past path-derived columns keeps
-                # the old left edge as a label-column separator (:370)
-                if t["bbox"].left < prev_left - 5:
-                    seps = list(t.get("col_separators") or [])
-                    seps.insert(0, prev_left)
-                    t["col_separators"] = sorted(seps)
+        for t in region_matches[id(rbr)]:
+            cand_regions.setdefault(id(t), []).append(rbr)
+
+    def _adopt(t, rbr):
+        prev_left = t["bbox"].left
+        t["bbox"] = Bbox(
+            min(t["bbox"].left, rbr["left"]),
+            min(t["bbox"].top, rbr["top"]),
+            max(t["bbox"].right, rbr["right"]),
+            max(t["bbox"].bottom, rbr["bottom"]))
+        t["row_band"] = rbr
+        if t["method"] in ("header-rule", "segmented-hline"):
+            # leftward extension past path-derived columns keeps
+            # the old left edge as a label-column separator (:370)
+            if t["bbox"].left < prev_left - 5:
+                seps = list(t.get("col_separators") or [])
+                seps.insert(0, prev_left)
+                t["col_separators"] = sorted(seps)
+        else:
+            t["method"] = "row-band"
+        t["rows"] = _region_rows(page, t["bbox"])
+
+    def _header_row_between(t, top: float, bottom: float) -> bool:
+        """A y-group of >= 2 line fragments inside the gap — a new
+        table's column-header band (:400-425)."""
+        groups: list[list[float]] = []
+        for line in page.lines:
+            if not (top <= line.bbox.top < bottom):
+                continue
+            if line.bbox.right < t["bbox"].left \
+                    or line.bbox.left > t["bbox"].right:
+                continue
+            for g in groups:
+                if abs(g[0] - line.bbox.top) < 5:
+                    g[1] += 1
+                    break
             else:
-                t["method"] = "row-band"
-            t["rows"] = _region_rows(page, t["bbox"])
-        elif not matches and len(rbr["row_ys"]) >= 8:
+                groups.append([line.bbox.top, 1])
+        return any(n >= 2 for _y, n in groups)
+
+    for t in list(tables):
+        regions = cand_regions.get(id(t))
+        if not regions or t["method"] == "grid":
+            continue
+        if len(regions) == 1:
+            _adopt(t, regions[0])
+            continue
+        srt = sorted(regions, key=lambda r: r["top"])
+        should_split = (len(regions) >= 3
+                        and all(len(r["row_ys"]) >= 5
+                                for r in regions))
+        if not should_split and all(len(r["row_ys"]) >= 2
+                                    for r in regions):
+            should_split = all(
+                _header_row_between(t, srt[i - 1]["bottom"],
+                                    srt[i]["top"])
+                for i in range(1, len(srt)))
+        if not should_split:
+            continue
+        idx = tables.index(t)
+        splits = [c for rbr in srt
+                  for c in make_row_band_candidates(rbr, t, page)
+                  if validate_stream_order(c, page.lines)]
+        tables[idx:idx + 1] = splits
+    for rbr in rbrs:
+        if not region_matches[id(rbr)] and len(rbr["row_ys"]) >= 8:
             for c in make_row_band_candidates(rbr, None, page):
                 if validate_stream_order(c, page.lines):
                     tables.append(c)

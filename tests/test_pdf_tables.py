@@ -654,3 +654,19 @@ def test_sibling_total_split():
     want = sorted((e["table_n"], e["row_n"], e["col_n"], e["cell"])
                   for e in m["expected"])
     assert sorted(_table_cells(page)) == want
+
+
+def test_multi_region_header_separated_split():
+    """Multi-region split (detectPdfTables.js:388-440): doc 52's two
+    banded sections form separate stripe regions with a 2-cell header
+    row bridging the candidate across the gap; the header-separated
+    rule splits it per region and the second table adopts the header
+    row as its band through refine_table_top."""
+    m = build_pdf_table_models(52)
+    res = extract_document(render_pdf(m["model"], rotate=False))
+    page = res.pages[0]
+    assert [(t["method"], len(t["col_separators"]) + 1)
+            for t in page.tables] == [("row-band", 4), ("row-band", 4)]
+    want = sorted((e["table_n"], e["row_n"], e["col_n"], e["cell"])
+                  for e in m["expected"])
+    assert sorted(_table_cells(page)) == want
