@@ -3639,19 +3639,23 @@ def build_image_models(doc_id: int, seed: int = SEED_DEFAULT) -> dict:
         pixels_mean_e6=int(_m.floor(fax_mean * 1e6)))
 
     from .textops.jbig2 import (build_jbig2_embedded, build_jbig2_pair,
-                                build_jbig2_symbol_text)
+                                build_jbig2_symbol_text,
+                                build_jbig2_symbol_text_huffman)
     if doc_id % 5 == 2:
         # symbol-dictionary + text-region coding (the scanner-encoder
         # shape): two glyphs placed four times; the page bitmap is
-        # composed here so the golden mean stays analytic
+        # composed here so the golden mean stays analytic. Variants by
+        # (doc_id // 5) % 3: plain arithmetic, one refined instance
+        # (per-instance IARI + generic refinement), or the HUFFMAN
+        # organization (Annex B standard tables, runcode symbol IDs,
+        # uncompressed collective bitmaps).
         g1 = [[1 if (x + y) % 2 == 0 else 0 for x in range(4)]
               for y in range(5)]
         g2 = [[1 if x in (0, 3) or y in (0, 4) else 0
                for x in range(4)] for y in range(5)]
         placements = [(0, 1, 1), (1, 6, 1), (1, 1, 7), (0, 6, 7)]
-        if doc_id % 10 == 7:
-            # one instance refined against its dictionary symbol
-            # (per-instance IARI + generic refinement)
+        variant = (doc_id // 5) % 3
+        if variant == 1:
             g1r = [row[:] for row in g1]
             g1r[2][1] ^= 1
             g1r[4][2] ^= 1
@@ -3663,7 +3667,11 @@ def build_image_models(doc_id: int, seed: int = SEED_DEFAULT) -> dict:
             for yy in range(5):
                 for xx in range(4):
                     jb_bits[py_ + yy][px_ + xx] |= g[yy][xx]
-        jb = build_jbig2_symbol_text([g1, g2], placements, wd, ht)
+        if variant == 2:
+            jb = build_jbig2_symbol_text_huffman(
+                [g1, g2], placements, wd, ht)
+        else:
+            jb = build_jbig2_symbol_text([g1, g2], placements, wd, ht)
         jb_globals = None
         jb_parms = ""
     else:

@@ -25,9 +25,14 @@ decodeBitmap, :915-1048 segment headers, :1251-1561 chunk walk):
 - page composition: immediate generic and text regions OR'd onto the
   page bitmap at their region offsets.
 
-Huffman-coded symbol/text segments, symbol-dictionary refinement/
-aggregation, TPGRON, and pattern/halftone segments raise
-NotImplementedError — surfaced as honest
+- the HUFFMAN organization through :mod:`jbig2_huffman`: Annex B
+  standard tables, custom table segments (type 53), runcode-coded
+  symbol-ID tables, collective bitmaps (uncompressed or MMR) sliced
+  by recorded widths, and huffman text-region placement through the
+  shared strip core.
+
+Symbol-dictionary refinement/aggregation, huffman+refinement, TPGRON,
+and pattern/halftone segments raise NotImplementedError — surfaced as honest
 error columns by the image pipeline, never a crash. Matching encoders
 (:func:`build_jbig2_embedded`, :func:`build_jbig2_symbol_text`) exist
 for fixture generation.
@@ -249,6 +254,7 @@ def decode_jbig2(data: bytes, globals_data: bytes = b""):
     page = None
     page_default = 0
     seg_exports: dict[int, list] = {}
+    custom_tables: dict[int, object] = {}
 
     def compose(region, x, y, w, h):
         nonlocal page
@@ -315,13 +321,16 @@ def decode_jbig2(data: bytes, globals_data: bytes = b""):
                     body[p:], w, h, template=template, at=at or None,
                     mmr=mmr, tpgdon=tpgdon)
                 compose(np.array(bits, dtype=np.uint8), x, y, w, h)
+            elif t == 53:                    # custom huffman table
+                from .jbig2_huffman import decode_tables_segment
+
+                custom_tables[hdr["number"]] = \
+                    decode_tables_segment(body)
             elif t == 0:                     # symbol dictionary
                 if len(body) < 2:
                     raise ValueError("jbig2: short symbol dictionary")
                 dflags = struct.unpack(">H", body[:2])[0]
-                if dflags & 1:
-                    raise NotImplementedError(
-                        "jbig2: huffman symbol dictionary")
+                sd_huffman = bool(dflags & 1)
                 if dflags & 2:
                     raise NotImplementedError(
                         "jbig2: refinement/aggregation symbol "
@@ -329,9 +338,11 @@ def decode_jbig2(data: bytes, globals_data: bytes = b""):
                 sd_template = (dflags >> 10) & 3
                 p = 2
                 sd_at = []
-                for _ in range(4 if sd_template == 0 else 1):
-                    sd_at.append((_int8(body[p]), _int8(body[p + 1])))
-                    p += 2
+                if not sd_huffman:
+                    for _ in range(4 if sd_template == 0 else 1):
+                        sd_at.append((_int8(body[p]),
+                                      _int8(body[p + 1])))
+                        p += 2
                 n_ex, n_new = struct.unpack(">II", body[p:p + 8])
                 p += 8
                 if n_new > 1 << 16 or n_ex > 1 << 16:
@@ -340,9 +351,35 @@ def decode_jbig2(data: bytes, globals_data: bytes = b""):
                 input_syms: list = []
                 for r in hdr["referred"]:
                     input_syms.extend(seg_exports.get(r, []))
-                seg_exports[hdr["number"]] = decode_symbol_dictionary(
-                    MQDecoder(body[p:]), input_syms, n_new, n_ex,
-                    sd_template, sd_at)
+                if sd_huffman:
+                    from .jbig2_huffman import (BitReader,
+                                                select_table,
+                                                std_table)
+
+                    state = [0]
+                    tables = {
+                        "dh": select_table(
+                            (dflags >> 2) & 3, 4, (0, 1),
+                            hdr["referred"], custom_tables, state),
+                        "dw": select_table(
+                            (dflags >> 4) & 3, 2, (0, 1),
+                            hdr["referred"], custom_tables, state),
+                    }
+                    if (dflags >> 6) & 1:      # bitmapSizeSelector
+                        tables["bmsize"] = select_table(
+                            3, 0, (), hdr["referred"],
+                            custom_tables, state)
+                    else:
+                        tables["bmsize"] = std_table(1)
+                    seg_exports[hdr["number"]] = \
+                        decode_symbol_dictionary_huffman(
+                            BitReader(body, p), body, input_syms,
+                            n_new, n_ex, tables)
+                else:
+                    seg_exports[hdr["number"]] = \
+                        decode_symbol_dictionary(
+                            MQDecoder(body[p:]), input_syms, n_new,
+                            n_ex, sd_template, sd_at)
             elif t in (4, 6, 7):             # text region
                 if len(body) < 23:
                     raise ValueError("jbig2: short text region")
@@ -350,10 +387,11 @@ def decode_jbig2(data: bytes, globals_data: bytes = b""):
                 if (x + w) * (y + h) > _MAX_PIXELS or w * h == 0:
                     raise ValueError("jbig2: implausible region")
                 tflags = struct.unpack(">H", body[17:19])[0]
-                if tflags & 1:
-                    raise NotImplementedError(
-                        "jbig2: huffman text region")
+                tr_huffman = bool(tflags & 1)
                 refine = bool(tflags & 2)
+                if tr_huffman and refine:
+                    raise NotImplementedError(
+                        "jbig2: refinement with huffman")
                 log_strip = (tflags >> 2) & 3
                 ref_corner = (tflags >> 4) & 3
                 transposed = bool(tflags & 64)
@@ -364,6 +402,10 @@ def decode_jbig2(data: bytes, globals_data: bytes = b""):
                     ds_offset -= 32
                 r_template = (tflags >> 15) & 1
                 p = 19
+                hflags = 0
+                if tr_huffman:
+                    hflags = struct.unpack(">H", body[p:p + 2])[0]
+                    p += 2
                 r_at = None
                 if refine and r_template == 0:
                     r_at = [(_int8(body[p]), _int8(body[p + 1])),
@@ -380,11 +422,37 @@ def decode_jbig2(data: bytes, globals_data: bytes = b""):
                 if not syms:
                     raise ValueError(
                         "jbig2: text region without symbols")
-                bits = decode_text_region(
-                    MQDecoder(body[p:]), syms, w, h, n_inst,
-                    1 << log_strip, ref_corner, transposed,
-                    ds_offset, comb_op, default_pixel,
-                    refine=refine, r_template=r_template, r_at=r_at)
+                if tr_huffman:
+                    from .jbig2_huffman import (BitReader,
+                                                select_table,
+                                                symbol_id_table)
+
+                    reader = BitReader(body, p)
+                    state = [0]
+                    htabs = {
+                        "fs": select_table(
+                            hflags & 3, 6, (0, 1),
+                            hdr["referred"], custom_tables, state),
+                        "ds": select_table(
+                            (hflags >> 2) & 3, 8, (0, 1, 2),
+                            hdr["referred"], custom_tables, state),
+                        "dt": select_table(
+                            (hflags >> 4) & 3, 11, (0, 1, 2),
+                            hdr["referred"], custom_tables, state),
+                    }
+                    htabs["ids"] = symbol_id_table(reader, len(syms))
+                    bits = decode_text_region(
+                        None, syms, w, h, n_inst, 1 << log_strip,
+                        ref_corner, transposed, ds_offset, comb_op,
+                        default_pixel, huffman_tables=htabs,
+                        reader=reader, log_strip=log_strip)
+                else:
+                    bits = decode_text_region(
+                        MQDecoder(body[p:]), syms, w, h, n_inst,
+                        1 << log_strip, ref_corner, transposed,
+                        ds_offset, comb_op, default_pixel,
+                        refine=refine, r_template=r_template,
+                        r_at=r_at)
                 compose(np.array(bits, dtype=np.uint8), x, y, w, h)
             # 49/50/51 end-of-page/stripe/file, 62 extension: no-op
     if page is None:
@@ -439,6 +507,37 @@ def build_jbig2_pair(rows: list[list[int]], template: int = 0,
     """(globals_bytes, stream_bytes) with the page-information segment
     in the globals — the PDF /JBIG2Globals organization."""
     return _page_and_region_segments(rows, template, mmr, tpgdon)
+
+
+def build_jbig2_symbol_text_huffman(symbols: list, placements,
+                                    width: int, height: int) -> bytes:
+    """Embedded-organization stream using the HUFFMAN organization:
+    page info + huffman symbol dictionary + one immediate huffman
+    text region. Symbols are re-sorted by (height, width) — the
+    huffman dictionary's width deltas ride table B.2, which has no
+    negative range — and placement indices remapped."""
+    from .jbig2_huffman import (encode_symbol_dictionary_huffman,
+                                encode_text_region_huffman)
+
+    order = sorted(range(len(symbols)),
+                   key=lambda i: (len(symbols[i]),
+                                  len(symbols[i][0]) if symbols[i]
+                                  else 0, i))
+    remap = {orig: new for new, orig in enumerate(order)}
+    sorted_syms = [symbols[i] for i in order]
+    placed = [(remap[p[0]], p[1], p[2]) for p in placements]
+
+    page_info = struct.pack(">IIII", width, height, 0, 0) \
+        + b"\x01" + b"\x00\x00"
+    out = _segment(0, 48, 1, page_info)
+    out += _segment(1, 0, 1,
+                    encode_symbol_dictionary_huffman(sorted_syms))
+    out += _segment(2, 6, 1,
+                    encode_text_region_huffman(sorted_syms, placed,
+                                               width, height),
+                    referred=(1,))
+    out += _segment(3, 49, 1, b"")
+    return out
 
 
 def build_jbig2_file(rows: list[list[int]], **kw) -> bytes:
@@ -701,21 +800,42 @@ def decode_symbol_dictionary(dec: MQDecoder, input_symbols: list,
     return exported
 
 
-def decode_text_region(dec: MQDecoder, symbols: list, width: int,
+def decode_text_region(dec, symbols: list, width: int,
                        height: int, n_instances: int,
                        strip_size: int, ref_corner: int,
                        transposed: bool, ds_offset: int,
                        comb_op: int, default_pixel: int,
                        refine: bool = False, r_template: int = 0,
-                       r_at=None):
-    """Arithmetic text region (T.88 6.4; decodeTextRegion,
-    decodeJBIG2.js:650-775, non-huffman): strip-major placement of
-    dictionary symbols; with ``refine``, per-instance IARI selects a
-    generic refinement of the placed symbol (RDW/RDH/RDX/RDY deltas,
-    shared GR contexts). Returns rows of 0/1."""
-    iadt, iafs, iads, iait = (_IntCtx(), _IntCtx(), _IntCtx(),
-                              _IntCtx())
-    iaid = _IntCtx()
+                       r_at=None, huffman_tables=None, reader=None,
+                       log_strip: int = 0):
+    """Text region (T.88 6.4; decodeTextRegion,
+    decodeJBIG2.js:650-775): strip-major placement of dictionary
+    symbols, from either the arithmetic coder (``dec``) or, with
+    ``huffman_tables`` + ``reader``, the huffman-coded organization
+    (FS/DS/DT tables and the runcode symbol-ID table). With ``refine``
+    (arithmetic only), per-instance IARI selects a generic refinement
+    of the placed symbol (RDW/RDH/RDX/RDY deltas, shared GR
+    contexts). Returns rows of 0/1."""
+    huffman = huffman_tables is not None
+    if huffman and refine:
+        raise NotImplementedError(
+            "jbig2: refinement with huffman")
+    if huffman:
+        get_dt = lambda: huffman_tables["dt"].decode(reader)  # noqa: E731
+        get_dfs = lambda: huffman_tables["fs"].decode(reader)  # noqa: E731
+        get_ds = lambda: huffman_tables["ds"].decode(reader)  # noqa: E731
+        get_cur_t = lambda: reader.read_bits(log_strip)  # noqa: E731
+        get_id = lambda: huffman_tables["ids"].decode(reader)  # noqa: E731
+    else:
+        iadt, iafs, iads, iait = (_IntCtx(), _IntCtx(), _IntCtx(),
+                                  _IntCtx())
+        iaid = _IntCtx()
+        code_length = _ceil_log2(len(symbols))
+        get_dt = lambda: decode_int(dec, iadt)  # noqa: E731
+        get_dfs = lambda: decode_int(dec, iafs)  # noqa: E731
+        get_ds = lambda: decode_int(dec, iads)  # noqa: E731
+        get_cur_t = lambda: decode_int(dec, iait) or 0  # noqa: E731
+        get_id = lambda: decode_iaid(dec, iaid, code_length)  # noqa: E731
     iari = _IntCtx()
     iardw, iardh, iardx, iardy = (_IntCtx(), _IntCtx(), _IntCtx(),
                                   _IntCtx())
@@ -726,9 +846,8 @@ def decode_text_region(dec: MQDecoder, symbols: list, width: int,
             + len(_ref_positions(r_template,
                                  r_at or REF_NOMINAL_AT)[1])
         gr_cx = new_contexts(1 << n_gr)
-    code_length = _ceil_log2(len(symbols))
     bitmap = [[default_pixel] * width for _ in range(height)]
-    first = decode_int(dec, iadt)
+    first = get_dt()
     if first is None:
         raise ValueError("jbig2: bad initial strip T")
     strip_t = -first
@@ -739,11 +858,11 @@ def decode_text_region(dec: MQDecoder, symbols: list, width: int,
         guard += 1
         if guard > n_instances + 16:
             raise ValueError("jbig2: text region makes no progress")
-        dt = decode_int(dec, iadt)
+        dt = get_dt()
         if dt is None:
             raise ValueError("jbig2: bad strip delta T")
         strip_t += dt
-        dfs = decode_int(dec, iafs)
+        dfs = get_dfs()
         if dfs is None:
             raise ValueError("jbig2: bad first S")
         first_s += dfs
@@ -751,9 +870,9 @@ def decode_text_region(dec: MQDecoder, symbols: list, width: int,
         while True:
             cur_t = 0
             if strip_size > 1:
-                cur_t = decode_int(dec, iait) or 0
+                cur_t = get_cur_t()
             t = strip_size * strip_t + cur_t
-            sym_id = decode_iaid(dec, iaid, code_length)
+            sym_id = get_id()
             if sym_id >= len(symbols):
                 raise ValueError("jbig2: symbol id out of range")
             sym = symbols[sym_id]
@@ -813,11 +932,84 @@ def decode_text_region(dec: MQDecoder, symbols: list, width: int,
                             else:
                                 row[xx] |= sym[t2][s2]
             i += 1
-            ds = decode_int(dec, iads)
+            ds = get_ds()
             if ds is None:
                 break
             cur_s += increment + ds + ds_offset
     return bitmap
+
+
+def decode_symbol_dictionary_huffman(reader, data: bytes,
+                                     input_symbols: list, n_new: int,
+                                     n_ex: int, tables) -> list:
+    """Huffman symbol dictionary (T.88 6.5;
+    decodeSymbolDictionary, decodeJBIG2.js:543-648 huffman branch):
+    delta-coded height classes record symbol WIDTHS, then each class's
+    collective bitmap arrives uncompressed or MMR-coded and is sliced
+    by the recorded widths; export runs ride table B.1."""
+    from .jbig2_huffman import read_uncompressed_bitmap, std_table
+
+    new_symbols: list = []
+    widths: list[int] = []
+    cur_h = 0
+    while len(widths) < n_new:
+        dh = tables["dh"].decode(reader)
+        if dh is None:
+            raise ValueError("jbig2: OOB height class delta")
+        cur_h += dh
+        if cur_h <= 0 or cur_h > 1 << 16:
+            raise ValueError("jbig2: implausible symbol height")
+        cur_w = 0
+        total_w = 0
+        first = len(widths)
+        while True:
+            dw = tables["dw"].decode(reader)
+            if dw is None:
+                break
+            cur_w += dw
+            total_w += cur_w
+            if cur_w <= 0 or cur_w * cur_h > _MAX_PIXELS:
+                raise ValueError("jbig2: implausible symbol size")
+            if len(widths) >= n_new:
+                raise ValueError("jbig2: more symbols than declared")
+            widths.append(cur_w)
+        bitmap_size = tables["bmsize"].decode(reader)
+        reader.byte_align()
+        if bitmap_size == 0:
+            collective = read_uncompressed_bitmap(
+                reader, total_w, cur_h)
+        else:
+            from .ccitt import decode_g4
+
+            collective = decode_g4(
+                data[reader.pos:reader.pos + bitmap_size],
+                total_w, cur_h)
+            reader.pos += bitmap_size
+            reader.byte_align()
+        n_class = len(widths) - first
+        if n_class == 1:
+            new_symbols.append(collective)
+        else:
+            x = 0
+            for w in widths[first:]:
+                new_symbols.append([row[x:x + w]
+                                    for row in collective])
+                x += w
+    flags: list[bool] = []
+    total = len(input_symbols) + n_new
+    cur = False
+    b1 = std_table(1)
+    while len(flags) < total:
+        run = b1.decode(reader)
+        if run is None or run < 0:
+            raise ValueError("jbig2: bad export run")
+        flags.extend([cur] * min(run, total - len(flags)))
+        cur = not cur
+    exported = [s for s, f in
+                zip(list(input_symbols) + new_symbols, flags) if f]
+    if len(exported) != n_ex:
+        raise ValueError("jbig2: exported symbol count mismatch")
+    return exported
 
 
 def encode_symbol_dictionary(symbols: list) -> bytes:

@@ -174,7 +174,7 @@ def test_jbig2_generic_region_in_pdf():
 
 
 def test_jbig2_unsupported_families_surface_as_errors():
-    """Huffman-coded symbol dictionaries and halftone patterns raise
+    """Refinement/aggregation symbol dictionaries and halftone patterns raise
     NotImplementedError naming the family — the pipeline turns that
     into an error column, never a crash."""
     import struct
@@ -183,11 +183,11 @@ def test_jbig2_unsupported_families_surface_as_errors():
 
     from scribe_js_spark.textops.jbig2 import decode_jbig2
 
-    huff_dict = struct.pack(">I", 0) + bytes([0x00, 0x00, 0x01]) \
-        + struct.pack(">I", 2) + struct.pack(">H", 1)
+    refagg_dict = struct.pack(">I", 0) + bytes([0x00, 0x00, 0x01]) \
+        + struct.pack(">I", 2) + struct.pack(">H", 2)
     with pytest.raises(NotImplementedError,
-                       match="huffman symbol dictionary"):
-        decode_jbig2(huff_dict)
+                       match="refinement/aggregation"):
+        decode_jbig2(refagg_dict)
     pattern = struct.pack(">I", 0) + bytes([16, 0x00, 0x01]) \
         + struct.pack(">I", 4) + b"\x00\x00\x00\x00"
     with pytest.raises(NotImplementedError, match="pattern"):
@@ -271,3 +271,56 @@ def test_jbig2_text_region_refinement_roundtrip():
                      else symbols[p[0]], np.uint8)
         want[p[2]:p[2] + g.shape[0], p[1]:p[1] + g.shape[1]] |= g
     assert (page == want).all()
+
+
+def test_jbig2_huffman_symbol_text_roundtrip():
+    """The HUFFMAN organization (T.88 Annex B): standard tables
+    B.1-B.15, runcode-coded symbol-ID lengths, uncompressed collective
+    bitmaps sliced by recorded widths, strip placement via B.6/B.8/
+    B.11 — doc 12 (variant (doc_id // 5) % 3 == 2) carries this form
+    in the pdf_images family."""
+    import numpy as np
+
+    from scribe_js_spark.textops.jbig2 import (
+        build_jbig2_symbol_text_huffman, decode_jbig2)
+
+    def glyph(seed, w, h):
+        return [[1 if (x * 3 + y * 5 + seed) % 4 < 2 else 0
+                 for x in range(w)] for y in range(h)]
+
+    symbols = [glyph(0, 6, 9), glyph(1, 5, 9), glyph(2, 7, 8),
+               glyph(3, 4, 11)]
+    placements = [(0, 3, 2), (1, 12, 2), (2, 20, 2), (0, 30, 2),
+                  (3, 3, 20), (2, 10, 20), (1, 40, 20), (0, 5, 40)]
+    data = build_jbig2_symbol_text_huffman(symbols, placements, 60, 60)
+    page = decode_jbig2(data)
+    want = np.zeros((60, 60), np.uint8)
+    for i, x, y in placements:
+        g = np.array(symbols[i], np.uint8)
+        want[y:y + g.shape[0], x:x + g.shape[1]] |= g
+    assert (page == want).all()
+
+
+def test_jbig2_standard_table_codec():
+    """Annex B standard tables: canonical codes from the spec lengths
+    encode/decode every bucket boundary, lower-range tails and OOB."""
+    from scribe_js_spark.textops.jbig2_huffman import (
+        BitReader, BitWriter, std_table)
+
+    cases = {
+        1: [0, 15, 16, 271, 272, 65807, 65808, 100000],
+        2: [0, 2, 3, 10, 11, 74, 75, 5000, None],
+        3: [-256, -1, -257, -5000, 0, 74, 75, 3000, None],
+        6: [-2048, -2049, -9999, -1, 0, 127, 2047, 2048, 99999],
+        8: [-15, -3, -2, 0, 1, 645, 1669, 1670, 20000, -16, -999,
+            None],
+        11: [1, 140, 141, 5000],
+        15: [-24, -25, -500, 0, 24, 25, 500],
+    }
+    for n, values in cases.items():
+        t = std_table(n)
+        w = BitWriter()
+        for v in values:
+            t.encode(w, v)
+        r = BitReader(w.bytes())
+        assert [t.decode(r) for _ in values] == values, n
