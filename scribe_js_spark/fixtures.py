@@ -3638,10 +3638,27 @@ def build_image_models(doc_id: int, seed: int = SEED_DEFAULT) -> dict:
         has_smask=False, interpolate=False, n_raw_bytes=len(fax),
         pixels_mean_e6=int(_m.floor(fax_mean * 1e6)))
 
-    from .textops.jbig2 import (build_jbig2_embedded, build_jbig2_pair,
+    from .textops.jbig2 import (build_jbig2_embedded,
+                                build_jbig2_halftone, build_jbig2_pair,
                                 build_jbig2_symbol_text,
                                 build_jbig2_symbol_text_huffman)
-    if doc_id % 5 == 2:
+    jb_wd, jb_ht = wd, ht
+    if doc_id % 5 == 2 and (doc_id // 5) % 4 == 3:
+        # halftone variant (doc 17): a pattern dictionary of 4x4
+        # density cells tiled by gray-coded bit planes
+        pats = [[[1 if (x * 3 + y * 2 + 1) % 4 < k else 0
+                  for x in range(4)] for y in range(4)]
+                for k in range(4)]
+        gw, gh = wd // 4, ht // 4
+        grid = [[(gx + gy) % 4 for gx in range(gw)]
+                for gy in range(gh)]
+        jb = build_jbig2_halftone(pats, grid)
+        jb_wd, jb_ht = gw * 4, gh * 4
+        jb_bits = [[pats[grid[yy // 4][xx // 4]][yy % 4][xx % 4]
+                    for xx in range(jb_wd)] for yy in range(jb_ht)]
+        jb_globals = None
+        jb_parms = ""
+    elif doc_id % 5 == 2:
         # symbol-dictionary + text-region coding (the scanner-encoder
         # shape): two glyphs placed four times; the page bitmap is
         # composed here so the golden mean stays analytic. Variants by
@@ -3689,11 +3706,11 @@ def build_image_models(doc_id: int, seed: int = SEED_DEFAULT) -> dict:
             jb = build_jbig2_embedded(jb_bits, **jb_kw)
             jb_parms = ""
     jb_mean = 255 * sum(1 - b for row in jb_bits for b in row) \
-        / (wd * ht)
-    img(f"/Subtype /Image /Width {wd} /Height {ht} "
+        / (jb_wd * jb_ht)
+    img(f"/Subtype /Image /Width {jb_wd} /Height {jb_ht} "
         f"/ColorSpace /DeviceGray /BitsPerComponent 1 "
         f"/Filter /JBIG2Decode{jb_parms}",
-        jb, width=wd, height=ht, bpc=1, image_mask=False,
+        jb, width=jb_wd, height=jb_ht, bpc=1, image_mask=False,
         colorspace="DeviceGray", palette_hival=-1,
         filter="JBIG2Decode", ext="raw", decode_invert=False,
         has_smask=False, interpolate=False, n_raw_bytes=len(jb),

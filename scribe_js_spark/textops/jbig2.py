@@ -29,10 +29,15 @@ decodeBitmap, :915-1048 segment headers, :1251-1561 chunk walk):
   standard tables, custom table segments (type 53), runcode-coded
   symbol-ID tables, collective bitmaps (uncompressed or MMR) sliced
   by recorded widths, and huffman text-region placement through the
-  shared strip core.
+  shared strip core;
+- PATTERN DICTIONARIES (6.7, arithmetic or MMR collectives) and
+  HALFTONE REGIONS (6.6, gray-coded bit planes over the rotatable
+  placement grid).
 
 Symbol-dictionary refinement/aggregation, huffman+refinement, TPGRON,
-and pattern/halftone segments raise NotImplementedError — surfaced as honest
+MMR halftone planes, halftone skip, and standalone refinement-region
+segments (which the reference also rejects) raise
+NotImplementedError — surfaced as honest
 error columns by the image pipeline, never a crash. Matching encoders
 (:func:`build_jbig2_embedded`, :func:`build_jbig2_symbol_text`) exist
 for fixture generation.
@@ -145,8 +150,9 @@ def encode_generic_bitmap(rows: list[list[int]], template: int = 0,
 
 def _encode_bitmap_core(enc: MQEncoder, gb_cx,
                         rows: list[list[int]], template: int,
-                        tpgdon: bool = False) -> None:
-    at = NOMINAL_AT[template]
+                        tpgdon: bool = False, at=None) -> None:
+    if at is None:
+        at = NOMINAL_AT[template]
     height = len(rows)
     width = len(rows[0]) if rows else 0
     pos = _positions(template, at)
@@ -175,6 +181,93 @@ def _encode_bitmap_core(enc: MQEncoder, gb_cx,
                         ctx |= 1 << (n - 1 - k)
             enc.encode(cx[ctx], rows[y][x])
         prev = rows[y]
+
+
+def _pattern_at(template: int, pattern_width: int):
+    at = [(-pattern_width, 0)]
+    if template == 0:
+        at += [(-3, -1), (2, -2), (-2, -2)]
+    return at
+
+
+def _halftone_at(template: int):
+    at = [(3 if template <= 1 else 2, -1)]
+    if template == 0:
+        at += [(-3, -1), (2, -2), (-2, -2)]
+    return at
+
+
+def decode_pattern_dictionary(data: bytes, mmr: bool,
+                              pattern_width: int, pattern_height: int,
+                              max_index: int,
+                              template: int) -> list:
+    """Pattern dictionary (T.88 6.7; decodePatternDictionary,
+    decodeJBIG2.js:779-811): one collective bitmap of
+    (max_index + 1) patterns side by side, AT1 at -pattern_width."""
+    width = (max_index + 1) * pattern_width
+    if width * pattern_height > _MAX_PIXELS:
+        raise ValueError("jbig2: implausible pattern dictionary")
+    if mmr:
+        from .ccitt import decode_g4
+
+        collective = decode_g4(data, width, pattern_height)
+    else:
+        at = _pattern_at(template, pattern_width)
+        n = len(_positions(template, at))
+        collective = _decode_bitmap_core(
+            MQDecoder(data), new_contexts(1 << n), width,
+            pattern_height, template, at, False)
+    return [[row[i * pattern_width:(i + 1) * pattern_width]
+             for row in collective]
+            for i in range(max_index + 1)]
+
+
+def decode_halftone_region(data: bytes, patterns: list, width: int,
+                           height: int, grid_w: int, grid_h: int,
+                           grid_x: int, grid_y: int, vec_x: int,
+                           vec_y: int, template: int,
+                           default_pixel: int) -> list[list[int]]:
+    """Halftone region (T.88 6.6; decodeHalftoneRegion,
+    decodeJBIG2.js:814-913, arithmetic): gray-coded bit planes decoded
+    MSB-first through one shared coder select a pattern per grid cell,
+    placed along the (possibly rotated) grid vectors."""
+    n_patterns = len(patterns)
+    bits_per_value = _ceil_log2(n_patterns)
+    if grid_w * grid_h > _MAX_PIXELS:
+        raise ValueError("jbig2: implausible halftone grid")
+    at = _halftone_at(template)
+    n = len(_positions(template, at))
+    dec = MQDecoder(data)
+    gb_cx = new_contexts(1 << n)
+    planes: dict[int, list[list[int]]] = {}
+    for i in range(bits_per_value - 1, -1, -1):
+        planes[i] = _decode_bitmap_core(dec, gb_cx, grid_w, grid_h,
+                                        template, at, False)
+    pattern_h = len(patterns[0])
+    pattern_w = len(patterns[0][0]) if pattern_h else 0
+    region = [[default_pixel] * width for _ in range(height)]
+    for mg in range(grid_h):
+        for ng in range(grid_w):
+            bit = 0
+            idx = 0
+            for j in range(bits_per_value - 1, -1, -1):
+                bit ^= planes[j][mg][ng]
+                idx |= bit << j
+            if idx >= n_patterns:
+                raise ValueError("jbig2: pattern index out of range")
+            pat = patterns[idx]
+            x = (grid_x + mg * vec_y + ng * vec_x) >> 8
+            y = (grid_y + mg * vec_x - ng * vec_y) >> 8
+            for i in range(pattern_h):
+                yy = y + i
+                if not (0 <= yy < height):
+                    continue
+                row = region[yy]
+                for j in range(pattern_w):
+                    xx = x + j
+                    if 0 <= xx < width:
+                        row[xx] |= pat[i][j]
+    return region
 
 
 # --------------------------------------------------------- segments
@@ -227,8 +320,6 @@ def _read_segment_header(data: bytes, pos: int):
 
 
 _UNSUPPORTED = {
-    16: "pattern dictionary", 20: "halftone region",
-    22: "halftone region", 23: "halftone region",
     40: "refinement region", 42: "refinement region",
     43: "refinement region",
 }
@@ -254,6 +345,7 @@ def decode_jbig2(data: bytes, globals_data: bytes = b""):
     page = None
     page_default = 0
     seg_exports: dict[int, list] = {}
+    seg_patterns: dict[int, list] = {}
     custom_tables: dict[int, object] = {}
 
     def compose(region, x, y, w, h):
@@ -320,6 +412,49 @@ def decode_jbig2(data: bytes, globals_data: bytes = b""):
                 bits = decode_generic_bitmap(
                     body[p:], w, h, template=template, at=at or None,
                     mmr=mmr, tpgdon=tpgdon)
+                compose(np.array(bits, dtype=np.uint8), x, y, w, h)
+            elif t == 16:                    # pattern dictionary
+                if len(body) < 7:
+                    raise ValueError("jbig2: short pattern dictionary")
+                pflags2 = body[0]
+                p_mmr = bool(pflags2 & 1)
+                p_template = (pflags2 >> 1) & 3
+                pw2, ph2 = body[1], body[2]
+                max_idx = struct.unpack(">I", body[3:7])[0]
+                if max_idx > 1 << 12 or pw2 == 0 or ph2 == 0:
+                    raise ValueError(
+                        "jbig2: implausible pattern dictionary")
+                seg_patterns[hdr["number"]] = \
+                    decode_pattern_dictionary(
+                        body[7:], p_mmr, pw2, ph2, max_idx,
+                        p_template)
+            elif t in (20, 22, 23):          # halftone region
+                if len(body) < 40:
+                    raise ValueError("jbig2: short halftone region")
+                w, h, x, y = struct.unpack(">IIII", body[:16])
+                if (x + w) * (y + h) > _MAX_PIXELS or w * h == 0:
+                    raise ValueError("jbig2: implausible region")
+                hflags2 = body[17]
+                if hflags2 & 1:
+                    raise NotImplementedError(
+                        "jbig2: MMR halftone region")
+                if hflags2 & 8:
+                    raise NotImplementedError(
+                        "jbig2: halftone skip")
+                h_template = (hflags2 >> 1) & 3
+                h_default = (hflags2 >> 7) & 1
+                grid_w, grid_h = struct.unpack(">II", body[18:26])
+                grid_x, grid_y = struct.unpack(">ii", body[26:34])
+                vec_x, vec_y = struct.unpack(">HH", body[34:38])
+                pats: list = []
+                for r in hdr["referred"]:
+                    pats.extend(seg_patterns.get(r, []))
+                if not pats:
+                    raise ValueError(
+                        "jbig2: halftone region without patterns")
+                bits = decode_halftone_region(
+                    body[38:], pats, w, h, grid_w, grid_h, grid_x,
+                    grid_y, vec_x, vec_y, h_template, h_default)
                 compose(np.array(bits, dtype=np.uint8), x, y, w, h)
             elif t == 53:                    # custom huffman table
                 from .jbig2_huffman import decode_tables_segment
@@ -536,6 +671,57 @@ def build_jbig2_symbol_text_huffman(symbols: list, placements,
                     encode_text_region_huffman(sorted_syms, placed,
                                                width, height),
                     referred=(1,))
+    out += _segment(3, 49, 1, b"")
+    return out
+
+
+def build_jbig2_halftone(patterns: list, grid: list[list[int]],
+                         mmr_patterns: bool = False) -> bytes:
+    """Embedded-organization stream: page info + pattern dictionary +
+    one immediate halftone region tiling SQUARE patterns over
+    ``grid`` (rows of pattern indices). Fixture generation."""
+    ph = len(patterns[0])
+    pw = len(patterns[0][0])
+    assert pw == ph, "grid vectors tile square patterns only"
+    grid_h = len(grid)
+    grid_w = len(grid[0])
+    width, height = grid_w * pw, grid_h * ph
+
+    page_info = struct.pack(">IIII", width, height, 0, 0) \
+        + b"\x01" + b"\x00\x00"
+    out = _segment(0, 48, 1, page_info)
+
+    collective = [sum((list(p[y]) for p in patterns), [])
+                  for y in range(ph)]
+    if mmr_patterns:
+        from .ccitt import encode_g4
+
+        pdata = encode_g4(collective, len(collective[0]))
+    else:
+        at = _pattern_at(0, pw)
+        enc = MQEncoder()
+        cx = new_contexts(1 << len(_positions(0, at)))
+        _encode_bitmap_core(enc, cx, collective, 0, at=at)
+        pdata = enc.flush()
+    pbody = bytes([1 if mmr_patterns else 0, pw, ph]) \
+        + struct.pack(">I", len(patterns) - 1) + pdata
+    out += _segment(1, 16, 1, pbody)
+
+    bits_per_value = _ceil_log2(len(patterns))
+    at = _halftone_at(0)
+    enc = MQEncoder()
+    cx = new_contexts(1 << len(_positions(0, at)))
+    for j in range(bits_per_value - 1, -1, -1):
+        plane = [[((v ^ (v >> 1)) >> j) & 1 for v in row]
+                 for row in grid]
+        _encode_bitmap_core(enc, cx, plane, 0, at=at)
+    hbody = struct.pack(">IIII", width, height, 0, 0) + b"\x00"
+    hbody += bytes([0])                      # arith, template 0, OR
+    hbody += struct.pack(">II", grid_w, grid_h)
+    hbody += struct.pack(">ii", 0, 0)
+    hbody += struct.pack(">HH", pw << 8, 0)
+    hbody += enc.flush()
+    out += _segment(2, 22, 1, hbody, referred=(1,))
     out += _segment(3, 49, 1, b"")
     return out
 

@@ -174,9 +174,11 @@ def test_jbig2_generic_region_in_pdf():
 
 
 def test_jbig2_unsupported_families_surface_as_errors():
-    """Refinement/aggregation symbol dictionaries and halftone patterns raise
-    NotImplementedError naming the family — the pipeline turns that
-    into an error column, never a crash."""
+    """Refinement/aggregation symbol dictionaries and standalone
+    refinement-region segments raise NotImplementedError naming the
+    family — the pipeline turns that into an error column, never a
+    crash. (The reference throws on refinement-region segments too,
+    decodeJBIG2.js processSegment default.)"""
     import struct
 
     import pytest
@@ -188,10 +190,10 @@ def test_jbig2_unsupported_families_surface_as_errors():
     with pytest.raises(NotImplementedError,
                        match="refinement/aggregation"):
         decode_jbig2(refagg_dict)
-    pattern = struct.pack(">I", 0) + bytes([16, 0x00, 0x01]) \
+    refreg = struct.pack(">I", 0) + bytes([40, 0x00, 0x01]) \
         + struct.pack(">I", 4) + b"\x00\x00\x00\x00"
-    with pytest.raises(NotImplementedError, match="pattern"):
-        decode_jbig2(pattern)
+    with pytest.raises(NotImplementedError, match="refinement region"):
+        decode_jbig2(refreg)
 
 
 def test_jbig2_symbol_text_region_roundtrip():
@@ -324,3 +326,30 @@ def test_jbig2_standard_table_codec():
             t.encode(w, v)
         r = BitReader(w.bytes())
         assert [t.decode(r) for _ in values] == values, n
+
+
+def test_jbig2_halftone_region_roundtrip():
+    """Pattern dictionary + halftone region (T.88 6.6/6.7): gray-coded
+    bit planes select density patterns per grid cell; arithmetic and
+    MMR pattern dictionaries both decode (doc 17 carries the halftone
+    variant in the pdf_images family)."""
+    import numpy as np
+
+    from scribe_js_spark.textops.jbig2 import (
+        build_jbig2_halftone, decode_jbig2)
+
+    def density(level):
+        return [[1 if (x * 3 + y * 2 + 1) % 4 < level else 0
+                 for x in range(6)] for y in range(6)]
+
+    patterns = [density(k) for k in range(4)]
+    grid = [[(x + y) % 4 for x in range(7)] for y in range(5)]
+    want = np.zeros((30, 42), np.uint8)
+    for gy, row in enumerate(grid):
+        for gx, v in enumerate(row):
+            want[gy * 6:(gy + 1) * 6, gx * 6:(gx + 1) * 6] = \
+                np.array(patterns[v])
+    for mmr in (False, True):
+        page = decode_jbig2(build_jbig2_halftone(
+            patterns, grid, mmr_patterns=mmr))
+        assert page.shape == (30, 42) and (page == want).all(), mmr
