@@ -3662,16 +3662,17 @@ def build_image_models(doc_id: int, seed: int = SEED_DEFAULT) -> dict:
         # symbol-dictionary + text-region coding (the scanner-encoder
         # shape): two glyphs placed four times; the page bitmap is
         # composed here so the golden mean stays analytic. Variants by
-        # (doc_id // 5) % 3: plain arithmetic, one refined instance
-        # (per-instance IARI + generic refinement), or the HUFFMAN
+        # (doc_id // 5) % 5: plain arithmetic, one refined instance
+        # (per-instance IARI + generic refinement), the HUFFMAN
         # organization (Annex B standard tables, runcode symbol IDs,
-        # uncompressed collective bitmaps).
+        # uncompressed collective bitmaps), a halftone pattern page
+        # (handled above), or an SDREFAGG dictionary chain.
         g1 = [[1 if (x + y) % 2 == 0 else 0 for x in range(4)]
               for y in range(5)]
         g2 = [[1 if x in (0, 3) or y in (0, 4) else 0
                for x in range(4)] for y in range(5)]
         placements = [(0, 1, 1), (1, 6, 1), (1, 1, 7), (0, 6, 7)]
-        variant = (doc_id // 5) % 3
+        variant = (doc_id // 5) % 5
         if variant == 1:
             g1r = [row[:] for row in g1]
             g1r[2][1] ^= 1
@@ -3687,6 +3688,21 @@ def build_image_models(doc_id: int, seed: int = SEED_DEFAULT) -> dict:
         if variant == 2:
             jb = build_jbig2_symbol_text_huffman(
                 [g1, g2], placements, wd, ht)
+        elif variant == 4:
+            # SDREFAGG: a second dictionary refines g1 and the region
+            # places the combined export set (doc 22)
+            from .textops.jbig2 import build_jbig2_refagg
+            g1r = [row[:] for row in g1]
+            g1r[1][2] ^= 1
+            placements = placements[:3] + [(2, 6, 7)]
+            jb_bits = [[0] * wd for _ in range(ht)]
+            for si, px_, py_ in placements:
+                g = (g1, g2, g1r)[si]
+                for yy in range(5):
+                    for xx in range(4):
+                        jb_bits[py_ + yy][px_ + xx] |= g[yy][xx]
+            jb = build_jbig2_refagg([g1, g2], [(0, g1r)], placements,
+                                    wd, ht)
         else:
             jb = build_jbig2_symbol_text([g1, g2], placements, wd, ht)
         jb_globals = None

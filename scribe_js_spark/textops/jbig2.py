@@ -34,7 +34,8 @@ decodeBitmap, :915-1048 segment headers, :1251-1561 chunk walk):
   HALFTONE REGIONS (6.6, gray-coded bit planes over the rotatable
   placement grid).
 
-Symbol-dictionary refinement/aggregation, huffman+refinement, TPGRON,
+SDREFAGG dictionaries decode through the single-instance refinement
+path (6.5.8); multi-instance aggregation, huffman+refinement, TPGRON,
 MMR halftone planes, halftone skip, and standalone refinement-region
 segments (which the reference also rejects) raise
 NotImplementedError — surfaced as honest
@@ -466,11 +467,12 @@ def decode_jbig2(data: bytes, globals_data: bytes = b""):
                     raise ValueError("jbig2: short symbol dictionary")
                 dflags = struct.unpack(">H", body[:2])[0]
                 sd_huffman = bool(dflags & 1)
-                if dflags & 2:
+                sd_refagg = bool(dflags & 2)
+                if sd_huffman and sd_refagg:
                     raise NotImplementedError(
-                        "jbig2: refinement/aggregation symbol "
-                        "dictionary")
+                        "jbig2: huffman refinement dictionary")
                 sd_template = (dflags >> 10) & 3
+                sd_rtemplate = (dflags >> 12) & 1
                 p = 2
                 sd_at = []
                 if not sd_huffman:
@@ -478,6 +480,12 @@ def decode_jbig2(data: bytes, globals_data: bytes = b""):
                         sd_at.append((_int8(body[p]),
                                       _int8(body[p + 1])))
                         p += 2
+                sd_rat = None
+                if sd_refagg and sd_rtemplate == 0:
+                    sd_rat = [(_int8(body[p]), _int8(body[p + 1])),
+                              (_int8(body[p + 2]),
+                               _int8(body[p + 3]))]
+                    p += 4
                 n_ex, n_new = struct.unpack(">II", body[p:p + 8])
                 p += 8
                 if n_new > 1 << 16 or n_ex > 1 << 16:
@@ -514,7 +522,9 @@ def decode_jbig2(data: bytes, globals_data: bytes = b""):
                     seg_exports[hdr["number"]] = \
                         decode_symbol_dictionary(
                             MQDecoder(body[p:]), input_syms, n_new,
-                            n_ex, sd_template, sd_at)
+                            n_ex, sd_template, sd_at,
+                            refinement=sd_refagg,
+                            r_template=sd_rtemplate, r_at=sd_rat)
             elif t in (4, 6, 7):             # text region
                 if len(body) < 23:
                     raise ValueError("jbig2: short text region")
@@ -672,6 +682,78 @@ def build_jbig2_symbol_text_huffman(symbols: list, placements,
                                                width, height),
                     referred=(1,))
     out += _segment(3, 49, 1, b"")
+    return out
+
+
+def encode_symbol_dictionary_refagg(input_count: int,
+                                    refined: list) -> bytes:
+    """SDREFAGG dictionary segment DATA: ``refined`` is a list of
+    (ref_symbol_id, ref_bitmap, new_bitmap) sorted by new-bitmap
+    height; every new symbol is a single-instance refinement."""
+    enc = MQEncoder()
+    iadh, iadw, iaex = _IntCtx(), _IntCtx(), _IntCtx()
+    iaai, iaid = _IntCtx(), _IntCtx()
+    iardx, iardy = _IntCtx(), _IntCtx()
+    n_new = len(refined)
+    code_len = _ceil_log2(input_count + n_new)
+    coding, refpos = _ref_positions(0, REF_NOMINAL_AT)
+    gr_cx = new_contexts(1 << (len(coding) + len(refpos)))
+    cur_h = 0
+    i = 0
+    while i < n_new:
+        h = len(refined[i][2])
+        encode_int(enc, iadh, h - cur_h)
+        cur_h = h
+        cur_w = 0
+        while i < n_new and len(refined[i][2]) == h:
+            ref_id, ref_bm, bm = refined[i]
+            w = len(bm[0])
+            encode_int(enc, iadw, w - cur_w)
+            cur_w = w
+            encode_int(enc, iaai, 1)
+            encode_iaid(enc, iaid, code_len, ref_id)
+            encode_int(enc, iardx, 0)
+            encode_int(enc, iardy, 0)
+            encode_refinement(enc, gr_cx, bm, 0, ref_bm, 0, 0,
+                              REF_NOMINAL_AT)
+            i += 1
+        encode_int(enc, iadw, None)
+    total = input_count + n_new
+    encode_int(enc, iaex, 0)
+    encode_int(enc, iaex, total)             # export input + new
+    body = struct.pack(">H", 2)              # SDREFAGG, rtemplate 0
+    for ax, ay in NOMINAL_AT[0]:
+        body += struct.pack("bb", ax, ay)    # GB AT (present, unused)
+    for ax, ay in REF_NOMINAL_AT:
+        body += struct.pack("bb", ax, ay)
+    body += struct.pack(">II", total, n_new)
+    return body + enc.flush()
+
+
+def build_jbig2_refagg(base_symbols: list, refined: list, placements,
+                       width: int, height: int) -> bytes:
+    """Embedded stream: page + plain dictionary (base_symbols, must
+    share one height) + an SDREFAGG dictionary refining them
+    (``refined`` = (ref_id, new_bitmap) pairs) + a text region over
+    the combined export [base..., refined...]."""
+    assert len({len(s) for s in base_symbols}) == 1
+    page_info = struct.pack(">IIII", width, height, 0, 0) \
+        + b"\x01" + b"\x00\x00"
+    out = _segment(0, 48, 1, page_info)
+    out += _segment(1, 0, 1, encode_symbol_dictionary(base_symbols))
+    triples = sorted(
+        ((rid, base_symbols[rid], bm) for rid, bm in refined),
+        key=lambda t: len(t[2]))
+    out += _segment(2, 0, 1,
+                    encode_symbol_dictionary_refagg(
+                        len(base_symbols), triples),
+                    referred=(1,))
+    combined = list(base_symbols) + [t[2] for t in triples]
+    out += _segment(3, 6, 1,
+                    encode_text_region(combined, placements,
+                                       width, height),
+                    referred=(2,))
+    out += _segment(4, 49, 1, b"")
     return out
 
 
@@ -940,14 +1022,29 @@ REF_NOMINAL_AT = [(-2, 0), (-2, 0)]
 
 def decode_symbol_dictionary(dec: MQDecoder, input_symbols: list,
                              n_new: int, n_ex: int, template: int,
-                             at: list[tuple[int, int]]) -> list:
+                             at: list[tuple[int, int]],
+                             refinement: bool = False,
+                             r_template: int = 0, r_at=None) -> list:
     """Arithmetic symbol dictionary (T.88 6.5;
-    decodeSymbolDictionary, decodeJBIG2.js:531-648, non-huffman
-    non-refinement path): height classes of delta-coded widths, every
-    symbol bitmap through ONE shared coder + GB context set, then
-    exported-run flags over input + new symbols."""
+    decodeSymbolDictionary, decodeJBIG2.js:531-648, non-huffman):
+    height classes of delta-coded widths, every symbol bitmap through
+    ONE shared coder + GB context set, then exported-run flags over
+    input + new symbols. With ``refinement`` (SDREFAGG), each new
+    symbol is a single-instance generic refinement of an earlier one
+    (IAAI/IAID/IARDX/IARDY over shared GR contexts, :566-578);
+    multi-instance aggregates raise."""
     iadh, iadw, iaex = _IntCtx(), _IntCtx(), _IntCtx()
     gb_cx = new_contexts(1 << len(_positions(template, at)))
+    iaai = iaid = iardx = iardy = gr_cx = None
+    code_len = 0
+    if refinement:
+        iaai, iaid = _IntCtx(), _IntCtx()
+        iardx, iardy = _IntCtx(), _IntCtx()
+        r_at = r_at or REF_NOMINAL_AT
+        n_gr = len(_ref_positions(r_template, r_at)[0]) \
+            + len(_ref_positions(r_template, r_at)[1])
+        gr_cx = new_contexts(1 << n_gr)
+        code_len = _ceil_log2(len(input_symbols) + n_new)
     new_symbols: list = []
     cur_h = 0
     while len(new_symbols) < n_new:
@@ -968,8 +1065,24 @@ def decode_symbol_dictionary(dec: MQDecoder, input_symbols: list,
             if len(new_symbols) >= n_new:
                 raise ValueError(
                     "jbig2: more symbols than declared")
-            new_symbols.append(_decode_bitmap_core(
-                dec, gb_cx, cur_w, cur_h, template, at, False))
+            if refinement:
+                n_inst = decode_int(dec, iaai)
+                if n_inst != 1:
+                    raise NotImplementedError(
+                        "jbig2: multi-instance aggregation")
+                sym_id = decode_iaid(dec, iaid, code_len)
+                rdx = decode_int(dec, iardx) or 0
+                rdy = decode_int(dec, iardy) or 0
+                pool = list(input_symbols) + new_symbols
+                if sym_id >= len(pool):
+                    raise ValueError(
+                        "jbig2: refinement symbol id out of range")
+                new_symbols.append(decode_refinement(
+                    dec, gr_cx, cur_w, cur_h, r_template,
+                    pool[sym_id], rdx, rdy, r_at))
+            else:
+                new_symbols.append(_decode_bitmap_core(
+                    dec, gb_cx, cur_w, cur_h, template, at, False))
     flags: list[bool] = []
     total = len(input_symbols) + n_new
     cur = False

@@ -174,7 +174,7 @@ def test_jbig2_generic_region_in_pdf():
 
 
 def test_jbig2_unsupported_families_surface_as_errors():
-    """Refinement/aggregation symbol dictionaries and standalone
+    """Huffman+refinement symbol dictionaries and standalone
     refinement-region segments raise NotImplementedError naming the
     family — the pipeline turns that into an error column, never a
     crash. (The reference throws on refinement-region segments too,
@@ -185,11 +185,11 @@ def test_jbig2_unsupported_families_surface_as_errors():
 
     from scribe_js_spark.textops.jbig2 import decode_jbig2
 
-    refagg_dict = struct.pack(">I", 0) + bytes([0x00, 0x00, 0x01]) \
-        + struct.pack(">I", 2) + struct.pack(">H", 2)
+    huffref_dict = struct.pack(">I", 0) + bytes([0x00, 0x00, 0x01]) \
+        + struct.pack(">I", 2) + struct.pack(">H", 3)
     with pytest.raises(NotImplementedError,
-                       match="refinement/aggregation"):
-        decode_jbig2(refagg_dict)
+                       match="huffman refinement"):
+        decode_jbig2(huffref_dict)
     refreg = struct.pack(">I", 0) + bytes([40, 0x00, 0x01]) \
         + struct.pack(">I", 4) + b"\x00\x00\x00\x00"
     with pytest.raises(NotImplementedError, match="refinement region"):
@@ -353,3 +353,33 @@ def test_jbig2_halftone_region_roundtrip():
         page = decode_jbig2(build_jbig2_halftone(
             patterns, grid, mmr_patterns=mmr))
         assert page.shape == (30, 42) and (page == want).all(), mmr
+
+
+def test_jbig2_refagg_symbol_dictionary_roundtrip():
+    """SDREFAGG dictionaries (T.88 6.5.8 single-instance refinement,
+    decodeSymbolDictionary :566-578): a second dictionary refines a
+    symbol imported from the first, and the text region places the
+    combined export set; doc 22 carries this variant."""
+    import numpy as np
+
+    from scribe_js_spark.textops.jbig2 import (
+        build_jbig2_refagg, decode_jbig2)
+
+    def glyph(seed, w, h):
+        return [[1 if (x * 3 + y * 5 + seed) % 4 < 2 else 0
+                 for x in range(w)] for y in range(h)]
+
+    base = [glyph(0, 6, 9), glyph(1, 5, 9)]
+    b0r = [row[:] for row in base[0]]
+    b0r[3][2] ^= 1
+    b0r[7][4] ^= 1
+    placements = [(0, 2, 2), (1, 12, 2), (2, 22, 2), (2, 2, 16),
+                  (0, 12, 16)]
+    page = decode_jbig2(build_jbig2_refagg(
+        base, [(0, b0r)], placements, 40, 30))
+    combined = base + [b0r]
+    want = np.zeros((30, 40), np.uint8)
+    for i, x, y in placements:
+        g = np.array(combined[i], np.uint8)
+        want[y:y + g.shape[0], x:x + g.shape[1]] |= g
+    assert (page == want).all()
