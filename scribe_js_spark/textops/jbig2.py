@@ -34,10 +34,11 @@ decodeBitmap, :915-1048 segment headers, :1251-1561 chunk walk):
   HALFTONE REGIONS (6.6, gray-coded bit planes over the rotatable
   placement grid).
 
-SDREFAGG dictionaries decode through the single-instance refinement
-path (6.5.8); multi-instance aggregation, huffman+refinement, TPGRON,
-MMR halftone planes, halftone skip, and standalone refinement-region
-segments (which the reference also rejects) raise
+SDREFAGG dictionaries decode both the single-instance refinement
+path and multi-instance aggregates (nested text regions over the
+shared context cache, 6.5.8). Huffman+refinement, TPGRON, MMR
+halftone planes, halftone skip, and standalone refinement-region
+segments (all of which the reference also rejects) raise
 NotImplementedError — surfaced as honest
 error columns by the image pipeline, never a crash. Matching encoders
 (:func:`build_jbig2_embedded`, :func:`build_jbig2_symbol_text`) exist
@@ -685,40 +686,57 @@ def build_jbig2_symbol_text_huffman(symbols: list, placements,
     return out
 
 
-def encode_symbol_dictionary_refagg(input_count: int,
-                                    refined: list) -> bytes:
-    """SDREFAGG dictionary segment DATA: ``refined`` is a list of
-    (ref_symbol_id, ref_bitmap, new_bitmap) sorted by new-bitmap
-    height; every new symbol is a single-instance refinement."""
+def encode_symbol_dictionary_refagg(input_symbols: list,
+                                    entries: list) -> bytes:
+    """SDREFAGG dictionary segment DATA. ``entries`` (sorted by
+    new-bitmap height) are either (ref_symbol_id, new_bitmap) —
+    a single-instance refinement of a pool symbol — or
+    ("agg", placements, new_bitmap) — a multi-instance aggregate
+    composed by a nested text region over the pool (input + earlier
+    new symbols), all sharing one context cache like the decoder."""
     enc = MQEncoder()
-    iadh, iadw, iaex = _IntCtx(), _IntCtx(), _IntCtx()
-    iaai, iaid = _IntCtx(), _IntCtx()
-    iardx, iardy = _IntCtx(), _IntCtx()
-    n_new = len(refined)
-    code_len = _ceil_log2(input_count + n_new)
+    cache = _CtxCache()
+    iadh = cache.int_ctx("IADH")
+    iadw = cache.int_ctx("IADW")
+    iaex = cache.int_ctx("IAEX")
+    iaai = cache.int_ctx("IAAI")
+    iaid = cache.int_ctx("IAID")
+    iardx = cache.int_ctx("IARDX")
+    iardy = cache.int_ctx("IARDY")
+    n_new = len(entries)
+    code_len = _ceil_log2(len(input_symbols) + n_new)
     coding, refpos = _ref_positions(0, REF_NOMINAL_AT)
-    gr_cx = new_contexts(1 << (len(coding) + len(refpos)))
+    gr_cx = cache.bit_ctx("GR", len(coding) + len(refpos))
+    pool = list(input_symbols)
     cur_h = 0
     i = 0
     while i < n_new:
-        h = len(refined[i][2])
+        h = len(entries[i][-1])
         encode_int(enc, iadh, h - cur_h)
         cur_h = h
         cur_w = 0
-        while i < n_new and len(refined[i][2]) == h:
-            ref_id, ref_bm, bm = refined[i]
+        while i < n_new and len(entries[i][-1]) == h:
+            bm = entries[i][-1]
             w = len(bm[0])
             encode_int(enc, iadw, w - cur_w)
             cur_w = w
-            encode_int(enc, iaai, 1)
-            encode_iaid(enc, iaid, code_len, ref_id)
-            encode_int(enc, iardx, 0)
-            encode_int(enc, iardy, 0)
-            encode_refinement(enc, gr_cx, bm, 0, ref_bm, 0, 0,
-                              REF_NOMINAL_AT)
+            if entries[i][0] == "agg":
+                placements = entries[i][1]
+                encode_int(enc, iaai, len(placements))
+                _encode_text_region_stream(
+                    enc, cache, pool, placements, True, code_len)
+            else:
+                ref_id = entries[i][0]
+                encode_int(enc, iaai, 1)
+                encode_iaid(enc, iaid, code_len, ref_id)
+                encode_int(enc, iardx, 0)
+                encode_int(enc, iardy, 0)
+                encode_refinement(enc, gr_cx, bm, 0, pool[ref_id],
+                                  0, 0, REF_NOMINAL_AT)
+            pool.append(bm)
             i += 1
         encode_int(enc, iadw, None)
-    total = input_count + n_new
+    total = len(input_symbols) + n_new
     encode_int(enc, iaex, 0)
     encode_int(enc, iaex, total)             # export input + new
     body = struct.pack(">H", 2)              # SDREFAGG, rtemplate 0
@@ -734,21 +752,20 @@ def build_jbig2_refagg(base_symbols: list, refined: list, placements,
                        width: int, height: int) -> bytes:
     """Embedded stream: page + plain dictionary (base_symbols, must
     share one height) + an SDREFAGG dictionary refining them
-    (``refined`` = (ref_id, new_bitmap) pairs) + a text region over
-    the combined export [base..., refined...]."""
+    (``refined`` entries: (ref_id, new_bitmap) single-instance pairs
+    or ("agg", placements, new_bitmap) multi-instance aggregates) +
+    a text region over the combined export [base..., refined...]."""
     assert len({len(s) for s in base_symbols}) == 1
     page_info = struct.pack(">IIII", width, height, 0, 0) \
         + b"\x01" + b"\x00\x00"
     out = _segment(0, 48, 1, page_info)
     out += _segment(1, 0, 1, encode_symbol_dictionary(base_symbols))
-    triples = sorted(
-        ((rid, base_symbols[rid], bm) for rid, bm in refined),
-        key=lambda t: len(t[2]))
+    entries = sorted(refined, key=lambda t: len(t[-1]))
     out += _segment(2, 0, 1,
                     encode_symbol_dictionary_refagg(
-                        len(base_symbols), triples),
+                        base_symbols, entries),
                     referred=(1,))
-    combined = list(base_symbols) + [t[2] for t in triples]
+    combined = list(base_symbols) + [t[-1] for t in entries]
     out += _segment(3, 6, 1,
                     encode_text_region(combined, placements,
                                        width, height),
@@ -1017,6 +1034,32 @@ def encode_refinement(enc: MQEncoder, gr_cx, rows: list[list[int]],
 REF_NOMINAL_AT = [(-2, 0), (-2, 0)]
 
 
+class _CtxCache:
+    """Per-segment context registry (the reference's ContextCache):
+    one arithmetic-integer context store per procedure name and one
+    sized bit-context list per generic ('GB'/'GR') family — shared
+    between a symbol dictionary and the text regions it nests for
+    aggregation (decodeSymbolDictionary :566-571)."""
+
+    __slots__ = ("ints", "bits")
+
+    def __init__(self):
+        self.ints: dict[str, _IntCtx] = {}
+        self.bits: dict[tuple, list] = {}
+
+    def int_ctx(self, name: str) -> _IntCtx:
+        c = self.ints.get(name)
+        if c is None:
+            c = self.ints[name] = _IntCtx()
+        return c
+
+    def bit_ctx(self, family: str, n: int) -> list:
+        c = self.bits.get((family, n))
+        if c is None:
+            c = self.bits[(family, n)] = new_contexts(1 << n)
+        return c
+
+
 # --------------------------------- symbol dictionary + text region
 
 
@@ -1030,20 +1073,28 @@ def decode_symbol_dictionary(dec: MQDecoder, input_symbols: list,
     height classes of delta-coded widths, every symbol bitmap through
     ONE shared coder + GB context set, then exported-run flags over
     input + new symbols. With ``refinement`` (SDREFAGG), each new
-    symbol is a single-instance generic refinement of an earlier one
-    (IAAI/IAID/IARDX/IARDY over shared GR contexts, :566-578);
-    multi-instance aggregates raise."""
-    iadh, iadw, iaex = _IntCtx(), _IntCtx(), _IntCtx()
+    symbol is either a single-instance generic refinement of an
+    earlier one (IAAI/IAID/IARDX/IARDY over shared GR contexts,
+    :566-578) or, at IAAI > 1, an aggregate composed by a nested
+    text region;
+    multi-instance aggregates decode as nested text regions over the
+    SAME context cache (decodeSymbolDictionary :566-571)."""
+    cache = _CtxCache()
+    iadh = cache.int_ctx("IADH")
+    iadw = cache.int_ctx("IADW")
+    iaex = cache.int_ctx("IAEX")
     gb_cx = new_contexts(1 << len(_positions(template, at)))
     iaai = iaid = iardx = iardy = gr_cx = None
     code_len = 0
     if refinement:
-        iaai, iaid = _IntCtx(), _IntCtx()
-        iardx, iardy = _IntCtx(), _IntCtx()
+        iaai = cache.int_ctx("IAAI")
+        iaid = cache.int_ctx("IAID")
+        iardx = cache.int_ctx("IARDX")
+        iardy = cache.int_ctx("IARDY")
         r_at = r_at or REF_NOMINAL_AT
         n_gr = len(_ref_positions(r_template, r_at)[0]) \
             + len(_ref_positions(r_template, r_at)[1])
-        gr_cx = new_contexts(1 << n_gr)
+        gr_cx = cache.bit_ctx("GR", n_gr)
         code_len = _ceil_log2(len(input_symbols) + n_new)
     new_symbols: list = []
     cur_h = 0
@@ -1067,19 +1118,31 @@ def decode_symbol_dictionary(dec: MQDecoder, input_symbols: list,
                     "jbig2: more symbols than declared")
             if refinement:
                 n_inst = decode_int(dec, iaai)
-                if n_inst != 1:
-                    raise NotImplementedError(
-                        "jbig2: multi-instance aggregation")
-                sym_id = decode_iaid(dec, iaid, code_len)
-                rdx = decode_int(dec, iardx) or 0
-                rdy = decode_int(dec, iardy) or 0
                 pool = list(input_symbols) + new_symbols
-                if sym_id >= len(pool):
+                if n_inst is None or n_inst <= 0 \
+                        or n_inst > _MAX_PIXELS:
                     raise ValueError(
-                        "jbig2: refinement symbol id out of range")
-                new_symbols.append(decode_refinement(
-                    dec, gr_cx, cur_w, cur_h, r_template,
-                    pool[sym_id], rdx, rdy, r_at))
+                        "jbig2: bad aggregate instance count")
+                if n_inst == 1:
+                    sym_id = decode_iaid(dec, iaid, code_len)
+                    rdx = decode_int(dec, iardx) or 0
+                    rdy = decode_int(dec, iardy) or 0
+                    if sym_id >= len(pool):
+                        raise ValueError(
+                            "jbig2: refinement symbol id "
+                            "out of range")
+                    new_symbols.append(decode_refinement(
+                        dec, gr_cx, cur_w, cur_h, r_template,
+                        pool[sym_id], rdx, rdy, r_at))
+                else:
+                    # multi-instance aggregate: a nested text region
+                    # over input + new symbols, sharing this
+                    # dictionary's contexts (:566-571)
+                    new_symbols.append(decode_text_region(
+                        dec, pool, cur_w, cur_h, n_inst, 1, 1,
+                        False, 0, 0, 0, refine=True,
+                        r_template=r_template, r_at=r_at,
+                        cache=cache, code_length=code_len))
             else:
                 new_symbols.append(_decode_bitmap_core(
                     dec, gb_cx, cur_w, cur_h, template, at, False))
@@ -1106,7 +1169,8 @@ def decode_text_region(dec, symbols: list, width: int,
                        comb_op: int, default_pixel: int,
                        refine: bool = False, r_template: int = 0,
                        r_at=None, huffman_tables=None, reader=None,
-                       log_strip: int = 0):
+                       log_strip: int = 0, cache=None,
+                       code_length=None):
     """Text region (T.88 6.4; decodeTextRegion,
     decodeJBIG2.js:650-775): strip-major placement of dictionary
     symbols, from either the arithmetic coder (``dec``) or, with
@@ -1119,6 +1183,7 @@ def decode_text_region(dec, symbols: list, width: int,
     if huffman and refine:
         raise NotImplementedError(
             "jbig2: refinement with huffman")
+    cache = cache or _CtxCache()
     if huffman:
         get_dt = lambda: huffman_tables["dt"].decode(reader)  # noqa: E731
         get_dfs = lambda: huffman_tables["fs"].decode(reader)  # noqa: E731
@@ -1126,25 +1191,30 @@ def decode_text_region(dec, symbols: list, width: int,
         get_cur_t = lambda: reader.read_bits(log_strip)  # noqa: E731
         get_id = lambda: huffman_tables["ids"].decode(reader)  # noqa: E731
     else:
-        iadt, iafs, iads, iait = (_IntCtx(), _IntCtx(), _IntCtx(),
-                                  _IntCtx())
-        iaid = _IntCtx()
-        code_length = _ceil_log2(len(symbols))
+        iadt = cache.int_ctx("IADT")
+        iafs = cache.int_ctx("IAFS")
+        iads = cache.int_ctx("IADS")
+        iait = cache.int_ctx("IAIT")
+        iaid = cache.int_ctx("IAID")
+        if code_length is None:
+            code_length = _ceil_log2(len(symbols))
         get_dt = lambda: decode_int(dec, iadt)  # noqa: E731
         get_dfs = lambda: decode_int(dec, iafs)  # noqa: E731
         get_ds = lambda: decode_int(dec, iads)  # noqa: E731
         get_cur_t = lambda: decode_int(dec, iait) or 0  # noqa: E731
         get_id = lambda: decode_iaid(dec, iaid, code_length)  # noqa: E731
-    iari = _IntCtx()
-    iardw, iardh, iardx, iardy = (_IntCtx(), _IntCtx(), _IntCtx(),
-                                  _IntCtx())
+    iari = cache.int_ctx("IARI")
+    iardw = cache.int_ctx("IARDW")
+    iardh = cache.int_ctx("IARDH")
+    iardx = cache.int_ctx("IARDX")
+    iardy = cache.int_ctx("IARDY")
     gr_cx = None
     if refine:
         n_gr = len(_ref_positions(r_template,
                                   r_at or REF_NOMINAL_AT)[0]) \
             + len(_ref_positions(r_template,
                                  r_at or REF_NOMINAL_AT)[1])
-        gr_cx = new_contexts(1 << n_gr)
+        gr_cx = cache.bit_ctx("GR", n_gr)
     bitmap = [[default_pixel] * width for _ in range(height)]
     first = get_dt()
     if first is None:
@@ -1351,16 +1421,39 @@ def encode_text_region(symbols: list, placements, width: int,
     strip size 1, non-transposed, OR)."""
     refine = any(len(p) > 3 and p[3] is not None for p in placements)
     enc = MQEncoder()
-    iadt, iafs, iads = _IntCtx(), _IntCtx(), _IntCtx()
-    iaid = _IntCtx()
-    iari = _IntCtx()
-    iardw, iardh, iardx, iardy = (_IntCtx(), _IntCtx(), _IntCtx(),
-                                  _IntCtx())
+    cache = _CtxCache()
+    placed = _encode_text_region_stream(enc, cache, symbols,
+                                        placements, refine,
+                                        _ceil_log2(len(symbols)))
+    body = struct.pack(">IIII", width, height, 0, 0) + b"\x00"
+    flags = (1 << 4) | (2 if refine else 0)  # refCorner TOPLEFT
+    body += struct.pack(">H", flags)
+    if refine:
+        for ax, ay in REF_NOMINAL_AT:
+            body += struct.pack("bb", ax, ay)
+    body += struct.pack(">I", placed)
+    return body + enc.flush()
+
+
+def _encode_text_region_stream(enc: MQEncoder, cache, symbols: list,
+                               placements, refine: bool,
+                               code_length: int) -> int:
+    """Placement stream for a text region (shared by standalone
+    segments and dictionary-internal aggregates). Returns the
+    instance count."""
+    iadt = cache.int_ctx("IADT")
+    iafs = cache.int_ctx("IAFS")
+    iads = cache.int_ctx("IADS")
+    iaid = cache.int_ctx("IAID")
+    iari = cache.int_ctx("IARI")
+    iardw = cache.int_ctx("IARDW")
+    iardh = cache.int_ctx("IARDH")
+    iardx = cache.int_ctx("IARDX")
+    iardy = cache.int_ctx("IARDY")
     gr_cx = None
     if refine:
         coding, refpos = _ref_positions(0, REF_NOMINAL_AT)
-        gr_cx = new_contexts(1 << (len(coding) + len(refpos)))
-    code_length = _ceil_log2(len(symbols))
+        gr_cx = cache.bit_ctx("GR", len(coding) + len(refpos))
     placed = sorted((tuple(p) + (None,))[:4] for p in placements)
     placed = sorted(placed, key=lambda p: (p[2], p[1]))
     encode_int(enc, iadt, 0)                 # stripT starts at 0
@@ -1401,14 +1494,7 @@ def encode_text_region(symbols: list, placements, width: int,
                 prev_w = len(sym[0])
         encode_int(enc, iads, None)          # OOB ends the strip
         j += len(strip)
-    body = struct.pack(">IIII", width, height, 0, 0) + b"\x00"
-    flags = (1 << 4) | (2 if refine else 0)  # refCorner TOPLEFT
-    body += struct.pack(">H", flags)
-    if refine:
-        for ax, ay in REF_NOMINAL_AT:
-            body += struct.pack("bb", ax, ay)
-    body += struct.pack(">I", len(placed))
-    return body + enc.flush()
+    return len(placed)
 
 
 def build_jbig2_symbol_text(symbols: list, placements,

@@ -383,3 +383,39 @@ def test_jbig2_refagg_symbol_dictionary_roundtrip():
         g = np.array(combined[i], np.uint8)
         want[y:y + g.shape[0], x:x + g.shape[1]] |= g
     assert (page == want).all()
+
+
+def test_jbig2_multi_instance_aggregation_roundtrip():
+    """IAAI > 1 aggregates (T.88 6.5.8.2): a new dictionary symbol
+    composed by a nested text region over the pool, sharing the
+    dictionary's context cache like the reference's DecodingContext
+    (decodeSymbolDictionary :566-571)."""
+    import numpy as np
+
+    from scribe_js_spark.textops.jbig2 import (
+        build_jbig2_refagg, decode_jbig2)
+
+    def glyph(seed, w, h):
+        return [[1 if (x * 3 + y * 5 + seed) % 4 < 2 else 0
+                 for x in range(w)] for y in range(h)]
+
+    base = [glyph(0, 6, 9), glyph(1, 5, 9)]
+    agg = [[0] * 13 for _ in range(9)]
+    agg_pl = [(0, 0, 0), (1, 8, 0)]
+    for i, x, y in agg_pl:
+        for yy in range(9):
+            for xx in range(len(base[i][0])):
+                agg[y + yy][x + xx] |= base[i][yy][xx]
+    refined = [(0, [row[:] for row in base[0]]),
+               ("agg", agg_pl, agg)]
+    refined[0][1][3][2] ^= 1
+    placements = [(0, 2, 2), (1, 12, 2), (2, 22, 2), (3, 2, 16),
+                  (0, 20, 16)]
+    page = decode_jbig2(build_jbig2_refagg(
+        base, refined, placements, 40, 30))
+    combined = base + [refined[0][1], agg]
+    want = np.zeros((30, 40), np.uint8)
+    for i, x, y in placements:
+        g = np.array(combined[i], np.uint8)
+        want[y:y + g.shape[0], x:x + g.shape[1]] |= g
+    assert (page == want).all()
