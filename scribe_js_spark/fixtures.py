@@ -1511,6 +1511,65 @@ def _build_refine_top_model(doc_id: int, seed: int) -> dict:
             "hr_cells": []}
 
 
+def _build_vline_columns_model(doc_id: int, seed: int) -> dict:
+    """vLine-first column doc (extractStructure :2739-2748 via
+    correlatePathsWithCandidate :1901-1908): the same x-scattered
+    numeric blob as doc 50, but the true column geometry comes from
+    two interior VERTICAL rules spanning the table — their clustered
+    positions become the separators outright. Without the vLine path
+    the doc reports 2 columns."""
+    rng = _doc_rng(seed + 11515, doc_id)
+
+    def _tok(text, x, yy):
+        return {"text": text, "chars": None, "out_words": [text],
+                "left": x, "right": x + len(text) * CHAR_W,
+                "top": yy - ASC_H, "bottom": yy + DESC_H, "conf": 97}
+
+    pars, expected = [], []
+    y = TOP_BASELINE
+    lead = [_tok(rng.choice(LEXICON), MARGIN_LEFT + i * 110, y)
+            for i in range(5)]
+    pars.append({"lines": [{"words": lead, "baseline_y": y,
+                            "indent": 0}]})
+
+    yd = 700
+    lines = []
+    for r in range(5):
+        label = rng.choice(LEXICON)
+        n1 = f"{1000 + r}"
+        n2 = f"{2000 + r}"
+        x1 = 520 + r * 25             # centers 550..650 (< vline 690)
+        x2 = 665 + r * 5              # centers 695..715 (> vline 690)
+        # x2 overlaps x1's widest row so word clustering merges the
+        # numerics into one blob — only the verticals recover 3 cols
+        words = [_tok(label, MARGIN_LEFT, yd),
+                 _tok(n1, x1, yd), _tok(n2, x2, yd)]
+        expected.append({"table_n": 0, "row_n": r, "col_n": 0,
+                         "cell": label})
+        expected.append({"table_n": 0, "row_n": r, "col_n": 1,
+                         "cell": n1})
+        expected.append({"table_n": 0, "row_n": r, "col_n": 2,
+                         "cell": n2})
+        lines.append({"words": words, "baseline_y": yd, "indent": 0})
+        yd += LINE_PITCH
+    pars.append({"lines": lines})
+
+    page = {"pars": pars, "width": PAGE_W, "height": PAGE_H,
+            # two interior verticals spanning the data rows; only 2,
+            # so no strict grid forms (those need 3+ with horizontals)
+            "vrules": [{"x": 480, "top": 700 - ASC_H - 8,
+                        "bottom": yd - LINE_PITCH + DESC_H + 8},
+                       {"x": 690, "top": 700 - ASC_H - 8,
+                        "bottom": yd - LINE_PITCH + DESC_H + 8}]}
+    model = {"doc_id": doc_id, "family": "base", "pages": [page]}
+    return {"model": model, "expected": expected, "n_tables": 1,
+            "n_grid_cols": 3,
+            "regions": [{"table_n": 0, "method": "numeric",
+                         "n_cols": 3, "header": "none",
+                         "title": None}],
+            "num_cells": [], "hr_cells": []}
+
+
 def _build_multi_region_model(doc_id: int, seed: int) -> dict:
     """Multi-region split doc (detectPdfTables.js:388-440): two banded
     sections whose stripe sets sit 160 px apart — beyond the band
@@ -2065,6 +2124,8 @@ def build_pdf_table_models(doc_id: int, seed: int = SEED_DEFAULT) -> dict:
     bridged)."""
     if 30 <= doc_id < 36:
         return _build_zebra_table_model(doc_id, seed)
+    if doc_id >= 53:
+        return _build_vline_columns_model(doc_id, seed)
     if doc_id >= 52:
         return _build_multi_region_model(doc_id, seed)
     if doc_id >= 51:
@@ -2279,7 +2340,7 @@ def build_pdf_table_models(doc_id: int, seed: int = SEED_DEFAULT) -> dict:
             "num_cells": num_cells, "hr_cells": hr_cells}
 
 
-def write_pdf_table_parquet(path: str, n_docs: int = 53,
+def write_pdf_table_parquet(path: str, n_docs: int = 54,
                             seed: int = SEED_DEFAULT) -> None:
     """pdf_table_docs.parquet (url, html) + pdf_table.parquet golden
     grid cells + pdf_table_meta.parquet (url, n_tables)."""

@@ -1736,7 +1736,7 @@ def infer_unruled_columns(page, table: dict) -> list[float]:
             for i in range(len(bounds) - 1)]
 
 
-def extract_structure(page, table: dict) -> None:
+def extract_structure(page, table: dict, v_lines=()) -> None:
     """extractStructure (detectPdfTables.js:2728-3093): column
     separators for a validated table. Path-derived separators
     (grid / segmented-hline / header-rule) are authoritative and
@@ -1752,10 +1752,28 @@ def extract_structure(page, table: dict) -> None:
       separators only when the text columns include a narrow outlier
       (< 30% of the median column width) and the fills give >= 3
       columns (:3065-3090) — the fills flow through the region
-      attached to the candidate, not a copied separator list."""
+      attached to the candidate, not a copied separator list.
+
+    ``v_lines`` enables the vLine-first path (:2739-2748 via
+    correlatePathsWithCandidate :1901-1908): verticals overlapping
+    >= 20% of the candidate's height, clustered at tolerance 10,
+    whose interior positions become the separators outright."""
     if table.get("col_separators"):
         return
     bbox = table["bbox"]
+    cand_vls = [
+        vl for vl in v_lines
+        if bbox.left - 5 <= vl["x"] <= bbox.right + 5
+        and (min(vl["bottom"], bbox.bottom)
+             - max(vl["top"], bbox.top))
+        > (bbox.bottom - bbox.top) * 0.2]
+    if len(cand_vls) >= 2:
+        interior = [x for x in _cluster(
+            [vl["x"] for vl in cand_vls], 10)
+            if bbox.left + 5 < x < bbox.right - 5]
+        if interior:
+            table["col_separators"] = sorted(interior)
+            return
     headers = table.get("headers")
     header_seps = None
     if headers and headers.get("confidence") == "strong" \
@@ -2322,7 +2340,7 @@ def detect_pdf_table_regions(page, paths, scale: float,
             if t["headers"] and consumed else "none"
     for t in tables:
         t.setdefault("header", "none")
-        extract_structure(page, t)
+        extract_structure(page, t, v_lines)
 
     # Phase 5.4 sibling split (detectPdfTables.js:560-640): a row-band
     # candidate whose data rows fall into exactly two groups across a

@@ -588,6 +588,10 @@ def render_pdf(model: dict, compress: bool | None = None,
             ops.append(
                 f"{rule['left']} {page_h - rule['y']} "
                 f"{rule['right'] - rule['left']} 1 re f")
+        for vr in page.get("vrules", []):
+            ops.append(
+                f"{vr['x']} {page_h - vr['bottom']} "
+                f"1 {vr['bottom'] - vr['top']} re f")
         for grid in page.get("table_grids", []):
             xs, ys = grid["col_xs"], grid["row_ys"]
             if grid.get("dashed"):

@@ -670,3 +670,25 @@ def test_multi_region_header_separated_split():
     want = sorted((e["table_n"], e["row_n"], e["col_n"], e["cell"])
                   for e in m["expected"])
     assert sorted(_table_cells(page)) == want
+
+
+def test_vline_first_column_structure():
+    """extractStructure's vLine path (:2739-2748): doc 53's two
+    interior vertical rules carry the column geometry that word
+    clustering (x-scattered blob) cannot recover; the separators are
+    the clustered vline positions themselves."""
+    m = build_pdf_table_models(53)
+    res = extract_document(render_pdf(m["model"], rotate=False))
+    page = res.pages[0]
+    assert [(t["method"], t["col_separators"]) for t in page.tables] \
+        == [("numeric", [480.0, 690.0])]
+    want = sorted((e["table_n"], e["row_n"], e["col_n"], e["cell"])
+                  for e in m["expected"])
+    assert sorted(_table_cells(page)) == want
+    # counterfactual: without correlated verticals the blob collapses
+    from scribe_js_spark.operators.pdf.tables_pdf import (
+        extract_structure)
+
+    t = dict(page.tables[0], col_separators=[])
+    extract_structure(page, t, v_lines=())
+    assert len(t["col_separators"]) + 1 == 2
