@@ -88,29 +88,57 @@ def _decode_bitmap_core(dec: MQDecoder, gb_cx, width: int,
                         tpgdon: bool) -> list[list[int]]:
     """Arithmetic generic-bitmap decode on a SHARED decoder + GB
     context set (symbol dictionaries decode every symbol through one
-    coder, decodeSymbolDictionary -> decodeBitmap)."""
+    coder, decodeSymbolDictionary -> decodeBitmap).
+
+    Interior pixels reuse the previous context: positions followed by
+    their right neighbor in the sorted template keep their bit under
+    a left shift, so only the run-starting ("changing") positions are
+    re-read — the reference's reuseMask scheme
+    (decodeBitmap, decodeJBIG2.js:373-388)."""
     pos = _positions(template, at)
     n = len(pos)
+    reuse_mask = 0
+    changing = []
+    for k, (dx, dy) in enumerate(pos):
+        if k + 1 < n and pos[k + 1] == (dx + 1, dy):
+            reuse_mask |= 1 << (n - 1 - k)
+        else:
+            changing.append((dx, dy, 1 << (n - 1 - k)))
+    min_x = min(dx for dx, _dy in pos)
+    max_x = max(dx for dx, _dy in pos)
+    min_y = min(dy for _dx, dy in pos)
+    sbb_left = -min_x
+    sbb_right = width - max_x
+    sbb_top = -min_y
     rows: list[list[int]] = []
     ltp = 0
     pseudo = _TPGDON_CTX[template]
+    decode = dec.decode
     for y in range(height):
         if tpgdon:
-            ltp ^= dec.decode(gb_cx[pseudo])
+            ltp ^= decode(gb_cx[pseudo])
             if ltp:
                 rows.append(list(rows[-1]) if rows else [0] * width)
                 continue
         row = [0] * width
         rows.append(row)
+        ctx = 0
+        fast = y >= sbb_top
         for x in range(width):
-            ctx = 0
-            for k, (dx, dy) in enumerate(pos):
-                xx, yy = x + dx, y + dy
-                if 0 <= xx < width and yy >= 0 and (
-                        yy < y or (yy == y and xx < x)):
-                    if rows[yy][xx]:
-                        ctx |= 1 << (n - 1 - k)
-            row[x] = dec.decode(gb_cx[ctx])
+            if fast and sbb_left <= x < sbb_right:
+                ctx = (ctx << 1) & reuse_mask
+                for dx, dy, bit in changing:
+                    if rows[y + dy][x + dx]:
+                        ctx |= bit
+            else:
+                ctx = 0
+                for k, (dx, dy) in enumerate(pos):
+                    xx, yy = x + dx, y + dy
+                    if 0 <= xx < width and yy >= 0 and (
+                            yy < y or (yy == y and xx < x)):
+                        if rows[yy][xx]:
+                            ctx |= 1 << (n - 1 - k)
+            row[x] = decode(gb_cx[ctx])
     return rows
 
 

@@ -419,3 +419,37 @@ def test_jbig2_multi_instance_aggregation_roundtrip():
         g = np.array(combined[i], np.uint8)
         want[y:y + g.shape[0], x:x + g.shape[1]] |= g
     assert (page == want).all()
+
+
+def test_jbig2_custom_table_segment():
+    """Custom huffman table segments (type 53, T.88 B.2 syntax):
+    delta-coded range lines + lower/upper 32-bit tails + optional OOB
+    decode and re-encode across every bucket; referred-segment
+    resolution returns the index-th table among the referred ids."""
+    import struct
+
+    from scribe_js_spark.textops.jbig2_huffman import (
+        BitReader, BitWriter, custom_table, decode_tables_segment)
+
+    w = BitWriter()
+    for pl, rl in ((2, 2), (2, 2), (2, 2), (3, 2)):
+        w.write_bits(pl, 3)
+        w.write_bits(rl, 3)
+    w.write_bits(4, 3)            # lower-range tail
+    w.write_bits(5, 3)            # upper-range tail
+    w.write_bits(5, 3)            # OOB (flags bit 0)
+    body = bytes([1 | (2 << 1) | (2 << 4)]) \
+        + struct.pack(">i", 0) + struct.pack(">i", 16) + w.bytes()
+    t = decode_tables_segment(body)
+    vals = [0, 3, 4, 9, 12, 15, 16, 100, -1, -50, None, 7]
+    w2 = BitWriter()
+    for v in vals:
+        t.encode(w2, v)
+    r = BitReader(w2.bytes())
+    assert [t.decode(r) for _ in vals] == vals
+
+    assert custom_table(0, [5, 7], {7: t}) is t
+    import pytest
+
+    with pytest.raises(ValueError, match="custom table"):
+        custom_table(1, [5, 7], {7: t})
