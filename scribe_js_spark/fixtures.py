@@ -3815,15 +3815,59 @@ def build_image_models(doc_id: int, seed: int = SEED_DEFAULT) -> dict:
             pixels_mean_e6=None)
 
     if doc_id % 3 == 0:
-        jp2 = b"\xff\x4f\xff\x51" + bytes(16)
+        # Real JPEG 2000 payloads through textops/jpx_encode, cycling
+        # the codec surface: bare reversible codestream, RGB/RCT in a
+        # JP2 container, tiled RPCL with layers + per-pass termination
+        # + segmentation symbols, and a pclr-palette JP2 whose
+        # internal palette applies (PDF colourspace is not /Indexed).
+        import numpy as _np
+
+        from .textops.jpx_encode import encode_jpx, wrap_jp2
+
+        jpx_variant = (doc_id // 3) % 4
+        jpx_cs_name = "DeviceGray"
+        if jpx_variant == 0:
+            gpx = _np.fromfunction(
+                lambda y, x: (x * 7 + y * 13 + doc_id) % 256,
+                (ht, wd)).astype(_np.uint8)
+            jp2 = encode_jpx(gpx, levels=2)
+            jpx_mean = float(gpx.mean())
+        elif jpx_variant == 1:
+            rpx = _np.fromfunction(
+                lambda y, x, c: (x * 11 + y * 5 + c * 37 + doc_id)
+                % 256, (ht, wd, 3)).astype(_np.uint8)
+            jp2 = wrap_jp2(encode_jpx(rpx, mct=True),
+                           width=wd, height=ht, ncomp=3)
+            jpx_mean = float(rpx.mean())
+            jpx_cs_name = "DeviceRGB"
+        elif jpx_variant == 2:
+            gpx = _np.fromfunction(
+                lambda y, x: (x * 3 + y * 17 + doc_id) % 256,
+                (ht, wd)).astype(_np.uint8)
+            jp2 = encode_jpx(gpx, tile_size=(8, 8), progression=2,
+                             layers=2, per_pass_termination=True,
+                             segmentation=True)
+            jpx_mean = float(gpx.mean())
+        else:
+            lut = _np.array(
+                [[0, 0, 0], [255, 0, 0], [0, 255, 0], [0, 0, 255]],
+                dtype=_np.uint8)
+            idx = _np.fromfunction(
+                lambda y, x: (x + y * 3 + doc_id) % 4,
+                (ht, wd)).astype(_np.uint8)
+            jp2 = wrap_jp2(encode_jpx(idx, precision=2),
+                           width=wd, height=ht, ncomp=1, precision=2,
+                           palette=lut)
+            jpx_mean = float(lut[idx].mean())
+            jpx_cs_name = "DeviceRGB"
         img(f"/Subtype /Image /Width {wd} /Height {ht} "
-            f"/ColorSpace /DeviceRGB /BitsPerComponent 8 "
+            f"/ColorSpace /{jpx_cs_name} /BitsPerComponent 8 "
             f"/Filter [/JPXDecode]",
             jp2, width=wd, height=ht, bpc=8, image_mask=False,
-            colorspace="DeviceRGB", palette_hival=-1,
+            colorspace=jpx_cs_name, palette_hival=-1,
             filter="JPXDecode", ext="jp2", decode_invert=False,
             has_smask=False, interpolate=False, n_raw_bytes=len(jp2),
-            pixels_mean_e6=None)
+            pixels_mean_e6=int(_m.floor(jpx_mean * 1e6)))
 
     # fixed objects: 1 Catalog, 2 Pages, 3 Page, 4 Contents, then the
     # images (+ optional ICC stream / SMask pair appended after).

@@ -11,9 +11,12 @@ CCITTFaxDecode (all four T.4/T.6 modes through textops/ccitt — the
 classic scanned-PDF shape), JBIG2Decode generic regions (arithmetic
 templates 0-3 + TPGDON + MMR through textops/jbig2, with
 /JBIG2Globals honored), DCTDecode (baseline + progressive JPEG
-through textops/jpeg), uncompressed/Flate 8-bpc gray/RGB samples,
-and raw 1-bpc bilevel; JPX and the JBIG2 symbol/text/halftone
-families stay honest NotImplementedError stubs — the inventory is
+through textops/jpeg), JPXDecode (JPEG 2000 through textops/jpx —
+JP2 boxes and bare codestreams, all five progression orders,
+reversible 5/3 and irreversible 9/7, RCT/ICT, palettes with the
+PDF /Indexed override), JBIG2Decode (generic + symbol/text +
+halftone + refinement through textops/jbig2), uncompressed/Flate
+8-bpc gray/RGB samples, and raw 1-bpc bilevel — the inventory is
 what a multimodal pipeline partitions on.
 """
 
@@ -131,10 +134,9 @@ def parse_image_object(doc: PdfDocument, objnum: int,
 
 def decode_image_pixels(doc: PdfDocument, obj: StreamObj):
     """Image XObject -> grayscale-equivalent uint8 array (h, w) or
-    (h, w, 3), or raise NotImplementedError for codecs we stub
-    (JPX/JBIG2) / unsupported layouts. ``doc.stream_data`` applies the
-    text filters and leaves codec bytes untouched, so the fax/JPEG
-    payload arrives intact."""
+    (h, w, 3), or raise NotImplementedError for unsupported layouts.
+    ``doc.stream_data`` applies the text filters and leaves codec
+    bytes untouched, so the fax/JPEG/JPX payload arrives intact."""
     import numpy as np
 
     d = obj.dict
@@ -186,6 +188,24 @@ def decode_image_pixels(doc: PdfDocument, obj: StreamObj):
         from ...textops.jpeg import decode_jpeg
 
         return decode_jpeg(data)
+    if codec == "JPXDecode":
+        from ...textops.jpx import decode_jpx
+
+        # PDF 32000 7.4.9: with JPXDecode the image dictionary's
+        # /ColorSpace (when present) overrides the codestream's; an
+        # /Indexed space consumes the raw index samples, so the
+        # internal pclr palette must NOT be applied (the reference
+        # threads the same flag, decodeJPX.js:18-30).
+        cs, _hival = _colorspace(doc, d)
+        out = decode_jpx(data, apply_internal_palette=cs != "Indexed")
+        ncomp = int(out["components"])
+        h2, w2 = int(out["height"]), int(out["width"])
+        arr = np.asarray(out["pixel_data"], dtype=np.uint8)
+        if ncomp == 1:
+            return arr.reshape(h2, w2)
+        if ncomp == 3:
+            return arr.reshape(h2, w2, 3)
+        raise NotImplementedError(f"jpx components={ncomp}")
     if codec == "JBIG2Decode":
         from ...textops.jbig2 import decode_jbig2
 

@@ -1211,6 +1211,10 @@ def decode_text_region(dec, symbols: list, width: int,
     if huffman and refine:
         raise NotImplementedError(
             "jbig2: refinement with huffman")
+    # Every instance covers at least one pixel; a count far beyond the
+    # region area is a corrupt header driving an unbounded strip loop.
+    if n_instances > 4 * width * height + 1024:
+        raise ValueError("jbig2: implausible symbol instance count")
     cache = cache or _CtxCache()
     if huffman:
         get_dt = lambda: huffman_tables["dt"].decode(reader)  # noqa: E731
@@ -1329,6 +1333,12 @@ def decode_text_region(dec, symbols: list, width: int,
                             else:
                                 row[xx] |= sym[t2][s2]
             i += 1
+            # A valid stream ends each strip with an OOB DS right
+            # after the last instance; anything past n_instances is
+            # corrupt data whose DS never goes OOB (the fuzz-found
+            # infinite-strip spin).
+            if i > n_instances:
+                raise ValueError("jbig2: too many symbol instances")
             ds = get_ds()
             if ds is None:
                 break

@@ -184,9 +184,14 @@ class MQEncoder:
                 break
 
     def flush(self) -> bytes:
-        # SETBITS
-        temp = (self.c + self.a - 1) & 0xFFFF0000
-        self.c = temp + 0x8000 if temp < self.c else temp
+        # SETBITS (T.88 E.2.9): choose the in-interval codeword whose
+        # trailing bits are all ONES — the decoder synthesizes 1-bits
+        # past the end of data, so any dropped tail must read back as
+        # ones, not zeros.
+        temp = self.c + self.a - 1
+        self.c |= 0xFFFF
+        if self.c > temp:
+            self.c -= 0x8000
         self.c = (self.c << self.ct) & 0xFFFFFFFF
         self._byteout()
         self.c = (self.c << self.ct) & 0xFFFFFFFF
