@@ -339,8 +339,11 @@ def _q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     the mean amplitude reproduces in SQL), and JBIG2 standalone files
     (ids 9400+: MQ-coded generic regions cycling arithmetic template
     0 / MMR / TPGDON / template 2 over the same bilevel threshold as
-    the fax rows). n_bytes is asserted for SIMG only — compressed
-    sizes are not SQL-reproducible."""
+    the fax rows), and JPEG 2000 (ids 9500+: reversible 5/3 coding
+    cycling bare codestream / RGB-RCT JP2 / tiled RPCL / JP2-boxed
+    gray — lossless, so the gray formula's mean is SQL-computable).
+    n_bytes is asserted for SIMG only — compressed sizes are not
+    SQL-reproducible."""
     import numpy as np
 
     from scribe_js_spark.textops.jpeg import (
@@ -475,6 +478,26 @@ def _q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         kw = [{}, {"mmr": True}, {"tpgdon": True},
               {"template": 2}][i % 4]
         rows.append((9400 + i, build_jbig2_file(bits, **kw)))
+    from scribe_js_spark.textops.jpx_encode import encode_jpx, wrap_jp2
+    for i in range(8):  # JPEG 2000: reversible coding-form variants
+        w = 16 + i % 8
+        h = 8 + i % 5
+        xs, ys = np.meshgrid(np.arange(w), np.arange(h))
+        px = ((xs * 7 + ys * 13) % 256).astype(np.uint8)
+        if i % 4 == 1:  # RGB/RCT in a JP2 box, 24-bit-BMP channels
+            rgb = np.stack(
+                [px, (px.astype(np.int32) + 9) % 256,
+                 (px.astype(np.int32) + 77) % 256], -1).astype(np.uint8)
+            payload = wrap_jp2(encode_jpx(rgb, mct=True),
+                               width=w, height=h, ncomp=3)
+        elif i % 4 == 2:  # tiled RPCL bare codestream
+            payload = encode_jpx(px, tile_size=(8, 8), progression=2)
+        elif i % 4 == 3:  # JP2-boxed gray
+            payload = wrap_jp2(encode_jpx(px), width=w, height=h,
+                               ncomp=1)
+        else:  # bare gray codestream
+            payload = encode_jpx(px, levels=2)
+        rows.append((9500 + i, payload))
     for i in range(10):  # BMP: gray paletted / 24-bit RGB, both row orders
         w = 16 + i % 8
         h = 8 + i % 5
@@ -2685,6 +2708,27 @@ WHERE len(list_intersect(ta.toks, tb.toks))
                            THEN 255 ELSE 0 END)::DOUBLE AS v
               FROM range(8) t(r), range(24) x(x), range(13) y(y)
               WHERE x.x < (16 + r % 8) AND y.y < (8 + r % 5)
+            ) GROUP BY media_id, w, h
+            UNION ALL
+            -- JPEG 2000 rows (ids 9500+): reversible coding cycling a
+            -- bare gray codestream / RGB-RCT JP2 (24-bit-BMP channels
+            -- (v, (v+9)%256, (v+77)%256)) / tiled RPCL / JP2-boxed
+            -- gray; 5/3 decode is lossless so the mean is the input
+            -- formula's (channel axis generated, one float division)
+            SELECT media_id, 'jp2' AS kind, w::BIGINT AS width,
+                   h::BIGINT AS height, NULL::BIGINT AS n_bytes_simg,
+                   CAST(floor(avg(v) * 1e6) AS BIGINT) AS mean_e6,
+                   NULL::BIGINT AS sample_rate, NULL::BIGINT AS duration_ms,
+                   NULL::BIGINT AS n_frames
+            FROM (
+              SELECT 9500 + r AS media_id, (16 + r % 8) AS w,
+                     (8 + r % 5) AS h,
+                     (((x.x * 7 + y.y * 13) % 256
+                       + [0, 9, 77][c.c + 1]) % 256)::DOUBLE AS v
+              FROM range(8) t(r), range(3) c(c), range(24) x(x),
+                   range(13) y(y)
+              WHERE x.x < (16 + r % 8) AND y.y < (8 + r % 5)
+                AND (r % 4 = 1 OR c.c = 0)
             ) GROUP BY media_id, w, h
             UNION ALL
             -- 24-bit BMP rows (odd ids 9100+): channels

@@ -642,8 +642,19 @@ def _decode_one(data: bytes) -> dict:
                           n_bytes=len(data),
                           mean_byte=float(px.mean()) if px.size else 0.0)
     if data[4:8] == b"jP  " or data[:4] == b"\xff\x4f\xff\x51":
-        # JPEG 2000 (JP2 box / raw J2K codestream): honest stub
-        raise NotImplementedError("jpeg2000 codestream")
+        # JPEG 2000 (JP2 box container / raw J2K codestream) through
+        # the from-scratch T.800 codec (textops/jpx.py, parity with
+        # the reference's decodeJPX.js).
+        import numpy as np
+
+        from .jpx import decode_jpx
+
+        out = decode_jpx(data)
+        px = np.asarray(out["pixel_data"], dtype=np.uint8)
+        return _media_rec(kind="jp2", width=int(out["width"]),
+                          height=int(out["height"]),
+                          n_bytes=len(data),
+                          mean_byte=float(px.mean()) if px.size else 0.0)
     if data[:8] == b"\x97JB2\r\n\x1a\n":
         # JBIG2 standalone file (T.88 annex D): generic regions decode
         # through the MQ coder; symbol/text segments surface as errors
