@@ -334,7 +334,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     and progressive (SOF2) with spectral selection + successive
     approximation, interleaved and single-component scans, any integer
     subsampling ratio, and DRI/RSTn restart intervals. Arithmetic
-    coding and hierarchical modes raise NotImplementedError."""
+    coding and hierarchical modes raise NotImplementedError — parity
+    with the reference, whose decodeJPEG.js handles SOF0/1/2 only."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("jpeg: missing SOI")
     pos = 2

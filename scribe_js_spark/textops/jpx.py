@@ -28,6 +28,13 @@ partial image unless recovery is impossible.
 This is an independent implementation from the published spec; the
 context-label tables and lifting constants are T.800 normative content
 (D.3.1 Tables D.1-D.3, F.4.8.2) that any conforming codec shares.
+
+Throughput: EBCOT Tier-1 is a scalar per-bit loop (like the
+reference's), ~100 kpx/s on incompressible data — fine for the
+embedded-image inventory sizes this pipeline meets, and parallel
+across documents inside mapInPandas partitions with per-document
+error isolation; ``reduce_levels`` gives a cheap thumbnail path when
+full resolution isn't needed.
 """
 
 from __future__ import annotations
