@@ -48,6 +48,11 @@ def unescape_xml(s: str) -> str:
     Applied replacement-by-replacement in the reference's order so edge
     cases (double-escaped entities) behave identically.
     """
+    if "&" not in s:
+        # No entities: only the soft-hyphen normalization can apply.
+        if "\u00ad" in s:
+            return s.replace("\u00ad", "-")
+        return s
     s = s.replace("&amp;", "&")
     s = s.replace("&quot;", '"')
     s = s.replace("&apos;", "'")

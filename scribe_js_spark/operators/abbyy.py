@@ -29,6 +29,19 @@ from ..functions.textnorm import ASC_CHARS, X_CHARS, unescape_xml
 from ..model import Bbox, OcrChar, OcrLine, OcrPage, OcrPar, OcrWord, bbox_union
 from .shared import pass3
 
+_TEXT_TAG_RE = re.compile(r"<text[^>]*>")
+_ORIENT_ATTR_RE = re.compile(r"orientation=['\"](\w+)['\"]")
+_PRE_CHARPARAMS_RE = re.compile(r"[\s\S]*?(?=<charParams)")
+_FORMATTING_TAG_RE = re.compile(r"<formatting[^>]+")
+_FF_ATTR_RE = re.compile(r"ff=['\"]([^'\"]*)")
+_ISTAB_RE = re.compile(r"isTab=['\"](?:1|true)['\"][^>]*>[^<]+", re.I)
+_BLANK_AFTER_FMT_RE = re.compile(
+    r"(</formatting><formatting[^>]*>\s*)<charParams[^>]*>\s*</charParams>",
+    re.I)
+_BLANK_BEFORE_FMT_RE = re.compile(
+    r"<charParams[^>]*>\s*</charParams>(\s*</formatting><formatting[^>]*>\s*)",
+    re.I)
+_LEADING_FMT_RE = re.compile(r"(<formatting[^>]+>\s*)", re.I)
 _DROPCAP_RE = re.compile(r"<par dropCapCharsCount=['\"](\d*)", re.I)
 _LINEBOX_RE = re.compile(
     r"<line baseline=['\"](\d*)['\"] l=['\"](\d*)['\"] t=['\"](\d*)['\"]"
@@ -203,9 +216,9 @@ def convert_page_abbyy(ocr_str: str, n: int):
     angle_rise_page = []
 
     def convert_text(xml_text: str) -> None:
-        text_attr = re.search(r"<text[^>]*>", xml_text)
+        text_attr = _TEXT_TAG_RE.search(xml_text)
         orient_m = (
-            re.search(r"orientation=['\"](\w+)['\"]", text_attr.group(0))
+            _ORIENT_ATTR_RE.search(text_attr.group(0))
             if text_attr else None
         )
         text_orientation = {"RotatedClockwise": 1, "RotatedUpsidedown": 2,
@@ -217,14 +230,14 @@ def convert_page_abbyy(ocr_str: str, n: int):
             baseline_slopes = []
             baseline_first = []
 
-            pre_char = re.match(r"[\s\S]*?(?=<charParams)", xml_line)
+            pre_char = _PRE_CHARPARAMS_RE.match(xml_line)
             fmt_tag = (
-                re.search(r"<formatting[^>]+", pre_char.group(0))
+                _FORMATTING_TAG_RE.search(pre_char.group(0))
                 if pre_char else None
             )
             font_name = None
             if fmt_tag:
-                fm = re.search(r"ff=['\"]([^'\"]*)", fmt_tag.group(0))
+                fm = _FF_ATTR_RE.search(fmt_tag.group(0))
                 if fm:
                     font_name = fm.group(1)
 
@@ -243,17 +256,11 @@ def convert_page_abbyy(ocr_str: str, n: int):
             # string, and most lines carry neither tabs nor mid-line
             # formatting switches.
             if "isTab" in xml_line:
-                xml_line = re.sub(
-                    r"isTab=['\"](?:1|true)['\"][^>]*>[^<]+", "> ",
-                    xml_line, flags=re.I)
+                xml_line = _ISTAB_RE.sub("> ", xml_line)
             # Blank chars adjacent to formatting changes (:134-135).
             if "</formatting><formatting" in xml_line:
-                xml_line = re.sub(
-                    r"(</formatting><formatting[^>]*>\s*)<charParams[^>]*>\s*</charParams>",
-                    r"\1", xml_line, flags=re.I)
-                xml_line = re.sub(
-                    r"<charParams[^>]*>\s*</charParams>(\s*</formatting><formatting[^>]*>\s*)",
-                    r"\1", xml_line, flags=re.I)
+                xml_line = _BLANK_AFTER_FMT_RE.sub(r"\1", xml_line)
+                xml_line = _BLANK_BEFORE_FMT_RE.sub(r"\1", xml_line)
 
             word_str_arr1 = _SPLIT_RE.split(xml_line)
 
@@ -264,8 +271,8 @@ def convert_page_abbyy(ocr_str: str, n: int):
                     continue
                 if len(matches) == 1 and matches[0] == ".":
                     if word_str_arr and not _SUP_ATTR_RE.search(word_str_arr[-1]):
-                        word_str_arr[-1] = word_str_arr[-1] + re.sub(
-                            r"(<formatting[^>]+>\s*)", "", piece, count=1, flags=re.I)
+                        word_str_arr[-1] = word_str_arr[-1] + _LEADING_FMT_RE.sub(
+                            "", piece, count=1)
                         continue
                 word_str_arr.append(piece)
 

@@ -22,8 +22,23 @@ _TEXTBLOCK_RE = re.compile(r"<TextBlock[^>]*>([\s\S]*?)</TextBlock>", re.I)
 _STRING_RE = re.compile(r"<(?:String)\s+[^>]+/?>", re.I)
 
 
+_ATTR_RES: dict = {}
+_STYLE_WORD_RES = {
+    "bold": re.compile("bold", re.I),
+    "italic": re.compile("italic", re.I),
+    "underline": re.compile("underline", re.I),
+    "superscript": re.compile("superscript", re.I),
+    "smallcaps": re.compile("smallcaps", re.I),
+}
+_TEXTLINE_TAG_RE = re.compile(r"<TextLine[^>]+>", re.I)
+
+
 def _get_attr(elem: str, name: str) -> str | None:
-    m = re.search(rf"{name}=[\"']([^\"']+)[\"']", elem, re.I)
+    pat = _ATTR_RES.get(name)
+    if pat is None:
+        pat = _ATTR_RES[name] = re.compile(
+            rf"{name}=[\"']([^\"']+)[\"']", re.I)
+    m = pat.search(elem)
     return m.group(1) if m else None
 
 
@@ -40,7 +55,7 @@ def convert_page_alto(ocr_str: str, n: int):
     page_obj.textSource = "alto"
 
     def convert_line(match: str, block_style_refs: str | None) -> None:
-        tag = re.search(r"<TextLine[^>]+>", match, re.I)
+        tag = _TEXTLINE_TAG_RE.search(match)
         if not tag:
             return
         tag_str = tag.group(0)
@@ -80,15 +95,15 @@ def convert_page_alto(ocr_str: str, n: int):
 
             style_attr = _get_attr(elem, "STYLE")
             if style_attr:
-                if re.search(r"bold", style_attr, re.I):
+                if _STYLE_WORD_RES["bold"].search(style_attr):
                     word_obj.style.bold = True
-                if re.search(r"italic", style_attr, re.I):
+                if _STYLE_WORD_RES["italic"].search(style_attr):
                     word_obj.style.italic = True
-                if re.search(r"underline", style_attr, re.I):
+                if _STYLE_WORD_RES["underline"].search(style_attr):
                     word_obj.style.underline = True
-                if re.search(r"superscript", style_attr, re.I):
+                if _STYLE_WORD_RES["superscript"].search(style_attr):
                     word_obj.style.sup = True
-                if re.search(r"smallcaps", style_attr, re.I):
+                if _STYLE_WORD_RES["smallcaps"].search(style_attr):
                     word_obj.style.smallCaps = True
 
             style_refs = _get_attr(elem, "STYLEREFS") or block_style_refs

@@ -38,6 +38,15 @@ _BBOX_NUMS_RE = re.compile(
     r"bbox(?:es)?(\s+[\d.-]+)(\s+[\d.-]+)?(\s+[\d.-]+)?(\s+[\d.-]+)?")
 _BASELINE_RE = re.compile(r"baseline(\s+[\d.-]+)(\s+[\d.-]+)")
 _WCONF_RE = re.compile(r"(?:;|\s)x_wconf\s+(\d+)")
+_SUP_OPEN_RE = re.compile(r"\s*<sup>", re.I)
+_SUP_CLOSE_RE = re.compile(r"</sup>\s*", re.I)
+_DROPCAP_SPAN_RE = re.compile(
+    r"\s*<span class=['\"]ocr_dropcap['\"]>", re.I)
+_ITALIC_STYLE_RE = re.compile(r"italic", re.I)
+_BOLD_STYLE_RE = re.compile(r"bold", re.I)
+_SMALLCAPS_STYLE_RE = re.compile(r"small-caps", re.I)
+_EM_CLOSE_SPAN_RE = re.compile(r"</em>\s*</span>")
+_PAR_LANG_RE = re.compile(r"^.+?lang=['\"]([^'\"]*)['\"]", re.I)
 _ID_RE = re.compile(r"id=['\"]([^'\"]*)['\"]", re.I)
 _LANG_RE = re.compile(r"lang=['\"]([^'\"]*)['\"]", re.I)
 _FONT_RE = re.compile(r"^[^>]+?x_font\s*([^'\";]+)")
@@ -112,13 +121,11 @@ def convert_page_hocr(ocr_str: str, n: int, page_dims: dict | None = None,
         word_dropcap = bool(_DROPCAP_RE.search(match_str))
 
         if word_sup:
-            stripped = re.sub(r"\s*<sup>", "", match_str, flags=re.I, count=1)
-            stripped = re.sub(r"</sup>\s*", "", stripped, flags=re.I, count=1)
+            stripped = _SUP_OPEN_RE.sub("", match_str, count=1)
+            stripped = _SUP_CLOSE_RE.sub("", stripped, count=1)
             m_text = _TEXT_RE.search(stripped)
         elif word_dropcap:
-            stripped = re.sub(
-                r"\s*<span class=['\"]ocr_dropcap['\"]>", "", match_str,
-                flags=re.I, count=1)
+            stripped = _DROPCAP_SPAN_RE.sub("", match_str, count=1)
             m_text = _TEXT_RE.search(stripped)
         else:
             m_text = _TEXT_RE.search(match_str)
@@ -154,11 +161,11 @@ def convert_page_hocr(ocr_str: str, n: int, page_dims: dict | None = None,
             if m_fsize and int(m_fsize.group(1)):
                 word_obj.style.size = int(m_fsize.group(1))
         if style_str:
-            if re.search(r"italic", style_str, re.I):
+            if _ITALIC_STYLE_RE.search(style_str):
                 word_obj.style.italic = True
-            if re.search(r"bold", style_str, re.I):
+            if _BOLD_STYLE_RE.search(style_str):
                 word_obj.style.bold = True
-            if re.search(r"small-caps", style_str, re.I):
+            if _SMALLCAPS_STYLE_RE.search(style_str):
                 word_obj.style.smallCaps = True
         if word_sup:
             word_obj.style.sup = True
@@ -177,7 +184,7 @@ def convert_page_hocr(ocr_str: str, n: int, page_dims: dict | None = None,
             if m_conf:
                 word_conf = int(m_conf.group(1))
 
-        italic = bool(re.search(r"</em>\s*</span>", match_str))
+        italic = bool(_EM_CLOSE_SPAN_RE.search(match_str))
         m_id = _ID_RE.search(match_str)
         word_id = (
             m_id.group(1)
@@ -291,7 +298,7 @@ def convert_page_hocr(ocr_str: str, n: int, page_dims: dict | None = None,
 
     def convert_par(match_str: str) -> None:
         nonlocal current_lang
-        m_lang = re.search(r"^.+?lang=['\"]([^'\"]*)['\"]", match_str, re.I)
+        m_lang = _PAR_LANG_RE.search(match_str)
         if m_lang:
             current_lang = m_lang.group(1)
         for lm in line_re.finditer(match_str):

@@ -33,6 +33,17 @@ _CHAR_RE = re.compile(
     r"([^>]*?c=['\"][^'\"]+['\"])\s*/>",
     re.I,
 )
+_BLOCK_OPEN_RE = re.compile(r"<block[^>]*?>", re.I)
+_PRE_CHAR_RE = re.compile(r"[\s\S]*?(?=<char)")
+_DIR_ATTR_RE = re.compile(r"dir=['\"](\s*[\d.-]+)(\s*[\d.-]+)")
+_FONT_TAG_RE = re.compile(r"<font[^>]+")
+_NAME_ATTR_RE = re.compile(r"name=['\"]([^'\"]*)")
+_SIZE_ATTR_RE = re.compile(r"size=['\"]([^'\"]*)")
+_FLAGS_ATTR_RE = re.compile(r"flags=['\"]([^'\"]*)")
+_C_ATTR_RE = re.compile(r"c=['\"]([^'\"]*)")
+_LINE_BBOX_RE = re.compile(
+    r"bbox(?:es)?=['\"](\s*[\d.-]+)(\s*[\d.-]+)?(\s*[\d.-]+)?(\s*[\d.-]+)?")
+_FONT_SUFFIX_RE = re.compile(r"-.+")
 _SMALLCAPS_FONT_RE = re.compile(r"(small\W?cap)|(sc$)|(caps$)", re.I)
 _ITALIC_FONT_RE = re.compile(r"italic|oblique", re.I)
 _ITALIC_FONT_RE2 = re.compile(r"-\w*ital", re.I)
@@ -88,15 +99,15 @@ def convert_page_stext(ocr_str: str, n: int):
     lang_set = set()
 
     def convert_line(xml_line: str):
-        xml_line = re.sub(r"<block[^>]*?>", "", xml_line, count=1, flags=re.I)
-        m_pre = re.match(r"[\s\S]*?(?=<char)", xml_line)
+        xml_line = _BLOCK_OPEN_RE.sub("", xml_line, count=1)
+        m_pre = _PRE_CHAR_RE.match(xml_line)
         if not m_pre or m_pre.group(0) == "":
-            pre = re.match(r"[\s\S]*?(?=<char)", xml_line)
+            pre = _PRE_CHAR_RE.match(xml_line)
         pre = m_pre.group(0) if m_pre else None
         if not pre:
             return None
 
-        dm = re.search(r"dir=['\"](\s*[\d.-]+)(\s*[\d.-]+)", pre)
+        dm = _DIR_ATTR_RE.search(pre)
         direction = [float(dm.group(1)), float(dm.group(2))] if dm else None
 
         orientation = 0
@@ -108,21 +119,19 @@ def convert_page_stext(ocr_str: str, n: int):
             elif abs(direction[0]) < 0.5 and direction[1] <= -0.5:
                 orientation = 3
 
-        fm = re.search(r"<font[^>]+", pre)
+        fm = _FONT_TAG_RE.search(pre)
         font_name = None
         font_size_line = 10.0
         if fm:
-            nm = re.search(r"name=['\"]([^'\"]*)", fm.group(0))
-            sm = re.search(r"size=['\"]([^'\"]*)", fm.group(0))
+            nm = _NAME_ATTR_RE.search(fm.group(0))
+            sm = _SIZE_ATTR_RE.search(fm.group(0))
             if nm:
                 font_name = nm.group(1)
             if sm:
                 font_size_line = float(sm.group(1))
-        font_family_line = re.sub(r"-.+", "", font_name) if font_name else "Default"
+        font_family_line = _FONT_SUFFIX_RE.sub("", font_name) if font_name else "Default"
 
-        lb = re.search(
-            r"bbox(?:es)?=['\"](\s*[\d.-]+)(\s*[\d.-]+)?(\s*[\d.-]+)?(\s*[\d.-]+)?",
-            pre)
+        lb = _LINE_BBOX_RE.search(pre)
         if not lb:
             return None
         line_box_arr = [max(float(g), 0) for g in lb.groups() if g is not None]
@@ -142,8 +151,8 @@ def convert_page_stext(ocr_str: str, n: int):
             for cm in _CHAR_RE.finditer(ws):
                 font_str = cm.group(1)
                 if font_str is not None:
-                    nm = re.search(r"name=['\"]([^'\"]*)", font_str)
-                    sm = re.search(r"size=['\"]([^'\"]*)", font_str)
+                    nm = _NAME_ATTR_RE.search(font_str)
+                    sm = _SIZE_ATTR_RE.search(font_str)
                     if nm is not None and sm is not None:
                         items.append({
                             "name": nm.group(1), "size": float(sm.group(1))})
@@ -162,8 +171,8 @@ def convert_page_stext(ocr_str: str, n: int):
                     quad = {"ul": (g[0], g[1]), "ur": (g[2], g[3]),
                             "ll": (g[4], g[5]), "lr": (g[6], g[7])}
                 rest = cm.group(12) or ""
-                fl = re.search(r"flags=['\"]([^'\"]*)", rest)
-                tx = re.search(r"c=['\"]([^'\"]*)", rest)
+                fl = _FLAGS_ATTR_RE.search(rest)
+                tx = _C_ATTR_RE.search(rest)
                 items.append({
                     "quad": quad,
                     "origin": (float(cm.group(10)), float(cm.group(11))),

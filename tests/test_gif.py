@@ -77,4 +77,6 @@ def test_media_decode_gif(spark):
     assert rows[1]["n_frames"] == 4 and rows[1]["duration_ms"] == 400
     exp = float(np.mean([pal[f].mean() for f in fr]))
     assert abs(rows[1]["mean_byte"] - exp) < 1e-9
-    assert rows[2]["error"].startswith("not_implemented: jpeg2000")
+    # A JP2 signature box with no codestream reaches the real JPX
+    # decoder now and surfaces as a decode failure, never a crash.
+    assert rows[2]["error"].startswith("decode_failure")
