@@ -3803,16 +3803,43 @@ def build_image_models(doc_id: int, seed: int = SEED_DEFAULT) -> dict:
         interpolate=False, n_raw_bytes=len(pal), pixels_mean_e6=None)
 
     if doc_id % 2 == 0:
-        jpg = (b"\xff\xd8\xff\xdb\x00\x05\x00\x01\x02"
-               b"\xff\xda\x00\x04\x00\x00\x12\x34\xff\xd9")
-        img(f"/Subtype /Image /Width {wd * 2} /Height {ht * 2} "
-            f"/ColorSpace /DeviceRGB /BitsPerComponent 8 "
-            f"/Filter /DCTDecode",
-            jpg, width=wd * 2, height=ht * 2, bpc=8, image_mask=False,
-            colorspace="DeviceRGB", palette_hival=-1,
-            filter="DCTDecode", ext="jpg", decode_invert=False,
+        # Real 4-component DCT payloads (the reference's decodeJPEG.js
+        # exists for exactly this shape), cycling (doc_id // 2) % 3:
+        # stored-CMYK (APP14 transform 0), stored-YCCK (transform 2),
+        # and CMYK under a /Decode [1 0 ...] inversion. Blockwise-
+        # constant 4:4:4:4 planes make the stored-sample roundtrip
+        # exact, so the golden mean is the conversion of the input
+        # planes (tests/test_jpeg_cmyk.py proves the equality and
+        # cross-checks the polynomial against a literal port).
+        import numpy as _np
+
+        from .textops.jpeg import _cmyk_to_rgb, encode_jpeg_cmyk
+
+        jw, jh = wd * 2, ht * 2
+        jpg_variant = (doc_id // 2) % 3
+        planes = []
+        for s in (doc_id, doc_id + 89, doc_id + 167, doc_id + 241):
+            blocks = _np.fromfunction(
+                lambda by, bx: (bx * 53 + by * 29 + s) % 256,
+                ((jh + 7) // 8, (jw + 7) // 8)).astype(_np.uint8)
+            planes.append(_np.kron(
+                blocks, _np.ones((8, 8), dtype=_np.uint8))[:jh, :jw])
+        transform = 2 if jpg_variant == 1 else 0
+        jpg_invert = jpg_variant == 2
+        jpg = encode_jpeg_cmyk(planes, sampling=(1, 1),
+                               transform=transform)
+        jpg_mean = float(_cmyk_to_rgb(
+            [p.astype(float) for p in planes], transform,
+            jpg_invert).mean())
+        img(f"/Subtype /Image /Width {jw} /Height {jh} "
+            f"/ColorSpace /DeviceCMYK /BitsPerComponent 8 "
+            f"/Filter /DCTDecode"
+            + (" /Decode [1 0 1 0 1 0 1 0]" if jpg_invert else ""),
+            jpg, width=jw, height=jh, bpc=8, image_mask=False,
+            colorspace="DeviceCMYK", palette_hival=-1,
+            filter="DCTDecode", ext="jpg", decode_invert=jpg_invert,
             has_smask=False, interpolate=False, n_raw_bytes=len(jpg),
-            pixels_mean_e6=None)
+            pixels_mean_e6=int(_m.floor(jpg_mean * 1e6)))
 
     if doc_id % 3 == 0:
         # Real JPEG 2000 payloads through textops/jpx_encode, cycling

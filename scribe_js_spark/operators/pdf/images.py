@@ -187,7 +187,14 @@ def decode_image_pixels(doc: PdfDocument, obj: StreamObj):
     if codec == "DCTDecode":
         from ...textops.jpeg import decode_jpeg
 
-        return decode_jpeg(data)
+        # /Decode [1 0 ...] inversion is consumed by the CMYK path
+        # only, mirroring the reference's decodeInvert parameter
+        # (decodeJPEG.js:767-780).
+        decode = doc.resolve(d.get("Decode"))
+        decode_invert = (isinstance(decode, list) and len(decode) >= 2
+                         and float(doc.resolve(decode[0]))
+                         > float(doc.resolve(decode[1])))
+        return decode_jpeg(data, decode_invert=decode_invert)
     if codec == "JPXDecode":
         from ...textops.jpx import decode_jpx
 

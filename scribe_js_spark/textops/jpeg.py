@@ -327,13 +327,19 @@ def _decode_scan(reader, scomps, coefs, geom, htables,
                 n += 1
 
 
-def decode_jpeg(data: bytes) -> np.ndarray:
+def decode_jpeg(data: bytes, decode_invert: bool = False) -> np.ndarray:
     """Huffman JPEG -> uint8 array: (h, w) for grayscale, (h, w, 3)
     RGB for 3-component YCbCr (JFIF conversion, chroma upsampled by
-    replication). Supports baseline/extended sequential (SOF0/SOF1)
-    and progressive (SOF2) with spectral selection + successive
-    approximation, interleaved and single-component scans, any integer
-    subsampling ratio, and DRI/RSTn restart intervals. Arithmetic
+    replication) and for 4-component CMYK/YCCK (Adobe APP14 transform,
+    chroma upsampled bilinearly, SWOP-polynomial CMYK->RGB — the
+    reference's decodeCMYKJpegToRGB, decodeJPEG.js:767-935, which in
+    turn matches pdf.js). ``decode_invert`` mirrors the reference's
+    decodeInvert (a PDF /Decode [1 0 ...] array) and is consumed by
+    the 4-component path only, as in the reference. Supports
+    baseline/extended sequential (SOF0/SOF1) and progressive (SOF2)
+    with spectral selection + successive approximation, interleaved
+    and single-component scans, any integer subsampling ratio,
+    8/16-bit quant tables, and DRI/RSTn restart intervals. Arithmetic
     coding and hierarchical modes raise NotImplementedError — parity
     with the reference, whose decodeJPEG.js handles SOF0/1/2 only."""
     if data[:2] != b"\xff\xd8":
@@ -345,6 +351,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     comps: list[dict] = []       # SOF order: id, hs, vs, qid, idx
     progressive = False
     restart_interval = 0
+    adobe_transform = None       # APP14 color-transform flag
     coefs = None                 # per-comp (bh, bw, 64) int32
     geom = None                  # (hmax, vmax, mcux, mcuy)
     saw_scan = False
@@ -364,15 +371,18 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             while p < len(seg):
                 pq, tq = seg[p] >> 4, seg[p] & 0xF
                 p += 1
-                if pq != 0:
-                    raise NotImplementedError("jpeg: 16-bit quant table")
-                qtables[tq] = np.frombuffer(
-                    seg[p : p + 64], dtype=np.uint8).astype(np.int32)
-                p += 64
+                if pq:  # 16-bit table entries
+                    qtables[tq] = np.frombuffer(
+                        seg[p : p + 128], dtype=">u2").astype(np.int32)
+                    p += 128
+                else:
+                    qtables[tq] = np.frombuffer(
+                        seg[p : p + 64], dtype=np.uint8).astype(np.int32)
+                    p += 64
         elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 prog
             progressive = marker == 0xC2
             _prec, h, w, ncomp = struct.unpack_from(">BHHB", seg, 0)
-            if ncomp not in (1, 3):
+            if ncomp not in (1, 3, 4):
                 raise NotImplementedError(f"jpeg: {ncomp}-component image")
             for ci in range(ncomp):
                 cid, hv, qid = seg[6 + 3 * ci : 9 + 3 * ci]
@@ -392,6 +402,9 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 p += 17 + n
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack_from(">H", seg, 0)[0]
+        elif marker == 0xEE:  # APP14 (Adobe: version/flags/transform)
+            if seg[:5] == b"Adobe" and len(seg) >= 12:
+                adobe_transform = seg[11]
         elif marker == 0xDA:  # SOS
             if not comps:
                 raise ValueError("jpeg: SOS before SOF")
@@ -450,12 +463,23 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     if len(comps) == 1:
         px = np.clip(np.round(planes[0] + 128.0), 0, 255).astype(np.uint8)
         return px[:h, :w]
+    if len(comps) == 4:
+        full = [_upsample_component(planes[ci] + 128.0, comps[ci],
+                                    h, w, hmax, vmax)
+                for ci in range(4)]
+        return _cmyk_to_rgb(full, adobe_transform, decode_invert)
     full = []
     for ci, c in enumerate(comps):
         p = planes[ci] + 128.0
         p = np.repeat(np.repeat(p, vmax // c["vs"], axis=0),
                       hmax // c["hs"], axis=1)
         full.append(p[: mcuy * vmax * 8, : mcux * hmax * 8])
+    if adobe_transform == 0:
+        # APP14 transform 0 on a 3-component image: stored samples are
+        # already RGB — no color transform.
+        rgb = np.stack(full, axis=-1)
+        px = np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+        return px[:h, :w]
     y, cb, cr = full
     r = y + 1.402 * (cr - 128.0)
     g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
@@ -463,6 +487,82 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     rgb = np.stack([r, g, b], axis=-1)
     px = np.clip(np.round(rgb), 0, 255).astype(np.uint8)
     return px[:h, :w]
+
+
+def _upsample_component(plane, c, h, w, hmax, vmax) -> np.ndarray:
+    """One MCU-padded component plane -> uint8 (h, w) full-resolution
+    samples. Full-resolution components are cropped; subsampled ones
+    are bilinearly interpolated on the output grid with edge clamping
+    (the reference's per-pixel loop, decodeJPEG.js:833-855)."""
+    cw = (w * c["hs"] + hmax - 1) // hmax
+    ch = (h * c["vs"] + vmax - 1) // vmax
+    samples = np.clip(np.round(plane), 0, 255).astype(np.uint8)[:ch, :cw]
+    if c["hs"] == hmax and c["vs"] == vmax:
+        return samples
+    fx = np.arange(w) * (c["hs"] / hmax)
+    fy = np.arange(h) * (c["vs"] / vmax)
+    x0 = np.floor(fx).astype(np.int64)
+    y0 = np.floor(fy).astype(np.int64)
+    x1 = np.minimum(x0 + 1, cw - 1)
+    y1 = np.minimum(y0 + 1, ch - 1)
+    dx = fx - x0
+    dy = (fy - y0)[:, None]
+    s = samples.astype(np.float64)
+    v00 = s[y0[:, None], x0[None, :]]
+    v10 = s[y0[:, None], x1[None, :]]
+    v01 = s[y1[:, None], x0[None, :]]
+    v11 = s[y1[:, None], x1[None, :]]
+    v = (v00 * (1 - dx) + v10 * dx) * (1 - dy) \
+        + (v01 * (1 - dx) + v11 * dx) * dy
+    return np.floor(v + 0.5).astype(np.uint8)  # | 0 truncation after +0.5
+
+
+def _cmyk_to_rgb(full, adobe_transform, decode_invert) -> np.ndarray:
+    """Four full-resolution uint8 sample planes -> uint8 (h, w, 3) RGB.
+    APP14 transform 2 first undoes the YCCK encoding (YCbCr inversion
+    with clamping, then complement); ``decode_invert`` complements all
+    four inks; the CMYK->RGB step is the polynomial approximation of
+    the US Web Coated (SWOP) v2 ICC profile that pdf.js published and
+    the reference adopted (decodeJPEG.js:885-948)."""
+    c, m, y, k = (p.astype(np.float64) for p in full)
+    if adobe_transform == 2:  # YCCK: stored comps are Y/Cb/Cr/K
+        r = np.clip(c + 1.402 * (y - 128.0), 0, 255)
+        g = np.clip(c - 0.344136 * (m - 128.0) - 0.714136 * (y - 128.0),
+                    0, 255)
+        b = np.clip(c + 1.772 * (m - 128.0), 0, 255)
+        c, m, y = 255.0 - r, 255.0 - g, 255.0 - b
+    if decode_invert:
+        c, m, y, k = 255.0 - c, 255.0 - m, 255.0 - y, 255.0 - k
+    cn, mn, yn, kn = c / 255.0, m / 255.0, y / 255.0, k / 255.0
+    ri = 255.0 \
+        + cn * (-4.387332384609988 * cn + 54.48615194189176 * mn
+                + 18.82290502165302 * yn + 212.25662451639585 * kn
+                - 285.2331026137004) \
+        + mn * (1.7149763477362134 * mn - 5.6096736904047315 * yn
+                - 17.873870861415444 * kn - 5.497006427196366) \
+        + yn * (-2.5217340131683033 * yn - 21.248923337353073 * kn
+                + 17.5119270841813) \
+        + kn * (-21.86122147463605 * kn - 189.48180835922747)
+    gi = 255.0 \
+        + cn * (8.841041422036149 * cn + 60.118027045597366 * mn
+                + 6.871425592049007 * yn + 31.159100130055922 * kn
+                - 79.2970844816548) \
+        + mn * (-15.310361306967817 * mn + 17.575251261109482 * yn
+                + 131.35250912493976 * kn - 190.9453302588951) \
+        + yn * (4.444339102852739 * yn + 9.8632861493405 * kn
+                - 24.86741582555878) \
+        + kn * (-20.737325471181034 * kn - 187.80453709719578)
+    bi = 255.0 \
+        + cn * (0.8842522430003296 * cn + 8.078677503112928 * mn
+                + 30.89978309703729 * yn - 0.23883238689178934 * kn
+                - 14.183576799673286) \
+        + mn * (10.49593273432072 * mn + 63.02378494754052 * yn
+                + 50.606957656360734 * kn - 112.23884253719248) \
+        + yn * (0.03296041114873217 * yn + 115.60384449646641 * kn
+                - 193.58209356861505) \
+        + kn * (-22.33816807309886 * kn - 180.12613974708367)
+    rgb = np.stack([ri, gi, bi], axis=-1)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
 
 
 def decode_jpeg_gray(data: bytes) -> np.ndarray:
@@ -801,6 +901,63 @@ def encode_jpeg_progressive(y, cb=None, cr=None, sampling=(2, 2),
 
     out += b"\xff\xd9"
     return bytes(out)
+
+
+def encode_jpeg_cmyk(planes4, sampling=(1, 1), transform=0,
+                     qtable=None) -> bytes:
+    """Four full-resolution uint8 stored-sample planes (h, w) ->
+    baseline 4-component JPEG with an Adobe APP14 marker carrying
+    ``transform`` (0 = stored CMYK, 2 = stored YCCK). The first
+    component gets the ``sampling`` (Hi, Vi); components 2-4 are
+    (1, 1), box-averaged down from full resolution when subsampled —
+    so a (2, 2) fixture exercises the decoder's bilinear upsampling.
+    The caller supplies samples already in the stored color space;
+    the transform flag only drives the decoder's interpretation."""
+    planes4 = [np.asarray(p, dtype=np.uint8) for p in planes4]
+    h, w = planes4[0].shape
+    hs, vs = sampling
+    q = (QTABLE_FIXTURE if qtable is None
+         else np.asarray(qtable, dtype=np.int32).reshape(64))
+    mcux = (w + 8 * hs - 1) // (8 * hs)
+    mcuy = (h + 8 * vs - 1) // (8 * vs)
+    planes = [_pad_to_blocks(planes4[0], mcuy * vs * 8, mcux * hs * 8)]
+    for p in planes4[1:]:
+        cpad = _pad_to_blocks(p, mcuy * vs * 8, mcux * hs * 8)
+        pooled = cpad.reshape(mcuy * 8, vs, mcux * 8, hs).mean(axis=(1, 3))
+        planes.append(np.round(pooled))
+    samp = [(hs, vs), (1, 1), (1, 1), (1, 1)]
+
+    dc_enc = _build_encode_table(DC_BITS, DC_VALS)
+    ac_enc = _build_encode_table(AC_BITS, AC_VALS)
+    writer = _BitWriter()
+    preds = [0, 0, 0, 0]
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci in range(4):
+                chs, cvs = samp[ci]
+                for v in range(cvs):
+                    for u in range(chs):
+                        y0 = (my * cvs + v) * 8
+                        x0 = (mx * chs + u) * 8
+                        preds[ci] = _encode_block(
+                            writer,
+                            planes[ci][y0 : y0 + 8, x0 : x0 + 8],
+                            q, preds[ci], dc_enc, ac_enc)
+    writer.flush()
+
+    app14 = _seg(0xEE, b"Adobe" + struct.pack(">HHHB", 100, 0, 0,
+                                              transform))
+    dqt = _seg(0xDB, bytes([0x00]) + bytes(int(v) for v in q))
+    sof_comps = b"".join(
+        bytes([ci + 1, (samp[ci][0] << 4) | samp[ci][1], 0])
+        for ci in range(4))
+    sof = _seg(0xC0, struct.pack(">BHHB", 8, h, w, 4) + sof_comps)
+    dht = _seg(0xC4, bytes([0x00]) + bytes(DC_BITS) + bytes(DC_VALS)) \
+        + _seg(0xC4, bytes([0x10]) + bytes(AC_BITS) + bytes(AC_VALS))
+    sos = _seg(0xDA, bytes([4, 1, 0x00, 2, 0x00, 3, 0x00, 4, 0x00,
+                            0, 63, 0]))
+    return (b"\xff\xd8" + app14 + dqt + sof + dht + sos
+            + bytes(writer.out) + b"\xff\xd9")
 
 
 def encode_jpeg_ycbcr(y, cb, cr, sampling=(2, 2), restart_interval=0,

@@ -7,10 +7,11 @@ tested, and so is the PNG path: a from-scratch decoder (IHDR/IDAT
 chunk walk, zlib inflate, the five scanline filters vectorized with
 numpy) produces true pixel statistics with no imaging library, as is
 the JPEG path (textops/jpeg.py: sequential + progressive, grayscale
-+ YCbCr with subsampling and restart markers). Unsupported shapes
-(arithmetic-coded JPEG, sub-byte PNG) raise ``NotImplementedError`` inside the
-per-document handler and surface as an ``error`` column value, never a
-job failure — the same never-fatal contract as document extraction.
++ YCbCr/CMYK/YCCK with subsampling and restart markers; PNG spans
+1/2/4/8/16-bit depths). Unsupported shapes (arithmetic-coded JPEG)
+raise ``NotImplementedError`` inside the per-document handler and
+surface as an ``error`` column value, never a job failure — the same
+never-fatal contract as document extraction.
 GIF (textops/gif.py: LSB-first LZW, palettes, interlace, animation
 frames with delays), TIFF (textops/tiff.py: none/LZW/PackBits strips,
 horizontal-differencing predictor, WhiteIsZero) and BMP (8-bit
@@ -119,10 +120,12 @@ def decode_png(data: bytes):
     """From-scratch PNG decode -> (width, height, channels, pixel
     ndarray HxWxC — uint8 for 8-bit, uint16 for 16-bit samples).
     Supports all five scanline filters (None/Sub/Up/Average/Paeth),
-    both non-interlaced and Adam7-interlaced layouts, 8- and 16-bit
-    depths — the shapes PDF producers and web scrapers actually emit.
-    Palette images return their index plane. Raises ValueError on
-    malformed streams and NotImplementedError for sub-byte depths."""
+    both non-interlaced and Adam7-interlaced layouts, and 1/2/4/8/16-
+    bit depths — the shapes PDF producers and web scrapers actually
+    emit. Sub-byte grayscale samples are expanded to 8-bit by level
+    replication (0..2^d-1 -> 0..255, exact for 1/2/4); palette images
+    return their raw index plane at every depth. Raises ValueError on
+    malformed streams."""
     import numpy as np
 
     if data[:8] != _PNG_MAGIC:
@@ -146,23 +149,41 @@ def decode_png(data: bytes):
             break
     if width is None:
         raise ValueError("PNG missing IHDR")
-    if bit_depth not in (8, 16):
-        raise NotImplementedError(f"PNG bit depth {bit_depth}")
+    if bit_depth not in (1, 2, 4, 8, 16):
+        raise ValueError(f"PNG bit depth {bit_depth}")
     channels = _PNG_CHANNELS.get(color_type)
     if channels is None:
         raise ValueError(f"PNG color type {color_type}")
-    sb = bit_depth // 8            # bytes per sample
-    bpp = channels * sb
+    if bit_depth < 8 and color_type not in (0, 3):
+        raise ValueError(
+            f"PNG color type {color_type} at depth {bit_depth}")
+    sb = max(1, bit_depth // 8)    # bytes per sample (>= 1 byte)
+    bpp = channels * sb            # filter left-offset, min 1 (spec 9.2)
     raw = zlib.decompress(bytes(idat))
+    # sub-byte gray levels replicate to 8-bit; palette keeps indices
+    expand = (bit_depth < 8 and color_type == 0)
 
     def to_pixels(byte_rows, h, w):
+        if bit_depth < 8:
+            bits = np.unpackbits(byte_rows, axis=1)
+            nsamp = bits.shape[1] // bit_depth
+            weights = 1 << np.arange(bit_depth - 1, -1, -1)
+            samples = (bits[:, : nsamp * bit_depth]
+                       .reshape(h, nsamp, bit_depth) @ weights)
+            samples = samples[:, :w].astype(np.uint8)
+            if expand:
+                samples = samples * (255 // ((1 << bit_depth) - 1))
+            return samples.reshape(h, w, 1)
         if sb == 1:
             return byte_rows.reshape(h, w, channels)
         return (byte_rows.reshape(h, w, channels, 2).astype(np.uint16)[
             ..., 0] << 8) | byte_rows.reshape(h, w, channels, 2)[..., 1]
 
+    def rowbytes(w):
+        return (w * channels * bit_depth + 7) // 8
+
     if not interlace:
-        rows, _ = _unfilter(raw, 0, height, width * bpp, bpp)
+        rows, _ = _unfilter(raw, 0, height, rowbytes(width), bpp)
         return width, height, channels, to_pixels(rows, height, width)
     if interlace != 1:
         raise ValueError(f"PNG interlace method {interlace}")
@@ -174,7 +195,7 @@ def decode_png(data: bytes):
         ph = (height - y0 + dy - 1) // dy
         if pw <= 0 or ph <= 0:
             continue
-        rows, off = _unfilter(raw, off, ph, pw * bpp, bpp)
+        rows, off = _unfilter(raw, off, ph, rowbytes(pw), bpp)
         out[y0::dy, x0::dx] = to_pixels(rows, ph, pw)
     return width, height, channels, out
 
@@ -222,8 +243,9 @@ def encode_png_gray(pixels, cycle_filters: bool = False,
                     bit_depth: int = 8, interlace: bool = False) -> bytes:
     """Minimal grayscale PNG encoder — the fixture writer for the
     decoder's oracle; numpy 2-D uint8 (or uint16 for ``bit_depth=16``,
-    big-endian samples) in, bytes out. ``cycle_filters`` exercises all
-    five reconstruction paths; ``interlace`` writes Adam7 passes."""
+    big-endian samples; values below ``2**bit_depth`` for 1/2/4) in,
+    bytes out. ``cycle_filters`` exercises all five reconstruction
+    paths; ``interlace`` writes Adam7 passes."""
     import numpy as np
 
     if bit_depth == 8:
@@ -233,21 +255,35 @@ def encode_png_gray(pixels, cycle_filters: bool = False,
         px = np.asarray(pixels, dtype=np.uint16)
         byte_img = np.stack([(px >> 8).astype(np.uint8),
                              (px & 0xFF).astype(np.uint8)], axis=-1)
+    elif bit_depth in (1, 2, 4):
+        px = np.asarray(pixels, dtype=np.uint8)  # values < 2**bit_depth
+        byte_img = None
     else:
         raise ValueError(f"bit depth {bit_depth}")
     h, w = px.shape
-    bpp = bit_depth // 8
+    bpp = max(1, bit_depth // 8)
+
+    def pack_rows(sub):
+        """Pack a sub-byte sample matrix into PNG row bytes."""
+        sh, sw = sub.shape
+        weights = 1 << np.arange(bit_depth - 1, -1, -1)
+        bits = ((sub[..., None] & weights) > 0).astype(np.uint8)
+        return np.packbits(bits.reshape(sh, sw * bit_depth), axis=1)
+
     if not interlace:
-        raw = _filter_rows(byte_img.reshape(h, w * bpp), bpp, cycle_filters)
+        rows = (pack_rows(px) if byte_img is None
+                else byte_img.reshape(h, w * bpp))
+        raw = _filter_rows(rows, bpp, cycle_filters)
     else:
         parts = []
         for x0, y0, dx, dy in _ADAM7:
-            sub = byte_img[y0::dy, x0::dx]
+            sub = px[y0::dy, x0::dx] if byte_img is None \
+                else byte_img[y0::dy, x0::dx]
             if sub.shape[0] == 0 or sub.shape[1] == 0:
                 continue
-            parts.append(_filter_rows(
-                sub.reshape(sub.shape[0], sub.shape[1] * bpp), bpp,
-                cycle_filters))
+            rows = (pack_rows(sub) if byte_img is None
+                    else sub.reshape(sub.shape[0], sub.shape[1] * bpp))
+            parts.append(_filter_rows(rows, bpp, cycle_filters))
         raw = b"".join(parts)
 
     def chunk(ctype: bytes, body: bytes) -> bytes:

@@ -14,8 +14,10 @@ def test_codec_ext():
     assert codec_ext([]) == "raw"
 
 
-@pytest.mark.parametrize("doc_id", range(0, 24, 3))
+@pytest.mark.parametrize("doc_id", sorted({*range(0, 24, 3), 2, 4}))
 def test_image_inventory_matches_golden(doc_id):
+    # docs 2 and 4 pin the YCCK (APP14 transform 2) and
+    # /Decode-inverted CMYK DCT variants respectively
     m = build_image_models(doc_id)
     got = extract_images(m["pdf"], with_pixels=True)
     assert len(got) == len(m["expected"])

@@ -40,7 +40,59 @@ def test_malformed_png_raises():
         decode_png(good[:40])
 
 
-def test_sub_byte_depth_rejected():
+@pytest.mark.parametrize("depth", [1, 2, 4])
+@pytest.mark.parametrize("cyc", [False, True])
+def test_sub_byte_gray_roundtrip(depth, cyc):
+    """1/2/4-bit grayscale: samples replicate to 8-bit levels
+    (0..2^d-1 -> 0..255), exact for every depth; widths that don't
+    fill the last row byte exercise the padding crop."""
+    rng = np.random.RandomState(11 * depth)
+    for h, w in ((5, 13), (7, 8), (3, 3)):
+        px = rng.randint(0, 1 << depth, (h, w)).astype(np.uint8)
+        width, height, channels, out = decode_png(
+            encode_png_gray(px, bit_depth=depth, cycle_filters=cyc))
+        assert (width, height, channels) == (w, h, 1)
+        assert np.array_equal(out[:, :, 0],
+                              px * (255 // ((1 << depth) - 1)))
+
+
+@pytest.mark.parametrize("depth", [1, 2, 4])
+def test_sub_byte_adam7_roundtrip(depth):
+    rng = np.random.RandomState(7 + depth)
+    px = rng.randint(0, 1 << depth, (11, 13)).astype(np.uint8)
+    w, h, c, out = decode_png(
+        encode_png_gray(px, bit_depth=depth, interlace=True))
+    assert (w, h, c) == (13, 11, 1)
+    assert np.array_equal(out[:, :, 0],
+                          px * (255 // ((1 << depth) - 1)))
+
+
+def test_sub_byte_palette_keeps_indices():
+    """color type 3 at depth 4: the raw index plane comes back (no
+    level replication), matching the 8-bit palette contract."""
+    import struct
+    import zlib
+
+    px = (np.arange(60, dtype=np.uint8) % 7).reshape(6, 10)
+    gray = encode_png_gray(px, bit_depth=4)
+
+    def chunk(ctype, body):
+        return (struct.pack(">I", len(body)) + ctype + body
+                + struct.pack(">I", zlib.crc32(ctype + body)))
+
+    ihdr = struct.pack(">IIBBBBB", 10, 6, 4, 3, 0, 0, 0)
+    plte = bytes(v for i in range(7) for v in (i * 30, 0, 255 - i * 30))
+    idat_start = gray.find(b"IDAT") - 4
+    iend_start = gray.find(b"IEND") - 4
+    data = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"PLTE", plte) + gray[idat_start:iend_start]
+            + chunk(b"IEND", b""))
+    w, h, c, out = decode_png(data)
+    assert (w, h, c) == (10, 6, 1)
+    assert np.array_equal(out[:, :, 0], px)
+
+
+def test_sub_byte_color_type_combinations_rejected():
     import struct
     import zlib
 
@@ -48,11 +100,12 @@ def test_sub_byte_depth_rejected():
         return (struct.pack(">I", len(body)) + ctype + body
                 + struct.pack(">I", zlib.crc32(ctype + body)))
 
-    ihdr4 = struct.pack(">IIBBBBB", 2, 2, 4, 0, 0, 0, 0)
-    data = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr4)
+    # RGB (color type 2) at depth 4 is illegal per the PNG spec
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 4, 2, 0, 0, 0)
+    data = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
             + chunk(b"IDAT", zlib.compress(b"\x00" * 10))
             + chunk(b"IEND", b""))
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError):
         decode_png(data)
 
 
