@@ -334,7 +334,10 @@ def _q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     graphic-control delays), PCM WAV audio (ids 7000+), SVID videos
     of real JPEG frames (ids 7100+), TIFF (ids 9000+: none/LZW/PackBits
     compressions, horizontal-differencing predictor), BMP (ids 9100+:
-    8-bit paletted + 24-bit, both row orders) and G.711 mu-law WAV
+    8-bit paletted + 24-bit, both row orders; ids 9110+: RGB565
+    bitfields, 32-bit BGRX, RLE8 and RLE4 compression), sub-byte PNG
+    (ids 4100+: 1/2/4-bit gray with level replication, including
+    Adam7 + cycled filters) and G.711 mu-law WAV
     (ids 9200+: the companding round-trip is exact integer math, so
     the mean amplitude reproduces in SQL), and JBIG2 standalone files
     (ids 9400+: MQ-coded generic regions cycling arithmetic template
@@ -507,6 +510,26 @@ def _q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             [g, (g.astype(np.int32) + 9) % 256,
              (g.astype(np.int32) + 77) % 256], -1).astype(np.uint8))
         rows.append((9100 + i, encode_bmp(img, top_down=i % 3 == 0)))
+    from scribe_js_spark.textops.multimodal import encode_bmp_form
+    for i in range(8):  # BMP wider surface: 565 / 32-bit / RLE8 / RLE4
+        w = 16 + i % 8
+        h = 8 + i % 5
+        xs, ys = np.meshgrid(np.arange(w), np.arange(h))
+        g = ((xs * 7 + ys * 13) % 256).astype(np.uint8)
+        form = ["565", "32", "rle8", "rle4"][i % 4]
+        img = (np.stack([g, (g.astype(np.int32) + 9) % 256,
+                         (g.astype(np.int32) + 77) % 256], -1)
+               .astype(np.uint8) if form == "32" else g)
+        rows.append((9110 + i, encode_bmp_form(img, form)))
+    for i in range(12):  # sub-byte PNG (ids 4100+): 1/2/4-bit levels
+        w = 16 + i % 8
+        h = 8 + i % 5
+        d = [1, 2, 4][i % 3]
+        xs, ys = np.meshgrid(np.arange(w), np.arange(h))
+        s = ((xs * 3 + ys * 5) % (1 << d)).astype(np.uint8)
+        rows.append((4100 + i, encode_png_gray(
+            s, bit_depth=d, cycle_filters=i % 2 == 1,
+            interlace=i % 4 == 2)))
     for i in range(5):  # G.711 mu-law WAV: s(j) = ((j*37)%201 - 100)*50
         frames = 800 + 100 * i
         s = (((np.arange(frames, dtype=np.int64) * 37) % 201 - 100)
@@ -2747,6 +2770,55 @@ WHERE len(list_intersect(ta.toks, tb.toks))
                    range(13) y(y)
               WHERE r % 2 = 1
                 AND x.x < (16 + r % 8) AND y.y < (8 + r % 5)
+            ) GROUP BY media_id, w, h
+            UNION ALL
+            -- wider-surface BMP rows (ids 9110+, cycling RGB565
+            -- bitfields / 32-bit BGRX / RLE8 / RLE4 over the gray
+            -- formula g): 565 decodes channels ((g>>3)*255//31,
+            -- (g>>2)*255//63, (g>>3)*255//31); 32-bit carries the
+            -- 24-bit family's channels; RLE8 is the identity gray
+            -- palette; RLE4 quantizes to (g>>4)*17. The channel axis
+            -- is generated so every v is an exact integer.
+            SELECT media_id, 'bmp' AS kind, w::BIGINT AS width,
+                   h::BIGINT AS height, NULL::BIGINT AS n_bytes_simg,
+                   CAST(floor(avg(v) * 1e6) AS BIGINT) AS mean_e6,
+                   NULL::BIGINT AS sample_rate, NULL::BIGINT AS duration_ms,
+                   NULL::BIGINT AS n_frames
+            FROM (
+              SELECT 9110 + r AS media_id, (16 + r % 8) AS w,
+                     (8 + r % 5) AS h,
+                     (CASE r % 4
+                        WHEN 0 THEN [(g // 8) * 255 // 31,
+                                     (g // 4) * 255 // 63,
+                                     (g // 8) * 255 // 31][c.c + 1]
+                        WHEN 1 THEN (g + [0, 9, 77][c.c + 1]) % 256
+                        WHEN 2 THEN g
+                        ELSE (g // 16) * 17
+                      END)::DOUBLE AS v
+              FROM (
+                SELECT t.r AS r, x.x AS x, y.y AS y,
+                       ((x.x * 7 + y.y * 13) % 256) AS g
+                FROM range(8) t(r), range(24) x(x), range(13) y(y)
+                WHERE x.x < (16 + t.r % 8) AND y.y < (8 + t.r % 5)
+              ), range(3) c(c)
+            ) GROUP BY media_id, w, h
+            UNION ALL
+            -- sub-byte PNG rows (ids 4100+, depths cycling 1/2/4):
+            -- sample s = (x*3 + y*5) % 2^d replicates to 8-bit levels
+            -- s * (255 // (2^d - 1))
+            SELECT media_id, 'png' AS kind, w::BIGINT AS width,
+                   h::BIGINT AS height, NULL::BIGINT AS n_bytes_simg,
+                   CAST(floor(avg(v) * 1e6) AS BIGINT) AS mean_e6,
+                   NULL::BIGINT AS sample_rate, NULL::BIGINT AS duration_ms,
+                   NULL::BIGINT AS n_frames
+            FROM (
+              SELECT 4100 + r AS media_id, (16 + r % 8) AS w,
+                     (8 + r % 5) AS h,
+                     (((x.x * 3 + y.y * 5) % ([2, 4, 16][(r % 3) + 1]))
+                      * (255 // ([2, 4, 16][(r % 3) + 1] - 1)))::DOUBLE
+                       AS v
+              FROM range(12) t(r), range(24) x(x), range(13) y(y)
+              WHERE x.x < (16 + r % 8) AND y.y < (8 + r % 5)
             ) GROUP BY media_id, w, h
             UNION ALL
             -- G.711 mu-law WAV rows (ids 9200+): source

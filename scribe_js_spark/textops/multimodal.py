@@ -369,11 +369,78 @@ def encode_netpbm(pixels, binary: bool = True) -> bytes:
     return f"{kind}\n# fixture\n{w} {h} {maxval}\n{nums}\n".encode()
 
 
+def _bmp_rle_indices(data, px_off, w, h, four_bit):
+    """Decode an RLE8/RLE4 pixel stream into an index matrix in
+    storage order (RLE bitmaps are bottom-up by spec; the caller
+    flips). Escapes: 0 = end of line, 1 = end of bitmap, 2 = delta;
+    absolute runs pad to a 16-bit boundary."""
+    import numpy as np
+
+    out = np.zeros((h, w), dtype=np.uint8)
+    x = y = 0
+    i = px_off
+    n = len(data)
+    while i + 1 < n and y < h:
+        cnt, v = data[i], data[i + 1]
+        i += 2
+        if cnt:  # encoded run of cnt pixels
+            if four_bit:
+                hi, lo = v >> 4, v & 0xF
+                for j in range(cnt):
+                    if x < w:
+                        out[y, x] = hi if j % 2 == 0 else lo
+                    x += 1
+            else:
+                end = min(x + cnt, w)
+                if end > x:
+                    out[y, x:end] = v
+                x += cnt
+        elif v == 0:    # end of line
+            y += 1
+            x = 0
+        elif v == 1:    # end of bitmap
+            break
+        elif v == 2:    # delta jump
+            if i + 1 >= n:
+                raise ValueError("bmp: truncated RLE delta")
+            x += data[i]
+            y += data[i + 1]
+            i += 2
+        else:           # absolute run of v literal pixels
+            nbytes = (v + 1) // 2 if four_bit else v
+            if i + nbytes > n:
+                raise ValueError("bmp: truncated RLE literals")
+            chunk = data[i : i + nbytes]
+            i += nbytes + (nbytes & 1)  # word-aligned
+            for j in range(v):
+                val = chunk[j] if not four_bit else (
+                    chunk[j // 2] >> 4 if j % 2 == 0
+                    else chunk[j // 2] & 0xF)
+                if x < w and y < h:
+                    out[y, x] = val
+                x += 1
+    return out
+
+
+def _mask_channel(vals, mask):
+    """Extract one BI_BITFIELDS channel and scale it to 0..255."""
+    import numpy as np
+
+    if mask == 0:
+        return np.zeros(vals.shape, dtype=np.uint8)
+    shift = (mask & -mask).bit_length() - 1
+    top = mask >> shift
+    chan = (vals >> shift) & top
+    return (chan.astype(np.uint32) * 255 // top).astype(np.uint8)
+
+
 def decode_bmp(data: bytes):
     """From-scratch BMP decode -> (width, height, channels, pixels
-    (h, w, c) uint8). Supports the common uncompressed forms: 24-bit
-    BGR and 8-bit paletted, bottom-up or top-down rows, 4-byte row
-    padding. RLE and 16/32-bit variants raise NotImplementedError."""
+    (h, w, c) uint8). Covers the forms crawled corpora carry: 1/4/8-bit
+    paletted, 16-bit (RGB555 default or BI_BITFIELDS masks, e.g. 565),
+    24-bit BGR and 32-bit BGRX/bitfields — bottom-up or top-down rows
+    with 4-byte row padding — plus RLE8/RLE4 compression including
+    end-of-line/delta/absolute escapes."""
     import numpy as np
 
     if data[:2] != b"BM":
@@ -381,33 +448,89 @@ def decode_bmp(data: bytes):
     if len(data) < 54:
         raise ValueError("bmp: truncated header")
     (px_off,) = struct.unpack_from("<I", data, 10)
-    (hdr_size, width, height) = struct.unpack_from("<IiI", data, 14)[:3]
+    (hdr_size,) = struct.unpack_from("<I", data, 14)
     width_i, height_i = struct.unpack_from("<ii", data, 18)
     planes, bpp = struct.unpack_from("<HH", data, 26)
     (compression,) = struct.unpack_from("<I", data, 30)
-    if compression != 0:
+    if compression not in (0, 1, 2, 3):
         raise NotImplementedError(f"bmp: compression {compression}")
-    if bpp not in (8, 24):
+    if bpp not in (1, 4, 8, 16, 24, 32):
         raise NotImplementedError(f"bmp: {bpp}-bit pixels")
     top_down = height_i < 0
     h = abs(height_i)
     w = width_i
     if w <= 0 or h <= 0:
         raise ValueError("bmp: bad dimensions")
-    if bpp == 8:
+
+    def palette():
+        ncol = 0
+        if hdr_size >= 36:
+            (ncol,) = struct.unpack_from("<I", data, 46)
+        ncol = ncol or (1 << bpp)
         pal_off = 14 + hdr_size
-        pal = np.frombuffer(
-            data, dtype=np.uint8, count=256 * 4, offset=pal_off
-        ).reshape(256, 4)[:, :3][:, ::-1]  # BGRX -> RGB
-        stride = (w + 3) & ~3
+        if compression == 3 and hdr_size == 40:
+            pal_off += 12  # three DWORD channel masks precede it
+        avail = max(0, (len(data) - pal_off) // 4)
+        ncol = min(ncol, avail, 256)
+        pal = np.zeros((256, 3), dtype=np.uint8)
+        if ncol:
+            pal[:ncol] = np.frombuffer(
+                data, dtype=np.uint8, count=ncol * 4, offset=pal_off
+            ).reshape(ncol, 4)[:, :3][:, ::-1]  # BGRX -> RGB
+        return pal
+
+    if compression in (1, 2):  # RLE8 / RLE4
+        if bpp != (8 if compression == 1 else 4):
+            raise ValueError(f"bmp: RLE{compression} with {bpp} bpp")
+        idx = _bmp_rle_indices(data, px_off, w, h,
+                               four_bit=compression == 2)
+        return w, h, 3, palette()[idx[::-1]]  # RLE is bottom-up only
+
+    if bpp <= 8:
+        stride = ((w * bpp + 7) // 8 + 3) & ~3
         need = stride * h
         if len(data) < px_off + need:
             raise ValueError("bmp: truncated pixel data")
         rows = np.frombuffer(data, dtype=np.uint8, count=need,
-                             offset=px_off).reshape(h, stride)[:, :w]
+                             offset=px_off).reshape(h, stride)
+        if bpp == 8:
+            idx = rows[:, :w]
+        else:
+            bits = np.unpackbits(rows, axis=1)
+            nsamp = bits.shape[1] // bpp
+            weights = 1 << np.arange(bpp - 1, -1, -1)
+            idx = (bits[:, : nsamp * bpp].reshape(h, nsamp, bpp)
+                   @ weights)[:, :w].astype(np.uint8)
         if not top_down:
-            rows = rows[::-1]
-        return w, h, 3, pal[rows]
+            idx = idx[::-1]
+        return w, h, 3, palette()[idx]
+
+    if bpp in (16, 32):
+        nbytes = bpp // 8
+        stride = (w * nbytes + 3) & ~3
+        need = stride * h
+        if len(data) < px_off + need:
+            raise ValueError("bmp: truncated pixel data")
+        rows = np.frombuffer(data, dtype=np.uint8, count=need,
+                             offset=px_off).reshape(h, stride)
+        dt = np.uint16 if bpp == 16 else np.uint32
+        vals = rows[:, : w * nbytes].reshape(h, w, nbytes)
+        vals = vals.astype(np.uint32)
+        words = sum(vals[..., j] << (8 * j) for j in range(nbytes))
+        words = words.astype(dt)
+        if compression == 3:
+            rm, gm, bm = struct.unpack_from("<III", data, 54)
+        elif bpp == 16:
+            rm, gm, bm = 0x7C00, 0x03E0, 0x001F  # RGB555 default
+        else:
+            rm, gm, bm = 0xFF0000, 0x00FF00, 0x0000FF  # BGRX default
+        px = np.stack([_mask_channel(words, rm),
+                       _mask_channel(words, gm),
+                       _mask_channel(words, bm)], axis=-1)
+        if not top_down:
+            px = px[::-1]
+        return w, h, 3, np.ascontiguousarray(px)
+
     stride = (w * 3 + 3) & ~3
     need = stride * h
     if len(data) < px_off + need:
@@ -451,6 +574,70 @@ def encode_bmp(pixels, top_down: bool = False) -> bytes:
                        1, bpp, 0, len(body), 2835, 2835,
                        256 if bpp == 8 else 0, 0)
     return hdr + info + pal_bytes + body
+
+
+def encode_bmp_form(pixels, form: str) -> bytes:
+    """Fixture writer for the wider BMP decode surface. ``form``:
+    '565'  — (h, w) gray packed as 16-bit BI_BITFIELDS RGB565
+             (channels (g>>3, g>>2, g>>3) scaled back on decode);
+    '32'   — (h, w, 3) RGB stored as 32-bit BGRX words;
+    'rle8' — (h, w) gray as paletted RLE8 runs (identity gray ramp);
+    'rle4' — (h, w) gray quantized to g>>4 as 16-level RLE4
+             (palette j -> j*17, so decode returns (g>>4)*17).
+    Rows are bottom-up (the only legal order for RLE)."""
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    h, w = px.shape[:2]
+
+    def assemble(bpp, body, palette=b"", masks=b"", compression=0,
+                 ncol=0):
+        px_off = 14 + 40 + len(masks) + len(palette)
+        hdr = b"BM" + struct.pack("<IHHI", px_off + len(body), 0, 0,
+                                  px_off)
+        info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, bpp,
+                           compression, len(body), 2835, 2835, ncol, 0)
+        return hdr + info + masks + palette + body
+
+    def rle_body(idx, four_bit):
+        out = bytearray()
+        for y in range(h - 1, -1, -1):
+            row = idx[y]
+            x = 0
+            while x < w:
+                v = int(row[x])
+                n = 1
+                while x + n < w and row[x + n] == v and n < 255:
+                    n += 1
+                out += bytes([n, (v << 4) | v if four_bit else v])
+                x += n
+            out += b"\x00\x00"  # end of line
+        out[-2:] = b"\x00\x01"  # last EOL becomes end of bitmap
+        return bytes(out)
+
+    if form == "565":
+        g = px.astype(np.uint32)
+        words = ((g >> 3) << 11) | ((g >> 2) << 5) | (g >> 3)
+        stride = (w * 2 + 3) & ~3
+        rows = np.zeros((h, stride), dtype=np.uint8)
+        le = words.astype("<u2")[::-1].view(np.uint8).reshape(h, w * 2)
+        rows[:, : w * 2] = le
+        masks = struct.pack("<III", 0xF800, 0x07E0, 0x001F)
+        return assemble(16, bytes(rows), masks=masks, compression=3)
+    if form == "32":
+        rows = np.zeros((h, w, 4), dtype=np.uint8)
+        rows[:, :, :3] = px[::-1, :, ::-1]  # RGB -> BGR, bottom-up
+        return assemble(32, bytes(rows))
+    if form == "rle8":
+        pal = b"".join(bytes([i, i, i, 0]) for i in range(256))
+        return assemble(8, rle_body(px, False), palette=pal,
+                        compression=1, ncol=256)
+    if form == "rle4":
+        pal = b"".join(bytes([i * 17, i * 17, i * 17, 0])
+                       for i in range(16))
+        return assemble(4, rle_body(px >> 4, True), palette=pal,
+                        compression=2, ncol=16)
+    raise ValueError(f"bmp form {form}")
 
 
 def encode_synth_image(width: int, height: int, payload: bytes) -> bytes:

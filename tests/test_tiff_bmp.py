@@ -103,3 +103,162 @@ def test_netpbm_roundtrips():
         decode_netpbm(b"P5 3 3 255\n\x00")  # truncated
     with pytest.raises(ValueError):
         decode_netpbm(b"P7 weird")
+
+
+# ---------------------------------------------------------- BMP forms
+
+def _bmp(w, h, bpp, body, palette=b"", compression=0, masks=b"",
+         top_down=False, clr_used=0):
+    """Hand-build a BITMAPINFOHEADER BMP for decoder tests."""
+    import struct
+
+    px_off = 14 + 40 + len(masks) + len(palette)
+    hdr = b"BM" + struct.pack("<IHHI", px_off + len(body), 0, 0, px_off)
+    info = struct.pack("<IiiHHIIiiII", 40, w, -h if top_down else h,
+                       1, bpp, compression, len(body), 2835, 2835,
+                       clr_used, 0)
+    return hdr + info + masks + palette + body
+
+
+def _pal(colors):
+    return b"".join(bytes([b, g, r, 0]) for r, g, b in colors)
+
+
+def test_bmp_4bit_palette():
+    # 5x3, two nibbles per byte, stride padded to 4
+    colors = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (9, 9, 9)]
+    idx = np.array([[0, 1, 2, 3, 0],
+                    [3, 2, 1, 0, 1],
+                    [1, 1, 2, 2, 3]], dtype=np.uint8)
+    rows = b""
+    for y in range(2, -1, -1):  # bottom-up
+        packed = bytes([(idx[y, 0] << 4) | idx[y, 1],
+                        (idx[y, 2] << 4) | idx[y, 3],
+                        idx[y, 4] << 4])
+        rows += packed + b"\x00"  # pad stride 3 -> 4
+    w, h, c, px = decode_bmp(_bmp(5, 3, 4, rows, _pal(colors),
+                                  clr_used=4))
+    assert (w, h, c) == (5, 3, 3)
+    exp = np.array(colors, dtype=np.uint8)[idx]
+    assert np.array_equal(px, exp)
+
+
+def test_bmp_1bit_palette():
+    colors = [(0, 0, 0), (255, 255, 255)]
+    idx = np.array([[1, 0, 1, 0, 1, 1, 0, 1, 1],
+                    [0, 1, 0, 1, 0, 0, 1, 0, 0]], dtype=np.uint8)
+    rows = b""
+    for y in (1, 0):
+        packed = np.packbits(idx[y]).tobytes()  # 2 bytes for 9 px
+        rows += packed + b"\x00\x00"            # stride 2 -> 4
+    w, h, c, px = decode_bmp(_bmp(9, 2, 1, rows, _pal(colors),
+                                  clr_used=2))
+    assert (w, h, c) == (9, 2, 3)
+    exp = np.array(colors, dtype=np.uint8)[idx]
+    assert np.array_equal(px, exp)
+
+
+def test_bmp_16bit_rgb555_default():
+    import struct
+
+    # one row, two pixels: pure red (31<<10), mid green (16<<5)
+    body = struct.pack("<HH", 31 << 10, 16 << 5)
+    w, h, c, px = decode_bmp(_bmp(2, 1, 16, body))
+    assert (w, h, c) == (2, 1, 3)
+    assert tuple(px[0, 0]) == (255, 0, 0)
+    assert tuple(px[0, 1]) == (0, 16 * 255 // 31, 0)
+
+
+def test_bmp_16bit_bitfields_565():
+    import struct
+
+    masks = struct.pack("<III", 0xF800, 0x07E0, 0x001F)
+    body = struct.pack("<HH", 0xF800, 0x07E0)  # red, green
+    w, h, c, px = decode_bmp(_bmp(2, 1, 16, body, compression=3,
+                                  masks=masks))
+    assert tuple(px[0, 0]) == (255, 0, 0)
+    assert tuple(px[0, 1]) == (0, 255, 0)
+
+
+def test_bmp_32bit_bgrx():
+    import struct
+
+    body = struct.pack("<II", 0x00FF8040, 0x00102030)  # XRGB words
+    w, h, c, px = decode_bmp(_bmp(2, 1, 32, body))
+    assert tuple(px[0, 0]) == (0xFF, 0x80, 0x40)
+    assert tuple(px[0, 1]) == (0x10, 0x20, 0x30)
+
+
+def test_bmp_rle8_runs_absolute_delta():
+    colors = [(10, 10, 10), (200, 0, 0), (0, 200, 0), (0, 0, 200)]
+    # 8x3 bottom-up: row 0 (bottom) = run of 5 idx1 + 3 literal;
+    # EOL; row 1 = delta skip(2,0) then run 6 idx2; EOL;
+    # row 2 = run 8 idx3; end of bitmap
+    stream = bytes([5, 1,              # run of 5 idx1
+                    0, 3, 2, 3, 2, 0,  # absolute 3 literals + pad byte
+                    0, 0,              # EOL
+                    0, 2, 2, 0,        # delta dx=2 dy=0
+                    6, 2,              # run of 6 idx2
+                    0, 0,              # EOL
+                    8, 3,              # full row of idx3
+                    0, 1])             # end of bitmap
+    w, h, c, px = decode_bmp(_bmp(8, 3, 8, stream, _pal(colors),
+                                  compression=1, clr_used=4))
+    pal = np.array(colors, dtype=np.uint8)
+    exp_idx = np.zeros((3, 8), dtype=np.uint8)
+    exp_idx[0] = [1, 1, 1, 1, 1, 2, 3, 2]   # storage row 0 = bottom
+    exp_idx[1] = [0, 0, 2, 2, 2, 2, 2, 2]   # delta leaves 0s
+    exp_idx[2] = [3] * 8
+    assert np.array_equal(px, pal[exp_idx[::-1]])  # flipped to top-down
+
+
+def test_bmp_rle4_runs_and_literals():
+    colors = [(0, 0, 0), (255, 0, 0), (0, 255, 0), (0, 0, 255)]
+    # 6x2 bottom-up: row 0 = run 4 alternating 1,2 + 2 literal (3,0);
+    # row 1 = run 6 of constant 3 (nibbles 3,3)
+    stream = bytes([
+        4, (1 << 4) | 2,          # 1,2,1,2
+        2, (3 << 4) | 0,          # 3,0
+        0, 0,                     # EOL
+        6, (3 << 4) | 3,          # 3 x6
+        0, 1,                     # EOB
+    ])
+    w, h, c, px = decode_bmp(_bmp(6, 2, 4, stream, _pal(colors),
+                                  compression=2, clr_used=4))
+    pal = np.array(colors, dtype=np.uint8)
+    exp_idx = np.array([[1, 2, 1, 2, 3, 0],
+                        [3, 3, 3, 3, 3, 3]], dtype=np.uint8)
+    assert np.array_equal(px, pal[exp_idx[::-1]])
+
+
+def test_bmp_rle_mismatched_bpp_rejected():
+    with pytest.raises(ValueError):
+        decode_bmp(_bmp(4, 1, 8, b"\x00\x01", _pal([(0, 0, 0)] * 2),
+                        compression=2, clr_used=2))
+
+
+@pytest.mark.parametrize("form", ["565", "32", "rle8", "rle4"])
+def test_bmp_form_writer_roundtrip(form):
+    from scribe_js_spark.textops.multimodal import encode_bmp_form
+
+    gray = _gray(21, 13)
+    if form == "32":
+        src = np.stack([gray, (gray.astype(np.int32) + 9) % 256,
+                        (gray.astype(np.int32) + 77) % 256],
+                       -1).astype(np.uint8)
+        exp = src
+    elif form == "565":
+        src = gray
+        r = ((gray >> 3).astype(np.uint32) * 255 // 31).astype(np.uint8)
+        g = ((gray >> 2).astype(np.uint32) * 255 // 63).astype(np.uint8)
+        exp = np.stack([r, g, r], -1)
+    elif form == "rle8":
+        src = gray
+        exp = np.stack([gray] * 3, -1)
+    else:
+        src = gray
+        q = ((gray >> 4) * 17).astype(np.uint8)
+        exp = np.stack([q] * 3, -1)
+    w, h, c, px = decode_bmp(encode_bmp_form(src, form))
+    assert (w, h, c) == (21, 13, 3)
+    assert np.array_equal(px, exp)
