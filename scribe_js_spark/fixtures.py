@@ -3845,13 +3845,15 @@ def build_image_models(doc_id: int, seed: int = SEED_DEFAULT) -> dict:
         # Real JPEG 2000 payloads through textops/jpx_encode, cycling
         # the codec surface: bare reversible codestream, RGB/RCT in a
         # JP2 container, tiled RPCL with layers + per-pass termination
-        # + segmentation symbols, and a pclr-palette JP2 whose
-        # internal palette applies (PDF colourspace is not /Indexed).
+        # + segmentation symbols, a pclr-palette JP2 whose internal
+        # palette applies (PDF colourspace is not /Indexed), and a
+        # 4-component DeviceCMYK codestream (converted through the
+        # same SWOP tail as 4-component DCT).
         import numpy as _np
 
         from .textops.jpx_encode import encode_jpx, wrap_jp2
 
-        jpx_variant = (doc_id // 3) % 4
+        jpx_variant = (doc_id // 3) % 5
         jpx_cs_name = "DeviceGray"
         if jpx_variant == 0:
             gpx = _np.fromfunction(
@@ -3875,7 +3877,7 @@ def build_image_models(doc_id: int, seed: int = SEED_DEFAULT) -> dict:
                              layers=2, per_pass_termination=True,
                              segmentation=True)
             jpx_mean = float(gpx.mean())
-        else:
+        elif jpx_variant == 3:
             lut = _np.array(
                 [[0, 0, 0], [255, 0, 0], [0, 255, 0], [0, 0, 255]],
                 dtype=_np.uint8)
@@ -3887,6 +3889,17 @@ def build_image_models(doc_id: int, seed: int = SEED_DEFAULT) -> dict:
                            palette=lut)
             jpx_mean = float(lut[idx].mean())
             jpx_cs_name = "DeviceRGB"
+        else:
+            from .textops.jpeg import _cmyk_to_rgb
+
+            cpx = _np.fromfunction(
+                lambda y, x, c: (x * 7 + y * 13 + c * 61 + doc_id)
+                % 256, (ht, wd, 4)).astype(_np.uint8)
+            jp2 = encode_jpx(cpx)  # reversible => samples exact
+            jpx_mean = float(_cmyk_to_rgb(
+                [cpx[:, :, i].astype(float) for i in range(4)],
+                None, False).mean())
+            jpx_cs_name = "DeviceCMYK"
         img(f"/Subtype /Image /Width {wd} /Height {ht} "
             f"/ColorSpace /{jpx_cs_name} /BitsPerComponent 8 "
             f"/Filter [/JPXDecode]",

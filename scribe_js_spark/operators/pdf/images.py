@@ -212,6 +212,19 @@ def decode_image_pixels(doc: PdfDocument, obj: StreamObj):
             return arr.reshape(h2, w2)
         if ncomp == 3:
             return arr.reshape(h2, w2, 3)
+        if ncomp == 4:
+            # CMYK codestream (DeviceCMYK JPX): same conversion tail
+            # as 4-component DCT, honoring a /Decode inversion. JPX
+            # has no Adobe YCCK marker, so the transform is None.
+            from ...textops.jpeg import _cmyk_to_rgb
+
+            decode = doc.resolve(d.get("Decode"))
+            invert = (isinstance(decode, list) and len(decode) >= 2
+                      and float(doc.resolve(decode[0]))
+                      > float(doc.resolve(decode[1])))
+            planes = arr.reshape(h2, w2, 4)
+            return _cmyk_to_rgb(
+                [planes[:, :, i] for i in range(4)], None, invert)
         raise NotImplementedError(f"jpx components={ncomp}")
     if codec == "JBIG2Decode":
         from ...textops.jbig2 import decode_jbig2
