@@ -298,13 +298,14 @@ def encode_png_gray(pixels, cycle_filters: bool = False,
 
 
 def decode_netpbm(data: bytes):
-    """Netpbm P2/P3 (ASCII) and P5/P6 (binary) grayscale/RGB decode ->
+    """Netpbm P1/P2/P3 (ASCII) and P4/P5/P6 (binary) decode ->
     (width, height, channels, pixels uint8/uint16). Comments and
     arbitrary whitespace per the spec; maxval > 255 reads two-byte
-    big-endian samples."""
+    big-endian samples. PBM bitmaps (P1/P4) follow the spec's 1=black
+    convention, returned as gray 0/255 with rows byte-padded (P4)."""
     import numpy as np
 
-    if data[:2] not in (b"P2", b"P3", b"P5", b"P6"):
+    if data[:2] not in (b"P1", b"P2", b"P3", b"P4", b"P5", b"P6"):
         raise ValueError("not a netpbm image")
     kind = data[:2].decode()
     pos = 2
@@ -328,8 +329,33 @@ def decode_netpbm(data: bytes):
             raise ValueError("netpbm: truncated header")
         return data[start:pos]
 
-    while len(fields) < 3:
+    bitmap = kind in ("P1", "P4")
+    while len(fields) < (2 if bitmap else 3):
         fields.append(int(next_token()))
+    if bitmap:
+        width, height = fields
+        maxval = 255
+        if width <= 0 or height <= 0:
+            raise ValueError("netpbm: bad header values")
+        if kind == "P1":
+            # ASCII bitmap: bare 0/1 digits, whitespace optional
+            digits = [c - 48 for c in data[pos:] if c in (48, 49)]
+            if len(digits) < width * height:
+                raise ValueError("netpbm: truncated pixel data")
+            bits = np.array(digits[: width * height], dtype=np.uint8)
+        else:
+            pos += 1  # single whitespace after height
+            rowbytes = (width + 7) // 8
+            need = rowbytes * height
+            raw = np.frombuffer(data, dtype=np.uint8,
+                                count=min(need, len(data) - pos),
+                                offset=pos)
+            if len(raw) < need:
+                raise ValueError("netpbm: truncated pixel data")
+            bits = np.unpackbits(raw.reshape(height, rowbytes),
+                                 axis=1)[:, :width].reshape(-1)
+        px = ((1 - bits) * 255).astype(np.uint8)  # 1 = black
+        return width, height, 1, px.reshape(height, width, 1)
     width, height, maxval = fields
     if width <= 0 or height <= 0 or not 0 < maxval < 65536:
         raise ValueError("netpbm: bad header values")
@@ -857,7 +883,7 @@ def _decode_one(data: bytes) -> dict:
         return _media_rec(kind="bmp", width=width, height=height,
                           n_bytes=len(data),
                           mean_byte=float(px.mean()) if px.size else 0.0)
-    if data[:2] in (b"P2", b"P3", b"P5", b"P6"):
+    if data[:2] in (b"P1", b"P2", b"P3", b"P4", b"P5", b"P6"):
         width, height, _c, px = decode_netpbm(data)
         if px.dtype.itemsize == 2:
             px = px >> 8  # 8-bit-equivalent intensity, like 16-bit PNG

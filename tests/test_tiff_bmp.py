@@ -262,3 +262,30 @@ def test_bmp_form_writer_roundtrip(form):
     w, h, c, px = decode_bmp(encode_bmp_form(src, form))
     assert (w, h, c) == (21, 13, 3)
     assert np.array_equal(px, exp)
+
+
+def test_netpbm_bitmaps_p1_p4():
+    from scribe_js_spark.textops.multimodal import decode_netpbm
+
+    bits = np.array([[1, 0, 1, 0, 1, 1, 0, 1, 1],
+                     [0, 1, 0, 1, 0, 0, 1, 0, 0],
+                     [1, 1, 1, 0, 0, 0, 1, 1, 0]], dtype=np.uint8)
+    exp = ((1 - bits) * 255).astype(np.uint8)
+    p1 = ("P1\n# bitmap comment\n9 3\n"
+          + "\n".join(" ".join(str(v) for v in row)
+                      for row in bits)).encode()
+    w, h, c, px = decode_netpbm(p1)
+    assert (w, h, c) == (9, 3, 1)
+    assert np.array_equal(px[:, :, 0], exp)
+    packed = np.packbits(bits, axis=1)  # row-padded to byte boundary
+    p4 = b"P4\n9 3\n" + packed.tobytes()
+    w, h, c, px = decode_netpbm(p4)
+    assert (w, h, c) == (9, 3, 1)
+    assert np.array_equal(px[:, :, 0], exp)
+    # decode_media dispatch
+    from scribe_js_spark.textops.multimodal import _decode_one
+    rec = _decode_one(p4)
+    assert rec["kind"] == "pnm" and rec["error"] is None
+    assert rec["mean_byte"] == exp.mean()
+    with pytest.raises(ValueError):
+        decode_netpbm(b"P4\n9 3\n\x00")  # truncated
