@@ -329,7 +329,10 @@ def _q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     interlaced PNG (ids 5000+), and progressive SOF2 JPEG (ids 6000+
     gray / 6050+ color: spectral-selection + successive-approximation
     scans built from the same quantized coefficients, so the decoded
-    pixels — and the oracle — equal the sequential encodings').
+    pixels — and the oracle — equal the sequential encodings'), and
+    arithmetic-coded SOF9 JPEG (ids 2100+ gray with restart/DAC
+    conditioning variants, 3100+ color: the QM coder and Annex F
+    models over the same quantized coefficients, same-formula oracle).
     Plus GIF animations (ids 8000+: palette + LSB-LZW + interlace,
     graphic-control delays), PCM WAV audio (ids 7000+), SVID videos
     of real JPEG frames (ids 7100+), TIFF (ids 9000+: none/LZW/PackBits
@@ -422,6 +425,27 @@ def _q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         cb = 112 + (i * 3) % 33
         cr = 116 + (i * 5) % 29
         rows.append((6050 + i, encode_jpeg_progressive(
+            lum, np.full((h, w), cb, np.uint8),
+            np.full((h, w), cr, np.uint8),
+            sampling=[(2, 2), (2, 1), (1, 1)][i % 3])))
+    from scribe_js_spark.textops.jpeg_arith import encode_jpeg_arith
+    for i in range(6):  # arithmetic (SOF9) gray, 2000-family formula
+        w = 17 + i % 9
+        h = 9 + i % 7
+        xs, ys = np.meshgrid(np.arange(w), np.arange(h))
+        px = (((xs // 8) * 31 + (ys // 8) * 17) % 256).astype(np.uint8)
+        rows.append((2100 + i, encode_jpeg_arith(
+            px, restart_interval=[0, 3][i % 2],
+            dc_cond=[(0, 1), (1, 3)][i % 2], ac_kx=[5, 20][i % 2])))
+    for i in range(5):  # arithmetic color, 3000-family formula
+        w = 32 + (i % 3) * 16
+        h = 16 + (i % 5) * 16
+        ys, xs = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+        lum = (((xs // 16) * 31 + (ys // 16) * 17) % 160 + 40).astype(
+            np.uint8)
+        cb = 112 + (i * 3) % 33
+        cr = 116 + (i * 5) % 29
+        rows.append((3100 + i, encode_jpeg_arith(
             lum, np.full((h, w), cb, np.uint8),
             np.full((h, w), cr, np.uint8),
             sampling=[(2, 2), (2, 1), (1, 1)][i % 3])))
@@ -2645,7 +2669,7 @@ WHERE len(list_intersect(ta.toks, tb.toks))
               SELECT b.b + r AS media_id, (17 + r % 9) AS w,
                      (9 + r % 7) AS h,
                      (((x.x // 8) * 31 + (y.y // 8) * 17) % 256)::DOUBLE AS v
-              FROM (VALUES (2000, 20), (6000, 5)) b(b, n),
+              FROM (VALUES (2000, 20), (6000, 5), (2100, 6)) b(b, n),
                    range(20) t(r), range(26) x(x), range(16) y(y)
               WHERE r < b.n
                 AND x.x < (17 + r % 9) AND y.y < (9 + r % 7)
@@ -2674,7 +2698,7 @@ WHERE len(list_intersect(ta.toks, tb.toks))
                      + ROUND(-0.344136 * ((112 + (r * 3) % 33) - 128)
                              - 0.714136 * ((116 + (r * 5) % 29) - 128))
                      + ROUND(1.772 * ((112 + (r * 3) % 33) - 128)) AS offsum
-              FROM (VALUES (3000, 15), (6050, 5)) b(b, n),
+              FROM (VALUES (3000, 15), (6050, 5), (3100, 5)) b(b, n),
                    range(15) t(r), range(64) x(x), range(80) y(y)
               WHERE r < b.n
                 AND x.x < (32 + (r % 3) * 16) AND y.y < (16 + (r % 5) * 16)

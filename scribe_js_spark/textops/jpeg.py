@@ -283,20 +283,26 @@ def _decode_scan(reader, scomps, coefs, geom, htables,
     preds = {c["idx"]: 0 for c in scomps}
     eobrun = [0]
 
+    def tbl(kind, tid):
+        t = htables.get((kind, tid))
+        if t is None:
+            raise ValueError(f"jpeg: missing huffman table {kind}/{tid}")
+        return t
+
     def block(c, by, bx, zz):
         if not progressive:
             preds[c["idx"]] = _decode_block_zz(
-                reader, htables[(0, c["dc"])], htables[(1, c["ac"])],
+                reader, tbl(0, c["dc"]), tbl(1, c["ac"]),
                 preds[c["idx"]], zz)
         elif ss == 0:
             preds[c["idx"]] = _dc_scan_block(
                 reader, htables.get((0, c["dc"])), zz,
                 preds[c["idx"]], ah, al)
         elif ah == 0:
-            _ac_first_block(reader, htables[(1, c["ac"])], zz,
+            _ac_first_block(reader, tbl(1, c["ac"]), zz,
                             ss, se, al, eobrun)
         else:
-            _ac_refine_block(reader, htables[(1, c["ac"])], zz,
+            _ac_refine_block(reader, tbl(1, c["ac"]), zz,
                              ss, se, al, eobrun)
 
     def restart(count):
@@ -339,9 +345,11 @@ def decode_jpeg(data: bytes, decode_invert: bool = False) -> np.ndarray:
     baseline/extended sequential (SOF0/SOF1) and progressive (SOF2)
     with spectral selection + successive approximation, interleaved
     and single-component scans, any integer subsampling ratio,
-    8/16-bit quant tables, and DRI/RSTn restart intervals. Arithmetic
-    coding and hierarchical modes raise NotImplementedError — parity
-    with the reference, whose decodeJPEG.js handles SOF0/1/2 only."""
+    8/16-bit quant tables, and DRI/RSTn restart intervals. Sequential
+    arithmetic QM coding (SOF9, with DAC conditioning) decodes through
+    textops/jpeg_arith.py — beyond the reference, whose decodeJPEG.js
+    handles SOF0/1/2 only; progressive-arithmetic (SOF10) and the
+    hierarchical modes raise NotImplementedError."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("jpeg: missing SOI")
     pos = 2
@@ -350,8 +358,11 @@ def decode_jpeg(data: bytes, decode_invert: bool = False) -> np.ndarray:
     w = h = None
     comps: list[dict] = []       # SOF order: id, hs, vs, qid, idx
     progressive = False
+    arithmetic = False
     restart_interval = 0
     adobe_transform = None       # APP14 color-transform flag
+    dc_cond: dict[int, tuple] = {}   # DAC conditioning (L, U) per table
+    ac_cond: dict[int, int] = {}     # DAC conditioning Kx per table
     coefs = None                 # per-comp (bh, bw, 64) int32
     geom = None                  # (hmax, vmax, mcux, mcuy)
     saw_scan = False
@@ -379,9 +390,13 @@ def decode_jpeg(data: bytes, decode_invert: bool = False) -> np.ndarray:
                     qtables[tq] = np.frombuffer(
                         seg[p : p + 64], dtype=np.uint8).astype(np.int32)
                     p += 64
-        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 prog
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC9):
+            # SOF0/1 sequential, SOF2 progressive, SOF9 arithmetic seq
             progressive = marker == 0xC2
+            arithmetic = marker == 0xC9
             _prec, h, w, ncomp = struct.unpack_from(">BHHB", seg, 0)
+            if comps:
+                raise ValueError("jpeg: duplicate SOF")
             if ncomp not in (1, 3, 4):
                 raise NotImplementedError(f"jpeg: {ncomp}-component image")
             for ci in range(ncomp):
@@ -389,8 +404,17 @@ def decode_jpeg(data: bytes, decode_invert: bool = False) -> np.ndarray:
                 comps.append({"id": cid, "hs": hv >> 4, "vs": hv & 0xF,
                               "qid": qid, "idx": ci})
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7,
-                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+                        0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError("jpeg: unsupported SOF mode")
+        elif marker == 0xCC:  # DAC: arithmetic conditioning
+            p = 0
+            while p + 1 < len(seg):
+                cs, val = seg[p], seg[p + 1]
+                p += 2
+                if cs >> 4 == 0:
+                    dc_cond[cs & 0xF] = (val & 0xF, val >> 4)
+                else:
+                    ac_cond[cs & 0xF] = val
         elif marker == 0xC4:  # DHT
             p = 0
             while p < len(seg):
@@ -428,10 +452,20 @@ def decode_jpeg(data: bytes, decode_invert: bool = False) -> np.ndarray:
             for _ in range(ns):
                 cid, tbl = seg[p], seg[p + 1]
                 p += 2
+                if cid not in by_id:
+                    raise ValueError(f"jpeg: scan component {cid}")
                 scomps.append({**by_id[cid], "dc": tbl >> 4,
                                "ac": tbl & 0xF})
             ss, se, ahal = seg[p], seg[p + 1], seg[p + 2]
             ah, al = ahal >> 4, ahal & 0xF
+            if arithmetic:
+                from .jpeg_arith import decode_scan_arith
+
+                pos = decode_scan_arith(
+                    data, pos + seg_len, scomps, coefs, geom,
+                    restart_interval, (dc_cond, ac_cond))
+                saw_scan = True
+                continue
             if progressive and ss == 0 and se != 0:
                 raise ValueError("jpeg: invalid progressive DC band")
             if len(scomps) > 1 and progressive and ss != 0:
@@ -452,7 +486,9 @@ def decode_jpeg(data: bytes, decode_invert: bool = False) -> np.ndarray:
     for c in comps:
         cz = coefs[c["idx"]]
         bh, bw = cz.shape[:2]
-        q = qtables[c["qid"]]
+        q = qtables.get(c["qid"])
+        if q is None:
+            raise ValueError(f"jpeg: missing quant table {c['qid']}")
         deq = np.zeros((bh, bw, 64), dtype=np.float64)
         deq[:, :, ZIGZAG] = cz * q
         blocks = np.einsum("ki,mnij,lj->mnkl", _IDCT,

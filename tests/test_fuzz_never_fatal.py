@@ -195,3 +195,35 @@ def test_jbig2_never_hangs_on_mutations():
                 decode_jbig2(_mutate(base, rng))
             except Exception:
                 pass  # typed errors fine; hangs/allocation bombs not
+
+
+def test_arith_jpeg_never_hangs_on_mutations():
+    """Corrupt SOF9 streams: the QM decoder zero-fills past markers
+    and the magnitude guards bound every loop, so mutations decode to
+    garbage or raise typed errors — never hang. decode_media keeps
+    the never-fatal contract over the same payloads."""
+    from scribe_js_spark.textops.jpeg import decode_jpeg
+    from scribe_js_spark.textops.jpeg_arith import encode_jpeg_arith
+    from scribe_js_spark.textops.multimodal import _decode_one
+
+    rng_px = np.random.RandomState(5)
+    px = rng_px.randint(0, 256, (24, 32)).astype(np.uint8)
+    bases = [encode_jpeg_arith(px),
+             encode_jpeg_arith(px, restart_interval=2),
+             encode_jpeg_arith(px, dc_cond=(1, 3), ac_kx=20)]
+    import struct
+
+    rng = np.random.RandomState(17)
+    for base in bases:
+        for _ in range(40):
+            mutated = _mutate(base, rng)
+            try:
+                decode_jpeg(mutated)
+            except Exception:
+                pass  # typed errors fine; hangs are the failure mode
+            try:
+                rec = _decode_one(mutated)
+                assert rec["kind"] is not None or rec["error"]
+            except (NotImplementedError, ValueError, struct.error,
+                    IndexError):
+                pass  # exactly the types decode_media's net catches
