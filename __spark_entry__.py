@@ -487,6 +487,16 @@ def _q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows.append((9000 + i, encode_tiff(
             px, compression=[1, 5, 32773][i % 3],
             predictor=[1, 2][i % 2])))
+    for i in range(4):  # JPEG-in-TIFF (compression 7, ids 9020+):
+        # blockwise-constant pixels so the DC-only coding is lossless
+        # (the 2000-family argument); odd i split DQT/DHT into the
+        # shared JPEGTables tag
+        w = 17 + i % 9
+        h = 9 + i % 7
+        xs, ys = np.meshgrid(np.arange(w), np.arange(h))
+        px = (((xs // 8) * 31 + (ys // 8) * 17) % 256).astype(np.uint8)
+        rows.append((9020 + i, encode_tiff(
+            px, compression=7, jpeg_tables_split=i % 2 == 1)))
     for i in range(12):  # CCITT fax TIFF: bilevel threshold of gray
         w = 16 + i % 8
         h = 8 + i % 5
@@ -2721,6 +2731,24 @@ WHERE len(list_intersect(ta.toks, tb.toks))
               WHERE x.x < (16 + r % 8) AND y.y < (8 + r % 5)
                 AND r < b.n AND (b.b = 9000 OR r % 2 = 0)
             ) GROUP BY media_id, kind, w, h
+            UNION ALL
+            -- JPEG-in-TIFF rows (ids 9020+, compression 7 with and
+            -- without the shared JPEGTables tag): blockwise-constant
+            -- pixels decode losslessly, so the 2000-family formula
+            -- gives the mean
+            SELECT media_id, 'tiff' AS kind, w::BIGINT AS width,
+                   h::BIGINT AS height, NULL::BIGINT AS n_bytes_simg,
+                   CAST(floor(avg(v) * 1e6) AS BIGINT) AS mean_e6,
+                   NULL::BIGINT AS sample_rate, NULL::BIGINT AS duration_ms,
+                   NULL::BIGINT AS n_frames
+            FROM (
+              SELECT 9020 + r AS media_id, (17 + r % 9) AS w,
+                     (9 + r % 7) AS h,
+                     (((x.x // 8) * 31 + (y.y // 8) * 17) % 256)::DOUBLE
+                       AS v
+              FROM range(4) t(r), range(26) x(x), range(16) y(y)
+              WHERE x.x < (17 + r % 9) AND y.y < (9 + r % 7)
+            ) GROUP BY media_id, w, h
             UNION ALL
             -- CCITT fax TIFF rows (ids 9300+, compressions cycling
             -- MH / G3 1-D / G4 / G3 mixed 2-D):

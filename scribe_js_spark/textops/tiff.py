@@ -6,11 +6,15 @@ EarlyChange flavor shared with PDF streams), PackBits (32773), with
 horizontal differencing (Predictor 2), plus bilevel CCITT fax images
 (1 bit per sample): Modified Huffman (2), Group 3 1-D with EOLs (3)
 and Group 4 / T.6 2-D (4) through the from-scratch ``textops.ccitt``
-codec — fax output expands to 0/255 grayscale. Tiled images,
-JPEG-in-TIFF and other sub-byte depths raise NotImplementedError —
-surfaced as the error column upstream.
+codec — fax output expands to 0/255 grayscale — and new-style
+JPEG-in-TIFF (7, TIFF Technote 2): per-strip JPEG streams through
+``textops.jpeg``, with the shared JPEGTables tag spliced into
+abbreviated strips. Tiled images, old-style JPEG (6) and other
+sub-byte depths raise NotImplementedError — surfaced as the error
+column upstream.
 
-Encoder (fixture side): single-strip writer for the same subset.
+Encoder (fixture side): single-strip writer for the same subset,
+plus a multi-strip JPEG writer (optionally JPEGTables-abbreviated).
 """
 
 from __future__ import annotations
@@ -29,8 +33,9 @@ TAG_STRIP_COUNTS = 279
 TAG_T4_OPTIONS = 292
 TAG_PREDICTOR = 317
 TAG_TILE_WIDTH = 322
+TAG_JPEG_TABLES = 347
 
-_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}
+_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 7: 1}
 
 
 def _packbits_decode(data: bytes) -> bytes:
@@ -102,7 +107,7 @@ def decode_tiff(data: bytes):
             val_off = base + 8
         else:
             (val_off,) = struct.unpack_from(endian + "I", data, base + 8)
-        fmt = {1: "B", 3: "H", 4: "I"}.get(typ)
+        fmt = {1: "B", 3: "H", 4: "I", 7: "B"}.get(typ)
         if fmt is None:
             continue
         try:
@@ -147,6 +152,36 @@ def decode_tiff(data: bytes):
             # WhiteIsZero (fax default): 1 bits are BLACK
             px = 255 - px
         return width, height, 1, px
+    if compression == 6:
+        raise NotImplementedError("tiff: old-style JPEG (compression 6)")
+    if compression == 7:
+        # New-style JPEG (TIFF Technote 2): each strip is a JPEG
+        # stream, optionally abbreviated against a shared JPEGTables
+        # tag (SOI + DQT/DHT segments + EOI) that gets spliced after
+        # the strip's SOI.
+        from .jpeg import decode_jpeg
+
+        offsets = tags.get(TAG_STRIP_OFFSETS)
+        counts = tags.get(TAG_STRIP_COUNTS)
+        if not offsets or not counts:
+            raise ValueError("tiff: missing strip tables")
+        jt = bytes(tags.get(TAG_JPEG_TABLES, []))
+        parts = []
+        for off, cnt in zip(offsets, counts):
+            strip = data[off : off + cnt]
+            if len(strip) < cnt:
+                raise ValueError("tiff: truncated strip")
+            if len(jt) >= 4 and jt[:2] == b"\xff\xd8":
+                strip = b"\xff\xd8" + jt[2:-2] + strip[2:]
+            px = decode_jpeg(strip)
+            if px.ndim == 2:
+                px = px[:, :, None]
+            parts.append(px)
+        px = np.concatenate(parts, axis=0)
+        if px.shape[0] < height or px.shape[1] < width:
+            raise ValueError("tiff: jpeg strips smaller than image")
+        px = np.ascontiguousarray(px[:height, :width])
+        return width, height, px.shape[2], px
     if any(b != 8 for b in bps):
         raise NotImplementedError(f"tiff: {bps} bits per sample")
     predictor = one(TAG_PREDICTOR, 1)
@@ -187,18 +222,56 @@ def decode_tiff(data: bytes):
     return width, height, spp, px
 
 
+def _split_jpeg_tables(stream: bytes):
+    """Full JPEG -> (JPEGTables payload, abbreviated strip stream):
+    DQT/DHT segments move into SOI + tables + EOI; everything else
+    stays in the strip (TIFF Technote 2 abbreviated format)."""
+    tables = bytearray(b"\xff\xd8")
+    rest = bytearray(b"\xff\xd8")
+    pos = 2
+    while pos + 1 < len(stream):
+        marker = stream[pos + 1]
+        if marker == 0xDA:
+            rest += stream[pos:]  # scan header + entropy + EOI
+            break
+        (seg_len,) = struct.unpack_from(">H", stream, pos + 2)
+        seg = stream[pos : pos + 2 + seg_len]
+        (tables if marker in (0xDB, 0xC4) else rest).extend(seg)
+        pos += 2 + seg_len
+    tables += b"\xff\xd9"
+    return bytes(tables), bytes(rest)
+
+
 def encode_tiff(pixels, compression: int = 1, predictor: int = 1,
-                photometric: int = 1, t4_2d: bool = False) -> bytes:
-    """Fixture writer: single-strip little-endian TIFF for uint8
-    (h, w) or (h, w, spp) arrays; compression 1/5/32773, or CCITT
-    fax 2/3/4 (input thresholded at 128 -> bilevel, PhotometricInterp
-    WhiteIsZero)."""
+                photometric: int = 1, t4_2d: bool = False,
+                jpeg_tables_split: bool = False) -> bytes:
+    """Fixture writer: little-endian TIFF for uint8 (h, w) or
+    (h, w, spp) arrays; compression 1/5/32773, CCITT fax 2/3/4 (input
+    thresholded at 128 -> bilevel, PhotometricInterp WhiteIsZero), or
+    new-style JPEG 7 (gray input, strips of 8-row-aligned height;
+    ``jpeg_tables_split`` moves DQT/DHT into a shared JPEGTables
+    tag)."""
     import numpy as np
 
     px = np.asarray(pixels, dtype=np.uint8)
     if px.ndim == 2:
         px = px[:, :, None]
     h, w, spp = px.shape
+    if compression == 7:
+        from .jpeg import encode_jpeg_gray
+
+        assert spp == 1, "fixture JPEG strips are grayscale"
+        strip_h = max(8, ((h + 1) // 2 + 7) & ~7) if h > 16 else h
+        strips = []
+        jt = b""
+        for y0 in range(0, h, strip_h):
+            stream = encode_jpeg_gray(px[y0 : y0 + strip_h, :, 0])
+            if jpeg_tables_split:
+                jt, stream = _split_jpeg_tables(stream)
+            strips.append(stream)
+        return _assemble_tiff_strips(
+            w, h, 1, 7, 1, strips, strip_h,
+            jpeg_tables=jt if jpeg_tables_split else None)
     if compression in (2, 3, 4):
         from .ccitt import encode_g3_2d, encode_g4, encode_mh
 
@@ -232,6 +305,69 @@ def encode_tiff(pixels, compression: int = 1, predictor: int = 1,
 
     return _assemble_tiff(w, h, spp, compression, photometric, strip,
                           bps=8, predictor=predictor)
+
+
+def _assemble_tiff_strips(w, h, spp, compression, photometric, strips,
+                          rows_per_strip, jpeg_tables=None) -> bytes:
+    """Multi-strip little-endian TIFF (the JPEG-in-TIFF fixture
+    shape): per-strip offset/count arrays, optional JPEGTables
+    (UNDEFINED) tag."""
+    n = len(strips)
+    entries = []  # (tag, typ, count, values: list)
+    entries.append((TAG_WIDTH, 4, 1, [w]))
+    entries.append((TAG_HEIGHT, 4, 1, [h]))
+    entries.append((TAG_BPS, 3, 1, [8]))
+    entries.append((TAG_COMPRESSION, 3, 1, [compression]))
+    entries.append((TAG_PHOTOMETRIC, 3, 1, [photometric]))
+    entries.append((TAG_STRIP_OFFSETS, 4, n, [0] * n))
+    entries.append((TAG_SPP, 3, 1, [spp]))
+    entries.append((TAG_ROWS_PER_STRIP, 4, 1, [rows_per_strip]))
+    entries.append((TAG_STRIP_COUNTS, 4, n, [len(s) for s in strips]))
+    if jpeg_tables:
+        entries.append((TAG_JPEG_TABLES, 7, len(jpeg_tables),
+                        list(jpeg_tables)))
+    entries.sort()
+
+    type_size = {3: 2, 4: 4, 7: 1}
+    ifd_off = 8
+    header_end = ifd_off + 2 + 12 * len(entries) + 4
+    # lay out overflow value areas, then strip data
+    overflow_off = header_end
+    value_pos = {}
+    for tag, typ, count, values in entries:
+        if type_size[typ] * count > 4:
+            value_pos[tag] = overflow_off
+            overflow_off += type_size[typ] * count
+    strip_offs = []
+    pos = overflow_off
+    for s in strips:
+        strip_offs.append(pos)
+        pos += len(s)
+
+    def packed(typ, values):
+        fmt = {3: "H", 4: "I", 7: "B"}[typ]
+        return struct.pack("<" + fmt * len(values), *values)
+
+    out = bytearray(b"II*\x00" + struct.pack("<I", ifd_off))
+    out += struct.pack("<H", len(entries))
+    for tag, typ, count, values in entries:
+        if tag == TAG_STRIP_OFFSETS:
+            values = strip_offs
+        out += struct.pack("<HHI", tag, typ, count)
+        if type_size[typ] * count > 4:
+            out += struct.pack("<I", value_pos[tag])
+        else:
+            out += packed(typ, values).ljust(4, b"\x00")
+    out += struct.pack("<I", 0)  # next IFD
+    for tag, typ, count, values in entries:
+        if type_size[typ] * count > 4:
+            if tag == TAG_STRIP_OFFSETS:
+                values = strip_offs
+            assert len(out) == value_pos[tag]
+            out += packed(typ, values)
+    for s in strips:
+        out += s
+    return bytes(out)
 
 
 def _assemble_tiff(w, h, spp, compression, photometric, strip,

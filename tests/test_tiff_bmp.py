@@ -289,3 +289,21 @@ def test_netpbm_bitmaps_p1_p4():
     assert rec["mean_byte"] == exp.mean()
     with pytest.raises(ValueError):
         decode_netpbm(b"P4\n9 3\n\x00")  # truncated
+
+
+@pytest.mark.parametrize("split", [False, True])
+def test_tiff_jpeg_compression7(split):
+    """New-style JPEG in TIFF: multi-strip, with and without the
+    shared JPEGTables tag (abbreviated streams)."""
+    bx, by = np.meshgrid(np.arange(5), np.arange(5))
+    px = np.kron(((bx * 31 + by * 17) % 256).astype(np.uint8),
+                 np.ones((8, 8), np.uint8))
+    data = encode_tiff(px, compression=7, jpeg_tables_split=split)
+    w, h, spp, out = decode_tiff(data)
+    assert (w, h, spp) == (40, 40, 1)
+    assert np.array_equal(out[:, :, 0], px)  # DC-only => lossless
+    if split:
+        # the shared JPEGTables tag dedupes DQT/DHT across strips, so
+        # the abbreviated file is strictly smaller than the full one
+        full = encode_tiff(px, compression=7)
+        assert len(data) < len(full)
