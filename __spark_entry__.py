@@ -332,7 +332,9 @@ def _q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     pixels — and the oracle — equal the sequential encodings'), and
     arithmetic-coded SOF9 JPEG (ids 2100+ gray with restart/DAC
     conditioning variants, 3100+ color: the QM coder and Annex F
-    models over the same quantized coefficients, same-formula oracle).
+    models over the same quantized coefficients, same-formula oracle),
+    and progressive-arithmetic SOF10 (ids 6100+: the Annex G scan
+    ladder at starting precisions 1-3, same-formula oracle).
     Plus GIF animations (ids 8000+: palette + LSB-LZW + interlace,
     graphic-control delays), PCM WAV audio (ids 7000+), SVID videos
     of real JPEG frames (ids 7100+), TIFF (ids 9000+: none/LZW/PackBits
@@ -428,7 +430,17 @@ def _q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             lum, np.full((h, w), cb, np.uint8),
             np.full((h, w), cr, np.uint8),
             sampling=[(2, 2), (2, 1), (1, 1)][i % 3])))
-    from scribe_js_spark.textops.jpeg_arith import encode_jpeg_arith
+    from scribe_js_spark.textops.jpeg_arith import (
+        encode_jpeg_arith,
+        encode_jpeg_arith_progressive,
+    )
+    for i in range(4):  # progressive arithmetic (SOF10) gray, ids 6100+
+        w = 17 + i % 9
+        h = 9 + i % 7
+        xs, ys = np.meshgrid(np.arange(w), np.arange(h))
+        px = (((xs // 8) * 31 + (ys // 8) * 17) % 256).astype(np.uint8)
+        rows.append((6100 + i, encode_jpeg_arith_progressive(
+            px, al=1 + i % 3)))
     for i in range(6):  # arithmetic (SOF9) gray, 2000-family formula
         w = 17 + i % 9
         h = 9 + i % 7
@@ -2679,7 +2691,8 @@ WHERE len(list_intersect(ta.toks, tb.toks))
               SELECT b.b + r AS media_id, (17 + r % 9) AS w,
                      (9 + r % 7) AS h,
                      (((x.x // 8) * 31 + (y.y // 8) * 17) % 256)::DOUBLE AS v
-              FROM (VALUES (2000, 20), (6000, 5), (2100, 6)) b(b, n),
+              FROM (VALUES (2000, 20), (6000, 5), (2100, 6),
+                           (6100, 4)) b(b, n),
                    range(20) t(r), range(26) x(x), range(16) y(y)
               WHERE r < b.n
                 AND x.x < (17 + r % 9) AND y.y < (9 + r % 7)

@@ -346,10 +346,10 @@ def decode_jpeg(data: bytes, decode_invert: bool = False) -> np.ndarray:
     with spectral selection + successive approximation, interleaved
     and single-component scans, any integer subsampling ratio,
     8/16-bit quant tables, and DRI/RSTn restart intervals. Sequential
-    arithmetic QM coding (SOF9, with DAC conditioning) decodes through
-    textops/jpeg_arith.py — beyond the reference, whose decodeJPEG.js
-    handles SOF0/1/2 only; progressive-arithmetic (SOF10) and the
-    hierarchical modes raise NotImplementedError."""
+    (SOF9) and progressive (SOF10) arithmetic QM coding, with DAC
+    conditioning, decode through textops/jpeg_arith.py — beyond the
+    reference, whose decodeJPEG.js handles SOF0/1/2 only; the
+    lossless and hierarchical modes raise NotImplementedError."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("jpeg: missing SOI")
     pos = 2
@@ -390,10 +390,10 @@ def decode_jpeg(data: bytes, decode_invert: bool = False) -> np.ndarray:
                     qtables[tq] = np.frombuffer(
                         seg[p : p + 64], dtype=np.uint8).astype(np.int32)
                     p += 64
-        elif marker in (0xC0, 0xC1, 0xC2, 0xC9):
-            # SOF0/1 sequential, SOF2 progressive, SOF9 arithmetic seq
-            progressive = marker == 0xC2
-            arithmetic = marker == 0xC9
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC9, 0xCA):
+            # SOF0/1 sequential, SOF2 progressive, SOF9/10 arithmetic
+            progressive = marker in (0xC2, 0xCA)
+            arithmetic = marker in (0xC9, 0xCA)
             _prec, h, w, ncomp = struct.unpack_from(">BHHB", seg, 0)
             if comps:
                 raise ValueError("jpeg: duplicate SOF")
@@ -404,7 +404,7 @@ def decode_jpeg(data: bytes, decode_invert: bool = False) -> np.ndarray:
                 comps.append({"id": cid, "hs": hv >> 4, "vs": hv & 0xF,
                               "qid": qid, "idx": ci})
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7,
-                        0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+                        0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError("jpeg: unsupported SOF mode")
         elif marker == 0xCC:  # DAC: arithmetic conditioning
             p = 0
@@ -461,9 +461,18 @@ def decode_jpeg(data: bytes, decode_invert: bool = False) -> np.ndarray:
             if arithmetic:
                 from .jpeg_arith import decode_scan_arith
 
+                if progressive:
+                    if ss == 0 and se != 0:
+                        raise ValueError(
+                            "jpeg: invalid progressive DC band")
+                    if len(scomps) > 1 and ss != 0:
+                        raise ValueError(
+                            "jpeg: interleaved progressive AC scan")
                 pos = decode_scan_arith(
                     data, pos + seg_len, scomps, coefs, geom,
-                    restart_interval, (dc_cond, ac_cond))
+                    restart_interval, (dc_cond, ac_cond),
+                    progressive=progressive, ss=ss, se=se, ah=ah,
+                    al=al)
                 saw_scan = True
                 continue
             if progressive and ss == 0 and se != 0:

@@ -1,20 +1,23 @@
-"""Arithmetic-coded (QM) sequential JPEG — ITU-T T.81 Annexes D and F.
+"""Arithmetic-coded (QM) JPEG — ITU-T T.81 Annexes D, F and G.
 
 The reference's decodeJPEG.js rejects arithmetic SOF markers
 entirely, and so did this repo until now (the honest
 ``NotImplementedError`` stub at jpeg.py's SOF dispatch). Crawled
-corpora do contain SOF9 streams at a low rate, so this module decodes
-sequential arithmetic scans for real: the published T.81 Table D.3
-probability-estimation state machine (the same table libjpeg ships as
-``jaricom.c`` — spec content, unavoidable for any QM codec, like the
-T.4 run-length tables in ``ccitt.py``), byte-stuffed code strings
-(a data 0xFF is written FF 00; FF + anything else is a marker, after
-which the decoder zero-fills per D.2.7), and the Annex F DC/AC
-statistical models with DAC conditioning (L/U for DC, Kx for AC).
-Progressive arithmetic (SOF10) and the hierarchical modes remain an
-honest ``NotImplementedError`` upstream.
+corpora do contain these streams at a low rate, so this module
+decodes both sequential (SOF9) and progressive (SOF10) arithmetic
+scans for real: the published T.81 Table D.3 probability-estimation
+state machine (the same table libjpeg ships as ``jaricom.c`` — spec
+content, unavoidable for any QM codec, like the T.4 run-length
+tables in ``ccitt.py``), byte-stuffed code strings (a data 0xFF is
+written FF 00; FF + anything else is a marker, after which the
+decoder zero-fills per D.2.7), the Annex F DC/AC statistical models
+with DAC conditioning (L/U for DC, Kx for AC), and the Annex G
+progressive models (point-transformed DC first, fixed-bin DC
+refinement, banded AC first, correction-bit AC refinement).
+Lossless and hierarchical modes remain honest
+``NotImplementedError`` upstream.
 
-A matching encoder provides fixtures. External arithmetic sample
+Matching encoders provide fixtures. External arithmetic sample
 streams are unavailable in this sandbox, so the oracle is (a) the
 encoder/decoder roundtrip across coder-stress inputs and (b) pixel
 identity with the Huffman path over identical quantized coefficients
@@ -416,13 +419,20 @@ def _encode_ac_block(enc, stats, fixed, zz, kx):
 
 
 def decode_scan_arith(data, pos, scomps, coefs, geom,
-                      restart_interval, conditioning):
-    """One sequential arithmetic SOS scan into the coefficient arrays;
-    returns the stream position of the terminating marker. Statistics,
-    DC predictors and the coder reinitialize at every RSTn (T.81
-    F.1.4.1); the MCU walk mirrors the Huffman path's."""
+                      restart_interval, conditioning,
+                      progressive=False, ss=0, se=63, ah=0, al=0):
+    """One arithmetic SOS scan into the coefficient arrays; returns
+    the stream position of the terminating marker. Statistics, DC
+    predictors and the coder reinitialize at every RSTn (T.81
+    F.1.4.1); the MCU walk mirrors the Huffman path's. Progressive
+    (SOF10) scans route to the G.2 models: DC first = the sequential
+    DC model over point-transformed diffs, DC refinement = one
+    fixed-bin bit per block, AC first = the sequential AC model over
+    the band, AC refinement = the correction-bit model."""
     hmax, vmax, mcux, mcuy = geom
     dc_cond, ac_cond = conditioning
+    if not 0 <= ss <= se <= 63:
+        raise ValueError(f"jpeg-arith: bad spectral band {ss}..{se}")
 
     def fresh():
         return ({t: new_stats(DC_STAT_BINS)
@@ -440,13 +450,30 @@ def decode_scan_arith(data, pos, scomps, coefs, geom,
         nonlocal dec
         lo, up = dc_cond.get(c["dc"], (0, 1))
         kx = ac_cond.get(c["ac"], 5)
-        new_dc, ctx = _decode_dc(
-            dec, dc_stats[c["dc"]], dc_ctx[c["idx"]],
-            last_dc[c["idx"]], lo, up)
-        last_dc[c["idx"]] = new_dc
-        dc_ctx[c["idx"]] = ctx
-        zz[0] = new_dc
-        _decode_ac_block(dec, ac_stats[c["ac"]], fixed, zz, kx)
+        if not progressive:
+            new_dc, ctx = _decode_dc(
+                dec, dc_stats[c["dc"]], dc_ctx[c["idx"]],
+                last_dc[c["idx"]], lo, up)
+            last_dc[c["idx"]] = new_dc
+            dc_ctx[c["idx"]] = ctx
+            zz[0] = new_dc
+            _decode_ac_block(dec, ac_stats[c["ac"]], fixed, zz, kx)
+        elif ss == 0 and ah == 0:  # DC first (point-transformed)
+            new_dc, ctx = _decode_dc(
+                dec, dc_stats[c["dc"]], dc_ctx[c["idx"]],
+                last_dc[c["idx"]], lo, up)
+            last_dc[c["idx"]] = new_dc
+            dc_ctx[c["idx"]] = ctx
+            zz[0] = new_dc << al
+        elif ss == 0:  # DC refinement: one fixed-bin bit
+            if dec.decode(fixed, 0):
+                zz[0] |= 1 << al
+        elif ah == 0:
+            _decode_ac_first_block(dec, ac_stats[c["ac"]], fixed, zz,
+                                   kx, ss, se, al)
+        else:
+            _decode_ac_refine_block(dec, ac_stats[c["ac"]], fixed, zz,
+                                    ss, se, al)
 
     def restart(count):
         nonlocal dec, dc_stats, ac_stats, fixed, last_dc, dc_ctx
@@ -583,5 +610,306 @@ def encode_jpeg_arith(y, cb=None, cr=None, sampling=(2, 2),
                                          ac_kx)
             n += 1
     out += enc.flush()
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+# -------------------------------------- progressive (SOF10) models
+
+def _decode_dc_first(dec, stats, ctx, last, lo, up, al):
+    """Progressive DC first scan: the sequential DC model over the
+    point-transformed differences; the decoded value lands at
+    ``<< al``."""
+    new_last, new_ctx = _decode_dc(dec, stats, ctx, last, lo, up)
+    return new_last, new_ctx
+
+
+def _decode_ac_first_block(dec, stats, fixed, zz, kx, ss, se, al):
+    """Progressive AC first scan over [ss, se]: the sequential AC
+    model with values shifted into position ``<< al``."""
+    k = ss
+    while k <= se:
+        st = 3 * (k - 1)
+        if dec.decode(stats, st):  # EOB
+            return
+        while dec.decode(stats, st + 1) == 0:
+            k += 1
+            if k > se:
+                raise ValueError("jpeg-arith: AC band overflow")
+            st = 3 * (k - 1)
+        sign = dec.decode(fixed, 0)
+        st += 2
+        m = dec.decode(stats, st)
+        if m:
+            if dec.decode(stats, st):
+                m = 2
+                st = 189 if k <= kx else 217
+                while dec.decode(stats, st):
+                    m <<= 1
+                    if m == 0x8000:
+                        raise ValueError(
+                            "jpeg-arith: AC magnitude overflow")
+                    st += 1
+        v = m
+        st += 14
+        m >>= 1
+        while m:
+            if dec.decode(stats, st):
+                v |= m
+            m >>= 1
+        v += 1
+        zz[k] = (-v if sign else v) << al
+        k += 1
+
+
+def _decode_ac_refine_block(dec, stats, fixed, zz, ss, se, al):
+    """Progressive AC refinement (T.81 G.2 / the correction-bit
+    model): previously-nonzero coefficients take a correction bit at
+    st+2; newly-nonzero ones appear via st+1 with a fixed-bin sign;
+    the EOB flag only gates positions beyond the previous scan's
+    last nonzero."""
+    p1 = 1 << al
+    m1 = -1 << al
+    kex = se
+    while kex >= ss and zz[kex] == 0:
+        kex -= 1
+    k = ss
+    while k <= se:
+        st = 3 * (k - 1)
+        if k > kex:
+            if dec.decode(stats, st):
+                return
+        while True:
+            if zz[k]:
+                if dec.decode(stats, st + 2):
+                    zz[k] += m1 if zz[k] < 0 else p1
+                break
+            if dec.decode(stats, st + 1):
+                zz[k] = m1 if dec.decode(fixed, 0) else p1
+                break
+            st += 3
+            k += 1
+            if k > se:
+                raise ValueError("jpeg-arith: AC refine overflow")
+        k += 1
+
+
+def _encode_ac_first_block(enc, stats, fixed, zz, kx, ss, se, al):
+    """Mirror of :func:`_decode_ac_first_block` over ``zz >> al``."""
+    band = {k: int(zz[k]) >> al if zz[k] >= 0
+            else -((-int(zz[k])) >> al) for k in range(ss, se + 1)}
+    ke = se
+    while ke >= ss and band[ke] == 0:
+        ke -= 1
+    k = ss
+    while k <= ke:
+        st = 3 * (k - 1)
+        enc.code(stats, st, 0)
+        while band[k] == 0:
+            enc.code(stats, st + 1, 0)
+            k += 1
+            st = 3 * (k - 1)
+        enc.code(stats, st + 1, 1)
+        val = band[k]
+        sign = 1 if val < 0 else 0
+        enc.code(fixed, 0, sign)
+        mag = -val if sign else val
+        st += 2
+        v = mag - 1
+        if v == 0:
+            enc.code(stats, st, 0)
+            m_final = 0
+        elif v == 1:
+            enc.code(stats, st, 1)
+            enc.code(stats, st, 0)
+            m_final = 1
+        else:
+            enc.code(stats, st, 1)
+            enc.code(stats, st, 1)
+            m = 2
+            st = 189 if k <= kx else 217
+            while (m << 1) <= v:
+                enc.code(stats, st, 1)
+                m <<= 1
+                st += 1
+            enc.code(stats, st, 0)
+            m_final = m
+        st += 14
+        bit = m_final >> 1
+        while bit:
+            enc.code(stats, st, 1 if v & bit else 0)
+            bit >>= 1
+        k += 1
+    if k <= se:
+        enc.code(stats, 3 * (k - 1), 1)  # EOB
+
+
+def _encode_ac_refine_block(enc, stats, fixed, prev, cur, ss, se, al):
+    """Mirror of :func:`_decode_ac_refine_block`. ``prev`` holds the
+    band as the decoder knows it so far (values at precision al+1);
+    ``cur`` the full-precision targets."""
+    kex = se
+    while kex >= ss and prev[kex] == 0:
+        kex -= 1
+    ke = se
+    while ke >= ss and (cur[ke] >> al if cur[ke] >= 0
+                        else -((-cur[ke]) >> al)) == 0:
+        ke -= 1
+    k = ss
+    while k <= ke:
+        st = 3 * (k - 1)
+        if k > kex:
+            enc.code(stats, st, 0)  # not EOB yet
+        while True:
+            tv = cur[k] >> al if cur[k] >= 0 else -((-cur[k]) >> al)
+            if prev[k]:
+                # correction bit: does the target at this precision
+                # (tv, re-scaled) extend the visible magnitude?
+                bit = 1 if (tv << al) != prev[k] else 0
+                enc.code(stats, st + 2, bit)
+                if bit:
+                    prev[k] += (-1 << al) if prev[k] < 0 else (1 << al)
+                break
+            if tv:
+                enc.code(stats, st + 1, 1)
+                enc.code(fixed, 0, 1 if tv < 0 else 0)
+                prev[k] = (-1 << al) if tv < 0 else (1 << al)
+                break
+            enc.code(stats, st + 1, 0)
+            st += 3
+            k += 1
+        k += 1
+    if ke < se and k <= se:
+        st = 3 * (k - 1)
+        if k > kex:
+            enc.code(stats, st, 1)  # EOB
+
+
+def encode_jpeg_arith_progressive(y, cb=None, cr=None, sampling=(2, 2),
+                                  qtable=None, al: int = 1) -> bytes:
+    """Progressive arithmetic (SOF10) fixture encoder mirroring
+    encode_jpeg_progressive's scan ladder: an interleaved DC-first
+    scan at ``Al=al``, per-component AC-first scans over bands 1-5
+    and 6-63 at the same precision, then DC and AC refinement passes
+    down to full precision. Decoded pixels equal the sequential
+    encodings of the same coefficients (tested bit-for-bit)."""
+    import struct
+
+    import numpy as np
+
+    from .jpeg import QTABLE_FIXTURE, _pad_to_blocks, _quantized_coefs, _seg
+
+    y = np.asarray(y, dtype=np.uint8)
+    h, w = y.shape
+    q = (QTABLE_FIXTURE if qtable is None
+         else np.asarray(qtable, dtype=np.int32).reshape(64))
+    color = cb is not None
+    if color:
+        hs, vs = sampling
+        mcux = (w + 8 * hs - 1) // (8 * hs)
+        mcuy = (h + 8 * vs - 1) // (8 * vs)
+        ypad = _pad_to_blocks(y, mcuy * vs * 8, mcux * hs * 8)
+        planes = [ypad]
+        for c in (cb, cr):
+            cpad = _pad_to_blocks(np.asarray(c, dtype=np.uint8),
+                                  mcuy * vs * 8, mcux * hs * 8)
+            planes.append(np.round(cpad.reshape(
+                mcuy * 8, vs, mcux * 8, hs).mean(axis=(1, 3))))
+        samp = [(hs, vs), (1, 1), (1, 1)]
+    else:
+        mcux = (w + 7) // 8
+        mcuy = (h + 7) // 8
+        planes = [_pad_to_blocks(y, mcuy * 8, mcux * 8)]
+        samp = [(1, 1)]
+    coefs = _quantized_coefs(planes, samp, q)
+    ncomp = len(coefs)
+    # the decoder-visible band state for refinement scans
+    vis = [np.zeros_like(c) for c in coefs]
+
+    out = bytearray(b"\xff\xd8")
+    out += _seg(0xDB, bytes([0x00]) + bytes(int(v) for v in q))
+    if color:
+        sof_comps = bytes([1, (samp[0][0] << 4) | samp[0][1], 0,
+                           2, 0x11, 0, 3, 0x11, 0])
+        out += _seg(0xCA, struct.pack(">BHHB", 8, h, w, 3) + sof_comps)
+    else:
+        out += _seg(0xCA, struct.pack(">BHHB", 8, h, w, 1)
+                    + bytes([1, 0x11, 0]))
+    out += _seg(0xCC, bytes([0x00, 0x10, 0x10, 5]))  # L=0 U=1 Kx=5
+
+    def sos(comp_ids, ss, se, ah, al_):
+        body = bytes([len(comp_ids)])
+        for cid in comp_ids:
+            body += bytes([cid, 0x00])
+        return _seg(0xDA, body + bytes([ss, se, (ah << 4) | al_]))
+
+    def mcu_blocks():
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for ci in range(ncomp):
+                    chs, cvs = samp[ci]
+                    for v in range(cvs):
+                        for u in range(chs):
+                            yield ci, my * cvs + v, mx * chs + u
+
+    # ---- DC first scan (interleaved, Al=al)
+    out += sos(list(range(1, ncomp + 1)), 0, 0, 0, al)
+    enc = ArithEncoder()
+    dc_stats = new_stats(DC_STAT_BINS)
+    last_dc = [0] * ncomp
+    dc_ctx = [0] * ncomp
+    for ci, by, bx in mcu_blocks():
+        v = int(coefs[ci][by, bx, 0]) >> al
+        dc_ctx[ci] = _encode_dc(enc, dc_stats, dc_ctx[ci],
+                                v - last_dc[ci], 0, 1)
+        last_dc[ci] = v
+        vis[ci][by, bx, 0] = v << al
+    out += enc.flush()
+
+    # ---- AC first scans per component, bands 1-5 / 6-63 at Al=al
+    for ci in range(ncomp):
+        bh, bw = coefs[ci].shape[:2]
+        for ss_, se_ in ((1, 5), (6, 63)):
+            out += sos([ci + 1], ss_, se_, 0, al)
+            enc = ArithEncoder()
+            ac_stats = new_stats(AC_STAT_BINS)
+            fixed = fixed_stats()
+            for bi in range(bh * bw):
+                by, bx = divmod(bi, bw)
+                zz = coefs[ci][by, bx]
+                _encode_ac_first_block(enc, ac_stats, fixed, zz, 5,
+                                       ss_, se_, al)
+                for k in range(ss_, se_ + 1):
+                    t = int(zz[k])
+                    vis[ci][by, bx, k] = \
+                        (t >> al if t >= 0 else -((-t) >> al)) << al
+            out += enc.flush()
+
+    # ---- successive refinements down to full precision
+    for lvl in range(al - 1, -1, -1):
+        out += sos(list(range(1, ncomp + 1)), 0, 0, lvl + 1, lvl)
+        enc = ArithEncoder()
+        fixed = fixed_stats()
+        for ci, by, bx in mcu_blocks():
+            enc.code(fixed, 0, (int(coefs[ci][by, bx, 0]) >> lvl) & 1)
+            vis[ci][by, bx, 0] |= ((int(coefs[ci][by, bx, 0]) >> lvl)
+                                   & 1) << lvl
+        out += enc.flush()
+        for ci in range(ncomp):
+            bh, bw = coefs[ci].shape[:2]
+            for ss_, se_ in ((1, 5), (6, 63)):
+                out += sos([ci + 1], ss_, se_, lvl + 1, lvl)
+                enc = ArithEncoder()
+                ac_stats = new_stats(AC_STAT_BINS)
+                fixed = fixed_stats()
+                for bi in range(bh * bw):
+                    by, bx = divmod(bi, bw)
+                    prev = [int(v) for v in vis[ci][by, bx]]
+                    cur = [int(v) for v in coefs[ci][by, bx]]
+                    _encode_ac_refine_block(enc, ac_stats, fixed,
+                                            prev, cur, ss_, se_, lvl)
+                    vis[ci][by, bx] = prev
+                out += enc.flush()
+
     out += b"\xff\xd9"
     return bytes(out)

@@ -8,11 +8,12 @@ chunk walk, zlib inflate, the five scanline filters vectorized with
 numpy) produces true pixel statistics with no imaging library, as is
 the JPEG path (textops/jpeg.py: sequential + progressive, grayscale
 + YCbCr/CMYK/YCCK with subsampling and restart markers, plus
-sequential arithmetic QM coding via textops/jpeg_arith.py; PNG spans
-1/2/4/8/16-bit depths). Unsupported shapes (progressive-arithmetic
-and hierarchical JPEG) raise ``NotImplementedError`` inside the
-per-document handler and surface as an ``error`` column value, never
-a job failure — the same never-fatal contract as document extraction.
+sequential AND progressive arithmetic QM coding via
+textops/jpeg_arith.py; PNG spans 1/2/4/8/16-bit depths). Unsupported
+shapes (lossless and hierarchical JPEG) raise
+``NotImplementedError`` inside the per-document handler and surface
+as an ``error`` column value, never a job failure — the same
+never-fatal contract as document extraction.
 GIF (textops/gif.py: LSB-first LZW, palettes, interlace, animation
 frames with delays), TIFF (textops/tiff.py: none/LZW/PackBits strips,
 horizontal-differencing predictor, WhiteIsZero) and BMP (8-bit

@@ -42,13 +42,14 @@ def test_random_noise_exercises_zrl_and_high_categories():
     assert dec.shape == px.shape  # decodes cleanly; lossy by design
 
 
-def test_progressive_arithmetic_rejected_honestly():
-    # sequential arithmetic (SOF9) decodes for real now
-    # (tests/test_jpeg_arith.py); SOF10 stays an honest rejection
+def test_lossless_arithmetic_rejected_honestly():
+    # sequential (SOF9) AND progressive (SOF10) arithmetic decode for
+    # real now (tests/test_jpeg_arith.py); the lossless/hierarchical
+    # modes stay honest rejections
     px = _block_image(2, 2)
     data = bytearray(encode_jpeg_gray(px))
     i = bytes(data).find(b"\xff\xc0")
-    data[i + 1] = 0xCA  # flip SOF0 -> SOF10 (arithmetic progressive)
+    data[i + 1] = 0xCB  # flip SOF0 -> SOF11 (arithmetic lossless)
     with pytest.raises(NotImplementedError):
         decode_jpeg_gray(bytes(data))
 
@@ -67,7 +68,7 @@ def test_decode_media_surfaces_jpeg_and_errors(spark):
     good = encode_jpeg_gray(px)
     bad = bytearray(good)
     i = bytes(bad).find(b"\xff\xc0")
-    bad[i + 1] = 0xCA  # progressive-arithmetic SOF: honest rejection
+    bad[i + 1] = 0xCB  # lossless-arithmetic SOF: honest rejection
     corrupt = bytearray(good)
     corrupt[i + 1] = 0xC2  # progressive SOF over a baseline scan header
     df = spark.createDataFrame(

@@ -134,13 +134,48 @@ def test_gray_restart_interval():
         assert np.array_equal(a, decode_jpeg(encode_jpeg_gray(px)))
 
 
-def test_progressive_arithmetic_still_rejected():
+def test_lossless_arithmetic_still_rejected():
     px = _block(2, 2)
     data = bytearray(encode_jpeg_arith(px))
     i = bytes(data).find(b"\xff\xc9")
-    data[i + 1] = 0xCA  # SOF10: progressive arithmetic
+    data[i + 1] = 0xCB  # SOF11: lossless arithmetic
     with pytest.raises(NotImplementedError):
         decode_jpeg(bytes(data))
+
+
+def test_progressive_arith_equals_huffman():
+    """SOF10: the full scan ladder (DC first + bands + DC/AC
+    refinements) reconstructs exactly the sequential decoding of the
+    same quantized coefficients, at every starting precision."""
+    rng = np.random.RandomState(7)
+    nz = rng.randint(0, 256, (24, 24)).astype(np.uint8)
+    g = np.clip(np.add.outer(np.arange(40) * 3, np.arange(56) * 2),
+                0, 255).astype(np.uint8)
+    from scribe_js_spark.textops.jpeg_arith import (
+        encode_jpeg_arith_progressive,
+    )
+
+    for im in (nz, g, _block(3, 2)):
+        for al in (1, 2, 3):
+            a = decode_jpeg(encode_jpeg_arith_progressive(im, al=al))
+            assert np.array_equal(a, decode_jpeg(encode_jpeg_gray(im)))
+
+
+@pytest.mark.parametrize("sampling", [(2, 2), (2, 1), (1, 1)])
+def test_progressive_arith_color_equals_huffman(sampling):
+    from scribe_js_spark.textops.jpeg_arith import (
+        encode_jpeg_arith_progressive,
+    )
+
+    rng = np.random.RandomState(19)
+    h, w = 48, 32
+    lum = rng.randint(30, 220, (h, w)).astype(np.uint8)
+    cb = rng.randint(100, 150, (h, w)).astype(np.uint8)
+    cr = rng.randint(100, 150, (h, w)).astype(np.uint8)
+    a = decode_jpeg(encode_jpeg_arith_progressive(
+        lum, cb, cr, sampling=sampling, al=2))
+    b = decode_jpeg(encode_jpeg_ycbcr(lum, cb, cr, sampling=sampling))
+    assert np.array_equal(a, b)
 
 
 def test_truncated_arith_stream_never_hangs():
