@@ -338,7 +338,8 @@ def _q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plus GIF animations (ids 8000+: palette + LSB-LZW + interlace,
     graphic-control delays), PCM WAV audio (ids 7000+), SVID videos
     of real JPEG frames (ids 7100+), TIFF (ids 9000+: none/LZW/PackBits
-    compressions, horizontal-differencing predictor), BMP (ids 9100+:
+    compressions, horizontal-differencing predictor; ids 9030+: tiled
+    8x8 mosaics of the same formulas), BMP (ids 9100+:
     8-bit paletted + 24-bit, both row orders; ids 9110+: RGB565
     bitfields, 32-bit BGRX, RLE8 and RLE4 compression), sub-byte PNG
     (ids 4100+: 1/2/4-bit gray with level replication, including
@@ -498,6 +499,16 @@ def _q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         px = ((xs * 7 + ys * 13) % 256).astype(np.uint8)
         rows.append((9000 + i, encode_tiff(
             px, compression=[1, 5, 32773][i % 3],
+            predictor=[1, 2][i % 2])))
+    from scribe_js_spark.textops.tiff import encode_tiff_tiled
+    for i in range(3):  # tiled TIFF (ids 9030+): 8x8 tile mosaic,
+        # lossless compressions over the gray formula
+        w = 16 + i % 8
+        h = 8 + i % 5
+        xs, ys = np.meshgrid(np.arange(w), np.arange(h))
+        px = ((xs * 7 + ys * 13) % 256).astype(np.uint8)
+        rows.append((9030 + i, encode_tiff_tiled(
+            px, tile=(8, 8), compression=[1, 5, 32773][i % 3],
             predictor=[1, 2][i % 2])))
     for i in range(4):  # JPEG-in-TIFF (compression 7, ids 9020+):
         # blockwise-constant pixels so the DC-only coding is lossless
@@ -2739,10 +2750,11 @@ WHERE len(list_intersect(ta.toks, tb.toks))
               SELECT b.b + r AS media_id, b.k AS kind, (16 + r % 8) AS w,
                      (8 + r % 5) AS h,
                      ((x.x * 7 + y.y * 13) % 256)::DOUBLE AS v
-              FROM (VALUES (9000, 'tiff', 10), (9100, 'bmp', 10)) b(b, k, n),
+              FROM (VALUES (9000, 'tiff', 10), (9100, 'bmp', 10),
+                           (9030, 'tiff', 3)) b(b, k, n),
                    range(10) t(r), range(24) x(x), range(13) y(y)
               WHERE x.x < (16 + r % 8) AND y.y < (8 + r % 5)
-                AND r < b.n AND (b.b = 9000 OR r % 2 = 0)
+                AND r < b.n AND (b.b <> 9100 OR r % 2 = 0)
             ) GROUP BY media_id, kind, w, h
             UNION ALL
             -- JPEG-in-TIFF rows (ids 9020+, compression 7 with and

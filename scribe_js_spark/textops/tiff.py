@@ -9,12 +9,14 @@ and Group 4 / T.6 2-D (4) through the from-scratch ``textops.ccitt``
 codec — fax output expands to 0/255 grayscale — and new-style
 JPEG-in-TIFF (7, TIFF Technote 2): per-strip JPEG streams through
 ``textops.jpeg``, with the shared JPEGTables tag spliced into
-abbreviated strips. Tiled images, old-style JPEG (6) and other
-sub-byte depths raise NotImplementedError — surfaced as the error
-column upstream.
+abbreviated strips — and tiled layouts (TIFF 6.0 §15) for the
+none/LZW/PackBits compressions with per-tile predictor support.
+Old-style JPEG (6), tiled JPEG/fax and other sub-byte depths raise
+NotImplementedError — surfaced as the error column upstream.
 
 Encoder (fixture side): single-strip writer for the same subset,
-plus a multi-strip JPEG writer (optionally JPEGTables-abbreviated).
+plus multi-strip JPEG (optionally JPEGTables-abbreviated) and tiled
+writers.
 """
 
 from __future__ import annotations
@@ -33,6 +35,9 @@ TAG_STRIP_COUNTS = 279
 TAG_T4_OPTIONS = 292
 TAG_PREDICTOR = 317
 TAG_TILE_WIDTH = 322
+TAG_TILE_LENGTH = 323
+TAG_TILE_OFFSETS = 324
+TAG_TILE_COUNTS = 325
 TAG_JPEG_TABLES = 347
 
 _TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 7: 1}
@@ -120,8 +125,6 @@ def decode_tiff(data: bytes):
         v = tags.get(tag)
         return v[0] if v else default
 
-    if TAG_TILE_WIDTH in tags:
-        raise NotImplementedError("tiff: tiled layout")
     width = one(TAG_WIDTH)
     height = one(TAG_HEIGHT)
     if not width or not height:
@@ -129,6 +132,58 @@ def decode_tiff(data: bytes):
     spp = one(TAG_SPP, 1)
     bps = tags.get(TAG_BPS, [8])
     compression = one(TAG_COMPRESSION, 1)
+    if TAG_TILE_WIDTH in tags:
+        # Tiled layout (TIFF 6.0 §15): a row-major grid of
+        # tw x th tiles, each compressed independently and padded to
+        # full tile size; the assembled mosaic is cropped to the
+        # image dims. Predictor 2 applies within each tile row.
+        if any(b != 8 for b in bps):
+            raise NotImplementedError(f"tiff: tiled {bps}-bit")
+        if compression not in (1, 5, 32773):
+            raise NotImplementedError(
+                f"tiff: tiled compression {compression}")
+        tw = one(TAG_TILE_WIDTH)
+        th = one(TAG_TILE_LENGTH)
+        offsets = tags.get(TAG_TILE_OFFSETS)
+        counts = tags.get(TAG_TILE_COUNTS)
+        if not tw or not th or not offsets or not counts:
+            raise ValueError("tiff: missing tile tables")
+        ntx = (width + tw - 1) // tw
+        nty = (height + th - 1) // th
+        if len(offsets) < ntx * nty or len(counts) < ntx * nty:
+            raise ValueError("tiff: short tile tables")
+        predictor = one(TAG_PREDICTOR, 1)
+        mosaic = np.zeros((nty * th, ntx * tw, spp), dtype=np.uint8)
+        for ti in range(ntx * nty):
+            chunk = data[offsets[ti] : offsets[ti] + counts[ti]]
+            if len(chunk) < counts[ti]:
+                raise ValueError("tiff: truncated tile")
+            if compression == 5:
+                from ..operators.pdf.document import _lzw_decode
+
+                raw = _lzw_decode(chunk, early_change=1)
+            elif compression == 32773:
+                raw = _packbits_decode(chunk)
+            else:
+                raw = chunk
+            need = tw * th * spp
+            if len(raw) < need:
+                raise ValueError("tiff: truncated tile data")
+            tile = np.frombuffer(bytes(raw), dtype=np.uint8,
+                                 count=need).reshape(th, tw, spp)
+            if predictor == 2:
+                tile = np.cumsum(tile.astype(np.int64),
+                                 axis=1).astype(np.uint8)
+            elif predictor != 1:
+                raise NotImplementedError(
+                    f"tiff: predictor {predictor}")
+            ty, tx = divmod(ti, ntx)
+            mosaic[ty * th : (ty + 1) * th,
+                   tx * tw : (tx + 1) * tw] = tile
+        px = np.ascontiguousarray(mosaic[:height, :width])
+        if one(TAG_PHOTOMETRIC, 1) == 0:
+            px = (255 - px.astype(np.int16)).astype(np.uint8)
+        return width, height, spp, px
     if compression in (2, 3, 4):
         # CCITT fax: bilevel, whole image in one strip run
         if any(b != 1 for b in bps) or spp != 1:
@@ -404,4 +459,100 @@ def _assemble_tiff(w, h, spp, compression, photometric, strip,
     out += struct.pack("<I", 0)  # next IFD
     assert len(out) == data_off
     out += strip
+    return bytes(out)
+
+
+def encode_tiff_tiled(pixels, tile=(16, 16), compression: int = 1,
+                      predictor: int = 1) -> bytes:
+    """Fixture writer: tiled little-endian TIFF (TIFF 6.0 §15) for
+    uint8 (h, w) or (h, w, spp) arrays; tiles pad with edge
+    replication, compression 1/5/32773, optional horizontal
+    differencing inside each tile."""
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim == 2:
+        px = px[:, :, None]
+    h, w, spp = px.shape
+    tw, th = tile
+    ntx = (w + tw - 1) // tw
+    nty = (h + th - 1) // th
+    padded = np.zeros((nty * th, ntx * tw, spp), dtype=np.uint8)
+    padded[:h, :w] = px
+    padded[h:, :w] = px[-1:, :]        # edge replication keeps
+    padded[:, w:] = padded[:, w - 1:w]  # compressed tiles benign
+    tiles = []
+    for ty in range(nty):
+        for tx in range(ntx):
+            t = padded[ty * th : (ty + 1) * th,
+                       tx * tw : (tx + 1) * tw]
+            if predictor == 2:
+                d = t.astype(np.int16)
+                t = np.concatenate(
+                    [d[:, :1], (d[:, 1:] - d[:, :-1])],
+                    axis=1).astype(np.uint8)
+            raw = t.tobytes()
+            if compression == 5:
+                from ..render_pdf import _lzw_encode
+
+                tiles.append(_lzw_encode(raw, early_change=1))
+            elif compression == 32773:
+                tiles.append(_packbits_encode(raw))
+            else:
+                tiles.append(raw)
+
+    entries = [
+        (TAG_WIDTH, 4, 1, [w]),
+        (TAG_HEIGHT, 4, 1, [h]),
+        (TAG_BPS, 3, 1, [8]),
+        (TAG_COMPRESSION, 3, 1, [compression]),
+        (TAG_PHOTOMETRIC, 3, 1, [1]),
+        (TAG_SPP, 3, 1, [spp]),
+        (TAG_TILE_WIDTH, 4, 1, [tw]),
+        (TAG_TILE_LENGTH, 4, 1, [th]),
+        (TAG_TILE_OFFSETS, 4, len(tiles), [0] * len(tiles)),
+        (TAG_TILE_COUNTS, 4, len(tiles), [len(t) for t in tiles]),
+    ]
+    if predictor != 1:
+        entries.append((TAG_PREDICTOR, 3, 1, [predictor]))
+    entries.sort()
+
+    type_size = {3: 2, 4: 4}
+    ifd_off = 8
+    header_end = ifd_off + 2 + 12 * len(entries) + 4
+    overflow_off = header_end
+    value_pos = {}
+    for tag, typ, count, values in entries:
+        if type_size[typ] * count > 4:
+            value_pos[tag] = overflow_off
+            overflow_off += type_size[typ] * count
+    tile_offs = []
+    pos = overflow_off
+    for t in tiles:
+        tile_offs.append(pos)
+        pos += len(t)
+
+    def packed(typ, values):
+        fmt = {3: "H", 4: "I"}[typ]
+        return struct.pack("<" + fmt * len(values), *values)
+
+    out = bytearray(b"II*\x00" + struct.pack("<I", ifd_off))
+    out += struct.pack("<H", len(entries))
+    for tag, typ, count, values in entries:
+        if tag == TAG_TILE_OFFSETS:
+            values = tile_offs
+        out += struct.pack("<HHI", tag, typ, count)
+        if type_size[typ] * count > 4:
+            out += struct.pack("<I", value_pos[tag])
+        else:
+            out += packed(typ, values).ljust(4, b"\x00")
+    out += struct.pack("<I", 0)
+    for tag, typ, count, values in entries:
+        if type_size[typ] * count > 4:
+            if tag == TAG_TILE_OFFSETS:
+                values = tile_offs
+            assert len(out) == value_pos[tag]
+            out += packed(typ, values)
+    for t in tiles:
+        out += t
     return bytes(out)

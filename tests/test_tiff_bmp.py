@@ -307,3 +307,31 @@ def test_tiff_jpeg_compression7(split):
         # the abbreviated file is strictly smaller than the full one
         full = encode_tiff(px, compression=7)
         assert len(data) < len(full)
+
+
+@pytest.mark.parametrize("comp", [1, 5, 32773])
+@pytest.mark.parametrize("pred", [1, 2])
+def test_tiff_tiled_roundtrip(comp, pred):
+    from scribe_js_spark.textops.tiff import encode_tiff_tiled
+
+    gray = _gray(37, 23)
+    rgb = np.stack([gray, (gray.astype(np.int32) + 30) % 256,
+                    (gray.astype(np.int32) + 60) % 256],
+                   -1).astype(np.uint8)
+    for img, spp in ((gray, 1), (rgb, 3)):
+        data = encode_tiff_tiled(img, tile=(16, 8), compression=comp,
+                                 predictor=pred)
+        w, h, got_spp, px = decode_tiff(data)
+        assert (w, h, got_spp) == (37, 23, spp)
+        exp = img[:, :, None] if img.ndim == 2 else img
+        assert np.array_equal(px, exp)
+
+
+def test_tiff_tiled_jpeg_rejected_honestly():
+    from scribe_js_spark.textops.tiff import encode_tiff_tiled
+
+    data = bytearray(encode_tiff_tiled(_gray(20, 16)))
+    i = data.find((259).to_bytes(2, "little"))
+    data[i + 8] = 7  # claim tiled JPEG
+    with pytest.raises(NotImplementedError):
+        decode_tiff(bytes(data))
