@@ -15,10 +15,11 @@ shapes (lossless and hierarchical JPEG) raise
 as an ``error`` column value, never a job failure — the same
 never-fatal contract as document extraction.
 GIF (textops/gif.py: LSB-first LZW, palettes, interlace, animation
-frames with delays), TIFF (textops/tiff.py: none/LZW/PackBits strips,
-horizontal-differencing predictor, WhiteIsZero) and BMP (8-bit
-paletted / 24-bit, both row orders) decode for real too; JPEG 2000
-surfaces an honest not_implemented. Audio rides the same contract through a from-scratch
+frames with delays), TIFF (textops/tiff.py: none/LZW/PackBits strips
+and tiles, horizontal-differencing predictor, WhiteIsZero, CCITT fax,
+JPEG-in-TIFF), BMP (1/4/8-bit paletted, 16/24/32-bit, RLE8/RLE4),
+netpbm P1-P6 and JPEG 2000 (textops/jpx.py) decode for real too.
+Audio rides the same contract through a from-scratch
 RIFF/WAVE PCM parser (sample rate / duration / mean amplitude); video
 through the ``SVID`` fixture container whose *frames* are real
 JPEG/PNG bytes —
@@ -966,7 +967,8 @@ def decode_media(df: DataFrame, id_col: str = "media_id",
                 except NotImplementedError as e:
                     rec = _media_rec(n_bytes=len(bytes(data)),
                                      error=f"not_implemented: {e}")
-                except (ValueError, struct.error, IndexError) as e:
+                except (ValueError, struct.error, IndexError,
+                        zlib.error, KeyError) as e:
                     rec = _media_rec(n_bytes=len(bytes(data)),
                                      error=f"decode_failure: {e}")
                 out["media_id"].append(int(mid))
@@ -1053,7 +1055,8 @@ def resize_images(df: DataFrame, target_w: int, target_h: int,
                     mean = float(res.mean())
                 except NotImplementedError as e:
                     err = f"not_implemented: {e}"
-                except (ValueError, struct.error, IndexError) as e:
+                except (ValueError, struct.error, IndexError,
+                        zlib.error, KeyError) as e:
                     err = f"decode_failure: {e}"
                 out["media_id"].append(int(mid))
                 out["width"].append(target_w if err is None else None)

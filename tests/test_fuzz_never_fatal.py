@@ -227,3 +227,61 @@ def test_arith_jpeg_never_hangs_on_mutations():
             except (NotImplementedError, ValueError, struct.error,
                     IndexError):
                 pass  # exactly the types decode_media's net catches
+
+
+def test_decode_media_net_catches_all_codec_mutations():
+    """Cross-format sweep of the decode_media never-fatal net: mutate
+    a valid exemplar of every dispatchable container and require that
+    only the typed exception set escapes _decode_one (found live:
+    zlib.error from corrupt PNG IDAT streams escaped the net before
+    this test existed)."""
+    import struct
+    import zlib
+
+    from scribe_js_spark.textops.gif import encode_gif
+    from scribe_js_spark.textops.jpeg import encode_jpeg_gray
+    from scribe_js_spark.textops.jpx_encode import encode_jpx
+    from scribe_js_spark.textops.multimodal import (
+        _decode_one,
+        encode_bmp,
+        encode_bmp_form,
+        encode_netpbm,
+        encode_png_gray,
+        encode_wav_pcm,
+    )
+    from scribe_js_spark.textops.tiff import (
+        encode_tiff,
+        encode_tiff_tiled,
+    )
+
+    g = np.fromfunction(lambda y, x: (x * 7 + y * 13) % 256,
+                        (12, 20)).astype(np.uint8)
+    pal16 = np.array([[i * 17, 0, 255 - i * 17] for i in range(16)],
+                     np.uint8)
+    bases = [
+        encode_png_gray(g),
+        encode_png_gray(g, interlace=True),
+        encode_png_gray(g >> 6, bit_depth=2),
+        encode_jpeg_gray(g),
+        encode_tiff(g, compression=5, predictor=2),
+        encode_tiff_tiled(g, tile=(8, 8), compression=32773),
+        encode_bmp(g),
+        encode_bmp_form(g, "rle8"),
+        encode_bmp_form(g, "565"),
+        encode_gif([(g >> 4)], pal16),
+        encode_netpbm(g),
+        b"P4\n20 12\n" + np.packbits(g >> 7, axis=1).tobytes(),
+        encode_wav_pcm(np.zeros((200, 1), np.int16), 8000),
+        encode_jpx(g),
+    ]
+    allowed = (NotImplementedError, ValueError, struct.error,
+               IndexError, zlib.error, KeyError)
+    rng = np.random.RandomState(99)
+    for base in bases:
+        for _ in range(25):
+            mutated = _mutate(base, rng)
+            try:
+                rec = _decode_one(mutated)
+                assert rec["error"] or rec["kind"]
+            except allowed:
+                pass  # decode_media's net turns these into a column
