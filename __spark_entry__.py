@@ -334,7 +334,12 @@ def _q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     conditioning variants, 3100+ color: the QM coder and Annex F
     models over the same quantized coefficients, same-formula oracle),
     and progressive-arithmetic SOF10 (ids 6100+: the Annex G scan
-    ladder at starting precisions 1-3, same-formula oracle).
+    ladder at starting precisions 1-3, same-formula oracle). EXIF
+    rows (ids 9600+) drive the image-side PII pass: textops/exif.py
+    parses the APP1 TIFF IFD (orientation, camera, GPS sub-IFD with
+    signed rational degrees) and the scrub audit re-decodes the
+    APP1-stripped stream — three extra columns left-joined from
+    image_exif, NULL on EXIF-free rows.
     Plus GIF animations (ids 8000+: palette + LSB-LZW + interlace,
     graphic-control delays), PCM WAV audio (ids 7000+), SVID videos
     of real JPEG frames (ids 7100+), TIFF (ids 9000+: none/LZW/PackBits
@@ -598,8 +603,25 @@ def _q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 + b"data" + _struct.pack("<I", len(enc)) + enc)
         rows.append((9200 + i,
                      b"RIFF" + _struct.pack("<I", len(body)) + body))
+    from scribe_js_spark.textops.exif import build_exif_jpeg
+    from scribe_js_spark.textops.multimodal import image_exif
+
+    for i in range(6):  # EXIF-carrying JPEG (ids 9600+): the image-
+        # side PII pass — orientation/camera tags, GPS sub-IFD on odd
+        # ids, and the scrub audit (APP1 dropped, pixels identical)
+        w = 17 + i % 9
+        h = 9 + i % 7
+        xs, ys = np.meshgrid(np.arange(w), np.arange(h))
+        px = (((xs // 8) * 31 + (ys // 8) * 17) % 256).astype(np.uint8)
+        from scribe_js_spark.textops.jpeg import (
+            encode_jpeg_gray as _ejg,
+        )
+        gps = ((10 + 7 * i + 0.5, -(20 + i) - 0.25)
+               if i % 2 == 1 else None)
+        rows.append((9600 + i, build_exif_jpeg(
+            _ejg(px), orientation=[1, 3, 6, 8, 2, 5][i], gps=gps)))
     df = spark.createDataFrame(rows, ["media_id", "data"])
-    return decode_media(df).select(
+    base = decode_media(df).select(
         "media_id", "kind",
         F.col("width").cast("long"), F.col("height").cast("long"),
         F.when(F.col("kind") == "simg", F.col("n_bytes"))
@@ -608,6 +630,17 @@ def _q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sample_rate").cast("long").alias("sample_rate"),
         F.col("duration_ms").cast("long").alias("duration_ms"),
         F.col("n_frames").cast("long").alias("n_frames"))
+    # EXIF columns ride a broadcastable left join: the inventory only
+    # reports images that actually carry EXIF, so every other row
+    # keeps NULLs
+    exif = image_exif(df, verify_scrub=True).filter(
+        F.col("has_exif") == 1).select(
+        "media_id",
+        F.col("orientation").cast("long").alias("exif_orientation"),
+        F.col("gps_lat_e6").cast("long").alias("exif_gps_lat_e6"),
+        F.col("scrub_decodes_equal").cast("long").alias(
+            "exif_scrub_ok"))
+    return base.join(F.broadcast(exif), "media_id", "left")
 
 
 def _q_eval_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2660,14 +2693,20 @@ WHERE len(list_intersect(ta.toks, tb.toks))
                    (112 + r)::BIGINT AS n_bytes_simg,
                    ((r % 251) * 1000000)::BIGINT AS mean_e6,
                    NULL::BIGINT AS sample_rate, NULL::BIGINT AS duration_ms,
-                   NULL::BIGINT AS n_frames
+                   NULL::BIGINT AS n_frames,
+                   NULL::BIGINT AS exif_orientation,
+                   NULL::BIGINT AS exif_gps_lat_e6,
+                   NULL::BIGINT AS exif_scrub_ok
             FROM range(50) t(r)
             UNION ALL
             SELECT media_id, 'png' AS kind, w::BIGINT AS width,
                    h::BIGINT AS height, NULL::BIGINT AS n_bytes_simg,
                    CAST(floor(avg(v) * 1e6) AS BIGINT) AS mean_e6,
                    NULL::BIGINT AS sample_rate, NULL::BIGINT AS duration_ms,
-                   NULL::BIGINT AS n_frames
+                   NULL::BIGINT AS n_frames,
+                   NULL::BIGINT AS exif_orientation,
+                   NULL::BIGINT AS exif_gps_lat_e6,
+                   NULL::BIGINT AS exif_scrub_ok
             FROM (
               SELECT 1000 + r AS media_id, (16 + r % 8) AS w,
                      (8 + r % 5) AS h,
@@ -2683,7 +2722,10 @@ WHERE len(list_intersect(ta.toks, tb.toks))
                    h::BIGINT AS height, NULL::BIGINT AS n_bytes_simg,
                    CAST(floor(avg(v) * 1e6) AS BIGINT) AS mean_e6,
                    NULL::BIGINT AS sample_rate, NULL::BIGINT AS duration_ms,
-                   NULL::BIGINT AS n_frames
+                   NULL::BIGINT AS n_frames,
+                   NULL::BIGINT AS exif_orientation,
+                   NULL::BIGINT AS exif_gps_lat_e6,
+                   NULL::BIGINT AS exif_scrub_ok
             FROM (
               SELECT b.b + r AS media_id, (16 + r % 8) AS w,
                      (8 + r % 5) AS h,
@@ -2697,7 +2739,10 @@ WHERE len(list_intersect(ta.toks, tb.toks))
                    h::BIGINT AS height, NULL::BIGINT AS n_bytes_simg,
                    CAST(floor(avg(v) * 1e6) AS BIGINT) AS mean_e6,
                    NULL::BIGINT AS sample_rate, NULL::BIGINT AS duration_ms,
-                   NULL::BIGINT AS n_frames
+                   NULL::BIGINT AS n_frames,
+                   NULL::BIGINT AS exif_orientation,
+                   NULL::BIGINT AS exif_gps_lat_e6,
+                   NULL::BIGINT AS exif_scrub_ok
             FROM (
               SELECT b.b + r AS media_id, (17 + r % 9) AS w,
                      (9 + r % 7) AS h,
@@ -2723,7 +2768,10 @@ WHERE len(list_intersect(ta.toks, tb.toks))
                      (3 * SUM(y) + COUNT(*) * ANY_VALUE(offsum))::DOUBLE
                      / (3 * COUNT(*)) * 1e6) AS BIGINT) AS mean_e6,
                    NULL::BIGINT AS sample_rate, NULL::BIGINT AS duration_ms,
-                   NULL::BIGINT AS n_frames
+                   NULL::BIGINT AS n_frames,
+                   NULL::BIGINT AS exif_orientation,
+                   NULL::BIGINT AS exif_gps_lat_e6,
+                   NULL::BIGINT AS exif_scrub_ok
             FROM (
               SELECT b.b + r AS media_id,
                      (32 + (r % 3) * 16) AS w, (16 + (r % 5) * 16) AS h,
@@ -2745,7 +2793,10 @@ WHERE len(list_intersect(ta.toks, tb.toks))
                    h::BIGINT AS height, NULL::BIGINT AS n_bytes_simg,
                    CAST(floor(avg(v) * 1e6) AS BIGINT) AS mean_e6,
                    NULL::BIGINT AS sample_rate, NULL::BIGINT AS duration_ms,
-                   NULL::BIGINT AS n_frames
+                   NULL::BIGINT AS n_frames,
+                   NULL::BIGINT AS exif_orientation,
+                   NULL::BIGINT AS exif_gps_lat_e6,
+                   NULL::BIGINT AS exif_scrub_ok
             FROM (
               SELECT b.b + r AS media_id, b.k AS kind, (16 + r % 8) AS w,
                      (8 + r % 5) AS h,
@@ -2765,7 +2816,10 @@ WHERE len(list_intersect(ta.toks, tb.toks))
                    h::BIGINT AS height, NULL::BIGINT AS n_bytes_simg,
                    CAST(floor(avg(v) * 1e6) AS BIGINT) AS mean_e6,
                    NULL::BIGINT AS sample_rate, NULL::BIGINT AS duration_ms,
-                   NULL::BIGINT AS n_frames
+                   NULL::BIGINT AS n_frames,
+                   NULL::BIGINT AS exif_orientation,
+                   NULL::BIGINT AS exif_gps_lat_e6,
+                   NULL::BIGINT AS exif_scrub_ok
             FROM (
               SELECT 9020 + r AS media_id, (17 + r % 9) AS w,
                      (9 + r % 7) AS h,
@@ -2783,7 +2837,10 @@ WHERE len(list_intersect(ta.toks, tb.toks))
                    h::BIGINT AS height, NULL::BIGINT AS n_bytes_simg,
                    CAST(floor(avg(v) * 1e6) AS BIGINT) AS mean_e6,
                    NULL::BIGINT AS sample_rate, NULL::BIGINT AS duration_ms,
-                   NULL::BIGINT AS n_frames
+                   NULL::BIGINT AS n_frames,
+                   NULL::BIGINT AS exif_orientation,
+                   NULL::BIGINT AS exif_gps_lat_e6,
+                   NULL::BIGINT AS exif_scrub_ok
             FROM (
               SELECT 9300 + r AS media_id, (16 + r % 8) AS w,
                      (8 + r % 5) AS h,
@@ -2800,7 +2857,10 @@ WHERE len(list_intersect(ta.toks, tb.toks))
                    h::BIGINT AS height, NULL::BIGINT AS n_bytes_simg,
                    CAST(floor(avg(v) * 1e6) AS BIGINT) AS mean_e6,
                    NULL::BIGINT AS sample_rate, NULL::BIGINT AS duration_ms,
-                   NULL::BIGINT AS n_frames
+                   NULL::BIGINT AS n_frames,
+                   NULL::BIGINT AS exif_orientation,
+                   NULL::BIGINT AS exif_gps_lat_e6,
+                   NULL::BIGINT AS exif_scrub_ok
             FROM (
               SELECT 9400 + r AS media_id, (16 + r % 8) AS w,
                      (8 + r % 5) AS h,
@@ -2819,7 +2879,10 @@ WHERE len(list_intersect(ta.toks, tb.toks))
                    h::BIGINT AS height, NULL::BIGINT AS n_bytes_simg,
                    CAST(floor(avg(v) * 1e6) AS BIGINT) AS mean_e6,
                    NULL::BIGINT AS sample_rate, NULL::BIGINT AS duration_ms,
-                   NULL::BIGINT AS n_frames
+                   NULL::BIGINT AS n_frames,
+                   NULL::BIGINT AS exif_orientation,
+                   NULL::BIGINT AS exif_gps_lat_e6,
+                   NULL::BIGINT AS exif_scrub_ok
             FROM (
               SELECT 9500 + r AS media_id, (16 + r % 8) AS w,
                      (8 + r % 5) AS h,
@@ -2837,7 +2900,10 @@ WHERE len(list_intersect(ta.toks, tb.toks))
                    h::BIGINT AS height, NULL::BIGINT AS n_bytes_simg,
                    CAST(floor(avg(v) * 1e6) AS BIGINT) AS mean_e6,
                    NULL::BIGINT AS sample_rate, NULL::BIGINT AS duration_ms,
-                   NULL::BIGINT AS n_frames
+                   NULL::BIGINT AS n_frames,
+                   NULL::BIGINT AS exif_orientation,
+                   NULL::BIGINT AS exif_gps_lat_e6,
+                   NULL::BIGINT AS exif_scrub_ok
             FROM (
               SELECT 9100 + r AS media_id, (16 + r % 8) AS w,
                      (8 + r % 5) AS h,
@@ -2860,7 +2926,10 @@ WHERE len(list_intersect(ta.toks, tb.toks))
                    h::BIGINT AS height, NULL::BIGINT AS n_bytes_simg,
                    CAST(floor(avg(v) * 1e6) AS BIGINT) AS mean_e6,
                    NULL::BIGINT AS sample_rate, NULL::BIGINT AS duration_ms,
-                   NULL::BIGINT AS n_frames
+                   NULL::BIGINT AS n_frames,
+                   NULL::BIGINT AS exif_orientation,
+                   NULL::BIGINT AS exif_gps_lat_e6,
+                   NULL::BIGINT AS exif_scrub_ok
             FROM (
               SELECT 9110 + r AS media_id, (16 + r % 8) AS w,
                      (8 + r % 5) AS h,
@@ -2887,7 +2956,10 @@ WHERE len(list_intersect(ta.toks, tb.toks))
                    h::BIGINT AS height, NULL::BIGINT AS n_bytes_simg,
                    CAST(floor(avg(v) * 1e6) AS BIGINT) AS mean_e6,
                    NULL::BIGINT AS sample_rate, NULL::BIGINT AS duration_ms,
-                   NULL::BIGINT AS n_frames
+                   NULL::BIGINT AS n_frames,
+                   NULL::BIGINT AS exif_orientation,
+                   NULL::BIGINT AS exif_gps_lat_e6,
+                   NULL::BIGINT AS exif_scrub_ok
             FROM (
               SELECT 4100 + r AS media_id, (16 + r % 8) AS w,
                      (8 + r % 5) AS h,
@@ -2912,7 +2984,10 @@ WHERE len(list_intersect(ta.toks, tb.toks))
                    8000::BIGINT AS sample_rate,
                    (ANY_VALUE(frames) * 1000 // 8000)::BIGINT
                      AS duration_ms,
-                   ANY_VALUE(frames)::BIGINT AS n_frames
+                   ANY_VALUE(frames)::BIGINT AS n_frames,
+                   NULL::BIGINT AS exif_orientation,
+                   NULL::BIGINT AS exif_gps_lat_e6,
+                   NULL::BIGINT AS exif_scrub_ok
             FROM (
               SELECT 9200 + r AS media_id, 800 + 100 * r AS frames,
                      ((((mag0 >> (e + 3)) & 15) * 8 + 132) << e) - 132
@@ -2939,7 +3014,10 @@ WHERE len(list_intersect(ta.toks, tb.toks))
                    NULL::BIGINT AS sample_rate,
                    (ANY_VALUE(n) * (5 + ANY_VALUE(r0)) * 10)::BIGINT
                      AS duration_ms,
-                   ANY_VALUE(n)::BIGINT AS n_frames
+                   ANY_VALUE(n)::BIGINT AS n_frames,
+                   NULL::BIGINT AS exif_orientation,
+                   NULL::BIGINT AS exif_gps_lat_e6,
+                   NULL::BIGINT AS exif_scrub_ok
             FROM (
               SELECT 8000 + r AS media_id, 20 + r AS w, 10 + r AS h,
                      3 + r AS n, r AS r0,
@@ -2960,7 +3038,10 @@ WHERE len(list_intersect(ta.toks, tb.toks))
                    ANY_VALUE(rate)::BIGINT AS sample_rate,
                    (ANY_VALUE(frames) * 1000 // ANY_VALUE(rate))::BIGINT
                      AS duration_ms,
-                   ANY_VALUE(frames)::BIGINT AS n_frames
+                   ANY_VALUE(frames)::BIGINT AS n_frames,
+                   NULL::BIGINT AS exif_orientation,
+                   NULL::BIGINT AS exif_gps_lat_e6,
+                   NULL::BIGINT AS exif_scrub_ok
             FROM (
               SELECT 7000 + r AS media_id, 1000 + 100 * r AS frames,
                      [8000, 16000, 44100, 22050, 11025][r + 1] AS rate,
@@ -2980,7 +3061,10 @@ WHERE len(list_intersect(ta.toks, tb.toks))
                    NULL::BIGINT AS sample_rate,
                    (ANY_VALUE(n) * 1000 // ANY_VALUE(fps))::BIGINT
                      AS duration_ms,
-                   ANY_VALUE(n)::BIGINT AS n_frames
+                   ANY_VALUE(n)::BIGINT AS n_frames,
+                   NULL::BIGINT AS exif_orientation,
+                   NULL::BIGINT AS exif_gps_lat_e6,
+                   NULL::BIGINT AS exif_scrub_ok
             FROM (
               SELECT 7100 + r AS media_id, 5 + r AS n, 4 + r AS fps,
                      (((x.x // 8) * 31 + (y.y // 8) * 17 + f.f * 10)
@@ -2991,6 +3075,34 @@ WHERE len(list_intersect(ta.toks, tb.toks))
                 AND f.f % (CASE WHEN (5 + r) // 4 < 1 THEN 1
                            ELSE (5 + r) // 4 END) = 0
             ) GROUP BY media_id
+            UNION ALL
+            -- EXIF JPEG rows (ids 9600+): blockwise pixels are
+            -- untouched by the APP1 splice (same 2000-family mean);
+            -- orientation cycles [1,3,6,8,2,5]; odd ids carry a GPS
+            -- sub-IFD at (10+7i+0.5, -(20+i)-0.25) whose deg/min/sec
+            -- rationals reconstruct exactly (half/quarter degrees);
+            -- the scrub audit re-decodes the stripped stream: 1.
+            SELECT media_id, 'jpeg' AS kind, w::BIGINT AS width,
+                   h::BIGINT AS height, NULL::BIGINT AS n_bytes_simg,
+                   CAST(floor(avg(v) * 1e6) AS BIGINT) AS mean_e6,
+                   NULL::BIGINT AS sample_rate, NULL::BIGINT AS duration_ms,
+                   NULL::BIGINT AS n_frames,
+                   ANY_VALUE(ori)::BIGINT AS exif_orientation,
+                   ANY_VALUE(lat_e6)::BIGINT AS exif_gps_lat_e6,
+                   1::BIGINT AS exif_scrub_ok
+            FROM (
+              SELECT 9600 + r AS media_id, (17 + r % 9) AS w,
+                     (9 + r % 7) AS h,
+                     [1, 3, 6, 8, 2, 5][r + 1] AS ori,
+                     CASE WHEN r % 2 = 1
+                          THEN CAST(floor((10 + 7 * r + 0.5) * 1e6)
+                                    AS BIGINT)
+                          ELSE NULL END AS lat_e6,
+                     (((x.x // 8) * 31 + (y.y // 8) * 17) % 256)::DOUBLE
+                       AS v
+              FROM range(6) t(r), range(26) x(x), range(16) y(y)
+              WHERE x.x < (17 + r % 9) AND y.y < (9 + r % 7)
+            ) GROUP BY media_id, w, h
         """,
     }
     from scribe_js_spark.textops.quality import LANG_MARKERS

@@ -31,6 +31,7 @@ codecs, so only the MP4/WebM demuxer is stood in for. ``resize_images``
 
 from __future__ import annotations
 
+import math
 import struct
 import zlib
 from typing import Iterator
@@ -1068,3 +1069,89 @@ def resize_images(df: DataFrame, target_w: int, target_h: int,
     return df.select(
         df[id_col].alias("media_id"), df[bytes_col].alias("data")
     ).mapInPandas(fn, schema=RESIZE_SCHEMA)
+
+
+EXIF_SCHEMA = StructType([
+    StructField("media_id", LongType()),
+    StructField("has_exif", IntegerType()),
+    StructField("orientation", IntegerType()),
+    StructField("make", StringType()),
+    StructField("model", StringType()),
+    StructField("datetime", StringType()),
+    StructField("has_gps", IntegerType()),
+    StructField("gps_lat_e6", LongType()),
+    StructField("gps_lon_e6", LongType()),
+    StructField("n_bytes", LongType()),
+    StructField("n_bytes_scrubbed", LongType()),
+    StructField("scrub_decodes_equal", IntegerType()),
+])
+
+
+def image_exif(df: DataFrame, id_col: str = "media_id",
+               bytes_col: str = "data",
+               verify_scrub: bool = False) -> DataFrame:
+    """EXIF inventory + scrub audit for a JPEG binary column — the
+    image-side PII pass (GPS sub-IFDs are location PII): per image,
+    the parsed orientation/camera/timestamp/GPS summary plus the
+    scrubbed size after dropping APP1/APP13. With ``verify_scrub``
+    each scrubbed stream is re-decoded and compared against the
+    original's pixels (1 = byte-identical pixels, 0 = not, NULL =
+    either side failed to decode) — the audit used by the fixture
+    oracle; leave it off in bulk runs. Same Arrow/mapInPandas shape
+    and never-fatal contract as :func:`decode_media`."""
+
+    def fn(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        from .exif import parse_exif, strip_exif
+
+        for pdf in batches:
+            out = {f.name: [] for f in EXIF_SCHEMA.fields}
+            for mid, data in zip(pdf[id_col], pdf[bytes_col]):
+                data = bytes(data)
+                try:
+                    info = parse_exif(data)
+                    scrubbed = strip_exif(data)
+                    equal = None
+                    if verify_scrub:
+                        try:
+                            from .jpeg import decode_jpeg
+
+                            equal = int(np.array_equal(
+                                decode_jpeg(data),
+                                decode_jpeg(scrubbed)))
+                        except (NotImplementedError, ValueError,
+                                struct.error, IndexError, KeyError):
+                            equal = None
+                    rec = {
+                        "has_exif": int(info["has_exif"]),
+                        "orientation": info["orientation"],
+                        "make": info["make"],
+                        "model": info["model"],
+                        "datetime": info["datetime"],
+                        "has_gps": int(info["has_gps"]),
+                        "gps_lat_e6": (
+                            int(math.floor(info["gps_lat"] * 1e6))
+                            if info["gps_lat"] is not None else None),
+                        "gps_lon_e6": (
+                            int(math.floor(info["gps_lon"] * 1e6))
+                            if info["gps_lon"] is not None else None),
+                        "n_bytes": len(data),
+                        "n_bytes_scrubbed": len(scrubbed),
+                        "scrub_decodes_equal": equal,
+                    }
+                except (ValueError, struct.error, IndexError,
+                        KeyError, zlib.error):
+                    rec = {f.name: None for f in EXIF_SCHEMA.fields
+                           if f.name != "media_id"}
+                    rec["n_bytes"] = len(data)
+                out["media_id"].append(int(mid))
+                for f in EXIF_SCHEMA.fields:
+                    if f.name != "media_id":
+                        out[f.name].append(rec[f.name])
+            yield pd.DataFrame(out)
+
+    return df.select(
+        df[id_col].alias("media_id"), df[bytes_col].alias("data")
+    ).mapInPandas(fn, schema=EXIF_SCHEMA)
