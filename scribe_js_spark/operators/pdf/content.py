@@ -102,13 +102,74 @@ class ContentTokenizer:
                 lex.pos += 1
                 continue
             if op == b"BI":
-                # inline image: skip to EI
-                end = data.find(b"EI", lex.pos)
-                lex.pos = len(data) if end < 0 else end + 2
+                lex.pos = self._skip_inline_image(lex.pos)
                 operands = []
                 continue
             yield operands, op
             operands = []
+
+    def _skip_inline_image(self, pos: int) -> int:
+        """Position just past an inline image's EI. Binary image data
+        can contain the bytes "EI", so a bare find() truncates the
+        stream mid-image; mirror the reference's tokenizer
+        (contentStream.js:264-330): parse the BI..ID dict, compute
+        the raw-data length from /W /H /BPC /CS when unfiltered and
+        match EI exactly there, else scan for a whitespace-preceded
+        EI followed by whitespace/slash/EOF."""
+        import re as _re
+
+        data = self.lex.data
+        n = len(data)
+        i = pos
+        dict_start = i
+        while i < n:
+            if (data[i] == 0x49 and i + 1 < n and data[i + 1] == 0x44
+                    and (i == 0 or data[i - 1] in WHITESPACE)
+                    and i + 2 < n and data[i + 2] in WHITESPACE):
+                break
+            i += 1
+        else:
+            return n
+        dict_text = data[dict_start:i]
+        data_start = i + 3
+        ws_or_slash = set(WHITESPACE) | {0x2F}
+        if not _re.search(rb"/(?:F|Filter)\b", dict_text):
+            wm = _re.search(rb"/(?:W|Width)\s+(\d+)", dict_text)
+            hm = _re.search(rb"/(?:H|Height)\s+(\d+)", dict_text)
+            bm = _re.search(rb"/(?:BPC|BitsPerComponent)\s+(\d+)",
+                            dict_text)
+            if wm and hm:
+                w, h = int(wm.group(1)), int(hm.group(1))
+                bpc = int(bm.group(1)) if bm else 8
+                if _re.search(rb"/CS\s*/(?:RGB|DeviceRGB|CalRGB)\b",
+                              dict_text):
+                    ncomp = 3
+                elif _re.search(rb"/CS\s*/(?:CMYK|DeviceCMYK)\b",
+                                dict_text):
+                    ncomp = 4
+                elif _re.search(rb"/CS\s*/(?:G|DeviceGray|CalGray)\b",
+                                dict_text):
+                    ncomp = 1
+                elif _re.search(rb"/(?:IM|ImageMask)\s+true\b",
+                                dict_text):
+                    ncomp = 1
+                else:
+                    ncomp = 0  # Indexed/unknown: fall to the scan
+                if ncomp:
+                    end = data_start + ((w * ncomp * bpc + 7) // 8) * h
+                    if (end + 2 <= n and data[end : end + 2] == b"EI"
+                            and (end + 2 == n
+                                 or data[end + 2] in ws_or_slash)):
+                        return end + 2
+        i = data_start
+        while True:
+            j = data.find(b"EI", i)
+            if j < 0:
+                return n
+            if (j > data_start and data[j - 1] in WHITESPACE
+                    and (j + 2 >= n or data[j + 2] in ws_or_slash)):
+                return j + 2
+            i = j + 1
 
     def _read_operand(self):
         lex = self.lex
