@@ -4972,7 +4972,14 @@ def make_corpus_rows(n_docs: int, seed: int = SEED_DEFAULT,
                 "drop": CFF_DROP_CODES, "unmapped": CFF_UNMAPPED_CODES})
             golden_model = strip_model_chars(model, CFF_DROP_CODES)
         elif fmt in ("pdf", "pdf_twocol"):
-            html = render_pdf(model)
+            # Every (19k+9)th plain-pdf doc omits /Widths entirely:
+            # extraction is byte-identical only when the standard-14
+            # Helvetica AFM fallback supplies the real advances
+            # (operators/pdf/afm.py; words are laid out with the true
+            # metrics, so flat substitutes garble the word gaps).
+            sw = (fmt == "pdf" and doc_id % 19 == 9
+                  and doc_id % 17 != 6)  # CID docs keep their /W
+            html = render_pdf(model, std_widths=sw)
         elif fmt == "textract":
             html = render_textract(model).encode("utf-8")
         elif fmt == "google_vision":

@@ -261,8 +261,11 @@ def load_font(doc, font_dict) -> PdfFont:
         first_char = int(doc.resolve(font_dict.get("FirstChar", 0)) or 0)
         widths = doc.resolve(font_dict.get("Widths"))
         if widths:
-            for i, w in enumerate(widths):
-                f.widths[first_char + i] = float(doc.resolve(w))
+            vals = [float(doc.resolve(w)) for w in widths]
+            for i, w in enumerate(vals):
+                f.widths[first_char + i] = w
+            if vals:
+                f.default_width = sum(vals) / len(vals)
         enc_obj = doc.resolve(font_dict.get("Encoding"))
         base_enc = None
         diffs = None
@@ -283,6 +286,7 @@ def load_font(doc, font_dict) -> PdfFont:
                 f.italic = True
         if not symbolic or base_enc:
             f.encoding = _base_encoding_map(base_enc)
+        diff_names: dict[int, str] = {}
         if diffs:
             code = 0
             for item in diffs:
@@ -290,10 +294,14 @@ def load_font(doc, font_dict) -> PdfFont:
                 if isinstance(item, (int, float)):
                     code = int(item)
                 else:
+                    diff_names[code] = str(item)
                     u = glyph_name_to_unicode(str(item))
                     if u is not None:
                         f.encoding[code] = u
                     code += 1
+        if not f.widths:
+            _apply_standard_metrics(f, base_enc, diff_names)
+        _apply_dingbats_differences(f, diff_names)
         _apply_descriptor(doc, fd, f)
 
     tu = font_dict.get("ToUnicode")
@@ -305,6 +313,79 @@ def load_font(doc, font_dict) -> PdfFont:
     if cid_font_file2 is not None and f.to_unicode:
         _remap_blank_glyphs(cid_font_file2, f)
     return f
+
+
+def _apply_standard_metrics(f: PdfFont, base_enc: str | None,
+                            diff_names: dict[int, str]) -> None:
+    """No /Widths array: fall back to the built-in standard-14 font
+    metrics (reference parsePdfFonts.js:1466-1523). The tables are
+    WinAnsi-keyed, so a /MacRomanEncoding base or /Differences entries
+    re-key the affected codes to the width of the glyph they actually
+    map; fi/fl ligature codes take their AFM ligature advance (absent
+    from WinAnsi, so the positional table cannot carry them)."""
+    from .afm import apply_standard_widths, standard_ligature_width
+
+    avg = apply_standard_widths(f.base_name, f.widths)
+    if avg is None:
+        return
+    f.default_width = avg
+
+    def _unicode_to_width() -> dict[str, float]:
+        out: dict[str, float] = {}
+        for code in range(32, 256):
+            w = f.widths.get(code)
+            if w is None:
+                continue
+            try:
+                out[bytes([code]).decode("cp1252")] = w
+            except UnicodeDecodeError:
+                pass
+        return out
+
+    if base_enc == "MacRomanEncoding" and f.widths:
+        by_char = _unicode_to_width()
+        for code in range(128, 256):
+            try:
+                ch = bytes([code]).decode("mac-roman")
+            except UnicodeDecodeError:
+                f.widths.pop(code, None)
+                continue
+            w = by_char.get(ch)
+            if w is not None:
+                f.widths[code] = w
+            else:
+                f.widths.pop(code, None)
+    if diff_names and f.widths:
+        by_char = _unicode_to_width()
+        for code, name in diff_names.items():
+            u = glyph_name_to_unicode(name)
+            if u:
+                w = by_char.get(u[0])
+                if w is not None:
+                    f.widths[code] = w
+    for code, name in diff_names.items():
+        lw = standard_ligature_width(f.base_name, name)
+        if lw is not None:
+            f.widths[code] = float(lw)
+
+
+def _apply_dingbats_differences(f: PdfFont,
+                                diff_names: dict[int, str]) -> None:
+    """ZapfDingbats /Differences typically remap charCodes below 32,
+    which the positional table (keyed from 32) leaves without widths
+    (reference parsePdfFonts.js:1525-1537)."""
+    if not diff_names or not re.search(r"ZapfDingbats", f.base_name, re.I):
+        return
+    from .afm import dingbats_glyph_width
+
+    for code, name in diff_names.items():
+        if code in f.widths:
+            continue
+        w = dingbats_glyph_width(name)
+        if w is not None:
+            f.widths[code] = float(w)
+    if f.widths and f.default_width == 500.0:
+        f.default_width = sum(f.widths.values()) / len(f.widths)
 
 
 def _remap_blank_glyphs(font_file2: bytes, f: PdfFont) -> None:

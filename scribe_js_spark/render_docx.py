@@ -76,15 +76,24 @@ def render_docx(model: dict) -> bytes:
         'wordprocessingml/2006/main"><w:body>'
         + "".join(pars_xml) + "</w:body></w:document>")
     buf = io.BytesIO()
+
+    def _entry(name: str) -> zipfile.ZipInfo:
+        # Fixed timestamp: ZipFile defaults to wall-clock mtime, which
+        # makes fixture bytes differ run-to-run (breaks the cached-corpus
+        # byte-equivalence checks in tools/bench_parity.py).
+        zi = zipfile.ZipInfo(name, date_time=(2026, 1, 1, 0, 0, 0))
+        zi.compress_type = zipfile.ZIP_DEFLATED
+        return zi
+
     with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
-        zf.writestr("[Content_Types].xml", _CONTENT_TYPES)
-        zf.writestr("_rels/.rels", _RELS)
-        zf.writestr("word/document.xml", document)
+        zf.writestr(_entry("[Content_Types].xml"), _CONTENT_TYPES)
+        zf.writestr(_entry("_rels/.rels"), _RELS)
+        zf.writestr(_entry("word/document.xml"), document)
         if model.get("docx_numbering"):
-            zf.writestr("word/numbering.xml",
+            zf.writestr(_entry("word/numbering.xml"),
                         _numbering_xml(model["docx_numbering"]))
         if model.get("docx_footnotes"):
-            zf.writestr("word/footnotes.xml",
+            zf.writestr(_entry("word/footnotes.xml"),
                         _footnotes_xml(model["docx_footnotes"]))
     return buf.getvalue()
 

@@ -27,6 +27,28 @@ LIG_CODE = 142  # 0x8E -> /fi -> U+FB01
 GAP_ADJ = -(10 / FONT_SIZE) * 1000  # TJ kerning units for the 10px word gap
 
 
+def _std_advance(text: str, ligatures: bool) -> float:
+    """True Helvetica AFM advance of a fixture word in glyph-space
+    units, for the std_widths variant (no /Widths declared; the reader
+    must supply the built-in metrics)."""
+    from .operators.pdf.afm import STANDARD_WIDTHS
+
+    helv = STANDARD_WIDTHS["Helvetica"]
+    if ligatures and "fi" in text:
+        text = text.replace("fi", chr(LIG_CODE))
+    total = 0.0
+    for c in text:
+        if ord(c) == LIG_CODE:
+            total += 500.0  # AFM fi ligature advance
+            continue
+        try:
+            b = c.encode("cp1252")[0]
+        except UnicodeEncodeError:
+            b = 0
+        total += float(helv[b - 32]) if 32 <= b <= 255 else 500.0
+    return total
+
+
 def _esc(s: str) -> str:
     out = []
     for ch in s:
@@ -348,7 +370,8 @@ def render_pdf(model: dict, compress: bool | None = None,
                form_xobject: bool = False,
                encrypt_mode: str | None = None,
                cff_subset: dict | None = None,
-               stream_filter: str | None = None) -> bytes:
+               stream_filter: str | None = None,
+               std_widths: bool = False) -> bytes:
     doc_id = model.get("doc_id", 0)
     if compress is None:
         compress = (doc_id % 2) == 1
@@ -370,6 +393,9 @@ def render_pdf(model: dict, compress: bool | None = None,
         cid_font = (doc_id % 17) == 6
     if cid_font:
         ligatures = False  # CID path encodes 2-byte Identity-H codes
+    if std_widths and (cid_font or sup_markers):
+        raise ValueError("std_widths needs the simple Helvetica font "
+                         "and grid-free word placement")
     if form_xobject and outline:
         raise ValueError("form_xobject and outline variants are mutually "
                          "exclusive (object numbering)")
@@ -527,10 +553,19 @@ def render_pdf(model: dict, compress: bool | None = None,
         widths = ["500"] * (last_char + 1 - 32)
         if ligatures:
             widths[LIG_CODE - 32] = "1000"
-        font = (
-            f"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
-            f"/FirstChar 32 /LastChar {last_char} "
-            f"/Widths [{' '.join(widths)}] /FontDescriptor 4 0 R ")
+        if std_widths:
+            # No /Widths at all: a conforming reader must supply the
+            # built-in Helvetica AFM metrics (fonts.py
+            # _apply_standard_metrics); word positions below are laid
+            # out with the same real advances, so extraction is
+            # byte-identical only if the fallback is applied.
+            font = ("<< /Type /Font /Subtype /Type1 /BaseFont "
+                    "/Helvetica /FontDescriptor 4 0 R ")
+        else:
+            font = (
+                f"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+                f"/FirstChar 32 /LastChar {last_char} "
+                f"/Widths [{' '.join(widths)}] /FontDescriptor 4 0 R ")
         if ligatures:
             font += ("/Encoding << /Type /Encoding /BaseEncoding "
                      "/WinAnsiEncoding /Differences [142 /fi] >> "
@@ -673,12 +708,32 @@ def render_pdf(model: dict, compress: bool | None = None,
                 else:
                     def tm_for(x_left):
                         return f"1 0 0 1 {x_left} {y_pdf} Tm"
+                std_x = None
+                if std_widths:
+                    # Real-metric word placement: each word starts where
+                    # the previous one's true Helvetica advance ends,
+                    # plus the fixture's 10px inter-word gap. A reader
+                    # substituting flat widths for the omitted /Widths
+                    # computes wrong word ends and merges/garbles words.
+                    x = float(line["words"][0]["left"])
+                    std_x = []
+                    for word in line["words"]:
+                        if word.get("segments") or word.get("deferred"):
+                            raise ValueError("std_widths cannot place "
+                                             "segmented/deferred words")
+                        std_x.append(x)
+                        x += (_std_advance(word["text"], ligatures)
+                              * FONT_SIZE / 1000.0 + 10.0)
                 if tj_mode:
                     content.append(tm_for(line["words"][0]["left"]))
                     parts = []
                     for w_i, word in enumerate(line["words"]):
                         if w_i > 0:
-                            gap = word["left"] - line["words"][w_i - 1]["right"]
+                            if std_widths:
+                                gap = 10.0
+                            else:
+                                gap = (word["left"]
+                                       - line["words"][w_i - 1]["right"])
                             parts.append(f"{-(gap / FONT_SIZE) * 1000:.6f}")
                         parts.append(show_str(word["text"]))
                     content.append(f"[{' '.join(parts)}] TJ")
@@ -707,7 +762,7 @@ def render_pdf(model: dict, compress: bool | None = None,
                             target.append(f"/F1 {FONT_SIZE} Tf")
                             continue
                         content.append(
-                            f"{tm_for(word['left'])} "
+                            f"{tm_for(std_x[w_i] if std_x is not None else word['left'])} "
                             f"{show_str(word['text'])} Tj")
                         if (sup_markers and w_i == 0
                                 and line is par["lines"][0]

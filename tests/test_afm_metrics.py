@@ -1,0 +1,148 @@
+"""Standard-14 AFM width fallback (parsePdfFonts.js:1466-1537 parity):
+fonts that omit /Widths take the published Adobe Core 14 metrics, with
+MacRoman / /Differences re-keying and fi-fl ligature advances."""
+
+import pytest
+
+from scribe_js_spark.operators.pdf.afm import (
+    STANDARD_WIDTHS, apply_standard_widths, dingbats_glyph_width,
+    normalize_base14_name, standard_ligature_width)
+from scribe_js_spark.operators.pdf.document import PdfDocument
+from scribe_js_spark.operators.pdf.fonts import load_font
+
+
+def test_table_shapes_and_spot_values():
+    for name in ("Helvetica", "Helvetica-Bold", "Times-Roman",
+                 "Times-Bold", "Times-Italic", "Times-BoldItalic",
+                 "Courier"):
+        assert len(STANDARD_WIDTHS[name]) == 224, name
+    assert len(STANDARD_WIDTHS["Symbol"]) == 95
+    assert len(STANDARD_WIDTHS["ZapfDingbats"]) == 95
+    helv = STANDARD_WIDTHS["Helvetica"]
+    assert helv[ord(" ") - 32] == 278
+    assert helv[ord("A") - 32] == 667
+    assert helv[ord("i") - 32] == 222
+    assert helv[ord("m") - 32] == 833
+    assert helv[0xD7 - 32] == 584  # multiply
+    assert STANDARD_WIDTHS["Times-Roman"][ord("W") - 32] == 944
+    assert set(STANDARD_WIDTHS["Courier"]) == {600}
+    # Oblique faces share upright advances
+    assert STANDARD_WIDTHS["Helvetica-Oblique"] is helv
+
+
+@pytest.mark.parametrize("raw,canon", [
+    ("Helvetica", "Helvetica"),
+    ("ABCDEF+Helvetica", "Helvetica"),
+    ("ArialMT", "Helvetica"),
+    ("Arial-BoldMT", "Helvetica-Bold"),
+    ("Arial,BoldItalic", "Helvetica-BoldOblique"),
+    ("TimesNewRomanPSMT", "Times-Roman"),
+    ("TimesNewRomanPS-ItalicMT", "Times-Italic"),
+    ("Times-Bold", "Times-Bold"),
+    ("CourierNewPS-BoldObliqueMT", "Courier-BoldOblique"),
+    ("Symbol", "Symbol"),
+    ("SymbolMT", "Symbol"),
+    ("ZapfDingbats", "ZapfDingbats"),
+    ("Garamond", None),
+    ("", None),
+])
+def test_normalize_base14_name(raw, canon):
+    assert normalize_base14_name(raw) == canon
+
+
+def test_apply_standard_widths_average():
+    widths = {}
+    avg = apply_standard_widths("Helvetica", widths)
+    table = STANDARD_WIDTHS["Helvetica"]
+    assert avg == pytest.approx(sum(table[:95]) / 95.0)
+    assert widths[32] == 278.0 and widths[255] == 500.0
+    assert len(widths) == 224
+    assert apply_standard_widths("NotAFont", {}) is None
+
+
+def test_ligature_and_dingbats_lookups():
+    assert standard_ligature_width("Helvetica", "fi") == 500
+    assert standard_ligature_width("Helvetica-Bold", "fl") == 556
+    assert standard_ligature_width("Times-Italic", "fi") == 500
+    assert standard_ligature_width("Garamond", "fi") is None
+    assert dingbats_glyph_width("a10") == 692
+    assert dingbats_glyph_width("a206") == 410
+    assert dingbats_glyph_width("nosuch") is None
+
+
+def _doc_with_font(font_body: bytes) -> PdfDocument:
+    """Assemble a one-object PDF document wrapper around a font dict."""
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [] /Count 0 >>",
+        font_body,
+    ]
+    out = [b"%PDF-1.4\n"]
+    offsets = []
+    for i, body in enumerate(objs):
+        offsets.append(sum(len(p) for p in out))
+        out.append(f"{i + 1} 0 obj\n".encode() + body + b"\nendobj\n")
+    xref_at = sum(len(p) for p in out)
+    xref = [b"xref\n", f"0 {len(objs) + 1}\n".encode(),
+            b"0000000000 65535 f \n"]
+    xref += [f"{o:010d} 00000 n \n".encode() for o in offsets]
+    out += xref
+    out.append(
+        f"trailer\n<< /Size {len(objs) + 1} /Root 1 0 R >>\n"
+        f"startxref\n{xref_at}\n%%EOF\n".encode())
+    return PdfDocument(b"".join(out))
+
+
+def test_load_font_no_widths_uses_standard_metrics():
+    doc = _doc_with_font(
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+        b"/Encoding /WinAnsiEncoding >>")
+    f = load_font(doc, doc.get_object(3))
+    assert f.width_for(ord("i")) == 222.0
+    assert f.width_for(ord("m")) == 833.0
+    table = STANDARD_WIDTHS["Helvetica"]
+    assert f.default_width == pytest.approx(sum(table[:95]) / 95.0)
+
+
+def test_load_font_macroman_rekeys_high_codes():
+    doc = _doc_with_font(
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Times-Roman "
+        b"/Encoding /MacRomanEncoding >>")
+    f = load_font(doc, doc.get_object(3))
+    # MacRoman 0x8A = adieresis (444 in Times, WinAnsi slot 0xE4).
+    assert f.width_for(0x8A) == 444.0
+    # MacRoman 0xE4 = perthousand (1000 in Times, WinAnsi slot 0x89).
+    assert f.width_for(0xE4) == 1000.0
+    # MacRoman 0xD5 = quoteright (333 in Times, WinAnsi slot 0x92).
+    assert f.width_for(0xD5) == 333.0
+
+
+def test_load_font_differences_rekey_and_ligature():
+    doc = _doc_with_font(
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+        b"/Encoding << /Type /Encoding /BaseEncoding /WinAnsiEncoding "
+        b"/Differences [ 142 /fi 200 /emdash ] >> >>")
+    f = load_font(doc, doc.get_object(3))
+    assert f.width_for(142) == 500.0      # AFM fi ligature
+    assert f.width_for(200) == 1000.0     # emdash (WinAnsi 0x97)
+
+
+def test_load_font_dingbats_differences_below_32():
+    doc = _doc_with_font(
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /ZapfDingbats "
+        b"/Encoding << /Type /Encoding "
+        b"/Differences [ 1 /a10 2 /a206 ] >> >>")
+    f = load_font(doc, doc.get_object(3))
+    assert f.width_for(1) == 692.0
+    assert f.width_for(2) == 410.0
+    assert f.width_for(33) == 974.0       # positional a1
+
+
+def test_load_font_with_widths_keeps_explicit_values():
+    doc = _doc_with_font(
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+        b"/FirstChar 65 /LastChar 66 /Widths [ 700 710 ] >>")
+    f = load_font(doc, doc.get_object(3))
+    assert f.width_for(65) == 700.0
+    assert f.width_for(66) == 710.0
+    assert f.default_width == pytest.approx(705.0)
