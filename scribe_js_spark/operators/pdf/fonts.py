@@ -280,10 +280,27 @@ def load_font(doc, font_dict) -> PdfFont:
         if isinstance(fd, dict):
             flags = int(doc.resolve(fd.get("Flags", 0)) or 0)
             symbolic = bool(flags & 4) and not bool(flags & 32)
-            if flags & 0x40000:
+            try:
+                weight = float(doc.resolve(fd.get("FontWeight", 0)) or 0)
+            except (TypeError, ValueError):
+                weight = 0.0
+            if flags & 0x40000 or weight >= 700:
                 f.bold = True
-            if flags & 0x40:
+            try:
+                angle = float(doc.resolve(fd.get("ItalicAngle", 0)) or 0)
+            except (TypeError, ValueError):
+                angle = 0.0
+            if flags & 0x40 or 0 < abs(angle) < 45:
                 f.italic = True
+            # /Widths present + descriptor: codes outside the array
+            # take /MissingWidth (PDF 32000-1 9.8.1, default 0) —
+            # overriding the array average (parsePdfFonts.js:1986-1991).
+            if f.widths:
+                try:
+                    mw = doc.resolve(fd.get("MissingWidth", 0)) or 0
+                    f.default_width = float(mw)
+                except (TypeError, ValueError):
+                    f.default_width = 0.0
         if not symbolic or base_enc:
             f.encoding = _base_encoding_map(base_enc)
         diff_names: dict[int, str] = {}

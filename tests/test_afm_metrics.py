@@ -146,3 +146,24 @@ def test_load_font_with_widths_keeps_explicit_values():
     assert f.width_for(65) == 700.0
     assert f.width_for(66) == 710.0
     assert f.default_width == pytest.approx(705.0)
+
+
+def test_missing_width_and_descriptor_style_flags():
+    doc = _doc_with_font(
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Custom "
+        b"/FirstChar 65 /LastChar 66 /Widths [ 700 710 ] "
+        b"/FontDescriptor << /Type /FontDescriptor /Flags 32 "
+        b"/FontWeight 700 /ItalicAngle -12 /MissingWidth 480 >> >>")
+    f = load_font(doc, doc.get_object(3))
+    assert f.default_width == 480.0        # /MissingWidth beats the avg
+    assert f.width_for(90) == 480.0
+    assert f.bold and f.italic             # FontWeight>=700, |angle|<45
+
+
+def test_missing_width_defaults_to_zero_with_descriptor():
+    doc = _doc_with_font(
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Custom "
+        b"/FirstChar 65 /LastChar 65 /Widths [ 700 ] "
+        b"/FontDescriptor << /Type /FontDescriptor /Flags 32 >> >>")
+    f = load_font(doc, doc.get_object(3))
+    assert f.default_width == 0.0          # PDF spec default
