@@ -1265,7 +1265,8 @@ def _q_pdf_images(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.types import (
         BooleanType, LongType, StringType, StructField, StructType)
 
-    from scribe_js_spark.operators.pdf.images import extract_images
+    from scribe_js_spark.operators.pdf.images import (
+        extract_images, extract_inline_images)
 
     schema = StructType([
         StructField("url", StringType()),
@@ -1283,21 +1284,24 @@ def _q_pdf_images(spark: SparkSession, sf_dir: str) -> DataFrame:
         StructField("interpolate", BooleanType()),
         StructField("n_raw_bytes", LongType()),
         StructField("pixels_mean_e6", LongType()),
+        StructField("inline", BooleanType()),
     ])
 
     def fn(batches: Iterator) -> Iterator:
         for pdf in batches:
             out = {f.name: [] for f in schema.fields}
             for url, html in zip(pdf["url"], pdf["html"]):
-                for n, rec in enumerate(extract_images(
-                        bytes(html), with_pixels=True)):
+                recs = (extract_images(bytes(html), with_pixels=True)
+                        + extract_inline_images(bytes(html),
+                                                with_pixels=True))
+                for n, rec in enumerate(recs):
                     out["url"].append(url)
                     out["image_n"].append(n)
                     for k in ("width", "height", "bpc", "image_mask",
                               "colorspace", "palette_hival", "filter",
                               "ext", "decode_invert", "has_smask",
                               "interpolate", "n_raw_bytes",
-                              "pixels_mean_e6"):
+                              "pixels_mean_e6", "inline"):
                         out[k].append(rec[k])
             yield pd.DataFrame(out)
 
@@ -2321,7 +2325,7 @@ def oracle_sql() -> dict[str, str]:
             " palette_hival::BIGINT AS palette_hival, filter, ext,"
             " pixels_mean_e6::BIGINT AS pixels_mean_e6,"
             " decode_invert, has_smask, interpolate,"
-            " n_raw_bytes::BIGINT AS n_raw_bytes"
+            " n_raw_bytes::BIGINT AS n_raw_bytes, inline"
             f" FROM read_parquet("
             f"'{os.path.join(FIX_T2, 'images.parquet')}')"),
         "pdf_text_colors": (

@@ -3927,6 +3927,45 @@ def build_image_models(doc_id: int, seed: int = SEED_DEFAULT) -> dict:
         nxt += 1
 
     content = b"q 100 0 0 80 72 600 cm /Im0 Do Q"
+    inline_golden = []
+    if doc_id % 3 == 1:
+        # Inline (BI/ID/EI) images on every 3rd doc: an unfiltered
+        # gray (computed-length termination: EI abuts the payload) and
+        # a CCITT G4 fax (whitespace-bounded scan termination). The
+        # inventory lists them after the XObjects (inline=True rows).
+        gray_raw = bytes((x * 11 + doc_id) % 256 for x in range(wd * ht))
+        content += (f"\nq BI /W {wd} /H {ht} /BPC 8 /CS /G ID ".encode()
+                    + gray_raw + b"EI Q")
+        inline_golden.append(dict(
+            width=wd, height=ht, bpc=8, image_mask=False,
+            colorspace="DeviceGray", palette_hival=-1, filter="",
+            ext="raw", decode_invert=False, has_smask=False,
+            interpolate=False, n_raw_bytes=len(gray_raw), inline=True,
+            pixels_mean_e6=int(_m.floor(
+                sum(gray_raw) / len(gray_raw) * 1e6))))
+        ifax_bits = [[1 if (x * 5 + y * 3 + doc_id) % 7 < 3 else 0
+                      for x in range(wd)] for y in range(ht)]
+        ifax = encode_g4(ifax_bits, wd)
+        # the scan path must not find a premature whitespace-bounded
+        # EI inside the codec payload (same determinism guard as the
+        # imagedup family's separation assert)
+        _ws = (0x00, 0x09, 0x0A, 0x0C, 0x0D, 0x20)
+        for j in range(1, len(ifax) - 1):
+            assert not (ifax[j:j + 2] == b"EI" and ifax[j - 1] in _ws
+                        and (j + 2 >= len(ifax)
+                             or ifax[j + 2] in _ws + (0x2F,))), doc_id
+        ifax_mean = 255 * sum(1 - b for row in ifax_bits
+                              for b in row) / (wd * ht)
+        content += (f"\nq BI /W {wd} /H {ht} /BPC 1 /CS /G /F /CCF "
+                    f"/DP << /K -1 /Columns {wd} /Rows {ht} >> "
+                    f"ID ".encode() + ifax + b"\nEI Q")
+        inline_golden.append(dict(
+            width=wd, height=ht, bpc=1, image_mask=False,
+            colorspace="DeviceGray", palette_hival=-1,
+            filter="CCITTFaxDecode", ext="raw", decode_invert=False,
+            has_smask=False, interpolate=False, n_raw_bytes=len(ifax),
+            inline=True,
+            pixels_mean_e6=int(_m.floor(ifax_mean * 1e6))))
     w.add(b"<< /Type /Catalog /Pages 2 0 R >>")
     w.add(f"<< /Type /Pages /Kids [3 0 R] /Count 1 "
           f"/MediaBox [0 0 {page_w} {page_h}] >>".encode())
@@ -3992,8 +4031,10 @@ def build_image_models(doc_id: int, seed: int = SEED_DEFAULT) -> dict:
         # sweep must not list it); holds the page-information segment
         w.add((f"<< /Length {len(jb_globals)} >>\nstream\n"
                ).encode() + jb_globals + b"\nendstream")
+    golden.extend(inline_golden)
     for n, g in enumerate(golden):
         g["image_n"] = n
+        g.setdefault("inline", False)
     return {"pdf": w.build(), "expected": golden}
 
 

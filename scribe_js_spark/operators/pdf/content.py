@@ -74,6 +74,10 @@ class ContentTokenizer:
 
     def __init__(self, data: bytes):
         self.lex = Lexer(data, 0)
+        # (dict_text, payload) per BI..ID..EI encountered, in stream
+        # order; filled as the iterator passes them (the text machine
+        # skips them, the image inventory reads them).
+        self.inline_images: list[tuple[bytes, bytes]] = []
 
     def __iter__(self):
         operands = []
@@ -133,6 +137,15 @@ class ContentTokenizer:
         dict_text = data[dict_start:i]
         data_start = i + 3
         ws_or_slash = set(WHITESPACE) | {0x2F}
+
+        def _capture(end_excl: int, trim_ws: bool) -> None:
+            payload = data[data_start:end_excl]
+            # the scan path includes the single whitespace delimiter
+            # before EI; the computed-length path ends exactly on the
+            # last sample byte (which may itself be whitespace-valued)
+            if trim_ws and payload and payload[-1] in WHITESPACE:
+                payload = payload[:-1]
+            self.inline_images.append((dict_text, payload))
         if not _re.search(rb"/(?:F|Filter)\b", dict_text):
             wm = _re.search(rb"/(?:W|Width)\s+(\d+)", dict_text)
             hm = _re.search(rb"/(?:H|Height)\s+(\d+)", dict_text)
@@ -160,6 +173,7 @@ class ContentTokenizer:
                     if (end + 2 <= n and data[end : end + 2] == b"EI"
                             and (end + 2 == n
                                  or data[end + 2] in ws_or_slash)):
+                        _capture(end, trim_ws=False)
                         return end + 2
         i = data_start
         while True:
@@ -168,6 +182,7 @@ class ContentTokenizer:
                 return n
             if (j > data_start and data[j - 1] in WHITESPACE
                     and (j + 2 >= n or data[j + 2] in ws_or_slash)):
+                _capture(j, trim_ws=True)
                 return j + 2
             i = j + 1
 

@@ -129,6 +129,7 @@ def parse_image_object(doc: PdfDocument, objnum: int,
         "has_smask": isinstance(d.get("SMask"), (Ref, StreamObj)),
         "interpolate": doc.resolve(d.get("Interpolate")) is True,
         "n_raw_bytes": length,
+        "inline": False,
     }
 
 
@@ -137,14 +138,18 @@ def decode_image_pixels(doc: PdfDocument, obj: StreamObj):
     (h, w, 3), or raise NotImplementedError for unsupported layouts.
     ``doc.stream_data`` applies the text filters and leaves codec
     bytes untouched, so the fax/JPEG/JPX payload arrives intact."""
+    return _decode_pixels(doc, obj.dict, doc.stream_data(obj))
+
+
+def _decode_pixels(doc: PdfDocument, d: dict, data: bytes):
+    """Decode core over a plain image dict + text-filtered payload
+    (shared by XObjects and inline BI/ID/EI images)."""
     import numpy as np
 
-    d = obj.dict
     width = int(doc.resolve(d.get("Width")))
     height = int(doc.resolve(d.get("Height")))
     bpc = int(doc.resolve(d.get("BitsPerComponent", 8)) or 8)
     filters = _filter_names(doc, d)
-    data = doc.stream_data(obj)
     codec = next((f for f in filters if f in _CODECS), None)
     if codec == "CCITTFaxDecode":
         from ...textops.ccitt import (decode_g3_2d, decode_g4,
@@ -272,6 +277,154 @@ def decode_image_pixels(doc: PdfDocument, obj: StreamObj):
             bits = 1 - bits
         return (bits * 255).astype(np.uint8)
     raise NotImplementedError(f"image layout bpc={bpc} cs={cs}")
+
+
+# Inline-image (BI/ID/EI) abbreviations, PDF 32000-1 Table 93/94.
+_INLINE_KEYS = {
+    "W": "Width", "H": "Height", "BPC": "BitsPerComponent",
+    "CS": "ColorSpace", "F": "Filter", "DP": "DecodeParms",
+    "IM": "ImageMask", "D": "Decode", "I": "Interpolate",
+    "L": "Length",
+}
+_INLINE_FILTERS = {
+    "AHx": "ASCIIHexDecode", "A85": "ASCII85Decode", "LZW": "LZWDecode",
+    "Fl": "FlateDecode", "RL": "RunLengthDecode",
+    "CCF": "CCITTFaxDecode", "DCT": "DCTDecode",
+}
+_INLINE_CS = {"G": "DeviceGray", "RGB": "DeviceRGB",
+              "CMYK": "DeviceCMYK", "I": "Indexed"}
+
+
+def _normalize_inline_dict(dict_text: bytes) -> dict | None:
+    """BI..ID dict text -> image dict with the full (XObject) key and
+    value spellings, so the shared inventory/decode paths apply."""
+    from .lexer import Lexer
+
+    try:
+        obj = Lexer(b"<< " + dict_text + b" >>", 0).read_object()
+    except Exception:
+        return None
+    if not isinstance(obj, dict):
+        return None
+    nd = {str(k): v for k, v in obj.items()}
+    nd = {_INLINE_KEYS.get(k, k): v for k, v in nd.items()}
+    f = nd.get("Filter")
+    if f is not None:
+        names = f if isinstance(f, list) else [f]
+        nd["Filter"] = [_INLINE_FILTERS.get(str(x), str(x))
+                        for x in names]
+    cs = nd.get("ColorSpace")
+    if isinstance(cs, (Name, str)):
+        nd["ColorSpace"] = _INLINE_CS.get(str(cs), str(cs))
+    elif isinstance(cs, list) and cs:
+        cs = list(cs)
+        cs[0] = _INLINE_CS.get(str(cs[0]), str(cs[0]))
+        if len(cs) >= 2 and isinstance(cs[1], (Name, str)):
+            cs[1] = _INLINE_CS.get(str(cs[1]), str(cs[1]))
+        nd["ColorSpace"] = cs
+    return nd
+
+
+def _inline_record(doc: PdfDocument, dict_text: bytes, payload: bytes,
+                   with_pixels: bool) -> dict | None:
+    nd = _normalize_inline_dict(dict_text)
+    if nd is None:
+        return None
+
+    def _int(key, dflt):
+        try:
+            v = doc.resolve(nd.get(key))
+            return int(v) if v is not None else dflt
+        except (TypeError, ValueError):
+            return dflt
+
+    width, height = _int("Width", 0), _int("Height", 0)
+    if width <= 0 or height <= 0:
+        return None
+    colorspace, hival = _colorspace(doc, nd)
+    filters = [str(f) for f in nd.get("Filter") or []]
+    decode = nd.get("Decode")
+    decode_invert = (isinstance(decode, list) and len(decode) >= 2
+                     and float(decode[0]) > float(decode[1]))
+    rec = {
+        "objnum": None,  # not an indirect object
+        "width": width,
+        "height": height,
+        "bpc": _int("BitsPerComponent", 8),
+        "image_mask": nd.get("ImageMask") is True,
+        "colorspace": colorspace,
+        "palette_hival": hival,
+        "filter": ",".join(filters),
+        "ext": codec_ext(filters),
+        "decode_invert": decode_invert,
+        "has_smask": False,  # /SMask is not an inline-image key
+        "interpolate": nd.get("Interpolate") is True,
+        "n_raw_bytes": len(payload),
+        "inline": True,
+    }
+    if with_pixels:
+        try:
+            import math
+
+            px = _decode_pixels(doc, nd, doc._decode(payload, nd))
+            rec["pixels_mean_e6"] = int(
+                math.floor(float(px.mean()) * 1e6))
+        except Exception:
+            rec["pixels_mean_e6"] = None
+    return rec
+
+
+def extract_inline_images(data: bytes,
+                          with_pixels: bool = False) -> list[dict]:
+    """Inline (BI/ID/EI) images from page content streams and Form
+    XObjects, in stream order. The reference inventories XObjects only
+    (parsePdfImages.js:199 sweeps the xref); inline images are the
+    small-bitmap shape real-world scanned/composited PDFs also carry,
+    so the training-data inventory lists them too — same record schema,
+    ``objnum`` None. Never fatal: corrupt documents/streams yield what
+    was parseable."""
+    from .content import ContentTokenizer
+
+    try:
+        doc = PdfDocument(data)
+    except Exception:
+        return []
+    streams: list[bytes] = []
+    try:
+        for page in doc.get_pages():
+            try:
+                streams.append(doc.page_content(page))
+            except Exception:
+                continue
+    except Exception:
+        pass
+    for objnum in sorted(doc.xref):
+        try:
+            obj = doc.get_object(objnum)
+            if (isinstance(obj, StreamObj) and str(doc.resolve(
+                    obj.dict.get("Subtype", ""))) == "Form"):
+                streams.append(doc.stream_data(obj))
+        except Exception:
+            continue
+    out = []
+    for content in streams:
+        if b"BI" not in content:
+            continue
+        tok = ContentTokenizer(content)
+        try:
+            for _ in tok:
+                pass
+        except Exception:
+            pass
+        for dict_text, payload in tok.inline_images:
+            try:
+                rec = _inline_record(doc, dict_text, payload,
+                                     with_pixels)
+            except Exception:
+                continue
+            if rec:
+                out.append(rec)
+    return out
 
 
 def extract_images(data: bytes,

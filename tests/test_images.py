@@ -3,7 +3,8 @@
 import pytest
 
 from scribe_js_spark.fixtures import build_image_models
-from scribe_js_spark.operators.pdf.images import codec_ext, extract_images
+from scribe_js_spark.operators.pdf.images import (
+    codec_ext, extract_images, extract_inline_images)
 
 
 def test_codec_ext():
@@ -14,17 +15,21 @@ def test_codec_ext():
     assert codec_ext([]) == "raw"
 
 
-@pytest.mark.parametrize("doc_id", sorted({*range(0, 24, 3), 2, 4}))
+@pytest.mark.parametrize("doc_id", sorted({*range(0, 24, 3), 2, 4, 7}))
 def test_image_inventory_matches_golden(doc_id):
     # docs 2 and 4 pin the YCCK (APP14 transform 2) and
-    # /Decode-inverted CMYK DCT variants respectively
+    # /Decode-inverted CMYK DCT variants respectively; doc 7 carries
+    # inline (BI/ID/EI) images appended after the XObjects
     m = build_image_models(doc_id)
-    got = extract_images(m["pdf"], with_pixels=True)
+    got = (extract_images(m["pdf"], with_pixels=True)
+           + extract_inline_images(m["pdf"], with_pixels=True))
     assert len(got) == len(m["expected"])
     for n, (g, e) in enumerate(zip(got, m["expected"])):
         flat = {k: v for k, v in g.items() if k != "objnum"}
         flat["image_n"] = n
         assert flat == e, (doc_id, n)
+    if doc_id % 3 == 1:
+        assert sum(g["inline"] for g in got) == 2
 
 
 def test_inventory_on_existing_scan_fixture():
