@@ -285,3 +285,26 @@ def test_decode_media_net_catches_all_codec_mutations():
                 assert rec["error"] or rec["kind"]
             except allowed:
                 pass  # decode_media's net turns these into a column
+
+
+def test_inline_images_never_raise_on_mutations():
+    """BI/ID/EI parsing (tokenizer capture + dict normalization +
+    pixel decode) across byte flips, truncations, slice deletes and
+    duplications: extract_document and extract_inline_images must
+    never raise, and the tokenizer must terminate (no EI-scan loop)."""
+    from scribe_js_spark.fixtures import build_image_models
+    from scribe_js_spark.operators.pdf.images import (
+        extract_inline_images)
+
+    base = build_image_models(7)["pdf"]  # doc 7 carries 2 inline images
+    rng = np.random.RandomState(99)
+    decoded = 0
+    for _ in range(150):
+        mutated = _mutate(base, rng)
+        recs = extract_inline_images(mutated, with_pixels=True)
+        assert isinstance(recs, list)
+        decoded += sum(1 for r in recs
+                       if r.get("pixels_mean_e6") is not None)
+        res = extract_document(mutated)
+        assert res.error is None or isinstance(res.error, str)
+    assert decoded > 0  # some mutants keep a decodable inline image
