@@ -3294,7 +3294,19 @@ def build_webhtml_models(doc_id: int, seed: int = SEED_DEFAULT) -> dict:
 
     body_paras = "".join(
         f"<p>{p.replace('&', '&amp;')}</p>" for p in paras)
-    inner = f"<h1>{headline}</h1>{body_paras}"
+    # Hidden-element boilerplate INSIDE the content container: plain
+    # prose with no boilerplate-looking class, so only the hidden-state
+    # pruning (hidden attr / display:none / aria-hidden) excludes it —
+    # the golden never contains it.
+    hidden_kind = doc_id % 3
+    hidden_para = f"<p>{_para(12)} cached offscreen copy</p>"
+    if hidden_kind == 0:
+        hidden_div = f"<div hidden>{hidden_para}</div>"
+    elif hidden_kind == 1:
+        hidden_div = (f'<div style="display: none">{hidden_para}</div>')
+    else:
+        hidden_div = f'<div aria-hidden="true">{hidden_para}</div>'
+    inner = f"<h1>{headline}</h1>{hidden_div}{body_paras}"
     container = doc_id % 4
     if container == 0:
         content = f"<article>{inner}</article>"

@@ -51,6 +51,22 @@ _VOID_TAGS = frozenset((
     "embed", "source", "track", "wbr",
 ))
 _WS_RE = re.compile(r"\s+")
+_HIDDEN_STYLE_RE = re.compile(
+    r"display\s*:\s*none|visibility\s*:\s*hidden", re.I)
+
+
+def _is_hidden(node) -> bool:
+    """Invisible-to-the-reader subtree: the HTML ``hidden`` attribute,
+    ``aria-hidden="true"``, or inline display:none/visibility:hidden.
+    Crawled pages park cookie modals, offscreen menus and prefetch
+    text behind these, often without boilerplate-looking class names."""
+    a = node.attrs
+    if "hidden" in a:
+        return True
+    if str(a.get("aria-hidden") or "").lower() == "true":
+        return True
+    style = a.get("style")
+    return bool(style and _HIDDEN_STYLE_RE.search(style))
 
 
 class _Node:
@@ -135,6 +151,8 @@ def _prune_boilerplate(node) -> None:
     for child in node.children:
         if isinstance(child, str):
             kept.append(child)
+            continue
+        if _is_hidden(child):
             continue
         if child.tag in _LANDMARK_TAGS:
             total, linked = _text_stats(child)

@@ -85,3 +85,23 @@ def test_pii_scrub_cross_engine_agreement(spark):
         assert got["n_ipv4"] == want["n_ipv4"]
         assert got["n_phones"] == want["n_phones"]
         assert "<EMAIL>" in got["text_scrubbed"]
+
+
+def test_hidden_elements_pruned():
+    """hidden attr / display:none / visibility:hidden / aria-hidden
+    subtrees never reach the output even inside the content root."""
+    from scribe_js_spark.operators.webhtml import extract_main_content
+
+    html = (
+        "<html><body><article><h1>Title here</h1>"
+        "<p>visible paragraph one with enough text to count</p>"
+        "<div hidden><p>hidden A</p></div>"
+        '<div style="display:none"><p>hidden B</p></div>'
+        '<div style="visibility: hidden"><p>hidden C</p></div>'
+        '<span aria-hidden="true">hidden D</span>'
+        '<p aria-hidden="false">visible two</p>'
+        "</article></body></html>")
+    got = "\n".join(extract_main_content(html))
+    assert "visible paragraph one" in got and "visible two" in got
+    for leak in ("hidden A", "hidden B", "hidden C", "hidden D"):
+        assert leak not in got
