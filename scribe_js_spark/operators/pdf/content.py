@@ -573,15 +573,18 @@ class TextMachine:
         valid_cids = font.valid_cids
         for code, is_cid in self._decode_codes(bytes(data), font):
             uni = unicode_for(code)
-            if uni is None and is_cid and valid_cids is not None:
-                if code not in valid_cids:
+            if uni is None and is_cid:
+                if valid_cids is not None and code not in valid_cids:
                     # The embedded CFF's charset has no glyph for this
                     # CID: a malformed subset reference. Skip emission
                     # AND the advance, exactly as the reference does
                     # (parsePdfDoc.js:1884 `continue`).
                     continue
-                # In-charset but unmapped: fall back to the raw code,
-                # mirroring the reference's String.fromCharCode path.
+                # Unmapped (in-charset, or no program constrains): the
+                # reference's String.fromCharCode fallback
+                # (parsePdfDoc.js:1885). Right by construction for
+                # Identity CIDs-as-codepoints and UCS2-coded CMaps —
+                # a CID font with no ToUnicode otherwise emits nothing.
                 uni = chr(code) if 0 < code < 0x110000 else None
             w0 = width_for(code) / 1000.0
             is_space = (not is_cid and code == 32)

@@ -167,3 +167,41 @@ def test_missing_width_defaults_to_zero_with_descriptor():
         b"/FontDescriptor << /Type /FontDescriptor /Flags 32 >> >>")
     f = load_font(doc, doc.get_object(3))
     assert f.default_width == 0.0          # PDF spec default
+
+
+def test_cid_font_without_tounicode_falls_back_to_codepoints():
+    """A Type0/Identity-H font with no ToUnicode and no embedded
+    program must emit CIDs as codepoints (parsePdfDoc.js:1885
+    String.fromCharCode fallback), not drop the text."""
+    from scribe_js_spark.extract import extract_document
+
+    text = "Hello"
+    hexstr = "".join(f"{ord(c):04X}" for c in text)
+    content = f"BT /F1 24 Tf 1 0 0 1 72 700 Tm <{hexstr}> Tj ET".encode()
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 "
+        b"/MediaBox [0 0 612 792] >>",
+        b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R /Resources "
+        b"<< /Font << /F1 5 0 R >> >> >>",
+        b"<< /Length %d >>\nstream\n" % len(content) + content
+        + b"\nendstream",
+        b"<< /Type /Font /Subtype /Type0 /BaseFont /NoMap "
+        b"/Encoding /Identity-H /DescendantFonts [6 0 R] >>",
+        b"<< /Type /Font /Subtype /CIDFontType2 /BaseFont /NoMap "
+        b"/CIDSystemInfo << /Registry (Adobe) /Ordering (Identity) "
+        b"/Supplement 0 >> /DW 500 >>",
+    ]
+    out = [b"%PDF-1.4\n"]
+    offs = []
+    for i, body in enumerate(objs):
+        offs.append(sum(map(len, out)))
+        out.append(b"%d 0 obj\n" % (i + 1) + body + b"\nendobj\n")
+    xa = sum(map(len, out))
+    out.append(b"xref\n0 %d\n0000000000 65535 f \n" % (len(objs) + 1)
+               + b"".join(b"%010d 00000 n \n" % o for o in offs))
+    out.append(b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n"
+               b"%d\n%%%%EOF\n" % (len(objs) + 1, xa))
+    res = extract_document(b"".join(out))
+    assert res.error is None, res.error
+    assert res.text == text
