@@ -90,6 +90,10 @@ def _base_encoding_map(name: str | None) -> dict[int, str]:
     return enc
 
 
+def _is_ascii_letter(s: str) -> bool:
+    return "A" <= s <= "Z" or "a" <= s <= "z"
+
+
 class PdfFont:
     """Resolved font state for the text machine."""
 
@@ -98,6 +102,7 @@ class PdfFont:
         "widths", "default_width", "cid", "two_byte", "to_unicode",
         "encoding", "ascent", "descent", "type3", "font_matrix",
         "valid_cids", "type3_glyph_hash", "broken_cached",
+        "prefer_encoding_case",
     )
 
     def __init__(self):
@@ -127,10 +132,22 @@ class PdfFont:
         # font in a WeakMap; an id()-keyed global dict would serve
         # stale verdicts after address reuse).
         self.broken_cached: bool | None = None
+        # Broken OCR ToUnicode maps can flip ASCII letter case while
+        # mapping to the same underlying letter; when >=2 consistent
+        # conflicts exist, the encoding's case wins per code
+        # (parsePdfFonts.js:2247-2265, parsePdfDoc.js:1867-1879).
+        self.prefer_encoding_case = False
 
     def unicode_for(self, code: int) -> str | None:
         if code in self.to_unicode:
-            return self.to_unicode[code]
+            u = self.to_unicode[code]
+            if self.prefer_encoding_case and len(u) == 1:
+                e = self.encoding.get(code)
+                if (e is not None and len(e) == 1 and e != u
+                        and _is_ascii_letter(u) and _is_ascii_letter(e)
+                        and u.lower() == e.lower()):
+                    return e
+            return u
         if code in self.encoding:
             return self.encoding[code]
         if not self.cid and 0 <= code < 0x110000:
@@ -329,7 +346,35 @@ def load_font(doc, font_dict) -> PdfFont:
             pass
     if cid_font_file2 is not None and f.to_unicode:
         _remap_blank_glyphs(cid_font_file2, f)
+    if not f.cid and not f.type3 and f.to_unicode and f.encoding:
+        _detect_case_flipped_tounicode(f)
     return f
+
+
+def _detect_case_flipped_tounicode(f: PdfFont) -> None:
+    """>=2 single-letter ToUnicode-vs-encoding conflicts that all flip
+    case in the same direction mark a broken OCR ToUnicode; per-code
+    lookups then prefer the encoding's case
+    (parsePdfFonts.js:2247-2265)."""
+    conflicts = 0
+    direction = 0
+    consistent = True
+    for code in range(65, 123):
+        if 90 < code < 97:
+            continue
+        tu = f.to_unicode.get(code)
+        eu = f.encoding.get(code)
+        if (not tu or not eu or len(tu) != 1 or len(eu) != 1
+                or not _is_ascii_letter(tu) or not _is_ascii_letter(eu)):
+            continue
+        if tu != eu and tu.lower() == eu.lower():
+            conflicts += 1
+            d = -1 if tu == tu.lower() else 1
+            if direction == 0:
+                direction = d
+            elif direction != d:
+                consistent = False
+    f.prefer_encoding_case = conflicts >= 2 and consistent
 
 
 def _apply_standard_metrics(f: PdfFont, base_enc: str | None,

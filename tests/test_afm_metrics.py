@@ -205,3 +205,77 @@ def test_cid_font_without_tounicode_falls_back_to_codepoints():
     res = extract_document(b"".join(out))
     assert res.error is None, res.error
     assert res.text == text
+
+
+def _pdf_with_objs(objs: list[bytes]) -> bytes:
+    out = [b"%PDF-1.4\n"]
+    offs = []
+    for i, body in enumerate(objs):
+        offs.append(sum(map(len, out)))
+        out.append(b"%d 0 obj\n" % (i + 1) + body + b"\nendobj\n")
+    xa = sum(map(len, out))
+    out.append(b"xref\n0 %d\n0000000000 65535 f \n" % (len(objs) + 1)
+               + b"".join(b"%010d 00000 n \n" % o for o in offs))
+    out.append(b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n"
+               b"%d\n%%%%EOF\n" % (len(objs) + 1, xa))
+    return b"".join(out)
+
+
+def test_case_flipped_tounicode_prefers_encoding_case():
+    """>=2 consistent single-letter case flips in ToUnicode mark a
+    broken OCR map; the WinAnsi encoding's case wins per code
+    (parsePdfFonts.js:2247-2265). Non-conflicting entries (the 'x'
+    ligature-ish mapping) keep their ToUnicode value."""
+    from scribe_js_spark.extract import extract_document
+
+    # charCodes: 'H'(72)->'h', 'W'(87)->'w' flips; 'x'(120)->'y' is a
+    # genuine remap (different letters) and must survive.
+    cmap = (b"/CIDInit /ProcSet findresource begin 12 dict begin "
+            b"begincmap 1 begincodespacerange <00> <FF> "
+            b"endcodespacerange 3 beginbfchar "
+            b"<48> <0068> <57> <0077> <78> <0079> "
+            b"endbfchar endcmap end end")
+    content = b"BT /F1 24 Tf 1 0 0 1 72 700 Tm (HW x) Tj ET"
+    pdf = _pdf_with_objs([
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 "
+        b"/MediaBox [0 0 612 792] >>",
+        b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R /Resources "
+        b"<< /Font << /F1 5 0 R >> >> >>",
+        b"<< /Length %d >>\nstream\n" % len(content) + content
+        + b"\nendstream",
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+        b"/Encoding /WinAnsiEncoding /ToUnicode 6 0 R >>",
+        b"<< /Length %d >>\nstream\n" % len(cmap) + cmap
+        + b"\nendstream",
+    ])
+    res = extract_document(pdf)
+    assert res.error is None, res.error
+    assert res.text == "HW y"
+
+
+def test_single_case_conflict_keeps_tounicode():
+    """One conflict (or inconsistent directions) is not enough — the
+    ToUnicode value stands."""
+    from scribe_js_spark.extract import extract_document
+
+    cmap = (b"begincmap 1 begincodespacerange <00> <FF> "
+            b"endcodespacerange 1 beginbfchar <48> <0068> "
+            b"endbfchar endcmap")
+    content = b"BT /F1 24 Tf 1 0 0 1 72 700 Tm (H) Tj ET"
+    pdf = _pdf_with_objs([
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 "
+        b"/MediaBox [0 0 612 792] >>",
+        b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R /Resources "
+        b"<< /Font << /F1 5 0 R >> >> >>",
+        b"<< /Length %d >>\nstream\n" % len(content) + content
+        + b"\nendstream",
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+        b"/Encoding /WinAnsiEncoding /ToUnicode 6 0 R >>",
+        b"<< /Length %d >>\nstream\n" % len(cmap) + cmap
+        + b"\nendstream",
+    ])
+    res = extract_document(pdf)
+    assert res.error is None, res.error
+    assert res.text == "h"
