@@ -348,7 +348,36 @@ def load_font(doc, font_dict) -> PdfFont:
         _remap_blank_glyphs(cid_font_file2, f)
     if not f.cid and not f.type3 and f.to_unicode and f.encoding:
         _detect_case_flipped_tounicode(f)
+    if not f.type3:
+        _clamp_insane_widths(f)
     return f
+
+
+def _clamp_insane_widths(f: PdfFont) -> None:
+    """Some producers emit widths as 32-bit packed values (e.g.
+    0x00020002 = 131074) or negatives, far outside any real 1/1000-em
+    advance — unclamped they poison every downstream bbox computation.
+    Clamp offenders to the average of the sane entries; Type3 is exempt
+    because its widths scale by FontMatrix
+    (parsePdfFonts.js:2291-2305, SANE_MAX_WIDTH = 4000)."""
+    import math as _m
+
+    SANE_MAX = 4000.0
+    sane_sum = 0.0
+    sane_n = 0
+    for w in f.widths.values():
+        if _m.isfinite(w) and 0 <= w <= SANE_MAX:
+            sane_sum += w
+            sane_n += 1
+    fallback = round(sane_sum / sane_n) if sane_n else 1000.0
+    clamped = False
+    for code, w in f.widths.items():
+        if not (_m.isfinite(w) and 0 <= w <= SANE_MAX):
+            f.widths[code] = float(fallback)
+            clamped = True
+    if clamped and not (_m.isfinite(f.default_width)
+                        and 0 <= f.default_width <= SANE_MAX):
+        f.default_width = float(fallback)
 
 
 def _detect_case_flipped_tounicode(f: PdfFont) -> None:

@@ -279,3 +279,17 @@ def test_single_case_conflict_keeps_tounicode():
     res = extract_document(pdf)
     assert res.error is None, res.error
     assert res.text == "h"
+
+
+def test_packed_width_values_clamped():
+    """32-bit packed /Widths entries (0x00020002 = 131074) clamp to
+    the sane-entry average; the poisoned array average driving
+    default_width is repaired too (parsePdfFonts.js:2291-2305)."""
+    doc = _doc_with_font(
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Custom "
+        b"/FirstChar 65 /LastChar 67 /Widths [ 131074 600 -50 ] >>")
+    f = load_font(doc, doc.get_object(3))
+    assert f.width_for(65) == 600.0
+    assert f.width_for(66) == 600.0
+    assert f.width_for(67) == 600.0
+    assert f.default_width == 600.0
