@@ -523,12 +523,41 @@ class TextMachine:
     # ----------------------------------------------------------- showing
 
     def _decode_codes(self, data: bytes, font: PdfFont):
-        if font.two_byte:
+        """(charCode, n_bytes) per code. CMaps with mixed codespaces
+        (embedded or predefined CJK) split per-range — without this,
+        1-byte ASCII codes inside a 2-byte read vanish
+        (pdfPrimitives decodeTextCodes)."""
+        ranges = font.codespace_ranges
+        if ranges is not None:
+            i, n = 0, len(data)
+            while i < n:
+                b0 = data[i]
+                for nb, lo, hi in ranges:
+                    if nb == 1:
+                        if lo <= b0 <= hi:
+                            yield b0, 1
+                            i += 1
+                            break
+                    elif nb == 2 and i + 1 < n:
+                        c2 = (b0 << 8) | data[i + 1]
+                        if lo <= c2 <= hi:
+                            yield c2, 2
+                            i += 2
+                            break
+                else:
+                    # unmatched: assume 2 bytes when a second exists
+                    if i + 1 < n:
+                        yield (b0 << 8) | data[i + 1], 2
+                        i += 2
+                    else:
+                        yield b0, 1
+                        i += 1
+        elif font.two_byte:
             for i in range(0, len(data) - 1, 2):
-                yield (data[i] << 8) | data[i + 1], True
+                yield (data[i] << 8) | data[i + 1], 2
         else:
             for b in data:
-                yield b, False
+                yield b, 1
 
     def _show(self, data, font, tfs, tc, tw, tz, ts, tr, tm, ctm):
         if not isinstance(data, (bytes, bytearray)) or font is None:
@@ -571,7 +600,8 @@ class TextMachine:
         stroke_color = self._stroke_color if stroked else None
         adv_total = 0.0
         valid_cids = font.valid_cids
-        for code, is_cid in self._decode_codes(bytes(data), font):
+        is_cid = font.cid
+        for code, n_bytes in self._decode_codes(bytes(data), font):
             uni = unicode_for(code)
             if uni is None and is_cid:
                 if valid_cids is not None and code not in valid_cids:
@@ -587,7 +617,9 @@ class TextMachine:
                 # a CID font with no ToUnicode otherwise emits nothing.
                 uni = chr(code) if 0 < code < 0x110000 else None
             w0 = width_for(code) / 1000.0
-            is_space = (not is_cid and code == 32)
+            # Tw applies to the single-byte code 32 only (PDF 32000-1
+            # 9.3.3; parsePdfDoc.js:1950 isWordSpace).
+            is_space = (n_bytes == 1 and code == 32)
             adv = (w0 * tfs + tc + (tw if is_space else 0.0)) * th
             if uni:
                 # whitespace collapse (reference :1889)

@@ -102,7 +102,8 @@ class PdfFont:
         "widths", "default_width", "cid", "two_byte", "to_unicode",
         "encoding", "ascent", "descent", "type3", "font_matrix",
         "valid_cids", "type3_glyph_hash", "broken_cached",
-        "prefer_encoding_case",
+        "prefer_encoding_case", "codespace_ranges", "code_to_cid",
+        "cjk_codec",
     )
 
     def __init__(self):
@@ -137,6 +138,14 @@ class PdfFont:
         # conflicts exist, the encoding's case wins per code
         # (parsePdfFonts.js:2247-2265, parsePdfDoc.js:1867-1879).
         self.prefer_encoding_case = False
+        # Type0 CMaps beyond Identity-H: an embedded encoding CMap's
+        # codespace ranges (list of (n_bytes, low, high), 1-byte ranges
+        # first) + charCode -> CID map; predefined Adobe CJK CMaps set
+        # a byte-charset codec (Shift-JIS/GBK/Big5/EUC-KR) instead
+        # (parsePdfFonts.js:873-1025, pdfPrimitives decodeTextCodes).
+        self.codespace_ranges: list[tuple[int, int, int]] | None = None
+        self.code_to_cid: dict[int, int] | None = None
+        self.cjk_codec: str | None = None
 
     def unicode_for(self, code: int) -> str | None:
         if code in self.to_unicode:
@@ -150,11 +159,31 @@ class PdfFont:
             return u
         if code in self.encoding:
             return self.encoding[code]
+        if self.cjk_codec is not None:
+            u = None
+            try:
+                if code > 0xFF:
+                    u = bytes((code >> 8, code & 0xFF)).decode(
+                        self.cjk_codec)
+                elif code >= 0x80:
+                    u = bytes((code,)).decode(self.cjk_codec)
+                else:
+                    u = chr(code)
+            except UnicodeDecodeError:
+                pass
+            if u:
+                self.to_unicode[code] = u  # memoize the charset decode
+                return u
         if not self.cid and 0 <= code < 0x110000:
             return chr(code)
         return None
 
     def width_for(self, code: int) -> float:
+        # A CID font's /W advances are keyed by CID, which equals the
+        # content-stream code only under Identity encoding
+        # (parsePdfDoc.js:1893 widthKey).
+        if self.code_to_cid is not None:
+            code = self.code_to_cid.get(code, code)
         return self.widths.get(code, self.default_width)
 
 
@@ -235,9 +264,24 @@ def load_font(doc, font_dict) -> PdfFont:
 
     subtype = str(doc.resolve(font_dict.get("Subtype", "")))
     cid_font_file2 = None
+    type0_enc_name = ""
     if subtype == "Type0":
         f.cid = True
         f.two_byte = True  # Identity-H / standard CMaps; 2-byte codes
+        enc0 = doc.resolve(font_dict.get("Encoding"))
+        if isinstance(enc0, str):
+            type0_enc_name = str(enc0)
+        else:
+            # Embedded encoding CMap stream: charCode -> CID ranges +
+            # codespace byte widths (parsePdfFonts.js:873-890).
+            try:
+                cmap_bytes = doc.stream_data(enc0)
+                m = _parse_cid_encoding_cmap(cmap_bytes)
+                if m:
+                    f.code_to_cid = m
+                f.codespace_ranges = _parse_codespace_ranges(cmap_bytes)
+            except Exception:
+                pass
         desc_fonts = doc.resolve(font_dict.get("DescendantFonts", []))
         desc = doc.resolve(desc_fonts[0]) if desc_fonts else {}
         f.default_width = float(doc.resolve(desc.get("DW", 1000)))
@@ -348,9 +392,126 @@ def load_font(doc, font_dict) -> PdfFont:
         _remap_blank_glyphs(cid_font_file2, f)
     if not f.cid and not f.type3 and f.to_unicode and f.encoding:
         _detect_case_flipped_tounicode(f)
+    if f.cid and not f.to_unicode:
+        _apply_predefined_cjk_cmap(f, type0_enc_name)
     if not f.type3:
         _clamp_insane_widths(f)
     return f
+
+
+# Adobe's predefined CJK CMaps: fixed codespace ranges per the public
+# CMap definitions; text decodes through the matching byte charset
+# (parsePdfFonts.js:891-1025 — the reference eagerly fills toUnicode
+# via TextDecoder; here the charset decode is lazy per code in
+# PdfFont.unicode_for, memoized).
+_CJK_CMAPS = (
+    # (name test, codec, codespace ranges)
+    (re.compile(r"RKSJ"), "cp932", [
+        (1, 0x00, 0x80), (1, 0xA0, 0xDF), (1, 0xFD, 0xFF),
+        (2, 0x8140, 0x9FFC), (2, 0xE040, 0xFCFC)]),
+    (re.compile(r"GBK|GB-EUC|GBpc-EUC"), "gbk", [
+        (1, 0x00, 0x80), (2, 0x8140, 0xFEFE)]),
+    (re.compile(r"^(?:B5|ETen|ETenms|HKscs)"), "big5hkscs", [
+        (1, 0x00, 0x80), (2, 0xA140, 0xFEFE)]),
+    (re.compile(r"^(?:KSC|UniKS)"), "cp949", [
+        (1, 0x00, 0x80), (2, 0x8141, 0xFDFE)]),
+)
+
+
+def _apply_predefined_cjk_cmap(f: PdfFont, name: str) -> None:
+    if not name or "Identity" in name:
+        return
+    if re.search(r"UCS2|UTF16", name):
+        # Uni*-UCS2/UTF16: charCodes are Unicode codepoints already
+        # (the chr() fallback is exact); Adobe CJK collections map
+        # printable ASCII to CIDs 1-95, so half-width /W entries need
+        # the synthesized map (parsePdfFonts.js:2230-2240).
+        if f.code_to_cid is None:
+            f.code_to_cid = {u: u - 0x1F for u in range(0x20, 0x7F)}
+        return
+    for name_re, codec, ranges in _CJK_CMAPS:
+        if name_re.search(name):
+            f.cjk_codec = codec
+            if f.codespace_ranges is None:
+                f.codespace_ranges = list(ranges)
+            break
+    else:
+        return
+    if name.startswith(("B5", "ETen", "HKscs")):
+        # ETen-B5 sends 1-byte ASCII to the Adobe-CNS1 half-width
+        # Latin block (space = CID 13648) — without the mapping the
+        # byte itself keys /W and misses (parsePdfFonts.js:996-1003).
+        if f.code_to_cid is None:
+            f.code_to_cid = {}
+        for code in range(0x20, 0x7F):
+            f.code_to_cid.setdefault(code, 13616 + code)
+            if code > 0x20 and code not in f.to_unicode:
+                f.to_unicode[code] = chr(code)
+
+
+_CIDCHAR_RE = re.compile(rb"begincidchar(.*?)endcidchar", re.S)
+_CIDRANGE_RE = re.compile(rb"begincidrange(.*?)endcidrange", re.S)
+_CODESPACE_RE = re.compile(
+    rb"begincodespacerange(.*?)endcodespacerange", re.S)
+_HEX_DEC_RE = re.compile(rb"<([0-9A-Fa-f]+)>\s+(\d+)")
+_HEX_HEX_DEC_RE = re.compile(
+    rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s+(\d+)")
+_HEX_PAIR_RE = re.compile(rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>")
+_HEX_TRIPLE_RE = re.compile(
+    rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>")
+_MAX_CMAP_ENTRIES = 1 << 20  # allocation-bomb guard for fuzzed CMaps
+
+
+def _parse_cid_encoding_cmap(data: bytes) -> dict[int, int]:
+    """Embedded encoding CMap -> charCode -> CID. cidchar/cidrange are
+    the standard forms; some producers use bfchar/bfrange syntax with
+    hex CIDs (parseCIDEncodingCMap, parsePdfFonts.js:2612-2656)."""
+    out: dict[int, int] = {}
+    for m in _CIDCHAR_RE.finditer(data):
+        for e in _HEX_DEC_RE.finditer(m.group(1)):
+            out[int(e.group(1), 16)] = int(e.group(2))
+    for m in _CIDRANGE_RE.finditer(data):
+        for e in _HEX_HEX_DEC_RE.finditer(m.group(1)):
+            start, end = int(e.group(1), 16), int(e.group(2), 16)
+            cid = int(e.group(3))
+            end = min(end, start + _MAX_CMAP_ENTRIES)
+            for code in range(start, end + 1):
+                out[code] = cid
+                cid += 1
+            if len(out) > _MAX_CMAP_ENTRIES:
+                return out
+    for m in _BFCHAR_RE.finditer(data):
+        for e in _HEX_PAIR_RE.finditer(m.group(1)):
+            out[int(e.group(1), 16)] = int(e.group(2), 16)
+    for m in _BFRANGE_RE.finditer(data):
+        for e in _HEX_TRIPLE_RE.finditer(m.group(1)):
+            start, end = int(e.group(1), 16), int(e.group(2), 16)
+            cid = int(e.group(3), 16)
+            end = min(end, start + _MAX_CMAP_ENTRIES)
+            for code in range(start, end + 1):
+                out[code] = cid
+                cid += 1
+            if len(out) > _MAX_CMAP_ENTRIES:
+                return out
+    return out
+
+
+def _parse_codespace_ranges(
+        data: bytes) -> list[tuple[int, int, int]] | None:
+    """codespacerange blocks -> [(n_bytes, low, high)], 1-byte ranges
+    first; None for uniformly-2-byte (callers default to 2-byte pairs)
+    (parseCIDCodespaceRanges, parsePdfFonts.js:2663-2680)."""
+    ranges: list[tuple[int, int, int]] = []
+    for m in _CODESPACE_RE.finditer(data):
+        for e in _HEX_PAIR_RE.finditer(m.group(1)):
+            nb = (len(e.group(1)) + 1) // 2
+            ranges.append((nb, int(e.group(1), 16), int(e.group(2), 16)))
+    ranges.sort(key=lambda r: r[0])
+    if not ranges:
+        return None
+    if ranges[0][0] == 2 and ranges[-1][0] == 2:
+        return None
+    return ranges
 
 
 def _clamp_insane_widths(f: PdfFont) -> None:

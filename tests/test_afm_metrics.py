@@ -293,3 +293,114 @@ def test_packed_width_values_clamped():
     assert f.width_for(66) == 600.0
     assert f.width_for(67) == 600.0
     assert f.default_width == 600.0
+
+
+def _type0_pdf(enc_entry: bytes, show_bytes: bytes,
+               cid_extra: bytes = b" /DW 1000",
+               extra_objs: list[bytes] | None = None) -> bytes:
+    content = (b"BT /F1 24 Tf 1 0 0 1 72 700 Tm <"
+               + show_bytes.hex().encode() + b"> Tj ET")
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 "
+        b"/MediaBox [0 0 612 792] >>",
+        b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R /Resources "
+        b"<< /Font << /F1 5 0 R >> >> >>",
+        b"<< /Length %d >>\nstream\n" % len(content) + content
+        + b"\nendstream",
+        b"<< /Type /Font /Subtype /Type0 /BaseFont /CJK "
+        + enc_entry + b" /DescendantFonts [6 0 R] >>",
+        b"<< /Type /Font /Subtype /CIDFontType0 /BaseFont /CJK "
+        b"/CIDSystemInfo << /Registry (Adobe) /Ordering (Japan1) "
+        b"/Supplement 2 >>" + cid_extra + b" >>",
+    ] + (extra_objs or [])
+    return _pdf_with_objs(objs)
+
+
+def test_predefined_rksj_cmap_decodes_shift_jis():
+    """90ms-RKSJ-H: 2-byte Shift-JIS codes mixed with 1-byte ASCII —
+    the codespace split keeps the ASCII, the charset decode yields
+    the kana/kanji (parsePdfFonts.js:906-936)."""
+    from scribe_js_spark.extract import extract_document
+
+    text = "日本語"
+    payload = text.encode("cp932") + b" ab"
+    res = extract_document(_type0_pdf(b"/Encoding /90ms-RKSJ-H", payload))
+    assert res.error is None, res.error
+    # CJK chars become per-char words (parsePdfDoc.js:2671) and
+    # writeText joins words with single spaces (writeText.js:81)
+    assert res.text == " ".join(text) + " ab"
+
+
+def test_predefined_gbk_cmap_decodes():
+    from scribe_js_spark.extract import extract_document
+
+    text = "中文测试"
+    res = extract_document(
+        _type0_pdf(b"/Encoding /GBK-EUC-H", text.encode("gbk")))
+    assert res.error is None, res.error
+    assert res.text == " ".join(text)  # per-char CJK words
+
+
+def test_eten_b5_ascii_cid_widths():
+    """ETen-B5-H: Big5 text decodes; 1-byte ASCII keys /W through the
+    Adobe-CNS1 half-width block (space = CID 13648)."""
+    from scribe_js_spark.operators.pdf.document import PdfDocument
+    from scribe_js_spark.extract import extract_document
+
+    text = "廣東話"
+    pdf = _type0_pdf(b"/Encoding /ETen-B5-H",
+                     text.encode("big5") + b" x",
+                     cid_extra=b" /DW 1000 /W [13648 13648 500]")
+    res = extract_document(pdf)
+    assert res.error is None, res.error
+    assert res.text == " ".join(text) + " x"
+    from scribe_js_spark.operators.pdf.fonts import load_font
+    doc = PdfDocument(pdf)
+    f = load_font(doc, doc.get_object(5))
+    assert f.width_for(0x20) == 500.0   # via code_to_cid 0x20 -> 13648
+    assert f.cjk_codec == "big5hkscs"
+
+
+def test_embedded_encoding_cmap_codespace_and_cids():
+    """An embedded encoding CMap stream: 1-byte codespace + cidrange
+    remap; /W is keyed by the mapped CID, and 1-byte code 32 takes
+    word spacing."""
+    from scribe_js_spark.operators.pdf.document import PdfDocument
+    from scribe_js_spark.operators.pdf.fonts import load_font
+
+    cmap = (b"%!PS-Adobe-3.0 Resource-CMap\n"
+            b"1 begincodespacerange <00> <FF> endcodespacerange\n"
+            b"1 begincidrange <41> <43> 100 endcidrange\n"
+            b"endcmap")
+    extra = [b"<< /Length %d >>\nstream\n" % len(cmap) + cmap
+             + b"\nendstream"]
+    pdf = _type0_pdf(b"/Encoding 7 0 R", b"ABC",
+                     cid_extra=b" /DW 1000 /W [100 [750 760 770]]",
+                     extra_objs=extra)
+    doc = PdfDocument(pdf)
+    f = load_font(doc, doc.get_object(5))
+    assert f.codespace_ranges == [(1, 0x00, 0xFF)]
+    assert f.code_to_cid == {0x41: 100, 0x42: 101, 0x43: 102}
+    assert f.width_for(0x41) == 750.0
+    assert f.width_for(0x43) == 770.0
+
+
+def test_ucs2_cmap_ascii_cid_map():
+    from scribe_js_spark.operators.pdf.document import PdfDocument
+    from scribe_js_spark.operators.pdf.fonts import load_font
+    from scribe_js_spark.extract import extract_document
+
+    text = "Hi 한국"
+    pdf = _type0_pdf(b"/Encoding /UniKS-UCS2-H",
+                     "".join(f"{ord(c):04X}" for c in text)
+                     .encode().fromhex("".join(
+                         f"{ord(c):04X}" for c in text)) if False else
+                     b"".join(ord(c).to_bytes(2, "big") for c in text))
+    res = extract_document(pdf)
+    assert res.error is None, res.error
+    assert res.text == text
+    doc = PdfDocument(pdf)
+    f = load_font(doc, doc.get_object(5))
+    assert f.code_to_cid[0x41] == 0x41 - 0x1F
+    assert f.cjk_codec is None
