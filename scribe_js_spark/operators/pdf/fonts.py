@@ -265,6 +265,7 @@ def load_font(doc, font_dict) -> PdfFont:
     subtype = str(doc.resolve(font_dict.get("Subtype", "")))
     cid_font_file2 = None
     type0_enc_name = ""
+    named_auth = False
     if subtype == "Type0":
         f.cid = True
         f.two_byte = True  # Identity-H / standard CMaps; 2-byte codes
@@ -337,6 +338,7 @@ def load_font(doc, font_dict) -> PdfFont:
             base_enc = str(be) if be else None
             diffs = doc.resolve(enc_obj.get("Differences"))
         symbolic = False
+        flags = 0
         fd = doc.resolve(font_dict.get("FontDescriptor"))
         if isinstance(fd, dict):
             flags = int(doc.resolve(fd.get("Flags", 0)) or 0)
@@ -364,6 +366,11 @@ def load_font(doc, font_dict) -> PdfFont:
                     f.default_width = 0.0
         if not symbolic or base_enc:
             f.encoding = _base_encoding_map(base_enc)
+        # PDF 32000-1 9.6.6.4: a nonsymbolic font's named /Encoding is
+        # authoritative; a symbolic font's is ignored (gates the
+        # Symbol/Wingdings chart repairs below).
+        named_auth = (base_enc in ("WinAnsiEncoding", "MacRomanEncoding")
+                      and not (flags & 4))
         diff_names: dict[int, str] = {}
         if diffs:
             code = 0
@@ -390,6 +397,9 @@ def load_font(doc, font_dict) -> PdfFont:
             pass
     if cid_font_file2 is not None and f.to_unicode:
         _remap_blank_glyphs(cid_font_file2, f)
+    from .symbolenc import apply_symbolic_font_charts
+
+    apply_symbolic_font_charts(f, named_auth)
     if not f.cid and not f.type3 and f.to_unicode and f.encoding:
         _detect_case_flipped_tounicode(f)
     if f.cid and not f.to_unicode:
