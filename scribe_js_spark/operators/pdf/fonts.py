@@ -266,6 +266,7 @@ def load_font(doc, font_dict) -> PdfFont:
     cid_font_file2 = None
     type0_enc_name = ""
     named_auth = False
+    has_named_enc = False
     if subtype == "Type0":
         f.cid = True
         f.two_byte = True  # Identity-H / standard CMaps; 2-byte codes
@@ -369,8 +370,9 @@ def load_font(doc, font_dict) -> PdfFont:
         # PDF 32000-1 9.6.6.4: a nonsymbolic font's named /Encoding is
         # authoritative; a symbolic font's is ignored (gates the
         # Symbol/Wingdings chart repairs below).
-        named_auth = (base_enc in ("WinAnsiEncoding", "MacRomanEncoding")
-                      and not (flags & 4))
+        has_named_enc = base_enc in ("WinAnsiEncoding",
+                                     "MacRomanEncoding")
+        named_auth = has_named_enc and not (flags & 4)
         diff_names: dict[int, str] = {}
         if diffs:
             code = 0
@@ -399,7 +401,8 @@ def load_font(doc, font_dict) -> PdfFont:
         _remap_blank_glyphs(cid_font_file2, f)
     from .symbolenc import apply_symbolic_font_charts
 
-    apply_symbolic_font_charts(f, named_auth)
+    apply_symbolic_font_charts(f, named_auth,
+                               has_named_base_encoding=has_named_enc)
     if not f.cid and not f.type3 and f.to_unicode and f.encoding:
         _detect_case_flipped_tounicode(f)
     if f.cid and not f.to_unicode:
@@ -639,8 +642,12 @@ def _apply_dingbats_differences(f: PdfFont,
     if not diff_names or not re.search(r"ZapfDingbats", f.base_name, re.I):
         return
     from .afm import dingbats_glyph_width
+    from .symbolenc import dingbats_name_unicode
 
     for code, name in diff_names.items():
+        u = dingbats_name_unicode(name)
+        if u is not None:
+            f.encoding[code] = u
         if code in f.widths:
             continue
         w = dingbats_glyph_width(name)

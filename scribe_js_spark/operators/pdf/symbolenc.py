@@ -116,6 +116,100 @@ WINGDINGS_TO_UNICODE: dict[int, int] = {
     254: 0x1F5F9,
 }
 
+# ZapfDingbats glyph number (aN) -> Unicode, per the Adobe AGLFN
+# zapfdingbats list; most of the face landed in U+2700-27BF in font
+# order, so the irregular entries are spelled out and the sequential
+# runs constructed.
+DINGBATS_GLYPH_UNICODE: dict[int, int] = {
+    1: 0x2701, 2: 0x2702, 3: 0x2704, 4: 0x260E, 5: 0x2706,
+    6: 0x271D, 7: 0x271E, 8: 0x271F, 9: 0x2720, 10: 0x2721,
+    11: 0x261B, 12: 0x261E, 13: 0x270C, 14: 0x270D, 15: 0x270E,
+    16: 0x270F, 17: 0x2711, 18: 0x2712, 19: 0x2713, 20: 0x2714,
+    21: 0x2715, 22: 0x2716, 23: 0x2717, 24: 0x2718, 25: 0x2719,
+    26: 0x271A, 27: 0x271B, 28: 0x271C, 35: 0x2605,
+    71: 0x25CF, 72: 0x274D, 73: 0x25A0, 74: 0x274F, 75: 0x2751,
+    76: 0x25B2, 77: 0x25BC, 78: 0x25C6, 79: 0x2756, 81: 0x25D7,
+    82: 0x2758, 83: 0x2759, 84: 0x275A, 85: 0x276F, 86: 0x2771,
+    87: 0x2772, 88: 0x2773, 89: 0x2768, 90: 0x2769, 91: 0x276C,
+    92: 0x276D, 93: 0x276A, 94: 0x276B, 95: 0x2774, 96: 0x2775,
+    97: 0x275B, 98: 0x275C, 99: 0x275D, 100: 0x275E, 101: 0x2761,
+    102: 0x2762, 103: 0x2763, 104: 0x2764, 105: 0x2710, 106: 0x2765,
+    107: 0x2766, 108: 0x2767, 109: 0x2660, 110: 0x2665, 111: 0x2666,
+    112: 0x2663, 117: 0x2709, 118: 0x2708, 119: 0x2707,
+    160: 0x2794, 161: 0x2192, 162: 0x27A3, 163: 0x2194, 164: 0x2195,
+    165: 0x2799, 166: 0x279B, 174: 0x27A4, 175: 0x27A5, 176: 0x27A6,
+    177: 0x27A7, 178: 0x27A8, 179: 0x27A9, 180: 0x27AB, 181: 0x27AD,
+    182: 0x27AF, 183: 0x27B2, 184: 0x27B3, 185: 0x27B5, 186: 0x27B8,
+    187: 0x27BA, 188: 0x27BB, 189: 0x27BC, 190: 0x27BD, 191: 0x27BE,
+    192: 0x279A, 193: 0x27AA, 194: 0x27B6, 195: 0x27B9, 196: 0x2798,
+    197: 0x27B4, 198: 0x27B7, 199: 0x27AC, 200: 0x27AE, 201: 0x27B1,
+    202: 0x2703, 203: 0x2750, 204: 0x2752, 205: 0x276E, 206: 0x2770,
+}
+DINGBATS_GLYPH_UNICODE.update({n: 0x2722 + (n - 29)
+                               for n in range(29, 35)})     # a29-a34
+DINGBATS_GLYPH_UNICODE.update({n: 0x2729 + (n - 36)
+                               for n in range(36, 71)})     # a36-a70
+DINGBATS_GLYPH_UNICODE.update({n: 0x2460 + (n - 120)
+                               for n in range(120, 130)})   # circled 1-10
+DINGBATS_GLYPH_UNICODE.update({n: 0x2776 + (n - 130)
+                               for n in range(130, 160)})   # neg/serif
+DINGBATS_GLYPH_UNICODE.update({n: 0x279C + (n - 167)
+                               for n in range(167, 174)})   # arrows
+
+# ZapfDingbats built-in encoding: charCode -> glyph number (0 = space);
+# PDF 32000-1 Annex D.5 (codes 32-126 and 161-254, 240 undefined).
+DINGBATS_ENCODING: dict[int, int] = {32: 0}
+for _c, _n in zip(range(33, 48),
+                  (1, 2, 202, 3, 4, 5, 119, 118, 117,
+                   11, 12, 13, 14, 15, 16)):
+    DINGBATS_ENCODING[_c] = _n
+for _c, _n in zip(range(48, 61),
+                  (105, 17, 18, 19, 20, 21, 22, 23, 24, 25, 26, 27, 28)):
+    DINGBATS_ENCODING[_c] = _n
+for _c, _n in zip(range(61, 66), (6, 7, 8, 9, 10)):
+    DINGBATS_ENCODING[_c] = _n
+DINGBATS_ENCODING.update({c: 29 + (c - 66) for c in range(66, 112)})
+for _c, _n in zip(range(112, 127),
+                  (203, 75, 204, 76, 77, 78, 79, 81, 82, 83, 84,
+                   97, 98, 99, 100)):
+    DINGBATS_ENCODING[_c] = _n
+for _c, _n in zip(range(161, 172),
+                  (101, 102, 103, 104, 106, 107, 108, 112, 111, 110,
+                   109)):
+    DINGBATS_ENCODING[_c] = _n
+DINGBATS_ENCODING.update({c: 120 + (c - 172) for c in range(172, 214)})
+for _c, _n in zip(range(214, 240),
+                  (163, 164, 196, 165, 192, 166, 167, 168, 169, 170,
+                   171, 172, 173, 162, 174, 175, 176, 177, 178, 179,
+                   193, 180, 199, 181, 200, 182)):
+    DINGBATS_ENCODING[_c] = _n
+for _c, _n in zip(range(241, 255),
+                  (201, 183, 184, 197, 185, 194, 198, 186, 195, 187,
+                   188, 189, 190, 191)):
+    DINGBATS_ENCODING[_c] = _n
+del _c, _n
+
+
+def dingbats_code_unicode(code: int) -> str | None:
+    n = DINGBATS_ENCODING.get(code)
+    if n is None:
+        return None
+    if n == 0:
+        return " "
+    cp = DINGBATS_GLYPH_UNICODE.get(n)
+    return chr(cp) if cp is not None else None
+
+
+def dingbats_name_unicode(glyph_name: str) -> str | None:
+    if glyph_name == "space":
+        return " "
+    m = re.match(r"^a(\d+)$", glyph_name)
+    if not m:
+        return None
+    cp = DINGBATS_GLYPH_UNICODE.get(int(m.group(1)))
+    return chr(cp) if cp is not None else None
+
+
 _WINGDINGS_NAME_RE = re.compile(r"^(?:.*\+)?Wingdings(?:-\w+)?$", re.I)
 _SYMBOL_NAME_RE = re.compile(r"^Symbol(?:[-,]\w+|[A-Za-z\d]*)$", re.I)
 
@@ -134,13 +228,27 @@ def _win_mac_char(code: int) -> tuple[str | None, str | None]:
     return win, mac
 
 
-def apply_symbolic_font_charts(f, named_encoding_authoritative: bool
+def apply_symbolic_font_charts(f, named_encoding_authoritative: bool,
+                               has_named_base_encoding: bool = False
                                ) -> None:
-    """Fill/repair ToUnicode and the encoding map for Symbol and
-    Wingdings base fonts (parsePdfFonts.js:1050-1099, 1422-1438)."""
+    """Fill/repair ToUnicode and the encoding map for Symbol,
+    Wingdings, and ZapfDingbats base fonts
+    (parsePdfFonts.js:1050-1099, 1160-1175, 1422-1438)."""
+    base = f.base_name or ""
+    if not has_named_base_encoding and re.search(r"ZapfDingbats", base,
+                                                 re.I):
+        for code in DINGBATS_ENCODING:
+            u = dingbats_code_unicode(code)
+            if u is not None:
+                f.encoding.setdefault(code, u)
+        if not f.to_unicode:
+            for code in DINGBATS_ENCODING:
+                u = dingbats_code_unicode(code)
+                if u is not None:
+                    f.to_unicode[code] = u
+        return
     if named_encoding_authoritative:
         return
-    base = f.base_name or ""
     if _WINGDINGS_NAME_RE.match(base):
         for cid, ch in list(f.to_unicode.items()):
             if not ch:

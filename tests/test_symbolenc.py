@@ -82,3 +82,37 @@ def test_nonsymbolic_named_encoding_wins_over_symbol_name():
         b"/FontDescriptor << /Flags 32 >> >>")
     f = load_font(doc, doc.get_object(3))
     assert f.unicode_for(ord("a")) == "a"
+
+
+def test_dingbats_builtin_encoding_and_differences():
+    """ZapfDingbats without a named base encoding takes the built-in
+    chart (PDF 32000-1 D.5); /Differences aN names resolve to their
+    AGLFN zapfdingbats codepoints."""
+    doc = _doc_with_font(
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /ZapfDingbats "
+        b"/Encoding << /Type /Encoding /Differences [ 1 /a10 ] >> >>")
+    f = load_font(doc, doc.get_object(3))
+    assert f.unicode_for(33) == "✁"   # a1, upper blade scissors
+    assert f.unicode_for(52) == "✔"   # a20, heavy check mark
+    assert f.unicode_for(172) == "①"  # a120, circled digit one
+    assert f.unicode_for(254) == "➾"  # a191
+    assert f.unicode_for(1) == "✡"    # Differences a10
+    assert f.unicode_for(32) == " "
+
+
+def test_dingbats_chart_consistency():
+    """Every encoded glyph number has a codepoint, and the positional
+    AFM width order (afm._DINGBATS, codes 32-126) agrees with the
+    encoding order's glyph widths by name."""
+    from scribe_js_spark.operators.pdf.afm import (
+        STANDARD_WIDTHS, DINGBATS_GLYPH_WIDTHS)
+    from scribe_js_spark.operators.pdf.symbolenc import (
+        DINGBATS_ENCODING, DINGBATS_GLYPH_UNICODE)
+
+    for code, n in DINGBATS_ENCODING.items():
+        if n:
+            assert n in DINGBATS_GLYPH_UNICODE, (code, n)
+    tbl = STANDARD_WIDTHS["ZapfDingbats"]
+    for code in range(33, 127):
+        n = DINGBATS_ENCODING[code]
+        assert tbl[code - 32] == DINGBATS_GLYPH_WIDTHS[f"a{n}"], code
