@@ -5032,7 +5032,10 @@ def make_corpus_rows(n_docs: int, seed: int = SEED_DEFAULT,
             # metrics, so flat substitutes garble the word gaps).
             sw = (fmt == "pdf" and doc_id % 19 == 9
                   and doc_id % 17 != 6)  # CID docs keep their /W
-            html = render_pdf(model, std_widths=sw)
+            # Alternate CID docs omit /ToUnicode: byte identity then
+            # requires the Identity CIDs-as-codepoints fallback.
+            ctu = not (doc_id % 17 == 6 and (doc_id // 17) % 2 == 1)
+            html = render_pdf(model, std_widths=sw, cid_tounicode=ctu)
         elif fmt == "textract":
             html = render_textract(model).encode("utf-8")
         elif fmt == "google_vision":

@@ -371,7 +371,8 @@ def render_pdf(model: dict, compress: bool | None = None,
                encrypt_mode: str | None = None,
                cff_subset: dict | None = None,
                stream_filter: str | None = None,
-               std_widths: bool = False) -> bytes:
+               std_widths: bool = False,
+               cid_tounicode: bool = True) -> bytes:
     doc_id = model.get("doc_id", 0)
     if compress is None:
         compress = (doc_id % 2) == 1
@@ -532,10 +533,19 @@ def render_pdf(model: dict, compress: bool | None = None,
             f"<< /Length {len(cff)} /Subtype /CIDFontType0C >>\nstream\n"
             .encode() + cff + b"\nendstream")
     elif cid_font:
-        w.add(
-            b"<< /Type /Font /Subtype /Type0 /BaseFont /SynthCID "
-            b"/Encoding /Identity-H /DescendantFonts [6 0 R] "
-            b"/ToUnicode 5 0 R >>")
+        if cid_tounicode:
+            w.add(
+                b"<< /Type /Font /Subtype /Type0 /BaseFont /SynthCID "
+                b"/Encoding /Identity-H /DescendantFonts [6 0 R] "
+                b"/ToUnicode 5 0 R >>")
+        else:
+            # No /ToUnicode: extraction must take the Identity
+            # CIDs-as-codepoints fallback (parsePdfDoc.js:1885); the
+            # CMap object stays written (unreferenced) so numbering
+            # holds.
+            w.add(
+                b"<< /Type /Font /Subtype /Type0 /BaseFont /SynthCID "
+                b"/Encoding /Identity-H /DescendantFonts [6 0 R] >>")
         w.add(
             b"<< /Type /FontDescriptor /FontName /SynthCID /Flags 32 "
             b"/Ascent 718 /Descent -207 /CapHeight 718 /ItalicAngle 0 "
