@@ -5032,9 +5032,12 @@ def make_corpus_rows(n_docs: int, seed: int = SEED_DEFAULT,
             # metrics, so flat substitutes garble the word gaps).
             sw = (fmt == "pdf" and doc_id % 19 == 9
                   and doc_id % 17 != 6)  # CID docs keep their /W
-            # Alternate CID docs omit /ToUnicode: byte identity then
+            # Every third CID doc omits /ToUnicode: byte identity then
             # requires the Identity CIDs-as-codepoints fallback.
-            ctu = not (doc_id % 17 == 6 and (doc_id // 17) % 2 == 1)
+            # (doc_id//17 is even for every pdf-format CID doc — the
+            # format picker's period correlates with the %17 cycle —
+            # so the splitter must use a modulus coprime to that.)
+            ctu = not (doc_id % 17 == 6 and (doc_id // 17) % 3 == 0)
             html = render_pdf(model, std_widths=sw, cid_tounicode=ctu)
         elif fmt == "textract":
             html = render_textract(model).encode("utf-8")
