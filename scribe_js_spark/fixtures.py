@@ -5032,13 +5032,17 @@ def make_corpus_rows(n_docs: int, seed: int = SEED_DEFAULT,
             # metrics, so flat substitutes garble the word gaps).
             sw = (fmt == "pdf" and doc_id % 19 == 9
                   and doc_id % 17 != 6)  # CID docs keep their /W
-            # Every third CID doc omits /ToUnicode: byte identity then
-            # requires the Identity CIDs-as-codepoints fallback.
-            # (doc_id//17 is even for every pdf-format CID doc — the
-            # format picker's period correlates with the %17 cycle —
-            # so the splitter must use a modulus coprime to that.)
-            ctu = not (doc_id % 17 == 6 and (doc_id // 17) % 3 == 0)
-            html = render_pdf(model, std_widths=sw, cid_tounicode=ctu)
+            # CID-doc variants, split on (doc_id//17) % 3 — a modulus
+            # coprime to the format picker's period (doc_id//17 is
+            # even for every pdf-format CID doc): %3==0 omits
+            # /ToUnicode (byte identity requires the Identity
+            # CIDs-as-codepoints fallback), %3==1 uses the predefined
+            # /90ms-RKSJ-H CMap (requires the mixed-codespace split +
+            # Shift-JIS charset decode).
+            k3 = (doc_id // 17) % 3 if doc_id % 17 == 6 else None
+            html = render_pdf(model, std_widths=sw,
+                              cid_tounicode=k3 != 0,
+                              cid_cmap="rksj" if k3 == 1 else None)
         elif fmt == "textract":
             html = render_textract(model).encode("utf-8")
         elif fmt == "google_vision":

@@ -372,7 +372,8 @@ def render_pdf(model: dict, compress: bool | None = None,
                cff_subset: dict | None = None,
                stream_filter: str | None = None,
                std_widths: bool = False,
-               cid_tounicode: bool = True) -> bytes:
+               cid_tounicode: bool = True,
+               cid_cmap: str | None = None) -> bytes:
     doc_id = model.get("doc_id", 0)
     if compress is None:
         compress = (doc_id % 2) == 1
@@ -533,7 +534,15 @@ def render_pdf(model: dict, compress: bool | None = None,
             f"<< /Length {len(cff)} /Subtype /CIDFontType0C >>\nstream\n"
             .encode() + cff + b"\nendstream")
     elif cid_font:
-        if cid_tounicode:
+        if cid_cmap == "rksj":
+            # Predefined Shift-JIS CMap, no ToUnicode: extraction
+            # needs the mixed 1/2-byte codespace split + the charset
+            # decode (parsePdfFonts.js:906-936); a uniform 2-byte read
+            # garbles every 1-byte ASCII code.
+            w.add(
+                b"<< /Type /Font /Subtype /Type0 /BaseFont /SynthCID "
+                b"/Encoding /90ms-RKSJ-H /DescendantFonts [6 0 R] >>")
+        elif cid_tounicode:
             w.add(
                 b"<< /Type /Font /Subtype /Type0 /BaseFont /SynthCID "
                 b"/Encoding /Identity-H /DescendantFonts [6 0 R] "
@@ -553,11 +562,22 @@ def render_pdf(model: dict, compress: bool | None = None,
         w.add(
             f"<< /Length {len(_TOUNICODE_CID)} >>\nstream\n".encode()
             + _TOUNICODE_CID + b"\nendstream")
-        w.add(
-            b"<< /Type /Font /Subtype /CIDFontType2 /BaseFont /SynthCID "
-            b"/CIDSystemInfo << /Registry (Adobe) /Ordering (Identity) "
-            b"/Supplement 0 >> /FontDescriptor 4 0 R /DW 1000 "
-            b"/W [32 126 500] >>")
+        if cid_cmap == "rksj":
+            # every 2-byte Shift-JIS code advances /DW; 1-byte ASCII
+            # keys the code-equal /W range, matching the 500-em grid
+            w.add(
+                b"<< /Type /Font /Subtype /CIDFontType2 "
+                b"/BaseFont /SynthCID "
+                b"/CIDSystemInfo << /Registry (Adobe) /Ordering (Japan1)"
+                b" /Supplement 2 >> /FontDescriptor 4 0 R /DW 500 "
+                b"/W [32 126 500] >>")
+        else:
+            w.add(
+                b"<< /Type /Font /Subtype /CIDFontType2 "
+                b"/BaseFont /SynthCID "
+                b"/CIDSystemInfo << /Registry (Adobe) /Ordering "
+                b"(Identity) /Supplement 0 >> /FontDescriptor 4 0 R "
+                b"/DW 1000 /W [32 126 500] >>")
     else:
         last_char = LIG_CODE if ligatures else 126
         widths = ["500"] * (last_char + 1 - 32)
@@ -594,6 +614,8 @@ def render_pdf(model: dict, compress: bool | None = None,
 
     def show_str(text: str) -> str:
         if cid_font:
+            if cid_cmap == "rksj":
+                return "<" + text.encode("cp932").hex().upper() + ">"
             return "<" + "".join(f"{ord(c):04X}" for c in text) + ">"
         if ligatures and "fi" in text:
             text = text.replace("fi", chr(LIG_CODE))
