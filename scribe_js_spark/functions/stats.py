@@ -55,11 +55,11 @@ def js_round(x: float) -> int:
 
 
 def round3(x: float) -> float:
-    return js_round(x * 1e3) / 1e3
+    return math.floor(x * 1e3 + 0.5) / 1e3
 
 
 def round6(x: float) -> float:
-    return js_round(x * 1e6) / 1e6
+    return math.floor(x * 1e6 + 0.5) / 1e6
 
 
 def calc_box_overlap(box_a, box_b) -> float:

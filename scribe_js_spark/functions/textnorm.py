@@ -88,6 +88,8 @@ _CYR_RANGES = ((0x0400, 0x04FF), (0x0500, 0x052F))
 def calc_lang(s: str) -> str:
     """'chi_sim' / 'rus' / 'eng' from codepoint ranges
     (miscUtils.js:180-204)."""
+    if s.isascii():
+        return "eng"
     for ch in s:
         code = ord(ch)
         if code <= 127:

@@ -66,29 +66,35 @@ _SMALLCAPS_ATTR_RE = re.compile(r"smallcaps=['\"](1|true)", re.I)
 _WORD_CONTENT_RE = re.compile(r">([^<>]+?)(?=</charParams>)")
 
 
-def _orient_bbox(raw_l, raw_t, raw_r, raw_b, orientation, page_w, page_h):
+def _orient_bbox(raw_l, raw_t, raw_r, raw_b, orientation, page_w, page_h,
+                 _f=math.floor):
+    # js_round inlined (Math.round = floor(x + 0.5)); once per charParams.
+    if orientation == 0:
+        return Bbox(_f(raw_l + 0.5), _f(raw_t + 0.5),
+                    _f(raw_r + 0.5), _f(raw_b + 0.5))
     if orientation == 1:
         return Bbox(
-            js_round(raw_t),
-            js_round(page_w - max(raw_r, raw_l)),
-            js_round(raw_b),
-            js_round(page_w - raw_l),
+            _f(raw_t + 0.5),
+            _f(page_w - max(raw_r, raw_l) + 0.5),
+            _f(raw_b + 0.5),
+            _f(page_w - raw_l + 0.5),
         )
     if orientation == 2:
         return Bbox(
-            js_round(page_w - raw_r),
-            js_round(page_h - raw_b),
-            js_round(page_w - raw_l),
-            js_round(page_h - raw_t),
+            _f(page_w - raw_r + 0.5),
+            _f(page_h - raw_b + 0.5),
+            _f(page_w - raw_l + 0.5),
+            _f(page_h - raw_t + 0.5),
         )
     if orientation == 3:
         return Bbox(
-            js_round(page_h - raw_b),
-            js_round(raw_l),
-            js_round(page_h - raw_t),
-            js_round(max(raw_r, raw_r)),
+            _f(page_h - raw_b + 0.5),
+            _f(raw_l + 0.5),
+            _f(page_h - raw_t + 0.5),
+            _f(max(raw_r, raw_r) + 0.5),
         )
-    return Bbox(js_round(raw_l), js_round(raw_t), js_round(raw_r), js_round(raw_b))
+    return Bbox(_f(raw_l + 0.5), _f(raw_t + 0.5),
+                _f(raw_r + 0.5), _f(raw_b + 0.5))
 
 
 _TABLE_BLOCK_RE = re.compile(

@@ -42,6 +42,32 @@ def _get_attr(elem: str, name: str) -> str | None:
     return m.group(1) if m else None
 
 
+_ATTR_TOKEN_RE = re.compile(r"([^\s\"'=<>/]+)=[\"']([^\"']*)[\"']")
+
+
+def _attr_map(elem: str) -> dict:
+    """All attributes of one element in a single pass.
+
+    Lookup-compatible with ``_get_attr``'s per-name regex, which
+    matches ``name=`` anywhere in the element (case-insensitive, first
+    occurrence, non-empty value): keys are stored uppercased for every
+    *suffix* of each attribute name so e.g. a query for STYLE would hit
+    FONTSTYLE exactly as the search regex does, first writer wins, and
+    empty values are skipped (the regex's ``[^\"']+`` cannot match
+    them, so a later occurrence supplies the value)."""
+    out: dict = {}
+    for m in _ATTR_TOKEN_RE.finditer(elem):
+        val = m.group(2)
+        if not val:
+            continue
+        name = m.group(1).upper()
+        for i in range(len(name)):
+            key = name[i:]
+            if key not in out:
+                out[key] = val
+    return out
+
+
 def convert_page_alto(ocr_str: str, n: int):
     page_elem = re.search(r"<Page[^>]+>", ocr_str, re.I)
     if not page_elem:
@@ -54,15 +80,31 @@ def convert_page_alto(ocr_str: str, n: int):
     page_obj = OcrPage(n, {"height": int(height_str), "width": int(width_str)})
     page_obj.textSource = "alto"
 
+    # TextStyle lookups memoized per page: the reference re-scans the
+    # document per word (convertPageAlto.js), which is O(doc) per word;
+    # one id resolves to the same family every time.
+    style_font_memo: dict = {}
+
+    def _style_font(style_refs: str) -> str | None:
+        if style_refs in style_font_memo:
+            return style_font_memo[style_refs]
+        sm2 = re.search(
+            rf"<TextStyle\s*ID=[\"']{re.escape(style_refs)}[\"'][^>]*>",
+            ocr_str, re.I)
+        font_family = (_get_attr(sm2.group(0), "FONTFAMILY")
+                       if sm2 else None)
+        style_font_memo[style_refs] = font_family
+        return font_family
+
     def convert_line(match: str, block_style_refs: str | None) -> None:
         tag = _TEXTLINE_TAG_RE.search(match)
         if not tag:
             return
-        tag_str = tag.group(0)
-        vpos = _get_attr(tag_str, "VPOS")
-        hpos = _get_attr(tag_str, "HPOS")
-        height = _get_attr(tag_str, "HEIGHT")
-        width = _get_attr(tag_str, "WIDTH")
+        attrs = _attr_map(tag.group(0))
+        vpos = attrs.get("VPOS")
+        hpos = attrs.get("HPOS")
+        height = attrs.get("HEIGHT")
+        width = attrs.get("WIDTH")
         if not vpos or not hpos or not height or not width:
             return
 
@@ -72,15 +114,15 @@ def convert_page_alto(ocr_str: str, n: int):
         line_obj = OcrLine(page_obj, linebox, [0, 0], None, None)
 
         for sm in _STRING_RE.finditer(match):
-            elem = sm.group(0)
-            content = _get_attr(elem, "CONTENT")
+            attrs = _attr_map(sm.group(0))
+            content = attrs.get("CONTENT")
             if not content:
                 continue
             text = unescape_xml(content)
-            s_hpos = _get_attr(elem, "HPOS")
-            s_vpos = _get_attr(elem, "VPOS")
-            s_height = _get_attr(elem, "HEIGHT")
-            s_width = _get_attr(elem, "WIDTH")
+            s_hpos = attrs.get("HPOS")
+            s_vpos = attrs.get("VPOS")
+            s_height = attrs.get("HEIGHT")
+            s_width = attrs.get("WIDTH")
             if not s_hpos or not s_vpos or not s_height or not s_width:
                 continue
             word_box = Bbox(
@@ -89,11 +131,11 @@ def convert_page_alto(ocr_str: str, n: int):
             wid = f"word_{n + 1}_{len(page_obj.lines) + 1}_{len(line_obj.words) + 1}"
             word_obj = OcrWord(line_obj, wid, text, word_box)
 
-            wc = _get_attr(elem, "WC")
+            wc = attrs.get("WC")
             if wc:
                 word_obj.conf = math.floor(float(wc) * 100 + 0.5)
 
-            style_attr = _get_attr(elem, "STYLE")
+            style_attr = attrs.get("STYLE")
             if style_attr:
                 if _STYLE_WORD_RES["bold"].search(style_attr):
                     word_obj.style.bold = True
@@ -106,15 +148,11 @@ def convert_page_alto(ocr_str: str, n: int):
                 if _STYLE_WORD_RES["smallcaps"].search(style_attr):
                     word_obj.style.smallCaps = True
 
-            style_refs = _get_attr(elem, "STYLEREFS") or block_style_refs
+            style_refs = attrs.get("STYLEREFS") or block_style_refs
             if style_refs:
-                sm2 = re.search(
-                    rf"<TextStyle\s*ID=[\"']{re.escape(style_refs)}[\"'][^>]*>",
-                    ocr_str, re.I)
-                if sm2:
-                    font_family = _get_attr(sm2.group(0), "FONTFAMILY")
-                    if font_family:
-                        word_obj.style.font = font_family
+                font_family = _style_font(style_refs)
+                if font_family:
+                    word_obj.style.font = font_family
 
             line_obj.words.append(word_obj)
 

@@ -461,9 +461,21 @@ def tint_to_rgb(tint: dict, comps: list[float]) -> list[float] | None:
     return [rgb[0] / 255.0, rgb[1] / 255.0, rgb[2] / 255.0]
 
 
-def rgb_to_hex(rgb: list[float]) -> str:
-    """[r,g,b] 0..1 -> '#rrggbb' (parsePdfDoc.js:63 rgbToHex)."""
-    def h(x):
-        return format(max(0, min(255, _jround(x * 255))), "02x")
+_hex_memo: dict = {}
 
-    return f"#{h(rgb[0])}{h(rgb[1])}{h(rgb[2])}"
+
+def rgb_to_hex(rgb: list[float]) -> str:
+    """[r,g,b] 0..1 -> '#rrggbb' (parsePdfDoc.js:63 rgbToHex).
+
+    Memoized by component tuple — a page reuses a handful of text
+    colors but this runs once per word (hot in the grouping profile);
+    bounded so adversarial corpora cannot grow executor memory."""
+    key = (rgb[0], rgb[1], rgb[2])
+    v = _hex_memo.get(key)
+    if v is None:
+        if len(_hex_memo) > 4096:
+            _hex_memo.clear()
+        def h(x):
+            return format(max(0, min(255, _jround(x * 255))), "02x")
+        v = _hex_memo[key] = f"#{h(rgb[0])}{h(rgb[1])}{h(rgb[2])}"
+    return v

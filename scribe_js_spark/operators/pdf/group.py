@@ -44,7 +44,18 @@ import math
 import re
 
 from ...functions.stats import js_round, mean50, round3, round6
-from ...functions.textnorm import calc_lang, replace_ligatures
+from ...functions.textnorm import (LIGATURE_MAP, calc_lang,
+                                   replace_ligatures)
+
+# len(replace_ligatures(t)) without building the substituted string —
+# the styleRuns offset scan below calls it once per char.
+_LIG_LEN = {k: len(v) for k, v in LIGATURE_MAP.items()}
+
+
+def _lig_len(t: str) -> int:
+    if len(t) == 1:
+        return _LIG_LEN.get(t, 1)
+    return sum(_LIG_LEN.get(c, 1) for c in t)
 from ...model import Bbox, OcrChar, OcrLine, OcrPage, OcrWord
 from ..paragraphs import assign_paragraphs
 from .colorfn import rgb_to_hex
@@ -58,7 +69,8 @@ _LOWER_RE = re.compile(r"[a-z]")
 _SC_SHAPE_RE = re.compile(r"[A-Z].?[A-Z]")
 _REF_MARKER_RE = re.compile(r"^[0-9,]+$|^[®*†‡§]+$")
 _FN_MARKER_RE = re.compile(r"^FN\d{1,3}$")
-_RADICAL_RE = re.compile(r"^[√∛∜]$")
+# ^[√∛∜]$ as a set-membership test (only single-char texts can match).
+_RADICAL_CHARS = frozenset("√∛∜")
 # Fonts used essentially only for mathematics (parsePdfDoc.js:151)
 MATH_FONT_RE = re.compile(
     r"^(?:CM(?:MI|SY|EX)|lm(?:mi|sy|ex)|MS[AB]M|EUF[MB]|EUS[MB]|RSFS|"
@@ -69,6 +81,31 @@ MATH_CHAR_RE = re.compile(
 _SYMBOL_FONT_RE = re.compile(
     r"^(?:Webdings|Wingdings|ZapfDingbats|Dingbats|Symbol|SymbolMT|"
     r"Quivira)(?:[-\s].*)?$", re.I)
+
+# Font-name regex verdicts memoized by name string: a page has a
+# handful of distinct fonts but the grouping loop re-tests per char
+# pair, which made these regexes a top profile entry. Bounded so a
+# pathological corpus cannot grow executor memory without limit.
+_symbol_font_memo: dict = {}
+_math_font_memo: dict = {}
+
+
+def _is_symbol_font(name) -> bool:
+    v = _symbol_font_memo.get(name)
+    if v is None:
+        if len(_symbol_font_memo) > 4096:
+            _symbol_font_memo.clear()
+        v = _symbol_font_memo[name] = bool(_SYMBOL_FONT_RE.match(name or ""))
+    return v
+
+
+def is_math_font(name) -> bool:
+    v = _math_font_memo.get(name)
+    if v is None:
+        if len(_math_font_memo) > 4096:
+            _math_font_memo.clear()
+        v = _math_font_memo[name] = bool(MATH_FONT_RE.search(name or ""))
+    return v
 
 
 def group_chars_into_page(chars, n: int, page_dims: dict,
@@ -119,92 +156,123 @@ def group_chars_into_page(chars, n: int, page_dims: dict,
     def cy(ch):
         return cy_of[id(ch)]
 
-    # (iii) stream-order line cuts.
-    lines = []
-    current = [chars[0]]
+    # Parallel scalar arrays for the cut loop: each char is touched
+    # several times per iteration and Python attribute access dominated
+    # the wall-clock profile. Font-level regex verdicts collapse to one
+    # lookup per distinct font object.
+    texts = [None] * n_chars
+    fss = [0.0] * n_chars
+    xs = [0.0] * n_chars
+    rights = [0.0] * n_chars
+    sizes = [0.0] * n_chars   # max(fontSize, width)
+    oris = [0] * n_chars
+    sym_flags = [False] * n_chars
+    rad_flags = [False] * n_chars
+    mathf_flags = [False] * n_chars
+    _font_sym: dict = {}
+    _font_math: dict = {}
+    for idx, ch in enumerate(chars):
+        t = ch.text
+        fs = ch.fontSize
+        w = ch.width
+        texts[idx] = t
+        fss[idx] = fs
+        xs[idx] = ch.x
+        rights[idx] = ch.x + w
+        sizes[idx] = fs if fs > w else w
+        oris[idx] = ch.orientation
+        rad_flags[idx] = t in _RADICAL_CHARS
+        f = ch.font
+        fid = id(f)
+        v = _font_sym.get(fid)
+        if v is None:
+            v = _font_sym[fid] = _is_symbol_font(f.family_name)
+            _font_math[fid] = is_math_font(f.base_name)
+        sym_flags[idx] = v
+        if page_has_math:
+            mathf_flags[idx] = _font_math[fid]
+
+    # (iii) stream-order line cuts (index-based; lines materialize to
+    # char lists right after the loop).
+    lines_idx = []
+    current = [0]
     anchor_y = cys_list[0]
-    anchor_fs = chars[0].fontSize
-    body_y = None if chars[0].text == " " else cys_list[0]
-    body_size = 0.0 if chars[0].text == " " else chars[0].fontSize
+    anchor_fs = fss[0]
+    body_y = None if texts[0] == " " else cys_list[0]
+    body_size = 0.0 if texts[0] == " " else fss[0]
 
     for i in range(1, n_chars):
-        ch = chars[i]
+        ch_fs = fss[i]
+        ch_y = cys_list[i]
 
-        if ch.text == " ":
-            last_ns = None
+        if texts[i] == " ":
+            last_ns = -1
             for j in range(len(current) - 1, -1, -1):
-                if current[j].text != " ":
+                if texts[current[j]] != " ":
                     last_ns = current[j]
                     break
-            if last_ns is not None:
-                sp_max = max(ch.fontSize, last_ns.fontSize)
-                fs_change = abs(ch.fontSize - last_ns.fontSize) > sp_max * 0.1
-                sp_gap = abs(cys_list[i] - cy(last_ns))
-                if fs_change:
-                    sp_min = min(ch.fontSize, last_ns.fontSize)
+            if last_ns >= 0:
+                ns_fs = fss[last_ns]
+                sp_max = ch_fs if ch_fs > ns_fs else ns_fs
+                if abs(ch_fs - ns_fs) > sp_max * 0.1:
+                    sp_gap = abs(ch_y - cys_list[last_ns])
+                    sp_min = ch_fs if ch_fs < ns_fs else ns_fs
                     if sp_gap > sp_max * 0.7 or sp_gap > sp_min * 1.5:
-                        lines.append(current)
-                        current = [ch]
-                        anchor_y = cys_list[i]
-                        anchor_fs = ch.fontSize
+                        lines_idx.append(current)
+                        current = [i]
+                        anchor_y = ch_y
+                        anchor_fs = ch_fs
                         body_y = None
                         body_size = 0.0
                         continue
-            current.append(ch)
+            current.append(i)
             continue
 
-        comp_prev = chars[i - 1]
-        if comp_prev.text == " ":
+        p = i - 1
+        if texts[p] == " ":
             for j in range(len(current) - 1, -1, -1):
-                if current[j].text != " ":
-                    comp_prev = current[j]
+                if texts[current[j]] != " ":
+                    p = current[j]
                     break
 
-        ch_y = cys_list[i]
-        prev_y = cy(comp_prev)
-        y_gap = abs(ch_y - prev_y)
-        x_gap = ch.x - (comp_prev.x + comp_prev.width)
-        ch_size = max(ch.fontSize, ch.width)
-        prev_size = max(comp_prev.fontSize, comp_prev.width)
-        max_font = max(ch_size, prev_size)
-        min_font = min(ch_size, prev_size)
-        font_ratio = (ch.fontSize / comp_prev.fontSize
-                      if comp_prev.fontSize else 1.0)
+        prev_fs = fss[p]
+        y_gap = abs(ch_y - cys_list[p])
+        x_gap = xs[i] - rights[p]
+        ch_size = sizes[i]
+        prev_size = sizes[p]
+        max_font = ch_size if ch_size > prev_size else prev_size
+        min_font = ch_size if ch_size < prev_size else prev_size
+        font_ratio = ch_fs / prev_fs if prev_fs else 1.0
 
         leading_marker = (
-            anchor_fs < ch.fontSize * 0.85
+            anchor_fs < ch_fs * 0.85
             and -max_font * 0.3 < x_gap < max_font * 0.8
             and y_gap < max_font * 0.8)
 
         # Inline-math exemptions (parsePdfDoc.js:2185-2222): narrow
         # escapes so a few off-baseline glyphs within one visual line
         # are not torn onto their own lines.
-        symbol_boundary = bool(
-            _SYMBOL_FONT_RE.match(ch.font.family_name or "")
-            or _SYMBOL_FONT_RE.match(comp_prev.font.family_name or ""))
         inline_symbol_boundary = (
-            symbol_boundary and y_gap < max_font * 0.5
+            (sym_flags[i] or sym_flags[p]) and y_gap < max_font * 0.5
             and -max_font * 0.2 < x_gap < max_font)
         # a script/fraction part set smaller than the body whose box
         # still intersects the anchor band
         reduced_script = (
-            ch.fontSize < anchor_fs * 0.85
-            and ch_y - ch.fontSize * 0.8 < anchor_y + anchor_fs * 0.2
-            and ch_y + ch.fontSize * 0.2 > anchor_y - anchor_fs * 0.8)
-        has_radical = bool(_RADICAL_RE.match(comp_prev.text)
-                           or _RADICAL_RE.match(ch.text))
+            ch_fs < anchor_fs * 0.85
+            and ch_y - ch_fs * 0.8 < anchor_y + anchor_fs * 0.2
+            and ch_y + ch_fs * 0.2 > anchor_y - anchor_fs * 0.8)
+        has_radical = rad_flags[p] or rad_flags[i]
         radical_radicand = (
             has_radical and 0.8 < font_ratio < 1.25
             and -max_font * 0.2 < x_gap < max_font * 0.5
             and y_gap < max_font * 1.1)
         built_up_math = False
         if page_has_math:
-            math_context = bool(
-                MATH_FONT_RE.search(ch.font.base_name or "")
-                or MATH_FONT_RE.search(comp_prev.font.base_name or "")
+            math_context = (
+                mathf_flags[i] or mathf_flags[p]
                 or has_radical
-                or ch.fontSize < anchor_fs * 0.85
-                or comp_prev.fontSize < anchor_fs * 0.85
+                or ch_fs < anchor_fs * 0.85
+                or prev_fs < anchor_fs * 0.85
                 or (0.8 < font_ratio < 1.25
                     and abs(ch_y - anchor_y) < anchor_fs * 0.35))
             built_up_math = (
@@ -214,10 +282,10 @@ def group_chars_into_page(chars, n: int, page_dims: dict,
         inline_math = reduced_script or radical_radicand or built_up_math
 
         is_cut = False
-        if ch.orientation != comp_prev.orientation:
+        if oris[i] != oris[p]:
             is_cut = True
         elif (body_size > 0 and not leading_marker and not built_up_math
-              and ch.fontSize < body_size * 0.85
+              and ch_fs < body_size * 0.85
               and (ch_y - body_y > body_size * 0.4
                    or ch_y - body_y < -body_size * 0.9)):
             is_cut = True
@@ -244,13 +312,13 @@ def group_chars_into_page(chars, n: int, page_dims: dict,
               and y_gap > min_font * 0.1
               and (font_ratio < 0.8 or font_ratio > 1.25)):
             persist = 0
-            target = min(ch.fontSize, comp_prev.fontSize)
-            for j in range(i + 1, len(chars)):
+            target = ch_fs if ch_fs < prev_fs else prev_fs
+            for j in range(i + 1, n_chars):
                 if persist >= 3:
                     break
-                if chars[j].text == " ":
+                if texts[j] == " ":
                     continue
-                if abs(chars[j].fontSize - target) < target * 0.15:
+                if abs(fss[j] - target) < target * 0.15:
                     persist += 1
                 else:
                     break
@@ -258,28 +326,29 @@ def group_chars_into_page(chars, n: int, page_dims: dict,
                 is_cut = True
 
         if (not is_cut and not built_up_math
-                and anchor_fs * 0.8 <= ch.fontSize <= anchor_fs * 1.25
+                and anchor_fs * 0.8 <= ch_fs <= anchor_fs * 1.25
                 and abs(ch_y - anchor_y) > anchor_fs * 0.3
                 and x_gap > max_font * 0.5):
             is_cut = True
 
         if is_cut:
-            lines.append(current)
-            current = [ch]
+            lines_idx.append(current)
+            current = [i]
             anchor_y = ch_y
-            anchor_fs = ch.fontSize
+            anchor_fs = ch_fs
             body_y = ch_y
-            body_size = ch.fontSize
+            body_size = ch_fs
         else:
-            current.append(ch)
-            if ch.fontSize >= anchor_fs * 0.8:
+            current.append(i)
+            if ch_fs >= anchor_fs * 0.8:
                 anchor_y = ch_y
-            if ch.text != " " and (body_size == 0
-                                   or ch.fontSize >= body_size * 0.95):
-                body_size = max(body_size, ch.fontSize)
+            if texts[i] != " " and (body_size == 0
+                                    or ch_fs >= body_size * 0.95):
+                body_size = body_size if body_size > ch_fs else ch_fs
                 body_y = ch_y
     if current:
-        lines.append(current)
+        lines_idx.append(current)
+    lines = [[chars[j] for j in idxs] for idxs in lines_idx]
 
     # (iv) orphan single-char merge (parsePdfDoc.js:2317-2397): chars
     # emitted far from their neighbors in stream order strand as
@@ -752,7 +821,7 @@ def group_chars_into_page(chars, n: int, page_dims: dict,
             if (c0.font.bold == word_obj.style.bold
                     and c0.font.italic == word_obj.style.italic):
                 runs = []
-                text_offset = len(replace_ligatures(c0.text))
+                text_offset = _lig_len(c0.text)
                 for ci in range(1, len(wchars)):
                     prev_f = wchars[ci - 1].font
                     fi = wchars[ci].font
@@ -763,7 +832,7 @@ def group_chars_into_page(chars, n: int, page_dims: dict,
                         if fi.italic != word_obj.style.italic:
                             delta["italic"] = fi.italic
                         runs.append({"i": text_offset, "style": delta})
-                    text_offset += len(replace_ligatures(wchars[ci].text))
+                    text_offset += _lig_len(wchars[ci].text)
                 if runs:
                     word_obj.styleRuns = runs
 

@@ -144,18 +144,25 @@ def _page_has_math(chars) -> bool:
     (parsePdfDoc.js:652-661): >= 8 visible glyphs from a math font, or
     >= 6 math-only Unicode chars that also clear a density floor so a
     few strays on a long prose page cannot trip it."""
-    from .group import MATH_CHAR_RE, MATH_FONT_RE
+    from .group import MATH_CHAR_RE, is_math_font
 
     math_font = 0
     math_char = 0
     printable_vis = 0
+    # Per-char-string regex verdicts memoized (a page repeats a small
+    # glyph alphabet; this loop was a top re.search profile entry).
+    char_memo: dict = {}
     for ch in chars:
         if ch.invisible or not ch.text:
             continue
         cp = ord(ch.text[0])
-        if MATH_FONT_RE.search(ch.font.base_name or ""):
+        if is_math_font(ch.font.base_name):
             math_font += 1
-        if MATH_CHAR_RE.search(ch.text):
+        is_math_char = char_memo.get(ch.text)
+        if is_math_char is None:
+            is_math_char = char_memo[ch.text] = bool(
+                MATH_CHAR_RE.search(ch.text))
+        if is_math_char:
             math_char += 1
         if (33 <= cp <= 127) or (cp >= 161
                                  and not (0xE000 <= cp <= 0xF8FF)):

@@ -60,30 +60,39 @@ def clean_family_name(family: str | None) -> str:
     return fam or "Default"
 
 
-def _orient_char_bbox(orientation, quad, origin, page_w, page_h):
+def _orient_char_bbox(orientation, quad, origin, page_w, page_h,
+                      _f=math.floor):
+    # js_round inlined (Math.round = floor(x + 0.5)); this runs once
+    # per <char> and dominated the converter's profile.
+    if orientation == 0:
+        return Bbox(
+            _f(origin[0] + 0.5),
+            _f(min(quad["ul"][1], quad["ur"][1]) + 0.5),
+            _f(origin[0] + (quad["ur"][0] - quad["ul"][0]) + 0.5),
+            _f(max(quad["ll"][1], quad["lr"][1]) + 0.5))
     if orientation == 1:
         return Bbox(
-            js_round(origin[1]),
-            js_round(page_w - max(quad["ur"][0], quad["lr"][0])),
-            js_round(origin[1] + (quad["lr"][1] - quad["ur"][1])),
-            js_round(page_w - min(quad["ul"][0], quad["ll"][0])))
+            _f(origin[1] + 0.5),
+            _f(page_w - max(quad["ur"][0], quad["lr"][0]) + 0.5),
+            _f(origin[1] + (quad["lr"][1] - quad["ur"][1]) + 0.5),
+            _f(page_w - min(quad["ul"][0], quad["ll"][0]) + 0.5))
     if orientation == 2:
         return Bbox(
-            js_round(page_w - origin[0]),
-            js_round(page_h - max(quad["ll"][1], quad["lr"][1])),
-            js_round(page_w - (origin[0] - (quad["ur"][0] - quad["ul"][0]))),
-            js_round(page_h - min(quad["ul"][1], quad["ur"][1])))
+            _f(page_w - origin[0] + 0.5),
+            _f(page_h - max(quad["ll"][1], quad["lr"][1]) + 0.5),
+            _f(page_w - (origin[0] - (quad["ur"][0] - quad["ul"][0])) + 0.5),
+            _f(page_h - min(quad["ul"][1], quad["ur"][1]) + 0.5))
     if orientation == 3:
         return Bbox(
-            js_round(page_h - origin[1]),
-            js_round(min(quad["ul"][0], quad["ll"][0])),
-            js_round(page_h - origin[1] + (quad["lr"][1] - quad["ur"][1])),
-            js_round(max(quad["ur"][0], quad["lr"][0])))
+            _f(page_h - origin[1] + 0.5),
+            _f(min(quad["ul"][0], quad["ll"][0]) + 0.5),
+            _f(page_h - origin[1] + (quad["lr"][1] - quad["ur"][1]) + 0.5),
+            _f(max(quad["ur"][0], quad["lr"][0]) + 0.5))
     return Bbox(
-        js_round(origin[0]),
-        js_round(min(quad["ul"][1], quad["ur"][1])),
-        js_round(origin[0] + (quad["ur"][0] - quad["ul"][0])),
-        js_round(max(quad["ll"][1], quad["lr"][1])))
+        _f(origin[0] + 0.5),
+        _f(min(quad["ul"][1], quad["ur"][1]) + 0.5),
+        _f(origin[0] + (quad["ur"][0] - quad["ul"][0]) + 0.5),
+        _f(max(quad["ll"][1], quad["lr"][1]) + 0.5))
 
 
 def convert_page_stext(ocr_str: str, n: int):
