@@ -15,6 +15,7 @@ Emits PositionedChar records for the grouping pass.
 from __future__ import annotations
 
 import math
+from itertools import repeat
 
 from .fonts import PdfFont, load_font
 from .lexer import Lexer, Name, Ref, StreamObj, DELIMS, WHITESPACE
@@ -68,6 +69,8 @@ def _mat_mul(a, b):
 
 IDENT = [1.0, 0.0, 0.0, 1.0, 0.0, 0.0]
 
+_REPEAT_ONE = repeat(1)
+
 
 class ContentTokenizer:
     """Stream-order (operands..., operator) tokenizer."""
@@ -80,35 +83,67 @@ class ContentTokenizer:
         self.inline_images: list[tuple[bytes, bytes]] = []
 
     def __iter__(self):
+        # Hot loop: whitespace skip, numeric-operand parse and keyword
+        # scan are inlined over a local cursor (one Lexer.pos sync per
+        # non-numeric operand) — this tokenizer runs once per content
+        # stream byte and dominated the extraction profile.
         operands = []
         lex = self.lex
         data = lex.data
         n = len(data)
+        ws = WHITESPACE
+        dl = DELIMS
+        pos = lex.pos
         while True:
-            lex.skip_ws()
-            if lex.pos >= n:
+            while pos < n:
+                c = data[pos]
+                if c in ws:
+                    pos += 1
+                elif c == 0x25:  # '%' comment
+                    while pos < n and data[pos] not in b"\r\n":
+                        pos += 1
+                else:
+                    break
+            if pos >= n:
+                lex.pos = pos
                 break
-            c = data[lex.pos]
-            if c == 0x2F or c == 0x28 or c == 0x3C or c == 0x5B or (
-                    0x30 <= c <= 0x39) or c in (0x2B, 0x2D, 0x2E):
+            c = data[pos]
+            if (0x30 <= c <= 0x39) or c == 0x2B or c == 0x2D or c == 0x2E:
+                # number: same scan as read_token_word + the same
+                # ValueError -> 0 fallback as _read_operand
+                start = pos
+                pos += 1
+                while pos < n and data[pos] not in ws and data[pos] not in dl:
+                    pos += 1
+                tok = data[start:pos]
+                try:
+                    operands.append(
+                        float(tok) if (b"." in tok or b"e" in tok
+                                       or b"E" in tok) else int(tok))
+                except ValueError:
+                    operands.append(0)
+                continue
+            if c == 0x2F or c == 0x28 or c == 0x3C or c == 0x5B:
+                lex.pos = pos
                 try:
                     operands.append(self._read_operand())
                 except Exception:
                     lex.pos += 1
+                pos = lex.pos
                 continue
             # operator keyword
-            start = lex.pos
-            while lex.pos < n and data[lex.pos] not in WHITESPACE \
-                    and data[lex.pos] not in DELIMS:
-                lex.pos += 1
-            op = data[start : lex.pos]
+            start = pos
+            while pos < n and data[pos] not in ws and data[pos] not in dl:
+                pos += 1
+            op = data[start:pos]
             if not op:
-                lex.pos += 1
+                pos += 1
                 continue
             if op == b"BI":
-                lex.pos = self._skip_inline_image(lex.pos)
+                pos = self._skip_inline_image(pos)
                 operands = []
                 continue
+            lex.pos = pos
             yield operands, op
             operands = []
 
@@ -216,7 +251,8 @@ class ContentTokenizer:
                     lex.pos += 1
         tok = lex.read_token_word()
         try:
-            return float(tok) if b"." in tok or b"e" in tok.lower() else int(tok)
+            return (float(tok) if b"." in tok or b"e" in tok or b"E" in tok
+                    else int(tok))
         except ValueError:
             return 0
 
@@ -368,6 +404,70 @@ class TextMachine:
                          self._fill_alpha,
                          self._line_width) = gs_stack.pop()
                         ctm[:] = ctm_s
+                # Text-positioning/showing ops first: they dominate
+                # token counts in text-heavy streams, and the chain is
+                # order-independent (ops are distinct values).
+                elif op == b"Tj" and operands:
+                    tm = self._show(operands[-1], font, tfs, tc, tw, tz, ts,
+                                    tr, tm, ctm)
+                elif op == b"TJ" and operands and isinstance(operands[-1], list):
+                    for item in operands[-1]:
+                        if isinstance(item, (int, float)):
+                            adv = -float(item) / 1000.0 * tfs * (tz / 100.0)
+                            tm = _mat_mul([1, 0, 0, 1, adv, 0], tm)
+                        else:
+                            tm = self._show(item, font, tfs, tc, tw, tz, ts,
+                                            tr, tm, ctm)
+                elif op == b"Td" and len(operands) >= 2:
+                    tlm = _mat_mul(
+                        [1, 0, 0, 1, float(operands[-2]), float(operands[-1])], tlm)
+                    tm = list(tlm)
+                elif op == b"Tm" and len(operands) >= 6:
+                    tm = [float(v) for v in operands[-6:]]
+                    tlm = list(tm)
+                elif op == b"TD" and len(operands) >= 2:
+                    tl = -float(operands[-1])
+                    tlm = _mat_mul(
+                        [1, 0, 0, 1, float(operands[-2]), float(operands[-1])], tlm)
+                    tm = list(tlm)
+                elif op == b"T*":
+                    tlm = _mat_mul([1, 0, 0, 1, 0, -tl], tlm)
+                    tm = list(tlm)
+                elif op == b"'" and operands:
+                    tlm = _mat_mul([1, 0, 0, 1, 0, -tl], tlm)
+                    tm = list(tlm)
+                    tm = self._show(operands[-1], font, tfs, tc, tw, tz, ts,
+                                    tr, tm, ctm)
+                elif op == b'"' and len(operands) >= 3:
+                    tw = float(operands[-3])
+                    tc = float(operands[-2])
+                    tlm = _mat_mul([1, 0, 0, 1, 0, -tl], tlm)
+                    tm = list(tlm)
+                    tm = self._show(operands[-1], font, tfs, tc, tw, tz, ts,
+                                    tr, tm, ctm)
+                elif op == b"BT":
+                    tm = list(IDENT)
+                    tlm = list(IDENT)
+                elif op == b"ET":
+                    pass
+                elif op == b"Tf" and len(operands) >= 2:
+                    font = self._resolve_font(resources, str(operands[-2]))
+                    tfs = float(operands[-1])
+                elif op == b"Tc" and operands:
+                    tc = float(operands[-1])
+                elif op == b"Tw" and operands:
+                    tw = float(operands[-1])
+                elif op == b"Tz" and operands:
+                    tz = float(operands[-1])
+                elif op == b"TL" and operands:
+                    tl = float(operands[-1])
+                elif op == b"Ts" and operands:
+                    ts = float(operands[-1])
+                elif op == b"Tr" and operands:
+                    tr = int(operands[-1])
+                elif op == b"cm" and len(operands) >= 6:
+                    m = [float(v) for v in operands[-6:]]
+                    ctm[:] = _mat_mul(m, ctm)
                 # g/rg/k also select a device color space, deselecting
                 # any named space chosen by cs (parsePdfDoc.js:1692)
                 elif op == b"g" and operands:
@@ -428,67 +528,6 @@ class TextMachine:
                 elif op == b"EMC":
                     if self._mc_stack:
                         self._mc_stack.pop()
-                elif op == b"cm" and len(operands) >= 6:
-                    m = [float(v) for v in operands[-6:]]
-                    ctm[:] = _mat_mul(m, ctm)
-                elif op == b"BT":
-                    tm = list(IDENT)
-                    tlm = list(IDENT)
-                elif op == b"ET":
-                    pass
-                elif op == b"Tf" and len(operands) >= 2:
-                    font = self._resolve_font(resources, str(operands[-2]))
-                    tfs = float(operands[-1])
-                elif op == b"Tc" and operands:
-                    tc = float(operands[-1])
-                elif op == b"Tw" and operands:
-                    tw = float(operands[-1])
-                elif op == b"Tz" and operands:
-                    tz = float(operands[-1])
-                elif op == b"TL" and operands:
-                    tl = float(operands[-1])
-                elif op == b"Ts" and operands:
-                    ts = float(operands[-1])
-                elif op == b"Tr" and operands:
-                    tr = int(operands[-1])
-                elif op == b"Tm" and len(operands) >= 6:
-                    tm = [float(v) for v in operands[-6:]]
-                    tlm = list(tm)
-                elif op == b"Td" and len(operands) >= 2:
-                    tlm = _mat_mul(
-                        [1, 0, 0, 1, float(operands[-2]), float(operands[-1])], tlm)
-                    tm = list(tlm)
-                elif op == b"TD" and len(operands) >= 2:
-                    tl = -float(operands[-1])
-                    tlm = _mat_mul(
-                        [1, 0, 0, 1, float(operands[-2]), float(operands[-1])], tlm)
-                    tm = list(tlm)
-                elif op == b"T*":
-                    tlm = _mat_mul([1, 0, 0, 1, 0, -tl], tlm)
-                    tm = list(tlm)
-                elif op == b"Tj" and operands:
-                    tm = self._show(operands[-1], font, tfs, tc, tw, tz, ts,
-                                    tr, tm, ctm)
-                elif op == b"'" and operands:
-                    tlm = _mat_mul([1, 0, 0, 1, 0, -tl], tlm)
-                    tm = list(tlm)
-                    tm = self._show(operands[-1], font, tfs, tc, tw, tz, ts,
-                                    tr, tm, ctm)
-                elif op == b'"' and len(operands) >= 3:
-                    tw = float(operands[-3])
-                    tc = float(operands[-2])
-                    tlm = _mat_mul([1, 0, 0, 1, 0, -tl], tlm)
-                    tm = list(tlm)
-                    tm = self._show(operands[-1], font, tfs, tc, tw, tz, ts,
-                                    tr, tm, ctm)
-                elif op == b"TJ" and operands and isinstance(operands[-1], list):
-                    for item in operands[-1]:
-                        if isinstance(item, (int, float)):
-                            adv = -float(item) / 1000.0 * tfs * (tz / 100.0)
-                            tm = _mat_mul([1, 0, 0, 1, adv, 0], tm)
-                        else:
-                            tm = self._show(item, font, tfs, tc, tw, tz, ts,
-                                            tr, tm, ctm)
                 elif op == b"Do" and operands and depth < 8:
                     self._do_xobject(str(operands[-1]), resources, ctm, depth)
             except Exception:
@@ -601,7 +640,17 @@ class TextMachine:
         adv_total = 0.0
         valid_cids = font.valid_cids
         is_cid = font.cid
-        for code, n_bytes in self._decode_codes(bytes(data), font):
+        # Code iteration specialized by font shape: the plain 1-byte
+        # case (the overwhelming majority) iterates the bytes directly
+        # via zip/repeat instead of a per-glyph Python generator.
+        if font.codespace_ranges is not None:
+            code_iter = self._decode_codes(bytes(data), font)
+        elif font.two_byte:
+            code_iter = [((data[i] << 8) | data[i + 1], 2)
+                         for i in range(0, len(data) - 1, 2)]
+        else:
+            code_iter = zip(data, _REPEAT_ONE)
+        for code, n_bytes in code_iter:
             uni = unicode_for(code)
             if uni is None and is_cid:
                 if valid_cids is not None and code not in valid_cids:
