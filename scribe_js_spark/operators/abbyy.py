@@ -65,6 +65,26 @@ _UNDERLINE_ATTR_RE = re.compile(r"underline=['\"](1|true)", re.I)
 _SMALLCAPS_ATTR_RE = re.compile(r"smallcaps=['\"](1|true)", re.I)
 _WORD_CONTENT_RE = re.compile(r">([^<>]+?)(?=</charParams>)")
 
+# Formatting-attr verdicts memoized by the leading formatting string —
+# a document reuses a handful of formatting shapes but the converter
+# re-tested five regexes per word.
+_fmt_memo: dict = {}
+
+
+def _fmt_flags(fmt: str) -> tuple:
+    v = _fmt_memo.get(fmt)
+    if v is None:
+        if len(_fmt_memo) > 4096:
+            _fmt_memo.clear()
+        v = _fmt_memo[fmt] = (
+            bool(_SUP_ATTR_RE.search(fmt)),
+            bool(_ITALIC_ATTR_RE.search(fmt)),
+            bool(_BOLD_ATTR_RE.search(fmt)),
+            bool(_UNDERLINE_ATTR_RE.search(fmt)),
+            bool(_SMALLCAPS_ATTR_RE.search(fmt)),
+        )
+    return v
+
 
 def _orient_bbox(raw_l, raw_t, raw_r, raw_b, orientation, page_w, page_h,
                  _f=math.floor):
@@ -298,23 +318,24 @@ def convert_page_abbyy(ocr_str: str, n: int):
             word_susp = [False] * n_words
 
             for i, word_str in enumerate(word_str_arr):
-                letter_arr = [list(m.groups()) for m in _CHAR_RE.finditer(word_str)]
+                letter_arr = [m.groups() for m in _CHAR_RE.finditer(word_str)]
                 if not letter_arr:
                     continue
                 fmt = letter_arr[0][0]
                 if fmt is not None:
+                    sup_f, it_f, bd_f, ul_f, sc_f = _fmt_flags(fmt)
                     if drop_cap and i == 0:
                         dropcap_arr[i] = True
-                    elif _SUP_ATTR_RE.search(fmt):
+                    elif sup_f:
                         sup_arr[i] = True
                     else:
-                        if _ITALIC_ATTR_RE.search(fmt):
+                        if it_f:
                             italic_arr[i] = True
-                        if _BOLD_ATTR_RE.search(fmt):
+                        if bd_f:
                             bold_arr[i] = True
-                        if _UNDERLINE_ATTR_RE.search(fmt):
+                        if ul_f:
                             underline_arr[i] = True
-                    if _SMALLCAPS_ATTR_RE.search(fmt):
+                    if sc_f:
                         smallcaps_arr[i] = True
                 elif i > 0 and not dropcap_arr[i - 1]:
                     italic_arr[i] = italic_arr[i - 1]

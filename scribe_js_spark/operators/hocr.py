@@ -111,14 +111,20 @@ def convert_page_hocr(ocr_str: str, n: int, page_dims: dict | None = None,
             ocr_str = re.sub(pattern, repl, ocr_str, flags=re.I, count=count)
 
     def convert_word(match_str: str, line_obj: OcrLine) -> None:
-        m_id = _ID_RE.search(match_str)
+        # One lowercase pass gates the case-insensitive regexes below;
+        # substring probes gate the case-sensitive ones (most words
+        # carry none of the optional attributes, and this ran ~10
+        # regexes per word in the profile).
+        ms_low = match_str.lower()
+        m_id = _ID_RE.search(match_str) if "id=" in ms_low else None
         word_id = (
             m_id.group(1)
             if m_id
             else f"word_{n + 1}_{len(page_obj.lines) + 1}_{len(line_obj.words) + 1}"
         )
-        word_sup = bool(_SUP_RE.search(match_str))
-        word_dropcap = bool(_DROPCAP_RE.search(match_str))
+        word_sup = "<sup>" in ms_low
+        word_dropcap = ("ocr_dropcap" in ms_low
+                        and bool(_DROPCAP_RE.search(match_str)))
 
         if word_sup:
             stripped = _SUP_OPEN_RE.sub("", match_str, count=1)
@@ -138,7 +144,7 @@ def convert_page_hocr(ocr_str: str, n: int, page_dims: dict | None = None,
             return
         title_str = m_title.group(1)
 
-        m_lang = _LANG_RE.search(match_str)
+        m_lang = _LANG_RE.search(match_str) if "lang=" in ms_low else None
         word_lang = m_lang.group(1) if m_lang else current_lang
 
         m_bbox = _BBOX_NUMS_RE.search(title_str)
@@ -147,11 +153,14 @@ def convert_page_hocr(ocr_str: str, n: int, page_dims: dict | None = None,
         nums = [float(g) for g in m_bbox.groups() if g is not None]
         word_box = Bbox(nums[0], nums[1], nums[2], nums[3])
 
-        m_font = _FONT_RE.search(match_str)
+        m_font = (_FONT_RE.search(match_str)
+                  if "x_font" in match_str else None)
         font_name = m_font.group(1).strip() if m_font else None
-        m_style = _STYLE_RE.search(match_str)
+        m_style = (_STYLE_RE.search(match_str)
+                   if "style=" in match_str else None)
         style_str = m_style.group(1) if m_style else None
-        m_conf = _WCONF_RE.search(title_str)
+        m_conf = (_WCONF_RE.search(title_str)
+                  if "x_wconf" in title_str else None)
         word_conf = int(m_conf.group(1)) if m_conf else 0
 
         word_obj = OcrWord(line_obj, word_id, word_text, word_box)
@@ -176,24 +185,27 @@ def convert_page_hocr(ocr_str: str, n: int, page_dims: dict | None = None,
 
     def convert_word_char_level(match_str: str, line_obj: OcrLine) -> None:
         nonlocal current_lang
+        ms_low = match_str.lower()
         m_title = _TITLE_RE.search(match_str)
         title_str = m_title.group(1) if m_title else None
         word_conf = 0
-        if title_str:
+        if title_str and "x_wconf" in title_str:
             m_conf = _WCONF_RE.search(title_str)
             if m_conf:
                 word_conf = int(m_conf.group(1))
 
-        italic = bool(_EM_CLOSE_SPAN_RE.search(match_str))
-        m_id = _ID_RE.search(match_str)
+        italic = ("</em>" in match_str
+                  and bool(_EM_CLOSE_SPAN_RE.search(match_str)))
+        m_id = _ID_RE.search(match_str) if "id=" in ms_low else None
         word_id = (
             m_id.group(1)
             if m_id
             else f"word_{n + 1}_{len(page_obj.lines) + 1}_{len(line_obj.words) + 1}"
         )
-        m_lang = _LANG_RE.search(match_str)
+        m_lang = _LANG_RE.search(match_str) if "lang=" in ms_low else None
         word_lang_raw = m_lang.group(1) if m_lang else None
-        m_font = _FONT_RE.search(match_str)
+        m_font = (_FONT_RE.search(match_str)
+                  if "x_font" in match_str else None)
         font_name = m_font.group(1).strip() if m_font else None
 
         letter_arr = list(_CHAR_RE.finditer(match_str))
@@ -275,9 +287,12 @@ def convert_page_hocr(ocr_str: str, n: int, page_dims: dict | None = None,
             if m_x:
                 x_height = float(m_x.group(1))
         if not asc_height and not x_height:
-            m_size = _X_SIZE_RE.search(title_str)
-            m_asc = _X_ASC_RE.search(title_str)
-            m_desc = _X_DESC_RE.search(title_str)
+            m_size = (_X_SIZE_RE.search(title_str)
+                      if "x_size" in title_str else None)
+            m_asc = (_X_ASC_RE.search(title_str)
+                     if "x_ascenders" in title_str else None)
+            m_desc = (_X_DESC_RE.search(title_str)
+                      if "x_descenders" in title_str else None)
             all_h = float(m_size.group(1)) if m_size else 15.0
             asc_h = float(m_asc.group(1)) if m_asc else 0.0
             desc_h = float(m_desc.group(1)) if m_desc else 0.0

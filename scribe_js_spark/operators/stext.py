@@ -49,6 +49,26 @@ _ITALIC_FONT_RE = re.compile(r"italic|oblique", re.I)
 _ITALIC_FONT_RE2 = re.compile(r"-\w*ital", re.I)
 _ITALIC_FONT_RE3 = re.compile(r"-it$", re.I)
 _BOLD_FONT_RE = re.compile(r"bold|black", re.I)
+_ALNUM_START_RE = re.compile(r"[A-Za-z\d]")
+
+# Per-font-name style verdicts memoized: a document uses a handful of
+# font names but the converter re-derives style per font *change*.
+_font_style_memo: dict = {}
+
+
+def _font_style(name: str) -> tuple:
+    v = _font_style_memo.get(name)
+    if v is None:
+        if len(_font_style_memo) > 4096:
+            _font_style_memo.clear()
+        v = _font_style_memo[name] = (
+            bool(_SMALLCAPS_FONT_RE.search(name)),
+            bool(_ITALIC_FONT_RE.search(name)
+                 or _ITALIC_FONT_RE2.search(name)
+                 or _ITALIC_FONT_RE3.search(name)),
+            bool(_BOLD_FONT_RE.search(name)),
+        )
+    return v
 
 
 def clean_family_name(family: str | None) -> str:
@@ -180,7 +200,8 @@ def convert_page_stext(ocr_str: str, n: int):
                     quad = {"ul": (g[0], g[1]), "ur": (g[2], g[3]),
                             "ll": (g[4], g[5]), "lr": (g[6], g[7])}
                 rest = cm.group(12) or ""
-                fl = _FLAGS_ATTR_RE.search(rest)
+                fl = (_FLAGS_ATTR_RE.search(rest)
+                      if "flags=" in rest else None)
                 tx = _C_ATTR_RE.search(rest)
                 items.append({
                     "quad": quad,
@@ -308,23 +329,16 @@ def convert_page_stext(ocr_str: str, n: int):
                     if smallcaps_current_alt is None:
                         smallcaps_current_alt = (
                             smallcaps_alt_arr[-1] if smallcaps_alt_arr else None)
-                    smallcaps_current = bool(
-                        _SMALLCAPS_FONT_RE.search(item["name"]))
+                    (smallcaps_current, italic_current,
+                     bold_current) = _font_style(item["name"])
                     smallcaps_word = smallcaps_current
-
-                    name = item["name"]
-                    italic_current = bool(
-                        _ITALIC_FONT_RE.search(name)
-                        or _ITALIC_FONT_RE2.search(name)
-                        or _ITALIC_FONT_RE3.search(name))
-                    bold_current = bool(_BOLD_FONT_RE.search(name))
                     continue
 
                 baseline_current = item["origin"][1]
 
                 if word_char_n == 0 or (
                         word_char_n < 3
-                        and re.match(r"[A-Za-z\d]", item["text"] or "")):
+                        and _ALNUM_START_RE.match(item["text"] or "")):
                     bold_word = bold_current
                     italic_word = italic_current
                     word_char_n += 1
