@@ -65,6 +65,7 @@ _TERMINAL_RE = re.compile(r"[.!?]")
 _BULLET_CHARS = set("•◦▪▫●○◼◻➢‣·")
 _ALNUM_RE = re.compile(r"[A-Za-z0-9]")
 _UPPER_RE = re.compile(r"[A-Z]")
+_ALPHA_RE = re.compile(r"[A-Za-z]")
 _LOWER_RE = re.compile(r"[a-z]")
 _SC_SHAPE_RE = re.compile(r"[A-Z].?[A-Z]")
 _REF_MARKER_RE = re.compile(r"^[0-9,]+$|^[®*†‡§]+$")
@@ -151,11 +152,6 @@ def group_chars_into_page(chars, n: int, page_dims: dict,
     for idx, ch in enumerate(chars):
         cys_list[idx] = (-ch.x * avg_dy + ch.y * avg_dx
                          if ch.orientation == 0 else ch.y)
-    cy_of = {id(ch): cys_list[idx] for idx, ch in enumerate(chars)}
-
-    def cy(ch):
-        return cy_of[id(ch)]
-
     # Parallel scalar arrays for the cut loop: each char is touched
     # several times per iteration and Python attribute access dominated
     # the wall-clock profile. Font-level regex verdicts collapse to one
@@ -163,14 +159,17 @@ def group_chars_into_page(chars, n: int, page_dims: dict,
     texts = [None] * n_chars
     fss = [0.0] * n_chars
     xs = [0.0] * n_chars
+    ys = [0.0] * n_chars
     rights = [0.0] * n_chars
     sizes = [0.0] * n_chars   # max(fontSize, width)
     oris = [0] * n_chars
+    fams = [None] * n_chars
+    bolds = [False] * n_chars
+    itals = [False] * n_chars
     sym_flags = [False] * n_chars
     rad_flags = [False] * n_chars
     mathf_flags = [False] * n_chars
-    _font_sym: dict = {}
-    _font_math: dict = {}
+    _font_info: dict = {}
     for idx, ch in enumerate(chars):
         t = ch.text
         fs = ch.fontSize
@@ -178,19 +177,24 @@ def group_chars_into_page(chars, n: int, page_dims: dict,
         texts[idx] = t
         fss[idx] = fs
         xs[idx] = ch.x
+        ys[idx] = ch.y
         rights[idx] = ch.x + w
         sizes[idx] = fs if fs > w else w
         oris[idx] = ch.orientation
         rad_flags[idx] = t in _RADICAL_CHARS
         f = ch.font
         fid = id(f)
-        v = _font_sym.get(fid)
-        if v is None:
-            v = _font_sym[fid] = _is_symbol_font(f.family_name)
-            _font_math[fid] = is_math_font(f.base_name)
-        sym_flags[idx] = v
+        info = _font_info.get(fid)
+        if info is None:
+            info = _font_info[fid] = (
+                f.family_name, f.bold, f.italic,
+                _is_symbol_font(f.family_name), is_math_font(f.base_name))
+        fams[idx] = info[0]
+        bolds[idx] = info[1]
+        itals[idx] = info[2]
+        sym_flags[idx] = info[3]
         if page_has_math:
-            mathf_flags[idx] = _font_math[fid]
+            mathf_flags[idx] = info[4]
 
     # (iii) stream-order line cuts (index-based; lines materialize to
     # char lists right after the loop).
@@ -348,7 +352,9 @@ def group_chars_into_page(chars, n: int, page_dims: dict,
                 body_y = ch_y
     if current:
         lines_idx.append(current)
-    lines = [[chars[j] for j in idxs] for idxs in lines_idx]
+    # Lines stay as index lists through the merge/reattach/word-split
+    # phases; char objects materialize at the construction step.
+    lines = lines_idx
 
     # (iv) orphan single-char merge (parsePdfDoc.js:2317-2397): chars
     # emitted far from their neighbors in stream order strand as
@@ -357,62 +363,62 @@ def group_chars_into_page(chars, n: int, page_dims: dict,
     # top-aligned, single uppercase letter). The orphan is inserted at
     # its x-position so word splitting groups it spatially.
     line_extents = []
-    for line_chars in lines:
+    for line_chs in lines:
         min_x, max_right, max_fs = math.inf, -math.inf, 0.0
-        for ch in line_chars:
-            if ch.x < min_x:
-                min_x = ch.x
-            if ch.x + ch.width > max_right:
-                max_right = ch.x + ch.width
-            if ch.fontSize > max_fs:
-                max_fs = ch.fontSize
+        for j in line_chs:
+            if xs[j] < min_x:
+                min_x = xs[j]
+            if rights[j] > max_right:
+                max_right = rights[j]
+            if fss[j] > max_fs:
+                max_fs = fss[j]
         line_extents.append([min_x, max_right, max_fs])
     li = len(lines) - 1
     while li >= 0:
         if len(lines[li]) != 1:
             li -= 1
             continue
-        orphan = lines[li][0]
-        orphan_right = orphan.x + orphan.width
-        orphan_top = orphan.y - orphan.font.ascent * orphan.fontSize
+        o = lines[li][0]
+        o_fs = fss[o]
+        orphan_right = rights[o]
+        orphan_top = ys[o] - chars[o].font.ascent * o_fs
         merged = False
         for lj in range(len(lines)):
             if merged or lj == li:
                 continue
             target = lines[lj]
             ext = line_extents[lj]
-            slack = max(orphan.fontSize, ext[2]) * 0.1
-            if orphan_right < ext[0] - slack or orphan.x > ext[1] + slack:
+            slack = max(o_fs, ext[2]) * 0.1
+            if orphan_right < ext[0] - slack or xs[o] > ext[1] + slack:
                 continue
-            for ch in target:
-                if orphan.font.family_name != ch.font.family_name:
+            for j in target:
+                if fams[o] != fams[j]:
                     continue
-                ch_right = ch.x + ch.width
-                max_font = max(orphan.fontSize, ch.fontSize)
-                min_font_o = min(orphan.fontSize, ch.fontSize)
-                same_size = abs(orphan.fontSize - ch.fontSize) \
-                    < max_font * 0.1
-                x_adj = (orphan_right >= ch.x - max_font * 0.1
-                         and orphan.x <= ch_right + max_font * 0.1)
+                ch_fs2 = fss[j]
+                max_font = max(o_fs, ch_fs2)
+                min_font_o = min(o_fs, ch_fs2)
+                same_size = abs(o_fs - ch_fs2) < max_font * 0.1
+                x_adj = (orphan_right >= xs[j] - max_font * 0.1
+                         and xs[o] <= rights[j] + max_font * 0.1)
                 do_merge = False
                 if same_size and x_adj \
-                        and abs(orphan.y - ch.y) < max_font * 0.5:
+                        and abs(ys[o] - ys[j]) < max_font * 0.5:
                     do_merge = True  # (a) same-size punctuation
-                elif (not same_size and orphan.fontSize > ch.fontSize * 2
-                        and _UPPER_RE.search(orphan.text) and x_adj):
-                    ch_top = ch.y - ch.font.ascent * ch.fontSize
+                elif (not same_size and o_fs > ch_fs2 * 2
+                        and _UPPER_RE.search(texts[o]) and x_adj):
+                    ch_top = ys[j] - chars[j].font.ascent * ch_fs2
                     if abs(orphan_top - ch_top) < min_font_o * 0.25:
                         do_merge = True  # (b) drop cap, top-aligned
                 if do_merge:
                     insert_idx = len(target)
                     for k, tc in enumerate(target):
-                        if tc.x > orphan.x:
+                        if xs[tc] > xs[o]:
                             insert_idx = k
                             break
-                    target.insert(insert_idx, orphan)
-                    ext[0] = min(ext[0], orphan.x)
+                    target.insert(insert_idx, o)
+                    ext[0] = min(ext[0], xs[o])
                     ext[1] = max(ext[1], orphan_right)
-                    ext[2] = max(ext[2], orphan.fontSize)
+                    ext[2] = max(ext[2], o_fs)
                     del lines[li]
                     del line_extents[li]
                     merged = True
@@ -423,49 +429,49 @@ def group_chars_into_page(chars, n: int, page_dims: dict,
     # generators emit a page's superscript markers as a trailing block;
     # each strands as its own reduced-size line inside a band a
     # full-size line occupies. Only marker-shaped content moves.
-    def _line_anchor(line_chars):
+    def _line_anchor(line_chs):
         max_size, family = 0.0, None
-        for ch in line_chars:
-            if ch.text != " " and ch.fontSize > max_size:
-                max_size = ch.fontSize
-                family = ch.font.family_name
+        for j in line_chs:
+            if texts[j] != " " and fss[j] > max_size:
+                max_size = fss[j]
+                family = fams[j]
         if max_size == 0:
             return None
-        ys = []
+        band_ys = []
         left_x, right_x = math.inf, -math.inf
-        for ch in line_chars:
-            if ch.text == " ":
+        for j in line_chs:
+            if texts[j] == " ":
                 continue
-            if ch.fontSize >= max_size * 0.8:
-                ys.append(cy(ch))
-            if ch.x < left_x:
-                left_x = ch.x
-            if ch.x + ch.width > right_x:
-                right_x = ch.x + ch.width
-        if not ys:
+            if fss[j] >= max_size * 0.8:
+                band_ys.append(cys_list[j])
+            if xs[j] < left_x:
+                left_x = xs[j]
+            if rights[j] > right_x:
+                right_x = rights[j]
+        if not band_ys:
             return None
-        ys.sort()
+        band_ys.sort()
         return {"fs": max_size, "family": family,
-                "baseline": ys[len(ys) // 2],
+                "baseline": band_ys[len(band_ys) // 2],
                 "left": left_x, "right": right_x}
 
     anchors = [_line_anchor(lc) for lc in lines]
     li = len(lines) - 1
     while li >= 0:
-        frag = [c for c in lines[li] if c.text != " "]
-        frag_text = "".join(c.text for c in frag)
+        frag = [j for j in lines[li] if texts[j] != " "]
+        frag_text = "".join(texts[j] for j in frag)
         is_fn = bool(_FN_MARKER_RE.match(frag_text))
         if (0 < len(frag) <= 6
                 and (_REF_MARKER_RE.match(frag_text) or is_fn)):
             frag_size, frag_family = 0.0, None
             frag_left, frag_baseline = math.inf, 0.0
-            for c in frag:
-                if c.fontSize > frag_size:
-                    frag_size = c.fontSize
-                    frag_family = c.font.family_name
-                if c.x < frag_left:
-                    frag_left = c.x
-                frag_baseline = cy(c)
+            for j in frag:
+                if fss[j] > frag_size:
+                    frag_size = fss[j]
+                    frag_family = fams[j]
+                if xs[j] < frag_left:
+                    frag_left = xs[j]
+                frag_baseline = cys_list[j]
             best, best_dist = -1, math.inf
             for lj in range(len(lines)):
                 if lj == li:
@@ -498,7 +504,7 @@ def group_chars_into_page(chars, n: int, page_dims: dict,
                 target = lines[best]
                 insert_idx = len(target)
                 for k, tc in enumerate(target):
-                    if tc.x > frag_left:
+                    if xs[tc] > frag_left:
                         insert_idx = k
                         break
                 target[insert_idx:insert_idx] = lines[li]
@@ -507,73 +513,77 @@ def group_chars_into_page(chars, n: int, page_dims: dict,
                 del anchors[li]
         li -= 1
 
-    # (vii)-(viii) word splitting per line.
+    # (vii)-(viii) word splitting per line (index-based; words become
+    # char lists right before construction).
     for line_chars in lines:
+        n_line = len(line_chars)
         words_initial = []
         cur_word = []
-        for i, ch in enumerate(line_chars):
-            if ch.text == " ":
+        for i in range(n_line):
+            c = line_chars[i]
+            c_text = texts[c]
+            if c_text == " ":
                 if cur_word:
-                    next_ns = None
-                    for j in range(i + 1, len(line_chars)):
-                        if line_chars[j].text != " ":
+                    next_ns = -1
+                    for j in range(i + 1, n_line):
+                        if texts[line_chars[j]] != " ":
                             next_ns = line_chars[j]
                             break
-                    if next_ns is not None:
-                        prev_ch = cur_word[-1]
-                        visual_gap = next_ns.x - (prev_ch.x + prev_ch.width)
-                        adjacency_tol = prev_ch.fontSize * 0.15
-                        positive_tol = max(prev_ch.fontSize * 0.01,
-                                           ch.width * 0.1)
+                    if next_ns >= 0:
+                        p = cur_word[-1]
+                        visual_gap = xs[next_ns] - rights[p]
+                        adjacency_tol = fss[p] * 0.15
+                        positive_tol = max(fss[p] * 0.01,
+                                           (rights[c] - xs[c]) * 0.1)
                         if (-adjacency_tol <= visual_gap < positive_tol
-                                and prev_ch.text != ","):
+                                and texts[p] != ","):
                             continue
                     words_initial.append(cur_word)
                     cur_word = []
                 continue
 
             if cur_word:
-                prev_ch = cur_word[-1]
-                gap = ch.x - (prev_ch.x + prev_ch.width)
-                fs_min = min(ch.fontSize, prev_ch.fontSize)
+                p = cur_word[-1]
+                p_text = texts[p]
+                gap = xs[c] - rights[p]
+                c_fs = fss[c]
+                p_fs = fss[p]
+                fs_min = c_fs if c_fs < p_fs else p_fs
                 split = False
-                if ch.text == "—" and _TERMINAL_RE.search(prev_ch.text):
+                if c_text == "—" and _TERMINAL_RE.search(p_text):
                     words_initial.append(cur_word)
-                    words_initial.append([ch])
+                    words_initial.append([c])
                     cur_word = []
                     continue
-                if (len(cur_word) == 1 and prev_ch.text in _BULLET_CHARS
-                        and _ALNUM_RE.match(ch.text)):
+                if (len(cur_word) == 1 and p_text in _BULLET_CHARS
+                        and _ALNUM_RE.match(c_text)):
                     words_initial.append(cur_word)
-                    cur_word = [ch]
+                    cur_word = [c]
                     continue
-                if ((ch.font.bold != prev_ch.font.bold
-                     or ch.font.italic != prev_ch.font.italic)
-                        and not (ch.text in ",.;:!?)]}”’"
+                if ((bolds[c] != bolds[p] or itals[c] != itals[p])
+                        and not (c_text in ",.;:!?)]}”’"
                                  and gap <= fs_min * 0.15)
-                        and not ((ch.text in "—–" or prev_ch.text in "—–")
+                        and not ((c_text in "—–" or p_text in "—–")
                                  and gap <= fs_min * 0.15)):
                     split = True
-                elif (ch.font.family_name != prev_ch.font.family_name
-                      and gap > fs_min * 0.15):
+                elif fams[c] != fams[p] and gap > fs_min * 0.15:
                     split = True
-                elif prev_ch.text == "”" and re.match(r"[A-Za-z]", ch.text):
+                elif p_text == "”" and _ALPHA_RE.match(c_text):
                     split = True
-                elif gap > ch.fontSize * 0.15:
+                elif gap > c_fs * 0.15:
                     split = True
-                elif fs_min > 0 and abs(ch.y - prev_ch.y) > fs_min * 0.25:
+                elif fs_min > 0 and abs(ys[c] - ys[p]) > fs_min * 0.25:
                     split = True
-                elif gap < -ch.fontSize * 0.5 and ch.x < prev_ch.x:
+                elif gap < -c_fs * 0.5 and xs[c] < xs[p]:
                     split = True
-                elif (gap < -fs_min * 0.1 and fs_min > 0
-                      and ch.fontSize > prev_ch.fontSize * 1.1):
+                elif gap < -fs_min * 0.1 and fs_min > 0 and c_fs > p_fs * 1.1:
                     split = True
-                elif fs_min > 0 and max(ch.fontSize, prev_ch.fontSize) >= fs_min * 2:
+                elif fs_min > 0 and (c_fs if c_fs > p_fs else p_fs) >= fs_min * 2:
                     split = True
-                elif ch.text == "." and prev_ch.text != ".":
+                elif c_text == "." and p_text != ".":
                     dots = 0
-                    for j in range(i, len(line_chars)):
-                        if line_chars[j].text == ".":
+                    for j in range(i, n_line):
+                        if texts[line_chars[j]] == ".":
                             dots += 1
                         else:
                             break
@@ -582,13 +592,13 @@ def group_chars_into_page(chars, n: int, page_dims: dict,
                 if split:
                     words_initial.append(cur_word)
                     cur_word = []
-            cur_word.append(ch)
+            cur_word.append(c)
         if cur_word:
             words_initial.append(cur_word)
         if not words_initial:
             continue
 
-        words_initial.sort(key=lambda w: w[0].x)
+        words_initial.sort(key=lambda w: xs[w[0]])
 
         # small-caps merge (:2645-2669)
         words_merged = []
@@ -596,15 +606,15 @@ def group_chars_into_page(chars, n: int, page_dims: dict,
         while wi < len(words_initial):
             curr = words_initial[wi]
             nxt = words_initial[wi + 1] if wi + 1 < len(words_initial) else None
-            if (len(curr) == 1 and _UPPER_RE.match(curr[0].text) and nxt
-                    and _UPPER_RE.match(nxt[0].text)
-                    and curr[0].font.family_name == nxt[0].font.family_name
-                    and nxt[0].fontSize < curr[0].fontSize * 0.95
-                    and abs(nxt[0].y - curr[0].y)
-                    / min(nxt[0].fontSize, curr[0].fontSize) < 0.15):
+            if (len(curr) == 1 and _UPPER_RE.match(texts[curr[0]]) and nxt
+                    and _UPPER_RE.match(texts[nxt[0]])
+                    and fams[curr[0]] == fams[nxt[0]]
+                    and fss[nxt[0]] < fss[curr[0]] * 0.95
+                    and abs(ys[nxt[0]] - ys[curr[0]])
+                    / min(fss[nxt[0]], fss[curr[0]]) < 0.15):
                 last = curr[-1]
-                gap = nxt[0].x - (last.x + last.width)
-                if gap <= nxt[0].fontSize * 0.3:
+                gap = xs[nxt[0]] - rights[last]
+                if gap <= fss[nxt[0]] * 0.3:
                     words_merged.append(curr + nxt)
                     wi += 2
                     continue
@@ -613,12 +623,12 @@ def group_chars_into_page(chars, n: int, page_dims: dict,
 
         # CJK per-char words (:2672)
         words_final = []
-        for wchars in words_merged:
-            wtext = "".join(c.text for c in wchars)
+        for widxs in words_merged:
+            wtext = "".join(texts[j] for j in widxs)
             if calc_lang(wtext) == "chi_sim":
-                words_final.extend([[c] for c in wchars])
+                words_final.extend([[j] for j in widxs])
             else:
-                words_final.append(wchars)
+                words_final.append(widxs)
         if not words_final:
             continue
 
@@ -632,9 +642,12 @@ def group_chars_into_page(chars, n: int, page_dims: dict,
             nc = words_final[wi2 + 1]
             if len(wc) != 1 or not nc:
                 continue
-            if (wc[0].fontSize > nc[0].fontSize * 2
-                    and wc[0].y > nc[0].y):
+            if (fss[wc[0]] > fss[nc[0]] * 2
+                    and ys[wc[0]] > ys[nc[0]]):
                 dropcap_flags[wi2] = True
+
+        # Materialize char objects for the remaining phases.
+        words_final = [[chars[j] for j in w] for w in words_final]
 
         # (ix) superscript word detection — whole-word variant of the
         # reference's boundary scan (:2721-2744: sizeDelta < -0.05 and
