@@ -58,23 +58,30 @@ def _dedup_chars(chars):
     """Glyph dedup: layered/re-stamped text — same text+font+size bucket
     within 3x3 coordinate buckets of max(0.25, 0.05*fontSize)
     (parsePdfDoc.js:597-628)."""
-    seen = set()
+    # Buckets keyed per identity, with (bx, by) packed into one int so
+    # the 3x3 neighborhood probe hashes ints instead of rebuilding and
+    # re-hashing a nested tuple nine times per char (hot path).
+    B = 1 << 32
+    deltas = (-B - 1, -B, -B + 1, -1, 0, 1, B - 1, B, B + 1)
+    seen: dict = {}
     out = []
-    offsets = ((-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 0), (0, 1),
-               (1, -1), (1, 0), (1, 1))
     for ch in chars:
         tol = 0.05 * ch.fontSize
         if tol < 0.25:
             tol = 0.25
-        bx = int(ch.x / tol)
-        by = int(ch.y / tol)
+        key = int(ch.x / tol) * B + int(ch.y / tol)
         ident = (ch.text, id(ch.font), int(ch.fontSize * 10 + 0.5))
-        for dx_b, dy_b in offsets:
-            if (ident, bx + dx_b, by + dy_b) in seen:
-                break
-        else:
-            seen.add((ident, bx, by))
+        bucket = seen.get(ident)
+        if bucket is None:
+            seen[ident] = {key}
             out.append(ch)
+        else:
+            for d in deltas:
+                if key + d in bucket:
+                    break
+            else:
+                bucket.add(key)
+                out.append(ch)
     return out
 
 

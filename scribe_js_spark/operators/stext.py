@@ -80,39 +80,43 @@ def clean_family_name(family: str | None) -> str:
     return fam or "Default"
 
 
-def _orient_char_bbox(orientation, quad, origin, page_w, page_h,
+def _orient_char_bbox(orientation, g, origin, page_w, page_h,
                       _f=math.floor):
-    # js_round inlined (Math.round = floor(x + 0.5)); this runs once
-    # per <char> and dominated the converter's profile.
+    # js_round inlined (Math.round = floor(x + 0.5)) and the
+    # orientation quad remap fused with the bbox formulas so no
+    # per-char quad dict is built: ``g`` is the raw 8-float quad
+    # (ulx uly urx ury llx lly lrx lry in stream order) and each
+    # branch composes the reference's remap + projection directly.
+    # This runs once per <char> and dominated the converter's profile.
     if orientation == 0:
         return Bbox(
             _f(origin[0] + 0.5),
-            _f(min(quad["ul"][1], quad["ur"][1]) + 0.5),
-            _f(origin[0] + (quad["ur"][0] - quad["ul"][0]) + 0.5),
-            _f(max(quad["ll"][1], quad["lr"][1]) + 0.5))
+            _f(min(g[1], g[3]) + 0.5),
+            _f(origin[0] + (g[2] - g[0]) + 0.5),
+            _f(max(g[5], g[7]) + 0.5))
     if orientation == 1:
         return Bbox(
             _f(origin[1] + 0.5),
-            _f(page_w - max(quad["ur"][0], quad["lr"][0]) + 0.5),
-            _f(origin[1] + (quad["lr"][1] - quad["ur"][1]) + 0.5),
-            _f(page_w - min(quad["ul"][0], quad["ll"][0]) + 0.5))
+            _f(page_w - max(g[0], g[2]) + 0.5),
+            _f(origin[1] + (g[3] - g[1]) + 0.5),
+            _f(page_w - min(g[4], g[6]) + 0.5))
     if orientation == 2:
         return Bbox(
             _f(page_w - origin[0] + 0.5),
-            _f(page_h - max(quad["ll"][1], quad["lr"][1]) + 0.5),
-            _f(page_w - (origin[0] - (quad["ur"][0] - quad["ul"][0])) + 0.5),
-            _f(page_h - min(quad["ul"][1], quad["ur"][1]) + 0.5))
+            _f(page_h - max(g[3], g[1]) + 0.5),
+            _f(page_w - origin[0] + (g[4] - g[6]) + 0.5),
+            _f(page_h - min(g[7], g[5]) + 0.5))
     if orientation == 3:
         return Bbox(
             _f(page_h - origin[1] + 0.5),
-            _f(min(quad["ul"][0], quad["ll"][0]) + 0.5),
-            _f(page_h - origin[1] + (quad["lr"][1] - quad["ur"][1]) + 0.5),
-            _f(max(quad["ur"][0], quad["lr"][0]) + 0.5))
+            _f(min(g[2], g[0]) + 0.5),
+            _f(page_h - origin[1] + (g[5] - g[7]) + 0.5),
+            _f(max(g[6], g[4]) + 0.5))
     return Bbox(
         _f(origin[0] + 0.5),
-        _f(min(quad["ul"][1], quad["ur"][1]) + 0.5),
-        _f(origin[0] + (quad["ur"][0] - quad["ul"][0]) + 0.5),
-        _f(max(quad["ll"][1], quad["lr"][1]) + 0.5))
+        _f(min(g[1], g[3]) + 0.5),
+        _f(origin[0] + (g[2] - g[0]) + 0.5),
+        _f(max(g[5], g[7]) + 0.5))
 
 
 def convert_page_stext(ocr_str: str, n: int):
@@ -186,25 +190,18 @@ def convert_page_stext(ocr_str: str, n: int):
                         items.append({
                             "name": nm.group(1), "size": float(sm.group(1))})
                     continue
-                g = [float(cm.group(k)) for k in range(2, 10)]
-                if orientation == 1:
-                    quad = {"ul": (g[4], g[5]), "ur": (g[0], g[1]),
-                            "ll": (g[6], g[7]), "lr": (g[2], g[3])}
-                elif orientation == 2:
-                    quad = {"ul": (g[6], g[7]), "ur": (g[4], g[5]),
-                            "ll": (g[2], g[3]), "lr": (g[0], g[1])}
-                elif orientation == 3:
-                    quad = {"ul": (g[2], g[3]), "ur": (g[6], g[7]),
-                            "ll": (g[0], g[1]), "lr": (g[4], g[5])}
-                else:
-                    quad = {"ul": (g[0], g[1]), "ur": (g[2], g[3]),
-                            "ll": (g[4], g[5]), "lr": (g[6], g[7])}
+                # Raw quad floats in stream order; the orientation
+                # remap is fused into _orient_char_bbox.
+                g = (float(cm.group(2)), float(cm.group(3)),
+                     float(cm.group(4)), float(cm.group(5)),
+                     float(cm.group(6)), float(cm.group(7)),
+                     float(cm.group(8)), float(cm.group(9)))
                 rest = cm.group(12) or ""
                 fl = (_FLAGS_ATTR_RE.search(rest)
                       if "flags=" in rest else None)
                 tx = _C_ATTR_RE.search(rest)
                 items.append({
-                    "quad": quad,
+                    "quad": g,
                     "origin": (float(cm.group(10)), float(cm.group(11))),
                     "flags": int(fl.group(1)) if fl else None,
                     "text": tx.group(1) if tx else None,
