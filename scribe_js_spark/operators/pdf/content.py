@@ -370,11 +370,14 @@ class TextMachine:
 
     # -------------------------------------------------------- execution
 
-    def run(self, content: bytes, resources, base_ctm=None) -> None:
+    def run(self, content: bytes, resources, base_ctm=None,
+            tokens=None) -> None:
         ctm = list(base_ctm) if base_ctm else list(IDENT)
-        self._execute(content, resources, ctm, depth=0)
+        self._execute(content, resources, ctm, depth=0,
+                      tokens=tokens)
 
-    def _execute(self, content: bytes, resources, ctm, depth: int) -> None:
+    def _execute(self, content: bytes, resources, ctm, depth: int,
+                 tokens=None) -> None:
         doc = self.doc
         gs_stack = []
         font: PdfFont | None = None
@@ -388,7 +391,11 @@ class TextMachine:
         tm = list(IDENT)
         tlm = list(IDENT)
 
-        for operands, op in ContentTokenizer(content):
+        # A pre-tokenized stream (tokens) lets one lexer pass feed
+        # both the text and path machines; XObject recursion below
+        # still tokenizes its own inner streams.
+        for operands, op in (ContentTokenizer(content)
+                             if tokens is None else tokens):
             try:
                 if op == b"q":
                     gs_stack.append((list(ctm), font, tfs, tc, tw, tz, tl,

@@ -13,7 +13,7 @@ import math
 
 from ...functions.stats import js_round
 from ...model import OcrPage
-from .content import TextMachine, _mat_mul
+from .content import ContentTokenizer, TextMachine, _mat_mul
 from .document import PdfDocument
 from .group import group_chars_into_page
 from .paths import extract_underline_rects, parse_page_paths
@@ -191,11 +191,13 @@ def pdf_page_stats(data: bytes) -> list[dict]:
         machine = TextMachine(doc, page, page_height=h * scale,
                               scale=scale)
         base = _base_ctm(box, rotate)
+        tokens = list(ContentTokenizer(doc.page_content(page)))
         machine.run(doc.page_content(page), page.get("Resources"),
-                    base_ctm=base)
+                    base_ctm=base, tokens=tokens)
         chars = _dedup_chars(machine.chars)
         try:
-            paths, placements = parse_page_paths(doc, page, base_ctm=base)
+            paths, placements = parse_page_paths(
+                doc, page, base_ctm=base, tokens=tokens)
         except Exception:
             paths, placements = [], []
         out.append(page_stats_extended(
@@ -212,11 +214,16 @@ def parse_pdf_document(data: bytes) -> list[OcrPage]:
         machine = TextMachine(doc, page, page_height=h * scale, scale=scale)
         base = _base_ctm(box, rotate)
         content = doc.page_content(page)
-        machine.run(content, page.get("Resources"), base_ctm=base)
+        # One lexer pass feeds both the text and path machines (each
+        # used to re-tokenize the same stream).
+        tokens = list(ContentTokenizer(content))
+        machine.run(content, page.get("Resources"), base_ctm=base,
+                    tokens=tokens)
         chars = _dedup_chars(machine.chars)
         # Vector paths -> underline candidates + drawn rules
         try:
-            paths, _placements = parse_page_paths(doc, page, base_ctm=base)
+            paths, _placements = parse_page_paths(
+                doc, page, base_ctm=base, tokens=tokens)
             underline_rects = extract_underline_rects(paths, scale, h)
         except Exception:
             paths, underline_rects = [], []

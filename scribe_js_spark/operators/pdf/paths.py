@@ -57,9 +57,11 @@ class PathMachine:
         self.image_placements: list[tuple] = []
         self._seen_xobjs: set = set()
 
-    def run(self, content: bytes, resources, base_ctm=None) -> None:
+    def run(self, content: bytes, resources, base_ctm=None,
+            tokens=None) -> None:
         ctm = list(base_ctm) if base_ctm else list(IDENT)
-        self._execute(content, resources, ctm, depth=0)
+        self._execute(content, resources, ctm, depth=0,
+                      tokens=tokens)
 
     # ---------------------------------------------------------------
 
@@ -71,7 +73,8 @@ class PathMachine:
         self.image_placements.append(
             (min(xs), min(ys), max(xs), max(ys)))
 
-    def _execute(self, content: bytes, resources, ctm, depth: int) -> None:
+    def _execute(self, content: bytes, resources, ctm, depth: int,
+                 tokens=None) -> None:
         gs_stack = []
         fill_color = [0.0]
         fill_cs = "gray"
@@ -112,7 +115,11 @@ class PathMachine:
                 line_width * _ctm_scale(ctm), list(dash_array)))
             cur = []
 
-        for operands, op in ContentTokenizer(content):
+        # A pre-tokenized stream (tokens) lets one lexer pass feed
+        # both the text and path machines; XObject recursion below
+        # still tokenizes its own inner streams.
+        for operands, op in (ContentTokenizer(content)
+                             if tokens is None else tokens):
             try:
                 if op == b"q":
                     gs_stack.append((list(ctm), list(fill_color), fill_cs,
@@ -243,11 +250,11 @@ class PathMachine:
             self._seen_xobjs.discard(key)
 
 
-def parse_page_paths(doc, page: dict, base_ctm=None):
+def parse_page_paths(doc, page: dict, base_ctm=None, tokens=None):
     """All painted paths of one page (+ image placements)."""
     machine = PathMachine(doc)
     machine.run(doc.page_content(page), page.get("Resources"),
-                base_ctm=base_ctm)
+                base_ctm=base_ctm, tokens=tokens)
     return machine.paths, machine.image_placements
 
 
