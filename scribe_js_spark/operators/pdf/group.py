@@ -166,6 +166,8 @@ def group_chars_into_page(chars, n: int, page_dims: dict,
     fams = [None] * n_chars
     bolds = [False] * n_chars
     itals = [False] * n_chars
+    ascents = [0.0] * n_chars
+    descents = [0.0] * n_chars
     sym_flags = [False] * n_chars
     rad_flags = [False] * n_chars
     mathf_flags = [False] * n_chars
@@ -188,13 +190,16 @@ def group_chars_into_page(chars, n: int, page_dims: dict,
         if info is None:
             info = _font_info[fid] = (
                 f.family_name, f.bold, f.italic,
-                _is_symbol_font(f.family_name), is_math_font(f.base_name))
+                _is_symbol_font(f.family_name), is_math_font(f.base_name),
+                f.ascent, f.descent)
         fams[idx] = info[0]
         bolds[idx] = info[1]
         itals[idx] = info[2]
         sym_flags[idx] = info[3]
         if page_has_math:
             mathf_flags[idx] = info[4]
+        ascents[idx] = info[5]
+        descents[idx] = info[6]
 
     # (iii) stream-order line cuts (index-based; lines materialize to
     # char lists right after the loop).
@@ -381,7 +386,7 @@ def group_chars_into_page(chars, n: int, page_dims: dict,
         o = lines[li][0]
         o_fs = fss[o]
         orphan_right = rights[o]
-        orphan_top = ys[o] - chars[o].font.ascent * o_fs
+        orphan_top = ys[o] - ascents[o] * o_fs
         merged = False
         for lj in range(len(lines)):
             if merged or lj == li:
@@ -406,7 +411,7 @@ def group_chars_into_page(chars, n: int, page_dims: dict,
                     do_merge = True  # (a) same-size punctuation
                 elif (not same_size and o_fs > ch_fs2 * 2
                         and _UPPER_RE.search(texts[o]) and x_adj):
-                    ch_top = ys[j] - chars[j].font.ascent * ch_fs2
+                    ch_top = ys[j] - ascents[j] * ch_fs2
                     if abs(orphan_top - ch_top) < min_font_o * 0.25:
                         do_merge = True  # (b) drop cap, top-aligned
                 if do_merge:
@@ -646,9 +651,6 @@ def group_chars_into_page(chars, n: int, page_dims: dict,
                     and ys[wc[0]] > ys[nc[0]]):
                 dropcap_flags[wi2] = True
 
-        # Materialize char objects for the remaining phases.
-        words_final = [[chars[j] for j in w] for w in words_final]
-
         # (ix) superscript word detection — whole-word variant of the
         # reference's boundary scan (:2721-2744: sizeDelta < -0.05 and
         # baselineDelta < -0.25 relative to adjacent full-size text; the
@@ -656,24 +658,24 @@ def group_chars_into_page(chars, n: int, page_dims: dict,
         # raised run into its own word). Drop-cap words are excluded
         # from the body anchor and never flagged (:2819).
         body_fs = max(
-            (c.fontSize
+            (fss[j]
              for wi2, w in enumerate(words_final)
-             if not dropcap_flags[wi2] for c in w), default=0.0)
+             if not dropcap_flags[wi2] for j in w), default=0.0)
         body_ys = [
-            c.y
+            ys[j]
             for wi2, w in enumerate(words_final)
-            if not dropcap_flags[wi2] for c in w
-            if c.fontSize >= body_fs * 0.95]
+            if not dropcap_flags[wi2] for j in w
+            if fss[j] >= body_fs * 0.95]
         body_baseline = min(body_ys) if body_ys else None
         sup_flags = []
-        for wi2, wchars in enumerate(words_final):
-            fs = wchars[0].fontSize
+        for wi2, widxs in enumerate(words_final):
+            fs = fss[widxs[0]]
             is_sup = bool(
                 not dropcap_flags[wi2]
                 and body_baseline is not None
                 and body_fs > 0
                 and fs < body_fs * 0.85
-                and (body_baseline - wchars[0].y) > fs * 0.25)
+                and (body_baseline - ys[widxs[0]]) > fs * 0.25)
             sup_flags.append(is_sup)
 
         # Fake small caps (:2915-2959): mixed font sizes inside an
@@ -685,38 +687,39 @@ def group_chars_into_page(chars, n: int, page_dims: dict,
         sc_title = [False] * len(words_final)
         sc_active = False
         sc_base = 0.0
-        for wi2, wchars in enumerate(words_final):
-            if sup_flags[wi2] or len(wchars) < 2:
+        for wi2, widxs in enumerate(words_final):
+            if sup_flags[wi2] or len(widxs) < 2:
                 continue
-            max_fs = max(c.fontSize for c in wchars)
-            min_fs = min(c.fontSize for c in wchars)
+            max_fs = max(fss[j] for j in widxs)
+            min_fs = min(fss[j] for j in widxs)
             mixed = max_fs > 0 and min_fs < max_fs * 0.95
             if mixed:
-                all_text = "".join(c.text for c in wchars)
+                all_text = "".join(texts[j] for j in widxs)
                 if (not _LOWER_RE.search(all_text)
                         and _UPPER_RE.search(all_text)):
                     large = next(
-                        (c for c in wchars
-                         if c.fontSize >= max_fs * 0.95), None)
+                        (j for j in widxs
+                         if fss[j] >= max_fs * 0.95), None)
                     small = next(
-                        (c for c in wchars
-                         if c.fontSize <= min_fs * 1.05), None)
-                    delta = (abs(small.y - large.y) / min_fs
-                             if large and small and min_fs else 0.0)
+                        (j for j in widxs
+                         if fss[j] <= min_fs * 1.05), None)
+                    delta = (abs(ys[small] - ys[large]) / min_fs
+                             if large is not None and small is not None
+                             and min_fs else 0.0)
                     if delta < 0.15:
                         sc_alt[wi2] = True
                         sc_large[wi2] = max_fs
                         first_alpha = next(
-                            (c for c in wchars
-                             if _UPPER_RE.match(c.text)), None)
-                        if first_alpha \
-                                and first_alpha.fontSize >= max_fs * 0.95:
+                            (j for j in widxs
+                             if _UPPER_RE.match(texts[j])), None)
+                        if first_alpha is not None \
+                                and fss[first_alpha] >= max_fs * 0.95:
                             sc_title[wi2] = True
                         sc_active = True
                         sc_base = max_fs
             elif sc_active:
-                fs1 = wchars[0].fontSize
-                fs2 = wchars[1].fontSize
+                fs1 = fss[widxs[0]]
+                fs2 = fss[widxs[1]]
                 fmin = min(fs1, fs2)
                 sdelta = (fs2 - fs1) / fmin if fmin > 0 else 0.0
                 if math.isfinite(sdelta) and sdelta > 0.05:
@@ -726,36 +729,43 @@ def group_chars_into_page(chars, n: int, page_dims: dict,
                     sc_large[wi2] = sc_base
 
         # (xii) line bbox from chars via font ascent/descent.
-        # Rounded device boxes computed once per char (hot path).
+        # Rounded device boxes computed once per char (hot path);
+        # box_of is index-parallel, and c.box stays assigned for any
+        # downstream reader.
         floor = math.floor
-        all_chars = []
-        non_sup_chars = []
+        box_of = {}
+        all_idx = []
+        non_sup_idx = []
         for w, is_sup in zip(words_final, sup_flags):
-            for c in w:
-                c.box = (
-                    floor(c.x + 0.5),
-                    floor(c.y - c.font.ascent * c.fontSize + 0.5),
-                    floor(c.x + c.width + 0.5),
-                    floor(c.y - c.font.descent * c.fontSize + 0.5),
+            for j in w:
+                y = ys[j]
+                fs = fss[j]
+                b = (
+                    floor(xs[j] + 0.5),
+                    floor(y - ascents[j] * fs + 0.5),
+                    floor(rights[j] + 0.5),
+                    floor(y - descents[j] * fs + 0.5),
                 )
-                all_chars.append(c)
+                box_of[j] = b
+                chars[j].box = b
+                all_idx.append(j)
                 if not is_sup:
-                    non_sup_chars.append(c)
-        bbox_chars = non_sup_chars or all_chars
-        line_left = min(c.box[0] for c in bbox_chars)
-        line_right = max(c.box[2] for c in bbox_chars)
-        line_top = min(c.box[1] for c in bbox_chars)
-        line_bottom = max(c.box[3] for c in bbox_chars)
+                    non_sup_idx.append(j)
+        bbox_idx = non_sup_idx or all_idx
+        line_left = min(box_of[j][0] for j in bbox_idx)
+        line_right = max(box_of[j][2] for j in bbox_idx)
+        line_top = min(box_of[j][1] for j in bbox_idx)
+        line_bottom = max(box_of[j][3] for j in bbox_idx)
 
-        baseline_y = bbox_chars[0].y
+        baseline_y = ys[bbox_idx[0]]
         baseline_offset = js_round(baseline_y - line_bottom)
-        asc_height = all_chars[0].fontSize * 0.6
+        asc_height = fss[all_idx[0]] * 0.6
 
-        sum_dx = sum(c.dirX for c in all_chars)
-        sum_dy = sum(c.dirY for c in all_chars)
+        sum_dx = sum(chars[j].dirX for j in all_idx)
+        sum_dy = sum(chars[j].dirY for j in all_idx)
         mag = math.hypot(sum_dx, sum_dy)
         baseline_slope = 0.0
-        orientation = all_chars[0].orientation
+        orientation = oris[all_idx[0]]
         if mag > 0:
             ndx = sum_dx / mag
             ndy = sum_dy / mag
@@ -773,14 +783,14 @@ def group_chars_into_page(chars, n: int, page_dims: dict,
             [baseline_slope, baseline_offset], asc_height, None)
         line_obj.orientation = orientation
 
-        for wi2, wchars in enumerate(words_final):
-            wtext = replace_ligatures("".join(c.text for c in wchars))
+        for wi2, widxs in enumerate(words_final):
+            wtext = replace_ligatures("".join(texts[j] for j in widxs))
             if wtext.strip() == "":
                 continue
-            word_left = wchars[0].box[0]
-            word_right = wchars[-1].box[2]
-            word_top = min(c.box[1] for c in wchars)
-            word_bottom = max(c.box[3] for c in wchars)
+            word_left = box_of[widxs[0]][0]
+            word_right = box_of[widxs[-1]][2]
+            word_top = min(box_of[j][1] for j in widxs)
+            word_bottom = max(box_of[j][3] for j in widxs)
             wid = f"word_{n + 1}_{len(page_obj.lines) + 1}_{wi2 + 1}"
             word_obj = OcrWord(
                 line_obj, wid, wtext,
@@ -788,12 +798,13 @@ def group_chars_into_page(chars, n: int, page_dims: dict,
             word_obj.conf = 100
             word_obj.lang = calc_lang(wtext)
             word_obj.visualCoords = False
-            first_alnum = next(
-                (c for c in wchars if _ALNUM_RE.match(c.text)), wchars[0])
-            word_obj.style.font = first_alnum.font.family_name
-            word_obj.style.bold = first_alnum.font.bold
-            word_obj.style.italic = first_alnum.font.italic
-            word_obj.style.size = round3(first_alnum.fontSize)
+            fa = next(
+                (j for j in widxs if _ALNUM_RE.match(texts[j])), widxs[0])
+            first_alnum = chars[fa]
+            word_obj.style.font = fams[fa]
+            word_obj.style.bold = bolds[fa]
+            word_obj.style.italic = itals[fa]
+            word_obj.style.size = round3(fss[fa])
             # Color + opacity from the first alphanumeric char
             # (parsePdfDoc.js:3104-3112): fill color -> '#rrggbb',
             # invisible (Tr 3) -> opacity 0, else the ExtGState /ca.
@@ -812,11 +823,12 @@ def group_chars_into_page(chars, n: int, page_dims: dict,
             # Marked-content id -> struct-tree linkage (the per-word
             # signal the layout pass resolves, parsePdfDoc.js:3073)
             word_obj.mcid = next(
-                (c.mcid for c in wchars if c.mcid is not None), None)
+                (chars[j].mcid for j in widxs
+                 if chars[j].mcid is not None), None)
             word_obj.style.sup = sup_flags[wi2]
             if dropcap_flags[wi2]:
                 word_obj.style.dropcap = True
-                word_obj.style.size = round3(wchars[0].fontSize)
+                word_obj.style.size = round3(fss[widxs[0]])
             # Fake small caps -> real smallCaps style when the word is
             # uppercase-shaped; size restored to the large-char size
             # (:3133-3139)
@@ -830,22 +842,22 @@ def group_chars_into_page(chars, n: int, page_dims: dict,
             # a word whose first char matches the word style (ligature-
             # expanded offsets). Font smallCaps flags are not modeled by
             # PdfFont, so runs carry bold/italic deltas only.
-            c0 = wchars[0]
-            if (c0.font.bold == word_obj.style.bold
-                    and c0.font.italic == word_obj.style.italic):
+            c0 = widxs[0]
+            if (bolds[c0] == word_obj.style.bold
+                    and itals[c0] == word_obj.style.italic):
                 runs = []
-                text_offset = _lig_len(c0.text)
-                for ci in range(1, len(wchars)):
-                    prev_f = wchars[ci - 1].font
-                    fi = wchars[ci].font
-                    if fi.bold != prev_f.bold or fi.italic != prev_f.italic:
+                text_offset = _lig_len(texts[c0])
+                for ci in range(1, len(widxs)):
+                    pj = widxs[ci - 1]
+                    cj = widxs[ci]
+                    if bolds[cj] != bolds[pj] or itals[cj] != itals[pj]:
                         delta = {}
-                        if fi.bold != word_obj.style.bold:
-                            delta["bold"] = fi.bold
-                        if fi.italic != word_obj.style.italic:
-                            delta["italic"] = fi.italic
+                        if bolds[cj] != word_obj.style.bold:
+                            delta["bold"] = bolds[cj]
+                        if itals[cj] != word_obj.style.italic:
+                            delta["italic"] = itals[cj]
                         runs.append({"i": text_offset, "style": delta})
-                    text_offset += _lig_len(wchars[ci].text)
+                    text_offset += _lig_len(texts[cj])
                 if runs:
                     word_obj.styleRuns = runs
 
@@ -854,9 +866,9 @@ def group_chars_into_page(chars, n: int, page_dims: dict,
             # the baseline, pinned within the line's text extent, and
             # not clashing with the text color.
             if underline_rects:
-                baseline_y_word = wchars[0].y
-                fs = wchars[0].fontSize
-                char_color = wchars[0].textColor
+                baseline_y_word = ys[widxs[0]]
+                fs = fss[widxs[0]]
+                char_color = chars[widxs[0]].textColor
                 overhang = fs * 0.5
                 for rect in underline_rects:
                     if not (rect["right"] > word_left
@@ -884,7 +896,7 @@ def group_chars_into_page(chars, n: int, page_dims: dict,
                     break
 
             word_obj.chars = [
-                OcrChar(c.text, Bbox(*c.box)) for c in wchars
+                OcrChar(texts[j], Bbox(*box_of[j])) for j in widxs
             ]
             line_obj.words.append(word_obj)
 
