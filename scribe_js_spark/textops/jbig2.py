@@ -349,10 +349,9 @@ def _read_segment_header(data: bytes, pos: int):
             "page": page, "length": length}, pos
 
 
-_UNSUPPORTED = {
-    40: "refinement region", 42: "refinement region",
-    43: "refinement region",
-}
+# No unsupported segment families remain; the mechanism stays for
+# future spec corners (TPGRON refinement raises inline below).
+_UNSUPPORTED: dict = {}
 
 
 def _int8(b: int) -> int:
@@ -443,6 +442,44 @@ def decode_jbig2(data: bytes, globals_data: bytes = b""):
                     body[p:], w, h, template=template, at=at or None,
                     mmr=mmr, tpgdon=tpgdon)
                 compose(np.array(bits, dtype=np.uint8), x, y, w, h)
+            elif t in (40, 42, 43):          # generic refinement region
+                # T.88 7.4.7: refine the co-located page region (no
+                # intermediate-buffer organization in crawled PDFs) and
+                # write the result back with REPLACE semantics — the
+                # refined bitmap already incorporates the reference.
+                # BEYOND the reference: decodeJBIG2.js throws on these
+                # types (processSegment default case).
+                if len(body) < 18:
+                    raise ValueError("jbig2: short refinement region")
+                w, h, x, y = struct.unpack(">IIII", body[:16])
+                if (x + w) * (y + h) > _MAX_PIXELS or w * h == 0:
+                    raise ValueError("jbig2: implausible region")
+                rflags = body[17]
+                r_template = rflags & 1
+                if rflags & 2:
+                    raise NotImplementedError("jbig2: TPGRON refinement")
+                p = 18
+                at = []
+                if r_template == 0:
+                    for _ in range(2):
+                        at.append((_int8(body[p]), _int8(body[p + 1])))
+                        p += 2
+                if page is None:
+                    page = np.full((y + h, x + w), page_default,
+                                   dtype=np.uint8)
+                elif page.shape[0] < y + h or page.shape[1] < x + w:
+                    compose(np.zeros((h, w), dtype=np.uint8), x, y, w, h)
+                reference = [
+                    [int(v) for v in row]
+                    for row in page[y:y + h, x:x + w]
+                ]
+                coding, refpos = _ref_positions(
+                    r_template, at or REF_NOMINAL_AT)
+                gr_cx = new_contexts(1 << (len(coding) + len(refpos)))
+                bits = decode_refinement(
+                    MQDecoder(body[p:]), gr_cx, w, h, r_template,
+                    reference, 0, 0, at or REF_NOMINAL_AT)
+                page[y:y + h, x:x + w] = np.array(bits, dtype=np.uint8)
             elif t == 16:                    # pattern dictionary
                 if len(body) < 7:
                     raise ValueError("jbig2: short pattern dictionary")
@@ -681,6 +718,41 @@ def build_jbig2_pair(rows: list[list[int]], template: int = 0,
     """(globals_bytes, stream_bytes) with the page-information segment
     in the globals — the PDF /JBIG2Globals organization."""
     return _page_and_region_segments(rows, template, mmr, tpgdon)
+
+
+def build_jbig2_refinement_page(base_rows: list[list[int]],
+                                refined_rows: list[list[int]],
+                                template: int = 0,
+                                seg_type: int = 42) -> bytes:
+    """Embedded stream: page info + generic region carrying
+    ``base_rows`` + a standalone generic refinement region (type 40/42/
+    43) that refines the co-located page area into ``refined_rows``.
+    The reference's decoder rejects these segment types; ours decodes
+    them (fixture generation for that beyond-parity path)."""
+    h = len(base_rows)
+    w = len(base_rows[0]) if base_rows else 0
+    page_info = struct.pack(">IIII", w, h, 0, 0) + b"\x01" + b"\x00\x00"
+    page_seg = _segment(0, 48, 1, page_info)
+    gflags = 0
+    gbody = struct.pack(">IIII", w, h, 0, 0) + b"\x00" + bytes([gflags])
+    for ax, ay in NOMINAL_AT[0]:
+        gbody += struct.pack("bb", ax, ay)
+    gbody += encode_generic_bitmap(base_rows, template=0)
+    gen_seg = _segment(1, 39, 1, gbody)
+
+    at = REF_NOMINAL_AT if template == 0 else []
+    rbody = struct.pack(">IIII", w, h, 0, 0) + bytes([4])  # op REPLACE
+    rbody += bytes([template & 1])
+    for ax, ay in at:
+        rbody += struct.pack("bb", ax, ay)
+    coding, refpos = _ref_positions(template, at or REF_NOMINAL_AT)
+    gr_cx = new_contexts(1 << (len(coding) + len(refpos)))
+    enc = MQEncoder()
+    encode_refinement(enc, gr_cx, refined_rows, template, base_rows,
+                      0, 0, at or REF_NOMINAL_AT)
+    rbody += enc.flush()
+    ref_seg = _segment(2, seg_type, 1, rbody, referred=(1,))
+    return page_seg + gen_seg + ref_seg + _segment(3, 49, 1, b"")
 
 
 def build_jbig2_symbol_text_huffman(symbols: list, placements,

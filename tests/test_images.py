@@ -181,11 +181,10 @@ def test_jbig2_generic_region_in_pdf():
 
 
 def test_jbig2_unsupported_families_surface_as_errors():
-    """Huffman+refinement symbol dictionaries and standalone
-    refinement-region segments raise NotImplementedError naming the
-    family — the pipeline turns that into an error column, never a
-    crash. (The reference throws on refinement-region segments too,
-    decodeJBIG2.js processSegment default.)"""
+    """Huffman+refinement symbol dictionaries raise
+    NotImplementedError naming the family — the pipeline turns that
+    into an error column, never a crash. (The reference throws on
+    these too.)"""
     import struct
 
     import pytest
@@ -197,10 +196,35 @@ def test_jbig2_unsupported_families_surface_as_errors():
     with pytest.raises(NotImplementedError,
                        match="huffman refinement"):
         decode_jbig2(huffref_dict)
-    refreg = struct.pack(">I", 0) + bytes([40, 0x00, 0x01]) \
-        + struct.pack(">I", 4) + b"\x00\x00\x00\x00"
-    with pytest.raises(NotImplementedError, match="refinement region"):
-        decode_jbig2(refreg)
+
+
+def test_jbig2_standalone_refinement_region_roundtrip():
+    """Standalone generic refinement regions (segment types 40/42/43)
+    refine the co-located page area in place — BEYOND the reference,
+    whose processSegment default case throws on these types
+    (decodeJBIG2.js:1059-1240 has no case for them). Both refinement
+    templates, all three segment types."""
+    import numpy as np
+
+    from scribe_js_spark.textops.jbig2 import (
+        build_jbig2_refinement_page, decode_jbig2)
+
+    rng = np.random.default_rng(1207)
+    base = (rng.random((22, 31)) < 0.35).astype(int).tolist()
+    refined = [row[:] for row in base]
+    # flip a scattering of pixels so the refinement pass is decisive
+    for i, j in ((0, 0), (3, 7), (11, 30), (21, 4), (14, 14), (9, 28)):
+        refined[i][j] ^= 1
+    for template in (0, 1):
+        for seg_type in (40, 42, 43):
+            stream = build_jbig2_refinement_page(
+                base, refined, template=template, seg_type=seg_type)
+            out = decode_jbig2(stream)
+            assert out.tolist() == refined, (template, seg_type)
+    # decisiveness: without the refinement segment the page is base
+    from scribe_js_spark.textops.jbig2 import build_jbig2_embedded
+    assert decode_jbig2(build_jbig2_embedded(base)).tolist() == base
+    assert refined != base
 
 
 def test_jbig2_symbol_text_region_roundtrip():
