@@ -456,8 +456,7 @@ def decode_jbig2(data: bytes, globals_data: bytes = b""):
                     raise ValueError("jbig2: implausible region")
                 rflags = body[17]
                 r_template = rflags & 1
-                if rflags & 2:
-                    raise NotImplementedError("jbig2: TPGRON refinement")
+                tpgron = bool(rflags & 2)
                 p = 18
                 at = []
                 if r_template == 0:
@@ -478,7 +477,8 @@ def decode_jbig2(data: bytes, globals_data: bytes = b""):
                 gr_cx = new_contexts(1 << (len(coding) + len(refpos)))
                 bits = decode_refinement(
                     MQDecoder(body[p:]), gr_cx, w, h, r_template,
-                    reference, 0, 0, at or REF_NOMINAL_AT)
+                    reference, 0, 0, at or REF_NOMINAL_AT,
+                    tpgron=tpgron)
                 page[y:y + h, x:x + w] = np.array(bits, dtype=np.uint8)
             elif t == 16:                    # pattern dictionary
                 if len(body) < 7:
@@ -723,7 +723,8 @@ def build_jbig2_pair(rows: list[list[int]], template: int = 0,
 def build_jbig2_refinement_page(base_rows: list[list[int]],
                                 refined_rows: list[list[int]],
                                 template: int = 0,
-                                seg_type: int = 42) -> bytes:
+                                seg_type: int = 42,
+                                tpgron: bool = False) -> bytes:
     """Embedded stream: page info + generic region carrying
     ``base_rows`` + a standalone generic refinement region (type 40/42/
     43) that refines the co-located page area into ``refined_rows``.
@@ -742,14 +743,14 @@ def build_jbig2_refinement_page(base_rows: list[list[int]],
 
     at = REF_NOMINAL_AT if template == 0 else []
     rbody = struct.pack(">IIII", w, h, 0, 0) + bytes([4])  # op REPLACE
-    rbody += bytes([template & 1])
+    rbody += bytes([(template & 1) | (2 if tpgron else 0)])
     for ax, ay in at:
         rbody += struct.pack("bb", ax, ay)
     coding, refpos = _ref_positions(template, at or REF_NOMINAL_AT)
     gr_cx = new_contexts(1 << (len(coding) + len(refpos)))
     enc = MQEncoder()
     encode_refinement(enc, gr_cx, refined_rows, template, base_rows,
-                      0, 0, at or REF_NOMINAL_AT)
+                      0, 0, at or REF_NOMINAL_AT, tpgron=tpgron)
     rbody += enc.flush()
     ref_seg = _segment(2, seg_type, 1, rbody, referred=(1,))
     return page_seg + gen_seg + ref_seg + _segment(3, 49, 1, b"")
@@ -1073,21 +1074,59 @@ def _ref_positions(template: int, at):
     return coding, reference
 
 
+# SLTP pseudo-contexts for TPGRON, per refinement template (T.88
+# 6.3.5.6 figures; identical bit layout to our context construction —
+# coding bits then reference bits, matching the reference's
+# RefinementReusedContexts).
+_GR_SLTP_CTX = {0: 0x0020, 1: 0x0008}
+
+
+def _ref_typical(reference, ref_h, ref_w, i0, j0):
+    """T.88 typical-prediction test: the 3x3 reference neighborhood
+    centered at (i0, j0) is homogeneous -> its value, else None.
+    Out-of-bounds neighbors read as 0 (the bit-fetch rule)."""
+    total = 0
+    for di in (-1, 0, 1):
+        ii = i0 + di
+        for dj in (-1, 0, 1):
+            jj = j0 + dj
+            if 0 <= ii < ref_h and 0 <= jj < ref_w:
+                total += reference[ii][jj]
+    if total == 0:
+        return 0
+    if total == 9:
+        return 1
+    return None
+
+
 def decode_refinement(dec: MQDecoder, gr_cx, width: int, height: int,
                       template: int, reference: list,
-                      off_x: int, off_y: int, at) -> list[list[int]]:
+                      off_x: int, off_y: int, at,
+                      tpgron: bool = False) -> list[list[int]]:
     """Generic refinement decode (decodeRefinement,
-    decodeJBIG2.js:461-529, TPGRON unsupported): each pixel's context
-    combines the already-decoded neighborhood with the reference
-    bitmap shifted by (off_x, off_y)."""
+    decodeJBIG2.js:461-529): each pixel's context combines the
+    already-decoded neighborhood with the reference bitmap shifted by
+    (off_x, off_y). TPGRON typical prediction decodes too — BEYOND
+    the reference, which throws 'prediction is not supported'
+    (decodeJBIG2.js:497)."""
     coding, refpos = _ref_positions(template, at)
     ref_h = len(reference)
     ref_w = len(reference[0]) if ref_h else 0
+    sltp_ctx = _GR_SLTP_CTX[template]
+    ltp = 0
     rows: list[list[int]] = []
     for i in range(height):
         row = [0] * width
         rows.append(row)
+        if tpgron:
+            ltp ^= dec.decode(gr_cx[sltp_ctx])
         for j in range(width):
+            if ltp:
+                typ = _ref_typical(reference, ref_h, ref_w,
+                                   i - off_y, j - off_x)
+                if typ is not None:
+                    row[j] = typ
+                    continue
             ctx = 0
             for dx, dy in coding:
                 i0, j0 = i + dy, j + dx
@@ -1106,15 +1145,32 @@ def decode_refinement(dec: MQDecoder, gr_cx, width: int, height: int,
 
 def encode_refinement(enc: MQEncoder, gr_cx, rows: list[list[int]],
                       template: int, reference: list,
-                      off_x: int, off_y: int, at) -> None:
-    """Inverse of :func:`decode_refinement` — fixture generation."""
+                      off_x: int, off_y: int, at,
+                      tpgron: bool = False) -> None:
+    """Inverse of :func:`decode_refinement` — fixture generation.
+    With tpgron, emits LTP=1 from the first row on and skips typical
+    pixels (requires rows to agree with the reference there — callers
+    refining a near-identical base satisfy this by construction;
+    asserted per pixel)."""
     coding, refpos = _ref_positions(template, at)
     ref_h = len(reference)
     ref_w = len(reference[0]) if ref_h else 0
     height = len(rows)
     width = len(rows[0]) if rows else 0
+    sltp_ctx = _GR_SLTP_CTX[template]
+    ltp = 0
     for i in range(height):
+        if tpgron:
+            enc.encode(gr_cx[sltp_ctx], 1 if i == 0 else 0)
+            ltp ^= 1 if i == 0 else 0
         for j in range(width):
+            if ltp:
+                typ = _ref_typical(reference, ref_h, ref_w,
+                                   i - off_y, j - off_x)
+                if typ is not None:
+                    assert rows[i][j] == typ, (
+                        "tpgron fixture: typical pixel disagrees")
+                    continue
             ctx = 0
             for dx, dy in coding:
                 i0, j0 = i + dy, j + dx

@@ -227,6 +227,34 @@ def test_jbig2_standalone_refinement_region_roundtrip():
     assert refined != base
 
 
+def test_jbig2_refinement_tpgron_roundtrip():
+    """TPGRON typical prediction in refinement regions — the reference
+    reads the SLTP bit and then throws 'prediction is not supported'
+    (decodeJBIG2.js:497); we decode it. Flipped pixels are restricted
+    to positions whose reference 3x3 neighborhood is mixed (typical
+    pixels must, by definition, agree with the reference)."""
+    import numpy as np
+
+    from scribe_js_spark.textops.jbig2 import (
+        _ref_typical, build_jbig2_refinement_page, decode_jbig2)
+
+    rng = np.random.default_rng(88)
+    base = (rng.random((20, 27)) < 0.4).astype(int).tolist()
+    h, w = 20, 27
+    refined = [row[:] for row in base]
+    flipped = 0
+    for i in range(h):
+        for j in range(w):
+            if _ref_typical(base, h, w, i, j) is None and (i * w + j) % 17 == 0:
+                refined[i][j] ^= 1
+                flipped += 1
+    assert flipped >= 5
+    for template in (0, 1):
+        stream = build_jbig2_refinement_page(
+            base, refined, template=template, tpgron=True)
+        assert decode_jbig2(stream).tolist() == refined, template
+
+
 def test_jbig2_symbol_text_region_roundtrip():
     """Symbol-dictionary + text-region coding (the scanner-encoder
     shape): glyphs decode through the shared-context dictionary and
