@@ -403,7 +403,15 @@ def decode_jpeg(data: bytes, decode_invert: bool = False) -> np.ndarray:
                 cid, hv, qid = seg[6 + 3 * ci : 9 + 3 * ci]
                 comps.append({"id": cid, "hs": hv >> 4, "vs": hv & 0xF,
                               "qid": qid, "idx": ci})
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7,
+        elif marker == 0xC3:
+            # lossless sequential Huffman (T.81 Annex H): whole-stream
+            # delegate, textops/jpeg_lossless.py — beyond the
+            # reference, which is baseline-only
+            from .jpeg_lossless import decode_jpeg_lossless
+
+            # same return contract: (h, w) gray / (h, w, 3) RGB
+            return decode_jpeg_lossless(data)
+        elif marker in (0xC5, 0xC6, 0xC7,
                         0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError("jpeg: unsupported SOF mode")
         elif marker == 0xCC:  # DAC: arithmetic conditioning
