@@ -229,6 +229,48 @@ def test_arith_jpeg_never_hangs_on_mutations():
                 pass  # exactly the types decode_media's net catches
 
 
+def test_lossless_jpeg_never_hangs_on_mutations():
+    """Corrupt SOF3 streams: the marker loop advances per iteration
+    and the bit reader zero-fills past scan markers, so mutations
+    decode to garbage or raise typed errors — never hang."""
+    from scribe_js_spark.textops.jpeg import decode_jpeg
+    from scribe_js_spark.textops.jpeg_lossless import encode_jpeg_lossless
+
+    rng_px = np.random.RandomState(11)
+    px = rng_px.randint(0, 256, (16, 21)).astype(np.uint8)
+    bases = [encode_jpeg_lossless(px, predictor=4),
+             encode_jpeg_lossless(px, predictor=7, restart_interval=8)]
+    rng = np.random.RandomState(23)
+    for base in bases:
+        for _ in range(40):
+            try:
+                decode_jpeg(_mutate(base, rng))
+            except Exception:
+                pass  # typed errors fine; hangs are the failure mode
+
+
+def test_jbig2_refinement_never_hangs_on_mutations():
+    """Corrupt standalone-refinement streams (incl. TPGRON) decode to
+    garbage or raise typed errors — never hang or allocation-bomb."""
+    from scribe_js_spark.textops.jbig2 import (
+        build_jbig2_refinement_page, decode_jbig2)
+
+    rng_px = np.random.RandomState(31)
+    base_rows = (rng_px.rand(14, 19) < 0.4).astype(int).tolist()
+    refined = [row[:] for row in base_rows]
+    refined[3][4] ^= 1
+    bases = [build_jbig2_refinement_page(base_rows, refined),
+             build_jbig2_refinement_page(base_rows, base_rows,
+                                         tpgron=True)]
+    rng = np.random.RandomState(37)
+    for base in bases:
+        for _ in range(40):
+            try:
+                decode_jbig2(_mutate(base, rng))
+            except Exception:
+                pass
+
+
 def test_decode_media_net_catches_all_codec_mutations():
     """Cross-format sweep of the decode_media never-fatal net: mutate
     a valid exemplar of every dispatchable container and require that
