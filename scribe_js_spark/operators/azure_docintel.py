@@ -130,17 +130,40 @@ def convert_doc_azure_docintel(ocr_str: str,
                 v * (mult_x if idx % 2 == 0 else mult_y)
                 for idx, v in enumerate(poly)]
 
+        # Words indexed by span offset once per page: the
+        # line-to-word span match was O(lines x words), a quadratic
+        # blowup on dense pages at corpus scale. The bisect range
+        # finds candidates by offset; collected indices are re-sorted
+        # so line_words keeps the original words-array order exactly.
+        import bisect
+
+        word_offs = []
+        word_meta = []  # (offset, end, original index)
+        for wi, word in enumerate(words):
+            ws = word.get("span") or {}
+            off = ws.get("offset", 0)
+            word_offs.append((off, wi))
+        word_offs.sort()
+        sorted_offs = [o for o, _ in word_offs]
+        for off, wi in word_offs:
+            ws = words[wi].get("span") or {}
+            word_meta.append((off, off + ws.get("length", 0), wi))
+
         for line_data in lines:
-            line_words = []
+            line_idx = []
             for span in line_data.get("spans") or []:
-                for word in words:
-                    ws = word.get("span") or {}
-                    if (ws.get("offset", 0) >= span.get("offset", 0)
-                            and ws.get("offset", 0) + ws.get("length", 0)
-                            <= span.get("offset", 0) + span.get("length", 0)):
-                        line_words.append(word)
-            if not line_words:
+                s_off = span.get("offset", 0)
+                s_end = s_off + span.get("length", 0)
+                lo = bisect.bisect_left(sorted_offs, s_off)
+                hi = bisect.bisect_right(sorted_offs, s_end)
+                # per-span hits in original words-array order — the
+                # exact sequence the linear scan produced
+                line_idx.extend(sorted(
+                    wi for off, end, wi in word_meta[lo:hi]
+                    if off >= s_off and end <= s_end))
+            if not line_idx:
                 continue
+            line_words = [words[wi] for wi in line_idx]
 
             polys = [scaled(w["polygon"]) for w in line_words]
             all_x = [v for p in polys for v in p[0::2]]
