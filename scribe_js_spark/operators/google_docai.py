@@ -64,6 +64,18 @@ def convert_doc_google_docai(ocr_str: str,
             pages.append(page_obj)
             continue
 
+        # Tokens indexed by segment start once per page: the per-line
+        # comprehension re-scanned (and re-parsed the textAnchor of)
+        # every token — O(lines x tokens), quadratic on dense pages.
+        # Sorted hit indices reproduce the tokens-array order exactly.
+        import bisect
+
+        token_meta = sorted(
+            (_segment(t.get("layout")) + (ti,)
+             for ti, t in enumerate(tokens)),
+            key=lambda m: (m[0], m[2]))
+        token_starts = [m[0] for m in token_meta]
+
         line_text_ranges = []
         for line in lines:
             layout = line.get("layout") or {}
@@ -79,10 +91,13 @@ def convert_doc_google_docai(ocr_str: str,
                 baseline[0] = (br[1] - bl[1]) / (br[0] - bl[0])
             line_obj = OcrLine(page_obj, line_bbox, baseline)
 
+            lo = bisect.bisect_left(token_starts, start)
             line_tokens = [
-                t for t in tokens
-                if start <= _segment(t.get("layout"))[0]
-                and _segment(t.get("layout"))[1] <= end
+                tokens[ti] for ti in sorted(
+                    ti for t_start, t_end, ti
+                    in token_meta[lo:bisect.bisect_right(token_starts,
+                                                         end)]
+                    if t_end <= end)
             ]
             if not line_tokens:
                 continue
