@@ -5032,17 +5032,21 @@ def make_corpus_rows(n_docs: int, seed: int = SEED_DEFAULT,
             # metrics, so flat substitutes garble the word gaps).
             sw = (fmt == "pdf" and doc_id % 19 == 9
                   and doc_id % 17 != 6)  # CID docs keep their /W
-            # CID-doc variants, split on (doc_id//17) % 3 — a modulus
-            # coprime to the format picker's period (doc_id//17 is
-            # even for every pdf-format CID doc): %3==0 omits
-            # /ToUnicode (byte identity requires the Identity
-            # CIDs-as-codepoints fallback), %3==1 uses the predefined
-            # /90ms-RKSJ-H CMap (requires the mixed-codespace split +
-            # Shift-JIS charset decode).
-            k3 = (doc_id // 17) % 3 if doc_id % 17 == 6 else None
+            # CID-doc variants, split on (doc_id//34) % 4 (doc_id//17
+            # is even for every pdf-format CID doc — the format
+            # picker's period correlates with the %17 cycle — so
+            # //34 walks all residues): %4==0 omits /ToUnicode (byte
+            # identity requires the Identity CIDs-as-codepoints
+            # fallback), %4==1 uses the predefined /90ms-RKSJ-H CMap
+            # (mixed-codespace split + Shift-JIS charset decode),
+            # %4==3 encodes GIDs with an embedded TrueType cmap and no
+            # /ToUnicode (requires the GID->Unicode reverse map,
+            # parsePdfFonts.js buildGidToUnicodeFromTrueType).
+            k4 = (doc_id // 34) % 4 if doc_id % 17 == 6 else None
             html = render_pdf(model, std_widths=sw,
-                              cid_tounicode=k3 != 0,
-                              cid_cmap="rksj" if k3 == 1 else None)
+                              cid_tounicode=k4 not in (0, 3),
+                              cid_cmap="rksj" if k4 == 1 else None,
+                              cid_gidmap=k4 == 3)
         elif fmt == "textract":
             html = render_textract(model).encode("utf-8")
         elif fmt == "google_vision":

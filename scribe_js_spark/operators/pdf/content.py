@@ -306,7 +306,8 @@ class TextMachine:
         key = ref.num if isinstance(ref, Ref) else id(ref)
         if key not in self._font_cache:
             try:
-                self._font_cache[key] = load_font(doc, ref)
+                self._font_cache[key] = load_font(
+                    doc, ref, sibling_fonts=fonts)
             except Exception:
                 self._font_cache[key] = PdfFont()
         return self._font_cache[key]

@@ -150,14 +150,15 @@ def parse_cff_summary(data: bytes) -> dict:
     (charset operand 0/1/2 = ISOAdobe/Expert defaults, no explicit
     table)."""
     empty = {"ok": False, "is_cid": False, "n_glyphs": 0,
-             "cid_to_gid": None, "predefined_charset": False}
+             "cid_to_gid": None, "predefined_charset": False,
+             "charset_names": None}
     try:
         if not data or len(data) < 4 or data[0] != 1:
             return empty
         hdr_size = data[2]
         _names, pos = _read_index(data, hdr_size)
         top_dicts, pos = _read_index(data, pos)
-        _strings, pos = _read_index(data, pos)
+        strings, pos = _read_index(data, pos)
         if not top_dicts:
             return empty
         top = _parse_dict(top_dicts[0])
@@ -169,13 +170,48 @@ def parse_cff_summary(data: bytes) -> dict:
         charset_op = int(top[15][0]) if 15 in top else 0
         predefined = charset_op <= 2
         cid_to_gid = None
+        charset_names = None
         if is_cid and not predefined:
             cid_to_gid = _parse_cid_charset(data, charset_op, n_glyphs)
+        elif not is_cid and not predefined:
+            sid_to_gid = _parse_cid_charset(
+                data, charset_op, n_glyphs)
+            charset_names = {}
+            for sid, gid in sid_to_gid.items():
+                name = _cff_sid_name(sid, strings)
+                if name is not None:
+                    charset_names[gid] = name
         return {"ok": True, "is_cid": is_cid, "n_glyphs": n_glyphs,
                 "cid_to_gid": cid_to_gid,
-                "predefined_charset": predefined}
+                "predefined_charset": predefined,
+                "charset_names": charset_names}
     except Exception:
         return empty
+
+
+# CFF standard strings, SIDs 0-95 (the .notdef + printable-ASCII
+# block of the published CFF spec Appendix A table; SIDs 96-390 are
+# the Adobe expert/accented set and resolve through AGL rarely in
+# text fonts, so they are left unresolved here — custom SIDs >= 391
+# come from the font's own string index).
+_CFF_STD_STRINGS_96 = (
+    ".notdef space exclam quotedbl numbersign dollar percent "
+    "ampersand quoteright parenleft parenright asterisk plus comma "
+    "hyphen period slash zero one two three four five six seven "
+    "eight nine colon semicolon less equal greater question at "
+    "A B C D E F G H I J K L M N O P Q R S T U V W X Y Z "
+    "bracketleft backslash bracketright asciicircum underscore "
+    "quoteleft a b c d e f g h i j k l m n o p q r s t u v w x y z "
+    "braceleft bar braceright asciitilde"
+).split()
+
+
+def _cff_sid_name(sid: int, strings: list[bytes]) -> str | None:
+    if 0 <= sid < len(_CFF_STD_STRINGS_96):
+        return _CFF_STD_STRINGS_96[sid]
+    if sid >= 391 and sid - 391 < len(strings):
+        return strings[sid - 391].decode("latin-1", "replace")
+    return None
 
 
 # ------------------------------------------------------------- TrueType
@@ -218,3 +254,127 @@ def truetype_empty_glyphs(data: bytes) -> set[int] | None:
         return empty
     except Exception:
         return None
+
+
+# ------------------------------------------------------------- cmap
+
+def _cmap_format0(data: bytes, off: int) -> dict[int, int]:
+    # 256 byte-indexed gids
+    return {c: data[off + 6 + c] for c in range(256)
+            if data[off + 6 + c] != 0}
+
+
+def _cmap_format4(data: bytes, off: int) -> dict[int, int]:
+    seg_x2 = struct.unpack_from(">H", data, off + 6)[0]
+    n_seg = seg_x2 // 2
+    ends = struct.unpack_from(f">{n_seg}H", data, off + 14)
+    starts = struct.unpack_from(f">{n_seg}H", data, off + 16 + seg_x2)
+    deltas = struct.unpack_from(
+        f">{n_seg}h", data, off + 16 + 2 * seg_x2)
+    ro_base = off + 16 + 3 * seg_x2
+    offsets = struct.unpack_from(f">{n_seg}H", data, ro_base)
+    out: dict[int, int] = {}
+    for i in range(n_seg):
+        start, end = starts[i], ends[i]
+        if start == 0xFFFF:
+            continue
+        for c in range(start, end + 1):
+            if offsets[i] == 0:
+                gid = (c + deltas[i]) & 0xFFFF
+            else:
+                p = ro_base + 2 * i + offsets[i] + 2 * (c - start)
+                if p + 2 > len(data):
+                    continue
+                gid = struct.unpack_from(">H", data, p)[0]
+                if gid != 0:
+                    gid = (gid + deltas[i]) & 0xFFFF
+            if gid != 0:
+                out[c] = gid
+    return out
+
+
+def _cmap_format6(data: bytes, off: int) -> dict[int, int]:
+    first, count = struct.unpack_from(">HH", data, off + 6)
+    gids = struct.unpack_from(f">{count}H", data, off + 10)
+    return {first + i: g for i, g in enumerate(gids) if g != 0}
+
+
+def _cmap_format12(data: bytes, off: int) -> dict[int, int]:
+    n_groups = struct.unpack_from(">I", data, off + 12)[0]
+    out: dict[int, int] = {}
+    p = off + 16
+    for _ in range(min(n_groups, 1 << 16)):  # allocation guard
+        start, end, start_gid = struct.unpack_from(">III", data, p)
+        p += 12
+        span = min(end - start, 1 << 16)
+        for i in range(span + 1):
+            out[start + i] = start_gid + i
+    return out
+
+
+_CMAP_PARSERS = {0: _cmap_format0, 4: _cmap_format4,
+                 6: _cmap_format6, 12: _cmap_format12}
+
+
+def truetype_code_to_gid(data: bytes) -> dict[int, int] | None:
+    """Unicode/charCode -> GID from the best cmap subtable, with the
+    reference's selection priority (font-parser opentype.js
+    parseCmapTable): platform 3 (enc 0/1/10) > platform 0 (enc 0-4,6)
+    > platform 1 enc 0, last subtable of the winning tier; formats
+    0/4/6/12. Platform-1 byte codes 0x80+ are re-keyed to their
+    MacRoman Unicode targets like the reference's eightBitMacEncodings
+    pass."""
+    try:
+        t = _sfnt_tables(data)
+        if "cmap" not in t:
+            return None
+        base = t["cmap"][0]
+        n_tables = struct.unpack_from(">H", data, base + 2)[0]
+        best = None
+        best_prio = -1
+        for i in range(n_tables - 1, -1, -1):
+            plat, enc, sub_off = struct.unpack_from(
+                ">HHI", data, base + 4 + 8 * i)
+            if plat == 3 and enc in (0, 1, 10):
+                prio = 2
+            elif plat == 0 and enc in (0, 1, 2, 3, 4, 6):
+                prio = 1
+            elif plat == 1 and enc == 0:
+                prio = 0
+            else:
+                continue
+            if prio <= best_prio:
+                continue
+            best = (plat, enc, base + sub_off)
+            best_prio = prio
+        if best is None:
+            return None
+        plat, enc, off = best
+        fmt = struct.unpack_from(">H", data, off)[0]
+        parser = _CMAP_PARSERS.get(fmt)
+        if parser is None:
+            return None
+        m = parser(data, off)
+        if plat == 1:
+            for c in range(0x80, 0x100):
+                if c in m:
+                    u = ord(bytes((c,)).decode("mac_roman"))
+                    m.setdefault(u, m[c])
+        return m or None
+    except Exception:
+        return None
+
+
+def truetype_gid_to_unicode(data: bytes) -> dict[int, int] | None:
+    """Reverse GID -> Unicode map for CIDFontType2 + Identity-H where
+    CIDs are GIDs (parsePdfFonts.js buildGidToUnicodeFromTrueType:76):
+    lowest codepoint wins per gid, gid 0 excluded."""
+    m = truetype_code_to_gid(data)
+    if not m:
+        return None
+    out: dict[int, int] = {}
+    for code in sorted(m):
+        gid = m[code]
+        if gid > 0 and gid not in out:
+            out[gid] = code
+    return out

@@ -48,21 +48,87 @@ GLYPH_NAMES = {
     "five": "5", "six": "6", "seven": "7", "eight": "8", "nine": "9",
     "euro": "€", "sterling": "£", "yen": "¥",
     "cent": "¢", "florin": "ƒ",
+    # Latin-1 / Mac-order completions (AGL values) so the Mac standard
+    # glyph order fallback resolves every non-.notdef name it can hit.
+    "Agrave": "À", "Aacute": "Á", "Acircumflex": "Â", "Atilde": "Ã",
+    "Aring": "Å", "AE": "Æ", "Ccedilla": "Ç", "Egrave": "È",
+    "Eacute": "É", "Ecircumflex": "Ê", "Edieresis": "Ë", "Igrave": "Ì",
+    "Iacute": "Í", "Icircumflex": "Î", "Idieresis": "Ï", "Eth": "Ð",
+    "Ntilde": "Ñ", "Ograve": "Ò", "Oacute": "Ó", "Ocircumflex": "Ô",
+    "Otilde": "Õ", "Oslash": "Ø", "Ugrave": "Ù", "Uacute": "Ú",
+    "Ucircumflex": "Û", "Yacute": "Ý", "Thorn": "Þ", "agrave": "à",
+    "aacute": "á", "acircumflex": "â", "atilde": "ã", "aring": "å",
+    "ae": "æ", "ecircumflex": "ê", "edieresis": "ë", "igrave": "ì",
+    "iacute": "í", "icircumflex": "î", "idieresis": "ï", "eth": "ð",
+    "ograve": "ò", "oacute": "ó", "ocircumflex": "ô", "otilde": "õ",
+    "oslash": "ø", "ugrave": "ù", "uacute": "ú", "ucircumflex": "û",
+    "yacute": "ý", "thorn": "þ", "ydieresis": "ÿ", "Ydieresis": "Ÿ",
+    "OE": "Œ", "oe": "œ", "Scaron": "Š", "scaron": "š",
+    "Zcaron": "Ž", "zcaron": "ž", "Lslash": "Ł", "lslash": "ł",
+    "Gbreve": "Ğ", "gbreve": "ğ", "Idotaccent": "İ", "dotlessi": "ı",
+    "Scedilla": "Ş", "scedilla": "ş", "Cacute": "Ć", "cacute": "ć",
+    "Ccaron": "Č", "ccaron": "č", "dcroat": "đ",
+    "exclamdown": "¡", "questiondown": "¿", "ordfeminine": "ª",
+    "ordmasculine": "º", "guillemotleft": "«", "guillemotright": "»",
+    "guilsinglleft": "‹", "guilsinglright": "›",
+    "quotesinglbase": "‚", "quotedblbase": "„", "perthousand": "‰",
+    "periodcentered": "·", "nonbreakingspace": " ",
+    "brokenbar": "¦", "logicalnot": "¬", "plusminus": "±",
+    "onesuperior": "¹", "twosuperior": "²", "threesuperior": "³",
+    "onequarter": "¼", "onehalf": "½", "threequarters": "¾",
+    "currency": "¤", "acute": "´", "dieresis": "¨", "macron": "¯",
+    "cedilla": "¸", "circumflex": "ˆ", "tilde": "˜", "breve": "˘",
+    "dotaccent": "˙", "ring": "˚", "ogonek": "˛", "hungarumlaut": "˝",
+    "caron": "ˇ", "fraction": "⁄", "franc": "₣", "lozenge": "◊",
+    "notequal": "≠", "infinity": "∞", "lessequal": "≤",
+    "greaterequal": "≥", "partialdiff": "∂", "summation": "∑",
+    "product": "∏", "pi": "π", "integral": "∫", "radical": "√",
+    "approxequal": "≈", "Delta": "∆", "Omega": "Ω", "mu": "µ",
+    "apple": "",
 }
 _DIGIT_NAMES = {v: k for k, v in GLYPH_NAMES.items()}
 
 
 def glyph_name_to_unicode(name: str) -> str | None:
+    """AGL resolution with the reference's extra rules
+    (standardEncodings.js aglLookup:4582): dot-suffix strip
+    ("one.oldstyle"), multi-group uniXXXXYYYY, the producer "C0065"
+    charCode prefix, and underscore ligatures ("f_f_i")."""
     if len(name) == 1 and (name.isalpha() or name.isdigit()):
         return name
     if name in GLYPH_NAMES:
         return GLYPH_NAMES[name]
+    dot = name.find(".")
+    if dot > 0:
+        base = name[:dot]
+        if len(base) == 1 and (base.isalpha() or base.isdigit()):
+            return base
+        if base in GLYPH_NAMES:
+            return GLYPH_NAMES[base]
+    m = re.match(r"^uni([0-9A-Fa-f]{4,})$", name)
+    if m and len(m.group(1)) % 4 == 0:
+        h = m.group(1)
+        return "".join(chr(int(h[i:i + 4], 16))
+                       for i in range(0, len(h), 4))
     m = re.match(r"^uni([0-9A-Fa-f]{4})", name)
     if m:
         return chr(int(m.group(1), 16))
     m = re.match(r"^u([0-9A-Fa-f]{4,6})$", name)
     if m:
         return chr(int(m.group(1), 16))
+    m = re.match(r"^C(\d{1,5})$", name)
+    if m and 32 <= int(m.group(1)) <= 255:
+        return chr(int(m.group(1)))
+    if "_" in name:
+        parts = name.split("_")
+        out = []
+        for p in parts:
+            v = (p if len(p) == 1 and (p.isalpha() or p.isdigit())
+                 else GLYPH_NAMES.get(p))
+            if v is None:
+                return None
+            out.append(v)
+        return "".join(out)
     return None
 
 
@@ -251,8 +317,13 @@ _ITALIC_NAME_RE = re.compile(r"italic|oblique", re.I)
 _SMALLCAPS_NAME_RE = re.compile(r"(small\W?cap)|(sc$)", re.I)
 
 
-def load_font(doc, font_dict) -> PdfFont:
-    """Resolve one /Font resource into a PdfFont."""
+def load_font(doc, font_dict, sibling_fonts=None) -> PdfFont:
+    """Resolve one /Font resource into a PdfFont. ``sibling_fonts``
+    is the page's full /Font dict; when a CIDFontType2 has no embedded
+    program, a sibling entry with the same (subset-stripped) BaseFont
+    may carry the FontFile2 the GID->Unicode recovery needs
+    (parsePdfFonts.js:1812-1836 — the Word-export pattern of one font
+    embedded once but referenced under two tags)."""
     font_dict = doc.resolve(font_dict)
     f = PdfFont()
     base = str(doc.resolve(font_dict.get("BaseFont", "")) or "")
@@ -267,6 +338,10 @@ def load_font(doc, font_dict) -> PdfFont:
     type0_enc_name = ""
     named_auth = False
     has_named_enc = False
+    desc_subtype = ""
+    cid_registry = ""
+    cid_ordering = ""
+    cff_charset_names: dict[int, str] | None = None
     if subtype == "Type0":
         f.cid = True
         f.two_byte = True  # Identity-H / standard CMaps; 2-byte codes
@@ -286,6 +361,16 @@ def load_font(doc, font_dict) -> PdfFont:
                 pass
         desc_fonts = doc.resolve(font_dict.get("DescendantFonts", []))
         desc = doc.resolve(desc_fonts[0]) if desc_fonts else {}
+        desc_subtype = str(doc.resolve(desc.get("Subtype", "")))
+        # /Registry and /Ordering gate the no-ToUnicode recovery paths
+        # below; producers emit them inline, as indirect refs, or (in
+        # encrypted files) as per-object-encrypted strings — resolve()
+        # handles all three (parsePdfFonts.js:1773-1802 re-derives the
+        # decryption by hand; our object layer decrypts at parse).
+        sysinfo = doc.resolve(desc.get("CIDSystemInfo"))
+        if isinstance(sysinfo, dict):
+            cid_registry = _pdf_text(doc.resolve(sysinfo.get("Registry")))
+            cid_ordering = _pdf_text(doc.resolve(sysinfo.get("Ordering")))
         f.default_width = float(doc.resolve(desc.get("DW", 1000)))
         w_arr = doc.resolve(desc.get("W"))
         if w_arr:
@@ -307,6 +392,12 @@ def load_font(doc, font_dict) -> PdfFont:
                         # CID 0 (.notdef) is implicit in the charset
                         # (parsePdfFonts.js:1746).
                         f.valid_cids = {0, *summary["cid_to_gid"]}
+                    elif summary["ok"] and not summary["is_cid"]:
+                        # Non-CID CFF inside a Type0: glyph names from
+                        # the explicit charset fill ToUnicode gaps via
+                        # AGL after the CMap parse below
+                        # (parsePdfFonts.js:1747-1760).
+                        cff_charset_names = summary["charset_names"]
                 except Exception:
                     pass
             elif fd.get("FontFile2") is not None:
@@ -397,6 +488,22 @@ def load_font(doc, font_dict) -> PdfFont:
             f.to_unicode = parse_tounicode_cmap(doc.stream_data(tu))
         except Exception:
             pass
+    if cff_charset_names:
+        for gid, gname in cff_charset_names.items():
+            if gid not in f.to_unicode:
+                u = glyph_name_to_unicode(gname)
+                if u:
+                    f.to_unicode[gid] = u
+    if f.cid and type0_enc_name == "Identity-H":
+        sibling_file2 = None
+        if cid_font_file2 is None and desc_subtype == "CIDFontType2" \
+                and sibling_fonts and cid_registry == "Adobe" \
+                and cid_ordering == "Identity":
+            sibling_file2 = _sibling_font_file2(
+                doc, sibling_fonts, font_dict, f.base_name)
+        _apply_identity_cid_recovery(
+            f, cid_registry, cid_ordering, desc_subtype, cid_font_file2,
+            sibling_file2=sibling_file2)
     if cid_font_file2 is not None and f.to_unicode:
         _remap_blank_glyphs(cid_font_file2, f)
     from .symbolenc import apply_symbolic_font_charts
@@ -410,6 +517,147 @@ def load_font(doc, font_dict) -> PdfFont:
     if not f.type3:
         _clamp_insane_widths(f)
     return f
+
+
+def _pdf_text(v) -> str:
+    """A resolved PDF string value as text ('' when absent)."""
+    if isinstance(v, bytes):
+        return v.decode("latin-1", "replace")
+    return str(v) if v is not None else ""
+
+
+# The 258 Macintosh standard glyph names (public TrueType spec, `post`
+# table format 2.0 / Apple TrueType Reference Manual). Under
+# Adobe-Identity CIDFontType2 with no embedded program, CID == GID and
+# most TrueType fonts place their low glyphs in this order, so
+# CID -> standardNames[CID] -> AGL recovers the text
+# (parsePdfFonts.js:1859-1869).
+_MAC_GLYPH_ORDER = (
+    ".notdef .null nonmarkingreturn space exclam quotedbl numbersign "
+    "dollar percent ampersand quotesingle parenleft parenright "
+    "asterisk plus comma hyphen period slash zero one two three four "
+    "five six seven eight nine colon semicolon less equal greater "
+    "question at A B C D E F G H I J K L M N O P Q R S T U V W X Y Z "
+    "bracketleft backslash bracketright asciicircum underscore grave "
+    "a b c d e f g h i j k l m n o p q r s t u v w x y z braceleft "
+    "bar braceright asciitilde Adieresis Aring Ccedilla Eacute Ntilde "
+    "Odieresis Udieresis aacute agrave acircumflex adieresis atilde "
+    "aring ccedilla eacute egrave ecircumflex edieresis iacute igrave "
+    "icircumflex idieresis ntilde oacute ograve ocircumflex odieresis "
+    "otilde uacute ugrave ucircumflex udieresis dagger degree cent "
+    "sterling section bullet paragraph germandbls registered "
+    "copyright trademark acute dieresis notequal AE Oslash infinity "
+    "plusminus lessequal greaterequal yen mu partialdiff summation "
+    "product pi integral ordfeminine ordmasculine Omega ae oslash "
+    "questiondown exclamdown logicalnot radical florin approxequal "
+    "Delta guillemotleft guillemotright ellipsis nonbreakingspace "
+    "Agrave Atilde Otilde OE oe endash emdash quotedblleft "
+    "quotedblright quoteleft quoteright divide lozenge ydieresis "
+    "Ydieresis fraction currency guilsinglleft guilsinglright fi fl "
+    "daggerdbl periodcentered quotesinglbase quotedblbase perthousand "
+    "Acircumflex Ecircumflex Aacute Edieresis Egrave Iacute "
+    "Icircumflex Idieresis Igrave Oacute Ocircumflex apple Ograve "
+    "Uacute Ucircumflex Ugrave dotlessi circumflex tilde macron breve "
+    "dotaccent ring cedilla hungarumlaut ogonek caron Lslash lslash "
+    "Scaron scaron Zcaron zcaron brokenbar Eth eth Yacute yacute "
+    "Thorn thorn minus multiply onesuperior twosuperior threesuperior "
+    "onehalf onequarter threequarters franc Gbreve gbreve Idotaccent "
+    "Scedilla scedilla Cacute cacute Ccaron ccaron dcroat"
+).split()
+
+
+def _cid_overridable(f: PdfFont, cid: int) -> bool:
+    """A ToUnicode entry yields to recovery only when absent or a
+    single non-text control char (parsePdfFonts.js:1839-1846) —
+    broken OCR producers map real glyphs to control codes."""
+    existing = f.to_unicode.get(cid)
+    if existing is None:
+        return True
+    if len(existing) != 1:
+        return False
+    cp = ord(existing)
+    return cp < 0x20 and cp not in (0x09, 0x0A, 0x0D)
+
+
+def _sibling_font_file2(doc, sibling_fonts, own_dict,
+                        base_name: str) -> bytes | None:
+    """FontFile2 bytes from another page font whose subset-stripped
+    /BaseFont matches (parsePdfFonts.js:1812-1836): the descriptor is
+    read from the sibling directly (simple TrueType) or through its
+    first descendant (Type0)."""
+    try:
+        own_dict = doc.resolve(own_dict)
+        for sib_ref in dict(sibling_fonts).values():
+            sib = doc.resolve(sib_ref)
+            if not isinstance(sib, dict) or sib is own_dict:
+                continue
+            sib_base = re.sub(
+                r"^[A-Z]{6}\+", "",
+                str(doc.resolve(sib.get("BaseFont", "")) or ""))
+            if sib_base != base_name:
+                continue
+            fd = doc.resolve(sib.get("FontDescriptor"))
+            if not isinstance(fd, dict):
+                desc_fonts = doc.resolve(sib.get("DescendantFonts", []))
+                desc = (doc.resolve(desc_fonts[0])
+                        if desc_fonts else {})
+                fd = doc.resolve(desc.get("FontDescriptor"))
+            if isinstance(fd, dict) and fd.get("FontFile2") is not None:
+                data = doc.stream_data(fd["FontFile2"])
+                if data[:4] in (b"\x00\x01\x00\x00", b"true"):
+                    return data
+    except Exception:
+        pass
+    return None
+
+
+def _apply_identity_cid_recovery(f: PdfFont, registry: str,
+                                 ordering: str, desc_subtype: str,
+                                 font_file2: bytes | None,
+                                 sibling_file2: bytes | None = None,
+                                 ) -> None:
+    """Identity-H no/partial-ToUnicode recovery ladder
+    (parsePdfFonts.js:1770-1869). Adobe-Identity + CIDFontType2 means
+    CIDs are GIDs in the TrueType program, so the font's own cmap
+    reverse-maps GID -> Unicode; with no embedded program, the Mac
+    standard glyph order stands in; a CID-keyed CFF charset fills
+    CIDs-as-codepoints. The Adobe-Japan1/GB1/CNS1/Korea1 published
+    CID->Unicode tables (reference fonts/cidToUnicode.js) are NOT
+    bundled — those orderings fall through to the predefined-CMap
+    charset decode / emit-time codepoint fallback."""
+    if registry != "Adobe" or ordering != "Identity":
+        return
+    is_type2 = desc_subtype == "CIDFontType2"
+    gid_map = None
+    if is_type2 and (font_file2 or sibling_file2):
+        from .fontprog import truetype_gid_to_unicode
+
+        gid_map = truetype_gid_to_unicode(font_file2 or sibling_file2)
+    if gid_map:
+        cid_set = (f.valid_cids if f.valid_cids is not None
+                   else f.widths.keys())
+        for cid in cid_set:
+            if not _cid_overridable(f, cid):
+                continue
+            u = gid_map.get(cid)
+            if u:
+                f.to_unicode[cid] = chr(u)
+    elif f.valid_cids is not None:
+        for cid in f.valid_cids:
+            if not _cid_overridable(f, cid):
+                continue
+            if 0 < cid <= 0xFFFF:
+                f.to_unicode[cid] = chr(cid)
+    elif is_type2 and not font_file2:
+        for cid in f.widths:
+            if not (0 <= cid < 258) or not _cid_overridable(f, cid):
+                continue
+            name = _MAC_GLYPH_ORDER[cid]
+            if name.startswith("."):
+                continue
+            u = glyph_name_to_unicode(name)
+            if u:
+                f.to_unicode[cid] = u
 
 
 # Adobe's predefined CJK CMaps: fixed codespace ranges per the public
@@ -431,10 +679,21 @@ _CJK_CMAPS = (
 )
 
 
+def _fill_halfwidth_latin(f: PdfFont) -> None:
+    """Predefined Adobe CJK CMaps standardize the half-width Latin
+    glyphs in the ROS, so producers omit them from /W; without the
+    500-em fill they hit /DW (~1000) and mixed CJK/Latin indentation
+    comes out ~2x too wide (parsePdfFonts.js:1733-1740; keys are
+    charCodes, matching the code-keyed width lookup)."""
+    for cc in range(0x20, 0x7F):
+        f.widths.setdefault(cc, 500.0)
+
+
 def _apply_predefined_cjk_cmap(f: PdfFont, name: str) -> None:
     if not name or "Identity" in name:
         return
     if re.search(r"UCS2|UTF16", name):
+        _fill_halfwidth_latin(f)
         # Uni*-UCS2/UTF16: charCodes are Unicode codepoints already
         # (the chr() fallback is exact); Adobe CJK collections map
         # printable ASCII to CIDs 1-95, so half-width /W entries need
@@ -450,6 +709,7 @@ def _apply_predefined_cjk_cmap(f: PdfFont, name: str) -> None:
             break
     else:
         return
+    _fill_halfwidth_latin(f)
     if name.startswith(("B5", "ETen", "HKscs")):
         # ETen-B5 sends 1-byte ASCII to the Adobe-CNS1 half-width
         # Latin block (space = CID 13648) — without the mapping the

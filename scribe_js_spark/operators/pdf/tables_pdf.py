@@ -31,10 +31,12 @@ A from-scratch implementation of the reference's detector
   (detect_table_header, infer_unruled_columns);
 - Phase 6 stream-order validation (validate_stream_order, :4018-4051).
 
-Known deviations, each noted at the definition: bbox.top stays at the
-rows instead of the 3-row-height expansion + refineTableTop shrink;
-row-band column anchors ride directly on the candidate instead of
-through extractStructure. The 20k-path page cap (:5) is kept. Cell
+The round-4 deviations are closed: Phase 2 candidates get the
+reference's 3-row-height top expansion and a full refine_table_top
+(Phase 5.5) re-shrink; row-band column anchors flow through
+extract_structure (:2728-3093) with vLine-first correlation; and
+detect_table_header carries Rules 1-2 plus the stacked-2-cell
+strong-header path. The 20k-path page cap (:5) is kept. Cell
 extraction reuses the OCR-side ``extract_table_rows``
 (utils/detectTables.js semantics).
 """

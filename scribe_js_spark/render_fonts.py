@@ -256,10 +256,67 @@ def build_cff_cid(cids: list[int], name: bytes = b"SynthCIDFont",
             + charset + fdselect + fdarray + private + charstrings)
 
 
-def build_truetype_blank(n_glyphs: int, empty_gids: set[int]) -> bytes:
+def _cmap_format4_subtable(code_to_gid: dict[int, int]) -> bytes:
+    """TrueType cmap format-4 subtable bytes for an arbitrary
+    code->gid map (glyphIdArray-backed segments, final 0xFFFF
+    sentinel)."""
+    codes = sorted(code_to_gid)
+    segs: list[tuple[int, int]] = []
+    for c in codes:
+        if segs and c == segs[-1][1] + 1:
+            segs[-1] = (segs[-1][0], c)
+        else:
+            segs.append((c, c))
+    segs.append((0xFFFF, 0xFFFF))
+    n_seg = len(segs)
+    seg_x2 = n_seg * 2
+    search_range = 2
+    entry_sel = 0
+    while search_range * 2 <= seg_x2:
+        search_range *= 2
+        entry_sel += 1
+    ends = b"".join(struct.pack(">H", e) for _, e in segs)
+    starts = b"".join(struct.pack(">H", s) for s, _ in segs)
+    deltas = b"".join(struct.pack(">h", 1 if s == 0xFFFF else 0)
+                      for s, _ in segs)
+    # Every real segment indexes into glyphIdArray via idRangeOffset.
+    glyph_ids: list[int] = []
+    offsets = []
+    for i, (s, e) in enumerate(segs):
+        if s == 0xFFFF:
+            offsets.append(0)
+            continue
+        # Offset from THIS idRangeOffset slot to the segment's first
+        # glyphIdArray entry: remaining slots + accumulated ids.
+        off_words = (n_seg - i) + len(glyph_ids)
+        offsets.append(off_words * 2)
+        for c in range(s, e + 1):
+            glyph_ids.append(code_to_gid[c])
+    offsets_b = b"".join(struct.pack(">H", o) for o in offsets)
+    gids_b = b"".join(struct.pack(">H", g) for g in glyph_ids)
+    body = (struct.pack(">HHHH", seg_x2, search_range, entry_sel,
+                        seg_x2 - search_range)
+            + ends + b"\x00\x00" + starts + deltas + offsets_b + gids_b)
+    length = 14 + len(body)
+    return struct.pack(">HHH", 4, length, 0) + body
+
+
+def build_cmap_table(code_to_gid: dict[int, int],
+                     platform: tuple[int, int] = (3, 1)) -> bytes:
+    """A cmap table with one format-4 subtable under ``platform``."""
+    sub = _cmap_format4_subtable(code_to_gid)
+    return (struct.pack(">HH", 0, 1)
+            + struct.pack(">HHI", platform[0], platform[1], 12)
+            + sub)
+
+
+def build_truetype_blank(n_glyphs: int, empty_gids: set[int],
+                         cmap: dict[int, int] | None = None) -> bytes:
     """Minimal sfnt (head/maxp/loca/glyf) where ``empty_gids`` have
     zero-length glyf entries and every other gid a one-contour square.
-    Not a renderable font — just the tables the loca walk reads."""
+    ``cmap`` adds a (3,1) format-4 Unicode subtable (code -> gid) for
+    the Identity-H GID->Unicode recovery path. Not a renderable font —
+    just the tables the parsers read."""
     # One-contour 2-point "outline": enough bytes to be non-empty.
     outline = struct.pack(">hhhhh", 1, 0, 0, 100, 100)  # header
     outline += struct.pack(">H", 1)        # endPtsOfContours[0] = 1
@@ -285,6 +342,8 @@ def build_truetype_blank(n_glyphs: int, empty_gids: set[int]) -> bytes:
 
     tables = [(b"glyf", glyf), (b"head", bytes(head)),
               (b"loca", loca_tbl), (b"maxp", maxp)]
+    if cmap is not None:
+        tables.insert(0, (b"cmap", build_cmap_table(cmap)))
     num = len(tables)
     out = struct.pack(">IHHHH", 0x00010000, num, 64, 2, num * 16 - 64)
     off = 12 + 16 * num
@@ -295,3 +354,38 @@ def build_truetype_blank(n_glyphs: int, empty_gids: set[int]) -> bytes:
         body += data + b"\x00" * pad
         off += len(data) + pad
     return out + body
+
+
+def build_cff_simple(sids: list[int],
+                     custom_strings: list[bytes] = (),
+                     name: bytes = b"SynthCFFSimple") -> bytes:
+    """Non-CID CFF with an explicit format-0 charset listing ``sids``
+    (gid i+1 -> sids[i]; gid 0 = .notdef implicit). SIDs >= 391 index
+    ``custom_strings``. Exercises the charset-names -> AGL ToUnicode
+    enrichment (parsePdfFonts.js:1747-1760)."""
+    sids = [int(s) for s in sids]
+    n_glyphs = len(sids) + 1
+
+    header = bytes([1, 0, 4, 2])
+    name_idx = _mk_index([name])
+    string_idx = _mk_index(list(custom_strings))
+    gsubr_idx = _mk_index([])
+
+    def top_dict(charset_off, charstrings_off):
+        return (_int5(charset_off) + b"\x0f"
+                + _int5(charstrings_off) + b"\x11")
+
+    top_len = len(top_dict(0, 0))
+    top_idx_len = len(_mk_index([b"\x00" * top_len]))
+    fixed = len(header) + len(name_idx) + top_idx_len \
+        + len(string_idx) + len(gsubr_idx)
+
+    charset_off = fixed
+    charset = b"\x00" + b"".join(struct.pack(">H", s) for s in sids)
+    charstrings_off = charset_off + len(charset)
+    charstrings = _mk_index([b"\x0e"] * n_glyphs)
+
+    top = top_dict(charset_off, charstrings_off)
+    assert len(top) == top_len
+    return (header + name_idx + _mk_index([top]) + string_idx
+            + gsubr_idx + charset + charstrings)

@@ -373,7 +373,8 @@ def render_pdf(model: dict, compress: bool | None = None,
                stream_filter: str | None = None,
                std_widths: bool = False,
                cid_tounicode: bool = True,
-               cid_cmap: str | None = None) -> bytes:
+               cid_cmap: str | None = None,
+               cid_gidmap: bool = False) -> bytes:
     doc_id = model.get("doc_id", 0)
     if compress is None:
         compress = (doc_id % 2) == 1
@@ -391,6 +392,23 @@ def render_pdf(model: dict, compress: bool | None = None,
         hex_strings = (doc_id % 13) == 5
     if cff_subset is not None:
         cid_font = True  # the subset font is a CID-keyed CFF
+    if cid_gidmap:
+        # CIDFontType2 with codes that are GIDs (NOT codepoints), no
+        # /ToUnicode: extraction is correct only through the embedded
+        # TrueType cmap's GID->Unicode reverse map
+        # (parsePdfFonts.js buildGidToUnicodeFromTrueType:76).
+        cid_font = True
+        cid_tounicode = False
+    gid_of: dict[str, int] = {}
+    if cid_gidmap:
+        chars = sorted({c for p in model["pages"]
+                        for par in p["pars"]
+                        for line in par["lines"]
+                        for w0 in line["words"]
+                        for c in (w0["text"] + "".join(
+                            s.get("text", "") for s in
+                            (w0.get("segments") or [])))})
+        gid_of = {c: i + 2 for i, c in enumerate(chars)}
     if cid_font is None:
         cid_font = (doc_id % 17) == 6
     if cid_font:
@@ -423,7 +441,7 @@ def render_pdf(model: dict, compress: bool | None = None,
     # objects: 1=Catalog 2=Pages 3=Font 4=Descriptor
     # [5=ToUnicode] [6=CID descendant font] [7=FontFile3 CFF]
     # then per page: page + content.
-    if cff_subset is not None:
+    if cff_subset is not None or cid_gidmap:
         n_fixed = 7
     elif cid_font:
         n_fixed = 6
@@ -533,6 +551,33 @@ def render_pdf(model: dict, compress: bool | None = None,
         w.add(
             f"<< /Length {len(cff)} /Subtype /CIDFontType0C >>\nstream\n"
             .encode() + cff + b"\nendstream")
+    elif cid_gidmap:
+        from .render_fonts import build_truetype_blank
+
+        n_glyphs = max(gid_of.values(), default=1) + 1
+        tt = build_truetype_blank(
+            n_glyphs, set(),
+            cmap={ord(c): g for c, g in gid_of.items()})
+        w.add(
+            b"<< /Type /Font /Subtype /Type0 /BaseFont /SynthGID "
+            b"/Encoding /Identity-H /DescendantFonts [6 0 R] >>")
+        w.add(
+            b"<< /Type /FontDescriptor /FontName /SynthGID /Flags 32 "
+            b"/Ascent 718 /Descent -207 /CapHeight 718 /ItalicAngle 0 "
+            b"/StemV 88 /FontBBox [-166 -225 1000 931] "
+            b"/FontFile2 7 0 R >>")
+        # Unreferenced placeholder keeps the object numbering shared
+        # with the other CID variants.
+        w.add(b"<< /Length 0 >>\nstream\n\nendstream")
+        w.add(
+            b"<< /Type /Font /Subtype /CIDFontType2 "
+            b"/BaseFont /SynthGID "
+            b"/CIDSystemInfo << /Registry (Adobe) /Ordering "
+            b"(Identity) /Supplement 0 >> /FontDescriptor 4 0 R "
+            + f"/DW 1000 /W [2 {n_glyphs - 1} 500] >>".encode())
+        w.add(
+            f"<< /Length {len(tt)} >>\nstream\n".encode()
+            + tt + b"\nendstream")
     elif cid_font:
         if cid_cmap == "rksj":
             # Predefined Shift-JIS CMap, no ToUnicode: extraction
@@ -551,7 +596,11 @@ def render_pdf(model: dict, compress: bool | None = None,
             # No /ToUnicode: extraction must take the Identity
             # CIDs-as-codepoints fallback (parsePdfDoc.js:1885); the
             # CMap object stays written (unreferenced) so numbering
-            # holds.
+            # holds. The descendant below is CIDFontType0 for this
+            # variant: a non-embedded CIDFontType2 with /W keys below
+            # 258 takes the reference's Mac-standard-glyph-order
+            # recovery instead (parsePdfFonts.js:1859-1869), which is
+            # NOT the behavior this family drives.
             w.add(
                 b"<< /Type /Font /Subtype /Type0 /BaseFont /SynthCID "
                 b"/Encoding /Identity-H /DescendantFonts [6 0 R] >>")
@@ -572,9 +621,11 @@ def render_pdf(model: dict, compress: bool | None = None,
                 b" /Supplement 2 >> /FontDescriptor 4 0 R /DW 500 "
                 b"/W [32 126 500] >>")
         else:
+            desc_sub = (b"CIDFontType2" if cid_tounicode
+                        else b"CIDFontType0")
             w.add(
-                b"<< /Type /Font /Subtype /CIDFontType2 "
-                b"/BaseFont /SynthCID "
+                b"<< /Type /Font /Subtype /" + desc_sub +
+                b" /BaseFont /SynthCID "
                 b"/CIDSystemInfo << /Registry (Adobe) /Ordering "
                 b"(Identity) /Supplement 0 >> /FontDescriptor 4 0 R "
                 b"/DW 1000 /W [32 126 500] >>")
@@ -616,6 +667,9 @@ def render_pdf(model: dict, compress: bool | None = None,
         if cid_font:
             if cid_cmap == "rksj":
                 return "<" + text.encode("cp932").hex().upper() + ">"
+            if cid_gidmap:
+                return "<" + "".join(
+                    f"{gid_of[c]:04X}" for c in text) + ">"
             return "<" + "".join(f"{ord(c):04X}" for c in text) + ">"
         if ligatures and "fi" in text:
             text = text.replace("fi", chr(LIG_CODE))

@@ -404,3 +404,186 @@ def test_ucs2_cmap_ascii_cid_map():
     f = load_font(doc, doc.get_object(5))
     assert f.code_to_cid[0x41] == 0x41 - 0x1F
     assert f.cjk_codec is None
+
+
+def test_cid_gidmap_recovery_via_truetype_cmap():
+    """Adobe-Identity CIDFontType2 whose codes are GIDs (not
+    codepoints), no ToUnicode: only the embedded TrueType cmap's
+    GID->Unicode reverse map recovers the text
+    (parsePdfFonts.js:76 buildGidToUnicodeFromTrueType + :1835-1851).
+    The naive codepoint fallback would emit control garbage here."""
+    from scribe_js_spark.extract import extract_document
+    from scribe_js_spark.render_fonts import build_truetype_blank
+
+    text = "Word"
+    gid_of = {c: i + 2 for i, c in enumerate(sorted(set(text)))}
+    tt = build_truetype_blank(
+        max(gid_of.values()) + 1, set(),
+        cmap={ord(c): g for c, g in gid_of.items()})
+    hexstr = "".join(f"{gid_of[c]:04X}" for c in text)
+    content = f"BT /F1 24 Tf 1 0 0 1 72 700 Tm <{hexstr}> Tj ET".encode()
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 "
+        b"/MediaBox [0 0 612 792] >>",
+        b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R /Resources "
+        b"<< /Font << /F1 5 0 R >> >> >>",
+        b"<< /Length %d >>\nstream\n" % len(content) + content
+        + b"\nendstream",
+        b"<< /Type /Font /Subtype /Type0 /BaseFont /GidMap "
+        b"/Encoding /Identity-H /DescendantFonts [6 0 R] >>",
+        b"<< /Type /Font /Subtype /CIDFontType2 /BaseFont /GidMap "
+        b"/CIDSystemInfo << /Registry (Adobe) /Ordering (Identity) "
+        b"/Supplement 0 >> /FontDescriptor 7 0 R /DW 1000 "
+        + b"/W [2 %d 500] >>" % max(gid_of.values()),
+        b"<< /Type /FontDescriptor /FontName /GidMap /Flags 32 "
+        b"/FontFile2 8 0 R >>",
+        b"<< /Length %d >>\nstream\n" % len(tt) + tt + b"\nendstream",
+    ]
+    res = extract_document(_pdf_with_objs(objs))
+    assert res.error is None, res.error
+    assert res.text == text
+
+
+def test_cid_mac_glyph_order_fallback_without_font_file():
+    """Non-embedded Adobe-Identity CIDFontType2: CID == GID and most
+    TrueType fonts keep the Mac standard glyph order for low gids, so
+    CID -> standardNames[CID] -> AGL (parsePdfFonts.js:1859-1869).
+    'H' is Mac-order index 43, 'i' is 76."""
+    from scribe_js_spark.extract import extract_document
+
+    content = b"BT /F1 24 Tf 1 0 0 1 72 700 Tm <002B004C> Tj ET"
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 "
+        b"/MediaBox [0 0 612 792] >>",
+        b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R /Resources "
+        b"<< /Font << /F1 5 0 R >> >> >>",
+        b"<< /Length %d >>\nstream\n" % len(content) + content
+        + b"\nendstream",
+        b"<< /Type /Font /Subtype /Type0 /BaseFont /MacOrd "
+        b"/Encoding /Identity-H /DescendantFonts [6 0 R] >>",
+        b"<< /Type /Font /Subtype /CIDFontType2 /BaseFont /MacOrd "
+        b"/CIDSystemInfo << /Registry (Adobe) /Ordering (Identity) "
+        b"/Supplement 0 >> /DW 1000 /W [43 [500] 76 [500]] >>",
+    ]
+    res = extract_document(_pdf_with_objs(objs))
+    assert res.error is None, res.error
+    assert res.text == "Hi"
+
+
+def test_cid_gidmap_render_pdf_roundtrip():
+    """render_pdf(cid_gidmap=True) end-to-end: the whole fixture
+    corpus shape (TJ arrays, multi-page, 500-em grid) extracts
+    byte-identically through the cmap recovery path."""
+    from scribe_js_spark.extract import extract_document
+    from scribe_js_spark.fixtures import build_doc_model, expected_text
+    from scribe_js_spark.render_pdf import render_pdf
+
+    for doc_id in (6, 23):
+        model = build_doc_model(doc_id)
+        pdf = render_pdf(model, cid_gidmap=True)
+        assert b"/ToUnicode" not in pdf
+        res = extract_document(pdf)
+        assert res.error is None, res.error
+        assert res.text == expected_text(model), f"doc {doc_id}"
+
+
+def test_type0_noncid_cff_charset_names_fill_tounicode():
+    """A Type0 font whose FontFile3 is a NON-CID CFF with an explicit
+    charset: glyph names resolve through AGL to fill ToUnicode
+    (parsePdfFonts.js:1747-1760) — here with no /ToUnicode at all,
+    including a custom-SID uniXXXX name."""
+    from scribe_js_spark.extract import extract_document
+    from scribe_js_spark.operators.pdf.fontprog import (
+        _CFF_STD_STRINGS_96)
+    from scribe_js_spark.render_fonts import build_cff_simple
+
+    # gids 1..3 = 'H', 'i', euro (custom SID via uni20AC)
+    sids = [_CFF_STD_STRINGS_96.index("H"),
+            _CFF_STD_STRINGS_96.index("i"), 391]
+    cff = build_cff_simple(sids, custom_strings=[b"uni20AC"])
+    content = b"BT /F1 24 Tf 1 0 0 1 72 700 Tm <000100020003> Tj ET"
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 "
+        b"/MediaBox [0 0 612 792] >>",
+        b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R /Resources "
+        b"<< /Font << /F1 5 0 R >> >> >>",
+        b"<< /Length %d >>\nstream\n" % len(content) + content
+        + b"\nendstream",
+        b"<< /Type /Font /Subtype /Type0 /BaseFont /SimpleCFF "
+        b"/Encoding /Identity-H /DescendantFonts [6 0 R] >>",
+        b"<< /Type /Font /Subtype /CIDFontType0 /BaseFont /SimpleCFF "
+        b"/CIDSystemInfo << /Registry (Adobe) /Ordering (Identity) "
+        b"/Supplement 0 >> /FontDescriptor 7 0 R /DW 1000 "
+        b"/W [1 3 500] >>",
+        b"<< /Type /FontDescriptor /FontName /SimpleCFF /Flags 32 "
+        b"/FontFile3 8 0 R >>",
+        b"<< /Length %d /Subtype /Type1C >>\nstream\n" % len(cff)
+        + cff + b"\nendstream",
+    ]
+    res = extract_document(_pdf_with_objs(objs))
+    assert res.error is None, res.error
+    assert res.text == "Hi€"
+
+
+def test_predefined_cjk_halfwidth_latin_width_fill():
+    """Predefined CJK CMaps standardize half-width Latin in the ROS;
+    /W omits them, so absent the 500-em fill they'd take /DW 1000
+    (parsePdfFonts.js:1733-1740)."""
+    from scribe_js_spark.operators.pdf.fonts import PdfFont, \
+        _apply_predefined_cjk_cmap
+
+    f = PdfFont()
+    f.cid = True
+    f.default_width = 1000.0
+    f.widths[65] = 480.0        # producer-specified survives
+    _apply_predefined_cjk_cmap(f, "90ms-RKSJ-H")
+    assert f.widths[65] == 480.0
+    assert f.widths[0x20] == 500.0 and f.widths[0x7E] == 500.0
+    assert 0x7F not in f.widths
+
+
+def test_cid_gidmap_via_sibling_basefont_fontfile2():
+    """CIDFontType2 with NO embedded program, but a sibling page font
+    with the same subset-stripped /BaseFont carries the FontFile2
+    (parsePdfFonts.js:1812-1836): the sibling's cmap supplies the
+    GID->Unicode map."""
+    from scribe_js_spark.extract import extract_document
+    from scribe_js_spark.render_fonts import build_truetype_blank
+
+    text = "Ok"
+    gid_of = {c: i + 5 for i, c in enumerate(sorted(set(text)))}
+    tt = build_truetype_blank(
+        max(gid_of.values()) + 1, set(),
+        cmap={ord(c): g for c, g in gid_of.items()})
+    hexstr = "".join(f"{gid_of[c]:04X}" for c in text)
+    content = f"BT /F1 24 Tf 1 0 0 1 72 700 Tm <{hexstr}> Tj ET".encode()
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 "
+        b"/MediaBox [0 0 612 792] >>",
+        b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R /Resources "
+        b"<< /Font << /F1 5 0 R /F2 7 0 R >> >> >>",
+        b"<< /Length %d >>\nstream\n" % len(content) + content
+        + b"\nendstream",
+        # F1: subset-tagged, no FontFile anywhere
+        b"<< /Type /Font /Subtype /Type0 /BaseFont /ABCDEF+Shared "
+        b"/Encoding /Identity-H /DescendantFonts [6 0 R] >>",
+        b"<< /Type /Font /Subtype /CIDFontType2 "
+        b"/BaseFont /ABCDEF+Shared "
+        b"/CIDSystemInfo << /Registry (Adobe) /Ordering (Identity) "
+        b"/Supplement 0 >> /DW 1000 /W [5 %d 500] >>"
+        % max(gid_of.values()),
+        # F2: same BaseFont (different subset tag), embeds the program
+        b"<< /Type /Font /Subtype /TrueType /BaseFont /GHIJKL+Shared "
+        b"/FirstChar 32 /LastChar 32 /Widths [500] "
+        b"/FontDescriptor 8 0 R >>",
+        b"<< /Type /FontDescriptor /FontName /GHIJKL+Shared /Flags 32 "
+        b"/FontFile2 9 0 R >>",
+        b"<< /Length %d >>\nstream\n" % len(tt) + tt + b"\nendstream",
+    ]
+    res = extract_document(_pdf_with_objs(objs))
+    assert res.error is None, res.error
+    assert res.text == text

@@ -37,7 +37,8 @@ def test_cff_summary_roundtrip():
 def test_cff_summary_tolerant_on_garbage():
     assert parse_cff_summary(b"") == {
         "ok": False, "is_cid": False, "n_glyphs": 0,
-        "cid_to_gid": None, "predefined_charset": False}
+        "cid_to_gid": None, "predefined_charset": False,
+        "charset_names": None}
     assert not parse_cff_summary(b"\xff\x10garbage")["ok"]
     whole = build_cff_cid([32, 65])
     for cut in (3, 10, 25, len(whole) - 2):
