@@ -83,9 +83,12 @@ def main():
     eff = (r4n["docs_per_sec"] / rn["docs_per_sec"]) / 4
     out = {"n": rn, "n4": r4n, "efficiency": round(eff, 4),
            "pinned": True}
-    with open(os.path.join(REPO, "BENCH", f"floor_{n}_{4 * n}.json"),
-              "w") as f:
-        f.write(json.dumps(out))
+    # Persist only on request: quick watcher probes must not clobber
+    # the canonical BENCH/floor_*.json records cited by BASELINE.md.
+    if os.environ.get("BENCH_FLOOR_PERSIST") == "1":
+        with open(os.path.join(REPO, "BENCH", f"floor_{n}_{4 * n}.json"),
+                  "w") as f:
+            f.write(json.dumps(out))
     print(json.dumps(out))
 
 

@@ -98,12 +98,14 @@ measured window). Parse-failure count at both levels: {rn['failed']} /
 {r4n['failed']} (expected 0).
 """
     # BENCH/BASELINE.md is hand-curated (it accumulates every recorded
-    # run); write the raw result next to it instead of clobbering.
-    with open(os.path.join(REPO, "BENCH",
-                           f"scaling_{N_CORES}_{4 * N_CORES}.json"),
-              "w") as f:
-        f.write(json.dumps({
-            "n": rn, "n4": r4n, "efficiency": round(efficiency, 4)}))
+    # run); the raw-result file next to it is only rewritten on
+    # request so ad-hoc probes can't clobber the recorded runs.
+    if os.environ.get("BENCH_SCALING_PERSIST") == "1":
+        with open(os.path.join(REPO, "BENCH",
+                               f"scaling_{N_CORES}_{4 * N_CORES}.json"),
+                  "w") as f:
+            f.write(json.dumps({
+                "n": rn, "n4": r4n, "efficiency": round(efficiency, 4)}))
     _ = md
     print(json.dumps({
         "n": rn, "n4": r4n, "efficiency": round(efficiency, 4)}))

@@ -47,18 +47,23 @@ def quick_floor() -> float:
 def full_protocol(tag: str) -> None:
     os.makedirs(OUT_DIR, exist_ok=True)
     rec = {"tag": tag, "unix": int(time.time())}
+    # A watcher-triggered protocol run is a deliberate record: let it
+    # refresh the canonical BENCH/scaling_*.json / floor_*.json files
+    # (quick probes leave them alone — see bench_floor.py).
+    env = dict(os.environ,
+               BENCH_SCALING_PERSIST="1", BENCH_FLOOR_PERSIST="1")
     for n in (8, 4):
         out = subprocess.run(
             [sys.executable, os.path.join(REPO, "tools", "bench_scaling.py"),
              "6000", str(n)],
-            capture_output=True, text=True, timeout=3600)
+            capture_output=True, text=True, timeout=3600, env=env)
         for line in out.stdout.splitlines():
             if line.startswith("{"):
                 rec[f"spark_{n}_{4 * n}"] = json.loads(line)
         out = subprocess.run(
             [sys.executable, os.path.join(REPO, "tools", "bench_floor.py"),
              "6000", str(n)],
-            capture_output=True, text=True, timeout=3600)
+            capture_output=True, text=True, timeout=3600, env=env)
         for line in out.stdout.splitlines():
             if line.startswith("{"):
                 rec[f"floor_{n}_{4 * n}"] = json.loads(line)
