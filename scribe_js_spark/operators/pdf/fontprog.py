@@ -309,6 +309,8 @@ def _cmap_format12(data: bytes, off: int) -> dict[int, int]:
         span = min(end - start, 1 << 16)
         for i in range(span + 1):
             out[start + i] = start_gid + i
+        if len(out) > (1 << 20):  # crafted-table allocation bomb
+            break
     return out
 
 

@@ -458,6 +458,22 @@ def load_font(doc, font_dict, sibling_fonts=None) -> PdfFont:
                     f.default_width = 0.0
         if not symbolic or base_enc:
             f.encoding = _base_encoding_map(base_enc)
+        # No /BaseEncoding: the spec's implicit base is the font's own
+        # built-in encoding. For an embedded Type1 the cleartext PFA
+        # header carries it as `dup N /name put` lines
+        # (parsePdfFonts.js:1136-1146 via parseType1PFAEncoding:101);
+        # /Differences below still override per code.
+        if base_enc is None and subtype == "Type1" \
+                and isinstance(fd, dict) \
+                and fd.get("FontFile") is not None:
+            try:
+                pfa = doc.stream_data(fd["FontFile"])
+                for code, gname in _parse_type1_pfa_encoding(pfa):
+                    u = glyph_name_to_unicode(gname)
+                    if u is not None:
+                        f.encoding[code] = u
+            except Exception:
+                pass
         # PDF 32000-1 9.6.6.4: a nonsymbolic font's named /Encoding is
         # authoritative; a symbolic font's is ignored (gates the
         # Symbol/Wingdings chart repairs below).
@@ -484,10 +500,22 @@ def load_font(doc, font_dict, sibling_fonts=None) -> PdfFont:
 
     tu = font_dict.get("ToUnicode")
     if tu is not None:
-        try:
-            f.to_unicode = parse_tounicode_cmap(doc.stream_data(tu))
-        except Exception:
-            pass
+        resolved_tu = doc.resolve(tu)
+        if isinstance(resolved_tu, str):
+            # /ToUnicode /Identity-H as a NAME: charCodes are Unicode
+            # codepoints directly; with an embedded encoding CMap the
+            # map materializes from charCode -> CID pairs
+            # (parsePdfFonts.js:861-871, 1760-1766). Without one, the
+            # emit-time chr(code) fallback is already exact.
+            if "Identity" in resolved_tu and f.code_to_cid:
+                for code in f.code_to_cid:
+                    if 0 < code <= 0x10FFFF:
+                        f.to_unicode[code] = chr(code)
+        else:
+            try:
+                f.to_unicode = parse_tounicode_cmap(doc.stream_data(tu))
+            except Exception:
+                pass
     if cff_charset_names:
         for gid, gname in cff_charset_names.items():
             if gid not in f.to_unicode:
@@ -517,6 +545,27 @@ def load_font(doc, font_dict, sibling_fonts=None) -> PdfFont:
     if not f.type3:
         _clamp_insane_widths(f)
     return f
+
+
+_PFA_DUP_RE = re.compile(rb"dup\s+(\d+)\s+/([^\s/<>\[\]]+)\s+put")
+
+
+def _parse_type1_pfa_encoding(font_file: bytes):
+    """(code, glyphname) pairs from the cleartext `/Encoding ... dup N
+    /name put` block at the start of a Type1 PFA
+    (parsePdfFonts.js parseType1PFAEncoding:101-121)."""
+    head = font_file[:16384]
+    start = head.find(b"/Encoding")
+    if start < 0:
+        return []
+    end = head.find(b"currentfile eexec", start)
+    block = head[start:end] if end > 0 else head[start:]
+    out = []
+    for m in _PFA_DUP_RE.finditer(block):
+        code = int(m.group(1))
+        if 0 <= code <= 255:
+            out.append((code, m.group(2).decode("latin-1")))
+    return out
 
 
 def _pdf_text(v) -> str:

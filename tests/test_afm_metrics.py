@@ -587,3 +587,71 @@ def test_cid_gidmap_via_sibling_basefont_fontfile2():
     res = extract_document(_pdf_with_objs(objs))
     assert res.error is None, res.error
     assert res.text == text
+
+
+def test_type1_pfa_builtin_encoding():
+    """An embedded Type1 with no /BaseEncoding: the PFA header's
+    cleartext `dup N /name put` encoding is the implicit base
+    (parsePdfFonts.js:1136-1146) — here code 65 is remapped to
+    /germandbls, which plain WinAnsi would read as 'A'."""
+    from scribe_js_spark.extract import extract_document
+
+    pfa = (b"%!PS-AdobeFont-1.0: Synth 001\n"
+           b"/Encoding 256 array\n"
+           b"0 1 255 {1 index exch /.notdef put} for\n"
+           b"dup 65 /germandbls put\n"
+           b"dup 66 /B put\n"
+           b"readonly def\n"
+           b"currentfile eexec\n" + b"\x00" * 32)
+    content = b"BT /F1 24 Tf 1 0 0 1 72 700 Tm (AB) Tj ET"
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 "
+        b"/MediaBox [0 0 612 792] >>",
+        b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R /Resources "
+        b"<< /Font << /F1 5 0 R >> >> >>",
+        b"<< /Length %d >>\nstream\n" % len(content) + content
+        + b"\nendstream",
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /SynthT1 "
+        b"/FirstChar 65 /LastChar 66 /Widths [500 500] "
+        b"/FontDescriptor 6 0 R >>",
+        b"<< /Type /FontDescriptor /FontName /SynthT1 /Flags 32 "
+        b"/FontFile 7 0 R >>",
+        b"<< /Length %d /Length1 %d /Length2 32 /Length3 0 >>"
+        b"\nstream\n" % (len(pfa), len(pfa) - 32) + pfa
+        + b"\nendstream",
+    ]
+    res = extract_document(_pdf_with_objs(objs))
+    assert res.error is None, res.error
+    assert res.text == "ßB"
+
+
+def test_tounicode_identity_name_with_encoding_cmap():
+    """/ToUnicode /Identity-H written as a NAME (not a stream):
+    charCodes are Unicode directly; the embedded encoding CMap's
+    charCode->CID pairs materialize the map
+    (parsePdfFonts.js:861-871, 1760-1766)."""
+    from scribe_js_spark.operators.pdf.document import PdfDocument
+    from scribe_js_spark.operators.pdf.fonts import load_font
+
+    cmap = (b"/CIDInit /ProcSet findresource begin\n"
+            b"1 begincodespacerange <0000> <FFFF> endcodespacerange\n"
+            b"2 begincidchar <0041> 7 <0042> 9 endcidchar\n"
+            b"endcmap end end\n")
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [] /Count 0 >>",
+        b"<< /Type /Font /Subtype /Type0 /BaseFont /IdName "
+        b"/Encoding 5 0 R /DescendantFonts [4 0 R] "
+        b"/ToUnicode /Identity-H >>",
+        b"<< /Type /Font /Subtype /CIDFontType0 /BaseFont /IdName "
+        b"/CIDSystemInfo << /Registry (Adobe) /Ordering (Identity) "
+        b"/Supplement 0 >> /DW 500 >>",
+        b"<< /Length %d >>\nstream\n" % len(cmap) + cmap
+        + b"\nendstream",
+    ]
+    doc = PdfDocument(_pdf_with_objs(objs))
+    f = load_font(doc, doc.get_object(3))
+    assert f.to_unicode.get(0x41) == "A"
+    assert f.to_unicode.get(0x42) == "B"
+    assert f.width_for(0x41) == 500.0  # code -> CID 7 -> DW

@@ -350,3 +350,45 @@ def test_inline_images_never_raise_on_mutations():
         res = extract_document(mutated)
         assert res.error is None or isinstance(res.error, str)
     assert decoded > 0  # some mutants keep a decodable inline image
+
+
+def test_gidmap_cid_docs_never_raise_on_mutations():
+    """The Identity-H recovery ladder (TrueType cmap reverse map,
+    sibling-BaseFont search, Mac-order fallback, non-CID CFF charset
+    names) must degrade to error values / skipped fills on arbitrary
+    corruption — the cmap and PFA parsers see attacker-shaped bytes at
+    corpus scale."""
+    from scribe_js_spark.fixtures import build_doc_model
+    from scribe_js_spark.render_pdf import render_pdf
+
+    model = build_doc_model(6, n_pages=1)
+    docs = [render_pdf(model, cid_gidmap=True, rotate=False)]
+    rng = np.random.RandomState(20260818)
+    for _ in range(120):
+        mutated = _mutate(docs[rng.randint(len(docs))], rng)
+        res = extract_document(mutated)  # must not raise
+        if res.error is None:
+            assert isinstance(res.text, str)
+
+
+def test_cmap_and_pfa_parsers_never_raise_on_garbage():
+    from scribe_js_spark.operators.pdf.fontprog import (
+        parse_cff_summary, truetype_code_to_gid, truetype_gid_to_unicode)
+    from scribe_js_spark.operators.pdf.fonts import (
+        _parse_type1_pfa_encoding)
+    from scribe_js_spark.render_fonts import (
+        build_cff_simple, build_truetype_blank)
+
+    rng = np.random.RandomState(77)
+    tt = build_truetype_blank(
+        40, set(), cmap={c: c - 30 for c in range(32, 70)})
+    cff = build_cff_simple([1, 34, 391], custom_strings=[b"uni20AC"])
+    pfa = (b"/Encoding 256 array\ndup 65 /germandbls put\n"
+           b"currentfile eexec\n" + b"\x00" * 16)
+    for _ in range(200):
+        seed = [tt, cff, pfa][rng.randint(3)]
+        m = _mutate(seed, rng)
+        truetype_code_to_gid(m)        # None or dict, never raise
+        truetype_gid_to_unicode(m)
+        parse_cff_summary(m)
+        _parse_type1_pfa_encoding(m)
