@@ -326,7 +326,16 @@ def load_font(doc, font_dict, sibling_fonts=None) -> PdfFont:
     embedded once but referenced under two tags)."""
     font_dict = doc.resolve(font_dict)
     f = PdfFont()
-    base = str(doc.resolve(font_dict.get("BaseFont", "")) or "")
+    base_v = doc.resolve(font_dict.get("BaseFont", ""))
+    if isinstance(base_v, bytes):
+        # /BaseFont as a hex STRING (<feff0041...>): UTF-16BE when
+        # BOM'd, latin-1 otherwise (parsePdfFonts.js:809-840).
+        if base_v[:2] == b"\xfe\xff":
+            base = base_v[2:].decode("utf-16-be", "replace")
+        else:
+            base = base_v.decode("latin-1", "replace")
+    else:
+        base = str(base_v or "")
     f.base_name = re.sub(r"^[A-Z]{6}\+", "", base)
     f.family_name = re.sub(r"[-,].*$", "", f.base_name)
     f.bold = bool(_BOLD_NAME_RE.search(f.base_name))
@@ -412,8 +421,16 @@ def load_font(doc, font_dict, sibling_fonts=None) -> PdfFont:
             if fm:
                 f.font_matrix = [float(doc.resolve(x)) for x in fm]
             _hash_type3_charprocs(doc, font_dict, f)
-        first_char = int(doc.resolve(font_dict.get("FirstChar", 0)) or 0)
         widths = doc.resolve(font_dict.get("Widths"))
+        fc = doc.resolve(font_dict.get("FirstChar"))
+        if fc is None and widths:
+            # /FirstChar is required by the spec but some generators
+            # omit it while supplying /Widths + /LastChar; anchor the
+            # array at LastChar - len + 1 (parsePdfFonts.js:1451-1456).
+            lc = doc.resolve(font_dict.get("LastChar"))
+            fc = (max(0, int(lc) - len(widths) + 1)
+                  if lc is not None else 0)
+        first_char = int(fc or 0)
         if widths:
             vals = [float(doc.resolve(w)) for w in widths]
             for i, w in enumerate(vals):
@@ -516,6 +533,8 @@ def load_font(doc, font_dict, sibling_fonts=None) -> PdfFont:
                 f.to_unicode = parse_tounicode_cmap(doc.stream_data(tu))
             except Exception:
                 pass
+    if f.type3:
+        _apply_type3_charproc_metrics(doc, font_dict, f)
     if cff_charset_names:
         for gid, gname in cff_charset_names.items():
             if gid not in f.to_unicode:
@@ -538,6 +557,18 @@ def load_font(doc, font_dict, sibling_fonts=None) -> PdfFont:
 
     apply_symbolic_font_charts(f, named_auth,
                                has_named_base_encoding=has_named_enc)
+    if not f.cid and not f.type3 \
+            and re.match(r"cm", f.base_name, re.I) \
+            and not re.search(r"CMSY|CMEX", f.base_name, re.I):
+        # TeX Computer Modern TEXT fonts use OT1 encoding: charCodes
+        # 11-15 are the ff/fi/fl/ffi/ffl ligatures. Symbol (CMSY) and
+        # extension (CMEX) faces use different low-code layouts
+        # (parsePdfFonts.js:2114-2131).
+        for code, ch in ((11, "ﬀ"), (12, "ﬁ"), (13, "ﬂ"),
+                         (14, "ﬃ"), (15, "ﬄ")):
+            if code not in f.to_unicode:
+                f.to_unicode[code] = ch
+                f.encoding[code] = ch
     if not f.cid and not f.type3 and f.to_unicode and f.encoding:
         _detect_case_flipped_tounicode(f)
     if f.cid and not f.to_unicode:
@@ -1031,6 +1062,103 @@ def _hash_type3_charprocs(doc, font_dict, f: PdfFont) -> None:
             out[c] = proc_hash[name]
         if out:
             f.type3_glyph_hash = out
+    except Exception:
+        pass
+
+
+_T3_D1_RE = re.compile(
+    rb"^\s*(-?[\d.]+)\s+(-?[\d.]+)\s+(-?[\d.]+)\s+(-?[\d.]+)"
+    rb"\s+(-?[\d.]+)\s+(-?[\d.]+)\s+d1\b")
+_T3_D0_RE = re.compile(rb"^\s*(-?[\d.]+)\s+(-?[\d.]+)\s+d0\b")
+_T3_OP_RE = re.compile(rb"(?<![/\w])[A-Za-z'\"*]+")
+# Graphics-state-only operators paint nothing; anything else (paths,
+# images, nested text, shadings) might (parsePdfDoc.js:486-487: zero
+# path commands does not prove emptiness).
+_T3_NONMARKING = {b"q", b"Q", b"cm", b"gs", b"w", b"J", b"j", b"M",
+                  b"d", b"ri", b"i", b"d0", b"d1", b"m", b"h", b"n",
+                  b"W", b"g", b"rg", b"k", b"cs", b"CS", b"sc", b"scn",
+                  b"G", b"RG", b"K", b"SC", b"SCN"}
+
+
+def _type3_blank(body: bytes) -> bool | None:
+    """True when the CharProc provably draws nothing (every operator
+    is a known non-marking one), False when something might paint,
+    None when unreadable (not provably empty — consumers must keep
+    the glyph, parsePdfDoc.js:477-487)."""
+    try:
+        for op in _T3_OP_RE.findall(body):
+            if op not in _T3_NONMARKING:
+                return False
+        return True
+    except Exception:
+        return None
+
+
+def _apply_type3_charproc_metrics(doc, font_dict, f: PdfFont) -> None:
+    """Type3 metrics from the CharProc streams themselves
+    (parsePdfFonts.js:2179-2222 parseType3Font): each glyph's leading
+    `wx wy d0` / `wx wy llx lly urx ury d1` advance, scaled through
+    FontMatrix into the shared 1000-em width space, overrides the raw
+    /Widths entry (Type3 /Widths are glyph-space units, so a
+    non-0.001 FontMatrix makes the raw value wrong); provably-blank
+    glyphs map to a space and drawn-but-unmapped ones to a PUA
+    placeholder so code 32 is not mistaken for a space; characters
+    outside the encoding advance nothing (defaultWidth 0); a sane
+    FontBBox supplies ascent/descent."""
+    try:
+        enc_obj = doc.resolve(font_dict.get("Encoding"))
+        char_procs = doc.resolve(font_dict.get("CharProcs"))
+        if not isinstance(enc_obj, dict) \
+                or not isinstance(char_procs, dict):
+            return
+        diffs = doc.resolve(enc_obj.get("Differences"))
+        if not diffs:
+            return
+        code_to_name: dict[int, str] = {}
+        code = 0
+        for item in diffs:
+            item = doc.resolve(item)
+            if isinstance(item, (int, float)):
+                code = int(item)
+            else:
+                code_to_name[code] = str(item)
+                code += 1
+        fm = f.font_matrix or [0.001, 0, 0, 0.001, 0, 0]
+        parsed_any = False
+        body_cache: dict[str, bytes] = {}
+        for c, name in code_to_name.items():
+            if name not in char_procs:
+                continue
+            if name not in body_cache:
+                try:
+                    body_cache[name] = doc.stream_data(char_procs[name])
+                except Exception:
+                    continue
+            body = body_cache[name]
+            m = _T3_D1_RE.match(body) or _T3_D0_RE.match(body)
+            if m is None:
+                continue
+            parsed_any = True
+            wx = float(m.group(1))
+            if wx > 0:
+                f.widths[c] = wx * fm[0] * 1000.0
+                if c not in f.to_unicode:
+                    blank = _type3_blank(body)
+                    if blank is True:
+                        f.to_unicode[c] = " "
+                    elif blank is False:
+                        f.to_unicode[c] = chr(0xE000 + c)
+        if parsed_any:
+            f.default_width = 0.0
+        fb = doc.resolve(font_dict.get("FontBBox"))
+        fm3 = float(fm[3]) if len(fm) > 3 else 0.001
+        if isinstance(fb, list) and len(fb) == 4:
+            y0 = float(doc.resolve(fb[1]))
+            y1 = float(doc.resolve(fb[3]))
+            em_h = abs((y1 - y0) * fm3)
+            if 0.2 < em_h < 3:
+                f.ascent = y1 * fm3
+                f.descent = y0 * fm3
     except Exception:
         pass
 

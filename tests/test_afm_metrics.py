@@ -655,3 +655,70 @@ def test_tounicode_identity_name_with_encoding_cmap():
     assert f.to_unicode.get(0x41) == "A"
     assert f.to_unicode.get(0x42) == "B"
     assert f.width_for(0x41) == 500.0  # code -> CID 7 -> DW
+
+
+def test_basefont_hex_string_and_missing_firstchar():
+    """/BaseFont may be a UTF-16BE hex string and /FirstChar may be
+    omitted with /Widths + /LastChar present — the array anchors at
+    LastChar - len + 1 (parsePdfFonts.js:809-840, 1451-1456)."""
+    doc = _doc_with_font(
+        b"<< /Type /Font /Subtype /Type1 "
+        b"/BaseFont <FEFF0041007200690061006C002D0042006F006C0064> "
+        b"/LastChar 66 /Widths [ 700 710 ] >>")
+    f = load_font(doc, doc.get_object(3))
+    assert f.base_name == "Arial-Bold"
+    assert f.bold
+    assert f.width_for(65) == 700.0 and f.width_for(66) == 710.0
+
+
+def test_tex_cm_ot1_ligatures():
+    """TeX Computer Modern text faces (CMR10 etc.) use OT1: codes
+    11-15 are ff/fi/fl/ffi/ffl; CMSY/CMEX must not get the mapping
+    (parsePdfFonts.js:2114-2131)."""
+    doc = _doc_with_font(
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /CMR10 "
+        b"/FirstChar 11 /LastChar 12 /Widths [ 583 556 ] >>")
+    f = load_font(doc, doc.get_object(3))
+    assert f.unicode_for(11) == "ﬀ" and f.unicode_for(12) == "ﬁ"
+    doc2 = _doc_with_font(
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /CMSY10 "
+        b"/FirstChar 11 /LastChar 12 /Widths [ 583 556 ] >>")
+    f2 = load_font(doc2, doc2.get_object(3))
+    assert f2.to_unicode.get(11) is None
+
+
+def test_type3_charproc_metrics():
+    """Type3 metrics come from the CharProcs (parseType3Font,
+    parsePdfFonts.js:2179-2222): d0 advances scale through a
+    non-0.001 FontMatrix, provably-blank glyphs read as spaces,
+    drawn-but-unmapped glyphs get PUA placeholders, out-of-encoding
+    codes advance nothing, and a sane FontBBox sets the line box."""
+    from scribe_js_spark.operators.pdf.document import PdfDocument
+    from scribe_js_spark.operators.pdf.fonts import load_font
+
+    drawn = b"50 0 d0 1 1 3 4 re f"
+    blank = b"50 0 d0"
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [] /Count 0 >>",
+        b"<< /Type /Font /Subtype /Type3 /FontBBox [0 -20 60 80] "
+        b"/FontMatrix [0.01 0 0 0.01 0 0] "
+        b"/CharProcs << /gD 4 0 R /gB 5 0 R >> "
+        b"/Encoding << /Type /Encoding /Differences [65 /gD /gB] >> "
+        b"/FirstChar 65 /LastChar 66 /Widths [480 480] >>",
+        b"<< /Length %d >>\nstream\n" % len(drawn) + drawn
+        + b"\nendstream",
+        b"<< /Length %d >>\nstream\n" % len(blank) + blank
+        + b"\nendstream",
+    ]
+    doc = PdfDocument(_pdf_with_objs(objs))
+    f = load_font(doc, doc.get_object(3))
+    # d0 wx=50 em-units * 0.01 * 1000 = 500, overriding raw 480
+    assert f.width_for(65) == 500.0
+    # blank CharProc -> space; drawn unmapped -> PUA
+    assert f.to_unicode[66] == " "
+    assert f.to_unicode[65] == chr(0xE000 + 65)
+    # out-of-encoding advance is 0
+    assert f.width_for(90) == 0.0
+    # FontBBox [0 -20 60 80] * fm3 0.01 -> ascent .8, descent -.2
+    assert abs(f.ascent - 0.8) < 1e-9 and abs(f.descent + 0.2) < 1e-9
