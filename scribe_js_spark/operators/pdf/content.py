@@ -17,7 +17,7 @@ from __future__ import annotations
 import math
 from itertools import repeat
 
-from .fonts import PdfFont, load_font
+from .fonts import PdfFont, load_font_cached
 from .lexer import Lexer, Name, Ref, StreamObj, DELIMS, WHITESPACE
 
 
@@ -305,11 +305,12 @@ class TextMachine:
             return None
         key = ref.num if isinstance(ref, Ref) else id(ref)
         if key not in self._font_cache:
-            try:
-                self._font_cache[key] = load_font(
-                    doc, ref, sibling_fonts=fonts)
-            except Exception:
-                self._font_cache[key] = PdfFont()
+            # Two-level cache: per-machine for the hot Tf lookup,
+            # doc-level underneath so fonts shared across pages and
+            # Form XObjects parse once per document
+            # (parsePdfFonts.js:796 objCache.fontCache).
+            self._font_cache[key] = load_font_cached(
+                doc, ref, sibling_fonts=fonts)
         return self._font_cache[key]
 
     # ---------------------------------------------------- color + gstate

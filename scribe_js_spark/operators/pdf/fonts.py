@@ -317,6 +317,38 @@ _ITALIC_NAME_RE = re.compile(r"italic|oblique", re.I)
 _SMALLCAPS_NAME_RE = re.compile(r"(small\W?cap)|(sc$)", re.I)
 
 
+def load_font_cached(doc, ref, sibling_fonts=None) -> PdfFont:
+    """Document-scoped font cache (reference objCache.fontCache:796):
+    a font referenced from many pages or Form XObjects pays the parse
+    cost once per document, and the cross-font passes (sibling
+    FontFile2 search, family ToUnicode inheritance) can resolve
+    donors without reparsing. Cycles between mutually-referencing
+    siblings load bare (uncached, no sibling context)."""
+    from .lexer import Ref
+
+    cache = getattr(doc, "_font_cache", None)
+    if cache is None:
+        cache = doc._font_cache = {}
+    key = ref.num if isinstance(ref, Ref) else id(ref)
+    f = cache.get(key)
+    if f is not None:
+        return f
+    loading = getattr(doc, "_font_loading", None)
+    if loading is None:
+        loading = doc._font_loading = set()
+    if key in loading:
+        return load_font(doc, ref)
+    loading.add(key)
+    try:
+        f = load_font(doc, ref, sibling_fonts=sibling_fonts)
+    except Exception:
+        f = PdfFont()
+    finally:
+        loading.discard(key)
+    cache[key] = f
+    return f
+
+
 def load_font(doc, font_dict, sibling_fonts=None) -> PdfFont:
     """Resolve one /Font resource into a PdfFont. ``sibling_fonts``
     is the page's full /Font dict; when a CIDFontType2 has no embedded
@@ -575,6 +607,11 @@ def load_font(doc, font_dict, sibling_fonts=None) -> PdfFont:
         _apply_predefined_cjk_cmap(f, type0_enc_name)
     if not f.type3:
         _clamp_insane_widths(f)
+    if f.cid:
+        _repair_dominant_offset_tounicode(f)
+    if not f.to_unicode and not f.type3 and sibling_fonts:
+        _inherit_family_tounicode(doc, f, font_dict, subtype,
+                                  sibling_fonts)
     return f
 
 
@@ -738,6 +775,148 @@ def _apply_identity_cid_recovery(f: PdfFont, registry: str,
             u = glyph_name_to_unicode(name)
             if u:
                 f.to_unicode[cid] = u
+
+
+def _repair_dominant_offset_tounicode(f: PdfFont) -> None:
+    """Some producers write identity-mapped ToUnicode entries where
+    glyph-name lookup failed, even when the rest of the CMap follows
+    a consistent non-zero shift: when >= 80% of >= 10 single-char
+    entries share one offset, the identity entries take it too
+    (parsePdfFonts.js:2411-2449; Type0 only — simple/Type3 charCodes
+    legitimately identity-map)."""
+    singles = [(cc, ord(s)) for cc, s in f.to_unicode.items()
+               if isinstance(s, str) and len(s) == 1]
+    if len(singles) < 10:
+        return
+    counts: dict[int, int] = {}
+    for cc, cp in singles:
+        counts[cp - cc] = counts.get(cp - cc, 0) + 1
+    off, n = max(counts.items(), key=lambda kv: kv[1])
+    if off == 0 or n / len(singles) < 0.8:
+        return
+    for cc, cp in singles:
+        if cp != cc:
+            continue
+        corrected = cc + off
+        if 0x20 <= corrected <= 0x10FFFF:
+            f.to_unicode[cc] = chr(corrected)
+
+
+def _norm_family(name: str) -> str:
+    return re.sub(r"(psmt|ps|mt)$", "", (name or "").lower())
+
+
+def _families_compatible(a: str, b: str) -> bool:
+    if not a or not b:
+        return False
+    return a == b or a.startswith(b) or b.startswith(a)
+
+
+def _type0_style_key(base_name: str) -> str:
+    clean = re.sub(r"^[A-Z]{6}\+", "", base_name or "")
+    parts = [p for p in clean.split("-") if p]
+    if len(parts) >= 2:
+        return f"{parts[0]}-{parts[1]}".lower()
+    return clean.lower()
+
+
+def _width_compat(target: PdfFont, donor: PdfFont) -> tuple[int, float]:
+    overlap = equal = 0
+    for cid, w in target.widths.items():
+        dw = donor.widths.get(cid)
+        if dw is None:
+            continue
+        overlap += 1
+        if abs(dw - w) < 0.01:
+            equal += 1
+    return overlap, (equal / overlap if overlap else 0.0)
+
+
+def _inherit_family_tounicode(doc, f: PdfFont, own_dict, subtype: str,
+                              sibling_fonts) -> None:
+    """A producer that emits a ToUnicode CMap for only some style
+    variants of a family: the mapless font inherits from a sibling
+    (parsePdfFonts.js:2452-2527). Type0 inheritance is gated tightly
+    — two Type0 fonts sharing a family can assign entirely different
+    CIDs — on an identical codespace plus either >= 98% width
+    equality over >= 64 shared CIDs, or a same-style-key donor with
+    >= 95% mutual /W coverage whose candidates agree with each
+    other."""
+    try:
+        own_dict = doc.resolve(own_dict)
+        donors = []
+        fam = _norm_family(f.family_name)
+        for sib_ref in dict(sibling_fonts).values():
+            sib_dict = doc.resolve(sib_ref)
+            if not isinstance(sib_dict, dict) or sib_dict is own_dict:
+                continue
+            sib = load_font_cached(doc, sib_ref,
+                                   sibling_fonts=sibling_fonts)
+            if sib is f or not sib.to_unicode:
+                continue
+            if not _families_compatible(fam,
+                                        _norm_family(sib.family_name)):
+                continue
+            donors.append(sib)
+        if not donors:
+            return
+        if not f.cid:
+            # Broad branch: only fonts of unrecognized subtype reach
+            # here mapless (reference skips type1Info carriers, which
+            # every parsed Type1/TrueType has).
+            if subtype in ("Type1", "TrueType", "MMType1"):
+                return
+            for sib in donors:
+                for cid, uni in sib.to_unicode.items():
+                    f.to_unicode.setdefault(cid, uni)
+            return
+        best = None
+        best_ratio = 0.0
+        best_overlap = 0
+        for sib in donors:
+            if not sib.cid:
+                continue
+            if sib.codespace_ranges != f.codespace_ranges:
+                continue
+            overlap, ratio = _width_compat(f, sib)
+            if overlap < 64 or ratio < 0.98:
+                continue
+            if ratio > best_ratio or (ratio == best_ratio
+                                      and overlap > best_overlap):
+                best, best_ratio, best_overlap = sib, ratio, overlap
+        if best is None:
+            key = _type0_style_key(f.base_name)
+            cands = []
+            for sib in donors:
+                if not sib.cid \
+                        or sib.codespace_ranges != f.codespace_ranges \
+                        or _type0_style_key(sib.base_name) != key \
+                        or not f.widths or not sib.widths:
+                    continue
+                overlap = sum(1 for cid in f.widths
+                              if cid in sib.widths)
+                if overlap / len(f.widths) >= 0.95 \
+                        and overlap / len(sib.widths) >= 0.95:
+                    cands.append(sib)
+            if not cands:
+                return
+            ref0 = cands[0]
+            for sib in cands[1:]:
+                overlap = conflicts = 0
+                for cid, uni in ref0.to_unicode.items():
+                    su = sib.to_unicode.get(cid)
+                    if su is None:
+                        continue
+                    overlap += 1
+                    if su != uni:
+                        conflicts += 1
+                if overlap >= 64 and conflicts / overlap > 0.02:
+                    return
+            best = ref0
+        for cid, uni in best.to_unicode.items():
+            f.to_unicode.setdefault(cid, uni)
+    except Exception:
+        pass
 
 
 # Adobe's predefined CJK CMaps: fixed codespace ranges per the public

@@ -722,3 +722,67 @@ def test_type3_charproc_metrics():
     assert f.width_for(90) == 0.0
     # FontBBox [0 -20 60 80] * fm3 0.01 -> ascent .8, descent -.2
     assert abs(f.ascent - 0.8) < 1e-9 and abs(f.descent + 0.2) < 1e-9
+
+
+def test_dominant_offset_tounicode_repair():
+    """>=80% of a Type0 font's single-char ToUnicode entries sharing
+    one non-zero shift mark the identity-mapped leftovers as failed
+    glyph-name lookups; they take the dominant offset too
+    (parsePdfFonts.js:2411-2449)."""
+    from scribe_js_spark.operators.pdf.fonts import (
+        PdfFont, _repair_dominant_offset_tounicode)
+
+    f = PdfFont()
+    f.cid = True
+    for cc in range(0x20, 0x2D):          # 13 entries shifted +0x1D00
+        f.to_unicode[cc] = chr(cc + 0x1D00)
+    f.to_unicode[0x2D] = chr(0x2D)        # broken identity leftover
+    _repair_dominant_offset_tounicode(f)
+    assert f.to_unicode[0x2D] == chr(0x2D + 0x1D00)
+    # all-identity maps are left alone (offset 0 dominates)
+    g = PdfFont()
+    g.cid = True
+    for cc in range(0x41, 0x50):
+        g.to_unicode[cc] = chr(cc)
+    _repair_dominant_offset_tounicode(g)
+    assert g.to_unicode[0x41] == "A"
+
+
+def test_family_tounicode_inheritance_type0():
+    """A Type0 style variant without ToUnicode inherits from the
+    same-family sibling when codespaces match and /W widths agree on
+    >= 64 shared CIDs (parsePdfFonts.js:2452-2527). Ordering Japan1
+    keeps the Identity-recovery ladder out of the way."""
+    from scribe_js_spark.operators.pdf.document import PdfDocument
+    from scribe_js_spark.operators.pdf.fonts import load_font
+
+    pairs = "\n".join(f"<{c:04X}> <{c + 0x30A0:04X}>"
+                      for c in range(1, 81))
+    tounicode = (
+        "/CIDInit /ProcSet findresource begin\nbegincmap\n"
+        "1 begincodespacerange <0000> <FFFF> endcodespacerange\n"
+        f"80 beginbfchar\n{pairs}\nendbfchar\nendcmap end"
+    ).encode()
+    desc = (b"<< /Type /Font /Subtype /CIDFontType0 /BaseFont /%s "
+            b"/CIDSystemInfo << /Registry (Adobe) /Ordering (Japan1) "
+            b"/Supplement 2 >> /DW 1000 /W [1 80 500] >>")
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [] /Count 0 >>",
+        # target: Bold variant, no ToUnicode
+        b"<< /Type /Font /Subtype /Type0 /BaseFont /Mincho-Bold "
+        b"/Encoding /Identity-H /DescendantFonts [5 0 R] >>",
+        # donor: Regular variant with ToUnicode
+        b"<< /Type /Font /Subtype /Type0 /BaseFont /Mincho-Regular "
+        b"/Encoding /Identity-H /DescendantFonts [6 0 R] "
+        b"/ToUnicode 7 0 R >>",
+        desc % b"Mincho-Bold",
+        desc % b"Mincho-Regular",
+        b"<< /Length %d >>\nstream\n" % len(tounicode) + tounicode
+        + b"\nendstream",
+    ]
+    doc = PdfDocument(_pdf_with_objs(objs))
+    fonts = {"F1": doc.get_object(3), "F2": doc.get_object(4)}
+    f = load_font(doc, doc.get_object(3), sibling_fonts=fonts)
+    assert f.to_unicode.get(1) == chr(1 + 0x30A0)
+    assert f.to_unicode.get(80) == chr(80 + 0x30A0)
