@@ -151,7 +151,7 @@ def parse_cff_summary(data: bytes) -> dict:
     table)."""
     empty = {"ok": False, "is_cid": False, "n_glyphs": 0,
              "cid_to_gid": None, "predefined_charset": False,
-             "charset_names": None}
+             "charset_names": None, "encoding_map": None}
     try:
         if not data or len(data) < 4 or data[0] != 1:
             return empty
@@ -181,10 +181,15 @@ def parse_cff_summary(data: bytes) -> dict:
                 name = _cff_sid_name(sid, strings)
                 if name is not None:
                     charset_names[gid] = name
+        encoding_map = None
+        enc_op = int(top[16][0]) if 16 in top else 0
+        if not is_cid and enc_op > 1:
+            encoding_map = _parse_cff_encoding(data, enc_op, n_glyphs)
         return {"ok": True, "is_cid": is_cid, "n_glyphs": n_glyphs,
                 "cid_to_gid": cid_to_gid,
                 "predefined_charset": predefined,
-                "charset_names": charset_names}
+                "charset_names": charset_names,
+                "encoding_map": encoding_map}
     except Exception:
         return empty
 
@@ -204,6 +209,33 @@ _CFF_STD_STRINGS_96 = (
     "quoteleft a b c d e f g h i j k l m n o p q r s t u v w x y z "
     "braceleft bar braceright asciitilde"
 ).split()
+
+
+def _parse_cff_encoding(data: bytes, pos: int,
+                        n_glyphs: int) -> dict[int, int] | None:
+    """Custom CFF Encoding (formats 0/1, supplement bit ignored) ->
+    {charCode: gid}. GID is the encoding position plus one because
+    GID 0 is .notdef and has no encoding entry."""
+    fmt = data[pos] & 0x7F
+    out: dict[int, int] = {}
+    if fmt == 0:
+        n_codes = data[pos + 1]
+        for i in range(min(n_codes, n_glyphs - 1)):
+            out[data[pos + 2 + i]] = i + 1
+    elif fmt == 1:
+        n_ranges = data[pos + 1]
+        gid = 1
+        for r in range(n_ranges):
+            first = data[pos + 2 + r * 2]
+            n_left = data[pos + 3 + r * 2]
+            for i in range(n_left + 1):
+                if gid >= n_glyphs or first + i > 255:
+                    break
+                out[first + i] = gid
+                gid += 1
+    else:
+        return None
+    return out or None
 
 
 def _cff_sid_name(sid: int, strings: list[bytes]) -> str | None:

@@ -383,6 +383,7 @@ def load_font(doc, font_dict, sibling_fonts=None) -> PdfFont:
     cid_registry = ""
     cid_ordering = ""
     cff_charset_names: dict[int, str] | None = None
+    simple_cff_fill = None
     if subtype == "Type0":
         f.cid = True
         f.two_byte = True  # Identity-H / standard CMaps; 2-byte codes
@@ -545,6 +546,20 @@ def load_font(doc, font_dict, sibling_fonts=None) -> PdfFont:
         if not f.widths:
             _apply_standard_metrics(f, base_enc, diff_names)
         _apply_dingbats_differences(f, diff_names)
+        # Simple Type1C: some generators emit sparse /Differences or
+        # omit /ToUnicode, relying on the embedded CFF's own custom
+        # Encoding table for the rest (parsePdfFonts.js:2133-2177);
+        # applied after the ToUnicode parse below.
+        if isinstance(fd, dict) and fd.get("FontFile3") is not None:
+            try:
+                from .fontprog import parse_cff_summary
+
+                s3 = parse_cff_summary(doc.stream_data(fd["FontFile3"]))
+                if s3["ok"] and not s3["is_cid"] \
+                        and s3["encoding_map"] and s3["charset_names"]:
+                    simple_cff_fill = (s3, base_enc, diff_names)
+            except Exception:
+                pass
         _apply_descriptor(doc, fd, f)
 
     tu = font_dict.get("ToUnicode")
@@ -565,6 +580,8 @@ def load_font(doc, font_dict, sibling_fonts=None) -> PdfFont:
                 f.to_unicode = parse_tounicode_cmap(doc.stream_data(tu))
             except Exception:
                 pass
+    if simple_cff_fill is not None:
+        _apply_simple_cff_encoding(f, *simple_cff_fill)
     if f.type3:
         _apply_type3_charproc_metrics(doc, font_dict, f)
     if cff_charset_names:
@@ -775,6 +792,41 @@ def _apply_identity_cid_recovery(f: PdfFont, registry: str,
             u = glyph_name_to_unicode(name)
             if u:
                 f.to_unicode[cid] = u
+
+
+_SYMBOL_NAME_RE = re.compile(r"sym|ding|wing", re.I)
+
+
+def _apply_simple_cff_encoding(f: PdfFont, summary: dict,
+                               base_enc, diff_names) -> None:
+    """Fill ToUnicode gaps from a simple Type1C's custom Encoding
+    table: code -> gid -> charset glyph name -> AGL
+    (parsePdfFonts.js:2150-2174). A named /BaseEncoding covers every
+    code, and /Differences entries stay authoritative; symbol /
+    decoration faces often reuse Latin glyph names for bullets, so
+    their ASCII codepoints are skipped rather than extracted as
+    letters."""
+    if base_enc is not None:
+        return
+    names = summary["charset_names"]
+    sym = bool(_SYMBOL_NAME_RE.search(f.base_name)
+               or _SYMBOL_NAME_RE.search(f.family_name))
+    for code, gid in summary["encoding_map"].items():
+        if code in f.to_unicode or code in diff_names:
+            continue
+        name = names.get(gid)
+        if not name:
+            continue
+        u = glyph_name_to_unicode(name)
+        if not u:
+            continue
+        if len(u) == 1:
+            cp = ord(u)
+            if cp <= 0x1F or cp == 0x7F:
+                continue
+            if sym and cp <= 0x7F:
+                continue
+        f.to_unicode[code] = u
 
 
 def _repair_dominant_offset_tounicode(f: PdfFont) -> None:

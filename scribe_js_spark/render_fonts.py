@@ -358,11 +358,14 @@ def build_truetype_blank(n_glyphs: int, empty_gids: set[int],
 
 def build_cff_simple(sids: list[int],
                      custom_strings: list[bytes] = (),
-                     name: bytes = b"SynthCFFSimple") -> bytes:
+                     name: bytes = b"SynthCFFSimple",
+                     encoding: dict[int, int] | None = None) -> bytes:
     """Non-CID CFF with an explicit format-0 charset listing ``sids``
     (gid i+1 -> sids[i]; gid 0 = .notdef implicit). SIDs >= 391 index
-    ``custom_strings``. Exercises the charset-names -> AGL ToUnicode
-    enrichment (parsePdfFonts.js:1747-1760)."""
+    ``custom_strings``. ``encoding`` adds a custom format-0 Encoding
+    table (charCode for gid 1, 2, ... in order). Exercises the
+    charset-names -> AGL ToUnicode enrichment and the custom-Encoding
+    fill (parsePdfFonts.js:1747-1760, 2133-2177)."""
     sids = [int(s) for s in sids]
     n_glyphs = len(sids) + 1
 
@@ -370,22 +373,32 @@ def build_cff_simple(sids: list[int],
     name_idx = _mk_index([name])
     string_idx = _mk_index(list(custom_strings))
     gsubr_idx = _mk_index([])
+    has_enc = encoding is not None
 
-    def top_dict(charset_off, charstrings_off):
-        return (_int5(charset_off) + b"\x0f"
-                + _int5(charstrings_off) + b"\x11")
+    def top_dict(charset_off, charstrings_off, encoding_off):
+        out = (_int5(charset_off) + b"\x0f"
+               + _int5(charstrings_off) + b"\x11")
+        if has_enc:
+            out += _int5(encoding_off) + b"\x10"
+        return out
 
-    top_len = len(top_dict(0, 0))
+    top_len = len(top_dict(0, 0, 0))
     top_idx_len = len(_mk_index([b"\x00" * top_len]))
     fixed = len(header) + len(name_idx) + top_idx_len \
         + len(string_idx) + len(gsubr_idx)
 
     charset_off = fixed
     charset = b"\x00" + b"".join(struct.pack(">H", s) for s in sids)
-    charstrings_off = charset_off + len(charset)
+    encoding_off = charset_off + len(charset)
+    enc_tbl = b""
+    if has_enc:
+        # format 0: codes listed in gid order (gid 1..n)
+        codes = [encoding[g] for g in sorted(encoding)]
+        enc_tbl = bytes([0, len(codes)]) + bytes(codes)
+    charstrings_off = encoding_off + len(enc_tbl)
     charstrings = _mk_index([b"\x0e"] * n_glyphs)
 
-    top = top_dict(charset_off, charstrings_off)
+    top = top_dict(charset_off, charstrings_off, encoding_off)
     assert len(top) == top_len
     return (header + name_idx + _mk_index([top]) + string_idx
-            + gsubr_idx + charset + charstrings)
+            + gsubr_idx + charset + enc_tbl + charstrings)

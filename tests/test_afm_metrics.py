@@ -786,3 +786,41 @@ def test_family_tounicode_inheritance_type0():
     f = load_font(doc, doc.get_object(3), sibling_fonts=fonts)
     assert f.to_unicode.get(1) == chr(1 + 0x30A0)
     assert f.to_unicode.get(80) == chr(80 + 0x30A0)
+
+
+def test_simple_type1c_custom_encoding_fill():
+    """A simple Type1C with a custom CFF Encoding and neither
+    /Differences nor /ToUnicode: code -> gid -> charset name -> AGL
+    fills the map (parsePdfFonts.js:2133-2177). Code 0xA1 here is the
+    euro glyph via a custom SID."""
+    from scribe_js_spark.extract import extract_document
+    from scribe_js_spark.operators.pdf.fontprog import (
+        _CFF_STD_STRINGS_96)
+    from scribe_js_spark.render_fonts import build_cff_simple
+
+    sids = [_CFF_STD_STRINGS_96.index("H"),
+            _CFF_STD_STRINGS_96.index("i"), 391]
+    cff = build_cff_simple(
+        sids, custom_strings=[b"uni20AC"],
+        encoding={1: 0x30, 2: 0x31, 3: 0xA1})  # gid -> charCode
+    content = b"BT /F1 24 Tf 1 0 0 1 72 700 Tm <3031A1> Tj ET"
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 "
+        b"/MediaBox [0 0 612 792] >>",
+        b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R /Resources "
+        b"<< /Font << /F1 5 0 R >> >> >>",
+        b"<< /Length %d >>\nstream\n" % len(content) + content
+        + b"\nendstream",
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /ReEnc "
+        b"/FirstChar 48 /LastChar 161 /Widths [%s] "
+        b"/FontDescriptor 6 0 R >>"
+        % b" ".join(b"500" for _ in range(48, 162)),
+        b"<< /Type /FontDescriptor /FontName /ReEnc /Flags 4 "
+        b"/FontFile3 7 0 R >>",
+        b"<< /Length %d /Subtype /Type1C >>\nstream\n" % len(cff)
+        + cff + b"\nendstream",
+    ]
+    res = extract_document(_pdf_with_objs(objs))
+    assert res.error is None, res.error
+    assert res.text == "Hi€"

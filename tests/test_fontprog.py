@@ -38,7 +38,7 @@ def test_cff_summary_tolerant_on_garbage():
     assert parse_cff_summary(b"") == {
         "ok": False, "is_cid": False, "n_glyphs": 0,
         "cid_to_gid": None, "predefined_charset": False,
-        "charset_names": None}
+        "charset_names": None, "encoding_map": None}
     assert not parse_cff_summary(b"\xff\x10garbage")["ok"]
     whole = build_cff_cid([32, 65])
     for cut in (3, 10, 25, len(whole) - 2):

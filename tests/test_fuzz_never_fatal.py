@@ -382,7 +382,8 @@ def test_cmap_and_pfa_parsers_never_raise_on_garbage():
     rng = np.random.RandomState(77)
     tt = build_truetype_blank(
         40, set(), cmap={c: c - 30 for c in range(32, 70)})
-    cff = build_cff_simple([1, 34, 391], custom_strings=[b"uni20AC"])
+    cff = build_cff_simple([1, 34, 391], custom_strings=[b"uni20AC"],
+                           encoding={1: 48, 2: 49, 3: 161})
     pfa = (b"/Encoding 256 array\ndup 65 /germandbls put\n"
            b"currentfile eexec\n" + b"\x00" * 16)
     for _ in range(200):
