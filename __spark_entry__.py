@@ -1048,7 +1048,7 @@ def _q_pdf_annotations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     import pandas as pd
     from pyspark.sql.types import (
-        LongType, StringType, StructField, StructType)
+        BooleanType, LongType, StringType, StructField, StructType)
 
     from scribe_js_spark.operators.pdf.annots import (
         extract_pdf_annotations,
@@ -1063,9 +1063,15 @@ def _q_pdf_annotations(spark: SparkSession, sf_dir: str) -> DataFrame:
         StructField("contents", StringType()),
         StructField("uri", StringType()),
         StructField("field_name", StringType()),
+        StructField("field_value", StringType()),
+        StructField("field_text_ok", StringType()),
     ])
 
     def fn(batches: Iterator) -> Iterator:
+        from scribe_js_spark.model import get_page_text
+        from scribe_js_spark.operators.pdf.parse import (
+            parse_pdf_document)
+
         for pdf in batches:
             out = {f.name: [] for f in schema.fields}
             for url, html in zip(pdf["url"], pdf["html"]):
@@ -1074,7 +1080,16 @@ def _q_pdf_annotations(spark: SparkSession, sf_dir: str) -> DataFrame:
                     pages = doc.get_pages()
                 except Exception:
                     continue
+                # Filled form-field values must surface as page text
+                # (parsePdfDoc.js:1091-1176 via operators/pdf/
+                # formfields.py); hidden widgets must not.
+                try:
+                    page_texts = [get_page_text(p)
+                                  for p in parse_pdf_document(bytes(html))]
+                except Exception:
+                    page_texts = []
                 for pn, page in enumerate(pages):
+                    ptext = page_texts[pn] if pn < len(page_texts) else ""
                     for an, rec in enumerate(
                             extract_pdf_annotations(doc, page)):
                         out["url"].append(url)
@@ -1084,6 +1099,12 @@ def _q_pdf_annotations(spark: SparkSession, sf_dir: str) -> DataFrame:
                         out["contents"].append(rec["contents"])
                         out["uri"].append(rec["uri"])
                         out["field_name"].append(rec["field_name"])
+                        fv = rec.get("field_value")
+                        out["field_value"].append(fv)
+                        out["field_text_ok"].append(
+                            None if not (fv and fv.strip()) else
+                            ("y" if all(tok in ptext
+                                        for tok in fv.split()) else "n"))
             yield pd.DataFrame(out)
 
     df = spark.read.parquet(os.path.join(FIX_T2, "annot_docs.parquet"))
@@ -2294,7 +2315,8 @@ def oracle_sql() -> dict[str, str]:
         "pdf_annotations": (
             "SELECT url, page_n::BIGINT AS page_n,"
             " annot_n::BIGINT AS annot_n, subtype, contents, uri,"
-            " field_name FROM read_parquet("
+            " field_name, field_value, field_text_ok"
+            " FROM read_parquet("
             f"'{os.path.join(FIX_T2, 'annots.parquet')}')"),
         "outline_headings": (
             "SELECT url, page_n::BIGINT AS page_n,"

@@ -3005,6 +3005,29 @@ def build_annot_models(doc_id: int, seed: int = SEED_DEFAULT) -> dict:
         {"subtype": "Text", "rect": (50, 1200, 70, 1220),
          "contents": f"sticky {tok}", "author": "editor"},
     ]
+    # Filled-field variants (parsePdfDoc.js:1091-1176: /V values are
+    # page text): %3==0 single-line with center quadding, %3==1
+    # multiline that must wrap, %3==2 comb cells; every doc also adds
+    # a hidden filled widget whose value must NOT extract.
+    k3 = doc_id % 3
+    if k3 == 0:
+        filled = {"subtype": "Widget", "rect": (100, 980, 400, 1010),
+                  "author": "filled", "field_type": "Tx",
+                  "value": f"fvx{doc_id} fvy{doc_id}", "quadding": 1}
+    elif k3 == 1:
+        filled = {"subtype": "Widget", "rect": (100, 950, 180, 1040),
+                  "author": "filled", "field_type": "Tx",
+                  "value": f"fvx{doc_id} fvy{doc_id} fvz{doc_id}",
+                  "ff": 0x1000}
+    else:
+        filled = {"subtype": "Widget", "rect": (100, 980, 400, 1010),
+                  "author": "filled", "field_type": "Tx",
+                  "value": f"fvq{doc_id}", "ff": 0x1000000,
+                  "max_len": 24}
+    hidden = {"subtype": "Widget", "rect": (450, 980, 600, 1010),
+              "author": "ghost", "field_type": "Tx",
+              "value": f"fvhidden{doc_id}", "hidden": True}
+    annots_p0 = annots_p0 + [filled, hidden]
     annots_p1 = [
         {"subtype": "FreeText", "rect": (120, 900, 500, 940),
          "contents": f"callout {doc_id}"},
@@ -3019,13 +3042,21 @@ def build_annot_models(doc_id: int, seed: int = SEED_DEFAULT) -> dict:
     for pn, specs in ((0, annots_p0),
                       (1, annots_p1 if len(model["pages"]) > 1 else [])):
         for an, spec in enumerate(specs):
+            is_widget = spec["subtype"] == "Widget"
             expected.append({
                 "page_n": pn, "annot_n": an,
                 "subtype": spec["subtype"],
                 "contents": spec.get("contents"),
                 "uri": spec.get("uri"),
                 "field_name": (spec.get("author")
-                               if spec["subtype"] == "Widget" else None),
+                               if is_widget else None),
+                "field_value": (spec.get("value")
+                                if is_widget else None),
+                # every token of a visible filled field appears in the
+                # extracted page text; a hidden one never does
+                "field_text_ok": (
+                    ("n" if spec.get("hidden") else "y")
+                    if is_widget and spec.get("value") else None),
             })
     return {"model": model, "expected": expected}
 

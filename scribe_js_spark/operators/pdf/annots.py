@@ -85,6 +85,7 @@ def extract_pdf_annotations(doc, page: dict) -> list[dict]:
             "quad_points": None,
             "field_name": None,
             "field_type": None,
+            "field_value": None,
         }
         if subtype == "Link":
             action = doc.resolve(a.get("A"))
@@ -117,6 +118,10 @@ def extract_pdf_annotations(doc, page: dict) -> list[dict]:
                 ft = d.get("FT")
                 if ft is not None:
                     rec["field_type"] = str(doc.resolve(ft))
+                    break
+            for d in chain:
+                if "V" in d:
+                    rec["field_value"] = _s(doc, d, "V")
                     break
             # the Widget's own /T is the partial field name, not a
             # sticky-note author

@@ -142,7 +142,21 @@ def pdf_document_type(data: bytes) -> str:
         machine = TextMachine(doc, page, page_height=h * scale, scale=scale)
         machine.run(doc.page_content(page), page.get("Resources"),
                     base_ctm=_base_ctm(box, rotate))
-        stats.append(page_stats(_dedup_chars(machine.chars)))
+        st = page_stats(_dedup_chars(machine.chars))
+        # Field values count toward the text-native verdict: a form
+        # with no other text still classifies as text
+        # (parsePdfDoc.js:1171-1172 printableVis).
+        try:
+            from .formfields import collect_field_values
+
+            n_field = sum(
+                len(t) for fld in collect_field_values(doc, page)
+                for t in fld["value"].split())
+            st["printable"] += n_field
+            st["visible"] += n_field
+        except Exception:
+            pass
+        stats.append(st)
     return determine_pdf_type(stats)
 
 
@@ -245,5 +259,14 @@ def parse_pdf_document(data: bytes) -> list[OcrPage]:
                 page_obj, paths, scale, h)
         except Exception:
             page_obj.tables = []
+        # Filled AcroForm values are page text: lay each visible
+        # Tx/Ch widget's /V out inside its /Rect and splice the lines
+        # in top order (parsePdfDoc.js:1091-1176).
+        try:
+            from .formfields import insert_form_field_lines
+
+            insert_form_field_lines(doc, page, page_obj, h, scale)
+        except Exception:
+            pass
         out.append(page_obj)
     return out

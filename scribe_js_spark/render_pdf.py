@@ -1053,6 +1053,18 @@ def render_pdf(model: dict, compress: bool | None = None,
                 body += f"/QuadPoints [{qp}] "
             if sub == "Widget":
                 body += f"/FT /{spec.get('field_type', 'Tx')} "
+                if spec.get("value") is not None:
+                    body += f"/V ({_esc(spec['value'])}) "
+                if spec.get("ff"):
+                    body += f"/Ff {spec['ff']} "
+                if spec.get("max_len"):
+                    body += f"/MaxLen {spec['max_len']} "
+                if spec.get("quadding"):
+                    body += f"/Q {spec['quadding']} "
+                if spec.get("da"):
+                    body += f"/DA ({_esc(spec['da'])}) "
+                if spec.get("hidden"):
+                    body += "/F 2 "
             w.add((body + ">>").encode())
     if struct_tags:
         all_elems = [n for pn in sorted(struct_elem_nums)

@@ -21,8 +21,12 @@ def test_annotations_match_model():
     recs, exp = _extract(0)
     got = [{"page_n": pn, "annot_n": an, "subtype": r["subtype"],
             "contents": r["contents"], "uri": r["uri"],
-            "field_name": r["field_name"]} for pn, an, r in recs]
-    assert got == exp
+            "field_name": r["field_name"],
+            "field_value": r["field_value"]} for pn, an, r in recs]
+    # field_text_ok is a parse-level check (the driver query computes
+    # it against the extracted page text), not an annotation record.
+    assert got == [{k: v for k, v in e.items() if k != "field_text_ok"}
+                   for e in exp]
 
 
 def test_link_uri_and_highlight_quads():
@@ -40,8 +44,12 @@ def test_encrypted_annotation_strings_decrypt():
     assert sticky["contents"].startswith("sticky ")
     got = [{"page_n": pn, "annot_n": an, "subtype": r["subtype"],
             "contents": r["contents"], "uri": r["uri"],
-            "field_name": r["field_name"]} for pn, an, r in recs]
-    assert got == exp
+            "field_name": r["field_name"],
+            "field_value": r["field_value"]} for pn, an, r in recs]
+    # field_text_ok is a parse-level check (the driver query computes
+    # it against the extracted page text), not an annotation record.
+    assert got == [{k: v for k, v in e.items() if k != "field_text_ok"}
+                   for e in exp]
 
 
 def test_pages_without_annots_yield_empty():
@@ -50,3 +58,82 @@ def test_pages_without_annots_yield_empty():
     doc = PdfDocument(render_pdf(build_doc_model(0), rotate=False))
     for page in doc.get_pages():
         assert extract_pdf_annotations(doc, page) == []
+
+
+def test_layout_field_value_rules():
+    """formFieldLayout.js:31-99 semantics: /DA Tf size wins, auto-size
+    when absent AND zero, multiline wrap at the rect's character
+    capacity with 1.15 leading, comb cells, /Q quadding."""
+    from scribe_js_spark.operators.pdf.formfields import (
+        layout_field_value)
+
+    # single line, default 10pt, left quadding, pad 2
+    r = layout_field_value("John Q Public", 200, 20)
+    assert r["font_size"] == 10.0
+    [ln] = r["lines"]
+    assert ln["x"] == 2.0 and [w[0] for w in ln["words"]] == [
+        "John", "Q", "Public"]
+    # word x0 = pad + index*avgCharW (avg 5pt at 10pt font)
+    assert ln["words"][1][1] == 2.0 + 5 * 5.0
+    # /DA size wins
+    assert layout_field_value("x", 100, 30,
+                              da="/Helv 14 Tf 0 g")["font_size"] == 14.0
+    # Tf 0 -> auto-size to rect height
+    assert layout_field_value("x", 100, 30,
+                              da="/Helv 0 Tf")["font_size"] == 12.0
+    # center + right quadding
+    c = layout_field_value("ab", 100, 20, quadding=1)["lines"][0]
+    assert c["x"] == (100 - 2 * 5.0) / 2
+    rr = layout_field_value("ab", 100, 20, quadding=2)["lines"][0]
+    assert rr["x"] == 100 - 2 * 5.0 - 2
+    # multiline wraps greedily at floor((w-4)/avg) chars
+    m = layout_field_value("aa bb cc dd", 34.0, 60, multiline=True)
+    texts = [ln["text"] for ln in m["lines"]]
+    assert texts == ["aa bb", "cc dd"]
+    assert m["lines"][0]["y"] - m["lines"][1]["y"] == 10 * 1.15
+    # comb: one char per cell
+    cb = layout_field_value("AB CD", 50, 20, comb=True, max_len=5)
+    words = cb["lines"][0]["words"]
+    assert words[0] == ("AB", 0.0, 20.0) and words[1] == ("CD", 30.0, 50.0)
+
+
+def test_form_field_values_extracted_as_text():
+    """A filled text field's /V becomes page text at the widget rect
+    (parsePdfDoc.js:1091-1176); hidden widgets and empty values are
+    skipped, and a form-only PDF classifies text-native."""
+    from scribe_js_spark.extract import extract_document
+    from scribe_js_spark.fixtures import build_doc_model
+    from scribe_js_spark.operators.pdf.parse import pdf_document_type
+    from scribe_js_spark.render_pdf import render_pdf
+
+    model = build_doc_model(0, n_pages=1)
+    model["pages"][0]["annots"] = [
+        {"subtype": "Widget", "rect": (200, 700, 420, 730),
+         "author": "name", "field_type": "Tx",
+         "value": "Jane Example"},
+        {"subtype": "Widget", "rect": (200, 600, 420, 630),
+         "author": "secret", "field_type": "Tx",
+         "value": "HIDDEN", "hidden": True},
+        {"subtype": "Widget", "rect": (200, 500, 420, 530),
+         "author": "empty", "field_type": "Tx", "value": "  "},
+    ]
+    res = extract_document(render_pdf(model, rotate=False))
+    assert res.error is None, res.error
+    assert "Jane Example" in res.text
+    assert "HIDDEN" not in res.text
+
+    # form-only PDF: enough field text to clear the 100-char page
+    # score -> text-native
+    only = build_doc_model(0, n_pages=1)
+    for par in only["pages"][0]["pars"]:
+        for line in par["lines"]:
+            line["words"] = []
+    long_val = " ".join(["formtext"] * 20)
+    only["pages"][0]["pars"] = only["pages"][0]["pars"][:1]
+    only["pages"][0]["pars"][0]["lines"] = \
+        only["pages"][0]["pars"][0]["lines"][:1]
+    only["pages"][0]["annots"] = [
+        {"subtype": "Widget", "rect": (100, 400, 500, 700),
+         "author": "big", "field_type": "Tx", "value": long_val,
+         "ff": 0x1000}]
+    assert pdf_document_type(render_pdf(only, rotate=False)) == "text"
