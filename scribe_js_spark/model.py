@@ -60,7 +60,7 @@ class Style:
 
     __slots__ = (
         "font", "size", "bold", "italic", "underline", "smallCaps",
-        "sup", "dropcap", "color", "opacity",
+        "sup", "dropcap", "color", "opacity", "link",
     )
 
     def __init__(self):
@@ -74,6 +74,9 @@ class Style:
         self.dropcap = False
         self.color = "#000000"
         self.opacity = 1.0
+        # URI of the /Link annotation the word sits under
+        # (parsePdfDoc.js:1055-1063)
+        self.link: Optional[str] = None
 
 
 class OcrChar:

@@ -219,6 +219,50 @@ def pdf_page_stats(data: bytes) -> list[dict]:
     return out
 
 
+def _stamp_link_words(doc, page: dict, page_obj,
+                      page_h_pts: float, scale: float) -> None:
+    """Words whose center sits inside a /Link annotation's /Rect take
+    the link's /A /URI (parsePdfDoc.js:1032-1063)."""
+    annots = doc.resolve(page.get("Annots"))
+    if not isinstance(annots, list):
+        return
+    boxes = []
+    for ref in annots:
+        a = doc.resolve(ref)
+        if not isinstance(a, dict) \
+                or str(doc.resolve(a.get("Subtype", ""))) != "Link":
+            continue
+        action = doc.resolve(a.get("A"))
+        if not isinstance(action, dict):
+            continue
+        uri = doc.resolve(action.get("URI"))
+        if isinstance(uri, (bytes, bytearray)):
+            uri = bytes(uri).decode("latin-1", "replace")
+        if not isinstance(uri, str) or not uri:
+            continue
+        rect = doc.resolve(a.get("Rect"))
+        if not isinstance(rect, list) or len(rect) != 4:
+            continue
+        try:
+            x0, y0, x1, y1 = (float(doc.resolve(v)) for v in rect)
+        except (TypeError, ValueError):
+            continue
+        boxes.append((min(x0, x1) * scale,
+                      (page_h_pts - max(y0, y1)) * scale,
+                      max(x0, x1) * scale,
+                      (page_h_pts - min(y0, y1)) * scale, uri))
+    if not boxes:
+        return
+    for line in page_obj.lines:
+        for word in line.words:
+            cx = (word.bbox.left + word.bbox.right) / 2
+            cy = (word.bbox.top + word.bbox.bottom) / 2
+            for left, top, right, bottom, uri in boxes:
+                if left <= cx <= right and top <= cy <= bottom:
+                    word.style.link = uri
+                    break
+
+
 def parse_pdf_document(data: bytes) -> list[OcrPage]:
     doc = PdfDocument(data)
     pages = doc.get_pages()
@@ -266,6 +310,12 @@ def parse_pdf_document(data: bytes) -> list[OcrPage]:
             from .formfields import insert_form_field_lines
 
             insert_form_field_lines(doc, page, page_obj, h, scale)
+        except Exception:
+            pass
+        # Words under a /Link annotation's box carry its URI
+        # (parsePdfDoc.js:1032-1063 uriBoxes -> word.style.link).
+        try:
+            _stamp_link_words(doc, page, page_obj, h, scale)
         except Exception:
             pass
         out.append(page_obj)

@@ -137,3 +137,29 @@ def test_form_field_values_extracted_as_text():
          "author": "big", "field_type": "Tx", "value": long_val,
          "ff": 0x1000}]
     assert pdf_document_type(render_pdf(only, rotate=False)) == "text"
+
+
+def test_link_annotation_stamps_word_style():
+    """Words whose center sits under a /Link /Rect carry its URI
+    (parsePdfDoc.js:1032-1063 uriBoxes -> word.style.link)."""
+    from scribe_js_spark.fixtures import build_doc_model
+    from scribe_js_spark.operators.pdf.parse import parse_pdf_document
+    from scribe_js_spark.render_pdf import render_pdf
+
+    model = build_doc_model(0, n_pages=1)
+    page_h = model["pages"][0]["height"]
+    w0 = model["pages"][0]["pars"][0]["lines"][0]["words"][0]
+    # model geometry is top-down px at scale 1; /Rect is bottom-up pts
+    rect = (w0["left"] - 2, page_h - w0["bottom"] - 4,
+            w0["right"] + 2, page_h - w0["top"] + 4)
+    model["pages"][0]["annots"] = [
+        {"subtype": "Link", "rect": rect,
+         "uri": "https://linked.test/x"}]
+    pages = parse_pdf_document(render_pdf(model, rotate=False))
+    linked = [w for line in pages[0].lines for w in line.words
+              if w.style.link]
+    assert linked and linked[0].text == w0["text"]
+    assert linked[0].style.link == "https://linked.test/x"
+    unlinked = [w for line in pages[0].lines for w in line.words
+                if not w.style.link]
+    assert unlinked  # only the covered word is stamped
