@@ -177,11 +177,14 @@ def collect_field_values(doc, page: dict) -> list[dict]:
 
 
 def insert_form_field_lines(doc, page: dict, page_obj,
-                            page_h_pts: float, scale: float) -> int:
+                            page_h_pts: float, scale: float,
+                            base_ctm=None) -> int:
     """Lay out each visible filled field and splice its lines into
     ``page_obj.lines`` in top order (parsePdfDoc.js:1130-1176).
     Returns the number of printable characters added (the reference
     counts them toward the text-native verdict)."""
+    from .parse import map_annot_point
+
     printable = 0
     field_idx = 0
     n = page_obj.n
@@ -208,21 +211,25 @@ def insert_form_field_lines(doc, page: dict, page_obj,
             lift_line_idx += 1
             word_specs = []
             for text, x0, x1 in ll["words"]:
-                left = (llx + x0) * scale
-                right = (llx + x1) * scale
-                top = (page_h_pts - (lly + ll["y"] + asc)) * scale
-                bottom = (page_h_pts - (lly + ll["y"] - desc)) * scale
+                pa = map_annot_point(
+                    llx + x0, lly + ll["y"] + asc,
+                    page_h_pts, scale, base_ctm)
+                pb = map_annot_point(
+                    llx + x1, lly + ll["y"] - desc,
+                    page_h_pts, scale, base_ctm)
                 word_specs.append((text, Bbox(
-                    js_round(min(left, right)),
-                    js_round(min(top, bottom)),
-                    js_round(max(left, right)),
-                    js_round(max(top, bottom)))))
+                    js_round(min(pa[0], pb[0])),
+                    js_round(min(pa[1], pb[1])),
+                    js_round(max(pa[0], pb[0])),
+                    js_round(max(pa[1], pb[1])))))
             line_bbox = Bbox(
                 min(b.left for _, b in word_specs),
                 min(b.top for _, b in word_specs),
                 max(b.right for _, b in word_specs),
                 max(b.bottom for _, b in word_specs))
-            base_y = (page_h_pts - (lly + ll["y"])) * scale
+            base_y = map_annot_point(
+                llx + ll["x"], lly + ll["y"],
+                page_h_pts, scale, base_ctm)[1]
             line_obj = OcrLine(
                 page_obj, line_bbox,
                 [0, js_round(base_y) - line_bbox.bottom],

@@ -219,8 +219,24 @@ def pdf_page_stats(data: bytes) -> list[dict]:
     return out
 
 
+def map_annot_point(x: float, y: float, page_h_pts: float,
+                    scale: float, base_ctm=None) -> tuple[float, float]:
+    """PDF user-space point -> top-down device px, through the page's
+    initial CTM so rotated/offset crop boxes land where their text
+    does (the reference maps annots via mapPoint + initialCtm,
+    parsePdfDoc.js:1032-1146)."""
+    if base_ctm is not None:
+        a, b, c, d, e, f = base_ctm
+        ux = a * x + c * y + e
+        uy = b * x + d * y + f
+    else:
+        ux, uy = x, y
+    return ux * scale, (page_h_pts - uy) * scale
+
+
 def _stamp_link_words(doc, page: dict, page_obj,
-                      page_h_pts: float, scale: float) -> None:
+                      page_h_pts: float, scale: float,
+                      base_ctm=None) -> None:
     """Words whose center sits inside a /Link annotation's /Rect take
     the link's /A /URI (parsePdfDoc.js:1032-1063)."""
     annots = doc.resolve(page.get("Annots"))
@@ -247,10 +263,10 @@ def _stamp_link_words(doc, page: dict, page_obj,
             x0, y0, x1, y1 = (float(doc.resolve(v)) for v in rect)
         except (TypeError, ValueError):
             continue
-        boxes.append((min(x0, x1) * scale,
-                      (page_h_pts - max(y0, y1)) * scale,
-                      max(x0, x1) * scale,
-                      (page_h_pts - min(y0, y1)) * scale, uri))
+        pa = map_annot_point(x0, y0, page_h_pts, scale, base_ctm)
+        pb = map_annot_point(x1, y1, page_h_pts, scale, base_ctm)
+        boxes.append((min(pa[0], pb[0]), min(pa[1], pb[1]),
+                      max(pa[0], pb[0]), max(pa[1], pb[1]), uri))
     if not boxes:
         return
     for line in page_obj.lines:
@@ -309,13 +325,15 @@ def parse_pdf_document(data: bytes) -> list[OcrPage]:
         try:
             from .formfields import insert_form_field_lines
 
-            insert_form_field_lines(doc, page, page_obj, h, scale)
+            insert_form_field_lines(doc, page, page_obj, h, scale,
+                                    base_ctm=base)
         except Exception:
             pass
         # Words under a /Link annotation's box carry its URI
         # (parsePdfDoc.js:1032-1063 uriBoxes -> word.style.link).
         try:
-            _stamp_link_words(doc, page, page_obj, h, scale)
+            _stamp_link_words(doc, page, page_obj, h, scale,
+                              base_ctm=base)
         except Exception:
             pass
         out.append(page_obj)

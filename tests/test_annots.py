@@ -163,3 +163,21 @@ def test_link_annotation_stamps_word_style():
     unlinked = [w for line in pages[0].lines for w in line.words
                 if not w.style.link]
     assert unlinked  # only the covered word is stamped
+
+
+def test_form_field_text_on_rotated_page():
+    """Field and link rects map through the page's initial CTM, so a
+    /Rotate 90 page still extracts the value in reading order (the
+    reference maps annots via mapPoint + initialCtm)."""
+    from scribe_js_spark.extract import extract_document
+    from scribe_js_spark.fixtures import build_doc_model
+    from scribe_js_spark.render_pdf import render_pdf
+
+    model = build_doc_model(0, n_pages=1)
+    model["pages"][0]["annots"] = [
+        {"subtype": "Widget", "rect": (200, 700, 420, 730),
+         "author": "name", "field_type": "Tx",
+         "value": "RotatedVal"}]
+    res = extract_document(render_pdf(model, rotate=True))
+    assert res.error is None, res.error
+    assert "RotatedVal" in res.text

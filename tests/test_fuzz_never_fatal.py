@@ -393,3 +393,30 @@ def test_cmap_and_pfa_parsers_never_raise_on_garbage():
         truetype_gid_to_unicode(m)
         parse_cff_summary(m)
         _parse_type1_pfa_encoding(m)
+
+
+def test_form_field_docs_never_raise_on_mutations():
+    """Widget /V /DA /Rect /Ff see attacker-shaped bytes at corpus
+    scale; the field-layout splice must degrade to skipped fields,
+    never a crash."""
+    from scribe_js_spark.fixtures import build_doc_model
+    from scribe_js_spark.render_pdf import render_pdf
+
+    model = build_doc_model(6, n_pages=1)
+    model["pages"][0]["annots"] = [
+        {"subtype": "Widget", "rect": (100, 900, 400, 990),
+         "author": "f1", "field_type": "Tx",
+         "value": "alpha beta gamma delta", "ff": 0x1000},
+        {"subtype": "Widget", "rect": (100, 800, 400, 830),
+         "author": "f2", "field_type": "Tx", "value": "combval",
+         "ff": 0x1000000, "max_len": 12,
+         "da": "/Helv 9 Tf 0 g"},
+        {"subtype": "Link", "rect": (100, 700, 400, 730),
+         "uri": "https://x.test/a"},
+    ]
+    doc = render_pdf(model, rotate=False)
+    rng = np.random.RandomState(55)
+    for _ in range(120):
+        res = extract_document(_mutate(doc, rng))  # must not raise
+        if res.error is None:
+            assert isinstance(res.text, str)
