@@ -824,3 +824,53 @@ def test_simple_type1c_custom_encoding_fill():
     res = extract_document(_pdf_with_objs(objs))
     assert res.error is None, res.error
     assert res.text == "Hi€"
+
+
+def test_family_inheritance_rejects_incompatible_widths():
+    """Two Type0 fonts sharing a family but with disagreeing /W must
+    NOT inherit (parsePdfFonts.js:2475-2484: >= 98% width equality
+    over >= 64 shared CIDs) — different-CID assignments would produce
+    garbage text."""
+    from scribe_js_spark.operators.pdf.document import PdfDocument
+    from scribe_js_spark.operators.pdf.fonts import load_font
+
+    pairs = "\n".join(f"<{c:04X}> <{c + 0x30A0:04X}>"
+                      for c in range(1, 81))
+    tounicode = (
+        "/CIDInit /ProcSet findresource begin\nbegincmap\n"
+        "1 begincodespacerange <0000> <FFFF> endcodespacerange\n"
+        f"80 beginbfchar\n{pairs}\nendbfchar\nendcmap end").encode()
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [] /Count 0 >>",
+        b"<< /Type /Font /Subtype /Type0 /BaseFont /Gothic-Bold "
+        b"/Encoding /Identity-H /DescendantFonts [5 0 R] >>",
+        b"<< /Type /Font /Subtype /Type0 /BaseFont /Gothic-Light "
+        b"/Encoding /Identity-H /DescendantFonts [6 0 R] "
+        b"/ToUnicode 7 0 R >>",
+        # target widths 500; donor widths 720 -> ratio 0 < 0.98
+        b"<< /Type /Font /Subtype /CIDFontType0 /BaseFont /Gothic-Bold "
+        b"/CIDSystemInfo << /Registry (Adobe) /Ordering (Japan1) "
+        b"/Supplement 2 >> /DW 1000 /W [1 80 500] >>",
+        b"<< /Type /Font /Subtype /CIDFontType0 /BaseFont /Gothic-Light "
+        b"/CIDSystemInfo << /Registry (Adobe) /Ordering (Japan1) "
+        b"/Supplement 2 >> /DW 1000 /W [1 80 720] >>",
+        b"<< /Length %d >>\nstream\n" % len(tounicode) + tounicode
+        + b"\nendstream",
+    ]
+    doc = PdfDocument(_pdf_with_objs(objs))
+    fonts = {"F1": doc.get_object(3), "F2": doc.get_object(4)}
+    f = load_font(doc, doc.get_object(3), sibling_fonts=fonts)
+    assert not f.to_unicode  # no inheritance
+
+    # Same-style-key fallback: widths overlap >= 95% both ways but
+    # differ in VALUE -> the primary gate fails, the style-key path
+    # accepts a single same-key donor (parsePdfFonts.js:2490-2522).
+    objs2 = list(objs)
+    objs2[2] = (b"<< /Type /Font /Subtype /Type0 "
+                b"/BaseFont /AAAAAA+Gothic-Light "
+                b"/Encoding /Identity-H /DescendantFonts [5 0 R] >>")
+    doc2 = PdfDocument(_pdf_with_objs(objs2))
+    fonts2 = {"F1": doc2.get_object(3), "F2": doc2.get_object(4)}
+    f2 = load_font(doc2, doc2.get_object(3), sibling_fonts=fonts2)
+    assert f2.to_unicode.get(1) == chr(1 + 0x30A0)
