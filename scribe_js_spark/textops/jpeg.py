@@ -177,7 +177,14 @@ def _decode_block_zz(reader: _BitReader, dc_tab, ac_tab,
     """Sequential entropy decode of one block's zigzag coefficients
     into ``zz`` (int array view); returns the updated DC predictor."""
     t = reader.read_code(dc_tab)
+    if t > 16:
+        # a corrupt DHT can define magnitude categories > 16; real
+        # streams cap at 16 (T.81 F.1.2.1.1) and anything larger
+        # would overflow the int32 coefficient store
+        raise ValueError(f"jpeg: DC magnitude category {t}")
     pred += _extend(reader.read_bits(t), t)
+    if not -(1 << 31) < pred < (1 << 31):
+        raise ValueError("jpeg: DC predictor overflow")
     zz[0] = pred
     k = 1
     while k < 64:
@@ -201,7 +208,11 @@ def _dc_scan_block(reader, dc_tab, zz, pred: int, ah: int, al: int) -> int:
     adds one raw bit (T.81 G.1.2.1)."""
     if ah == 0:
         t = reader.read_code(dc_tab)
+        if t > 16:
+            raise ValueError(f"jpeg: DC magnitude category {t}")
         pred += _extend(reader.read_bits(t), t)
+        if not -(1 << 31) < (pred << al) < (1 << 31):
+            raise ValueError("jpeg: DC predictor overflow")
         zz[0] = pred << al
     else:
         if reader.read_bit():
@@ -348,8 +359,10 @@ def decode_jpeg(data: bytes, decode_invert: bool = False) -> np.ndarray:
     8/16-bit quant tables, and DRI/RSTn restart intervals. Sequential
     (SOF9) and progressive (SOF10) arithmetic QM coding, with DAC
     conditioning, decode through textops/jpeg_arith.py — beyond the
-    reference, whose decodeJPEG.js handles SOF0/1/2 only; the
-    lossless and hierarchical modes raise NotImplementedError."""
+    reference, whose decodeJPEG.js handles SOF0/1/2 only; lossless
+    (SOF3) delegates to textops/jpeg_lossless.py and hierarchical
+    streams (DHP, Annex J) to textops/jpeg_hier.py; the remaining
+    exotics (e.g. 12-bit precision) raise NotImplementedError."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("jpeg: missing SOI")
     pos = 2
@@ -411,8 +424,17 @@ def decode_jpeg(data: bytes, decode_invert: bool = False) -> np.ndarray:
 
             # same return contract: (h, w) gray / (h, w, 3) RGB
             return decode_jpeg_lossless(data)
+        elif marker == 0xDE:
+            # hierarchical mode (T.81 Annex J): DHP precedes every
+            # frame, so dispatch the whole stream —
+            # textops/jpeg_hier.py (beyond the reference)
+            from .jpeg_hier import decode_jpeg_hierarchical
+
+            return decode_jpeg_hierarchical(data)
         elif marker in (0xC5, 0xC6, 0xC7,
                         0xCB, 0xCD, 0xCE, 0xCF):
+            # differential SOF without a preceding DHP is malformed;
+            # the hierarchical shapes route through 0xDE above
             raise NotImplementedError("jpeg: unsupported SOF mode")
         elif marker == 0xCC:  # DAC: arithmetic conditioning
             p = 0

@@ -969,7 +969,7 @@ def decode_media(df: DataFrame, id_col: str = "media_id",
                     rec = _media_rec(n_bytes=len(bytes(data)),
                                      error=f"not_implemented: {e}")
                 except (ValueError, struct.error, IndexError,
-                        zlib.error, KeyError) as e:
+                        zlib.error, KeyError, OverflowError) as e:
                     rec = _media_rec(n_bytes=len(bytes(data)),
                                      error=f"decode_failure: {e}")
                 out["media_id"].append(int(mid))
@@ -1057,7 +1057,7 @@ def resize_images(df: DataFrame, target_w: int, target_h: int,
                 except NotImplementedError as e:
                     err = f"not_implemented: {e}"
                 except (ValueError, struct.error, IndexError,
-                        zlib.error, KeyError) as e:
+                        zlib.error, KeyError, OverflowError) as e:
                     err = f"decode_failure: {e}"
                 out["media_id"].append(int(mid))
                 out["width"].append(target_w if err is None else None)
@@ -1142,7 +1142,7 @@ def image_exif(df: DataFrame, id_col: str = "media_id",
                         "scrub_decodes_equal": equal,
                     }
                 except (ValueError, struct.error, IndexError,
-                        KeyError, zlib.error):
+                        KeyError, zlib.error, OverflowError):
                     rec = {f.name: None for f in EXIF_SCHEMA.fields
                            if f.name != "media_id"}
                     rec["n_bytes"] = len(data)

@@ -420,3 +420,36 @@ def test_form_field_docs_never_raise_on_mutations():
         res = extract_document(_mutate(doc, rng))  # must not raise
         if res.error is None:
             assert isinstance(res.text, str)
+
+
+def test_hierarchical_jpeg_never_hangs_on_mutations():
+    """Corrupt DHP-led hierarchical streams (T.81 Annex J): the frame
+    slicer, EXP expansion, and both differential decoders must raise
+    typed errors or decode garbage — never hang or crash untyped.
+    decode_media keeps the never-fatal contract over the same bytes."""
+    from scribe_js_spark.textops.jpeg import decode_jpeg
+    from scribe_js_spark.textops.jpeg_hier import (
+        encode_jpeg_hier_dct_refined, encode_jpeg_hier_pyramid)
+    from scribe_js_spark.textops.multimodal import _decode_one
+    import struct
+
+    rng_px = np.random.RandomState(9)
+    px = rng_px.randint(0, 256, (22, 18)).astype(np.uint8)
+    rgb = rng_px.randint(0, 256, (12, 14, 3)).astype(np.uint8)
+    bases = [encode_jpeg_hier_pyramid(px),
+             encode_jpeg_hier_pyramid(rgb),
+             encode_jpeg_hier_dct_refined(px)]
+    rng = np.random.RandomState(29)
+    for base in bases:
+        for _ in range(40):
+            mutated = _mutate(base, rng)
+            try:
+                decode_jpeg(mutated)
+            except Exception:
+                pass  # typed errors fine; hangs are the failure mode
+            try:
+                rec = _decode_one(mutated)
+                assert rec["kind"] is not None or rec["error"]
+            except (NotImplementedError, ValueError, struct.error,
+                    IndexError, KeyError):
+                pass  # exactly the types decode_media's net catches
