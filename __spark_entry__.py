@@ -355,7 +355,10 @@ def _q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     0 / MMR / TPGDON / template 2 over the same bilevel threshold as
     the fax rows), and JPEG 2000 (ids 9500+: reversible 5/3 coding
     cycling bare codestream / RGB-RCT JP2 / tiled RPCL / JP2-boxed
-    gray — lossless, so the gray formula's mean is SQL-computable).
+    gray — lossless, so the gray formula's mean is SQL-computable),
+    and hierarchical JPEG (ids 9700+, T.81 Annex J: DHP-led lossless
+    pyramids and lossy-base+lossless-refinement streams whose
+    correction frames make the output exact — same gray formula).
     n_bytes is asserted for SIMG only — compressed sizes are not
     SQL-reproducible."""
     import numpy as np
@@ -620,6 +623,22 @@ def _q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                if i % 2 == 1 else None)
         rows.append((9600 + i, build_exif_jpeg(
             _ejg(px), orientation=[1, 3, 6, 8, 2, 5][i], gps=gps)))
+    from scribe_js_spark.textops.jpeg_hier import (
+        encode_jpeg_hier_dct_refined,
+        encode_jpeg_hier_pyramid,
+    )
+
+    for i in range(8):  # hierarchical JPEG (ids 9700+, T.81 Annex J):
+        # lossless pyramid (half-res SOF3 base + EXP + SOF7
+        # corrections) on even ids, lossy SOF0 base + lossless SOF7
+        # refinement on odd — both reproduce the input exactly
+        w = 16 + i % 8
+        h = 8 + i % 5
+        xs, ys = np.meshgrid(np.arange(w), np.arange(h))
+        px = ((xs * 7 + ys * 13) % 256).astype(np.uint8)
+        enc = (encode_jpeg_hier_pyramid if i % 2 == 0
+               else encode_jpeg_hier_dct_refined)
+        rows.append((9700 + i, enc(px)))
     df = spark.createDataFrame(rows, ["media_id", "data"])
     base = decode_media(df).select(
         "media_id", "kind",
@@ -2918,6 +2937,26 @@ WHERE len(list_intersect(ta.toks, tb.toks))
                    range(13) y(y)
               WHERE x.x < (16 + r % 8) AND y.y < (8 + r % 5)
                 AND (r % 4 = 1 OR c.c = 0)
+            ) GROUP BY media_id, w, h
+            UNION ALL
+            -- hierarchical JPEG rows (ids 9700+, T.81 Annex J):
+            -- lossless pyramid on even ids, lossy DCT base +
+            -- lossless SOF7 refinement on odd — both reproduce the
+            -- gray formula exactly, so its mean is SQL-computable
+            SELECT media_id, 'jpeg' AS kind, w::BIGINT AS width,
+                   h::BIGINT AS height, NULL::BIGINT AS n_bytes_simg,
+                   CAST(floor(avg(v) * 1e6) AS BIGINT) AS mean_e6,
+                   NULL::BIGINT AS sample_rate, NULL::BIGINT AS duration_ms,
+                   NULL::BIGINT AS n_frames,
+                   NULL::BIGINT AS exif_orientation,
+                   NULL::BIGINT AS exif_gps_lat_e6,
+                   NULL::BIGINT AS exif_scrub_ok
+            FROM (
+              SELECT 9700 + r AS media_id, (16 + r % 8) AS w,
+                     (8 + r % 5) AS h,
+                     ((x.x * 7 + y.y * 13) % 256)::DOUBLE AS v
+              FROM range(8) t(r), range(24) x(x), range(13) y(y)
+              WHERE x.x < (16 + r % 8) AND y.y < (8 + r % 5)
             ) GROUP BY media_id, w, h
             UNION ALL
             -- 24-bit BMP rows (odd ids 9100+): channels
