@@ -60,16 +60,22 @@ def md5_60(col):
 
 
 def exact_dups(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """(doc_id, text_sig, n_copies, canonical_id): hash-groupBy exact
-    dedup; canonical = min doc_id per signature."""
+    """(doc_id, text_sig, n_copies, canonical_id): hash-partitioned
+    exact dedup; canonical = min doc_id per signature.
+
+    Round 6: per-signature count/min come from window aggregates over
+    one hash partitioning of the signature key instead of groupBy +
+    join back on the same key — same integers, one Exchange instead of
+    two and no join (guide: two operations keyed the same way share
+    one exchange)."""
+    from pyspark.sql import Window
+
     sig = df.select("doc_id", F.md5(F.col(text_col)).alias("text_sig"))
-    groups = sig.groupBy("text_sig").agg(
-        F.count("*").alias("n_copies"),
-        F.min("doc_id").alias("canonical_id"),
-    )
-    return (
-        sig.join(groups, "text_sig")
-        .select("doc_id", "text_sig", "n_copies", "canonical_id")
+    w = Window.partitionBy("text_sig")
+    return sig.select(
+        "doc_id", "text_sig",
+        F.count("*").over(w).alias("n_copies"),
+        F.min("doc_id").over(w).alias("canonical_id"),
     )
 
 
@@ -190,30 +196,31 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
     """K minhash values per doc: shingle -> md5-60bit -> K universal
     rehashes -> min per hash.
 
-    The base hash array is materialized as its own column (``_h``,
-    referenced K times — CollapseProject keeps non-cheap expressions
-    with multiple references in a separate projection), so each shingle
-    is md5-hashed exactly ONCE regardless of K.
+    Round 6: shingles are ``explode_outer``-ed and the K minima come
+    from one hash-aggregate with K ``min((h*a_i + b_i) % M)`` columns.
+    The prior shape — a ``transform`` materializing the md5 array plus
+    K ``array_min(transform(...))`` rehash passes — ran every element
+    visit through interpreted CodegenFallback lambda evaluation; the
+    explode form runs md5 and all K rehashes inside WholeStageCodegen
+    with map-side partial aggregation (each doc's shingles combine
+    locally; the added Exchange carries one 32-long row per doc). min
+    is order-independent and the per-shingle integer math is unchanged,
+    so signatures are bit-identical; ``explode_outer`` keeps
+    empty/null shingle sets as an all-NULL signature row, exactly what
+    ``array_min`` over an empty/NULL array produced.
     """
     a, b = _hash_coeffs(num_hashes)
     sh = shingles(df, text_col, shingle_n)
-    hashed = sh.select(
-        "doc_id",
-        F.transform(
-            F.col("shingles"),
-            lambda s: md5_60(s) % F.lit(_M31)).alias("_h"))
-
-    def _rehash(ai: int, bi: int):
-        # Single-parameter lambda: a second parameter would be bound to
-        # the element index by transform()'s lambda protocol.
-        return lambda h: (h * F.lit(ai) + F.lit(bi)) % F.lit(_M)
-
+    exploded = sh.select(
+        "doc_id", F.explode_outer("shingles").alias("_s"),
+    ).select(
+        "doc_id", (md5_60(F.col("_s")) % F.lit(_M31)).alias("_h"))
     cols = [
-        F.array_min(F.transform(F.col("_h"), _rehash(a[i], b[i])))
+        F.min((F.col("_h") * F.lit(a[i]) + F.lit(b[i])) % F.lit(_M))
         .alias(f"mh_{i}")
         for i in range(num_hashes)
     ]
-    return hashed.select("doc_id", *cols)
+    return exploded.groupBy("doc_id").agg(*cols)
 
 
 def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
@@ -267,25 +274,42 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
 
 def simhash(df: DataFrame, text_col: str = "text") -> DataFrame:
     """60-bit SimHash over distinct tokens: per-bit majority vote of the
-    token hashes. Each bit's vote is an allocation-free
-    ``size(filter(...))`` popcount scan over the materialized hash
-    array (the round-1 per-bit aggregate() allocated inside the lambda);
-    bit b is set iff strictly more than half the token hashes have bit
-    b set (2*pop > n, identical to the +1/-1 vote being positive)."""
-    ts = token_sets(df, text_col).select(
-        "doc_id", F.transform(F.col("toks"), md5_60).alias("_th"))
+    token hashes; bit b is set iff strictly more than half the token
+    hashes have bit b set (2*pop > n, identical to the +1/-1 vote being
+    positive).
 
-    def _bit_set(bit):
-        return lambda h: (
-            F.shiftrightunsigned(h, bit).bitwiseAND(F.lit(1)) == 1)
-
-    n = F.size("_th")
+    Round 6: the per-bit popcounts come from ``explode`` + one
+    hash-aggregate with 60 ``sum((h >> b) & 1)`` columns instead of 60
+    ``size(filter(...))`` scans over the per-row hash array.
+    Higher-order-function lambdas are CodegenFallback (interpreted,
+    one virtual eval per element per pass — 60 passes made this the
+    slowest query in the whole bench at 68 s / 50 k docs), while
+    explode + sum runs entirely inside WholeStageCodegen with map-side
+    partial aggregation: each doc's tokens combine locally, so the one
+    added Exchange carries a single 61-long row per document — less
+    than the document's own text. The md5 per token is likewise now a
+    codegen'd per-row expression instead of an interpreted
+    ``transform`` element call. Integer popcounts are order-independent,
+    so the signature is bit-identical to the array formulation
+    (``explode_outer`` + conditional aggregates keep the null-text
+    degenerate row at signature 0, exactly as ``size(filter(NULL))``
+    voted before)."""
+    exploded = token_sets(df, text_col).select(
+        "doc_id", F.explode_outer("toks").alias("_tok"),
+    ).select("doc_id", md5_60(F.col("_tok")).alias("_h"))
+    n = F.count("_h")
+    pops = [
+        F.sum(F.shiftrightunsigned("_h", bit).bitwiseAND(F.lit(1)))
+        .alias(f"_p{bit}")
+        for bit in range(SIMHASH_BITS)
+    ]
+    counts = exploded.groupBy("doc_id").agg(n.alias("_n"), *pops)
     sig = F.lit(0).cast("long")
     for bit in range(SIMHASH_BITS):
-        pop = F.size(F.filter(F.col("_th"), _bit_set(bit)))
-        sig = sig + F.when(pop * 2 > n, F.lit(1 << bit).cast("long")) \
-                     .otherwise(F.lit(0).cast("long"))
-    return ts.select("doc_id", sig.alias("simhash"))
+        sig = sig + F.when(
+            F.col(f"_p{bit}") * 2 > F.col("_n"),
+            F.lit(1 << bit).cast("long")).otherwise(F.lit(0).cast("long"))
+    return counts.select("doc_id", sig.alias("simhash"))
 
 
 def simhash_candidates(df: DataFrame, text_col: str = "text",

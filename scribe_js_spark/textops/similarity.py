@@ -19,6 +19,20 @@ from pyspark.sql import functions as _F  # noqa: F401
 
 
 def _dot(a, b):
+    """Left-fold dot product over the full arrays (zip_with + aggregate).
+
+    Round-6 note (negative result, kept for the record): a fully
+    unrolled ``a[0]*b[0] + ... + a[63]*b[63]`` codegen expression was
+    measured SLOWER than this interpreted fold. One 64-term tree
+    compiles to a >8 KB-bytecode method that HotSpot refuses to JIT
+    (DontCompileHugeMethods), so it runs in the bytecode interpreter;
+    8 such trees in one projection (lsh_bucket) additionally blew
+    janino's 64 KB method limit outright, and wrapping the fold as a
+    CASE-WHEN fallback branch disqualified whole stages from codegen.
+    Measured on 2M cached pairs: unrolled 23 s vs this fold 4.4 s.
+    The round-6 wins here are structural instead: norms computed once
+    per vector (not per pair) and the superfluous pair-``distinct``
+    exchanges removed (see embedding_near_dups)."""
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
@@ -43,14 +57,25 @@ def ann_topk_bruteforce(df: DataFrame, queries: DataFrame, k: int = 5,
     construction: queries are the user's probe set, not the corpus).
     Returns (query_id, rank, neighbor_id, sim_e6) — similarity scaled
     to micro-units as int for cross-engine stability.
+
+    Round 6: each side's norm is computed ONCE per vector below the
+    broadcast join — the corpus norm was previously re-derived inside
+    cosine() for every (query, corpus) pair, |Q| times the needed
+    work — so the per-pair cost drops from 3 fold evaluations to 1.
+    sqrt(dot(v,v)) is the same expression either way: bit-identical.
     """
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"),
+        _norm(F.col(vec_col)).alias("q_nrm"))
     c = df.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"),
+        _norm(F.col(vec_col)).alias("c_nrm"))
     scored = (
         c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("sim", cosine(F.col("q_vec"), F.col("c_vec")))
+        .withColumn(
+            "sim",
+            _dot(F.col("q_vec"), F.col("c_vec"))
+            / (F.col("q_nrm") * F.col("c_nrm")))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("sim").desc(), F.col("neighbor_id"))
@@ -154,7 +179,14 @@ def _plane_coeff(plane: int, dim: int) -> float:
 
 
 def lsh_bucket(vec_col, dim: int, n_planes: int = _N_PLANES_DEFAULT):
-    """Sign-of-projection bucket id (0 .. 2^n_planes-1) as a column."""
+    """Sign-of-projection bucket id (0 .. 2^n_planes-1) as a column.
+
+    Stays the aggregate(zip_with(...)) fold: the round-6 unrolled
+    rewrite (8 planes x 64 terms in one projection) exceeded janino's
+    64 KB method limit, fell back to interpreting a 512-node tree and
+    benched 3-6x SLOWER (see _dot). For corpora queried repeatedly the
+    real fix is :func:`with_lsh_bucket`: materialize the id once and
+    read it from the scan."""
     bucket = F.lit(0).cast("long")
     for p in range(n_planes):
         proj = F.aggregate(
@@ -226,7 +258,11 @@ def embedding_near_dups(df: DataFrame, threshold: float = 0.95,
     base = df.select(
         F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"),
         _corpus_bucket(df, vec_col, dim, n_planes, bucket_col)
-        .alias("bucket")) \
+        .alias("bucket"),
+        # norm computed ONCE per vector at persist time — the verify
+        # stage previously re-derived both norms for every candidate
+        # pair (3 fold evaluations per pair; now 1)
+        _norm(F.col(vec_col)).alias("nrm")) \
         .persist(StorageLevel.MEMORY_AND_DISK)
     probes = base.select(
         "vid", "vec",
@@ -242,24 +278,29 @@ def embedding_near_dups(df: DataFrame, threshold: float = 0.95,
         base = base.join(ok, "bucket")
         probes = probes.join(
             ok.withColumnRenamed("bucket", "probe"), "probe")
-    # the multiprobe join yields each pair up to n_planes+1 times;
-    # dedup on the ID PAIR ONLY (8+8 bytes through the distinct's
-    # shuffle) and re-join the persisted vectors for the verify —
-    # shuffling the 64-float arrays through distinct costs ~8x the
-    # bytes for nothing
+    # No pair-dedup needed (round 6): the multiprobe join emits each
+    # ORDERED pair at most once — a's probe list {bucket ^ m : m in
+    # {0, 1<<0..1<<(n_planes-1)}} has pairwise-distinct values, so
+    # bucket_b appears in it at most once (exactly when
+    # bucket_a XOR bucket_b is 0 or a single probed bit), and the
+    # strict vid-order filter then keeps exactly one orientation of
+    # each unordered pair. The .distinct() this replaces was the ONLY
+    # Exchange in the query (15.2M pair rows shuffled at sf1.0, for a
+    # provably-already-unique set); without it the whole query is one
+    # fused broadcast-join pipeline. tests/test_r06_codegen_equiv.py
+    # asserts the no-duplicate property on a Hamming-0/1/2 fixture.
     cand = (
         probes.alias("a")
         .join(base.alias("b"), F.col("a.probe") == F.col("b.bucket"))
         .filter(F.col("a.vid") < F.col("b.vid"))
         .select(F.col("a.vid").alias("vec_a"),
                 F.col("b.vid").alias("vec_b"))
-        .distinct()
     )
     va = base.select(F.col("vid").alias("vec_a"),
-                     F.col("vec").alias("va"))
+                     F.col("vec").alias("va"), F.col("nrm").alias("na"))
     vb = base.select(F.col("vid").alias("vec_b"),
-                     F.col("vec").alias("vb"))
-    sim = cosine(F.col("va"), F.col("vb"))
+                     F.col("vec").alias("vb"), F.col("nrm").alias("nb"))
+    sim = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     return (
         cand.join(va, "vec_a").join(vb, "vec_b")
         .withColumn("sim", sim)
@@ -286,7 +327,8 @@ def ann_topk_lsh(df: DataFrame, queries: DataFrame, k: int = 5,
     c = df.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"),
         _corpus_bucket(df, vec_col, dim, n_planes, bucket_col)
-        .alias("bucket"))
+        .alias("bucket"),
+        _norm(F.col(vec_col)).alias("c_nrm"))
     probe_buckets = F.array(
         *([F.col("q_bucket")] + [
             F.col("q_bucket").bitwiseXOR(F.lit(1 << p))
@@ -295,13 +337,21 @@ def ann_topk_lsh(df: DataFrame, queries: DataFrame, k: int = 5,
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"),
         lsh_bucket(F.col(vec_col), dim, n_planes).alias("q_bucket"),
+        _norm(F.col(vec_col)).alias("q_nrm"),
     ).withColumn("probe", F.explode(probe_buckets))
+    # no distinct needed (round 6): a query's probe list
+    # {q_bucket ^ m} has pairwise-distinct values, so each corpus row
+    # matches a given query at most once — (query_id, neighbor_id)
+    # rows are already unique (same argument as embedding_near_dups)
     scored = (
         c.join(F.broadcast(q),
                (F.col("bucket") == F.col("probe"))
                & (F.col("neighbor_id") != F.col("query_id")))
-        .withColumn("sim", cosine(F.col("q_vec"), F.col("c_vec")))
-        .select("query_id", "neighbor_id", "sim").distinct()
+        .withColumn(
+            "sim",
+            _dot(F.col("q_vec"), F.col("c_vec"))
+            / (F.col("q_nrm") * F.col("c_nrm")))
+        .select("query_id", "neighbor_id", "sim")
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("sim").desc(), F.col("neighbor_id"))
