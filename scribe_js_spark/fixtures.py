@@ -3537,7 +3537,7 @@ def ensure_webhtml_bench_corpus(path: str, n_docs: int,
 
     import pandas as pd
 
-    fpath = os.path.join(path, f"webhtml_{n_docs}_{seed}.parquet")
+    fpath = os.path.join(path, f"webhtml_{n_docs}_{seed}_rg8.parquet")
     if os.path.exists(fpath):
         return fpath
     os.makedirs(path, exist_ok=True)
@@ -3547,8 +3547,8 @@ def ensure_webhtml_bench_corpus(path: str, n_docs: int,
         rows.append({"url": f"https://fixtures.test/webhtml/{doc_id:08d}",
                      "html": m["html"].encode("utf-8")})
     # row_group_size keeps the single file splittable (see
-    # ensure_bench_corpus for the rationale).
-    pd.DataFrame(rows).to_parquet(fpath, index=False, row_group_size=64)
+    # ensure_bench_corpus for the rationale; rg8 cache-key note too).
+    pd.DataFrame(rows).to_parquet(fpath, index=False, row_group_size=8)
     return fpath
 
 
@@ -4974,7 +4974,11 @@ def ensure_bench_corpus(path: str, n_docs: int,
     # Cache key includes the family mix so a stale cache from an older
     # corpus composition is never silently reused.
     mix_tag = sum(w * (i + 1) for i, (_, w) in enumerate(FORMAT_MIX))
-    fpath = os.path.join(path, f"bench_{n_docs}_{seed}_{mix_tag}.parquet")
+    # rg8 suffix: cache key includes the row-group layout so a coarser
+    # cached file is never silently reused (content is identical — the
+    # layout only affects scan granularity).
+    fpath = os.path.join(
+        path, f"bench_{n_docs}_{seed}_{mix_tag}_rg8.parquet")
     if os.path.exists(fpath):
         return fpath
     os.makedirs(path, exist_ok=True)
@@ -4984,9 +4988,12 @@ def ensure_bench_corpus(path: str, n_docs: int,
     # Small row groups keep the file splittable: Spark parallelizes the
     # scan across row-group boundaries, so no byte-shuffle is needed to
     # fan the parse out (at cluster scale the input is many files and
-    # this is automatic).
+    # this is automatic). Round 6: 64 -> 8 rows per group — with the
+    # 1%-huge-document tail, a 64-row group could hold several
+    # multi-second documents and its task bounded the whole stage
+    # (guide 2.5/6: straggler = biggest unsplittable piece).
     df[["url", "warc_ts", "html", "text", "lang"]].to_parquet(
-        fpath, index=False, row_group_size=64)
+        fpath, index=False, row_group_size=8)
     return fpath
 
 

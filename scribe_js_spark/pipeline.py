@@ -219,6 +219,13 @@ def extract_text(
 
     if salt:
         small = salt_by_size(small, num_partitions)
+    # Unsalted path stays zero-shuffle on purpose: an A/B with a
+    # round-robin spread_input() here measured 2.3x SLOWER on the
+    # bench corpus (19-20 s vs 8 s) — repartitioning multi-MB binary
+    # document rows pays a per-row sort (sortBeforeRepartition) plus a
+    # full serialize/deserialize of the payload, which dwarfs the
+    # parallelism gain; fine-grained row groups in the input file give
+    # the scan its parallelism without moving bytes (round 6).
 
     schema = EXTRACT_SPANS_SCHEMA if with_spans else EXTRACT_SCHEMA
 

@@ -107,6 +107,10 @@ def jaccard_pairs(df: DataFrame, text_col: str = "text",
     base = df
     if max_doc_id is not None:
         base = base.filter(F.col("doc_id") < max_doc_id)
+    # no spread_input here: the inverted-index explode feeds a groupBy
+    # whose Exchange already parallelizes everything downstream, and
+    # the tokenize map ahead of it is trivial — an A/B showed the
+    # added repartition to be pure overhead on the doc_id-capped input
     if ngram is None:
         ts = token_sets(base, text_col)
     else:
@@ -155,8 +159,15 @@ def jaccard_for_pairs(df: DataFrame, candidates: DataFrame,
     cross-product), so cost is O(|candidates|), the scale-safe shape.
     ``ngram`` switches the sets to word n-gram shingles.
     """
-    ts = (token_sets(df, text_col) if ngram is None
-          else shingles(df, text_col, ngram).withColumnRenamed(
+    from .partitioning import spread_input
+
+    # spread: the token-array build otherwise runs at the scan's
+    # (possibly single-task) parallelism, and an identical repartition
+    # in both join branches lets ReusedExchange compute the token
+    # arrays ONCE for the a- and b-sides (round 6)
+    base = spread_input(df, ["doc_id", text_col])
+    ts = (token_sets(base, text_col) if ngram is None
+          else shingles(base, text_col, ngram).withColumnRenamed(
               "shingles", "toks"))
     a = ts.select(F.col("doc_id").alias("doc_a"),
                   F.col("toks").alias("_toks_a"))
@@ -209,8 +220,11 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
     empty/null shingle sets as an all-NULL signature row, exactly what
     ``array_min`` over an empty/NULL array produced.
     """
+    from .partitioning import spread_input
+
     a, b = _hash_coeffs(num_hashes)
-    sh = shingles(df, text_col, shingle_n)
+    sh = shingles(spread_input(df, ["doc_id", text_col]), text_col,
+                  shingle_n)
     exploded = sh.select(
         "doc_id", F.explode_outer("shingles").alias("_s"),
     ).select(
@@ -294,7 +308,11 @@ def simhash(df: DataFrame, text_col: str = "text") -> DataFrame:
     (``explode_outer`` + conditional aggregates keep the null-text
     degenerate row at signature 0, exactly as ``size(filter(NULL))``
     voted before)."""
-    exploded = token_sets(df, text_col).select(
+    from .partitioning import spread_input
+
+    exploded = token_sets(
+        spread_input(df, ["doc_id", text_col]), text_col,
+    ).select(
         "doc_id", F.explode_outer("toks").alias("_tok"),
     ).select("doc_id", md5_60(F.col("_tok")).alias("_h"))
     n = F.count("_h")
@@ -344,14 +362,47 @@ def simhash_candidates(df: DataFrame, text_col: str = "text",
         blocks = blocks.join(ok, ["blk", "blk_val"])
     xor = F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
     hamming = F.bit_count(xor).cast("int")
-    # Hamming filter BEFORE the dedup-distinct: the popcount is a cheap
-    # map-side expression, so rejecting far pairs first keeps the
-    # distinct's shuffle to the (tiny) near-dup set instead of every
-    # bucket-collision pair carrying two 8-byte signatures.
-    return (
+    # Hamming filter BEFORE any dedup: the popcount is a cheap
+    # map-side expression, so rejecting far pairs first keeps
+    # downstream work to the near-dup set instead of every
+    # bucket-collision pair.
+    joined = (
         blocks.alias("a").join(blocks.alias("b"), on=["blk", "blk_val"])
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .filter(hamming <= 3)
+    )
+    if max_bucket_size is None:
+        # First-matching-block dedup (round 6): a pair joins once per
+        # shared block, so instead of a .distinct() over the full
+        # candidate set (27.4M rows shuffled at the 50k-doc bench
+        # scale), keep only the row whose blk is the pair's FIRST
+        # matching block — "no earlier block of the signatures' XOR is
+        # zero", a pure map-side bit test. Every surviving (doc_a,
+        # doc_b, hamming) row is then provably unique: exactly the set
+        # the distinct produced, without its Exchange. Only valid
+        # uncapped: with max_bucket_size, an earlier matching block
+        # may have been dropped from the join key, so first-match
+        # can't be decided from the signatures alone and the distinct
+        # stays.
+        def _blk_zero(j):
+            return (
+                F.shiftrightunsigned(xor, j * 15)
+                .bitwiseAND(F.lit(0x7FFF)) == 0)
+
+        first_match = F.when(F.col("blk") == 0, F.lit(True))
+        for b in range(1, SIMHASH_BLOCKS):
+            no_earlier = F.lit(True)
+            for j in range(b):
+                no_earlier = no_earlier & ~_blk_zero(j)
+            first_match = first_match.when(F.col("blk") == b, no_earlier)
+        return (
+            joined.filter(first_match)
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"),
+                    hamming.alias("hamming"))
+        )
+    return (
+        joined
         .select(F.col("a.doc_id").alias("doc_a"),
                 F.col("b.doc_id").alias("doc_b"),
                 hamming.alias("hamming"))

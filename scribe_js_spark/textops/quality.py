@@ -53,7 +53,11 @@ def doc_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     ``length(t) - length(regexp_replace(t, cls, ''))`` — the same
     integer for single-char classes (each match removes exactly one
     char), without materializing a full stripped copy of the text per
-    counter (3 string allocations per document saved)."""
+    counter (3 string allocations per document saved) — and a small
+    (single-row-group) input is spread across the cluster first."""
+    from .partitioning import spread_input
+
+    df = spread_input(df, ["doc_id", text_col])
     t = F.col(text_col)
     toks = _tokens(t)
     return df.select(
@@ -85,9 +89,11 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     still (43.6 s at sf0.1). Counts are integers and the token stream
     is the same split, so scores are bit-identical; the added
     exchanges carry only marker hits and 13-column count rows."""
+    from .partitioning import spread_input
+
     langs = list(LANG_MARKERS)
     all_markers = [w for l in langs for w in LANG_MARKERS[l]]
-    toked = df.select(
+    toked = spread_input(df, ["doc_id", "lang", text_col]).select(
         "doc_id", "lang",
         F.split(F.trim(F.lower(F.col(text_col))), r"\s+").alias("_toks"))
     exploded = toked.select(
@@ -129,6 +135,9 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Order-insensitive document signature: md5 of the sorted distinct
     token set. Collision-groups this key to find bag-of-words duplicates
     regardless of word order — the cheap first stage ahead of MinHash."""
+    from .partitioning import spread_input
+
+    df = spread_input(df, ["doc_id", text_col])
     toks = F.array_sort(F.array_distinct(_tokens(F.col(text_col))))
     return df.select(
         "doc_id",
@@ -144,8 +153,14 @@ def winnow_fingerprints(df: DataFrame, text_col: str = "text",
     consecutive k-gram hashes, keep each window's minimum — the
     guarantee is that any match of length >= k + w - 1 shares at least
     one selected fingerprint. Pure JVM higher-order expressions
-    (transform / slice / array_min), zero shuffle; the doc-level
-    ``winnow_sig`` is the md5 of the sorted distinct selection."""
+    (transform / slice / array_min); the doc-level ``winnow_sig`` is
+    the md5 of the sorted distinct selection. Round 6: the input is
+    spread across the cluster first — the per-row k-gram hashing is
+    the heaviest map work in this module and a single-row-group scan
+    ran it on one task."""
+    from .partitioning import spread_input
+
+    df = spread_input(df, ["doc_id", text_col])
     t = F.col(text_col)
     n = F.length(t)
     n_grams = n - k + 1
@@ -189,6 +204,9 @@ def script_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     'und' when no scripted character appears). Pure JVM regexp counts,
     zero shuffle — the script-level complement of the stopword
     ``lang_id`` for languages Latin stopwords cannot see."""
+    from .partitioning import spread_input
+
+    df = spread_input(df, ["doc_id", text_col])
     t = F.col(text_col)
     # regexp_count == length-diff for these single-char classes; no
     # stripped-copy allocation per range (see doc_stats, round 6)
@@ -257,7 +275,12 @@ def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Exact per-document token counts under two tokenizations:
     whitespace words and BPE-ish pre-tokenizer segments (the unit a
     byte-pair encoder would split further) — the cost estimator for
-    training-data pipelines. Pure JVM regex, zero shuffle."""
+    training-data pipelines. Pure JVM regex; small inputs spread
+    first (round 6 — the BPE regex is the heaviest per-row scan in
+    this module and a one-row-group file ran it on one task)."""
+    from .partitioning import spread_input
+
+    df = spread_input(df, ["doc_id", text_col])
     t = F.col(text_col)
     return df.select(
         "doc_id",

@@ -64,10 +64,12 @@ def ann_topk_bruteforce(df: DataFrame, queries: DataFrame, k: int = 5,
     work — so the per-pair cost drops from 3 fold evaluations to 1.
     sqrt(dot(v,v)) is the same expression either way: bit-identical.
     """
+    from .partitioning import spread_input
+
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"),
         _norm(F.col(vec_col)).alias("q_nrm"))
-    c = df.select(
+    c = spread_input(df, [id_col, vec_col]).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"),
         _norm(F.col(vec_col)).alias("c_nrm"))
     scored = (
@@ -255,6 +257,14 @@ def embedding_near_dups(df: DataFrame, threshold: float = 0.95,
     projection is skipped entirely and the bucket rides the scan."""
     from pyspark import StorageLevel
 
+    from .partitioning import spread_input
+
+    # spread the (one-row-group) corpus scan BEFORE the bucket/norm
+    # projection and the fused probe-join pipeline: with the pair
+    # .distinct() gone this query is one map-side pipeline whose
+    # parallelism is the scan's — a single-row-group parquet file
+    # would run it on one task (guide 2.5)
+    df = spread_input(df)
     base = df.select(
         F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"),
         _corpus_bucket(df, vec_col, dim, n_planes, bucket_col)
@@ -324,6 +334,9 @@ def ann_topk_lsh(df: DataFrame, queries: DataFrame, k: int = 5,
     instead of re-projecting n_planes x dim per row on every query
     batch. Query-side buckets are always computed (the probe set is
     tiny)."""
+    from .partitioning import spread_input
+
+    df = spread_input(df)
     c = df.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"),
         _corpus_bucket(df, vec_col, dim, n_planes, bucket_col)

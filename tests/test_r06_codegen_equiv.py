@@ -221,6 +221,36 @@ def test_embedding_near_dups_pairs_unique_without_distinct(spark):
     assert nb >= 2
 
 
+def test_simhash_first_match_equals_distinct(spark):
+    """The uncapped simhash_candidates path dedups by first-matching
+    block instead of .distinct(); a huge-cap call takes the capped
+    (distinct-ful) branch with no key actually dropped, i.e. the
+    round-5 semantics — the two must agree exactly, including exact
+    duplicates (which match on all 4 blocks)."""
+    from scribe_js_spark.textops.dedup import simhash_candidates
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "alpha beta gamma delta epsilon zeta"),      # exact dup of 1
+        (3, "alpha beta gamma delta epsilon eta"),       # near dup
+        (4, "totally different words entirely here now"),
+        (5, "alpha beta gamma delta epsilon zeta"),      # exact dup of 1
+        (6, None),
+        (7, ""),
+        (8, ""),                                         # dup of 7
+    ]
+    df = spark.createDataFrame(rows, StructType([
+        StructField("doc_id", LongType()),
+        StructField("text", StringType()),
+    ]))
+    got = _rows(simhash_candidates(df))
+    want = _rows(simhash_candidates(df, max_bucket_size=10**9))
+    assert got == want
+    keys = [(r[0], r[1]) for r in got]
+    assert len(keys) == len(set(keys)), "duplicate pair emitted"
+    assert (1, 2) in keys  # the fixture really exercises multi-block
+
+
 def test_ann_topk_lsh_rows_unique_without_distinct(spark):
     from scribe_js_spark.textops.similarity import ann_topk_lsh
 
