@@ -36,10 +36,11 @@ decodeBitmap, :915-1048 segment headers, :1251-1561 chunk walk):
 
 SDREFAGG dictionaries decode both the single-instance refinement
 path and multi-instance aggregates (nested text regions over the
-shared context cache, 6.5.8). Huffman+refinement, TPGRON, MMR
-halftone planes, halftone skip, and standalone refinement-region
-segments (all of which the reference also rejects) raise
-NotImplementedError — surfaced as honest
+shared context cache, 6.5.8), and TPGRON typical-prediction
+refinement decodes (beyond the reference, which rejects it).
+Huffman+refinement, MMR halftone planes, halftone skip, and
+standalone refinement-region segments (all of which the reference
+also rejects) raise NotImplementedError — surfaced as honest
 error columns by the image pipeline, never a crash. Matching encoders
 (:func:`build_jbig2_embedded`, :func:`build_jbig2_symbol_text`) exist
 for fixture generation.
@@ -350,7 +351,10 @@ def _read_segment_header(data: bytes, pos: int):
 
 
 # No unsupported segment families remain; the mechanism stays for
-# future spec corners (TPGRON refinement raises inline below).
+# future spec corners (TPGRON refinement is IMPLEMENTED at the
+# tpgron branch below; the remaining inline raises are the
+# Huffman+refinement / MMR-halftone corners the reference also
+# rejects).
 _UNSUPPORTED: dict = {}
 
 
