@@ -28,6 +28,11 @@ scale you would checkpoint the signature table instead.
 
 All built-in column expressions / higher-order functions — no Python in
 the hot path.
+
+Input contract (relied on by the round-6 explode + hash-aggregate
+signature builds, and by every oracle): ``doc_id`` is a non-NULL
+unique key. A NULL or duplicated doc_id would merge what the round-5
+per-row array formulations computed per row.
 """
 
 from __future__ import annotations
@@ -67,10 +72,15 @@ def exact_dups(df: DataFrame, text_col: str = "text") -> DataFrame:
     one hash partitioning of the signature key instead of groupBy +
     join back on the same key — same integers, one Exchange instead of
     two and no join (guide: two operations keyed the same way share
-    one exchange)."""
+    one exchange). The NULL-signature filter preserves the join
+    shape's exact semantics (and the frozen oracle's ``JOIN USING``):
+    a NULL join key matched nothing, so NULL-text rows were absent
+    from the output — a window would otherwise keep the NULL
+    partition."""
     from pyspark.sql import Window
 
-    sig = df.select("doc_id", F.md5(F.col(text_col)).alias("text_sig"))
+    sig = df.select("doc_id", F.md5(F.col(text_col)).alias("text_sig")) \
+        .filter(F.col("text_sig").isNotNull())
     w = Window.partitionBy("text_sig")
     return sig.select(
         "doc_id", "text_sig",

@@ -221,6 +221,32 @@ def test_embedding_near_dups_pairs_unique_without_distinct(spark):
     assert nb >= 2
 
 
+def test_exact_dups_window_matches_join_shape(spark):
+    """The window rewrite must keep the groupBy+join shape's exact
+    semantics, including the subtle one: a NULL text row has a NULL
+    signature, and the old inner join (like the oracle's JOIN USING)
+    dropped it — the window must too."""
+    from scribe_js_spark.textops.dedup import exact_dups
+
+    rows = [(1, "a"), (2, "a"), (3, "b"), (4, None), (5, "a"), (6, "")]
+    df = spark.createDataFrame(rows, StructType([
+        StructField("doc_id", LongType()),
+        StructField("text", StringType()),
+    ]))
+    got = _rows(exact_dups(df))
+
+    sig = df.select("doc_id", F.md5(F.col("text")).alias("text_sig"))
+    groups = sig.groupBy("text_sig").agg(
+        F.count("*").alias("n_copies"),
+        F.min("doc_id").alias("canonical_id"))
+    want = _rows(
+        sig.join(groups, "text_sig")
+        .select("doc_id", "text_sig", "n_copies", "canonical_id"))
+    assert got == want
+    assert all(r[0] != 4 for r in got), "NULL-text row must be dropped"
+    assert any(r[0] == 6 for r in got), "empty-text row must be kept"
+
+
 def test_simhash_first_match_equals_distinct(spark):
     """The uncapped simhash_candidates path dedups by first-matching
     block instead of .distinct(); a huge-cap call takes the capped
