@@ -88,7 +88,10 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     round-1 single-pass struct-accumulator ``aggregate()`` was worse
     still (43.6 s at sf0.1). Counts are integers and the token stream
     is the same split, so scores are bit-identical; the added
-    exchanges carry only marker hits and 13-column count rows."""
+    exchanges carry only marker hits and 13-column count rows.
+    Input contract (as for the dedup signature builds): ``doc_id`` is
+    a non-NULL unique key — the aggregate+join-back would merge
+    NULL/duplicate ids that a per-row formulation scored per row."""
     from .partitioning import spread_input
 
     langs = list(LANG_MARKERS)
