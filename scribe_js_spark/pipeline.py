@@ -86,11 +86,16 @@ def session_conf(builder):
         builder
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        # Documents are big rows; keep Arrow batches small enough to fit
-        # executor memory even for the 500-page tail. The byte cap is the
-        # load-bearing one: 64 records of multi-MB documents x 32
-        # concurrent tasks would otherwise thrash the heap.
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "64")
+        # Arrow batches are bounded by BYTES (the load-bearing cap for
+        # multi-MB document rows: 16 MB/batch regardless of row count —
+        # verified on this Spark: a batch closes when EITHER cap is hit,
+        # for mapInArrow and mapInPandas alike). The record cap is a
+        # secondary bound; 64 would fragment narrow-row Python stages
+        # (e.g. 16-byte pair rows) into ~10 us-a-piece micro-batches,
+        # so it sits at 4096 now that the byte cap carries the memory
+        # contract. Env-overridable for other deployments.
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch",
+                os.environ.get("SPARK_GRAFT_ARROW_MAX_RECORDS", "4096"))
         .config("spark.sql.execution.arrow.maxBytesPerBatch", str(16 * 1024 * 1024))
         # Fine-grained input splits: document rows are heavy to *process*
         # relative to their bytes, so target many small scan partitions

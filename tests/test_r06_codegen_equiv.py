@@ -221,6 +221,91 @@ def test_embedding_near_dups_pairs_unique_without_distinct(spark):
     assert nb >= 2
 
 
+def _with_gate(gate, fn):
+    """Run fn with the broadcast-verify gate window set to [0, gate):
+    gate=0 forces the JVM join + fold fallback; a large gate forces
+    the numpy broadcast-gather path for tiny fixtures."""
+    from scribe_js_spark.textops import similarity as S
+
+    old = (S.EMB_BCAST_MIN_BYTES, S.EMB_BCAST_MAX_BYTES)
+    S.EMB_BCAST_MIN_BYTES, S.EMB_BCAST_MAX_BYTES = 0, gate
+    try:
+        return fn()
+    finally:
+        S.EMB_BCAST_MIN_BYTES, S.EMB_BCAST_MAX_BYTES = old
+
+
+def _near_dup_rows(df, **kw):
+    from scribe_js_spark.textops.similarity import embedding_near_dups
+
+    return sorted(map(tuple, embedding_near_dups(df, **kw).collect()))
+
+
+def test_embedding_verify_bcast_matches_jvm_fold(spark):
+    """The numpy broadcast-gather verify must be bit-identical to the
+    JVM join + aggregate-fold path: same pairs, same sim_e6 (exact
+    left-fold order), NaN rows kept with sim_e6 = 0 (Spark orders NaN
+    above any threshold and floor-casts it to 0)."""
+    base = [1.0, 0.5, -0.25, 2.0, 0.75, -1.0, 0.1, 0.3]
+    rows = []
+    for i in range(40):
+        v = list(base)
+        v[i % 8] += (i // 8) * 2.5
+        v[(i + 3) % 8] -= (i % 5) * 1.5
+        rows.append((i, v))
+    rows += [(100, list(base)), (101, list(base))]
+    nanv = list(base)
+    nanv[2] = float("nan")
+    rows.append((200, nanv))
+    df = _vecs(spark, rows)
+    kw = dict(threshold=0.5, dim=8, n_planes=4)
+    fast = _with_gate(1 << 30, lambda: _near_dup_rows(df, **kw))
+    jvm = _with_gate(0, lambda: _near_dup_rows(df, **kw))
+    assert fast == jvm
+    nan_rows = [r for r in fast if 200 in r[:2]]
+    assert nan_rows and all(r[2] == 0 for r in nan_rows)
+    assert (100, 101, 1000000) in fast
+
+
+def test_embedding_verify_bcast_cap_membership(spark):
+    """With max_bucket_size, a pair whose a-side id was cap-filtered
+    out of base must be dropped exactly like the JVM inner join drops
+    it (searchsorted membership check)."""
+    base = [1.0, 0.5, -0.25, 2.0, 0.75, -1.0, 0.1, 0.3]
+    rows = []
+    for i in range(48):
+        v = list(base)
+        v[i % 8] += (i // 8) * 2.5
+        v[(i + 3) % 8] -= (i % 5) * 1.5
+        rows.append((i, v))
+    # a hot bucket: many exact copies
+    rows += [(500 + j, list(base)) for j in range(9)]
+    df = _vecs(spark, rows)
+    kw = dict(threshold=0.5, dim=8, n_planes=4, max_bucket_size=4)
+    fast = _with_gate(1 << 30, lambda: _near_dup_rows(df, **kw))
+    jvm = _with_gate(0, lambda: _near_dup_rows(df, **kw))
+    assert fast == jvm
+    uncapped = _with_gate(
+        1 << 30,
+        lambda: _near_dup_rows(df, threshold=0.5, dim=8, n_planes=4))
+    assert len(fast) < len(uncapped)  # the cap actually bound
+
+
+def test_embedding_verify_bcast_falls_back_on_ragged(spark):
+    """Ragged / NULL vectors fail the gate's preconditions; the JVM
+    fold's zip_with NULL semantics then apply — outputs must still be
+    identical (both drop those rows)."""
+    base = [1.0, 0.5, -0.25, 2.0, 0.75, -1.0, 0.1, 0.3]
+    rows = [(i, [x + i * 0.1 for x in base]) for i in range(12)]
+    rows += [(300, [1.0, 2.0]), (301, None)]
+    df = _vecs(spark, rows)
+    kw = dict(threshold=0.5, dim=8, n_planes=4)
+    fast = _with_gate(1 << 30, lambda: _near_dup_rows(df, **kw))
+    jvm = _with_gate(0, lambda: _near_dup_rows(df, **kw))
+    assert fast == jvm
+    assert all(300 not in r[:2] and 301 not in r[:2] for r in fast)
+
+
 def test_exact_dups_window_matches_join_shape(spark):
     """The window rewrite must keep the groupBy+join shape's exact
     semantics, including the subtle one: a NULL text row has a NULL
