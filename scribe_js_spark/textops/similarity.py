@@ -68,6 +68,29 @@ def cosine(a, b):
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+def _ident(name: str) -> str:
+    return "`" + name.replace("`", "``") + "`"
+
+
+def _dot_sql(a: str, b: str) -> str:
+    """SQL text of the exact :func:`_dot` fold over named columns.
+
+    Emitting the fold as ONE parsed expression instead of the
+    Column-API lambda plumbing cuts ~25 ms of py4j round trips per
+    fold at DataFrame-construction time (the same driver-side cost
+    class as lsh_bucket's literal arrays — see its docstring); the
+    analyzed expression, and therefore every result bit, is
+    identical."""
+    return (f"aggregate(zip_with({_ident(a)}, {_ident(b)}, "
+            "(x, y) -> cast(x as double) * cast(y as double)), "
+            "cast(0.0 as double), (acc, v) -> acc + v)")
+
+
+def _norm_sql(a: str) -> str:
+    """SQL text of the exact :func:`_norm` (sqrt of the _dot fold)."""
+    return f"sqrt({_dot_sql(a, a)})"
+
+
 def ann_topk_bruteforce(df: DataFrame, queries: DataFrame, k: int = 5,
                         id_col: str = "vec_id",
                         vec_col: str = "embedding") -> DataFrame:
@@ -88,16 +111,15 @@ def ann_topk_bruteforce(df: DataFrame, queries: DataFrame, k: int = 5,
 
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"),
-        _norm(F.col(vec_col)).alias("q_nrm"))
+        F.expr(_norm_sql(vec_col)).alias("q_nrm"))
     c = spread_input(df, [id_col, vec_col]).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"),
-        _norm(F.col(vec_col)).alias("c_nrm"))
+        F.expr(_norm_sql(vec_col)).alias("c_nrm"))
     scored = (
         c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
         .withColumn(
             "sim",
-            _dot(F.col("q_vec"), F.col("c_vec"))
-            / (F.col("q_nrm") * F.col("c_nrm")))
+            F.expr(_dot_sql("q_vec", "c_vec") + " / (q_nrm * c_nrm)"))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("sim").desc(), F.col("neighbor_id"))
@@ -128,7 +150,7 @@ def ann_topk_ivf(df: DataFrame, queries: DataFrame, k: int = 5,
     spark = df.sparkSession
     base = df.select(
         F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"),
-        lsh_bucket(F.col(vec_col), dim, n_planes_coarse).alias("bucket"))
+        lsh_bucket(vec_col, dim, n_planes_coarse).alias("bucket"))
 
     # Centroids: per-dimension means of each coarse LSH bucket, rounded
     # to 6 decimals so the value is reproducible across engines (the
@@ -203,12 +225,42 @@ def _plane_coeff(plane: int, dim: int) -> float:
 def lsh_bucket(vec_col, dim: int, n_planes: int = _N_PLANES_DEFAULT):
     """Sign-of-projection bucket id (0 .. 2^n_planes-1) as a column.
 
-    Stays the aggregate(zip_with(...)) fold: the round-6 unrolled
-    rewrite (8 planes x 64 terms in one projection) exceeded janino's
-    64 KB method limit, fell back to interpreting a 512-node tree and
-    benched 3-6x SLOWER (see _dot). For corpora queried repeatedly the
-    real fix is :func:`with_lsh_bucket`: materialize the id once and
-    read it from the scan."""
+    Stays the aggregate(zip_with(...)) fold at EXECUTION time: the
+    round-6 unrolled rewrite (8 planes x 64 terms in one projection)
+    exceeded janino's 64 KB method limit, fell back to interpreting a
+    512-node tree and benched 3-6x SLOWER (see _dot). For corpora
+    queried repeatedly the real fix is :func:`with_lsh_bucket`:
+    materialize the id once and read it from the scan.
+
+    CONSTRUCTION, however, was the hidden cost (round 6, late):
+    building this expression through the Column API issues ~70 py4j
+    round trips per plane (64 ``F.lit`` coefficient literals plus the
+    lambda plumbing) — measured 0.56 s of driver-side Python per call,
+    more than the query's whole execution at bench scale, and
+    ``ann_topk_lsh`` pays it twice per invocation. When the vector is
+    identified by NAME the same expression is emitted as ONE SQL
+    string (1.3 ms, 400x cheaper): coefficient literals ride as
+    ``CAST('<repr>' AS DOUBLE)`` — repr() round-trips doubles exactly
+    and the string-to-double cast constant-folds to the identical
+    Literal — and the fold text ``(x, w) -> cast(x as double) * w``
+    resolves to the same analyzed expression as the Column-API
+    lambdas, so the bucket ids are bit-identical (verified: 0
+    mismatches over 20k x 8 plane signs, and the plan is unchanged).
+    Pass a column NAME to get the fast path; Column inputs keep the
+    legacy construction."""
+    if isinstance(vec_col, str):
+        ident = "`" + vec_col.replace("`", "``") + "`"
+        parts = []
+        for p in range(n_planes):
+            arr = "array(" + ",".join(
+                f"CAST('{_plane_coeff(p, d)!r}' AS DOUBLE)"
+                for d in range(dim)) + ")"
+            proj = (f"aggregate(zip_with({ident}, {arr}, "
+                    "(x, w) -> cast(x as double) * w), "
+                    "cast(0.0 as double), (acc, v) -> acc + v)")
+            parts.append(
+                f"(CASE WHEN {proj} >= 0 THEN {1 << p} ELSE 0 END)")
+        return F.expr("CAST(0 AS BIGINT) + " + " + ".join(parts))
     bucket = F.lit(0).cast("long")
     for p in range(n_planes):
         proj = F.aggregate(
@@ -236,7 +288,7 @@ def with_lsh_bucket(df: DataFrame, vec_col: str = "embedding",
     The stored ids are only valid for the same (dim, n_planes) —
     the hyperplanes are deterministic in those parameters."""
     return df.withColumn(
-        out_col, lsh_bucket(F.col(vec_col), dim, n_planes))
+        out_col, lsh_bucket(vec_col, dim, n_planes))
 
 
 def _corpus_bucket(df: DataFrame, vec_col: str, dim: int,
@@ -248,7 +300,7 @@ def _corpus_bucket(df: DataFrame, vec_col: str, dim: int,
         bucket_col = "lsh_bucket"
     if bucket_col is not None:
         return F.col(bucket_col).cast("long")
-    return lsh_bucket(F.col(vec_col), dim, n_planes)
+    return lsh_bucket(vec_col, dim, n_planes)
 
 
 _I64MAX = (1 << 63) - 1
@@ -423,7 +475,7 @@ def embedding_near_dups(df: DataFrame, threshold: float = 0.95,
         # norm computed ONCE per vector at persist time — the verify
         # stage previously re-derived both norms for every candidate
         # pair (3 fold evaluations per pair; now 1)
-        _norm(F.col(vec_col)).alias("nrm")) \
+        F.expr(_norm_sql(vec_col)).alias("nrm")) \
         .persist(StorageLevel.MEMORY_AND_DISK)
     probes = base.select(
         "vid", "vec",
@@ -468,7 +520,7 @@ def embedding_near_dups(df: DataFrame, threshold: float = 0.95,
                      F.col("vec").alias("va"), F.col("nrm").alias("na"))
     vb = base.select(F.col("vid").alias("vec_b"),
                      F.col("vec").alias("vb"), F.col("nrm").alias("nb"))
-    sim = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    sim = F.expr(_dot_sql("va", "vb") + " / (na * nb)")
     return (
         cand.join(va, "vec_a").join(vb, "vec_b")
         .withColumn("sim", sim)
@@ -499,7 +551,7 @@ def ann_topk_lsh(df: DataFrame, queries: DataFrame, k: int = 5,
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"),
         _corpus_bucket(df, vec_col, dim, n_planes, bucket_col)
         .alias("bucket"),
-        _norm(F.col(vec_col)).alias("c_nrm"))
+        F.expr(_norm_sql(vec_col)).alias("c_nrm"))
     probe_buckets = F.array(
         *([F.col("q_bucket")] + [
             F.col("q_bucket").bitwiseXOR(F.lit(1 << p))
@@ -507,8 +559,8 @@ def ann_topk_lsh(df: DataFrame, queries: DataFrame, k: int = 5,
         ] if multiprobe else [F.col("q_bucket")]))
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"),
-        lsh_bucket(F.col(vec_col), dim, n_planes).alias("q_bucket"),
-        _norm(F.col(vec_col)).alias("q_nrm"),
+        lsh_bucket(vec_col, dim, n_planes).alias("q_bucket"),
+        F.expr(_norm_sql(vec_col)).alias("q_nrm"),
     ).withColumn("probe", F.explode(probe_buckets))
     # no distinct needed (round 6): a query's probe list
     # {q_bucket ^ m} has pairwise-distinct values, so each corpus row
@@ -520,8 +572,7 @@ def ann_topk_lsh(df: DataFrame, queries: DataFrame, k: int = 5,
                & (F.col("neighbor_id") != F.col("query_id")))
         .withColumn(
             "sim",
-            _dot(F.col("q_vec"), F.col("c_vec"))
-            / (F.col("q_nrm") * F.col("c_nrm")))
+            F.expr(_dot_sql("q_vec", "c_vec") + " / (q_nrm * c_nrm)"))
         .select("query_id", "neighbor_id", "sim")
     )
     w = Window.partitionBy("query_id").orderBy(
