@@ -239,9 +239,13 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
         "doc_id", F.explode_outer("shingles").alias("_s"),
     ).select(
         "doc_id", (md5_60(F.col("_s")) % F.lit(_M31)).alias("_h"))
+    # Each minimum as one parsed SQL expression (integer-identical to
+    # the Column-API form; int literals below 2^31 parse as INT and _M
+    # as BIGINT exactly as F.lit typed them) — 32 Column builds cost
+    # ~0.4 s of py4j round trips per invocation, the strings ~25 ms.
+    # See simhash/lsh_bucket for the construction-cost measurements.
     cols = [
-        F.min((F.col("_h") * F.lit(a[i]) + F.lit(b[i])) % F.lit(_M))
-        .alias(f"mh_{i}")
+        F.expr(f"min((_h * {a[i]} + {b[i]}) % {_M}) AS mh_{i}")
         for i in range(num_hashes)
     ]
     return exploded.groupBy("doc_id").agg(*cols)
@@ -325,19 +329,25 @@ def simhash(df: DataFrame, text_col: str = "text") -> DataFrame:
     ).select(
         "doc_id", F.explode_outer("toks").alias("_tok"),
     ).select("doc_id", md5_60(F.col("_tok")).alias("_h"))
-    n = F.count("_h")
-    pops = [
-        F.sum(F.shiftrightunsigned("_h", bit).bitwiseAND(F.lit(1)))
-        .alias(f"_p{bit}")
+    # The whole signature is ONE parsed SQL expression instead of 60
+    # Column-API sum columns plus a 60-step when-chain: building those
+    # cost ~1.0 s of driver-side py4j round trips PER INVOCATION
+    # (measured; same construction-cost class as similarity.lsh_bucket
+    # — see its docstring), against ~1 ms for the string. The analyzed
+    # aggregate is the same (60 partial sums + count, combined in the
+    # final projection), the arithmetic is all-integer, and the NULL
+    # semantics are unchanged: a NULL-text doc's single NULL-token row
+    # makes every sum NULL, each CASE falls to ELSE 0, signature 0 —
+    # exactly as before. Output equality old-vs-new is pinned by
+    # test_simhash_matches_hof and was verified row-identical at sf0.1.
+    parts = [
+        f"(CASE WHEN sum(shiftrightunsigned(_h, {bit}) & 1) * 2 "
+        f"> count(_h) THEN CAST({1 << bit} AS BIGINT) "
+        "ELSE CAST(0 AS BIGINT) END)"
         for bit in range(SIMHASH_BITS)
     ]
-    counts = exploded.groupBy("doc_id").agg(n.alias("_n"), *pops)
-    sig = F.lit(0).cast("long")
-    for bit in range(SIMHASH_BITS):
-        sig = sig + F.when(
-            F.col(f"_p{bit}") * 2 > F.col("_n"),
-            F.lit(1 << bit).cast("long")).otherwise(F.lit(0).cast("long"))
-    return counts.select("doc_id", sig.alias("simhash"))
+    sig = F.expr("CAST(0 AS BIGINT) + " + " + ".join(parts))
+    return exploded.groupBy("doc_id").agg(sig.alias("simhash"))
 
 
 def simhash_candidates(df: DataFrame, text_col: str = "text",

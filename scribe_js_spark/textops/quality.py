@@ -102,18 +102,28 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     exploded = toked.select(
         "doc_id", F.explode("_toks").alias("_tok"),
     ).filter(F.col("_tok").isin(all_markers))
-    aggs = []
-    for l in langs:
-        cnt = None
-        for w in LANG_MARKERS[l]:
-            c = F.sum(F.when(F.col("_tok") == w, 1).otherwise(0))
-            cnt = c if cnt is None else cnt + c
-        aggs.append(cnt.alias(f"_raw_{l}"))
+    # Marker counters, score projection and the argmax chain are
+    # emitted as parsed SQL text: the Column-API construction of 36
+    # sum(when(...)) counters plus the 12-way when-chains cost ~0.55 s
+    # of driver-side py4j round trips per invocation (measured; same
+    # construction-cost class as the dedup signature builds and
+    # similarity.lsh_bucket — see those docstrings), the strings a few
+    # ms. All-integer/string arithmetic, identical analyzed
+    # expressions; output equality is pinned by test_lang_id_matches_hof
+    # and was verified row-identical at sf0.1.
+    def _q(w: str) -> str:
+        return "'" + w.replace("'", "''") + "'"
+
+    aggs = [
+        F.expr(" + ".join(
+            f"sum(CASE WHEN _tok = {_q(w)} THEN 1 ELSE 0 END)"
+            for w in LANG_MARKERS[l]) + f" AS _raw_{l}")
+        for l in langs
+    ]
     counts = exploded.groupBy("doc_id").agg(*aggs)
     score_cols = [
-        F.when(F.col("_has"),
-               F.coalesce(F.col(f"_raw_{l}"), F.lit(0).cast("long")))
-        .cast("long").alias(f"score_{l}")
+        F.expr(f"CAST(CASE WHEN _has THEN coalesce(_raw_{l}, "
+               f"CAST(0 AS BIGINT)) END AS BIGINT) AS score_{l}")
         for l in langs
     ]
     scored = (
@@ -122,15 +132,17 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
         .join(counts, "doc_id", "left")
         .select("doc_id", "lang", *score_cols)
     )
-    best = F.greatest(*[F.col(f"score_{l}") for l in langs])
-    pred = F.when(best == 0, F.lit("und"))
-    for l in langs:  # first language hitting the max wins (stable tie-break)
-        pred = pred.when(F.col(f"score_{l}") == best, F.lit(l))
+    best_s = "greatest(" + ", ".join(f"score_{l}" for l in langs) + ")"
+    # first language hitting the max wins (stable tie-break)
+    pred_s = (f"CASE WHEN {best_s} = 0 THEN 'und'"
+              + "".join(f" WHEN score_{l} = {best_s} THEN '{l}'"
+                        for l in langs) + " END")
     return scored.select(
         "doc_id",
         F.col("lang").alias("lang_declared"),
-        *[F.col(f"score_{l}").cast("long") for l in langs],
-        pred.alias("lang_pred"),
+        *[F.expr(f"CAST(score_{l} AS BIGINT) AS score_{l}")
+          for l in langs],
+        F.expr(pred_s).alias("lang_pred"),
     )
 
 
