@@ -268,12 +268,16 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     """
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, text_col, num_hashes, shingle_n)
-    buckets = F.array(*[
-        F.md5(F.concat_ws("_", *[
-            F.col(f"mh_{band * rows_per_band + r}").cast("string")
-            for r in range(rows_per_band)]))
-        for band in range(bands)
-    ])
+    # one parsed SQL expression for the 8-band bucket array (the
+    # Column-API build of 8 x md5(concat_ws(4 casts)) cost ~0.15 s of
+    # py4j per invocation; same construction-cost class as the
+    # signature aggregates above — identical analyzed tree, verified
+    # row-identical at sf0.1)
+    buckets = F.expr("array(" + ", ".join(
+        "md5(concat_ws('_', " + ", ".join(
+            f"CAST(mh_{band * rows_per_band + r} AS STRING)"
+            for r in range(rows_per_band)) + "))"
+        for band in range(bands)) + ")")
     # persisted: the bucket self-join otherwise recomputes the full
     # shingle+md5 signature pipeline once per join side (plus once for
     # the cap count). State is (doc_id, band, bucket) only — at corpus
